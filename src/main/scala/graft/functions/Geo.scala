@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geodesic column expressions.
+  *
+  * Semantics: haversine great-circle distance with Earth radius 6,371,000 m,
+  * matching the reference comparison service
+  * (`wifi-positioning-integration-service/.../service/ComparisonService.java:29,288-290`)
+  * and the trilateration algorithm's internal distance
+  * (`wifi-positioning-service/.../impl/TrilaterationAlgorithm.java:1034-1055`).
+  *
+  * Everything here is a pure `Column` expression — it stays inside
+  * whole-stage codegen (no UDF), so at 100 TB the distance math runs fused
+  * with the scan with zero serialization overhead.
+  */
+object Geo {
+  val EarthRadiusMeters: Double = 6371000.0
+
+  /** Great-circle distance in meters between (lat1,lon1) and (lat2,lon2), degrees in. */
+  def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2.0 * EarthRadiusMeters) * asin(sqrt(a))
+  }
+
+  /** Combined 1-sigma uncertainty of two independent position estimates:
+    * sqrt(acc1^2 + acc2^2) (`ComparisonService.java:293-299`). */
+  def expectedUncertainty(acc1: Column, acc2: Column): Column =
+    sqrt(acc1 * acc1 + acc2 * acc2)
+
+  /** Whether the distance between two estimates is explained by their
+    * combined uncertainty (the reference's "within expected" check). */
+  def withinExpected(distanceM: Column, acc1: Column, acc2: Column): Column =
+    distanceM <= expectedUncertainty(acc1, acc2)
+}
