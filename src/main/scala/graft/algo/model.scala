@@ -122,7 +122,7 @@ trait PositioningAlgorithm {
   def distributionMultiplier(d: SignalDistribution): Double
 }
 
-private[algo] object AlgoUtil {
+private[graft] object AlgoUtil {
   /** First-wins AP map on duplicate MAC (`WifiPositioningCalculator.java:303-318`). */
   def apMap(aps: Seq[AccessPoint]): Map[String, AccessPoint] = {
     val b = Map.newBuilder[String, AccessPoint]
