@@ -40,13 +40,24 @@ object Codec {
   def encodeLine(json: String): String =
     java.util.Base64.getEncoder.encodeToString(gzipBytes(json.getBytes(StandardCharsets.UTF_8)))
 
-  private val gunzipUdf = udf { (bytes: Array[Byte]) =>
-    if (bytes == null) null
+  private val encodeUdf = udf { (json: String) =>
+    if (json == null) null else encodeLine(json)
+  }
+
+  /** S2 producer side as a column: json -> base64(gzip(json)). */
+  def encodeLineCol(json: Column): Column = encodeUdf(json)
+
+  private val decodeUdf = udf { (line: String) =>
+    if (line == null) null
     else
-      try new String(gunzipBytes(bytes), StandardCharsets.UTF_8)
-      catch { case _: Exception => null } // F1: malformed input dropped, not fatal
+      try {
+        // Base64 decoded inside the UDF: Spark's `unbase64` raises on
+        // malformed input, but F1 semantics are drop-not-fail.
+        val bytes = java.util.Base64.getDecoder.decode(line)
+        new String(gunzipBytes(bytes), StandardCharsets.UTF_8)
+      } catch { case _: Exception => null } // F1: malformed input dropped, not fatal
   }
 
   /** base64(gzip(utf8)) line -> json string, or NULL on any decode failure. */
-  def decodeLine(line: Column): Column = gunzipUdf(unbase64(line))
+  def decodeLine(line: Column): Column = decodeUdf(line)
 }
