@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection, DataFrame-native.
+  *
+  * Pipeline: word shingles → k seeded min-hashes (one pass, all codegen'd
+  * expressions) → b bands of r rows → bucket join on (band, hash) →
+  * candidate pairs → exact shingle-Jaccard verification.
+  *
+  * Scale design (the whole point vs. an all-pairs compare):
+  *  - candidates come from an EQUI-JOIN on the band hash — one shuffle, no
+  *    crossJoin anywhere; at 100 TB this is the only viable shape;
+  *  - degenerate "mega-buckets" (a band value shared by a huge cluster,
+  *    e.g. empty docs) are capped: buckets above `maxBucketSize` are dropped
+  *    with a count, the standard guardrail against quadratic bucket blowup;
+  *  - signatures are fixed-size arrays (k longs/doc): memory per row is
+  *    bounded and the shuffle carries signatures, not documents.
+  *
+  * Determinism: hash family is xxhash64 seeded by literal ints — same
+  * signatures on every run/cluster (no Math.random).
+  */
+object MinHash {
+
+  final case class Config(
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      numBands: Int = 8, // rows per band = numHashes / numBands
+      jaccardThreshold: Double = 0.7,
+      maxBucketSize: Int = 1000)
+
+  /** Word n-gram shingle set of a text column (lowercased, de-duplicated). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(lower(text), "\\s+")
+    when(size(words) < n, array_distinct(array(concat_ws(" ", words))))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n))))))
+  }
+
+  /** k-min-hash signature (array<long>) of a shingle array. */
+  def signature(shingleArr: Column, numHashes: Int): Column =
+    transform(sequence(lit(1), lit(numHashes)),
+      seed => array_min(transform(shingleArr, s => xxhash64(seed, s))))
+
+  /** docs(idCol, textCol) → (id, shingles, signature). */
+  def signed(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), cfg.shingleSize).as("shingles"))
+      .withColumn("sig", signature(col("shingles"), cfg.numHashes))
+
+  /** Candidate pairs (id_a < id_b) from banded LSH buckets. */
+  def candidatePairs(signedDocs: DataFrame, cfg: Config): DataFrame = {
+    val rowsPerBand = cfg.numHashes / cfg.numBands
+    val banded = signedDocs
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(cfg.numBands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+          .as(Seq("band", "bucket")))
+
+    // Mega-bucket guardrail: drop buckets that would go quadratic.
+    val bucketSizes = banded.groupBy("band", "bucket").count()
+    val usable = banded.join(
+      bucketSizes.where(col("count") <= cfg.maxBucketSize).select("band", "bucket"),
+      Seq("band", "bucket"))
+
+    val a = usable.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = usable.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard on shingle sets for verification. */
+  def jaccard(shinglesA: Column, shinglesB: Column): Column = {
+    val inter = size(array_intersect(shinglesA, shinglesB)).cast("double")
+    val union = size(array_union(shinglesA, shinglesB)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** Full near-dup pipeline: docs → verified pairs with exact Jaccard ≥
+    * threshold. Output: (id_a, id_b, jaccard). */
+  def nearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val s = signed(docs, idCol, textCol, cfg)
+    val pairs = candidatePairs(s, cfg)
+    val withSets = pairs
+      .join(s.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+    withSets
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= cfg.jaccardThreshold)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed per-partition in bounded batches.
+  *
+  * The Spark-side mechanics here — schema, partition-parallel batch
+  * processing, typed output rows — are real and tested; the actual media
+  * decode is STUBBED with a deterministic fake (this container has no
+  * image/audio libraries). Swapping `decodeStub` for a JNI/FFI decoder (or
+  * porting the shape to `mapInPandas` with PIL/ffmpeg on a PySpark cluster)
+  * changes ONE function; the distribution story stays identical:
+  * mapPartitions → one task per partition, media bytes never shuffled until
+  * reduced to fixed-size features.
+  */
+object Multimodal {
+
+  /** An ingested media asset (content stays opaque bytes end to end). */
+  final case class Asset(
+      assetId: Long,
+      modality: String, // "image" | "audio" | "video"
+      content: Array[Byte],
+      format: String)
+
+  /** Typed metadata "decoded" from the bytes. */
+  final case class AssetMeta(
+      assetId: Long,
+      modality: String,
+      sizeBytes: Int,
+      width: Int,      // image/video
+      height: Int,
+      durationMs: Long, // audio/video
+      valid: Boolean)
+
+  /** Fixed-dim feature row (what a real encoder would emit). */
+  final case class AssetFeatures(
+      assetId: Long,
+      modality: String,
+      features: Array[Float])
+
+  val FeatureDim = 16
+
+  /** STUB decode: deterministic pseudo-metadata from the byte content.
+    * ??? in spirit — replace with a real decoder; the plumbing around it is
+    * the deliverable. */
+  private[llm] def decodeStub(a: Asset): AssetMeta = {
+    val n = a.content.length
+    if (n < 4) AssetMeta(a.assetId, a.modality, n, 0, 0, 0L, valid = false)
+    else {
+      // Fake header parse: first bytes drive dimensions, deterministically.
+      val w = 16 * (1 + (a.content(0) & 0x3f))
+      val h = 16 * (1 + (a.content(1) & 0x3f))
+      val dur = a.modality match {
+        case "audio" | "video" => 1000L * (1 + (a.content(2) & 0x7f))
+        case _                 => 0L
+      }
+      AssetMeta(a.assetId, a.modality, n, w, h, dur, valid = true)
+    }
+  }
+
+  /** STUB feature extraction: 16 floats derived from a rolling byte hash —
+    * stands in for a CLIP/mel-spectrogram embedding, deterministic. */
+  private[llm] def featuresStub(a: Asset): AssetFeatures = {
+    val out = new Array[Float](FeatureDim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < a.content.length) {
+      h = 31 * h + (a.content(i) & 0xff)
+      out(i % FeatureDim) += ((h % 1000L) / 1000.0f)
+      i += 1
+    }
+    AssetFeatures(a.assetId, a.modality, out.map(v => v % 1.0f))
+  }
+
+  /** Decode metadata for every asset — partition-parallel, batch-shaped. */
+  def decodeAll(spark: SparkSession, assets: Dataset[Asset]): Dataset[AssetMeta] = {
+    import spark.implicits._
+    assets.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Feature-extract every valid asset. */
+  def extractFeatures(spark: SparkSession, assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import spark.implicits._
+    assets.mapPartitions(_.filter(a => decodeStub(a).valid).map(featuresStub))
+  }
+
+  /** Frame sampling: split a video payload into `every`-th fixed-size chunk
+    * ("frames") — shows the 1→N batch shape without shuffling raw bytes. */
+  def sampleFrames(
+      spark: SparkSession, assets: Dataset[Asset],
+      frameBytes: Int, every: Int): DataFrame = {
+    import spark.implicits._
+    assets.filter(_.modality == "video")
+      .mapPartitions(_.flatMap { a =>
+        a.content.grouped(frameBytes).zipWithIndex
+          .filter { case (_, i) => i % every == 0 }
+          .map { case (chunk, i) => (a.assetId, i, chunk) }
+      })
+      .toDF("asset_id", "frame_idx", "frame")
+  }
+
+  /** Deterministic synthetic asset corpus (for tests/bench — stands in for
+    * a real binary-column source). */
+  def syntheticAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val modality = (i % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val len = 64 + (i % 192).toInt
+      val bytes = Array.tabulate(len)(j => ((i * 131 + j * 17) % 251).toByte)
+      Asset(i, modality, bytes, if (modality == "image") "png" else "bin")
+    }
+  }
+}

@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, as a 100 TB pipeline needs both:
+  *  - `bruteForceTopK`: exact cosine top-k of a SMALL broadcast query set
+  *    against the corpus — the correctness baseline and the right tool when
+  *    |queries| is tiny (the scan dominates; one pass, no index);
+  *  - `lshTopK`: random-hyperplane LSH — corpus bucketed once, candidates
+  *    from an equi-join on (table, bucket), exact cosine re-rank on the
+  *    candidates only. Sub-linear candidate sets; the scale path.
+  *
+  * All dot products run in double via `zip_with` + `aggregate` (codegen'd
+  * higher-order functions — no UDF in the hot path). Hyperplanes are
+  * deterministic Rademacher ±1 vectors derived from xxhash64 — identical
+  * buckets on every run with zero stored index state.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k: corpus × broadcast(queries) → k best matches per query.
+    * Output: (q_id, vec_id, cosine, rank). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id"), col(embCol).as("q_emb")))
+    val scored = corpus
+      .select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+      .join(q, col("vec_id") =!= col("q_id")) // broadcast nested loop — q is tiny
+      .select(col("q_id"), col("vec_id"), cosine(col("emb"), col("q_emb")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 hyperplane component for (table, bit, dim). */
+  private def rademacher(table: Int, bit: Int, dim: Column): Column =
+    when(pmod(xxhash64(lit(table), lit(bit), dim), lit(2)) === 0, 1.0).otherwise(-1.0)
+
+  /** Sign-bucket of one hash table: m sign bits packed into a long. */
+  private def bucketOf(emb: Column, table: Int, bits: Int): Column = {
+    val dims = sequence(lit(0), size(emb) - 1)
+    (0 until bits).map { bit =>
+      val proj = aggregate(
+        zip_with(emb, dims, (x, i) => x.cast("double") * rademacher(table, bit, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << bit)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Corpus → (vec_id, table, bucket) — one row per hash table. */
+  def lshBuckets(
+      corpus: DataFrame, tables: Int, bits: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val withBuckets = corpus.select(
+      col(idCol).as("vec_id"),
+      array((0 until tables).map(t => bucketOf(col(embCol), t, bits)): _*).as("buckets"))
+    withBuckets.select(col("vec_id"),
+      posexplode(col("buckets")).as(Seq("table", "bucket")))
+  }
+
+  /** LSH-bucketed ANN: candidates share a bucket in ≥1 table; exact cosine
+    * re-rank on candidates only. Output: (q_id, vec_id, cosine, rank).
+    *
+    * Tuning: collision prob per table ≈ (1 − θ/π)^bits. Near-dup hunting
+    * (cosine ≈ 1) tolerates many bits (tiny buckets); recall of MODERATE-
+    * similarity top-k needs fewer bits and more tables (e.g. 16×4) at the
+    * cost of larger candidate sets. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int = 8, bits: Int = 12,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cb = lshBuckets(corpus, tables, bits, idCol, embCol)
+    val qb = broadcast(lshBuckets(queries, tables, bits, idCol, embCol)
+      .withColumnRenamed("vec_id", "q_id"))
+    val candidates = cb.join(qb, Seq("table", "bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+
+    val scored = candidates
+      .join(corpus.select(col(idCol).as("vec_id"), col(embCol).as("emb")), "vec_id")
+      .join(broadcast(queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"), cosine(col("emb"), col("q_emb")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-dup: all pairs above a cosine threshold, found
+    * through LSH buckets (id_a < id_b, no crossJoin). */
+  def embeddingNearDup(
+      corpus: DataFrame, threshold: Double,
+      tables: Int = 8, bits: Int = 12,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val b = lshBuckets(corpus, tables, bits, idCol, embCol)
+    val pairs = b.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
+      .join(b.select(col("table"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("table", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(corpus.select(col(idCol).as("id_a"), col(embCol).as("emb_a")), "id_a")
+      .join(corpus.select(col(idCol).as("id_b"), col(embCol).as("emb_b")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

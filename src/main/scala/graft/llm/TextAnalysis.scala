@@ -1,0 +1,55 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar operators for a pretraining-data pipeline — all pure
+  * Column expressions (codegen'd, fused with the scan; zero UDFs).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (trailing empties preserved ↔ DuckDB parity). */
+  def tokenCount(text: Column): Column = size(split(text, " ", -1))
+
+  /** BPE-ish token estimate: word count + punctuation marks + one extra per
+    * 4 chars of long words (the standard chars/4 heuristic, deterministic). */
+  def tokenEstimate(text: Column): Column = {
+    val words = split(text, "\\s+")
+    val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val longWordExtra = aggregate(
+      transform(words, w => greatest(lit(0), floor((length(w) - 4) / 4).cast("int"))),
+      lit(0), (acc, x) => acc + x)
+    size(words) + punct + longWordExtra
+  }
+
+  /** Marker-token language-ID heuristic (n-gram family): first matching
+    * marker wins; "unk" otherwise. Deterministic, SQL-parity shape. */
+  def langId(text: Column): Column =
+    when(text.like("%the%") || text.like("% and %"), "en")
+      .when(text.like("% der %") || text.like("% und %"), "de")
+      .when(text.like("% el %") || text.like("% los %"), "es")
+      .when(text.like("% le %") || text.like("% les %"), "fr")
+      .otherwise("unk")
+
+  /** Quality score in [0,1]: length factor + stopword-ratio factor +
+    * alpha-ratio factor (the standard corpus-filtering heuristic family). */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val words = split(text, " ", -1)
+    val stop = size(filter(words, w => w.isin("the", "a", "of", "and", "to", "in")))
+    val stopRatio = when(size(words) === 0, 0.0).otherwise(stop / size(words).cast("double"))
+    val alphaRatio = when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^a-zA-Z ]", "")) / length(text).cast("double"))
+    least(lit(1.0),
+      lit(0.2) + lit(0.3) * least(nChars / 500.0, lit(1.0)) +
+        lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+        lit(0.2) * alphaRatio)
+  }
+
+  /** Stable 64-hex content fingerprint (exact-dedup join key). */
+  def fingerprint(text: Column): Column = sha2(text, 256)
+
+  /** Rolling polynomial fingerprint of the first `n` tokens — the
+    * prefix-dup detector (news-wire boilerplate etc.). */
+  def prefixFingerprint(text: Column, n: Int): Column =
+    xxhash64(concat_ws(" ", slice(split(lower(text), "\\s+"), 1, n)))
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.llm.{MinHash, Multimodal, SimHash, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators over the `documents` and `embeddings`
   * tables (SQL-expressible subset; the LSH/MinHash/ANN scale paths live in
@@ -118,5 +119,89 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Reg] = Seq(exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint)
+  /** Exact cosine top-3 per query vector — the ANN correctness baseline,
+    * fully oracled (both sides compute in double; round(6) absorbs the
+    * accumulation-order ulp). */
+  val annBrute: Reg = Reg.sql(
+    "llm_ann_brute",
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+      |  FROM embeddings WHERE vec_id < 3),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+      |SELECT q_id, vec_id, round(list_cosine_similarity(emb, q_emb), 6) AS cosine, rank
+      |FROM (
+      |  SELECT q_id, vec_id, list_cosine_similarity(emb, q_emb) AS cs,
+      |         list_cosine_similarity(emb, q_emb) AS raw,
+      |         ROW_NUMBER() OVER (PARTITION BY q_id
+      |           ORDER BY list_cosine_similarity(emb, q_emb) DESC, vec_id) AS rank,
+      |         emb, q_emb
+      |  FROM c, q WHERE vec_id <> q_id)
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3), k = 3)
+      .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** MinHash-LSH near-dup over documents — summary row (rows-only check;
+    * numeric semantics pinned by DedupSpec). Always ≥1 row. */
+  val minhashNearDup: Reg = Reg.rowsOnly("llm_minhash_neardup") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val signed = MinHash.signed(docs, "doc_id", "text", MinHash.Config())
+    val candidates = MinHash.candidatePairs(signed, MinHash.Config())
+    val verified = MinHash.nearDuplicates(docs, "doc_id", "text",
+      MinHash.Config(jaccardThreshold = 0.5))
+    candidates.agg(count(lit(1)).as("candidate_pairs"))
+      .crossJoin(verified.agg(count(lit(1)).as("verified_pairs"),
+        round(coalesce(avg("jaccard"), lit(0.0)), 4).as("avg_jaccard")))
+      .withColumn("corpus_docs", lit(docs.count()))
+  }
+
+  /** SimHash near-dup summary (rows-only). */
+  val simhashNearDup: Reg = Reg.rowsOnly("llm_simhash_neardup") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    SimHash.nearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .agg(count(lit(1)).as("pairs"),
+        round(coalesce(avg("hamming"), lit(0.0)), 4).as("avg_hamming"))
+  }
+
+  /** LSH-bucketed ANN + embedding near-dup summary (rows-only; recall and
+    * bucketing pinned by SimilaritySpec). */
+  val annLsh: Reg = Reg.rowsOnly("llm_ann_lsh") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val topk = Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+      tables = 16, bits = 4)
+    topk.agg(count(lit(1)).as("result_rows"),
+      countDistinct(col("q_id")).as("queries_answered"),
+      round(avg("cosine"), 4).as("avg_cosine"))
+  }
+
+  /** Multimodal plumbing end to end on a synthetic binary corpus
+    * (rows-only; decode is a documented stub). */
+  val multimodal: Reg = Reg.rowsOnly("llm_multimodal_pipeline") { (s, dir) =>
+    val assets = Multimodal.syntheticAssets(s, 300)
+    val meta = Multimodal.decodeAll(s, assets).toDF()
+    val feats = Multimodal.extractFeatures(s, assets).toDF()
+    meta.groupBy("modality")
+      .agg(count(lit(1)).as("cnt"), sum(when(col("valid"), 1).otherwise(0)).as("valid_cnt"),
+        round(avg("sizeBytes"), 2).as("avg_bytes"))
+      .join(feats.groupBy("modality").agg(count(lit(1)).as("feature_rows")), "modality")
+      .orderBy("modality")
+  }
+
+  /** Token-count estimate (BPE-ish heuristic) per language (rows-only; the
+    * whitespace token count is oracled in llm_text_stats). */
+  val tokenEstimate: Reg = Reg.rowsOnly("llm_token_estimate") { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("lang"), TextAnalysis.tokenEstimate(col("text")).as("est"),
+        TextAnalysis.tokenCount(col("text")).as("wc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"), round(avg("est"), 4).as("avg_est_tokens"),
+        round(avg("wc"), 4).as("avg_ws_tokens"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Reg] = Seq(
+    exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
+    annBrute, minhashNearDup, simhashNearDup, annLsh, multimodal, tokenEstimate)
 }

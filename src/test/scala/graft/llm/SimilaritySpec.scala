@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuite
+
+/** ANN over the driver's embeddings table: brute-force is the exact
+  * baseline; LSH must be bucketed (no crossJoin) and recall the planted /
+  * true neighbors. */
+class SimilaritySpec extends AnyFunSuite with Matchers with SparkSuite {
+
+  private lazy val embeddings =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("cosine expression matches a local computation") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f, 0.0f), Array(0.6f, 0.8f, 0.0f))).toDF("a", "b")
+    df.select(Similarity.cosine(col("a"), col("b"))).head.getDouble(0) shouldBe 0.6 +- 1e-6
+  }
+
+  test("brute-force top-k agrees with a local exact computation") {
+    val queries = embeddings.where(col("vec_id") < 3)
+    val got = Similarity.bruteForceTopK(embeddings, queries, k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank")))
+
+    // local recompute
+    val local = embeddings.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (q <- 0L until 3L) {
+      val expectTop = local.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(local(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+      val gotTop = got.filter(_._1 == q).sortBy(_._4).map(t => (t._2, t._3))
+      gotTop.map(_._1) shouldBe expectTop.map(_._1)
+      gotTop.zip(expectTop).foreach { case ((_, g), (_, e)) => g shouldBe e +- 1e-9 }
+    }
+  }
+
+  test("LSH top-k: bucketed plan, decent recall of the exact top-5") {
+    val queries = embeddings.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, k = 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Random gaussian corpus = hardest case (true neighbors only ~0.4
+    // cosine): use the low-bits/many-tables end of the trade-off.
+    val approx = Similarity.lshTopK(embeddings, queries, k = 5, tables = 16, bits = 4)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    recall should be >= 0.6
+
+    val plan = Similarity.lshTopK(embeddings, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+  }
+
+  test("embedding near-dup finds a planted duplicate vector via buckets only") {
+    import spark.implicits._
+    val dup = embeddings.where(col("vec_id") === 7)
+      .select(lit(9999L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = embeddings.unionByName(dup)
+    val pairs = Similarity.embeddingNearDup(corpus, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((7L, 9999L))
+  }
+}
