@@ -41,8 +41,11 @@ object IngestQueries {
   /** Wire → ingest → per-status aggregate (rows-only check; the scalar
     * semantics are oracled separately via f12/f15/f16/f_validation_gate). */
   val ingestChain: Reg = Reg.rowsOnly("f_ingest_chain") { (s, dir) =>
+    // Materialize the synthesized wire once — both explode branches of the
+    // ingest chain scan it (gzip encode would otherwise run twice).
     val wire = Tables.documents(s, dir)
       .select(Codec.encodeLineCol(rawJson).as("value"))
+      .localCheckpoint()
     val measurements = ScanIngest.ingest(
       wire, ScanIngest.Config(nowMillis = Some(NowMs)))
     ScanIngest.dedup(measurements)

@@ -147,7 +147,7 @@ object LlmQueries {
     * numeric semantics pinned by DedupSpec). Always ≥1 row. */
   val minhashNearDup: Reg = Reg.rowsOnly("llm_minhash_neardup") { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val signed = MinHash.signed(docs, "doc_id", "text", MinHash.Config())
+    val signed = MinHash.signed(docs, "doc_id", "text", MinHash.Config()).localCheckpoint()
     val candidates = MinHash.candidatePairs(signed, MinHash.Config())
     val verified = MinHash.nearDuplicates(docs, "doc_id", "text",
       MinHash.Config(jaccardThreshold = 0.5))

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuite
+
+/** Physical-plan audits: the scale properties the queries claim must be
+  * visible in `executedPlan` — broadcast joins stay broadcast, filters reach
+  * the parquet scan, top-k avoids global sorts, and nothing collects or
+  * cross-joins. These are the "would this survive 100×" checks run at test
+  * time, every build. */
+class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
+
+  private def plan(r: Reg): String =
+    r.build(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("J1/J2/J3: dimension joins are BroadcastHashJoin, never SortMerge") {
+    Seq(CoreQueries.j1BroadcastJoin, CoreQueries.j2SemiJoin, CoreQueries.j3StatusAnti)
+      .foreach { q =>
+        val p = plan(q)
+        withClue(q.name) {
+          p should include("BroadcastHashJoin")
+          p should not include "SortMergeJoin"
+        }
+      }
+  }
+
+  test("A1: selection predicates are pushed to the parquet scan") {
+    val p = plan(CoreQueries.a1CandidateSelection)
+    p should include("PushedFilters: [")
+    // the IN-list on the AP key must reach the scan
+    p should include("In(l_suppkey")
+  }
+
+  test("O1: ORDER BY + LIMIT compiles to TakeOrderedAndProject (no full sort)") {
+    plan(CoreQueries.o1SortedScan) should include("TakeOrderedAndProject")
+  }
+
+  test("column pruning: q1 reads only the needed lineitem columns") {
+    val p = plan(CoreQueries.q1PricingSummary)
+    p should include("ReadSchema")
+    p should not include "l_orderkey" // untouched columns pruned from the scan
+    p should not include "l_partkey"
+  }
+
+  test("no query plan contains a CartesianProduct or driver collect") {
+    SparkEntryPlans.all.foreach { case (name, p) =>
+      withClue(name)(p should not include "CartesianProduct")
+    }
+  }
+
+  private object SparkEntryPlans {
+    lazy val all: Seq[(String, String)] =
+      (CoreQueries.all ++ LlmQueries.all).map(r => r.name -> plan(r))
+  }
+}
