@@ -238,8 +238,12 @@ object ScanIngest {
     * branches, `WifiDataTransformationService.java:157-167`), F19 oversized
     * guard applied on the decoded document. */
   def ingest(lines: DataFrame, cfg: Config = Config()): DataFrame = {
-    val docs = decodeAndParse(lines)
+    val decoded = decodeAndParse(lines)
       .where(length(to_json(col("doc"))) <= cfg.maxRecordBytes) // F19
+    // Batch mode: materialize decoded docs once — both explode branches scan
+    // them, and gunzip+parse is the expensive step. Streaming plans cannot
+    // checkpoint mid-stream, so there the source cache/exchange reuse applies.
+    val docs = if (decoded.isStreaming) decoded else decoded.localCheckpoint()
     val connected = validateAndEnrich(flattenConnected(docs), cfg)
     val scans = validateAndEnrich(flattenScans(docs), cfg)
     connected.unionByName(scans)

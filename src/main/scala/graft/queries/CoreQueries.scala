@@ -432,6 +432,23 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  /** F2 — lenient JSON field extraction from a string payload column
+    * (`from_json`/`get_json_object` family; the raw-layer parse is PERMISSIVE,
+    * `application.yml:28`). */
+  val f2JsonExtract: Reg = Reg.sql(
+    "f2_json_extract",
+    """SELECT event_type,
+      |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       COUNT(*) AS cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
   /** F12/F13 — deterministic id derivation via sha2
     * (`WifiDataTransformationService.java:748-791`): device_id = sha256 of
     * colon-joined identity fields; event_id = sha256("ts:key"). */
@@ -627,6 +644,6 @@ object CoreQueries {
     a5QualityAssessment, a9MadOutliers, a10HotspotDetection, a11RelocationJumps,
     o1SortedScan, o2TopKPerGroup, o3MaxBy, o4UnionStreams, o5DistinctCount, o6Dedup,
     j1BroadcastJoin, j2SemiJoin, j3StatusAnti, j4PairSelfJoin, j5EstimateStateJoin,
-    fValidationGate, f12Sha2Ids, f15QualityWeight, f16QualityScore,
+    fValidationGate, f2JsonExtract, f12Sha2Ids, f15QualityWeight, f16QualityScore,
     c1Haversine, c2Uncertainty, p2WeightedCentroid, r7TierDispatch, q1PricingSummary)
 }

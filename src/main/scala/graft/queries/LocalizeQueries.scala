@@ -40,5 +40,36 @@ object LocalizeQueries {
       .orderBy("bssid")
   }
 
-  val all: Seq[Reg] = Seq(batchLocalize)
+  /** A10 full form + A9 local outliers over synthesized measurements:
+    * spread + SSID-pattern + OUI flags, and grid-bucketed local-density
+    * outliers (rows-only; components oracled separately in
+    * a10_hotspot_detection / a9_outlier_mad). */
+  val hotspotFull: Reg = Reg.rowsOnly("a10_hotspot_full") { (s, dir) =>
+    import graft.analytics.Hotspots
+    val ev = Tables.events(s, dir)
+    val measurements = ev.select(
+      // every 7th key gets a blacklisted OUI, every 5th a tethering SSID,
+      // keys ≥ 130 roam widely — all three detector arms fire
+      when(col("user_id") % 7 === 0,
+        concat(lit("00:23:6c:00:00:"), format_string("%02x", col("user_id") % 250)))
+        .otherwise(concat(lit("aa:bb:cc:dd:ee:"), format_string("%02x", col("user_id") % 250)))
+        .as("bssid"),
+      when(col("user_id") % 5 === 0, "Bob's iPhone").otherwise("HomeNet").as("ssid"),
+      (when(col("user_id") >= 130, (col("event_id") % 100) * lit(0.01)).otherwise(lit(0.0))
+        + (col("user_id") % 90)).as("latitude"),
+      ((col("user_id") % 180) - 90 + (col("event_id") % 50) * 0.0001).as("longitude"))
+    val verdicts = Hotspots.detect(measurements)
+    val outliers = Hotspots.localOutliers(measurements)
+    verdicts.agg(
+      count(lit(1)).as("aps"),
+      sum(when(col("is_hotspot"), 1).otherwise(0)).as("hotspots"),
+      sum(when(col("wide_spread"), 1).otherwise(0)).as("wide_spread"),
+      sum(when(col("ssid_pattern"), 1).otherwise(0)).as("ssid_pattern"),
+      sum(when(col("blacklisted_oui"), 1).otherwise(0)).as("blacklisted_oui"))
+      .crossJoin(outliers.agg(
+        sum(when(col("local_outlier"), 1).otherwise(0)).as("local_outliers"),
+        count(lit(1)).as("measurements")))
+  }
+
+  val all: Seq[Reg] = Seq(batchLocalize, hotspotFull)
 }
