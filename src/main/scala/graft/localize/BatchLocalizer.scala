@@ -147,7 +147,10 @@ object BatchLocalizer {
         val buf = scala.collection.mutable.ArrayBuffer.empty[Measurement]
         while (it.hasNext && buf.size < maxMeasurementsPerAp) buf += it.next()
         while (it.hasNext) it.next() // drain to release the iterator
-        localize(bssid, buf.toSeq).iterator
+        // Sort for determinism: shuffle fetch order is arbitrary and float
+        // accumulation (WCL sums, MLE path) is order-sensitive.
+        val sorted = buf.sortBy(m => (m.latitude, m.longitude, m.rssi, m.qualityWeight))
+        localize(bssid, sorted.toSeq).iterator
       }
   }
 
