@@ -21,18 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  /** Cosine similarity of two float vectors, accumulated in double with a
+    * strict left fold — the SAME summation order as the zip_with/aggregate
+    * expression form and DuckDB's list_cosine_similarity, so oracle hash
+    * matches hold bit-for-bit. A JIT-compiled UDF because interpreted
+    * higher-order functions cost ~10 µs/element on the re-rank hot path. */
+  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    if (a == null || b == null || a.isEmpty || a.length != b.length) 0.0
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
   }
+
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** Exact top-k: corpus × broadcast(queries) → k best matches per query.
     * Output: (q_id, vec_id, cosine, rank). */

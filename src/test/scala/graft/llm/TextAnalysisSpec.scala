@@ -1,0 +1,52 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuite
+
+class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkSuite {
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c).collect().head.get(0).asInstanceOf[T]
+  }
+
+  test("token count keeps empty trailing tokens (oracle parity shape)") {
+    one[Int](TextAnalysis.tokenCount(col("text")), "a b c") shouldBe 3
+    one[Int](TextAnalysis.tokenCount(col("text")), "a b c ") shouldBe 4
+  }
+
+  test("BPE-ish estimate adds punctuation and long-word fragments") {
+    // 3 words + 1 comma + extra fragments for "extraordinarily" (15 chars → +2)
+    one[Int](TextAnalysis.tokenEstimate(col("text")), "an extraordinarily long, word")
+      .should(be >= 6)
+    one[Int](TextAnalysis.tokenEstimate(col("text")), "hi") shouldBe 1
+  }
+
+  test("language-id markers: first match wins, unknown falls through") {
+    one[String](TextAnalysis.langId(col("text")), "the cat sat") shouldBe "en"
+    one[String](TextAnalysis.langId(col("text")), "was ist der sinn und zweck") shouldBe "de"
+    one[String](TextAnalysis.langId(col("text")), "xyzzy qqq") shouldBe "unk"
+  }
+
+  test("quality score bounded in [0,1], rewards stopwords and length") {
+    val textLen = org.apache.spark.sql.functions.length(col("text"))
+    val short = one[Double](TextAnalysis.qualityScore(col("text"), textLen), "zz")
+    val rich = one[Double](TextAnalysis.qualityScore(col("text"), textLen),
+      "the quick brown fox jumps over the lazy dog and runs into the woods " * 8)
+    short should be >= 0.0
+    rich should be <= 1.0
+    rich should be > short
+  }
+
+  test("prefix fingerprint: same first-n tokens collide, different ones don't") {
+    import spark.implicits._
+    val fp = TextAnalysis.prefixFingerprint(col("text"), 3)
+    val vals = Seq("a b c d", "A B C zzz", "x y z d").toDF("text")
+      .select(fp).collect().map(_.getLong(0))
+    vals(0) shouldBe vals(1) // case-insensitive shared prefix
+    vals(0) should not be vals(2)
+  }
+}
