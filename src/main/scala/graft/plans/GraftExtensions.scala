@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.types.DoubleType
+
+/** SparkSessionExtensions entry point: registers the engine's native SQL
+  * functions so plain `spark.sql(...)` text can use them
+  * (`--conf spark.sql.extensions=graft.plans.GraftExtensions`, or
+  * `.withExtensions(new GraftExtensions)` on a builder — see
+  * `GraftSession`).
+  *
+  * Registered surface:
+  *  - `haversine_m(lat1, lon1, lat2, lon2)` — codegen'd great-circle meters.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("haversine_m"),
+      new ExpressionInfo(classOf[HaversineExpression].getName, "haversine_m"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"haversine_m expects 4 arguments, got ${children.length}")
+        val Seq(a1, o1, a2, o2) = children.map(c => Cast(c, DoubleType): Expression)
+        HaversineExpression(a1, o1, a2, o2)
+      }))
+  }
+}
+
+/** Session factory with the engine's recommended local-mode configuration:
+  * extensions registered, AQE on (runtime re-planning + skew-join handling),
+  * shuffle partitions sized to the core count rather than the 200 default. */
+object GraftSession {
+  def builder(cores: Int): org.apache.spark.sql.SparkSession.Builder =
+    org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cores]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.Geo
+
+/** The native haversine Expression: SQL-registered via extensions, fused
+  * into whole-stage codegen, numerically identical to the Column form. */
+class ExtensionsSpec extends AnyFunSuite with Matchers {
+
+  // Own session: extensions must be present at session build time.
+  private lazy val spark: SparkSession =
+    GraftSession.builder(2).appName("graft-ext-test").getOrCreate()
+
+  test("haversine_m callable from SQL text and matches the Column expression") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((40.0, -75.0, 40.7128, -74.0060)).toDF("a1", "o1", "a2", "o2")
+    df.createOrReplaceTempView("pts")
+
+    val sqlVal = spark.sql(
+      "SELECT haversine_m(a1, o1, a2, o2) AS d FROM pts").head.getDouble(0)
+    val colVal = df.select(
+      Geo.haversineMeters(col("a1"), col("o1"), col("a2"), col("o2"))).head.getDouble(0)
+    sqlVal shouldBe colVal +- 1e-6
+    sqlVal shouldBe 115653.0 +- 500.0 // ~116 km to NYC
+  }
+
+  test("nulls propagate; wrong arity is a clear error") {
+    spark.sql("SELECT haversine_m(CAST(NULL AS DOUBLE), 0D, 1D, 1D) AS d")
+      .head.isNullAt(0) shouldBe true
+    val e = intercept[Exception] {
+      spark.sql("SELECT haversine_m(1D, 2D)").collect()
+    }
+    e.getMessage.toLowerCase should include("argument")
+  }
+
+  test("the expression participates in whole-stage codegen") {
+    val plan = spark.sql(
+      """SELECT haversine_m(CAST(id AS DOUBLE) / 100, 0D, 0D, 0D) AS d
+        |FROM range(1000)""".stripMargin)
+      .queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in the compact plan string —
+    // the expression sits INSIDE the fused stage, no codegen fence.
+    plan.linesIterator.next() should startWith("*(")
+    plan should include("haversine_m")
+  }
+}
