@@ -15,17 +15,28 @@ import org.apache.spark.sql.types.DoubleType
   *  - `haversine_m(lat1, lon1, lat2, lon2)` — codegen'd great-circle meters.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("haversine_m"),
-      new ExpressionInfo(classOf[HaversineExpression].getName, "haversine_m"),
-      (children: Seq[Expression]) => {
-        require(children.length == 4,
-          s"haversine_m expects 4 arguments, got ${children.length}")
-        val Seq(a1, o1, a2, o2) = children.map(c => Cast(c, DoubleType): Expression)
-        HaversineExpression(a1, o1, a2, o2)
-      }))
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.haversineFunction)
+}
+
+object GraftExtensions {
+  private val haversineBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 4,
+      s"haversine_m expects 4 arguments, got ${children.length}")
+    val Seq(a1, o1, a2, o2) = children.map(c => Cast(c, DoubleType): Expression)
+    HaversineExpression(a1, o1, a2, o2)
   }
+
+  val haversineFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("haversine_m"),
+    new ExpressionInfo(classOf[HaversineExpression].getName, "haversine_m"),
+    haversineBuilder)
+
+  /** Register on an EXISTING session (getOrCreate ignores extensions when a
+    * session already exists — e.g. shared test fixtures, spark-shell). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      haversineFunction._1, haversineFunction._2, haversineFunction._3)
 }
 
 /** Session factory with the engine's recommended local-mode configuration:

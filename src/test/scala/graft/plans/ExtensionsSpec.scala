@@ -8,11 +8,12 @@ import graft.functions.Geo
 
 /** The native haversine Expression: SQL-registered via extensions, fused
   * into whole-stage codegen, numerically identical to the Column form. */
-class ExtensionsSpec extends AnyFunSuite with Matchers {
+class ExtensionsSpec extends AnyFunSuite with Matchers with graft.SparkSuite {
 
-  // Own session: extensions must be present at session build time.
-  private lazy val spark: SparkSession =
-    GraftSession.builder(2).appName("graft-ext-test").getOrCreate()
+  // getOrCreate returns the suite-shared session (built without extensions),
+  // so exercise the post-hoc registration path — the same code the
+  // build-time injection uses.
+  GraftExtensions.register(spark)
 
   test("haversine_m callable from SQL text and matches the Column expression") {
     import spark.implicits._
