@@ -614,6 +614,63 @@ object CoreQueries {
       .orderBy("tier")
   }
 
+  /** O7 — running total per key (cumulative window over event time): the
+    * general time-series surface the relocation/maturity analytics build on. */
+  val o7RunningTotal: Reg = Reg.sql(
+    "o7_running_total",
+    """SELECT user_id, event_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |         OVER (PARTITION BY user_id ORDER BY event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS running_value
+      |FROM events WHERE user_id < 20
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .where(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"),
+        sum(money(col("value"))).over(w).cast("double").as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** O8 — rank/dense_rank windows (per-key leaderboard shape). */
+  val o8Rank: Reg = Reg.sql(
+    "o8_rank_windows",
+    """SELECT l_suppkey, l_orderkey, l_linenumber, rnk, drnk FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |         RANK() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS rnk,
+      |         DENSE_RANK() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS drnk
+      |  FROM lineitem)
+      |WHERE rnk <= 2
+      |ORDER BY l_suppkey, rnk, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("l_suppkey").orderBy(col("l_quantity").desc)
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+      .where(col("rnk") <= 2)
+      .orderBy("l_suppkey", "rnk", "l_orderkey", "l_linenumber")
+  }
+
+  /** A12 — ROLLUP subtotals (reporting surface over the fact table). */
+  val a12Rollup: Reg = Reg.sql(
+    "a12_rollup",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS cnt
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").cast("double").as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("cnt"))
+      .orderBy("returnflag", "linestatus")
+  }
+
   /** Flagship A3/A5 composite (TPC-H Q1 shape) — the headline scan+agg. */
   val q1PricingSummary: Reg = Reg.sql(
     "q1_pricing_summary",
@@ -643,6 +700,7 @@ object CoreQueries {
     a1CandidateSelection, a2CleanFetch, a3PerKeyStats, a4SufficiencyGate,
     a5QualityAssessment, a9MadOutliers, a10HotspotDetection, a11RelocationJumps,
     o1SortedScan, o2TopKPerGroup, o3MaxBy, o4UnionStreams, o5DistinctCount, o6Dedup,
+    o7RunningTotal, o8Rank, a12Rollup,
     j1BroadcastJoin, j2SemiJoin, j3StatusAnti, j4PairSelfJoin, j5EstimateStateJoin,
     fValidationGate, f2JsonExtract, f12Sha2Ids, f15QualityWeight, f16QualityScore,
     c1Haversine, c2Uncertainty, p2WeightedCentroid, r7TierDispatch, q1PricingSummary)
