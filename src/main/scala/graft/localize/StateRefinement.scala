@@ -66,6 +66,31 @@ object StateRefinement {
   def initial(bssid: String, estimate: Estimate): ApState =
     ApState(bssid, estimate.lat, estimate.lon, estimate.varianceM2, estimate.n)
 
+  /** Paper Stage 3 — RSSI denoising: a 1-D constant-level Kalman smoother
+    * over a per-AP RSSI time series (the paper recommends an FCM-Kalman
+    * combination for non-Gaussian noise; this is the Kalman half, with the
+    * measurement σ tiered by signal strength like the MLE models — the FCM
+    * membership step would pre-weight observations and slots in as the
+    * `measurementVar` input).
+    *
+    * processVar (dB²/step) tolerates slow drift; measurementVar is the
+    * per-sample noise. Returns the smoothed series, same length. */
+  def denoiseRssi(
+      series: Seq[Double],
+      processVar: Double = 0.5,
+      measurementVar: Double = 9.0): Seq[Double] = {
+    if (series.isEmpty) return Nil
+    var x = series.head
+    var p = measurementVar
+    series.map { z =>
+      p += processVar                 // predict (level model: x unchanged)
+      val k = p / (p + measurementVar) // gain
+      x += k * (z - x)                // correct
+      p *= (1.0 - k)
+      x
+    }
+  }
+
   /** A11 — CUSUM change-point detection over a 1-D measurement series
     * (e.g. per-AP distance-to-state over time): returns indices where the
     * cumulative drift statistic crosses `threshold`, resetting after each

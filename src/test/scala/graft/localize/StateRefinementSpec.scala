@@ -37,6 +37,21 @@ class StateRefinementSpec extends AnyFunSuite with Matchers {
     r.state.n shouldBe 40 // evidence restarts after relocation
   }
 
+  test("RSSI denoising: variance shrinks, mean tracked, steps followed with lag") {
+    // noisy flat series around -60: smoothed variance well below raw
+    val noisy = (0 until 60).map(i => -60.0 + (if (i % 2 == 0) 4.0 else -4.0))
+    val smooth = denoiseRssi(noisy)
+    def variance(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size; xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    variance(smooth.drop(10)) should be < variance(noisy.drop(10)) / 4
+    smooth.last shouldBe -60.0 +- 2.0
+    // a genuine level step is followed (with lag), not suppressed
+    val stepped = Seq.fill(30)(-60.0) ++ Seq.fill(30)(-75.0)
+    denoiseRssi(stepped).last shouldBe -75.0 +- 2.0
+    denoiseRssi(Nil) shouldBe Nil
+  }
+
   test("CUSUM flags a level shift and ignores noise within drift") {
     val flat = Seq.fill(30)(10.0)
     cusumChangePoints(flat, threshold = 20.0, drift = 1.0) shouldBe Nil
