@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.DoubleType
   *  - `haversine_m(lat1, lon1, lat2, lon2)` — codegen'd great-circle meters.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.haversineFunction)
+    ext.injectOptimizerRule(_ => OutlierIdiomRule)
+  }
 }
 
 object GraftExtensions {

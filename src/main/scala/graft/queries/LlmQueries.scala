@@ -201,7 +201,34 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  /** Exact token-set Jaccard over consecutive-doc pairs — the unigram case
+    * of the n-gram Jaccard family (the 3-gram shingle form backs the MinHash
+    * verifier, pinned in DedupSpec), fully oracled: Spark array set ops and
+    * DuckDB list ops agree exactly. */
+  val ngramJaccard: Reg = Reg.sql(
+    "llm_token_jaccard",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE /
+      |             len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE, 6) AS jaccard
+      |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      |ORDER BY id_a""".stripMargin) { (s, dir) =>
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      array_distinct(split(lower(col("text")), "\\s+")).as("toks"))
+    val a = toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
+    val b = toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))).cast("double"), 6).as("jaccard"))
+      .orderBy("id_a")
+  }
+
   val all: Seq[Reg] = Seq(
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
-    annBrute, minhashNearDup, simhashNearDup, annLsh, multimodal, tokenEstimate)
+    annBrute, minhashNearDup, simhashNearDup, annLsh, multimodal, tokenEstimate,
+    ngramJaccard)
 }

@@ -38,6 +38,24 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with graft.SparkSuite {
     e.getMessage.toLowerCase should include("argument")
   }
 
+  test("outlier-idiom rule rewrites the null-safe predicate without changing results") {
+    import spark.implicits._
+    val df = Seq(
+      ("keep_false", Some(false)), ("keep_null", None), ("drop_true", Some(true)))
+      .toDF("name", "flag")
+    // Apply the rule directly to the analyzed plan (the shared test session
+    // predates the extensions; build-time injection is covered by
+    // GraftExtensions wiring + this semantic check).
+    val idiom = df.where("flag != true OR flag IS NULL")
+    val rewritten = OutlierIdiomRule(idiom.queryExecution.analyzed)
+    rewritten.toString should include("coalesce")
+    // semantic equivalence of the two predicate forms on all three cases
+    val a = idiom.collect().map(_.getString(0)).sorted
+    val b = df.where("NOT coalesce(flag, false)").collect().map(_.getString(0)).sorted
+    a shouldBe Array("keep_false", "keep_null")
+    b shouldBe a
+  }
+
   test("the expression participates in whole-stage codegen") {
     val plan = spark.sql(
       """SELECT haversine_m(CAST(id AS DOUBLE) / 100, 0D, 0D, 0D) AS d
