@@ -29,7 +29,7 @@ object Hotspots {
 
   /** OUI-blacklist membership on a normalized bssid. */
   def isHotspotOui(bssid: Column, blacklist: Seq[String] = ScanIngest.Config.DefaultHotspotOuis): Column =
-    upper(substring(bssid, 1, 8)).isin(blacklist: _*)
+    ScanIngest.oui(bssid).isin(blacklist: _*)
 
   /** A10 — per-BSSID hotspot verdict. Input columns: bssid, ssid, latitude,
     * longitude. Output: bssid, n, spread flags and the combined verdict. */

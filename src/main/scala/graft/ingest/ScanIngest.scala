@@ -254,8 +254,14 @@ object ScanIngest {
     * streaming window (`application.yml:171`). */
   def dedup(measurements: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Ordering must be a TOTAL order over payload-distinct rows for the
+    // "deterministic representative" claim to hold — two same-event_id rows
+    // from different devices can tie on weight/rssi/status, so the payload
+    // columns break the remaining ties (the uuid `id` is itself random and
+    // unusable for this).
     val w = Window.partitionBy("event_id")
-      .orderBy(col("quality_weight").desc, col("rssi").desc, col("connection_status"))
+      .orderBy(col("quality_weight").desc, col("rssi").desc, col("connection_status"),
+        col("device_id"), col("latitude"), col("longitude"), col("location_timestamp"))
     measurements.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
   }

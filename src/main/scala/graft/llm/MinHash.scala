@@ -131,13 +131,17 @@ object MinHash {
     * the signature table instead and share it across dedup runs. */
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config()): DataFrame = {
-    val s = signed(docs, idCol, textCol, cfg).localCheckpoint()
-    val pairs = candidatePairs(s, cfg)
-    val withSets = pairs
-      .join(s.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(s.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-    withSets
+      cfg: Config = Config()): DataFrame =
+    nearDuplicatesFromSigned(signed(docs, idCol, textCol, cfg).localCheckpoint(), cfg)
+
+  /** Same pipeline over an already-materialized signature frame — callers
+    * that also need the candidates or counts share ONE signature pass
+    * instead of re-deriving it. */
+  def nearDuplicatesFromSigned(signedDocs: DataFrame, cfg: Config): DataFrame = {
+    val pairs = candidatePairs(signedDocs, cfg)
+    pairs
+      .join(signedDocs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(signedDocs.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= cfg.jaccardThreshold)
   }

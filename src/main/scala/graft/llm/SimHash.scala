@@ -42,15 +42,24 @@ object SimHash {
     docs.select(col(idCol).as("id"), simhash(col(textCol)).as("simhash"))
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 guarantees the
-    * 4-band candidate generation is lossless). Output (id_a, id_b, hamming). */
+    * 4-band candidate generation is lossless). Output (id_a, id_b, hamming).
+    *
+    * Mega-bucket guardrail (same as MinHash): a band value shared by a huge
+    * cluster — every empty doc hashes to 0L, for one — would go quadratic in
+    * the self-join; buckets above `maxBucketSize` are dropped. */
   def nearDuplicates(
-      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4 bands of 16 bits are only exhaustive up to Hamming 3")
     val s = signed(docs, idCol, textCol)
     val bandCols = (0 until 4).map(b =>
       shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))
-    val banded = s.select(col("id"), col("simhash"),
+    val bandedAll = s.select(col("id"), col("simhash"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val bucketSizes = bandedAll.groupBy("band", "bucket").count()
+    val banded = bandedAll.join(
+      bucketSizes.where(col("count") <= maxBucketSize).select("band", "bucket"),
+      Seq("band", "bucket"))
     val a = banded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("simhash").as("h_a"))
     val b = banded.select(col("band"), col("bucket"),

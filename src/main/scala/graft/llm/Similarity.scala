@@ -64,7 +64,8 @@ object Similarity {
     * Hyperplanes are deterministic Rademacher ±1 from a splitmix64 of
     * (table, bit, dim) — identical buckets on every run, no stored state. */
   private val bucketsUdf = udf { (emb: Seq[Float], tables: Int, bits: Int) =>
-    Array.tabulate(tables) { t =>
+    if (emb == null || emb.isEmpty) Array.empty[Long] // drop-not-fail (F18)
+    else Array.tabulate(tables) { t =>
       var bucket = 0L
       var bit = 0
       while (bit < bits) {

@@ -85,9 +85,13 @@ object BatchLocalizer {
         val d = math.max(1.0,
           AlgoUtil.distanceMeters(best._1, best._2, None, m.latitude, m.longitude, None))
         val e = m.rssi - expected(d)
+        // Ascent direction: observed stronger than modeled (e > 0) means the
+        // AP is closer to this measurement than d — step TOWARD it. (The
+        // away-from-measurement sign decreases LL on every step and the
+        // accept-if-better guard then silently freezes the WCL start.)
         val scale = e / (sigma * sigma * d) * m.qualityWeight
-        gLat += scale * (best._1 - m.latitude)
-        gLon += scale * (best._2 - m.longitude)
+        gLat += scale * (m.latitude - best._1)
+        gLon += scale * (m.longitude - best._2)
       }
       val norm = math.max(1e-12, math.sqrt(gLat * gLat + gLon * gLon))
       val cand = (best._1 + lr * gLat / norm, best._2 + lr * gLon / norm)

@@ -27,16 +27,29 @@ import org.apache.spark.sql.functions._
   */
 object MergeOps {
 
-  /** Atomically replace the parquet table at `path` with `updated`. */
+  /** Atomically replace the parquet table at `path` with `updated`.
+    *
+    * Hadoop's FileSystem.rename reports failure by returning FALSE, not
+    * throwing — every step is checked, and a failed tmp→target swap rolls
+    * the backup straight back so the table is never lost. */
   private def rewrite(spark: SparkSession, path: String, updated: DataFrame): Unit = {
     val tmp = path.stripSuffix("/") + ".tmp_rewrite"
     updated.write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val backup = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".tmp_old")
-    fs.rename(target, backup)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+    if (fs.exists(backup)) fs.delete(backup, true) // leftover from a crash
+    if (!fs.rename(target, backup))
+      throw new java.io.IOException(s"rewrite aborted: cannot move $path aside (table untouched)")
+    if (!fs.rename(tmpPath, target)) {
+      val restored = fs.rename(backup, target) // roll back
+      throw new java.io.IOException(
+        s"rewrite failed swapping in $tmp" +
+          (if (restored) "; original table restored"
+           else s"; RESTORE FAILED — original data preserved at $backup"))
+    }
     fs.delete(backup, true)
   }
 

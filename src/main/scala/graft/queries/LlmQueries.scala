@@ -146,15 +146,16 @@ object LlmQueries {
   /** MinHash-LSH near-dup over documents — summary row (rows-only check;
     * numeric semantics pinned by DedupSpec). Always ≥1 row. */
   val minhashNearDup: Reg = Reg.rowsOnly("llm_minhash_neardup") { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val signed = MinHash.signed(docs, "doc_id", "text", MinHash.Config()).localCheckpoint()
-    val candidates = MinHash.candidatePairs(signed, MinHash.Config())
-    val verified = MinHash.nearDuplicates(docs, "doc_id", "text",
-      MinHash.Config(jaccardThreshold = 0.5))
+    val cfg = MinHash.Config(jaccardThreshold = 0.5)
+    // One signature pass shared by candidates, verification, and the count.
+    val signed = MinHash.signed(
+      Tables.documents(s, dir), "doc_id", "text", cfg).localCheckpoint()
+    val candidates = MinHash.candidatePairs(signed, cfg)
+    val verified = MinHash.nearDuplicatesFromSigned(signed, cfg)
     candidates.agg(count(lit(1)).as("candidate_pairs"))
       .crossJoin(verified.agg(count(lit(1)).as("verified_pairs"),
         round(coalesce(avg("jaccard"), lit(0.0)), 4).as("avg_jaccard")))
-      .withColumn("corpus_docs", lit(docs.count()))
+      .withColumn("corpus_docs", lit(signed.count()))
   }
 
   /** SimHash near-dup summary (rows-only). */

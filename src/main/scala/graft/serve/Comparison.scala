@@ -76,7 +76,7 @@ object Comparison {
       explode(col("wifiInfo")).as("scan"))
       .select(
         col("request_id"), col("client"),
-        lower(regexp_replace(col("scan.macAddress"), "-", ":")).as("mac"),
+        graft.ingest.ScanIngest.normalizeBssid(col("scan.macAddress")).as("mac"),
         col("scan.rssi").cast("double").as("signal_strength"),
         col("scan.frequency").cast("int").as("frequency_mhz"))
 }

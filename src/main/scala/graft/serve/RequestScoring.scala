@@ -43,11 +43,11 @@ object RequestScoring {
     val exploded = requests.toDF()
       .select(col("requestId"), explode(col("scans")).as("scan"))
       .select(col("requestId"),
-        lower(regexp_replace(col("scan.mac"), "-", ":")).as("mac"),
+        graft.ingest.ScanIngest.normalizeBssid(col("scan.mac")).as("mac"),
         col("scan.rssi"), col("scan.frequencyMhz"))
 
     val dim = apDim.select(
-      lower(regexp_replace(col("mac_addr"), "-", ":")).as("ap_mac"),
+      graft.ingest.ScanIngest.normalizeBssid(col("mac_addr")).as("ap_mac"),
       col("latitude"), col("longitude"),
       col("altitude"), col("horizontal_accuracy"), col("confidence"),
       col("vendor"), col("status"))

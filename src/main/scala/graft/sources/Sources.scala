@@ -98,12 +98,15 @@ object Sources {
 
   /** S10 — AP state write: refined locations back to the dimension via the
     * same keyed merge the fact table uses (idempotent on mac_addr). */
-  def writeApState(spark: SparkSession, path: String, updates: DataFrame): Unit =
-    if (!new java.io.File(path).exists())
+  def writeApState(spark: SparkSession, path: String, updates: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
       updates.write.parquet(path)
     else
       graft.mutation.MergeOps.mergeByKey(spark, path, updates, "mac_addr",
         insertUnmatched = true)
+  }
 
   /** S3-sink parity — the Firehose limits become writer options: bound file
     * sizes via records-per-file (500-record batches,

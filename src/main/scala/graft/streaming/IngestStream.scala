@@ -29,11 +29,18 @@ object IngestStream {
   def measurements(
       lines: DataFrame,
       cfg: ScanIngest.Config = ScanIngest.Config(),
-      dedupWindow: String = "10 minutes"): DataFrame =
-    ScanIngest.ingest(lines, cfg)
+      dedupWindow: String = "10 minutes"): DataFrame = {
+    val enriched = ScanIngest.ingest(lines, cfg)
       .withColumn("event_time", timestamp_millis(col("measurement_timestamp")))
       .withWatermark("event_time", dedupWindow)
-      .dropDuplicates("event_id")
+    // dropDuplicatesWithinWatermark lets the watermark actually EVICT dedup
+    // state; plain dropDuplicates("event_id") would keep every key forever
+    // (the watermark only bounds state when an event-time column is part of
+    // the dedup keys). Batch plans have no watermark semantics — plain
+    // dedup there.
+    if (enriched.isStreaming) enriched.dropDuplicatesWithinWatermark("event_id")
+    else enriched.dropDuplicates("event_id")
+  }
 
   /** File-source convenience: watch `inputDir` for wire files. */
   def fromFiles(
@@ -61,8 +68,11 @@ object IngestStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val exists = new java.io.File(tablePath).exists()
-        if (!exists) {
+        // Resolve through the Hadoop FileSystem — java.io.File would report
+        // false for every non-local URI (s3a://, hdfs://) and re-create.
+        val p = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) {
           batch.write.mode("errorifexists").parquet(tablePath)
         } else {
           graft.mutation.MergeOps.mergeByKey(

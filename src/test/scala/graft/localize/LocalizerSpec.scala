@@ -41,6 +41,31 @@ class LocalizerSpec extends AnyFunSuite with Matchers with SparkSuite {
     lat shouldBe 40.0001 +- 1e-5
   }
 
+  test("MLE gradient ascends: refinement strictly increases the log-likelihood") {
+    // Asymmetric two-cluster data where the WCL start is NOT the optimum:
+    // weighted B-measurements drag the likelihood optimum away from the
+    // WCL start, so a correct ascent must move and must improve LL. (The
+    // pre-fix inverted gradient froze at the start on exactly this input.)
+    val a = (0 until 30).map(i =>
+      Measurement("ap", 40.0 + (i % 3) * 0.00005, -75.0, rssi = -45, qualityWeight = 1.0))
+    val b = (0 until 30).map(i =>
+      Measurement("ap", 40.0 + (i % 3) * 0.00005, -74.9945, rssi = -85, qualityWeight = 500.0))
+    val ms = a ++ b
+
+    // Same model constants as BatchLocalizer.mle.
+    def ll(lat: Double, lon: Double): Double = ms.map { m =>
+      val d = math.max(1.0, graft.algo.AlgoUtil.distanceMeters(
+        lat, lon, None, m.latitude, m.longitude, None))
+      val e = m.rssi - (-40.0 - 30.0 * math.log10(d))
+      -(e * e) / (2 * 6.0 * 6.0) * m.qualityWeight
+    }.sum
+
+    val start = BatchLocalizer.wcl(ms)
+    val refined = BatchLocalizer.mle(ms, start)
+    refined should not be start
+    ll(refined._1, refined._2) should be > ll(start._1, start._2)
+  }
+
   test("estimates land near the true AP position for a symmetric ring") {
     val est = localize("a", cluster("a", 60)).get
     est.lat shouldBe 40.0 +- 0.001
