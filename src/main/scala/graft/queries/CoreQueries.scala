@@ -614,6 +614,26 @@ object CoreQueries {
       .orderBy("tier")
   }
 
+  /** A13 — pivot (wide reporting shape): per-supplier return-flag columns.
+    * Spark's `.pivot` compiles to conditional aggregation — the oracle states
+    * that form explicitly, which is also what DuckDB executes. */
+  val a13Pivot: Reg = Reg.sql(
+    "a13_pivot",
+    """SELECT l_suppkey,
+      |       COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS flag_a,
+      |       COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS flag_n,
+      |       COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS flag_r
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_suppkey")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .count()
+      .na.fill(0L, Seq("A", "N", "R"))
+      .select(col("l_suppkey"), col("A").as("flag_a"), col("N").as("flag_n"),
+        col("R").as("flag_r"))
+      .orderBy("l_suppkey")
+  }
+
   /** O7 — running total per key (cumulative window over event time): the
     * general time-series surface the relocation/maturity analytics build on. */
   val o7RunningTotal: Reg = Reg.sql(
@@ -700,7 +720,7 @@ object CoreQueries {
     a1CandidateSelection, a2CleanFetch, a3PerKeyStats, a4SufficiencyGate,
     a5QualityAssessment, a9MadOutliers, a10HotspotDetection, a11RelocationJumps,
     o1SortedScan, o2TopKPerGroup, o3MaxBy, o4UnionStreams, o5DistinctCount, o6Dedup,
-    o7RunningTotal, o8Rank, a12Rollup,
+    o7RunningTotal, o8Rank, a12Rollup, a13Pivot,
     j1BroadcastJoin, j2SemiJoin, j3StatusAnti, j4PairSelfJoin, j5EstimateStateJoin,
     fValidationGate, f2JsonExtract, f12Sha2Ids, f15QualityWeight, f16QualityScore,
     c1Haversine, c2Uncertainty, p2WeightedCentroid, r7TierDispatch, q1PricingSummary)
