@@ -190,9 +190,22 @@ object LlmQueries {
       .orderBy("modality")
   }
 
-  /** Token-count estimate (BPE-ish heuristic) per language (rows-only; the
-    * whitespace token count is oracled in llm_text_stats). */
-  val tokenEstimate: Reg = Reg.rowsOnly("llm_token_estimate") { (s, dir) =>
+  /** Token-count estimate (BPE-ish heuristic) per language — fully oracled:
+    * Java \p{Punct} and RE2 [[:punct:]] denote the same ASCII set, and the
+    * per-word long-word fragments sum identically. */
+  val tokenEstimate: Reg = Reg.sql(
+    "llm_token_estimate",
+    """WITH t AS (
+      |  SELECT lang,
+      |         len(string_split_regex(text, '\s+')) +
+      |         (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) +
+      |         list_sum(list_transform(string_split_regex(text, '\s+'),
+      |            w -> greatest(0, (length(w) - 4) // 4))) AS est,
+      |         len(string_split(text, ' ')) AS wc
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS cnt, ROUND(AVG(est), 4) AS avg_est_tokens,
+      |       ROUND(AVG(wc), 4) AS avg_ws_tokens
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .select(col("lang"), TextAnalysis.tokenEstimate(col("text")).as("est"),
         TextAnalysis.tokenCount(col("text")).as("wc"))

@@ -42,9 +42,54 @@ object LocalizeQueries {
 
   /** A10 full form + A9 local outliers over synthesized measurements:
     * spread + SSID-pattern + OUI flags, and grid-bucketed local-density
-    * outliers (rows-only; components oracled separately in
-    * a10_hotspot_detection / a9_outlier_mad). */
-  val hotspotFull: Reg = Reg.rowsOnly("a10_hotspot_full") { (s, dir) =>
+    * outliers — fully oracled (every arm is plain SQL over the same
+    * deterministic synthesis). */
+  val hotspotFull: Reg = Reg.sql(
+    "a10_hotspot_full",
+    """WITH m AS (
+      |  SELECT
+      |    CASE WHEN user_id % 7 = 0
+      |         THEN '00:23:6c:00:00:' || printf('%02x', user_id % 250)
+      |         ELSE 'aa:bb:cc:dd:ee:' || printf('%02x', user_id % 250) END AS bssid,
+      |    CASE WHEN user_id % 5 = 0 THEN 'Bob''s iPhone' ELSE 'HomeNet' END AS ssid,
+      |    (CASE WHEN user_id >= 130 THEN (event_id % 100) * 0.01 ELSE 0.0 END
+      |      + (user_id % 90)) AS latitude,
+      |    ((user_id % 180) - 90 + (event_id % 50) * 0.0001) AS longitude
+      |  FROM events),
+      |verdicts AS (
+      |  SELECT bssid, COUNT(*) AS n,
+      |    (COALESCE(STDDEV_SAMP(latitude), 0) > 0.01 OR
+      |     COALESCE(STDDEV_SAMP(longitude), 0) > 0.01) AS wide_spread,
+      |    MAX(CASE WHEN regexp_matches(ssid,
+      |      '(?i)(androidap|iphone|galaxy|mi[- ]?fi|mobile ?hotspot|personal hotspot)')
+      |      THEN 1 ELSE 0 END) = 1 AS ssid_pattern,
+      |    MAX(CASE WHEN upper(substr(bssid, 1, 8)) IN
+      |      ('00:23:6C','3C:15:C2','58:55:CA','40:B0:FA','E8:50:8B','DA:A1:19','F8:A9:D0')
+      |      THEN 1 ELSE 0 END) = 1 AS blacklisted_oui
+      |  FROM m GROUP BY bssid),
+      |cells AS (
+      |  SELECT bssid,
+      |    CAST(floor(latitude / 0.0015) AS BIGINT) || '_' ||
+      |    CAST(floor(longitude / 0.0015) AS BIGINT) AS cell
+      |  FROM m),
+      |cell_counts AS (
+      |  SELECT bssid, cell, COUNT(*) AS cell_count FROM cells GROUP BY bssid, cell),
+      |ap_mean AS (
+      |  SELECT bssid, AVG(cell_count) AS mean_cell_count FROM cell_counts GROUP BY bssid),
+      |outliers AS (
+      |  SELECT c.bssid, (cc.cell_count < am.mean_cell_count * 0.2) AS local_outlier
+      |  FROM cells c
+      |  JOIN cell_counts cc ON cc.bssid = c.bssid AND cc.cell = c.cell
+      |  JOIN ap_mean am ON am.bssid = c.bssid)
+      |SELECT
+      |  (SELECT COUNT(*) FROM verdicts) AS aps,
+      |  (SELECT SUM(CASE WHEN wide_spread OR ssid_pattern OR blacklisted_oui
+      |              THEN 1 ELSE 0 END) FROM verdicts) AS hotspots,
+      |  (SELECT SUM(CASE WHEN wide_spread THEN 1 ELSE 0 END) FROM verdicts) AS wide_spread,
+      |  (SELECT SUM(CASE WHEN ssid_pattern THEN 1 ELSE 0 END) FROM verdicts) AS ssid_pattern,
+      |  (SELECT SUM(CASE WHEN blacklisted_oui THEN 1 ELSE 0 END) FROM verdicts) AS blacklisted_oui,
+      |  (SELECT SUM(CASE WHEN local_outlier THEN 1 ELSE 0 END) FROM outliers) AS local_outliers,
+      |  (SELECT COUNT(*) FROM outliers) AS measurements""".stripMargin) { (s, dir) =>
     import graft.analytics.Hotspots
     val ev = Tables.events(s, dir)
     val measurements = ev.select(
