@@ -62,18 +62,28 @@ object MinHash {
     * per document at k=32), while this JIT-compiled loop hashes each shingle
     * once and derives the k family members by splitmix64 avalanche mixing —
     * ~100× faster and still fully deterministic. */
+  /** The hash family member k of a 64-bit base hash: splitmix64 finalizer
+    * over (base + k·golden-gamma). Exposed for property tests — this IS the
+    * mixing the signature UDF applies. */
+  private[graft] def familyMember(base: Long, k: Int): Long = {
+    var z = base + (k + 1) * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit base hash of one shingle string (two seeded murmur words). */
+  private[graft] def baseHash(s: String): Long =
+    (scala.util.hashing.MurmurHash3.stringHash(s, 0x1b873593).toLong << 32) |
+      (scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995).toLong & 0xffffffffL)
+
   private val signatureUdf = udf { (shingles: Seq[String], numHashes: Int) =>
     val sig = Array.fill(numHashes)(Long.MaxValue)
     if (shingles != null) shingles.foreach { s =>
-      val base = (scala.util.hashing.MurmurHash3.stringHash(s, 0x1b873593).toLong << 32) |
-        (scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995).toLong & 0xffffffffL)
+      val base = baseHash(s)
       var k = 0
       while (k < numHashes) {
-        // splitmix64 finalizer over (base + k·golden-gamma)
-        var z = base + (k + 1) * 0x9E3779B97F4A7C15L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z ^= z >>> 31
+        val z = familyMember(base, k)
         if (z < sig(k)) sig(k) = z
         k += 1
       }

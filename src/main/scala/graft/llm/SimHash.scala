@@ -41,12 +41,16 @@ object SimHash {
   def signed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), simhash(col(textCol)).as("simhash"))
 
-  /** Near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 guarantees the
-    * 4-band candidate generation is lossless). Output (id_a, id_b, hamming).
+  /** Near-dup pairs with Hamming distance ≤ maxHamming. Output
+    * (id_a, id_b, hamming).
     *
-    * Mega-bucket guardrail (same as MinHash): a band value shared by a huge
-    * cluster — every empty doc hashes to 0L, for one — would go quadratic in
-    * the self-join; buckets above `maxBucketSize` are dropped. */
+    * The 4×16-bit banding is exhaustive up to Hamming 3 ONLY for pairs whose
+    * buckets survive the mega-bucket guardrail: a band value shared by a
+    * cluster larger than `maxBucketSize` (every empty doc hashes to 0L, for
+    * one) would go quadratic in the self-join, so those buckets are dropped —
+    * trading recall on degenerate clusters for bounded work, same policy as
+    * MinHash. Pre-filter empty documents (or raise the cap) when exhaustive
+    * duplicate groups over degenerate content matter. */
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {

@@ -27,7 +27,9 @@ object Similarity {
     * matches hold bit-for-bit. A JIT-compiled UDF because interpreted
     * higher-order functions cost ~10 µs/element on the re-rank hot path. */
   private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    if (a == null || b == null || a.isEmpty || a.length != b.length) 0.0
+    // Invalid vectors → NULL (sorts LAST under desc ordering), never 0.0 —
+    // a 0.0 score would outrank every anti-correlated real match.
+    if (a == null || b == null || a.isEmpty || a.length != b.length) Option.empty[Double]
     else {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -37,7 +39,7 @@ object Similarity {
         i += 1
       }
       val denom = math.sqrt(na) * math.sqrt(nb)
-      if (denom == 0.0) 0.0 else dot / denom
+      Some(if (denom == 0.0) 0.0 else dot / denom)
     }
   }
 

@@ -15,11 +15,11 @@ import org.apache.spark.sql.functions._
   *   DELETE … WHERE pred          →  filtered rewrite
   *
   * Scale notes: a full-table rewrite per mutation is exactly what
-  * copy-on-write table formats do; the real fix at 100 TB is partition-level
-  * rewrites — `updateByKey`/`deleteWhere` take a `partitionPruning`
-  * predicate so only affected ingestion-date partitions rewrite, mirroring
-  * the Iceberg partition layout (`years/months/days(ingestion_timestamp)`).
-  * Keep mutations OUT of hot paths; the outlier labeling job (A6) runs
+  * copy-on-write table formats do; the production fix at 100 TB is
+  * partition-scoped rewrites over the ingestion-date layout
+  * (`years/months/days(ingestion_timestamp)`) — point these ops at the
+  * affected partition directories rather than the table root. Keep
+  * mutations OUT of hot paths; the outlier labeling job (A6) runs
   * periodically, not per-query.
   *
   * The swap is write-new → rename, never read+overwrite in place (a failed
@@ -40,7 +40,8 @@ object MergeOps {
     val target = new org.apache.hadoop.fs.Path(path)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val backup = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".tmp_old")
-    if (fs.exists(backup)) fs.delete(backup, true) // leftover from a crash
+    if (fs.exists(backup) && fs.exists(target))
+      fs.delete(backup, true) // stale leftover alongside an intact table
     if (!fs.rename(target, backup))
       throw new java.io.IOException(s"rewrite aborted: cannot move $path aside (table untouched)")
     if (!fs.rename(tmpPath, target)) {
@@ -53,6 +54,23 @@ object MergeOps {
     fs.delete(backup, true)
   }
 
+  /** Crash recovery, run before ANY read of the table: if a previous rewrite
+    * died between its two renames, the `.tmp_old` backup IS the table —
+    * restore it (deleting it, or reading past it, would lose the data). */
+  private def recoverIfNeeded(spark: SparkSession, path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".tmp_old")
+    if (fs.exists(backup) && !fs.exists(target) && !fs.rename(backup, target))
+      throw new java.io.IOException(
+        s"recovery failed: backup $backup exists but cannot be restored to $path")
+  }
+
+  private def readTable(spark: SparkSession, path: String): DataFrame = {
+    recoverIfNeeded(spark, path)
+    spark.read.parquet(path)
+  }
+
   /** A6 — UPDATE keyed on event_id: rows in `updates` replace table rows
     * with the same key; unmatched update rows are ignored (pure UPDATE) or
     * appended (`insertUnmatched = true` → full MERGE/upsert). */
@@ -62,7 +80,7 @@ object MergeOps {
       updates: DataFrame,
       key: String,
       insertUnmatched: Boolean = false): Unit = {
-    val target = spark.read.parquet(path)
+    val target = readTable(spark, path)
     val keys = updates.select(col(key)).distinct()
     val untouched = target.join(broadcast(keys), Seq(key), "left_anti")
     val matched =
@@ -81,7 +99,7 @@ object MergeOps {
       threshold: Double,
       algorithm: String = "MAD",
       detectionVersion: String = "1.0"): Unit = {
-    val target = spark.read.parquet(path)
+    val target = readTable(spark, path)
     val hits = broadcast(outlierDistances
       .select(col("event_id"), col("distance").as("__dist")))
     val updated = target.join(hits, Seq("event_id"), "left")
@@ -106,7 +124,7 @@ object MergeOps {
   /** A7/A8 — DELETE WHERE pred (outlier purge / hotspot purge:
     * `wifi_measurement_s3_table_schema.md:130-143`). */
   def deleteWhere(spark: SparkSession, path: String, pred: Column): Unit = {
-    val target = spark.read.parquet(path)
+    val target = readTable(spark, path)
     rewrite(spark, path, target.where(!coalesce(pred, lit(false))))
   }
 }

@@ -52,9 +52,13 @@ object LocalizeQueries {
       |         THEN '00:23:6c:00:00:' || printf('%02x', user_id % 250)
       |         ELSE 'aa:bb:cc:dd:ee:' || printf('%02x', user_id % 250) END AS bssid,
       |    CASE WHEN user_id % 5 = 0 THEN 'Bob''s iPhone' ELSE 'HomeNet' END AS ssid,
-      |    (CASE WHEN user_id >= 130 THEN (event_id % 100) * 0.01 ELSE 0.0 END
+      |    -- literals cast to DOUBLE: DuckDB would otherwise compute in
+      |    -- DECIMAL and put boundary rows in different floor() geocells
+      |    -- than Spark's double arithmetic (measured 112/100k rows at sf0.1)
+      |    (CASE WHEN user_id >= 130
+      |          THEN (event_id % 100) * CAST(0.01 AS DOUBLE) ELSE 0.0 END
       |      + (user_id % 90)) AS latitude,
-      |    ((user_id % 180) - 90 + (event_id % 50) * 0.0001) AS longitude
+      |    ((user_id % 180) - 90 + (event_id % 50) * CAST(0.0001 AS DOUBLE)) AS longitude
       |  FROM events),
       |verdicts AS (
       |  SELECT bssid, COUNT(*) AS n,
@@ -69,8 +73,8 @@ object LocalizeQueries {
       |  FROM m GROUP BY bssid),
       |cells AS (
       |  SELECT bssid,
-      |    CAST(floor(latitude / 0.0015) AS BIGINT) || '_' ||
-      |    CAST(floor(longitude / 0.0015) AS BIGINT) AS cell
+      |    CAST(floor(latitude / CAST(0.0015 AS DOUBLE)) AS BIGINT) || '_' ||
+      |    CAST(floor(longitude / CAST(0.0015 AS DOUBLE)) AS BIGINT) AS cell
       |  FROM m),
       |cell_counts AS (
       |  SELECT bssid, cell, COUNT(*) AS cell_count FROM cells GROUP BY bssid, cell),

@@ -77,14 +77,17 @@ object PropertySpec extends Properties("graft") {
         Seq.fill(n)(level), threshold = 5.0, drift = 0.5).isEmpty
     }
 
-  property("minhash-style splitmix determinism: same input, same signature") = {
-    // determinism at the library level: shingle+hash pipeline is pure
+  property("minhash hash family: deterministic, and k members are pairwise distinct") =
     forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { s =>
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x1b873593)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x1b873593)
-      h1 == h2
+      import graft.llm.MinHash.{baseHash, familyMember}
+      val base = baseHash(s)
+      val members = (0 until 32).map(familyMember(base, _))
+      // pure function (same input → same members) and no family collision —
+      // a degenerate mixer collapsing members would destroy minhash's
+      // independent-permutation assumption
+      members == (0 until 32).map(familyMember(base, _)) &&
+        members.distinct.size == 32
     }
-  }
 
   property("combiner accuracy non-negative and >= 6 m when collinear") =
     forAll(Gen.nonEmptyListOf(Gen.choose(1.0, 100.0)).map(_.take(6)),

@@ -48,12 +48,25 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with graft.SparkSuite {
     // GraftExtensions wiring + this semantic check).
     val idiom = df.where("flag != true OR flag IS NULL")
     val rewritten = OutlierIdiomRule(idiom.queryExecution.analyzed)
-    rewritten.toString should include("coalesce")
-    // semantic equivalence of the two predicate forms on all three cases
+    // canonical pushdown-friendly form: NOT x OR isnull(x), no coalesce
+    rewritten.toString should include("isnull")
+    rewritten.toString should not include "coalesce"
+    // semantic equivalence on all three truth-table cases
     val a = idiom.collect().map(_.getString(0)).sorted
-    val b = df.where("NOT coalesce(flag, false)").collect().map(_.getString(0)).sorted
+    val b = df.where("NOT flag OR flag IS NULL").collect().map(_.getString(0)).sorted
     a shouldBe Array("keep_false", "keep_null")
     b shouldBe a
+  }
+
+  test("outlier idiom keeps parquet pushdown (the reason the rule avoids coalesce)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("idiom").toString + "/t"
+    Seq(("a", Some(true)), ("b", Some(false)), ("c", Option.empty[Boolean]))
+      .toDF("k", "is_global_outlier").write.parquet(path)
+    val plan = spark.read.parquet(path)
+      .where("is_global_outlier != true OR is_global_outlier IS NULL")
+      .queryExecution.executedPlan.toString
+    plan should include("PushedFilters: [Or(Not(EqualTo(is_global_outlier,true)),IsNull(is_global_outlier))]")
   }
 
   test("the expression participates in whole-stage codegen") {

@@ -27,11 +27,19 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkSuite {
     }
   }
 
-  test("batch localizer and request scorer are re-execution deterministic") {
+  test("batch localizer is re-execution deterministic") {
     val l1 = graft.queries.LocalizeQueries.batchLocalize.build(spark, sfDir)
       .collect().map(_.toString)
     val l2 = graft.queries.LocalizeQueries.batchLocalize.build(spark, sfDir)
       .collect().map(_.toString)
     l1 shouldBe l2
+  }
+
+  test("request scorer is re-execution deterministic") {
+    val s1 = graft.queries.ServeQueries.batchScoring.build(spark, sfDir)
+      .collect().map(_.toString)
+    val s2 = graft.queries.ServeQueries.batchScoring.build(spark, sfDir)
+      .collect().map(_.toString)
+    s1 shouldBe s2
   }
 }
