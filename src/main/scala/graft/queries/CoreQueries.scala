@@ -171,7 +171,7 @@ object CoreQueries {
       |  FROM pos GROUP BY user_id
       |)
       |SELECT CASE WHEN sd_lat > 25 THEN 'mobile' ELSE 'stationary' END AS verdict,
-      |       COUNT(*) AS key_cnt, SUM(cnt) AS measurement_cnt
+      |       COUNT(*) AS key_cnt, CAST(SUM(cnt) AS BIGINT) AS measurement_cnt
       |FROM spread GROUP BY 1 ORDER BY verdict""".stripMargin) { (s, dir) =>
     val pos = Tables.events(s, dir)
       .select(col("user_id"), (least(col("value"), lit(200)) / 200 * 90).as("lat"))
@@ -393,14 +393,18 @@ object CoreQueries {
       |  SELECT l_suppkey, ROUND(AVG(l_extendedprice), 4) AS est_price, COUNT(*) AS n
       |  FROM lineitem GROUP BY l_suppkey)
       |SELECT e.l_suppkey, e.n,
-      |       ROUND(0.7 * e.est_price + 0.3 * s.s_acctbal, 4) AS blended
+      |       CAST(ROUND(0.7 * CAST(e.est_price AS DECIMAL(18,6))
+      |                + 0.3 * CAST(s.s_acctbal AS DECIMAL(18,6)), 4) AS DOUBLE) AS blended
       |FROM est e JOIN supplier s ON s.s_suppkey = e.l_suppkey
       |ORDER BY e.l_suppkey""".stripMargin) { (s, dir) =>
     val est = Tables.lineitem(s, dir).groupBy("l_suppkey")
       .agg(round(avg("l_extendedprice"), 4).as("est_price"), count(lit(1)).as("n"))
     est.join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("l_suppkey"))
       .select(col("l_suppkey"), col("n"),
-        round(lit(0.7) * col("est_price") + lit(0.3) * col("s_acctbal"), 4).as("blended"))
+        // Blend in DECIMAL so the half-ulp rounding boundary of the double
+        // expression cannot flip between engines (observed 1-ulp flake at sf0.1).
+        expr("CAST(ROUND(0.7 * CAST(est_price AS DECIMAL(18,6)) " +
+          "+ 0.3 * CAST(s_acctbal AS DECIMAL(18,6)), 4) AS DOUBLE)").as("blended"))
       .orderBy("l_suppkey")
   }
 
@@ -418,8 +422,8 @@ object CoreQueries {
       |              THEN 1 ELSE 0 END AS is_valid
       |  FROM events)
       |SELECT event_type,
-      |       SUM(is_valid) AS valid_cnt,
-      |       COUNT(*) - SUM(is_valid) AS invalid_cnt
+      |       CAST(SUM(is_valid) AS BIGINT) AS valid_cnt,
+      |       CAST(COUNT(*) - SUM(is_valid) AS BIGINT) AS invalid_cnt
       |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     val valid = col("value").between(0, 200) &&
       col("event_type").rlike("^[a-z_]+$") &&
@@ -438,7 +442,7 @@ object CoreQueries {
   val f2JsonExtract: Reg = Reg.sql(
     "f2_json_extract",
     """SELECT event_type,
-      |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |       COUNT(*) AS cnt
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
@@ -599,7 +603,7 @@ object CoreQueries {
       |            WHEN n < 50 THEN 'wcl'
       |            WHEN n < 100 THEN 'mle'
       |            ELSE 'bayesian' END AS tier,
-      |       COUNT(*) AS key_cnt, SUM(n) AS measurement_cnt
+      |       COUNT(*) AS key_cnt, CAST(SUM(n) AS BIGINT) AS measurement_cnt
       |FROM c GROUP BY 1 ORDER BY tier""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
       .groupBy("user_id").agg(count(lit(1)).as("n"))

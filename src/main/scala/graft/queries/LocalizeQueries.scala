@@ -87,12 +87,12 @@ object LocalizeQueries {
       |  JOIN ap_mean am ON am.bssid = c.bssid)
       |SELECT
       |  (SELECT COUNT(*) FROM verdicts) AS aps,
-      |  (SELECT SUM(CASE WHEN wide_spread OR ssid_pattern OR blacklisted_oui
-      |              THEN 1 ELSE 0 END) FROM verdicts) AS hotspots,
-      |  (SELECT SUM(CASE WHEN wide_spread THEN 1 ELSE 0 END) FROM verdicts) AS wide_spread,
-      |  (SELECT SUM(CASE WHEN ssid_pattern THEN 1 ELSE 0 END) FROM verdicts) AS ssid_pattern,
-      |  (SELECT SUM(CASE WHEN blacklisted_oui THEN 1 ELSE 0 END) FROM verdicts) AS blacklisted_oui,
-      |  (SELECT SUM(CASE WHEN local_outlier THEN 1 ELSE 0 END) FROM outliers) AS local_outliers,
+      |  (SELECT CAST(SUM(CASE WHEN wide_spread OR ssid_pattern OR blacklisted_oui
+      |              THEN 1 ELSE 0 END) AS BIGINT) FROM verdicts) AS hotspots,
+      |  (SELECT CAST(SUM(CASE WHEN wide_spread THEN 1 ELSE 0 END) AS BIGINT) FROM verdicts) AS wide_spread,
+      |  (SELECT CAST(SUM(CASE WHEN ssid_pattern THEN 1 ELSE 0 END) AS BIGINT) FROM verdicts) AS ssid_pattern,
+      |  (SELECT CAST(SUM(CASE WHEN blacklisted_oui THEN 1 ELSE 0 END) AS BIGINT) FROM verdicts) AS blacklisted_oui,
+      |  (SELECT CAST(SUM(CASE WHEN local_outlier THEN 1 ELSE 0 END) AS BIGINT) FROM outliers) AS local_outliers,
       |  (SELECT COUNT(*) FROM outliers) AS measurements""".stripMargin) { (s, dir) =>
     import graft.analytics.Hotspots
     val ev = Tables.events(s, dir)
