@@ -56,8 +56,13 @@ object MergeOps {
 
   /** Crash recovery, run before ANY read of the table: if a previous rewrite
     * died between its two renames, the `.tmp_old` backup IS the table —
-    * restore it (deleting it, or reading past it, would lose the data). */
-  private def recoverIfNeeded(spark: SparkSession, path: String): Unit = {
+    * restore it (deleting it, or reading past it, would lose the data).
+    *
+    * Public because any caller that gates on `fs.exists(table)` (e.g. the
+    * streaming sink's create-vs-merge dispatch) must recover first: the
+    * crashed state has the table living only at `.tmp_old`, so a bare
+    * existence check would re-create the table and silently drop history. */
+  def recoverIfNeeded(spark: SparkSession, path: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val backup = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".tmp_old")

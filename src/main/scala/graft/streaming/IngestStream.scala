@@ -68,6 +68,10 @@ object IngestStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // A prior mergeByKey may have died between its two renames, leaving
+        // the table only at .tmp_old — restore it BEFORE the existence check,
+        // or the replayed batch would re-create the table from itself alone.
+        graft.mutation.MergeOps.recoverIfNeeded(spark, tablePath)
         // Resolve through the Hadoop FileSystem — java.io.File would report
         // false for every non-local URI (s3a://, hdfs://) and re-create.
         val p = new org.apache.hadoop.fs.Path(tablePath)

@@ -57,4 +57,38 @@ class IngestStreamSpec extends AnyFunSuite with Matchers with SparkSuite {
     t.count() shouldBe 3 // e01 replay merged, not duplicated
     t.select("event_id").distinct().count() shouldBe 3
   }
+
+  test("replay after a mid-rename crash restores the table instead of re-creating it") {
+    val root = Files.createTempDirectory("graft_stream_crash")
+    val in = Files.createDirectory(root.resolve("in")).toString
+    val table = root.resolve("table").toString
+
+    Files.write(java.nio.file.Paths.get(in, "b1.txt"), java.util.Arrays.asList(
+      Codec.encodeLine(scanJson("aa:bb:cc:dd:ee:01", NowMs - 1000)),
+      Codec.encodeLine(scanJson("aa:bb:cc:dd:ee:02", NowMs - 2000))))
+    val q1 = IngestStream.writer(
+      IngestStream.fromFiles(spark, in, cfg = cfg), table,
+      root.resolve("ckpt1").toString).start()
+    q1.awaitTermination()
+    spark.read.parquet(table).count() shouldBe 2
+
+    // Simulate a mergeByKey that died between its two renames: the table
+    // directory has been moved aside to .tmp_old and nothing swapped in.
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(table),
+      new org.apache.hadoop.fs.Path(table + ".tmp_old")))
+
+    // Redelivered batch (fresh checkpoint): must recover the 2 prior rows,
+    // then merge — NOT re-create the table containing only the new record.
+    Files.write(java.nio.file.Paths.get(in, "b2.txt"), java.util.Arrays.asList(
+      Codec.encodeLine(scanJson("aa:bb:cc:dd:ee:03", NowMs - 3000))))
+    val q2 = IngestStream.writer(
+      IngestStream.fromFiles(spark, in, cfg = cfg), table,
+      root.resolve("ckpt2").toString).start()
+    q2.awaitTermination()
+
+    spark.read.parquet(table).count() shouldBe 3
+  }
 }
