@@ -20,8 +20,9 @@ import graft.algo.AlgoUtil
   *  - measurements per AP are capped (`maxMeasurementsPerAp`, mirroring the
   *    reference's Athena LIMIT `:156-157`) so a mega-hotspot BSSID cannot
   *    skew a task; the cap keeps per-group state bounded at ~100 TB scale;
-  *  - the iterator is consumed once, reservoir-free (first-k), so memory per
-  *    group is O(cap), not O(group);
+  *  - the iterator is consumed once through a bounded priority queue (top-k
+  *    under a stable total order), so memory per group is O(cap), not
+  *    O(group), and the capped subset is deterministic;
   *  - MLE iterations are bounded (≤100, lr-halving) — no unbounded loops
   *    inside a task.
   */
@@ -147,13 +148,23 @@ object BatchLocalizer {
     measurements
       .groupByKey(_.bssid)
       .flatMapGroups { (bssid, it) =>
-        // First-k cap bounds memory per group (reference caps via LIMIT).
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Measurement]
-        while (it.hasNext && buf.size < maxMeasurementsPerAp) buf += it.next()
-        while (it.hasNext) it.next() // drain to release the iterator
-        // Sort for determinism: shuffle fetch order is arbitrary and float
-        // accumulation (WCL sums, MLE path) is order-sensitive.
-        val sorted = buf.sortBy(m => (m.latitude, m.longitude, m.rssi, m.qualityWeight))
+        // Deterministic cap: keep the top-k under a stable total order over
+        // the measurement fields (bounded max-heap, O(cap) memory). First-k
+        // in shuffle-fetch arrival order would make group MEMBERSHIP vary
+        // across runs/task retries for over-cap groups — the reference caps
+        // deterministically too (Athena ORDER BY ... DESC LIMIT,
+        // APMeasurementsLookUpService.java:156-157).
+        val ord: Ordering[Measurement] =
+          Ordering.by(m => (m.latitude, m.longitude, m.rssi, m.qualityWeight))
+        val pq = new scala.collection.mutable.PriorityQueue[Measurement]()(ord)
+        it.foreach { m =>
+          if (pq.size < maxMeasurementsPerAp) pq.enqueue(m)
+          else if (ord.lt(m, pq.head)) { pq.dequeue(); pq.enqueue(m) }
+        }
+        // dequeueAll yields descending under ord; reverse for an ascending,
+        // fully deterministic accumulation order (float sums are
+        // order-sensitive in WCL/MLE).
+        val sorted = pq.dequeueAll.reverse
         localize(bssid, sorted.toSeq).iterator
       }
   }

@@ -35,6 +35,29 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkSuite {
     l1 shouldBe l2
   }
 
+  test("localizer cap keeps a deterministic subset when a group exceeds it") {
+    import graft.localize.BatchLocalizer
+    import spark.implicits._
+    // 500 distinct measurements for one AP, cap at 100: membership of the
+    // capped subset (not just its accumulation order) must be identical
+    // across runs with different partition layouts / shuffle fetch orders.
+    val ms = (0 until 500).map { i =>
+      BatchLocalizer.Measurement(
+        "ap_overcap", 40.0 + (i % 97) * 1e-4, -75.0 - (i % 89) * 1e-4,
+        -40.0 - (i % 60), 1.0 + (i % 3) * 0.5)
+    }
+    def run(shufflePartitions: Int, seed: Int): Array[String] = {
+      val shuffled = new scala.util.Random(seed).shuffle(ms)
+      val ds = spark.createDataset(shuffled).repartition(shufflePartitions)
+      BatchLocalizer.localizeAll(spark, ds, maxMeasurementsPerAp = 100)
+        .collect().map(_.toString)
+    }
+    val a = run(4, 1)
+    val b = run(7, 42)
+    a shouldBe b
+    a.length shouldBe 1
+  }
+
   test("request scorer is re-execution deterministic") {
     val s1 = graft.queries.ServeQueries.batchScoring.build(spark, sfDir)
       .collect().map(_.toString)
