@@ -68,7 +68,7 @@ object Hotspots {
     val apMean = cellCounts.groupBy("bssid").agg(avg("cell_count").as("mean_cell_count"))
     withCell
       .join(cellCounts, Seq("bssid", "cell"))
-      .join(broadcast(apMean), "bssid")
+      .join(apMean, "bssid")
       .withColumn("local_outlier", col("cell_count") < col("mean_cell_count") * ratio)
       .drop("mean_cell_count")
   }

@@ -123,9 +123,12 @@ object CoreQueries {
 
   /** A9 — MAD outlier detection (PAPER.md:109-115 generalized): per group,
     * median of |x - median(x)|; points beyond 3×MAD are outliers. Exact
-    * `percentile` (interpolating), matching DuckDB MEDIAN. The two median
-    * passes aggregate to one row per key, so the joins back are broadcasts —
-    * the fact table is scanned twice but never shuffled for the join. */
+    * `percentile` (interpolating), matching DuckDB MEDIAN. The per-key
+    * median/MAD frames are joined back WITHOUT a broadcast hint: their row
+    * count equals key cardinality, which at 100 TB (millions of keys) would
+    * blow past the broadcast limit and OOM the driver — AQE picks broadcast
+    * at low cardinality and shuffled-hash/sort-merge at high, which is the
+    * right call at every scale. */
   val a9MadOutliers: Reg = Reg.sql(
     "a9_outlier_mad",
     """WITH med AS (
@@ -146,11 +149,11 @@ object CoreQueries {
     val li = Tables.lineitem(s, dir)
     val med = li.groupBy("l_partkey")
       .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
-    val dev = li.join(broadcast(med), "l_partkey")
+    val dev = li.join(med, "l_partkey")
       .withColumn("adev", abs(col("l_extendedprice") - col("med")))
     val mad = dev.groupBy("l_partkey")
       .agg(expr("percentile(adev, 0.5)").as("mad"))
-    dev.join(broadcast(mad), "l_partkey")
+    dev.join(mad, "l_partkey")
       .groupBy("l_partkey")
       .agg(
         count(lit(1)).as("cnt"),

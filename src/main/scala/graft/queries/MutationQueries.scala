@@ -33,10 +33,10 @@ object MutationQueries {
     // A9: per-key MAD outliers on value (same math as the oracled query).
     val t = s.read.parquet(work)
     val med = t.groupBy("bssid").agg(expr("percentile(value, 0.5)").as("med"))
-    val dev = t.join(broadcast(med), "bssid")
+    val dev = t.join(med, "bssid")
       .withColumn("adev", abs(col("value") - col("med")))
     val mad = dev.groupBy("bssid").agg(expr("percentile(adev, 0.5)").as("mad"))
-    val outliers = dev.join(broadcast(mad), "bssid")
+    val outliers = dev.join(mad, "bssid")
       .where(col("adev") > lit(3) * col("mad"))
       .select(col("event_id"), col("adev").as("distance"))
 

@@ -44,6 +44,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     p should not include "l_partkey"
   }
 
+  test("per-key-aggregate frames carry no broadcast hint (driver OOM at 100x keys)") {
+    // a9's median/MAD frames and the hotspot per-AP means have one row per
+    // group key: broadcasting them caps the engine at broadcast-limit key
+    // cardinality. The logical plan must leave the join strategy to AQE.
+    Seq(CoreQueries.a9MadOutliers, CoreQueries.a10HotspotDetection).foreach { q =>
+      val analyzed = q.build(spark, sfDir).queryExecution.analyzed
+      val hinted = analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      withClue(q.name)(hinted shouldBe empty)
+    }
+  }
+
   test("no query plan contains a CartesianProduct or driver collect") {
     SparkEntryPlans.all.foreach { case (name, p) =>
       withClue(name)(p should not include "CartesianProduct")
