@@ -38,9 +38,45 @@ object IngestQueries {
       col("doc_id"), bssid, ts, rssi)
   }
 
-  /** Wire → ingest → per-status aggregate (rows-only check; the scalar
-    * semantics are oracled separately via f12/f15/f16/f_validation_gate). */
-  val ingestChain: Reg = Reg.rowsOnly("f_ingest_chain") { (s, dir) =>
+  /** Wire → ingest → per-status aggregate, FULLY oracled: the gzip+base64
+    * wire roundtrip is an identity, so DuckDB can restate the whole chain
+    * straight from `documents` — same synthesis, validation predicates
+    * (F5–F8), sha2 ids (F12/F13), event_id dedup with the same total-order
+    * tiebreak (O6), and quality score (F16). A hash mismatch catches a codec
+    * corruption, a validator drift, or a dedup tie-break change. */
+  val ingestChain: Reg = Reg.sql(
+    "f_ingest_chain",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         1700000000000 - (doc_id % 1000) * 1000 AS ts,
+      |         CASE WHEN doc_id % 11 = 0 THEN '00:00:00:00:00:00'
+      |              ELSE 'aa:bb:cc:dd:ee:' || printf('%02x', doc_id % 250) END AS bssid,
+      |         CASE WHEN doc_id % 13 = 0 THEN -150
+      |              ELSE -(CAST(doc_id % 70 AS INT)) - 30 END AS rssi,
+      |         (doc_id % 200) + 1.0 AS accuracy
+      |  FROM documents
+      |), valid AS (
+      |  SELECT *,
+      |         sha256(CAST(ts AS VARCHAR) || ':' || bssid) AS event_id,
+      |         sha256('acme:m-' || CAST(doc_id AS VARCHAR) || ':dev:14') AS device_id,
+      |         LEAST(1.0, 0.5 + 0.3 * GREATEST(0.0, 1.0 - accuracy / 100.0)
+      |                        + 0.2 * GREATEST(0.0, (rssi + 100.0) / 100.0))
+      |           AS quality_score
+      |  FROM src
+      |  WHERE doc_id % 11 <> 0        -- F5: all-zeros bssid
+      |    AND rssi BETWEEN -100 AND 0 -- F6
+      |    AND accuracy <= 150.0       -- F7 (lat/lon always in range here)
+      |), dedup AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+      |              ORDER BY rssi DESC, device_id) AS rn
+      |  FROM valid
+      |)
+      |SELECT 'SCAN' AS connection_status,
+      |       COUNT(*) AS cnt,
+      |       COUNT(DISTINCT bssid) AS distinct_bssids,
+      |       COUNT(DISTINCT device_id) AS distinct_devices,
+      |       ROUND(AVG(quality_score), 4) AS avg_quality
+      |FROM dedup WHERE rn = 1""".stripMargin) { (s, dir) =>
     // Materialize the synthesized wire once — both explode branches of the
     // ingest chain scan it (gzip encode would otherwise run twice).
     val wire = Tables.documents(s, dir)

@@ -120,5 +120,67 @@ object LocalizeQueries {
         count(lit(1)).as("measurements")))
   }
 
-  val all: Seq[Reg] = Seq(batchLocalize, hotspotFull)
+  /** R7 WCL tier, FULLY oracled: for groups in the bootstrap band
+    * (20 ≤ n < 50) the localizer is pure SQL — weighted centroid with
+    * w = quality_weight · 10^(rssi/10) (PAPER.md:135-139), spread = mean
+    * haversine to the estimate, confidence = clamped evidence × spread
+    * shrink. DuckDB restates all of it, pinning the flatMapGroups path
+    * (same synthesis as r7_batch_localize) against an exact oracle. */
+  val wclTier: Reg = Reg.sql(
+    "r7_wcl_tier",
+    """WITH m AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS bssid,
+      |         ((user_id % 120) - 60 + (event_id % 30) * CAST(0.0001 AS DOUBLE)) AS lat,
+      |         ((user_id % 300) - 150 + (event_id % 37) * CAST(0.0001 AS DOUBLE)) AS lon,
+      |         CAST(-30 - (event_id % 70) AS DOUBLE) AS rssi,
+      |         CASE WHEN event_type IS DISTINCT FROM 'purchase' THEN 1.0
+      |              WHEN value IS NOT NULL AND value < 50
+      |                   AND -(user_id % 100) > -70 THEN 1.5
+      |              ELSE 2.0 END AS w
+      |  FROM events),
+      |sized AS (SELECT bssid, COUNT(*) AS n FROM m GROUP BY bssid
+      |          HAVING COUNT(*) >= 20 AND COUNT(*) < 50),
+      |est AS (
+      |  -- association matches the Scala accumulator: lat * (w * 10^(rssi/10))
+      |  SELECT m.bssid, sized.n,
+      |         SUM(m.lat * (m.w * POW(10, m.rssi / 10))) /
+      |           SUM(m.w * POW(10, m.rssi / 10)) AS est_lat,
+      |         SUM(m.lon * (m.w * POW(10, m.rssi / 10))) /
+      |           SUM(m.w * POW(10, m.rssi / 10)) AS est_lon
+      |  FROM m JOIN sized ON sized.bssid = m.bssid
+      |  GROUP BY m.bssid, sized.n),
+      |spread AS (
+      |  SELECT e.bssid, e.n, e.est_lat, e.est_lon,
+      |         AVG(2 * 6371000 * ASIN(SQRT(
+      |           POW(SIN(RADIANS(m.lat - e.est_lat) / 2), 2) +
+      |           COS(RADIANS(e.est_lat)) * COS(RADIANS(m.lat)) *
+      |           POW(SIN(RADIANS(m.lon - e.est_lon) / 2), 2)))) AS spread_m
+      |  FROM est e JOIN m ON m.bssid = e.bssid
+      |  GROUP BY e.bssid, e.n, e.est_lat, e.est_lon)
+      |SELECT bssid, ROUND(est_lat, 4) AS lat, ROUND(est_lon, 4) AS lon, n,
+      |       'wcl' AS method,
+      |       ROUND(LEAST(0.95, GREATEST(0.1,
+      |         LEAST(0.95, 0.5 + 0.1 * LOG10(CAST(n AS DOUBLE))) *
+      |         (1.0 / (1.0 + spread_m / 500000.0)))), 3) AS confidence
+      |FROM spread ORDER BY bssid""".stripMargin) { (s, dir) =>
+    implicit val spark = s
+    val ev = Tables.events(s, dir)
+    val synth = ev.select(
+      col("user_id").cast("string").as("bssid"),
+      ((col("user_id") % 120) - 60 + (col("event_id") % 30) * 0.0001).as("lat"),
+      ((col("user_id") % 300) - 150 + (col("event_id") % 37) * 0.0001).as("lon"),
+      (-lit(30) - (col("event_id") % 70)).cast("double").as("rssi"),
+      Quality.qualityWeight(
+        when(col("event_type") === "purchase", "CONNECTED").otherwise("SCAN"),
+        col("value"), -(col("user_id") % 100)).as("w"))
+    val measurements = BatchLocalizer.fromColumns(synth, "bssid", "lat", "lon", "rssi", "w")
+    BatchLocalizer.localizeAll(s, measurements)
+      .toDF()
+      .where(col("method") === "wcl")
+      .select(col("bssid"), round(col("lat"), 4).as("lat"), round(col("lon"), 4).as("lon"),
+        col("n"), col("method"), round(col("confidence"), 3).as("confidence"))
+      .orderBy("bssid")
+  }
+
+  val all: Seq[Reg] = Seq(batchLocalize, hotspotFull, wclTier)
 }

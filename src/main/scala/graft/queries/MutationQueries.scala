@@ -9,12 +9,36 @@ import graft.mutation.MergeOps
 
 /** A6–A8 end-to-end over a scratch parquet table: build a fact table from
   * lineitem, MAD-detect outliers (A9), label them (A6 UPDATE emulation),
-  * purge them (A7 DELETE), and report the before/after counts. Rows-only:
-  * mutation is not a SQL-over-the-sources query, but the counts are
-  * deterministic and the A9 math itself is oracled in a9_outlier_mad. */
+  * purge them (A7 DELETE), and report the before/after counts.
+  *
+  * Fully oracled: the mutation itself is not a SQL query, but all four
+  * output counts are pure MAD arithmetic over lineitem, so DuckDB can state
+  * them exactly — labeling N outliers labels N rows, purging them removes
+  * exactly those rows. A hash mismatch here would catch a broken UPDATE
+  * (labels missing/extra rows) or DELETE (wrong predicate), not just a
+  * broken detection. */
 object MutationQueries {
 
-  val mergeLabelPurge: Reg = Reg.rowsOnly("a6_merge_label_purge") { (s, dir) =>
+  val mergeLabelPurge: Reg = Reg.sql(
+    "a6_merge_label_purge",
+    """WITH fact AS (
+      |  SELECT l_partkey AS bssid, l_extendedprice AS value FROM lineitem
+      |), med AS (
+      |  SELECT bssid, MEDIAN(value) AS med FROM fact GROUP BY bssid
+      |), dev AS (
+      |  SELECT f.bssid, ABS(f.value - m.med) AS adev
+      |  FROM fact f JOIN med m ON f.bssid = m.bssid
+      |), mad AS (
+      |  SELECT bssid, MEDIAN(adev) AS mad FROM dev GROUP BY bssid
+      |), outliers AS (
+      |  SELECT d.bssid FROM dev d JOIN mad t ON d.bssid = t.bssid
+      |  WHERE d.adev > 3 * t.mad
+      |)
+      |SELECT (SELECT COUNT(*) FROM fact) AS rows_before,
+      |       (SELECT COUNT(*) FROM outliers) AS outliers_detected,
+      |       (SELECT COUNT(*) FROM outliers) AS rows_labeled,
+      |       (SELECT COUNT(*) FROM fact) - (SELECT COUNT(*) FROM outliers)
+      |         AS rows_after_purge""".stripMargin) { (s, dir) =>
     val work = Files.createTempDirectory("graft_mutation").toString + "/fact"
     val fact = Tables.lineitem(s, dir)
       .select(
