@@ -143,27 +143,65 @@ object LlmQueries {
       .orderBy("q_id", "rank")
   }
 
-  /** MinHash-LSH near-dup over documents — summary row (rows-only check;
-    * numeric semantics pinned by DedupSpec). Always ≥1 row. */
-  val minhashNearDup: Reg = Reg.rowsOnly("llm_minhash_neardup") { (s, dir) =>
-    val cfg = MinHash.Config(jaccardThreshold = 0.5)
-    // One signature pass shared by candidates, verification, and the count.
-    val signed = MinHash.signed(
-      Tables.documents(s, dir), "doc_id", "text", cfg).localCheckpoint()
-    val candidates = MinHash.candidatePairs(signed, cfg)
-    val verified = MinHash.nearDuplicatesFromSigned(signed, cfg)
-    candidates.agg(count(lit(1)).as("candidate_pairs"))
-      .crossJoin(verified.agg(count(lit(1)).as("verified_pairs"),
-        round(coalesce(avg("jaccard"), lit(0.0)), 4).as("avg_jaccard")))
-      .withColumn("corpus_docs", lit(signed.count()))
+  /** Planted-corpus text builder: per documents row, a 20-word document in
+    * its own word namespace (`w<id>_k`), so distinct ids share ZERO shingles.
+    * Variants plant known duplicate structure on top (see minhashNearDup). */
+  private def plantedWords = concat_ws(" ",
+    transform(sequence(lit(0), lit(19)),
+      k => format_string("w%d_%d", col("doc_id"), k)))
+
+  /** MinHash-LSH near-dup on a planted corpus, FULLY oracled.
+    *
+    * Corpus (scales with the documents table, so bench still measures the
+    * real pipeline): every doc gets a namespaced 20-word text; every 3rd id
+    * also plants a near-dup partner (+1 appended word → shingle Jaccard
+    * exactly 18/19 ≈ 0.947) and every 7th an exact copy (J = 1). All other
+    * pairs share zero shingles. DuckDB states the expected pair list with
+    * exact Jaccard values by pure arithmetic — so this checks LSH recall
+    * (every planted pair must surface as a candidate), verification math,
+    * and that no false pair leaks, as a value hash. Hash family is
+    * deterministic, so recall here is a reproducible fact, not a
+    * probability (verified at sf0.01 and sf0.1). */
+  val minhashNearDup: Reg = Reg.sql(
+    "llm_minhash_neardup",
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |pairs AS (
+      |  SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+      |         ROUND(CAST(18 AS DOUBLE) / CAST(19 AS DOUBLE), 4) AS jaccard
+      |  FROM ids WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 20000000, CAST(1.0 AS DOUBLE)
+      |  FROM ids WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id + 20000000,
+      |         ROUND(CAST(18 AS DOUBLE) / CAST(19 AS DOUBLE), 4)
+      |  FROM ids WHERE doc_id % 21 = 0)
+      |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir).select(col("doc_id"), plantedWords.as("text"))
+    val near = base.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), format_string(" x%d", col("doc_id"))).as("text"))
+    val exact = base.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val corpus = base.unionByName(near).unionByName(exact)
+    MinHash.nearDuplicates(corpus, "doc_id", "text")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
   }
 
-  /** SimHash near-dup summary (rows-only). */
-  val simhashNearDup: Reg = Reg.rowsOnly("llm_simhash_neardup") { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    SimHash.nearDuplicates(docs, "doc_id", "text", maxHamming = 3)
-      .agg(count(lit(1)).as("pairs"),
-        round(coalesce(avg("hamming"), lit(0.0)), 4).as("avg_hamming"))
+  /** SimHash near-dup on the planted corpus, FULLY oracled: only exact
+    * copies are planted (hamming 0, found by every band), namespaced words
+    * keep unrelated signatures far apart in Hamming space (verified at
+    * sf0.01/sf0.1 — deterministic hash family). */
+  val simhashNearDup: Reg = Reg.sql(
+    "llm_simhash_neardup",
+    """SELECT doc_id AS id_a, doc_id + 20000000 AS id_b, CAST(0 AS INT) AS hamming
+      |FROM documents WHERE doc_id % 7 = 0 ORDER BY id_a""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir).select(col("doc_id"), plantedWords.as("text"))
+    val exact = base.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    SimHash.nearDuplicates(base.unionByName(exact), "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
   }
 
   /** LSH-bucketed ANN + embedding near-dup summary (rows-only; recall and
