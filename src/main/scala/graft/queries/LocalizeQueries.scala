@@ -182,5 +182,81 @@ object LocalizeQueries {
       .orderBy("bssid")
   }
 
-  val all: Seq[Reg] = Seq(batchLocalize, hotspotFull, wclTier)
+  /** A9 — true bucketed LOF (PAPER.md:109-115), FULLY oracled per point:
+    * DuckDB restates the complete pipeline — 3×3 geocell candidate join,
+    * deterministic kNN (distance, id), k-distance, reachability, lrd, LOF —
+    * and every point's score is value-hashed. The synthesis plants a
+    * displaced point (~165 m above its user's 33 m-pitch cluster grid) on
+    * every 97th event so the score distribution has genuine local outliers
+    * in it. */
+  val lofLocal: Reg = Reg.sql(
+    "a9_lof_local",
+    """WITH m AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS bssid, event_id AS point_id,
+      |         CASE WHEN event_id % 97 = 0
+      |              THEN (user_id % 90) + CAST(0.0087 AS DOUBLE)
+      |              ELSE (user_id % 90) + (event_id % 25) * CAST(0.0003 AS DOUBLE)
+      |         END AS latitude,
+      |         ((user_id % 180) - 90 + (event_id % 23) * CAST(0.0003 AS DOUBLE))
+      |           AS longitude
+      |  FROM events),
+      |pts AS (
+      |  SELECT *, CAST(floor(latitude / CAST(0.0015 AS DOUBLE)) AS BIGINT) AS cx,
+      |            CAST(floor(longitude / CAST(0.0015 AS DOUBLE)) AS BIGINT) AS cy
+      |  FROM m),
+      |pairs AS (
+      |  SELECT p.bssid, p.point_id AS p_id, q.point_id AS q_id,
+      |         2 * 6371000 * ASIN(SQRT(
+      |           POW(SIN(RADIANS(q.latitude - p.latitude) / 2), 2) +
+      |           COS(RADIANS(p.latitude)) * COS(RADIANS(q.latitude)) *
+      |           POW(SIN(RADIANS(q.longitude - p.longitude) / 2), 2))) AS d
+      |  FROM pts p
+      |  JOIN (SELECT dx.x AS dx, dy.x AS dy
+      |        FROM (VALUES (-1),(0),(1)) dx(x), (VALUES (-1),(0),(1)) dy(x)) o
+      |    ON TRUE
+      |  JOIN pts q ON q.bssid = p.bssid AND q.cx = p.cx + o.dx
+      |            AND q.cy = p.cy + o.dy AND q.point_id <> p.point_id),
+      |knn AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY bssid, p_id
+      |                                 ORDER BY d, q_id) AS rn
+      |    FROM pairs) WHERE rn <= 5),
+      |kdist AS (
+      |  SELECT bssid, p_id, MAX(d) AS kdist, COUNT(*) AS k_used
+      |  FROM knn GROUP BY bssid, p_id),
+      |reach AS (
+      |  SELECT k.bssid, k.p_id, GREATEST(kq.kdist, k.d) AS reach_d
+      |  FROM knn k JOIN kdist kq ON kq.bssid = k.bssid AND kq.p_id = k.q_id),
+      |lrd AS (
+      |  SELECT bssid, p_id,
+      |         CAST(COUNT(*) AS DOUBLE) / GREATEST(SUM(reach_d), 1e-12) AS lrd
+      |  FROM reach GROUP BY bssid, p_id),
+      |lof AS (
+      |  SELECT k.bssid, k.p_id, AVG(lq.lrd) AS mean_q_lrd
+      |  FROM knn k JOIN lrd lq ON lq.bssid = k.bssid AND lq.p_id = k.q_id
+      |  GROUP BY k.bssid, k.p_id)
+      |SELECT l.bssid, l.p_id AS point_id, kd.k_used,
+      |       ROUND(l.mean_q_lrd / r.lrd, 4) AS lof
+      |FROM lof l
+      |JOIN lrd r ON r.bssid = l.bssid AND r.p_id = l.p_id
+      |JOIN kdist kd ON kd.bssid = l.bssid AND kd.p_id = l.p_id
+      |ORDER BY l.bssid, point_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val planted = col("event_id") % 97 === 0
+    val pts = ev.select(
+      col("user_id").cast("string").as("bssid"),
+      col("event_id").as("point_id"),
+      when(planted, (col("user_id") % 90) + lit(0.0087))
+        .otherwise((col("user_id") % 90) + (col("event_id") % 25) * lit(0.0003))
+        .as("latitude"),
+      ((col("user_id") % 180) - 90 + (col("event_id") % 23) * lit(0.0003))
+        .as("longitude"))
+    graft.analytics.Lof.score(pts)
+      .where(col("lof").isNotNull)
+      .select(col("bssid"), col("point_id"), col("k_used"),
+        round(col("lof"), 4).as("lof"))
+      .orderBy("bssid", "point_id")
+  }
+
+  val all: Seq[Reg] = Seq(batchLocalize, hotspotFull, wclTier, lofLocal)
 }
