@@ -258,5 +258,62 @@ object LocalizeQueries {
       .orderBy("bssid", "point_id")
   }
 
-  val all: Seq[Reg] = Seq(batchLocalize, hotspotFull, wclTier, lofLocal)
+  /** A11 — DBSCAN bi-modality relocation analysis (PAPER.md:71-77), FULLY
+    * oracled: each user plants one of three per-AP histories — stationary
+    * (one anchor), relocated (anchor A for the first half of event-time,
+    * then anchor B 500 m away), or bimodal (fixes ALTERNATE between the two
+    * anchors). Jitter stays ≪ eps and anchors sit ≫ eps apart, so the
+    * cluster structure — and therefore the verdict and cluster/noise
+    * counts — is exactly determined by the planted mode, which DuckDB
+    * states per user. A lag-jump detector alone would call the bimodal APs
+    * relocated (every step jumps ~500 m); the temporal-disjointness check
+    * is what this gate pins. */
+  val dbscanRelocation: Reg = Reg.sql(
+    "a11_dbscan_relocation",
+    """WITH c AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS bssid, user_id AS uid, COUNT(*) AS n
+      |  FROM events GROUP BY user_id HAVING COUNT(*) >= 50)
+      |SELECT bssid, n,
+      |       CASE uid % 3 WHEN 0 THEN 'stationary'
+      |                    WHEN 1 THEN 'relocated'
+      |                    ELSE 'bimodal' END AS verdict,
+      |       CASE WHEN uid % 3 = 0 THEN 1 ELSE 2 END AS clusters,
+      |       CAST(0 AS BIGINT) AS noise_cnt
+      |FROM c ORDER BY bssid""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val ev = Tables.events(s, dir)
+      .withColumn("rank", row_number().over(w) - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+      .where(col("n") >= 50)
+    val mode = col("user_id") % 3
+    val useB = // which fixes sit on anchor B (≈500 m north)
+      when(mode === 1, col("rank") >= col("n") / 2)     // relocated: 2nd half
+        .when(mode === 2, col("event_id") % 2 === 1)    // bimodal: alternate
+        .otherwise(lit(false))                          // stationary: never
+    val fixes = ev.select(
+      col("user_id").cast("string").as("bssid"),
+      ((col("user_id") % 90) + when(useB, lit(0.0045)).otherwise(lit(0.0))
+        + (col("event_id") % 5) * lit(0.00006)).as("lat"),
+      ((col("user_id") % 180) - 90 + (col("event_id") % 7) * lit(0.00006)).as("lon"),
+      (col("rank").cast("long") * 1000L).as("ts"))
+      .as[(String, Double, Double, Long)]
+    fixes.groupByKey(_._1)
+      .mapGroups { (bssid, it) =>
+        val fx = it.map { case (_, la, lo, ts) => graft.localize.Relocation.Fix(la, lo, ts) }
+          .toIndexedSeq.sortBy(f => (f.tsMillis, f.lat, f.lon))
+        val a = graft.localize.Relocation.analyze(fx)
+        val verdict = a.verdict match {
+          case graft.localize.Relocation.Stationary       => "stationary"
+          case _: graft.localize.Relocation.Relocated     => "relocated"
+          case graft.localize.Relocation.Bimodal          => "bimodal"
+        }
+        (bssid, fx.size.toLong, verdict, a.clusters.size, a.noise.size.toLong)
+      }
+      .toDF("bssid", "n", "verdict", "clusters", "noise_cnt")
+      .orderBy("bssid")
+  }
+
+  val all: Seq[Reg] = Seq(batchLocalize, hotspotFull, wclTier, lofLocal, dbscanRelocation)
 }
