@@ -148,25 +148,27 @@ object BatchLocalizer {
     measurements
       .groupByKey(_.bssid)
       .flatMapGroups { (bssid, it) =>
-        // Deterministic cap: keep the top-k under a stable total order over
-        // the measurement fields (bounded max-heap, O(cap) memory). First-k
-        // in shuffle-fetch arrival order would make group MEMBERSHIP vary
-        // across runs/task retries for over-cap groups — the reference caps
-        // deterministically too (Athena ORDER BY ... DESC LIMIT,
-        // APMeasurementsLookUpService.java:156-157).
-        val ord: Ordering[Measurement] =
-          Ordering.by(m => (m.latitude, m.longitude, m.rssi, m.qualityWeight))
-        val pq = new scala.collection.mutable.PriorityQueue[Measurement]()(ord)
-        it.foreach { m =>
-          if (pq.size < maxMeasurementsPerAp) pq.enqueue(m)
-          else if (ord.lt(m, pq.head)) { pq.dequeue(); pq.enqueue(m) }
-        }
-        // dequeueAll yields descending under ord; reverse for an ascending,
-        // fully deterministic accumulation order (float sums are
-        // order-sensitive in WCL/MLE).
-        val sorted = pq.dequeueAll.reverse
-        localize(bssid, sorted.toSeq).iterator
+        localize(bssid, cappedSorted(it, maxMeasurementsPerAp)).iterator
       }
+  }
+
+  /** Deterministic cap: keep the top-k under a stable total order over the
+    * measurement fields (bounded max-heap, O(cap) memory), returned in
+    * ascending order. First-k in shuffle-fetch arrival order would make
+    * group MEMBERSHIP vary across runs/task retries for over-cap groups —
+    * the reference caps deterministically too (Athena ORDER BY ... DESC
+    * LIMIT, APMeasurementsLookUpService.java:156-157), and float
+    * accumulation (WCL sums, MLE path) is order-sensitive, so the ascending
+    * sort also pins the arithmetic. */
+  def cappedSorted(it: Iterator[Measurement], cap: Int): Seq[Measurement] = {
+    val ord: Ordering[Measurement] =
+      Ordering.by(m => (m.latitude, m.longitude, m.rssi, m.qualityWeight))
+    val pq = new scala.collection.mutable.PriorityQueue[Measurement]()(ord)
+    it.foreach { m =>
+      if (pq.size < cap) pq.enqueue(m)
+      else if (ord.lt(m, pq.head)) { pq.dequeue(); pq.enqueue(m) }
+    }
+    pq.dequeueAll.reverse.toSeq
   }
 
   /** DataFrame adapter: map arbitrary columns onto the Measurement schema. */

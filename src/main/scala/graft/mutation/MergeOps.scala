@@ -85,12 +85,15 @@ object MergeOps {
       updates: DataFrame,
       key: String,
       insertUnmatched: Boolean = false): Unit = {
+    // No broadcast hints: the update key set is bounded for point mutations
+    // but dimension-scale for state write-backs (one key per AP) — AQE picks
+    // broadcast when the side is actually small and shuffles when it isn't.
     val target = readTable(spark, path)
     val keys = updates.select(col(key)).distinct()
-    val untouched = target.join(broadcast(keys), Seq(key), "left_anti")
+    val untouched = target.join(keys, Seq(key), "left_anti")
     val matched =
       if (insertUnmatched) updates
-      else updates.join(broadcast(target.select(col(key)).distinct()), Seq(key), "left_semi")
+      else updates.join(target.select(col(key)).distinct(), Seq(key), "left_semi")
     rewrite(spark, path, untouched.unionByName(matched.select(target.columns.map(col): _*)))
   }
 

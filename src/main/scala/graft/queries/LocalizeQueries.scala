@@ -315,5 +315,67 @@ object LocalizeQueries {
       .orderBy("bssid")
   }
 
-  val all: Seq[Reg] = Seq(batchLocalize, hotspotFull, wclTier, lofLocal, dbscanRelocation)
+  /** R7 feedback loop (PAPER.md:198-213), FULLY oracled on its control
+    * behavior: prime a scratch state table with a ~5.5 km-displaced prior
+    * for every 10th AP, run the loop twice over the same measurements, and
+    * report the filter decisions. Run 1 must apply an update for every
+    * localizable AP and fire the relocation reset exactly on the displaced
+    * priors (innovation ≫ 3σ); run 2 recomputes the identical deterministic
+    * estimates, matches the stored fingerprints, and must be a complete
+    * no-op — the at-least-once replay guarantee. All five counts are plain
+    * SQL over events. */
+  val refineLoop: Reg = Reg.sql(
+    "r7_refine_loop",
+    """WITH c AS (
+      |  SELECT user_id AS uid, COUNT(*) AS n
+      |  FROM events GROUP BY user_id HAVING COUNT(*) >= 20)
+      |SELECT COUNT(*) AS aps,
+      |       COUNT(*) AS applied_r1,
+      |       CAST(SUM(CASE WHEN uid % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS relocated_r1,
+      |       CAST(0 AS BIGINT) AS applied_r2,
+      |       CAST(0 AS BIGINT) AS relocated_r2
+      |FROM c""".stripMargin) { (s, dir) =>
+    implicit val spark = s
+    import graft.localize.{BatchLocalizer, RefineLoop}
+    val ev = Tables.events(s, dir)
+    val synth = ev.select(
+      col("user_id").cast("string").as("bssid"),
+      ((col("user_id") % 120) - 60 + (col("event_id") % 30) * 0.0001).as("lat"),
+      ((col("user_id") % 300) - 150 + (col("event_id") % 37) * 0.0001).as("lon"),
+      (-lit(30) - (col("event_id") % 70)).cast("double").as("rssi"),
+      Quality.qualityWeight(
+        when(col("event_type") === "purchase", "CONNECTED").otherwise("SCAN"),
+        col("value"), -(col("user_id") % 100)).as("w"))
+    val measurements =
+      BatchLocalizer.fromColumns(synth, "bssid", "lat", "lon", "rssi", "w")
+
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_refine").toString + "/ap_state"
+    // Prime: every 10th AP gets a prior displaced ~5.5 km north — the loop
+    // must recognize these as relocations, not fuse them.
+    ev.where(col("user_id") % 10 === 0)
+      .select(col("user_id").cast("string").as("bssid"),
+        ((col("user_id") % 120) - 60 + lit(0.05)).as("lat"),
+        ((col("user_id") % 300) - 150).cast("double").as("lon"))
+      .distinct()
+      .withColumn("variance_m2", lit(100.0))
+      .withColumn("n", lit(50L))
+      .withColumn("relocations", lit(0))
+      .withColumn("last_sig", lit(0L))
+      .write.parquet(statePath)
+
+    val r1 = RefineLoop.run(s, measurements, statePath)
+    val r2 = RefineLoop.run(s, measurements, statePath)
+    r1.agg(
+      count(lit(1)).as("aps"),
+      count(when(col("applied"), 1)).as("applied_r1"),
+      count(when(col("relocated"), 1)).as("relocated_r1"))
+      .crossJoin(r2.agg(
+        count(when(col("applied"), 1)).as("applied_r2"),
+        count(when(col("relocated"), 1)).as("relocated_r2")))
+  }
+
+  val all: Seq[Reg] =
+    Seq(batchLocalize, hotspotFull, wclTier, lofLocal, dbscanRelocation, refineLoop)
 }
