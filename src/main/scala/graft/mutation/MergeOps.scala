@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   *   DELETE … WHERE pred          →  filtered rewrite
   *
   * Scale notes: a full-table rewrite per mutation is exactly what
-  * copy-on-write table formats do; the production fix at 100 TB is
-  * partition-scoped rewrites over the ingestion-date layout
-  * (`years/months/days(ingestion_timestamp)`) — point these ops at the
-  * affected partition directories rather than the table root. Keep
+  * copy-on-write table formats do; at 100 TB use the partition-scoped
+  * variants below (`deleteWherePartitioned` / `mergeByKeyPartitioned`),
+  * which rewrite only the affected `partitionCol=value` directories of the
+  * ingestion-date layout (`years/months/days(ingestion_timestamp)`). Keep
   * mutations OUT of hot paths; the outlier labeling job (A6) runs
   * periodically, not per-query.
   *
@@ -27,19 +27,28 @@ import org.apache.spark.sql.functions._
   */
 object MergeOps {
 
+  /** Swap artifacts live as DOT-PREFIXED siblings (`.name.tmp_rewrite`,
+    * `.name.tmp_old`): Spark/Hadoop readers skip hidden paths, so a stale
+    * artifact next to a partition directory can never be mistaken for a
+    * partition by directory discovery. */
+  private[graft] def swapArtifact(path: String, suffix: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + suffix).toString
+  }
+
   /** Atomically replace the parquet table at `path` with `updated`.
     *
     * Hadoop's FileSystem.rename reports failure by returning FALSE, not
     * throwing — every step is checked, and a failed tmp→target swap rolls
     * the backup straight back so the table is never lost. */
   private def rewrite(spark: SparkSession, path: String, updated: DataFrame): Unit = {
-    val tmp = path.stripSuffix("/") + ".tmp_rewrite"
+    val tmp = swapArtifact(path, ".tmp_rewrite")
     updated.write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    val backup = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".tmp_old")
+    val backup = new org.apache.hadoop.fs.Path(swapArtifact(path, ".tmp_old"))
     if (fs.exists(backup) && fs.exists(target))
       fs.delete(backup, true) // stale leftover alongside an intact table
     if (!fs.rename(target, backup))
@@ -65,7 +74,7 @@ object MergeOps {
   def recoverIfNeeded(spark: SparkSession, path: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val backup = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".tmp_old")
+    val backup = new org.apache.hadoop.fs.Path(swapArtifact(path, ".tmp_old"))
     if (fs.exists(backup) && !fs.exists(target) && !fs.rename(backup, target))
       throw new java.io.IOException(
         s"recovery failed: backup $backup exists but cannot be restored to $path")
@@ -134,5 +143,84 @@ object MergeOps {
   def deleteWhere(spark: SparkSession, path: String, pred: Column): Unit = {
     val target = readTable(spark, path)
     rewrite(spark, path, target.where(!coalesce(pred, lit(false))))
+  }
+
+  // ---- partition-scoped copy-on-write ---------------------------------------
+  //
+  // The production shape at 100 TB: the fact table is laid out by ingestion
+  // date (`years/months/days(ingestion_timestamp)`, schema doc :49-57) and a
+  // mutation batch touches a handful of recent partitions — rewriting the
+  // whole table per UPDATE is the scale-killer these variants remove. Only
+  // the affected `partitionCol=value` directories are read and swapped; every
+  // other partition is untouched (no read, no write, files bit-identical).
+
+  /** Distinct `partitionCol` values holding rows that match `pred`. The scan
+    * is partition-pruned when `pred` constrains `partitionCol` and
+    * column-pruned always; the result is driver-side but partition-count
+    * sized (dates, not rows). */
+  def affectedPartitions(
+      spark: SparkSession, path: String, partitionCol: String, pred: Column): Seq[String] = {
+    readTable(spark, path)
+      .where(pred)
+      .select(col(partitionCol).cast("string"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+      .sorted
+  }
+
+  /** Apply `transform` to exactly the named partition directories, each via
+    * the same write-new → atomic-swap → recover protocol as full rewrites.
+    * `transform` sees the partition column (basePath read) and its output
+    * may drop it — the directory name IS the value. */
+  def rewritePartitions(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      values: Seq[String],
+      transform: (DataFrame, String) => DataFrame): Unit = {
+    values.foreach { v =>
+      val dir = s"${path.stripSuffix("/")}/$partitionCol=$v"
+      recoverIfNeeded(spark, dir)
+      val cur = spark.read.option("basePath", path).parquet(dir)
+      val out = transform(cur, v)
+      val dropped = if (out.columns.contains(partitionCol)) out.drop(partitionCol) else out
+      rewrite(spark, dir, dropped)
+    }
+  }
+
+  /** DELETE WHERE pred, rewriting only partitions that contain matches. */
+  def deleteWherePartitioned(
+      spark: SparkSession, path: String, partitionCol: String, pred: Column): Seq[String] = {
+    val affected = affectedPartitions(spark, path, partitionCol, pred)
+    rewritePartitions(spark, path, partitionCol, affected,
+      (df, _) => df.where(!coalesce(pred, lit(false))))
+    affected
+  }
+
+  /** Keyed UPDATE/MERGE scoped to the partitions named in `updates`, which
+    * must carry `partitionCol`. Assumes keys are partition-local (an event
+    * is written under one ingestion date, never two) — the layout the
+    * schema doc prescribes. Unmatched update rows are appended into their
+    * partition when `insertUnmatched`. */
+  def mergeByKeyPartitioned(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      updates: DataFrame,
+      key: String,
+      insertUnmatched: Boolean = false): Seq[String] = {
+    val affected = updates.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    rewritePartitions(spark, path, partitionCol, affected, { (cur, v) =>
+      val slice = updates.where(col(partitionCol).cast("string") === v)
+      val untouched = cur.join(slice.select(col(key)).distinct(), Seq(key), "left_anti")
+      val matched =
+        if (insertUnmatched) slice
+        else slice.join(cur.select(col(key)).distinct(), Seq(key), "left_semi")
+      untouched.unionByName(matched.select(cur.columns.map(col): _*))
+    })
+    affected
   }
 }

@@ -76,5 +76,43 @@ object MutationQueries {
       .toDF("rows_before", "outliers_detected", "rows_labeled", "rows_after_purge")
   }
 
-  val all: Seq[Reg] = Seq(mergeLabelPurge)
+  /** A8 — partition-scoped purge, FULLY oracled: the scratch fact table is
+    * laid out by a day partition (the ingestion-date layout, schema doc
+    * :49-57), and the DELETE's predicate pins one partition — so exactly one
+    * directory is rewritten while every other partition's files stay
+    * byte-identical (MergeOpsSpec asserts that property; this query gates
+    * the counts). This is the 100 TB mutation shape: cost scales with the
+    * affected partitions, not the table. */
+  val purgePartitioned: Reg = Reg.sql(
+    "a8_purge_partitioned",
+    """WITH fact AS (
+      |  SELECT l_suppkey % 8 AS day, l_extendedprice AS value FROM lineitem)
+      |SELECT (SELECT COUNT(*) FROM fact) AS rows_before,
+      |       (SELECT COUNT(DISTINCT day) FROM fact
+      |        WHERE day = 3 AND value > 30000.0) AS partitions_rewritten,
+      |       (SELECT COUNT(*) FROM fact
+      |        WHERE day = 3 AND value > 30000.0) AS rows_deleted,
+      |       (SELECT COUNT(*) FROM fact) -
+      |       (SELECT COUNT(*) FROM fact WHERE day = 3 AND value > 30000.0)
+      |         AS rows_after""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft_mutation_part").toString + "/fact"
+    Tables.lineitem(s, dir)
+      .select(
+        concat_ws(":", col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_partkey")).as("event_id"),
+        (col("l_suppkey") % 8).as("day"),
+        col("l_extendedprice").as("value"))
+      .write.partitionBy("day").parquet(work)
+
+    val before = s.read.parquet(work).count()
+    val affected = MergeOps.deleteWherePartitioned(
+      s, work, "day", col("day") === 3 && col("value") > 30000.0)
+    val after = s.read.parquet(work).count()
+
+    import s.implicits._
+    Seq((before, affected.size.toLong, before - after, after))
+      .toDF("rows_before", "partitions_rewritten", "rows_deleted", "rows_after")
+  }
+
+  val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned)
 }

@@ -70,6 +70,68 @@ class MergeOpsSpec extends AnyFunSuite with Matchers with SparkSuite {
     t.where("bssid = 'bssid0'").count() shouldBe 0
   }
 
+  private def freshPartitionedTable(): String = {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_merge_part")
+      .toString + "/fact"
+    (0 until 40).map(i => (s"e$i", i % 4, s"bssid${i % 5}", i.toDouble))
+      .toDF("event_id", "day", "bssid", "value")
+      .write.partitionBy("day").parquet(path)
+    path
+  }
+
+  /** (relative path, length) of every data file per partition dir. */
+  private def partitionFiles(path: String): Map[String, Set[(String, Long)]] = {
+    val root = new java.io.File(path)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSet)
+      .toMap
+  }
+
+  test("deleteWherePartitioned rewrites only affected partitions, byte-identical elsewhere") {
+    val path = freshPartitionedTable()
+    val before = partitionFiles(path)
+    // hits live only in day=2 (values 2,6,...38 with day = i%4 == 2 and value > 30)
+    val affected = MergeOps.deleteWherePartitioned(
+      spark, path, "day", col("day") === 2 && col("value") > 30.0)
+    affected shouldBe Seq("2")
+    val after = partitionFiles(path)
+    after.keySet shouldBe before.keySet
+    // untouched partitions: same files, same sizes — never rewritten
+    (before.keySet - "day=2").foreach { d => after(d) shouldBe before(d) }
+    after("day=2") should not be before("day=2")
+    val t = spark.read.parquet(path)
+    t.count() shouldBe 38 // e34, e38 purged
+    t.where("day = 2").count() shouldBe 8
+    t.where("day = 1").count() shouldBe 10
+  }
+
+  test("mergeByKeyPartitioned upserts within the named partitions only") {
+    import spark.implicits._
+    val path = freshPartitionedTable()
+    val before = partitionFiles(path)
+    val updates = Seq(
+      ("e5", 1, "bssid0", 500.0),   // existing key in day=1 → replaced
+      ("e99", 1, "bssid9", 999.0))  // new key → appended into day=1
+      .toDF("event_id", "day", "bssid", "value")
+    val affected = MergeOps.mergeByKeyPartitioned(
+      spark, path, "day", updates, "event_id", insertUnmatched = true)
+    affected shouldBe Seq("1")
+    val after = partitionFiles(path)
+    (before.keySet - "day=1").foreach { d => after(d) shouldBe before(d) }
+    val t = spark.read.parquet(path)
+    t.count() shouldBe 41
+    t.where("event_id = 'e5'").head.getAs[Double]("value") shouldBe 500.0
+    t.where("event_id = 'e99'").head.getAs[Int]("day") shouldBe 1
+  }
+
+  test("partition swap artifacts are hidden from directory discovery") {
+    MergeOps.swapArtifact("/tables/fact/day=3", ".tmp_old") shouldBe
+      "/tables/fact/.day=3.tmp_old"
+  }
+
   test("rewrite is a swap: table remains readable and complete after mutation") {
     val path = freshTable()
     MergeOps.deleteWhere(spark, path, col("value") > 8.0)

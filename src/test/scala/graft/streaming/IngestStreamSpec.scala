@@ -73,12 +73,14 @@ class IngestStreamSpec extends AnyFunSuite with Matchers with SparkSuite {
     spark.read.parquet(table).count() shouldBe 2
 
     // Simulate a mergeByKey that died between its two renames: the table
-    // directory has been moved aside to .tmp_old and nothing swapped in.
+    // directory has been moved aside to the hidden backup and nothing
+    // swapped in.
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.rename(
       new org.apache.hadoop.fs.Path(table),
-      new org.apache.hadoop.fs.Path(table + ".tmp_old")))
+      new org.apache.hadoop.fs.Path(
+        graft.mutation.MergeOps.swapArtifact(table, ".tmp_old"))))
 
     // Redelivered batch (fresh checkpoint): must recover the 2 prior rows,
     // then merge — NOT re-create the table containing only the new record.
