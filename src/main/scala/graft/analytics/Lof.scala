@@ -57,10 +57,13 @@ object Lof {
     // opposite of local outliers, so skipping them loses nothing.
     val cellSizes = pts.groupBy("bssid", "cx", "cy")
       .agg(count(lit(1)).as("__cell_n"))
+    // usable feeds the probe side, the candidate side, and the final output
+    // join — materialize the filtered point set once.
     val usable = pts.join(
       cellSizes.where(col("__cell_n") <= cfg.maxCellPoints)
         .select("bssid", "cx", "cy"),
       Seq("bssid", "cx", "cy"))
+      .localCheckpoint()
 
     val offsets = array(
       (for (dx <- -1 to 1; dy <- -1 to 1)
@@ -83,9 +86,13 @@ object Lof {
           .as("d"))
 
     val w = Window.partitionBy("bssid", "p_id").orderBy(col("d"), col("q_id"))
+    // knn is consumed three times (k-distance, reachability, LOF numerator);
+    // without materialization each consumer would re-run the full 9-cell
+    // candidate join + window — the dominant cost of the whole operator.
     val knn = pairs.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= cfg.k)
       .select("bssid", "p_id", "q_id", "d")
+      .localCheckpoint()
 
     val kdist = knn.groupBy("bssid", "p_id")
       .agg(max("d").as("kdist"), count(lit(1)).as("k_used"))

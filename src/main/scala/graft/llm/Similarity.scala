@@ -60,31 +60,66 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Rademacher ±1 hyperplane signs for (table, bit, dim), derived from a
+    * splitmix64 of the indices — deterministic, no stored index state. The
+    * tensor is tables×bits×dims bytes (a few KB), memoized per JVM: without
+    * the cache every corpus row re-derives every sign (tables·bits·dims
+    * splitmix rounds per row — measured as the dominant cost of the
+    * bucketing pass at 128-dim embeddings). */
+  private object Hyperplanes {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Byte]]()
+    def signs(tables: Int, bits: Int, dims: Int): Array[Byte] =
+      cache.computeIfAbsent((tables, bits, dims), { case (t0, b0, d0) =>
+        val out = new Array[Byte](t0 * b0 * d0)
+        var t = 0
+        while (t < t0) {
+          var bit = 0
+          while (bit < b0) {
+            var d = 0
+            while (d < d0) {
+              var z = (t.toLong << 42) + (bit.toLong << 21) + d + 0x9E3779B97F4A7C15L
+              z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+              z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+              z ^= z >>> 31
+              out((t * b0 + bit) * d0 + d) = if ((z & 1L) == 0L) 1 else -1
+              d += 1
+            }
+            bit += 1
+          }
+          t += 1
+        }
+        out
+      })
+  }
+
   /** All hash-table sign-buckets of one embedding, as a JIT-compiled loop.
     * (The Column-expression rendering — tables × bits interpreted
     * zip_with/aggregate passes — measured ~14 ms/row; this is ~100× less.)
-    * Hyperplanes are deterministic Rademacher ±1 from a splitmix64 of
-    * (table, bit, dim) — identical buckets on every run, no stored state. */
+    * Same splitmix64 sign family as always — the memoized tensor only
+    * removes the per-row re-derivation. */
   private val bucketsUdf = udf { (emb: Seq[Float], tables: Int, bits: Int) =>
     if (emb == null || emb.isEmpty) Array.empty[Long] // drop-not-fail (F18)
-    else Array.tabulate(tables) { t =>
-      var bucket = 0L
-      var bit = 0
-      while (bit < bits) {
-        var proj = 0.0
-        var d = 0
-        while (d < emb.length) {
-          var z = (t.toLong << 42) + (bit.toLong << 21) + d + 0x9E3779B97F4A7C15L
-          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-          z ^= z >>> 31
-          proj += (if ((z & 1L) == 0L) emb(d).toDouble else -emb(d).toDouble)
-          d += 1
+    else {
+      val dims = emb.length
+      val signs = Hyperplanes.signs(tables, bits, dims)
+      val e = emb.toArray
+      Array.tabulate(tables) { t =>
+        var bucket = 0L
+        var bit = 0
+        while (bit < bits) {
+          var proj = 0.0
+          val base = (t * bits + bit) * dims
+          var d = 0
+          while (d < dims) {
+            proj += signs(base + d) * e(d).toDouble
+            d += 1
+          }
+          if (proj >= 0) bucket |= (1L << bit)
+          bit += 1
         }
-        if (proj >= 0) bucket |= (1L << bit)
-        bit += 1
+        bucket
       }
-      bucket
     }
   }
 

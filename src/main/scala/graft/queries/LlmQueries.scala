@@ -204,15 +204,42 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
-  /** LSH-bucketed ANN + embedding near-dup summary (rows-only; recall and
-    * bucketing pinned by SimilaritySpec). */
-  val annLsh: Reg = Reg.rowsOnly("llm_ann_lsh") { (s, dir) =>
+  /** LSH-bucketed ANN on a planted corpus, FULLY oracled.
+    *
+    * Each query vector (vec_id < 10) gets three planted copies scaled by
+    * 2/4/8 mixed into the real corpus. Binary-float scaling by a power of
+    * two is EXACT, so each copy shares every random-hyperplane bucket with
+    * its query (projection signs scale, candidates guaranteed in all 16
+    * tables) and all three compute the IDENTICAL raw cosine (the arithmetic
+    * cancels the scale bit-for-bit) — strictly above every natural cosine —
+    * so the top-3 is exactly the planted ids in vec_id order. DuckDB states
+    * that result outright; the query gates LSH bucketing, candidate
+    * generation, re-rank, and tie-breaking as a value hash while the corpus
+    * scan stays realistic for bench. */
+  val annLsh: Reg = Reg.sql(
+    "llm_ann_lsh",
+    """SELECT q.vec_id AS q_id,
+      |       q.vec_id + 10000000 * s.r AS vec_id,
+      |       CAST(1.0 AS DOUBLE) AS cosine,
+      |       s.r AS rank
+      |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q,
+      |     (VALUES (1), (2), (3)) s(r)
+      |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
-    val topk = Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5,
-      tables = 16, bits = 4)
-    topk.agg(count(lit(1)).as("result_rows"),
-      countDistinct(col("q_id")).as("queries_answered"),
-      round(avg("cosine"), 4).as("avg_cosine"))
+    val queries = emb.where(col("vec_id") < 10)
+    val planted = queries
+      .select(col("vec_id"), col("embedding"),
+        explode(array(lit(1), lit(2), lit(3))).as("r"))
+      .select(
+        (col("vec_id") + lit(10000000L) * col("r")).as("vec_id"),
+        // scale 2^r: exact in float, so buckets and raw cosine are identical
+        transform(col("embedding"),
+          x => (x * pow(lit(2.0), col("r"))).cast("float")).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    Similarity.lshTopK(corpus, queries, k = 3, tables = 16, bits = 4)
+      .select(col("q_id"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("q_id", "rank")
   }
 
   /** Multimodal plumbing end to end on a synthetic binary corpus

@@ -63,6 +63,9 @@ object MutationQueries {
     val outliers = dev.join(mad, "bssid")
       .where(col("adev") > lit(3) * col("mad"))
       .select(col("event_id"), col("adev").as("distance"))
+      // consumed twice (count + the label join) — materialize the small hit
+      // set once instead of re-running both percentile shuffles
+      .localCheckpoint()
 
     val before = t.count()
     val outlierCnt = outliers.count()
