@@ -53,7 +53,11 @@ object RefineLoop {
       relocations: Int,
       innovation_m: Double,
       relocated: Boolean,
-      applied: Boolean)
+      applied: Boolean,
+      /** Fingerprint of the batch estimate — the value persisted as
+        * `last_sig` on apply, so the write-back and the replay comparison
+        * share ONE implementation. */
+      sig: Long)
 
   /** Batch-estimate variance (m², isotropic): the spread-based standard
     * error of the mean, floored at a 5 m sigma so a tight cluster cannot
@@ -92,19 +96,20 @@ object RefineLoop {
               case Some(p) if p.last_sig == sig => // replayed batch: no-op
                 Iterator.single(Refined(bssid, loc.lat, loc.lon, loc.n, loc.method,
                   p.lat, p.lon, p.variance_m2, p.n, p.relocations,
-                  innovation_m = 0.0, relocated = false, applied = false))
+                  innovation_m = 0.0, relocated = false, applied = false, sig))
               case Some(p) =>
                 val r = StateRefinement.update(
                   StateRefinement.ApState(bssid, p.lat, p.lon, p.variance_m2,
                     p.n, p.relocations), est)
                 Iterator.single(Refined(bssid, loc.lat, loc.lon, loc.n, loc.method,
                   r.state.lat, r.state.lon, r.state.varianceM2, r.state.n,
-                  r.state.relocations, r.innovationM, r.relocated, applied = true))
+                  r.state.relocations, r.innovationM, r.relocated, applied = true,
+                  sig))
               case None =>
                 val s = StateRefinement.initial(bssid, est)
                 Iterator.single(Refined(bssid, loc.lat, loc.lon, loc.n, loc.method,
                   s.lat, s.lon, s.varianceM2, s.n, s.relocations,
-                  innovation_m = 0.0, relocated = false, applied = true))
+                  innovation_m = 0.0, relocated = false, applied = true, sig))
             }
         }
       }
@@ -140,19 +145,12 @@ object RefineLoop {
       .select(col("bssid"),
         col("state_lat").as("lat"), col("state_lon").as("lon"),
         col("variance_m2"), col("state_n").as("n"), col("relocations"),
-        udfFingerprint(col("est_lat"), col("est_lon"), col("n")).as("last_sig"))
+        col("sig").as("last_sig"))
     val p = new org.apache.hadoop.fs.Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) stateUpdate.write.parquet(statePath)
     else graft.mutation.MergeOps.mergeByKey(
       spark, statePath, stateUpdate, "bssid", insertUnmatched = true)
     refined
-  }
-
-  private val udfFingerprint = udf { (lat: Double, lon: Double, n: Long) =>
-    var h = java.lang.Double.doubleToLongBits(lat)
-    h = h * 31 + java.lang.Double.doubleToLongBits(lon)
-    h = h * 31 + n
-    h
   }
 }

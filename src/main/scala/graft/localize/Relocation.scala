@@ -56,10 +56,17 @@ object Relocation {
       : (Seq[Seq[Fix]], Seq[Fix]) = {
     val n = fixes.length
     if (n == 0) return (Nil, Nil)
-    // ~eps-sized cells; neighbor candidates live in the 3×3 block.
-    val cellDeg = epsMeters / 111320.0 // meters per degree latitude
+    // ~eps-sized cells; neighbor candidates live in the 3×3 block. A degree
+    // of longitude shrinks by cos(latitude), so the lon cell width must grow
+    // with it or genuine eps-neighbors at high latitude land outside the
+    // block (120 m apart but 2 lon-cells away at lat 60). One AP's fixes
+    // span at most a few km, so a single cos at the group's first fix is
+    // uniform across the group; clamp keeps polar edge cases finite.
+    val cellDegLat = epsMeters / 111320.0 // meters per degree latitude
+    val cellDegLon = cellDegLat /
+      math.max(0.01, math.cos(math.toRadians(fixes.head.lat)))
     def cell(f: Fix): (Long, Long) =
-      (math.floor(f.lat / cellDeg).toLong, math.floor(f.lon / cellDeg).toLong)
+      (math.floor(f.lat / cellDegLat).toLong, math.floor(f.lon / cellDegLon).toLong)
     val index = scala.collection.mutable.HashMap
       .empty[(Long, Long), scala.collection.mutable.ArrayBuffer[Int]]
     fixes.indices.foreach { i =>

@@ -154,12 +154,37 @@ object MergeOps {
   // the affected `partitionCol=value` directories are read and swapped; every
   // other partition is untouched (no read, no write, files bit-identical).
 
+  /** Partition-level crash recovery, run before ANY read of a partitioned
+    * table: if a previous partition rewrite died between its two renames,
+    * that partition lives ONLY at its hidden `.name.tmp_old` sibling — every
+    * normal read skips hidden paths, so without this sweep the partition
+    * would silently vanish, and `affectedPartitions` (seeing no rows) would
+    * never even name it for per-directory recovery. Lists the table root
+    * once; cost is O(partition count). */
+  def recoverPartitionsIfNeeded(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val Backup = "^\\.(.+)\\.tmp_old$".r
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case Backup(orig) =>
+          val target = new org.apache.hadoop.fs.Path(root, orig)
+          if (!fs.exists(target) && !fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"recovery failed: backup ${st.getPath} cannot be restored to $target")
+        case _ => ()
+      }
+    }
+  }
+
   /** Distinct `partitionCol` values holding rows that match `pred`. The scan
     * is partition-pruned when `pred` constrains `partitionCol` and
     * column-pruned always; the result is driver-side but partition-count
     * sized (dates, not rows). */
   def affectedPartitions(
       spark: SparkSession, path: String, partitionCol: String, pred: Column): Seq[String] = {
+    recoverPartitionsIfNeeded(spark, path)
     readTable(spark, path)
       .where(pred)
       .select(col(partitionCol).cast("string"))
@@ -211,9 +236,26 @@ object MergeOps {
       updates: DataFrame,
       key: String,
       insertUnmatched: Boolean = false): Seq[String] = {
+    recoverPartitionsIfNeeded(spark, path)
     val affected = updates.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
-    rewritePartitions(spark, path, partitionCol, affected, { (cur, v) =>
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (existing, fresh) = affected.partition(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/$partitionCol=$v")))
+    // Brand-new partition values (today's date in the upsert flow): nothing
+    // to merge with — create the directory from the update slice directly.
+    fresh.foreach { v =>
+      if (!insertUnmatched)
+        throw new IllegalArgumentException(
+          s"mergeByKeyPartitioned: partition $partitionCol=$v does not exist and " +
+            "insertUnmatched = false (pure UPDATE cannot create partitions)")
+      updates.where(col(partitionCol).cast("string") === v)
+        .drop(partitionCol)
+        .write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"${path.stripSuffix("/")}/$partitionCol=$v")
+    }
+    rewritePartitions(spark, path, partitionCol, existing, { (cur, v) =>
       val slice = updates.where(col(partitionCol).cast("string") === v)
       val untouched = cur.join(slice.select(col(key)).distinct(), Seq(key), "left_anti")
       val matched =

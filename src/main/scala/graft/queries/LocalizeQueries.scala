@@ -204,17 +204,25 @@ object LocalizeQueries {
       |  SELECT *, CAST(floor(latitude / CAST(0.0015 AS DOUBLE)) AS BIGINT) AS cx,
       |            CAST(floor(longitude / CAST(0.0015 AS DOUBLE)) AS BIGINT) AS cy
       |  FROM m),
+      |-- the engine's over-dense-cell guardrail (maxCellPoints = 2000):
+      |-- cells above the cap are dropped whole on BOTH sides
+      |cell_sizes AS (
+      |  SELECT bssid, cx, cy, COUNT(*) AS cn FROM pts GROUP BY bssid, cx, cy),
+      |usable AS (
+      |  SELECT p.* FROM pts p
+      |  JOIN cell_sizes cs ON cs.bssid = p.bssid AND cs.cx = p.cx
+      |   AND cs.cy = p.cy AND cs.cn <= 2000),
       |pairs AS (
       |  SELECT p.bssid, p.point_id AS p_id, q.point_id AS q_id,
       |         2 * 6371000 * ASIN(SQRT(
       |           POW(SIN(RADIANS(q.latitude - p.latitude) / 2), 2) +
       |           COS(RADIANS(p.latitude)) * COS(RADIANS(q.latitude)) *
       |           POW(SIN(RADIANS(q.longitude - p.longitude) / 2), 2))) AS d
-      |  FROM pts p
+      |  FROM usable p
       |  JOIN (SELECT dx.x AS dx, dy.x AS dy
       |        FROM (VALUES (-1),(0),(1)) dx(x), (VALUES (-1),(0),(1)) dy(x)) o
       |    ON TRUE
-      |  JOIN pts q ON q.bssid = p.bssid AND q.cx = p.cx + o.dx
+      |  JOIN usable q ON q.bssid = p.bssid AND q.cx = p.cx + o.dx
       |            AND q.cy = p.cy + o.dy AND q.point_id <> p.point_id),
       |knn AS (
       |  SELECT * FROM (

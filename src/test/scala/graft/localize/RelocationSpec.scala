@@ -76,4 +76,15 @@ class RelocationSpec extends AnyFunSuite with Matchers {
     c2 shouldBe empty
     n2 should have size 10
   }
+
+  test("dbscan handles longitude shrink at high latitude (cos scaling)") {
+    // at lat 60 a degree of longitude is ~55.7 km, so 0.00216° ≈ 120 m —
+    // within eps, but 1.6 naive lon-cells apart; without cos scaling the
+    // chain fragments into noise.
+    val highLat = (0 until 10).map(k => Relocation.Fix(60.0, k * 0.00216, k.toLong))
+    val (clusters, noise) = Relocation.dbscan(highLat.toIndexedSeq, 150.0, 3)
+    clusters should have size 1
+    clusters.head should have size 10
+    noise shouldBe empty
+  }
 }

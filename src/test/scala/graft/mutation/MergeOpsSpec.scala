@@ -127,6 +127,46 @@ class MergeOpsSpec extends AnyFunSuite with Matchers with SparkSuite {
     t.where("event_id = 'e99'").head.getAs[Int]("day") shouldBe 1
   }
 
+  test("mergeByKeyPartitioned creates a brand-new partition on upsert") {
+    import spark.implicits._
+    val path = freshPartitionedTable()
+    val updates = Seq(("e200", 9, "bssid9", 200.0)) // day=9 does not exist yet
+      .toDF("event_id", "day", "bssid", "value")
+    MergeOps.mergeByKeyPartitioned(
+      spark, path, "day", updates, "event_id", insertUnmatched = true) shouldBe Seq("9")
+    val t = spark.read.parquet(path)
+    t.count() shouldBe 41
+    t.where("day = 9").count() shouldBe 1
+    // pure UPDATE must refuse to invent partitions
+    an[IllegalArgumentException] should be thrownBy
+      MergeOps.mergeByKeyPartitioned(
+        spark, path, "day",
+        Seq(("e300", 12, "b", 1.0)).toDF("event_id", "day", "bssid", "value"),
+        "event_id")
+  }
+
+  test("a crashed partition rewrite is recovered before the next partitioned mutation") {
+    val path = freshPartitionedTable()
+    // simulate a rewrite of day=2 that died between its renames: the
+    // partition lives only at the hidden backup
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(path + "/day=2"),
+      new org.apache.hadoop.fs.Path(
+        MergeOps.swapArtifact(path + "/day=2", ".tmp_old"))))
+    spark.read.parquet(path).count() shouldBe 30 // reader alone skips the hidden dir
+
+    // the next partitioned mutation must restore day=2 BEFORE planning, so
+    // its rows are visible and mutable again
+    val affected = MergeOps.deleteWherePartitioned(
+      spark, path, "day", col("day") === 2 && col("value") > 30.0)
+    affected shouldBe Seq("2")
+    val t = spark.read.parquet(path)
+    t.count() shouldBe 38
+    t.where("day = 2").count() shouldBe 8
+  }
+
   test("partition swap artifacts are hidden from directory discovery") {
     MergeOps.swapArtifact("/tables/fact/day=3", ".tmp_old") shouldBe
       "/tables/fact/.day=3.tmp_old"
