@@ -1,5 +1,7 @@
 package graft.llm
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -153,6 +155,86 @@ object Similarity {
     val scored = candidates
       .join(corpus.select(col(idCol).as("vec_id"), col(embCol).as("emb")), "vec_id")
       .join(broadcast(queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"), cosine(col("emb"), col("q_emb")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** L2-normalize a float vector into a unit double vector with a strict
+    * left-fold norm. Bit-deterministic, and scale-invariant for power-of-two
+    * scalings — fl((2x)/(2n)) == fl(x/n) — which the planted-copy IVF oracle
+    * relies on: a ×2/×4/×8 copy normalizes to the bit-identical unit vector
+    * and therefore always lands in the same coarse cell as its original. */
+  private[llm] def normalize(emb: Seq[Float]): Option[Array[Double]] =
+    if (emb == null || emb.isEmpty) None
+    else {
+      var ss = 0.0
+      var i = 0
+      while (i < emb.length) { val x = emb(i).toDouble; ss += x * x; i += 1 }
+      if (ss == 0.0) None
+      else {
+        val n = math.sqrt(ss)
+        val out = new Array[Double](emb.length)
+        i = 0
+        while (i < emb.length) { out(i) = emb(i).toDouble / n; i += 1 }
+        Some(out)
+      }
+    }
+
+  private val normalizeVecUdf = udf { (emb: Seq[Float]) =>
+    normalize(emb).map(Vectors.dense)
+  }
+
+  /** The `n` nearest coarse cells of a vector (squared-L2 over unit vectors
+    * ≙ cosine order; ties break on cell id). The SAME function assigns the
+    * corpus (n=1) and probes the queries (n=nprobe), so identical vectors
+    * are guaranteed to meet — the model's own `transform` is deliberately
+    * not used for assignment. */
+  private def nearestCellsUdf(centers: Array[Array[Double]], n: Int) =
+    udf { (emb: Seq[Float]) =>
+      normalize(emb) match {
+        case None => Array.empty[Int] // drop-not-fail (F18)
+        case Some(v) =>
+          centers.zipWithIndex.map { case (c, i) =>
+            var d = 0.0
+            var j = 0
+            while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+            (d, i)
+          }.sortBy(identity).take(n).map(_._2)
+      }
+    }
+
+  /** IVF (inverted-file) ANN: a spherical k-means coarse quantizer splits
+    * the corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * cells and exact-cosine re-ranks only those candidates.
+    *
+    * 100 TB shape: the quantizer trains on normalized vectors (sample the
+    * corpus first at real scale — IVF practice is to train on ~1M vectors
+    * regardless of corpus size); the centroid table is nlist×dims doubles
+    * (KBs — broadcast in the task closure); corpus assignment is one
+    * narrow map pass; and the candidate join is an equi-join on the cell
+    * id touching ~nprobe/nlist of the corpus per query. Nothing here is
+    * quadratic and no raw corpus row is shuffled more than once. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L, maxIter: Int = 10,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val train = corpus
+      .select(normalizeVecUdf(col(embCol)).as("nv"))
+      .where(col("nv").isNotNull)
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("nv")
+      .fit(train)
+    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+
+    val cb = corpus.select(
+      col(idCol).as("vec_id"), col(embCol).as("emb"),
+      explode(nearestCellsUdf(centers, 1)(col(embCol))).as("cell"))
+    val qb = broadcast(queries.select(
+      col(idCol).as("q_id"), col(embCol).as("q_emb"),
+      explode(nearestCellsUdf(centers, nprobe)(col(embCol))).as("cell")))
+    val scored = cb.join(qb, "cell")
+      .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosine(col("emb"), col("q_emb")).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

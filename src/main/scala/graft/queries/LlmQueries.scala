@@ -242,9 +242,92 @@ object LlmQueries {
       .orderBy("q_id", "rank")
   }
 
-  /** Multimodal plumbing end to end on a synthetic binary corpus
-    * (rows-only; decode is a documented stub). */
-  val multimodal: Reg = Reg.rowsOnly("llm_multimodal_pipeline") { (s, dir) =>
+  /** IVF-bucketed ANN on the same planted corpus as `llm_ann_lsh`, FULLY
+    * oracled. Power-of-two copies L2-normalize to the BIT-IDENTICAL unit
+    * vector as their query (float division by an exactly-doubled norm), so
+    * the coarse quantizer assigns copy and query the same cell no matter
+    * where k-means converges — each query's nprobe probe always contains
+    * its own cell, so recall of the planted top-3 is structural, not
+    * probabilistic, and the oracle can state it outright (raw cosines all
+    * reduce to fl(d/fl(√d·√d)) = 1 ± 1 ulp → round(,6) = 1.0). */
+  val annIvf: Reg = Reg.sql(
+    "llm_ann_ivf",
+    """SELECT q.vec_id AS q_id,
+      |       q.vec_id + 10000000 * s.r AS vec_id,
+      |       CAST(1.0 AS DOUBLE) AS cosine,
+      |       s.r AS rank
+      |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q,
+      |     (VALUES (1), (2), (3)) s(r)
+      |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where(col("vec_id") < 10)
+    val planted = queries
+      .select(col("vec_id"), col("embedding"),
+        explode(array(lit(1), lit(2), lit(3))).as("r"))
+      .select(
+        (col("vec_id") + lit(10000000L) * col("r")).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * pow(lit(2.0), col("r"))).cast("float")).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    Similarity.ivfTopK(corpus, queries, k = 3, nlist = 16, nprobe = 4)
+      .select(col("q_id"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Embedding-cosine near-dup on a planted corpus, FULLY oracled: every
+    * 4th vector plants a ×2 copy, every 6th a ×4 copy (pairs at raw cosine
+    * exactly 1 ± 1 ulp, sharing every LSH bucket with their original by
+    * sign invariance under positive scaling), while the strongest NATURAL
+    * pair in the driver's gaussian embeddings sits at cosine ≈ 0.60
+    * (measured at sf0.01 and sf0.1) — far under the 0.95 threshold, so the
+    * expected pair list is pure arithmetic: (id, id+10M) for id%4=0,
+    * (id, id+20M) for id%6=0, and the copy-copy pair (id+10M, id+20M) when
+    * both plant (id%12=0). */
+  val embedNearDup: Reg = Reg.sql(
+    "llm_embed_neardup",
+    """WITH ids AS (SELECT vec_id FROM embeddings),
+      |pairs AS (
+      |  SELECT vec_id AS id_a, vec_id + 10000000 AS id_b
+      |  FROM ids WHERE vec_id % 4 = 0
+      |  UNION ALL
+      |  SELECT vec_id, vec_id + 20000000 FROM ids WHERE vec_id % 6 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, vec_id + 20000000
+      |  FROM ids WHERE vec_id % 12 = 0)
+      |SELECT id_a, id_b, CAST(1.0 AS DOUBLE) AS cosine
+      |FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    def scaledCopies(mod: Int, offset: Long, pow2: Double) =
+      emb.where(col("vec_id") % mod === 0)
+        .select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"), x => (x * pow2).cast("float")).as("embedding"))
+    val corpus = emb
+      .unionByName(scaledCopies(4, 10000000L, 2.0))
+      .unionByName(scaledCopies(6, 20000000L, 4.0))
+    Similarity.embeddingNearDup(corpus, threshold = 0.95)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Multimodal plumbing end to end on a synthetic binary corpus, FULLY
+    * oracled: the corpus is pure arithmetic (asset i has len = 64 + i%192
+    * bytes, modality = i%3, every asset ≥ 4 bytes so `valid` always holds
+    * and every asset emits one feature row), so DuckDB can state the
+    * per-modality aggregate from `range(300)` without touching the stubbed
+    * byte content. The decode itself stays a documented stub (no media libs
+    * in env); what this gates is the distribution plumbing — mapPartitions
+    * decode/extract, the groupBy reductions, and the metadata join. */
+  val multimodal: Reg = Reg.sql(
+    "llm_multimodal_pipeline",
+    """SELECT CASE WHEN i % 3 = 0 THEN 'image'
+      |            WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |       CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       CAST(COUNT(*) AS BIGINT) AS valid_cnt,
+      |       ROUND(AVG(64 + i % 192), 2) AS avg_bytes,
+      |       CAST(COUNT(*) AS BIGINT) AS feature_rows
+      |FROM (SELECT range AS i FROM range(300))
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     val assets = Multimodal.syntheticAssets(s, 300)
     val meta = Multimodal.decodeAll(s, assets).toDF()
     val feats = Multimodal.extractFeatures(s, assets).toDF()
@@ -308,6 +391,6 @@ object LlmQueries {
 
   val all: Seq[Reg] = Seq(
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
-    annBrute, minhashNearDup, simhashNearDup, annLsh, multimodal, tokenEstimate,
-    ngramJaccard)
+    annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
+    multimodal, tokenEstimate, ngramJaccard)
 }

@@ -60,6 +60,32 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSuite {
     plan should not include "CartesianProduct"
   }
 
+  test("IVF top-k: planted scaled copy guaranteed found, cell-join plan") {
+    import spark.implicits._
+    // ×2 copy of vec 7: normalizes bit-identically, so it must share vec 7's
+    // coarse cell regardless of where k-means converged.
+    val dup = embeddings.where(col("vec_id") === 7)
+      .select(lit(9999L).as("vec_id"),
+        transform(col("embedding"), x => (x * 2.0).cast("float")).as("embedding"))
+    val corpus = embeddings.select("vec_id", "embedding").unionByName(dup)
+    val queries = embeddings.where(col("vec_id") === 7)
+    val df = Similarity.ivfTopK(corpus, queries, k = 3, nlist = 16, nprobe = 4)
+    val top = df.collect().sortBy(_.getAs[Int]("rank"))
+    top.head.getAs[Long]("vec_id") shouldBe 9999L
+    top.head.getAs[Double]("cosine") shouldBe 1.0 +- 1e-9
+
+    df.queryExecution.executedPlan.toString should not include "CartesianProduct"
+  }
+
+  test("IVF probes a strict subset of the corpus (sub-linear candidates)") {
+    val queries = embeddings.where(col("vec_id") < 10)
+    val candidates = Similarity.ivfTopK(embeddings, queries, k = 500,
+      nlist = 16, nprobe = 4).count()
+    // 10 queries × 500 corpus = 5000 exhaustive pairs; probing 4/16 cells
+    // must stay well under that (cells are uneven, allow 2× headroom).
+    candidates.toDouble should be < 5000.0 * 4.0 / 16.0 * 2.0
+  }
+
   test("embedding near-dup finds a planted duplicate vector via buckets only") {
     import spark.implicits._
     val dup = embeddings.where(col("vec_id") === 7)
