@@ -106,20 +106,21 @@ object MergeOps {
     rewrite(spark, path, untouched.unionByName(matched.select(target.columns.map(col): _*)))
   }
 
-  /** A6 outlier labeling — the schema doc's canonical UPDATE: set the
-    * global-outlier columns for the given (event_id → distance) map
-    * (`wifi_measurement_s3_table_schema.md:111-126`). */
-  def labelOutliers(
-      spark: SparkSession,
-      path: String,
-      outlierDistances: DataFrame, // (event_id, distance)
+  /** Left-join `hits` (event_id, distance) onto `target` and set the
+    * global-outlier columns on the matched rows
+    * (`wifi_measurement_s3_table_schema.md:111-126`). No broadcast hint:
+    * the hit set is a FRACTION OF THE DATA (it scales with table volume,
+    * not with a dimension), so forcing it driver-side is the 100 TB OOM
+    * pattern — AQE broadcasts when the set is actually small. */
+  private def applyLabels(
+      target: DataFrame,
+      hits: DataFrame,
       threshold: Double,
-      algorithm: String = "MAD",
-      detectionVersion: String = "1.0"): Unit = {
-    val target = readTable(spark, path)
-    val hits = broadcast(outlierDistances
-      .select(col("event_id"), col("distance").as("__dist")))
-    val updated = target.join(hits, Seq("event_id"), "left")
+      algorithm: String,
+      detectionVersion: String): DataFrame =
+    target.join(
+      hits.select(col("event_id"), col("distance").as("__dist")),
+      Seq("event_id"), "left")
       .withColumn("is_global_outlier",
         when(col("__dist").isNotNull, lit(true)).otherwise(col("is_global_outlier")))
       .withColumn("global_outlier_distance",
@@ -135,7 +136,21 @@ object MergeOps {
         when(col("__dist").isNotNull, lit(detectionVersion))
           .otherwise(col("global_detection_version")))
       .drop("__dist")
-    rewrite(spark, path, updated)
+
+  /** A6 outlier labeling — the schema doc's canonical UPDATE: set the
+    * global-outlier columns for the given (event_id → distance) map.
+    * Full-table form; prefer `labelOutliersPartitioned` on the
+    * ingestion-date layout. */
+  def labelOutliers(
+      spark: SparkSession,
+      path: String,
+      outlierDistances: DataFrame, // (event_id, distance)
+      threshold: Double,
+      algorithm: String = "MAD",
+      detectionVersion: String = "1.0"): Unit = {
+    val target = readTable(spark, path)
+    rewrite(spark, path,
+      applyLabels(target, outlierDistances, threshold, algorithm, detectionVersion))
   }
 
   /** A7/A8 — DELETE WHERE pred (outlier purge / hotspot purge:
@@ -262,6 +277,30 @@ object MergeOps {
         if (insertUnmatched) slice
         else slice.join(cur.select(col(key)).distinct(), Seq(key), "left_semi")
       untouched.unionByName(matched.select(cur.columns.map(col): _*))
+    })
+    affected
+  }
+
+  /** A6 outlier labeling scoped to the partitions named in the hit set —
+    * the production shape: detection runs over a recent ingestion-date
+    * window, so `outlierDistances` (event_id, distance, partitionCol)
+    * names a handful of partitions and ONLY those directories are
+    * rewritten; every other partition's files stay byte-identical.
+    * Returns the rewritten partition values. */
+  def labelOutliersPartitioned(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      outlierDistances: DataFrame, // (event_id, distance, partitionCol)
+      threshold: Double,
+      algorithm: String = "MAD",
+      detectionVersion: String = "1.0"): Seq[String] = {
+    recoverPartitionsIfNeeded(spark, path)
+    val affected = outlierDistances.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    rewritePartitions(spark, path, partitionCol, affected, { (cur, v) =>
+      val hits = outlierDistances.where(col(partitionCol).cast("string") === v)
+      applyLabels(cur, hits, threshold, algorithm, detectionVersion)
     })
     affected
   }

@@ -19,15 +19,25 @@ import graft.mutation.MergeOps
   * broken detection. */
 object MutationQueries {
 
+  /** A6/A7 as the production daily maintenance job: the fact table is laid
+    * out by an ingestion-day partition, detection runs over ONE day's
+    * window, and both the label UPDATE and the purge DELETE are
+    * partition-scoped — exactly one directory is rewritten (twice) while
+    * every other partition's files stay byte-identical (MergeOpsSpec
+    * asserts the byte-identity; this query gates the counts). Cost scales
+    * with the detection window, not the table — the 100 TB shape. */
   val mergeLabelPurge: Reg = Reg.sql(
     "a6_merge_label_purge",
     """WITH fact AS (
-      |  SELECT l_partkey AS bssid, l_extendedprice AS value FROM lineitem
+      |  SELECT l_partkey AS bssid, l_suppkey % 8 AS day, l_extendedprice AS value
+      |  FROM lineitem
+      |), win AS (
+      |  SELECT * FROM fact WHERE day = 3
       |), med AS (
-      |  SELECT bssid, MEDIAN(value) AS med FROM fact GROUP BY bssid
+      |  SELECT bssid, MEDIAN(value) AS med FROM win GROUP BY bssid
       |), dev AS (
       |  SELECT f.bssid, ABS(f.value - m.med) AS adev
-      |  FROM fact f JOIN med m ON f.bssid = m.bssid
+      |  FROM win f JOIN med m ON f.bssid = m.bssid
       |), mad AS (
       |  SELECT bssid, MEDIAN(adev) AS mad FROM dev GROUP BY bssid
       |), outliers AS (
@@ -37,14 +47,16 @@ object MutationQueries {
       |SELECT (SELECT COUNT(*) FROM fact) AS rows_before,
       |       (SELECT COUNT(*) FROM outliers) AS outliers_detected,
       |       (SELECT COUNT(*) FROM outliers) AS rows_labeled,
+      |       CAST(1 AS BIGINT) AS partitions_rewritten,
       |       (SELECT COUNT(*) FROM fact) - (SELECT COUNT(*) FROM outliers)
       |         AS rows_after_purge""".stripMargin) { (s, dir) =>
     val work = Files.createTempDirectory("graft_mutation").toString + "/fact"
-    val fact = Tables.lineitem(s, dir)
+    Tables.lineitem(s, dir)
       .select(
         concat_ws(":", col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
           col("l_partkey")).as("event_id"),
         col("l_partkey").as("bssid"),
+        (col("l_suppkey") % 8).as("day"),
         col("l_extendedprice").as("value"),
         lit(null).cast("boolean").as("is_global_outlier"),
         lit(null).cast("double").as("global_outlier_distance"),
@@ -52,31 +64,36 @@ object MutationQueries {
         lit(null).cast("string").as("global_detection_algorithm"),
         lit(null).cast("timestamp").as("global_detection_timestamp"),
         lit(null).cast("string").as("global_detection_version"))
-    fact.write.parquet(work)
+      .write.partitionBy("day").parquet(work)
 
-    // A9: per-key MAD outliers on value (same math as the oracled query).
+    // A9 over the day=3 detection window: per-key MAD on value (same math
+    // as the oracled query). The scan is partition-pruned to one directory.
     val t = s.read.parquet(work)
-    val med = t.groupBy("bssid").agg(expr("percentile(value, 0.5)").as("med"))
-    val dev = t.join(med, "bssid")
+    val win = t.where(col("day") === 3)
+    val med = win.groupBy("bssid").agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = win.join(med, "bssid")
       .withColumn("adev", abs(col("value") - col("med")))
     val mad = dev.groupBy("bssid").agg(expr("percentile(adev, 0.5)").as("mad"))
     val outliers = dev.join(mad, "bssid")
       .where(col("adev") > lit(3) * col("mad"))
-      .select(col("event_id"), col("adev").as("distance"))
-      // consumed twice (count + the label join) — materialize the small hit
-      // set once instead of re-running both percentile shuffles
+      .select(col("event_id"), col("adev").as("distance"), col("day"))
+      // consumed three times (count + label join + purge planning) and its
+      // lineage reads the files the swap replaces — materialize once
       .localCheckpoint()
 
     val before = t.count()
     val outlierCnt = outliers.count()
-    MergeOps.labelOutliers(s, work, outliers, threshold = 3.0) // A6
+    val labeledParts = MergeOps.labelOutliersPartitioned(
+      s, work, "day", outliers, threshold = 3.0) // A6
     val labeled = s.read.parquet(work).where("is_global_outlier = true").count()
-    MergeOps.deleteWhere(s, work, col("is_global_outlier") === true) // A7
+    MergeOps.deleteWherePartitioned( // A7 — prunes to the labeled day
+      s, work, "day", col("day") === 3 && col("is_global_outlier") === true)
     val after = s.read.parquet(work).count()
 
     import s.implicits._
-    Seq((before, outlierCnt, labeled, after))
-      .toDF("rows_before", "outliers_detected", "rows_labeled", "rows_after_purge")
+    Seq((before, outlierCnt, labeled, labeledParts.size.toLong, after))
+      .toDF("rows_before", "outliers_detected", "rows_labeled",
+        "partitions_rewritten", "rows_after_purge")
   }
 
   /** A8 — partition-scoped purge, FULLY oracled: the scratch fact table is

@@ -145,6 +145,41 @@ class MergeOpsSpec extends AnyFunSuite with Matchers with SparkSuite {
         "event_id")
   }
 
+  test("labelOutliersPartitioned labels hit keys, byte-identical elsewhere") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_label_part")
+      .toString + "/fact"
+    (0 until 40).map(i => (s"e$i", i % 4, i.toDouble, Option.empty[Boolean]))
+      .toDF("event_id", "day", "value", "is_global_outlier")
+      .withColumn("global_outlier_distance", lit(null).cast("double"))
+      .withColumn("global_outlier_threshold", lit(null).cast("double"))
+      .withColumn("global_detection_algorithm", lit(null).cast("string"))
+      .withColumn("global_detection_timestamp", lit(null).cast("timestamp"))
+      .withColumn("global_detection_version", lit(null).cast("string"))
+      .write.partitionBy("day").parquet(path)
+    val before = partitionFiles(path)
+
+    // hits name only day=2 → only that directory may be rewritten
+    val hits = Seq(("e2", 812.5, 2), ("e6", 431.0, 2))
+      .toDF("event_id", "distance", "day")
+    MergeOps.labelOutliersPartitioned(
+      spark, path, "day", hits, threshold = 300.0) shouldBe Seq("2")
+
+    val after = partitionFiles(path)
+    after.keySet shouldBe before.keySet
+    (before.keySet - "day=2").foreach { d => after(d) shouldBe before(d) }
+    after("day=2") should not be before("day=2")
+
+    val t = spark.read.parquet(path)
+    t.count() shouldBe 40 // UPDATE never changes cardinality
+    t.where("is_global_outlier = true").count() shouldBe 2
+    val e2 = t.where("event_id = 'e2'").head
+    e2.getAs[Double]("global_outlier_distance") shouldBe 812.5
+    e2.getAs[String]("global_detection_algorithm") shouldBe "MAD"
+    t.where("event_id = 'e3'").head.isNullAt(
+      t.schema.fieldIndex("global_detection_algorithm")) shouldBe true
+  }
+
   test("a crashed partition rewrite is recovered before the next partitioned mutation") {
     val path = freshPartitionedTable()
     // simulate a rewrite of day=2 that died between its renames: the
