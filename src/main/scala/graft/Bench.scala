@@ -17,32 +17,37 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: absorb JVM/codegen/scan-init cost so it doesn't land on the
-    // alphabetically-first query (measured ~9 s of pure warmup otherwise).
-    try SparkEntry.queries.values.headOption.foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => () }
-
-    // Queries ordered by name for a stable report.
+    // Per-query cold + warm pass: the first run absorbs JIT/codegen/scan-init
+    // cost (historically read as phantom regressions on 5-row queries); the
+    // WARM run is the reported figure. Queries ordered by name for a stable
+    // report.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val timed = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -1.0, ok)
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (coldSec, coldOk) = once()
+      val (warmSec, warmOk) = if (coldOk) once() else (-1.0, false)
+      val ok = coldOk && warmOk
+      (name, if (ok) warmSec else -1.0, if (coldOk) coldSec else -1.0, ok)
     }
-    val qs = timed.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = timed.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val errors = timed.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = timed.filter(_._3).map(_._2).sum
+    val cold = timed.map { case (k, _, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val errors = timed.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = timed.filter(_._4).map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_queries":$cold,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

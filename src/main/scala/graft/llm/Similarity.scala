@@ -218,10 +218,24 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L, maxIter: Int = 10,
+      maxTrainVectors: Int = 1000000,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val train = corpus
+    // The quantizer only needs a representative sample — IVF practice trains
+    // on ~1M vectors regardless of corpus size (the coarse cells barely move
+    // past that, and an unsampled fit over 100 TB of embeddings would make
+    // k-means itself the bottleneck). The seeded sample is an upper-bound
+    // fraction followed by a hard limit, so the driver never sees more than
+    // maxTrainVectors rows; small corpora pass through un-sampled.
+    val candidates = corpus
       .select(normalizeVecUdf(col(embCol)).as("nv"))
       .where(col("nv").isNotNull)
+    val corpusRows = candidates.count()
+    val train =
+      if (corpusRows <= maxTrainVectors) candidates
+      else candidates
+        .sample(withReplacement = false,
+          math.min(1.0, maxTrainVectors * 1.2 / corpusRows), seed)
+        .limit(maxTrainVectors)
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("nv")
       .fit(train)

@@ -112,7 +112,7 @@ object MergeOps {
     * the hit set is a FRACTION OF THE DATA (it scales with table volume,
     * not with a dimension), so forcing it driver-side is the 100 TB OOM
     * pattern — AQE broadcasts when the set is actually small. */
-  private def applyLabels(
+  private[graft] def applyLabels(
       target: DataFrame,
       hits: DataFrame,
       threshold: Double,

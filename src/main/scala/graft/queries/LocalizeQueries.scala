@@ -18,8 +18,30 @@ import graft.localize.BatchLocalizer
   */
 object LocalizeQueries {
 
-  /** Full localizer over events: one shuffle localizes every key. */
-  val batchLocalize: Reg = Reg.rowsOnly("r7_batch_localize") { (s, dir) =>
+  /** Full localizer over events: one shuffle localizes every key.
+    *
+    * Bounded-property oracle (the MLE/Bayesian point itself is a gradient
+    * ascent — not SQL-expressible; its WCL tier is exact-oracled in
+    * `r7_wcl_tier`): DuckDB states, per AP, the capped measurement count,
+    * the tier dispatch (N≥100 bayesian / N≥50 mle / N≥20 wcl), and that the
+    * published estimate lies inside the measurement bounding box expanded by
+    * the maximum possible MLE drift (100 iterations × 1e-4° step, lr only
+    * ever halves → total movement ≤ 0.01°; WCL starts strictly inside the
+    * hull, and the Bayesian blend is a convex mix of the two). A dispatch
+    * bug, a runaway gradient, or a nondeterministic cap all hash-mismatch
+    * here row-by-row. */
+  val batchLocalize: Reg = Reg.sql(
+    "r7_batch_localize",
+    """WITH c AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS bssid,
+      |         LEAST(COUNT(*), 1000) AS n
+      |  FROM events GROUP BY user_id HAVING LEAST(COUNT(*), 1000) >= 20)
+      |SELECT bssid, n,
+      |       CASE WHEN n >= 100 THEN 'bayesian'
+      |            WHEN n >= 50 THEN 'mle'
+      |            ELSE 'wcl' END AS method,
+      |       TRUE AS in_bounds
+      |FROM c ORDER BY bssid""".stripMargin) { (s, dir) =>
     implicit val spark = s
     val ev = Tables.events(s, dir)
     // Cluster each key's measurements within ~±150 m of a per-key anchor, the
@@ -33,10 +55,19 @@ object LocalizeQueries {
         when(col("event_type") === "purchase", "CONNECTED").otherwise("SCAN"),
         col("value"), -(col("user_id") % 100)).as("w"))
     val measurements = BatchLocalizer.fromColumns(synth, "bssid", "lat", "lon", "rssi", "w")
+    // Bounding box over ALL of a key's measurements (the capped subset's
+    // hull is contained in it) + the MLE drift bound.
+    val drift = 0.011
+    val bbox = synth.groupBy("bssid").agg(
+      min("lat").as("min_lat"), max("lat").as("max_lat"),
+      min("lon").as("min_lon"), max("lon").as("max_lon"))
     BatchLocalizer.localizeAll(s, measurements)
       .toDF()
-      .select(col("bssid"), round(col("lat"), 4).as("lat"), round(col("lon"), 4).as("lon"),
-        col("n"), col("method"), round(col("confidence"), 3).as("confidence"))
+      .join(bbox, "bssid")
+      .select(col("bssid"), col("n"), col("method"),
+        (col("lat") >= col("min_lat") - drift && col("lat") <= col("max_lat") + drift &&
+         col("lon") >= col("min_lon") - drift && col("lon") <= col("max_lon") + drift)
+          .as("in_bounds"))
       .orderBy("bssid")
   }
 

@@ -68,5 +68,97 @@ object ServeQueries {
       .orderBy("outcome")
   }
 
-  val all: Seq[Reg] = Seq(batchScoring)
+  /** R5 proximity tier, FULLY oracled: single-AP requests always resolve via
+    * pure proximity — in every signal tier LogDistance's selection weight
+    * (0.4 × signalMult × 0.7 poor-geometry × 1.1 uniform ≤ 0.308) falls under
+    * the 0.4 finalist threshold while Proximity survives (sole-survivor rule
+    * at worst), and a VeryWeak tier hard-constrains to {proximity} outright —
+    * so the combiner passes the proximity position through unchanged. DuckDB
+    * can therefore state the full Response per request: position = the AP's
+    * location, accuracy = its horizontal accuracy, confidence =
+    * clamp((rssi + 90) / 60, 0, 0.85)
+    * (`ProximityDetectionAlgorithm.java:52-53,115-130`), and the J3 error
+    * outcomes (expired AP / unknown AP → "no usable known APs"). The rssi
+    * sweep (−38…−93) exercises BOTH confidence clamps.
+    *
+    * The AP dim is restricted to s_suppkey ≤ 100 so the synthetic MAC
+    * (suppkey mod 250 octets) stays injective — beyond 250 keys the mod
+    * wraps, duplicate MACs hit the first-wins AP-map rule, and the chosen
+    * duplicate is load-order-dependent (fine for r5_batch_scoring's
+    * aggregate output, not for per-request positions). */
+  val proximityTier: Reg = Reg.sql(
+    "r5_proximity_tier",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |req AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS request_id,
+      |         user_id % 100 AS supp,
+      |         CAST(-38 - (user_id % 56) AS DOUBLE) AS rssi
+      |  FROM u),
+      |ap AS (
+      |  SELECT s_suppkey,
+      |         ((s_suppkey % 120) - 60 + (s_suppkey % 10) * CAST(0.0005 AS DOUBLE))
+      |           AS latitude,
+      |         ((s_suppkey % 300) - 150 + (s_suppkey % 7) * CAST(0.0005 AS DOUBLE))
+      |           AS longitude,
+      |         (CAST(5.0 AS DOUBLE) + s_suppkey % 10) AS horizontal_accuracy,
+      |         CASE WHEN s_suppkey % 10 = 0 THEN 'expired' ELSE 'active' END AS status
+      |  FROM supplier WHERE s_suppkey <= 100),
+      |hit AS (
+      |  SELECT r.*, a.latitude, a.longitude, a.horizontal_accuracy,
+      |         (a.s_suppkey IS NOT NULL) AS known,
+      |         (a.s_suppkey IS NOT NULL AND a.status <> 'expired') AS usable
+      |  FROM req r LEFT JOIN ap a ON a.s_suppkey = r.supp)
+      |SELECT request_id,
+      |       CASE WHEN usable THEN 'scored' ELSE 'no usable known APs' END AS outcome,
+      |       CASE WHEN usable THEN ROUND(latitude, 6) ELSE 0.0 END AS lat,
+      |       CASE WHEN usable THEN ROUND(longitude, 6) ELSE 0.0 END AS lon,
+      |       CASE WHEN usable THEN ROUND(horizontal_accuracy, 3) ELSE 0.0 END
+      |         AS accuracy,
+      |       CASE WHEN usable
+      |            THEN ROUND(LEAST(0.85, GREATEST(0.0, (rssi + 90) / 60)), 4)
+      |            ELSE 0.0 END AS confidence,
+      |       CASE WHEN known THEN 1 ELSE 0 END AS ap_count
+      |FROM hit ORDER BY request_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val apDim = Tables.supplier(s, dir)
+      .where(col("s_suppkey") <= 100)
+      .select(
+        concat(lit("aa:bb:cc:dd:"),
+          format_string("%02x", col("s_suppkey") % 250), lit(":"),
+          format_string("%02x", (col("s_suppkey") * 7) % 250)).as("mac_addr"),
+        ((col("s_suppkey") % 120) - 60 + (col("s_suppkey") % 10) * 0.0005).as("latitude"),
+        ((col("s_suppkey") % 300) - 150 + (col("s_suppkey") % 7) * 0.0005).as("longitude"),
+        when(col("s_suppkey") % 3 === 0, col("s_acctbal") / 1000).as("altitude"),
+        (lit(5.0) + col("s_suppkey") % 10).as("horizontal_accuracy"),
+        lit(0.8).as("confidence"),
+        lit("").as("vendor"),
+        when(col("s_suppkey") % 10 === 0, "expired").otherwise("active").as("status"))
+
+    val requests = Tables.events(s, dir)
+      .select(col("user_id")).distinct()
+      .select(col("user_id").cast("string").as("requestId"),
+        (col("user_id") % 100).as("supp"),
+        (-lit(38) - (col("user_id") % 56)).cast("double").as("rssi"))
+      .select(col("requestId"),
+        array(struct(
+          concat(lit("aa:bb:cc:dd:"),
+            format_string("%02x", col("supp") % 250), lit(":"),
+            format_string("%02x", (col("supp") * 7) % 250)).as("mac"),
+          col("rssi"),
+          when(col("supp") % 2 === 0, 2437).otherwise(5180).as("frequencyMhz"))).as("scans"))
+      .as[Request]
+
+    RequestScoring.score(s, requests, apDim)
+      .toDF()
+      .select(col("requestId").as("request_id"),
+        when(col("ok"), "scored").otherwise(col("error")).as("outcome"),
+        round(col("latitude"), 6).as("lat"),
+        round(col("longitude"), 6).as("lon"),
+        round(col("accuracy"), 3).as("accuracy"),
+        round(col("confidence"), 4).as("confidence"),
+        col("apCount").as("ap_count"))
+      .orderBy("request_id")
+  }
+
+  val all: Seq[Reg] = Seq(batchScoring, proximityTier)
 }

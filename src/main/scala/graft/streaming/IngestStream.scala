@@ -54,9 +54,21 @@ object IngestStream {
         .text(inputDir),
       cfg)
 
-  /** Sink via foreachBatch upsert — idempotent on event_id, so replayed
-    * micro-batches (at-least-once source) cannot double-write. First batch
-    * creates the table; later batches merge. */
+  /** Sink via foreachBatch upsert into the ingestion-date layout —
+    * idempotent on event_id, so replayed micro-batches (at-least-once
+    * source) cannot double-write.
+    *
+    * The merge is PARTITION-SCOPED (`MergeOps.mergeByKeyPartitioned`): a
+    * micro-batch only rewrites the `ingest_date=` directories its records
+    * fall in — at 100 TB a batch touches today's partition, never the
+    * table. The partition value derives from the record's measurement
+    * timestamp, NOT wall clock: a replayed record must land in the SAME
+    * partition it originally went to or the dedup merge can't see the
+    * earlier copy (the schema doc's ingestion-date layout with the
+    * replay-stable date choice). Brand-new dates are created by the merge
+    * (`insertUnmatched`); partition-level crash recovery runs inside it. */
+  val PartitionCol = "ingest_date"
+
   def writer(
       stream: DataFrame,
       tablePath: String,
@@ -68,19 +80,11 @@ object IngestStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // A prior mergeByKey may have died between its two renames, leaving
-        // the table only at .tmp_old — restore it BEFORE the existence check,
-        // or the replayed batch would re-create the table from itself alone.
-        graft.mutation.MergeOps.recoverIfNeeded(spark, tablePath)
-        // Resolve through the Hadoop FileSystem — java.io.File would report
-        // false for every non-local URI (s3a://, hdfs://) and re-create.
-        val p = new org.apache.hadoop.fs.Path(tablePath)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p)) {
-          batch.write.mode("errorifexists").parquet(tablePath)
-        } else {
-          graft.mutation.MergeOps.mergeByKey(
-            spark, tablePath, batch, "event_id", insertUnmatched = true)
-        }
+        val withDate = batch.withColumn(
+          PartitionCol, to_date(timestamp_millis(col("measurement_timestamp"))))
+        graft.mutation.MergeOps.mergeByKeyPartitioned(
+          spark, tablePath, PartitionCol, withDate, "event_id",
+          insertUnmatched = true)
+        ()
       }
 }

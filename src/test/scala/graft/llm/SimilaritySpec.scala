@@ -77,6 +77,33 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSuite {
     df.queryExecution.executedPlan.toString should not include "CartesianProduct"
   }
 
+  test("IVF top-k: decent recall of the exact top-5 on natural neighbors") {
+    // The planted-copy oracle proves structural recall only (exact/scaled
+    // copies share a cell by construction); this pins recall on NATURAL
+    // moderate-cosine neighbors, the regime 100 TB corpora actually live in.
+    val queries = embeddings.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embeddings, queries, k = 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(embeddings, queries, k = 5, nlist = 8, nprobe = 4)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    recall should be >= 0.6
+  }
+
+  test("IVF training set is capped at a bounded deterministic sample") {
+    // 20-row corpus with a 10-row training cap: the quantizer must still fit
+    // (structural argument: planted copies land with their originals no
+    // matter where the sampled k-means converged) and the result stays a
+    // valid top-k.
+    val corpus = embeddings.where(col("vec_id") < 20)
+    val queries = embeddings.where(col("vec_id") < 2)
+    val df = Similarity.ivfTopK(corpus, queries, k = 3, nlist = 4, nprobe = 4,
+      maxTrainVectors = 10)
+    val rows = df.collect()
+    rows.map(_.getAs[Long]("q_id")).distinct.sorted shouldBe Array(0L, 1L)
+    rows.foreach(_.getAs[Int]("rank") should be <= 3)
+  }
+
   test("IVF probes a strict subset of the corpus (sub-linear candidates)") {
     val queries = embeddings.where(col("vec_id") < 10)
     val candidates = Similarity.ivfTopK(embeddings, queries, k = 500,

@@ -57,6 +57,35 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     }
   }
 
+  test("mutation paths carry no broadcast hint (hit sets scale with data volume)") {
+    // A mutation's update/hit set is a FRACTION OF THE TABLE, not a
+    // dimension — a broadcast hint there is the driver-OOM pattern at
+    // 100 TB. Audit the label plan directly, and pin the rule for every
+    // MergeOps path at the source level (the joins inside mergeByKey /
+    // deleteWhere are built and consumed inside the write call, so their
+    // plans aren't reachable from a test).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val target = Seq(("e1", false)).toDF("event_id", "is_global_outlier")
+      .withColumn("global_outlier_distance", lit(null).cast("double"))
+      .withColumn("global_outlier_threshold", lit(null).cast("double"))
+      .withColumn("global_detection_algorithm", lit(null).cast("string"))
+      .withColumn("global_detection_timestamp", lit(null).cast("timestamp"))
+      .withColumn("global_detection_version", lit(null).cast("string"))
+    val hits = Seq(("e1", 12.0)).toDF("event_id", "distance")
+    val labeled = graft.mutation.MergeOps.applyLabels(target, hits, 3.0, "MAD", "1.0")
+    val hinted = labeled.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    hinted shouldBe empty
+
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/mutation/MergeOps.scala")))
+    withClue("MergeOps must not force broadcast anywhere") {
+      src should not include "broadcast("
+    }
+  }
+
   test("no query plan contains a CartesianProduct or driver collect") {
     SparkEntryPlans.all.foreach { case (name, p) =>
       withClue(name)(p should not include "CartesianProduct")

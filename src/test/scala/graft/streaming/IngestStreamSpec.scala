@@ -58,7 +58,62 @@ class IngestStreamSpec extends AnyFunSuite with Matchers with SparkSuite {
     t.select("event_id").distinct().count() shouldBe 3
   }
 
-  test("replay after a mid-rename crash restores the table instead of re-creating it") {
+  private val DayMs = 86400000L
+
+  private def dateOf(tsMillis: Long): String =
+    java.time.Instant.ofEpochMilli(tsMillis)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
+  /** (name, length, mtime, checksum) of every data file in a partition dir. */
+  private def fileSignatures(dir: String): Seq[(String, Long, Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq.filter(_.isFile).map { st =>
+      (st.getPath.getName, st.getLen, st.getModificationTime,
+        String.valueOf(fs.getFileChecksum(st.getPath)))
+    }.sortBy(_._1)
+  }
+
+  test("micro-batch merge rewrites only its own date partitions") {
+    val root = Files.createTempDirectory("graft_stream_part")
+    // Two input dirs = two micro-batch deliveries (one dir + a fresh
+    // checkpoint would re-deliver batch 1's files too, touching yesterday).
+    val in1 = Files.createDirectory(root.resolve("in1")).toString
+    val in2 = Files.createDirectory(root.resolve("in2")).toString
+    val table = root.resolve("table").toString
+
+    // Batch 1: one record yesterday, one today → two date partitions.
+    val yesterday = NowMs - DayMs
+    Files.write(java.nio.file.Paths.get(in1, "b1.txt"), java.util.Arrays.asList(
+      Codec.encodeLine(scanJson("aa:bb:cc:dd:ee:01", yesterday)),
+      Codec.encodeLine(scanJson("aa:bb:cc:dd:ee:02", NowMs - 2000))))
+    val q1 = IngestStream.writer(
+      IngestStream.fromFiles(spark, in1, cfg = cfg), table,
+      root.resolve("ckpt1").toString).start()
+    q1.awaitTermination()
+
+    val yesterdayDir = s"$table/${IngestStream.PartitionCol}=${dateOf(yesterday)}"
+    val before = fileSignatures(yesterdayDir)
+    before should not be empty
+
+    // Batch 2: today-only records (one new + one replay) → today's partition
+    // merges, yesterday's files must stay BYTE-IDENTICAL (not even rewritten
+    // with equal content — same files, same mtimes).
+    Files.write(java.nio.file.Paths.get(in2, "b2.txt"), java.util.Arrays.asList(
+      Codec.encodeLine(scanJson("aa:bb:cc:dd:ee:03", NowMs - 3000)),
+      Codec.encodeLine(scanJson("aa:bb:cc:dd:ee:02", NowMs - 2000))))
+    val q2 = IngestStream.writer(
+      IngestStream.fromFiles(spark, in2, cfg = cfg), table,
+      root.resolve("ckpt2").toString).start()
+    q2.awaitTermination()
+
+    fileSignatures(yesterdayDir) shouldBe before
+    val t = spark.read.parquet(table)
+    t.count() shouldBe 3
+    t.select("event_id").distinct().count() shouldBe 3
+  }
+
+  test("replay after a mid-rename partition crash restores it instead of dropping it") {
     val root = Files.createTempDirectory("graft_stream_crash")
     val in = Files.createDirectory(root.resolve("in")).toString
     val table = root.resolve("table").toString
@@ -72,18 +127,20 @@ class IngestStreamSpec extends AnyFunSuite with Matchers with SparkSuite {
     q1.awaitTermination()
     spark.read.parquet(table).count() shouldBe 2
 
-    // Simulate a mergeByKey that died between its two renames: the table
-    // directory has been moved aside to the hidden backup and nothing
-    // swapped in.
+    // Simulate a partition rewrite that died between its two renames: the
+    // date directory has been moved aside to its hidden backup and nothing
+    // swapped in — a normal read now silently skips those rows.
+    val day = dateOf(NowMs - 1000)
+    val partDir = s"$table/${IngestStream.PartitionCol}=$day"
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.rename(
-      new org.apache.hadoop.fs.Path(table),
+      new org.apache.hadoop.fs.Path(partDir),
       new org.apache.hadoop.fs.Path(
-        graft.mutation.MergeOps.swapArtifact(table, ".tmp_old"))))
+        graft.mutation.MergeOps.swapArtifact(partDir, ".tmp_old"))))
 
-    // Redelivered batch (fresh checkpoint): must recover the 2 prior rows,
-    // then merge — NOT re-create the table containing only the new record.
+    // Redelivered batch (fresh checkpoint) on the same date: must recover
+    // the partition, then merge — NOT re-create it from the batch alone.
     Files.write(java.nio.file.Paths.get(in, "b2.txt"), java.util.Arrays.asList(
       Codec.encodeLine(scanJson("aa:bb:cc:dd:ee:03", NowMs - 3000))))
     val q2 = IngestStream.writer(
