@@ -226,10 +226,13 @@ object Similarity {
     // k-means itself the bottleneck). The seeded sample is an upper-bound
     // fraction followed by a hard limit, so the driver never sees more than
     // maxTrainVectors rows; small corpora pass through un-sampled.
+    // Size the sample off the RAW row count (metadata-cheap on parquet — no
+    // normalize pass); it upper-bounds the normalizable count, so the chosen
+    // fraction can only over-sample, and the hard limit caps that.
+    val corpusRows = corpus.count()
     val candidates = corpus
       .select(normalizeVecUdf(col(embCol)).as("nv"))
       .where(col("nv").isNotNull)
-    val corpusRows = candidates.count()
     val train =
       if (corpusRows <= maxTrainVectors) candidates
       else candidates

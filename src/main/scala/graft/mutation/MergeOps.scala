@@ -281,6 +281,44 @@ object MergeOps {
     affected
   }
 
+  /** Partitions whose data-file count exceeds `maxFiles` — the compaction
+    * candidates. The streaming sink's per-micro-batch merges (and any
+    * repeated point mutations) accrete one file set per rewrite; at 100 TB
+    * unchecked small files dominate scan open/seek cost, so a periodic
+    * maintenance job compacts them (the reference's Iceberg counterpart is
+    * `rewrite_data_files`). Listing is O(files in partition dirs), driver-
+    * side but partition-count bounded. */
+  def oversizedPartitions(
+      spark: SparkSession, path: String, partitionCol: String, maxFiles: Int): Seq[String] = {
+    recoverPartitionsIfNeeded(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val prefix = partitionCol + "="
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .filter { st =>
+        fs.listStatus(st.getPath).count(f =>
+          f.isFile && !f.getPath.getName.startsWith("_")) > maxFiles
+      }
+      .map(_.getPath.getName.stripPrefix(prefix))
+      .sorted
+  }
+
+  /** Compact the named partitions to `numFiles` files each — a
+    * content-preserving rewrite through the same atomic-swap protocol
+    * (readers never see a partial partition; untouched partitions stay
+    * byte-identical). `coalesce`, not `repartition`: compaction must not
+    * pay a shuffle to merge files. */
+  def compactPartitions(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      values: Seq[String],
+      numFiles: Int = 1): Unit =
+    rewritePartitions(spark, path, partitionCol, values,
+      (df, _) => df.coalesce(numFiles))
+
   /** A6 outlier labeling scoped to the partitions named in the hit set —
     * the production shape: detection runs over a recent ingestion-date
     * window, so `outlierDistances` (event_id, distance, partitionCol)

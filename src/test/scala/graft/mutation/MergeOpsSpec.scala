@@ -180,6 +180,35 @@ class MergeOpsSpec extends AnyFunSuite with Matchers with SparkSuite {
       t.schema.fieldIndex("global_detection_algorithm")) shouldBe true
   }
 
+  test("compaction: oversized partitions found and merged, byte-identical elsewhere") {
+    import spark.implicits._
+    val path = freshPartitionedTable()
+    // Accrete small files in day=1 the way the streaming sink does: three
+    // single-key merges → three rewrites, each writing its own file set.
+    for (i <- Seq(1, 5, 9)) {
+      MergeOps.mergeByKeyPartitioned(
+        spark, path, "day",
+        Seq((s"e$i", 1, "bssidX", i * 100.0)).toDF("event_id", "day", "bssid", "value"),
+        "event_id")
+    }
+    val before = partitionFiles(path)
+    val rowsBefore = spark.read.parquet(path).where("day = 1").collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[Double]("value"))).toSet
+
+    val oversized = MergeOps.oversizedPartitions(spark, path, "day", maxFiles = 2)
+    oversized should contain("1")
+    MergeOps.compactPartitions(spark, path, "day", oversized, numFiles = 1)
+
+    val after = partitionFiles(path)
+    after("day=1").size shouldBe 1
+    (before.keySet -- oversized.map("day=" + _)).foreach { d => after(d) shouldBe before(d) }
+    // content-preserving: same rows, same values
+    spark.read.parquet(path).where("day = 1").collect()
+      .map(r => (r.getAs[String]("event_id"), r.getAs[Double]("value")))
+      .toSet shouldBe rowsBefore
+    MergeOps.oversizedPartitions(spark, path, "day", maxFiles = 2) shouldBe empty
+  }
+
   test("a crashed partition rewrite is recovered before the next partitioned mutation") {
     val path = freshPartitionedTable()
     // simulate a rewrite of day=2 that died between its renames: the
