@@ -94,5 +94,36 @@ object IngestQueries {
       .orderBy("connection_status")
   }
 
-  val all: Seq[Reg] = Seq(ingestChain)
+  /** §2.9 — the streaming windowed-stats operator, oracled through its batch
+    * rendering: `StreamOps.windowedApStats` is ONE code path for both modes
+    * (`withWatermark` is a no-op in batch; the window expression is
+    * identical), so DuckDB restating the tumbling-window grouping pins the
+    * exact semantics the stream emits. RSSI values are integer-valued
+    * doubles → sums/avgs are exact in IEEE double, no rounding needed. */
+  val windowedStats: Reg = Reg.sql(
+    "s9_windowed_stats",
+    """WITH m AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS bssid,
+      |         CAST(-30 - (event_id % 70) AS DOUBLE) AS rssi,
+      |         (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms
+      |  FROM events)
+      |SELECT window_start_ms, bssid,
+      |       COUNT(*) AS n,
+      |       AVG(rssi) AS mean_rssi,
+      |       MIN(rssi) AS min_rssi,
+      |       MAX(rssi) AS max_rssi
+      |FROM m GROUP BY window_start_ms, bssid
+      |ORDER BY window_start_ms, bssid""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val measurements = ev.select(
+      col("user_id").cast("string").as("bssid"),
+      (-lit(30) - (col("event_id") % 70)).cast("double").as("rssi"),
+      col("ts").as("event_time"))
+    graft.streaming.StreamOps.windowedApStats(measurements, "1 hour", "30 minutes")
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+        col("bssid"), col("n"), col("mean_rssi"), col("min_rssi"), col("max_rssi"))
+      .orderBy("window_start_ms", "bssid")
+  }
+
+  val all: Seq[Reg] = Seq(ingestChain, windowedStats)
 }
