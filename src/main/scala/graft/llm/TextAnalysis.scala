@@ -52,4 +52,39 @@ object TextAnalysis {
     * prefix-dup detector (news-wire boilerplate etc.). */
   def prefixFingerprint(text: Column, n: Int): Column =
     xxhash64(concat_ws(" ", slice(split(lower(text), "\\s+"), 1, n)))
+
+  /** Winnowing document fingerprints (Schleimer et al., "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003): a rolling
+    * polynomial hash over character k-grams, with the minimum hash selected
+    * from every window of `w` consecutive gram hashes, deduped and sorted.
+    * The winnowing guarantee: any shared substring of at least w + k − 1
+    * characters yields at least one shared fingerprint, while only
+    * ~2/(w+1) of the gram hashes are kept.
+    *
+    * Pure codegen'd higher-order functions — no UDF — and restatable
+    * exactly in SQL (the llm_winnow_neardup oracle does): the hash is
+    * (acc·31 + codepoint) mod 1e9+7, which never leaves BIGINT range, so
+    * Spark and DuckDB integer semantics agree bit-for-bit. */
+  def winnow(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val P = 1000000007L
+    val grams = when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - k + 1), i =>
+        aggregate(
+          transform(sequence(i, i + (k - 1)), p => ascii(text.substr(p, lit(1))).cast("long")),
+          lit(0L), (acc, c) => (acc * 31 + c) % P)))
+      .otherwise(array().cast("array<bigint>"))
+    // Let-binding through a 1-element transform: HOF lambdas have no CSE,
+    // so referencing `grams` inside the per-window lambda would recompute
+    // the WHOLE gram array for every window (O(n²·k) per row, measured
+    // minutes on 500-char docs). Binding it to a lambda variable evaluates
+    // it once per row.
+    element_at(
+      transform(array(grams), g =>
+        when(size(g) >= w,
+          array_sort(array_distinct(
+            transform(sequence(lit(1), size(g) - (w - 1)), j =>
+              array_min(slice(g, j, lit(w)))))))
+          .otherwise(array().cast("array<bigint>"))),
+      1)
+  }
 }

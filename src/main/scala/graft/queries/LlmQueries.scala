@@ -389,8 +389,68 @@ object LlmQueries {
       .orderBy("id_a")
   }
 
+  /** Rolling-hash document fingerprinting (winnowing) near-dup, EXACTLY
+    * oracled on natural data — unlike MinHash/SimHash (probabilistic →
+    * planted-corpus oracles), winnowing is deterministic arithmetic both
+    * engines state bit-for-bit, so the full natural-corpus pair list is the
+    * gate. Stop-grams (fingerprints in > 5 docs — boilerplate phrases)
+    * are dropped before pairing, the same frequent-token cap MinHash's
+    * mega-bucket guard applies; pairs need ≥ 5 shared rare fingerprints.
+    *
+    * 100 TB shape: fingerprints are a per-row expression (~2/(w+1) of the
+    * gram hashes kept); the pair search is an equi-join on fingerprint
+    * value with the stop-gram cap bounding fan-out per key — no crossJoin,
+    * and the frequent-fingerprint filter is one partial-agg pass. */
+  val winnowNearDup: Reg = Reg.sql(
+    "llm_winnow_neardup",
+    """WITH grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) >= 8 THEN
+      |      list_transform(range(1, length(text) - 8 + 2), i ->
+      |        list_reduce(list_prepend(0::BIGINT,
+      |          list_transform(range(i, i + 8), p -> ord(substr(text, p, 1))::BIGINT)),
+      |          (a, b) -> (a * 31 + b) % 1000000007))
+      |    ELSE [] END AS g
+      |  FROM documents),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(g) >= 4 THEN
+      |      list_sort(list_distinct(
+      |        list_transform(range(1, len(g) - 4 + 2), j -> list_min(g[j:j+3]))))
+      |    ELSE [] END AS fps
+      |  FROM grams),
+      |ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+      |rare AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= 5),
+      |filtered AS (SELECT ex.doc_id, ex.fp FROM ex JOIN rare USING (fp)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         COUNT(DISTINCT a.fp) AS shared
+      |  FROM filtered a JOIN filtered b
+      |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.fp) >= 5)
+      |SELECT * FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val fps = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnow(col("text"), k = 8, w = 4)).as("fp"))
+      // consumed three times (stop-gram agg + both pair sides) — compute
+      // the per-row fingerprints once
+      .localCheckpoint()
+    val rare = fps.groupBy("fp")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") <= 5)
+      .select("fp")
+    val filtered = fps.join(rare, "fp")
+    filtered.select(col("fp"), col("doc_id").as("id_a"))
+      .join(filtered.select(col("fp"), col("doc_id").as("id_b")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct("fp").as("shared"))
+      .where(col("shared") >= 5)
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[Reg] = Seq(
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
-    multimodal, tokenEstimate, ngramJaccard)
+    multimodal, tokenEstimate, ngramJaccard, winnowNearDup)
 }

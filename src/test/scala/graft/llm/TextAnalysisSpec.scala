@@ -49,4 +49,24 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkSuite {
     vals(0) shouldBe vals(1) // case-insensitive shared prefix
     vals(0) should not be vals(2)
   }
+
+  test("winnowing: shared >= w+k-1 substring guarantees a shared fingerprint") {
+    import spark.implicits._
+    val shared = "GUARANTEED COMMON RUN" // 21 chars >= w + k - 1 = 11
+    val rows = Seq(
+      s"left context before $shared and unrelated tail one",
+      s"completely different heads $shared with another ending",
+      "no overlap with the others at all, different text entirely",
+      "tiny") // < k chars → empty fingerprint set
+      .toDF("text")
+      .select(TextAnalysis.winnow(col("text"), k = 8, w = 4).as("fps"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    (rows(0) & rows(1)) should not be empty  // the winnowing guarantee
+    (rows(0) & rows(2)) shouldBe empty        // no shared 8-gram at all
+    rows(3) shouldBe empty
+    // deterministic: recomputation yields identical sets
+    val again = Seq(s"left context before $shared and unrelated tail one").toDF("text")
+      .select(TextAnalysis.winnow(col("text"), k = 8, w = 4)).head.getSeq[Long](0).toSet
+    again shouldBe rows(0)
+  }
 }
