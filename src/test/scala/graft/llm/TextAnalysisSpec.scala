@@ -69,4 +69,17 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkSuite {
       .select(TextAnalysis.winnow(col("text"), k = 8, w = 4)).head.getSeq[Long](0).toSet
     again shouldBe rows(0)
   }
+
+  test("winnowing rolling-hash UDF is bit-identical to the restatable HOF form") {
+    // The DuckDB oracle states the HOF arithmetic literally; the hot path
+    // runs the O(n) rolling UDF — this parity over REAL corpus rows is what
+    // licenses the swap.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val both = docs.select(
+      TextAnalysis.winnow(col("text"), k = 8, w = 4).as("fast"),
+      TextAnalysis.winnowHof(col("text"), 8, 4).as("ref"))
+      .collect()
+    both should not be empty
+    both.foreach { r => r.getSeq[Long](0) shouldBe r.getSeq[Long](1) }
+  }
 }
