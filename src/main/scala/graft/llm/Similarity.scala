@@ -24,11 +24,22 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float vectors, accumulated in double with a
-    * strict left fold — the SAME summation order as the zip_with/aggregate
-    * expression form and DuckDB's list_cosine_similarity, so oracle hash
-    * matches hold bit-for-bit. A JIT-compiled UDF because interpreted
-    * higher-order functions cost ~10 µs/element on the re-rank hot path. */
-  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    * strict left fold — the SAME summation order as DuckDB's
+    * list_cosine_similarity, so oracle hash matches hold bit-for-bit.
+    * A native Catalyst expression (`graft.plans.CosineExpression`): reads
+    * the unsafe array buffers directly inside whole-stage codegen — no
+    * per-row Seq[Float] conversion, no codegen fence (the successive
+    * renderings measured here: interpreted HOFs ~10 µs/element → JIT UDF
+    * ~100× better → native expression drops the remaining per-row copy). */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.CosineExpression(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The prior JIT-UDF rendering, kept as the parity reference —
+    * SimilaritySpec asserts the native expression is bit-identical to it. */
+  private[llm] val cosineUdfRef = udf { (a: Seq[Float], b: Seq[Float]) =>
     // Invalid vectors → NULL (sorts LAST under desc ordering), never 0.0 —
     // a 0.0 score would outrank every anti-correlated real match.
     if (a == null || b == null || a.isEmpty || a.length != b.length) Option.empty[Double]
@@ -44,8 +55,6 @@ object Similarity {
       Some(if (denom == 0.0) 0.0 else dot / denom)
     }
   }
-
-  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** Exact top-k: corpus × broadcast(queries) → k best matches per query.
     * Output: (q_id, vec_id, cosine, rank). */

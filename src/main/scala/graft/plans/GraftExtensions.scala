@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.DoubleType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.haversineFunction)
+    ext.injectFunction(GraftExtensions.cosineFunction)
     ext.injectOptimizerRule(_ => OutlierIdiomRule)
   }
 }
@@ -34,11 +35,23 @@ object GraftExtensions {
     new ExpressionInfo(classOf[HaversineExpression].getName, "haversine_m"),
     haversineBuilder)
 
+  private val cosineBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"cosine_sim expects 2 arguments, got ${children.length}")
+    CosineExpression(children.head, children(1))
+  }
+
+  val cosineFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineExpression].getName, "cosine_sim"),
+    cosineBuilder)
+
   /** Register on an EXISTING session (getOrCreate ignores extensions when a
     * session already exists — e.g. shared test fixtures, spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      haversineFunction._1, haversineFunction._2, haversineFunction._3)
+    Seq(haversineFunction, cosineFunction).foreach { f =>
+      spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
+    }
 }
 
 /** Session factory with the engine's recommended local-mode configuration:

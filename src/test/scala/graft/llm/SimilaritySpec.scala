@@ -21,6 +21,33 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSuite {
     df.select(Similarity.cosine(col("a"), col("b"))).head.getDouble(0) shouldBe 0.6 +- 1e-6
   }
 
+  test("native cosine expression is bit-identical to the UDF reference") {
+    // The oracle matches (llm_ann_brute vs DuckDB list_cosine_similarity)
+    // were established on the UDF's strict left fold; the codegen'd
+    // expression must reproduce it exactly — on real embeddings and on the
+    // degenerate inputs (null / empty / length mismatch → NULL, not 0.0).
+    import spark.implicits._
+    val q = embeddings.where(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val both = embeddings.crossJoin(q).limit(200)
+      .select(
+        Similarity.cosine(col("embedding"), col("q_emb")).as("native"),
+        Similarity.cosineUdfRef(col("embedding"), col("q_emb")).as("ref"))
+      .collect()
+    both should not be empty
+    both.foreach { r => r.getDouble(0) shouldBe r.getDouble(1) } // exact ==
+
+    val edge = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)), // length mismatch
+      (Array.empty[Float], Array.empty[Float]),      // empty
+      (null.asInstanceOf[Array[Float]], Array(1.0f)) // null side
+    ).toDF("a", "b").select(Similarity.cosine(col("a"), col("b")))
+    edge.collect().foreach(r => r.isNullAt(0) shouldBe true)
+    Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")))
+      .head.getDouble(0) shouldBe 0.0 // zero norm → 0.0, not NULL
+  }
+
   test("brute-force top-k agrees with a local exact computation") {
     val queries = embeddings.where(col("vec_id") < 3)
     val got = Similarity.bruteForceTopK(embeddings, queries, k = 5)

@@ -29,6 +29,17 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with graft.SparkSuite {
     sqlVal shouldBe 115653.0 +- 500.0 // ~116 km to NYC
   }
 
+  test("cosine_sim callable from SQL text and matches the Column expression") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Array(1.0f, 0.0f, 0.0f), Array(0.6f, 0.8f, 0.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val sqlVal = spark.sql("SELECT cosine_sim(a, b) AS c FROM vecs").head.getDouble(0)
+    val colVal = df.select(graft.llm.Similarity.cosine(col("a"), col("b"))).head.getDouble(0)
+    sqlVal shouldBe colVal // bit-identical: same expression node
+    sqlVal shouldBe 0.6 +- 1e-6 // float inputs: 0.6f widens to 0.60000000954
+  }
+
   test("nulls propagate; wrong arity is a clear error") {
     spark.sql("SELECT haversine_m(CAST(NULL AS DOUBLE), 0D, 1D, 1D) AS d")
       .head.isNullAt(0) shouldBe true

@@ -16,7 +16,9 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkSuite {
     CoreQueries.o6Dedup,           // row_number tie-breaking
     CoreQueries.o3MaxBy,           // max(struct) under ties
     CoreQueries.a9MadOutliers,     // double percentile + joins
-    CoreQueries.p2WeightedCentroid // float sums over shuffled input
+    CoreQueries.p2WeightedCentroid, // float sums over shuffled input
+    ServeQueries.proximityTier,    // per-request mapGroups panel
+    LlmQueries.winnowNearDup       // UDF fingerprints + pair join + countDistinct
   )
 
   risky.foreach { q =>
