@@ -160,5 +160,75 @@ object ServeQueries {
       .orderBy("request_id")
   }
 
-  val all: Seq[Reg] = Seq(batchScoring, proximityTier)
+  /** R1 context factors, oracled: the rule engine's scenario classification
+    * (AP-count class, signal-quality tier from mean RSSI, distribution tier
+    * from RSSI stddev — `SelectionContextBuilder.java:32-50`) is plain
+    * grouped statistics, so DuckDB restates the class per request exactly.
+    * The geometric factor needs located-AP geometry (GDOP/collinearity) and
+    * stays under SelectionSpec's unit corpus; with an empty AP map it is
+    * constant Poor here. RSSI values are integer-valued doubles → means are
+    * exact; stddev boundary flips would need |sd − tier| < 1e−15. */
+  val contextClasses: Reg = Reg.sql(
+    "r1_context_classes",
+    """WITH raw AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS request_id,
+      |         printf('%02x', (user_id * 3 + event_id % 6) % 40) AS mac,
+      |         CAST(-40 - (event_id % (1 + user_id % 25)) -
+      |              25 * (user_id % 3) AS DOUBLE) AS rssi
+      |  FROM events),
+      |dedup AS (
+      |  SELECT request_id, mac, MAX(rssi) AS rssi
+      |  FROM raw GROUP BY request_id, mac),
+      |agg AS (
+      |  SELECT request_id, COUNT(*) AS n_aps, AVG(rssi) AS m,
+      |         COALESCE(STDDEV_POP(rssi), 0) AS sd
+      |  FROM dedup GROUP BY request_id)
+      |SELECT request_id, n_aps,
+      |       CASE WHEN n_aps <= 1 THEN 'single' WHEN n_aps = 2 THEN 'two'
+      |            WHEN n_aps = 3 THEN 'three' ELSE 'four_plus' END
+      |         AS ap_count_class,
+      |       CASE WHEN m >= -70 THEN 'strong' WHEN m >= -85 THEN 'medium'
+      |            WHEN m >= -95 THEN 'weak' ELSE 'very_weak' END
+      |         AS signal_class,
+      |       CASE WHEN sd <= 3.0 THEN 'uniform' WHEN sd <= 10.0 THEN 'mixed'
+      |            ELSE 'outliers' END AS distribution_class
+      |FROM agg ORDER BY request_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.algo.{Selector, WifiScan}
+    import graft.algo.factors._
+    // Up to 6 APs per request; spread varies per user so every distribution
+    // tier occurs; a per-user level shift sweeps the signal tiers.
+    val raw = Tables.events(s, dir).select(
+      col("user_id").cast("string").as("request_id"),
+      format_string("%02x", (col("user_id") * 3 + col("event_id") % 6) % 40).as("mac"),
+      (-lit(40) - (col("event_id") % (lit(1) + col("user_id") % 25))
+        - lit(25) * (col("user_id") % 3)).cast("double").as("rssi"))
+    raw.groupBy("request_id", "mac").agg(max("rssi").as("rssi"))
+      .as[(String, String, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (rid, it) =>
+        val rows = it.toSeq.sortBy(r => (r._2, r._3))
+        val ctx = Selector.buildContext(
+          rows.map(r => WifiScan(r._2, r._3, 2437)), Map.empty)
+        val apClass = ctx.apCount match {
+          case ApCount.Single => "single"; case ApCount.Two => "two"
+          case ApCount.Three => "three"; case ApCount.FourPlus => "four_plus"
+        }
+        val sigClass = ctx.signalQuality match {
+          case SignalQuality.Strong => "strong"; case SignalQuality.Medium => "medium"
+          case SignalQuality.Weak => "weak"; case SignalQuality.VeryWeak => "very_weak"
+        }
+        val distClass = ctx.signalDistribution match {
+          case SignalDistribution.Uniform => "uniform"
+          case SignalDistribution.Mixed => "mixed"
+          case SignalDistribution.Outliers => "outliers"
+        }
+        (rid, rows.size.toLong, apClass, sigClass, distClass)
+      }
+      .toDF("request_id", "n_aps", "ap_count_class", "signal_class",
+        "distribution_class")
+      .orderBy("request_id")
+  }
+
+  val all: Seq[Reg] = Seq(batchScoring, proximityTier, contextClasses)
 }
