@@ -230,5 +230,195 @@ object ServeQueries {
       .orderBy("request_id")
   }
 
-  val all: Seq[Reg] = Seq(batchScoring, proximityTier, contextClasses)
+  /** C3 — scenario classification, oracled per row over every branch of
+    * `ComparisonScenario.determineScenario` (null-service analysis, both
+    * success, cell-fallback sniffing via the insufficient-AP error strings
+    * and the 250 m accuracy threshold, one-sided successes, both-failed). */
+  val scenarioClasses: Reg = Reg.sql(
+    "c3_scenario_classes",
+    """WITH m AS (
+      |  SELECT
+      |    CASE WHEN event_id % 7 = 0 THEN NULL
+      |         ELSE event_id % 3 <> 0 END AS vlss_success,
+      |    CASE WHEN event_id % 11 = 0 THEN NULL
+      |         ELSE event_id % 2 = 0 END AS frisco_success,
+      |    CASE WHEN event_id % 4 = 0 THEN 'No known access points found in database'
+      |         WHEN event_id % 4 = 1 THEN 'Insufficient valid access points for positioning'
+      |         WHEN event_id % 4 = 2 THEN 'wifi timeout'
+      |         ELSE NULL END AS frisco_error,
+      |    CASE WHEN event_id % 13 = 0 THEN NULL
+      |         ELSE CAST(event_id % 400 AS DOUBLE) END AS vlss_accuracy
+      |  FROM events),
+      |cls AS (
+      |  SELECT
+      |    CASE
+      |      WHEN vlss_success IS NULL THEN 'FRISCO_ONLY_ANALYSIS'
+      |      WHEN vlss_success AND COALESCE(frisco_success, FALSE)
+      |        THEN 'BOTH_WIFI_SUCCESS'
+      |      WHEN vlss_success
+      |           AND (contains(lower(COALESCE(frisco_error, '')),
+      |                  'no known access points found in database')
+      |             OR contains(lower(COALESCE(frisco_error, '')),
+      |                  'no access points with valid status found')
+      |             OR (contains(lower(COALESCE(frisco_error, '')), 'insufficient')
+      |                 AND contains(lower(COALESCE(frisco_error, '')), 'access point')))
+      |           AND vlss_accuracy IS NOT NULL AND vlss_accuracy >= 250.0
+      |        THEN 'VLSS_CELL_FALLBACK_DETECTED'
+      |      WHEN vlss_success AND vlss_accuracy IS NOT NULL AND vlss_accuracy >= 250.0
+      |        THEN 'VLSS_SUCCESS_FRISCO_ERROR_CELL'
+      |      WHEN vlss_success THEN 'VLSS_SUCCESS_FRISCO_ERROR_WIFI'
+      |      WHEN COALESCE(frisco_success, FALSE) THEN 'VLSS_ERROR_FRISCO_SUCCESS'
+      |      ELSE 'BOTH_INSUFFICIENT_DATA'
+      |    END AS scenario
+      |  FROM m)
+      |SELECT scenario, COUNT(*) AS cnt FROM cls
+      |GROUP BY scenario ORDER BY scenario""".stripMargin) { (s, dir) =>
+    val m = Tables.events(s, dir).select(
+      when(col("event_id") % 7 === 0, lit(null).cast("boolean"))
+        .otherwise(col("event_id") % 3 =!= 0).as("vlss_success"),
+      when(col("event_id") % 11 === 0, lit(null).cast("boolean"))
+        .otherwise(col("event_id") % 2 === 0).as("frisco_success"),
+      when(col("event_id") % 4 === 0, "No known access points found in database")
+        .when(col("event_id") % 4 === 1, "Insufficient valid access points for positioning")
+        .when(col("event_id") % 4 === 2, "wifi timeout")
+        .otherwise(lit(null).cast("string")).as("frisco_error"),
+      when(col("event_id") % 13 === 0, lit(null).cast("double"))
+        .otherwise((col("event_id") % 400).cast("double")).as("vlss_accuracy"))
+    m.select(graft.serve.Comparison.scenario(
+        col("vlss_success"), col("frisco_success"),
+        col("frisco_error"), col("vlss_accuracy")).as("scenario"))
+      .groupBy("scenario").agg(count(lit(1)).as("cnt"))
+      .orderBy("scenario")
+  }
+
+  /** P8 — signal-physics validator, oracled per request: every rule of
+    * `SignalPhysicsValidator` (rssi bounds, per-frequency-group spread cap
+    * for strong groups, the explicit −30/−100 boundary-pair allowance) is
+    * grouped SQL. The synthesis sweeps valid/invalid bounds, strong and weak
+    * groups, and over-spread strong groups. */
+  val physicsGate: Reg = Reg.sql(
+    "p8_physics_gate",
+    """WITH scans AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS request_id,
+      |         CAST(-30 - (event_id % 75) AS DOUBLE) AS rssi,
+      |         CASE WHEN event_id % 2 = 0 THEN 2437 ELSE 5180 END AS freq
+      |  FROM events),
+      |grp AS (
+      |  SELECT request_id, freq, COUNT(*) AS n,
+      |         MAX(rssi) AS strongest, MIN(rssi) AS weakest
+      |  FROM scans GROUP BY request_id, freq),
+      |grp_ok AS (
+      |  SELECT request_id,
+      |         BOOL_AND(n < 2 OR (strongest = -30.0 AND weakest = -100.0)
+      |                  OR strongest <= -50.0
+      |                  OR strongest - weakest <= 45.0) AS groups_ok
+      |  FROM grp GROUP BY request_id),
+      |bounds AS (
+      |  SELECT request_id, COUNT(*) AS n_scans,
+      |         BOOL_AND(rssi >= -100.0 AND rssi <= -30.0) AS bounds_ok
+      |  FROM scans GROUP BY request_id)
+      |SELECT b.request_id, b.n_scans,
+      |       (b.bounds_ok AND g.groups_ok) AS possible
+      |FROM bounds b JOIN grp_ok g ON g.request_id = b.request_id
+      |ORDER BY b.request_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.algo.{SignalPhysics, WifiScan}
+    Tables.events(s, dir).select(
+      col("user_id").cast("string").as("request_id"),
+      (-lit(30) - (col("event_id") % 75)).cast("double").as("rssi"),
+      when(col("event_id") % 2 === 0, 2437).otherwise(5180).as("freq"))
+      .as[(String, Double, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (rid, it) =>
+        val rows = it.toSeq
+        val possible = SignalPhysics.isPhysicallyPossible(
+          rows.map(r => WifiScan(rid, r._2, r._3)))
+        (rid, rows.size.toLong, possible)
+      }
+      .toDF("request_id", "n_scans", "possible")
+      .orderBy("request_id")
+  }
+
+  /** P5 — log-distance path-loss model, oracled over the full input space:
+    * vendor exponent table (case-insensitive, default 3.0), signal-adjusted
+    * exponent (strong −, weak +, clamped [2,5]), frequency reference RSSI
+    * tiers, interpolated shadow σ, and the (signal, σ) environment factor —
+    * every branch is CASE arithmetic DuckDB states with the same IEEE op
+    * order (POW(10, x) parity with Java Math.pow is established by the
+    * r7_wcl_tier oracle's 10^(rssi/10) weights). Output is the distinct
+    * (rssi, freq, vendor) grid, so row identity needs no synthetic id. */
+  val logDistance: Reg = Reg.sql(
+    "p5_log_distance",
+    """WITH synth AS (
+      |  SELECT DISTINCT
+      |    CAST(-30 - (event_id % 70) AS DOUBLE) AS rssi,
+      |    CASE WHEN event_id % 3 = 0 THEN 2437
+      |         WHEN event_id % 3 = 1 THEN 5180 ELSE 900 END AS freq,
+      |    CASE WHEN user_id % 6 = 0 THEN 'Cisco'
+      |         WHEN user_id % 6 = 1 THEN 'aruba'
+      |         WHEN user_id % 6 = 2 THEN 'ubiquiti'
+      |         WHEN user_id % 6 = 3 THEN 'acme-unknown'
+      |         WHEN user_id % 6 = 4 THEN ''
+      |         ELSE NULL END AS vendor
+      |  FROM events),
+      |calc AS (
+      |  SELECT rssi, freq, vendor,
+      |    CASE WHEN freq >= 5000 THEN -45.0
+      |         WHEN freq >= 2400 THEN -40.0 ELSE -43.0 END AS ref,
+      |    CASE WHEN lower(trim(vendor)) = 'cisco' THEN 3.0
+      |         WHEN lower(trim(vendor)) = 'aruba' THEN 2.8
+      |         WHEN lower(trim(vendor)) = 'meraki' THEN 3.0
+      |         WHEN lower(trim(vendor)) = 'ubiquiti' THEN 2.7
+      |         WHEN lower(trim(vendor)) = 'ruckus' THEN 2.9
+      |         WHEN lower(trim(vendor)) = 'hpe-aruba' THEN 2.8
+      |         ELSE 3.0 END AS base_n
+      |  FROM synth),
+      |adj AS (
+      |  SELECT rssi, freq, vendor, ref,
+      |    CASE WHEN rssi >= -50.0
+      |           THEN GREATEST(2.0, base_n - LEAST(1.0, (rssi + 50.0) / 5.0))
+      |         WHEN rssi <= -80.0
+      |           THEN LEAST(5.0, base_n + LEAST(1.5, (-80.0 - rssi) / 5.0))
+      |         ELSE base_n END AS n,
+      |    CASE WHEN rssi >= -50.0 THEN 2.0
+      |         WHEN rssi <= -80.0 THEN 5.0
+      |         ELSE 5.0 - ((rssi + 80.0) / 30.0) * 3.0 END AS sigma
+      |  FROM calc),
+      |dist AS (
+      |  SELECT rssi, freq, vendor,
+      |    POWER(10, ABS(ref - rssi) / (10.0 * n)) * (1.0 + sigma / 10.0) *
+      |    (CASE WHEN rssi >= -50.0 AND sigma <= 2.0 THEN 1.0
+      |          WHEN rssi >= -80.0 AND sigma <= 4.0 THEN 0.8
+      |          ELSE 0.6 END) AS d
+      |  FROM adj)
+      |SELECT rssi, freq, COALESCE(vendor, '(none)') AS vendor,
+      |       ROUND(d, 6) AS distance_m
+      |FROM dist ORDER BY rssi, freq, vendor""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.algo.LogDistance
+    Tables.events(s, dir).select(
+      (-lit(30) - (col("event_id") % 70)).cast("double").as("rssi"),
+      when(col("event_id") % 3 === 0, 2437)
+        .when(col("event_id") % 3 === 1, 5180).otherwise(900).as("freq"),
+      when(col("user_id") % 6 === 0, "Cisco")
+        .when(col("user_id") % 6 === 1, "aruba")
+        .when(col("user_id") % 6 === 2, "ubiquiti")
+        .when(col("user_id") % 6 === 3, "acme-unknown")
+        .when(col("user_id") % 6 === 4, "")
+        .otherwise(lit(null).cast("string")).as("vendor"))
+      .distinct()
+      .as[(Double, Int, String)]
+      .map { case (rssi, freq, vendor) =>
+        (rssi, freq, Option(vendor).getOrElse("(none)"),
+          LogDistance.distance(rssi, freq, Option(vendor)))
+      }
+      .toDF("rssi", "freq", "vendor", "d")
+      .select(col("rssi"), col("freq"), col("vendor"),
+        round(col("d"), 6).as("distance_m"))
+      .orderBy("rssi", "freq", "vendor")
+  }
+
+  val all: Seq[Reg] = Seq(
+    batchScoring, proximityTier, contextClasses, scenarioClasses, physicsGate,
+    logDistance)
 }
