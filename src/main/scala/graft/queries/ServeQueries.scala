@@ -418,7 +418,125 @@ object ServeQueries {
       .orderBy("rssi", "freq", "vendor")
   }
 
+  /** R2–R4 — the complete selection rule engine, oracled as a conformance
+    * sweep: every context combination (4 AP-count × 4 signal × 3
+    * distribution × 5 geometry = 240) present in the events table drives the
+    * REAL `Selector.select`, and DuckDB independently restates the hard
+    * constraints (very-weak → proximity only; count-based candidate sets;
+    * poor/collinear trilateration knockout), the full 6-algorithm weight
+    * tables, and the finalist rules (0.4 threshold with the sole-survivor
+    * exemption, top-weight > 0.8 → keep 2, else top 3 of > 3). Ties break on
+    * the fixed candidate order in both (Scala's stable sort ↔ ORDER BY
+    * weight DESC, ord). Weight literals multiply in the same order on both
+    * sides, so products are bit-equal. */
+  val selectionEngine: Reg = Reg.sql(
+    "r2_r4_selection",
+    """WITH ctx AS (
+      |  SELECT DISTINCT CAST(event_id % 240 AS INT) AS combo,
+      |    CASE (event_id % 240) % 4 WHEN 0 THEN 'single' WHEN 1 THEN 'two'
+      |         WHEN 2 THEN 'three' ELSE 'four_plus' END AS apc,
+      |    CASE ((event_id % 240) // 4) % 4 WHEN 0 THEN 'strong'
+      |         WHEN 1 THEN 'medium' WHEN 2 THEN 'weak'
+      |         ELSE 'very_weak' END AS sig,
+      |    CASE ((event_id % 240) // 16) % 3 WHEN 0 THEN 'uniform'
+      |         WHEN 1 THEN 'mixed' ELSE 'outliers' END AS dst,
+      |    CASE ((event_id % 240) // 48) % 5 WHEN 0 THEN 'excellent'
+      |         WHEN 1 THEN 'good' WHEN 2 THEN 'fair' WHEN 3 THEN 'poor'
+      |         ELSE 'collinear' END AS geo
+      |  FROM events),
+      |weights(algo, ord, w_single, w_two, w_three, w_four,
+      |        s_strong, s_medium, s_weak, s_vweak,
+      |        g_exc, g_good, g_fair, g_poor, g_coll, d_uni, d_mix, d_out) AS (
+      |  VALUES
+      |  ('proximity',              1, 1.0,0.4,0.3,0.2, 0.9,0.7,0.4,0.5,
+      |   1.0,1.0,1.0,1.0,1.0, 1.0,0.7,0.9),
+      |  ('rssi_ratio',             2, 0.0,1.0,0.7,0.5, 1.0,0.9,0.6,0.0,
+      |   1.0,1.0,0.9,0.8,0.8, 1.2,0.9,0.7),
+      |  ('weighted_centroid',      3, 0.0,0.8,0.8,0.7, 1.0,1.0,0.8,0.0,
+      |   1.0,1.1,1.2,1.3,1.3, 1.0,1.8,1.4),
+      |  ('trilateration',          4, 0.0,0.0,1.0,0.8, 1.1,0.8,0.3,0.0,
+      |   1.3,0.9,0.6,0.3,0.0, 1.1,0.8,0.5),
+      |  ('maximum_likelihood',     5, 0.0,0.0,0.0,1.0, 1.2,0.9,0.5,0.0,
+      |   1.2,1.1,0.9,0.7,0.7, 0.9,1.1,1.2),
+      |  ('log_distance_path_loss', 6, 0.4,0.5,0.5,0.4, 1.0,0.8,0.6,0.0,
+      |   1.0,1.0,0.8,0.7,0.3, 1.1,0.8,0.8)),
+      |cand AS (
+      |  SELECT c.combo, w.algo, w.ord,
+      |    CAST(CASE c.apc WHEN 'single' THEN w_single WHEN 'two' THEN w_two
+      |         WHEN 'three' THEN w_three ELSE w_four END AS DOUBLE) *
+      |    CAST(CASE c.sig WHEN 'strong' THEN s_strong WHEN 'medium' THEN s_medium
+      |         WHEN 'weak' THEN s_weak ELSE s_vweak END AS DOUBLE) *
+      |    CAST(CASE c.geo WHEN 'excellent' THEN g_exc WHEN 'good' THEN g_good
+      |         WHEN 'fair' THEN g_fair WHEN 'poor' THEN g_poor
+      |         ELSE g_coll END AS DOUBLE) *
+      |    CAST(CASE c.dst WHEN 'uniform' THEN d_uni WHEN 'mixed' THEN d_mix
+      |         ELSE d_out END AS DOUBLE) AS weight
+      |  FROM ctx c CROSS JOIN weights w
+      |  WHERE CASE WHEN c.sig = 'very_weak' THEN w.algo = 'proximity'
+      |        ELSE
+      |          (CASE c.apc
+      |           WHEN 'single' THEN
+      |             w.algo IN ('proximity', 'log_distance_path_loss')
+      |           WHEN 'two' THEN w.algo IN ('proximity', 'rssi_ratio',
+      |             'weighted_centroid', 'log_distance_path_loss')
+      |           WHEN 'three' THEN w.algo <> 'maximum_likelihood'
+      |           ELSE TRUE END)
+      |          AND NOT (c.geo IN ('poor', 'collinear')
+      |                   AND w.algo = 'trilateration')
+      |        END),
+      |stats AS (SELECT combo, COUNT(*) AS n_cand FROM cand GROUP BY combo),
+      |kept AS (
+      |  SELECT cand.* FROM cand JOIN stats USING (combo)
+      |  WHERE stats.n_cand = 1 OR cand.weight >= 0.4),
+      |ranked AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY combo ORDER BY weight DESC, ord)
+      |      AS rank,
+      |    MAX(weight) OVER (PARTITION BY combo) AS topw,
+      |    COUNT(*) OVER (PARTITION BY combo) AS m
+      |  FROM kept)
+      |SELECT combo, rank, algo AS algorithm, ROUND(weight, 6) AS weight
+      |FROM ranked
+      |WHERE rank <= CASE WHEN topw > 0.8 THEN 2 WHEN m > 3 THEN 3 ELSE m END
+      |ORDER BY combo, rank""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.algo.Selector
+    import graft.algo.factors._
+    Tables.events(s, dir)
+      .select((col("event_id") % 240).cast("int").as("combo"))
+      .distinct()
+      .as[Int]
+      .flatMap { combo =>
+        val ap = (combo % 4) match {
+          case 0 => ApCount.Single; case 1 => ApCount.Two
+          case 2 => ApCount.Three; case _ => ApCount.FourPlus
+        }
+        val sig = ((combo / 4) % 4) match {
+          case 0 => SignalQuality.Strong; case 1 => SignalQuality.Medium
+          case 2 => SignalQuality.Weak; case _ => SignalQuality.VeryWeak
+        }
+        val dst = ((combo / 16) % 3) match {
+          case 0 => SignalDistribution.Uniform
+          case 1 => SignalDistribution.Mixed
+          case _ => SignalDistribution.Outliers
+        }
+        val geo = ((combo / 48) % 5) match {
+          case 0 => GeometricQuality.Excellent; case 1 => GeometricQuality.Good
+          case 2 => GeometricQuality.Fair; case 3 => GeometricQuality.Poor
+          case _ => GeometricQuality.Collinear
+        }
+        Selector.select(Selector.SelectionContext(ap, sig, dst, geo))
+          .zipWithIndex.map { case (sel, i) =>
+            (combo, (i + 1).toLong, sel.algorithm.name, sel.weight)
+          }
+      }
+      .toDF("combo", "rank", "algorithm", "w")
+      .select(col("combo"), col("rank"), col("algorithm"),
+        round(col("w"), 6).as("weight"))
+      .orderBy("combo", "rank")
+  }
+
   val all: Seq[Reg] = Seq(
     batchScoring, proximityTier, contextClasses, scenarioClasses, physicsGate,
-    logDistance)
+    logDistance, selectionEngine)
 }
