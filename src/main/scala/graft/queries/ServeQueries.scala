@@ -536,7 +536,188 @@ object ServeQueries {
       .orderBy("combo", "rank")
   }
 
+  /** R6 — the weighted-average position combiner, oracled end-to-end: the
+    * normalized-weight position/confidence means, the coordinate-covariance
+    * condition number (closed-form 2×2 eigenvalues, MaxValue on singular),
+    * the eigenvalue-share collinearity test, the geometric quality factor,
+    * and the hybrid median / 25 %-trimmed-mean accuracy with 2-MAD outlier
+    * inflation — every step is per-group arithmetic DuckDB restates. The
+    * synthesis plants single-member groups (pass-through), collinear member
+    * sets (the ≤0.69 confidence clamp + 6 m accuracy floor branch), scatter
+    * groups, and one accuracy outlier per full group (MAD inflation fires).
+    * Accuracies are distinct within a group, so median/trim orderings have
+    * no ties to break. */
+  val combinerBlend: Reg = Reg.sql(
+    "r6_combiner_blend",
+    """WITH members AS (
+      |  SELECT DISTINCT user_id AS gid, event_id % 6 AS m,
+      |    CASE WHEN user_id % 4 = 0
+      |         THEN (user_id % 90) + (event_id % 6) * CAST(0.001 AS DOUBLE)
+      |         ELSE (user_id % 90) +
+      |              ((event_id % 6) * (event_id % 6)) * CAST(0.0007 AS DOUBLE)
+      |    END AS lat,
+      |    CASE WHEN user_id % 4 = 0
+      |         THEN ((user_id % 180) - 90) + (event_id % 6) * CAST(0.002 AS DOUBLE)
+      |         ELSE ((user_id % 180) - 90) +
+      |              CASE WHEN event_id % 2 = 0 THEN (event_id % 6) ELSE -(event_id % 6) END
+      |                * CAST(0.0011 AS DOUBLE)
+      |    END AS lon,
+      |    (event_id % 6) * CAST(2.0 AS DOUBLE) AS alt,
+      |    CASE WHEN event_id % 6 = 5 THEN CAST(60.0 AS DOUBLE)
+      |         ELSE 5.0 + (event_id % 6) * CAST(3.0 AS DOUBLE) END AS acc,
+      |    0.5 + (event_id % 6) * CAST(0.05 AS DOUBLE) AS conf,
+      |    0.5 + (event_id % 6) * CAST(0.25 AS DOUBLE) AS w
+      |  FROM events
+      |  WHERE NOT (user_id % 7 = 0 AND event_id % 6 > 0)),
+      |tw AS (SELECT gid, SUM(w) AS total_w, COUNT(*) AS cnt
+      |       FROM members GROUP BY gid),
+      |agg AS (
+      |  SELECT m.gid, ANY_VALUE(t.cnt) AS n, ANY_VALUE(t.total_w) AS total_w,
+      |         SUM(m.lat * (m.w / t.total_w)) AS c_lat,
+      |         SUM(m.lon * (m.w / t.total_w)) AS c_lon,
+      |         SUM(m.alt * (m.w / t.total_w)) AS c_alt,
+      |         SUM(m.conf * (m.w / t.total_w)) AS c_conf,
+      |         SUM(m.lat) / ANY_VALUE(t.cnt) AS m_lat,
+      |         SUM(m.lon) / ANY_VALUE(t.cnt) AS m_lon
+      |  FROM members m JOIN tw t ON t.gid = m.gid GROUP BY m.gid),
+      |cov AS (
+      |  SELECT a.gid,
+      |         SUM((mm.lat - a.m_lat) * (mm.lat - a.m_lat)) / a.n AS cll,
+      |         SUM((mm.lon - a.m_lon) * (mm.lon - a.m_lon)) / a.n AS cnn,
+      |         SUM((mm.lat - a.m_lat) * (mm.lon - a.m_lon)) / a.n AS cln
+      |  FROM agg a JOIN members mm ON mm.gid = a.gid
+      |  GROUP BY a.gid, a.n),
+      |geom AS (
+      |  SELECT c.gid,
+      |    CASE WHEN ABS(c.cll * c.cnn - c.cln * c.cln) < 1e-10
+      |         THEN CAST(1.7976931348623157e308 AS DOUBLE)
+      |         WHEN ABS((c.cll + c.cnn
+      |               - SQRT(GREATEST(0.0, (c.cll + c.cnn) * (c.cll + c.cnn)
+      |                      - 4.0 * (c.cll * c.cnn - c.cln * c.cln)))) / 2.0) < 1e-15
+      |         THEN CAST(1.7976931348623157e308 AS DOUBLE)
+      |         ELSE ABS((c.cll + c.cnn
+      |               + SQRT(GREATEST(0.0, (c.cll + c.cnn) * (c.cll + c.cnn)
+      |                      - 4.0 * (c.cll * c.cnn - c.cln * c.cln)))) / 2.0) /
+      |              ABS((c.cll + c.cnn
+      |               - SQRT(GREATEST(0.0, (c.cll + c.cnn) * (c.cll + c.cnn)
+      |                      - 4.0 * (c.cll * c.cnn - c.cln * c.cln)))) / 2.0)
+      |    END AS cond,
+      |    (a.n >= 3 AND c.cll + c.cnn >= 1e-20 AND
+      |     ((c.cll + c.cnn
+      |        - SQRT(GREATEST(0.0, (c.cll + c.cnn) * (c.cll + c.cnn)
+      |               - 4.0 * (c.cll * c.cnn - c.cln * c.cln)))) / 2.0)
+      |       / (c.cll + c.cnn) < 0.01) AS collinear
+      |  FROM cov c JOIN agg a ON a.gid = c.gid),
+      |acc_stats AS (
+      |  SELECT gid, MEDIAN(acc) AS med FROM members GROUP BY gid),
+      |acc_rank AS (
+      |  SELECT gid, acc,
+      |         ROW_NUMBER() OVER (PARTITION BY gid ORDER BY acc) AS rn,
+      |         COUNT(*) OVER (PARTITION BY gid) AS n
+      |  FROM members),
+      |trimmed AS (
+      |  SELECT gid, AVG(acc) AS tmean
+      |  FROM acc_rank
+      |  WHERE rn > CAST(FLOOR(n * 0.25) AS BIGINT)
+      |    AND rn <= n - CAST(FLOOR(n * 0.25) AS BIGINT)
+      |  GROUP BY gid),
+      |mad_stats AS (
+      |  SELECT mm.gid, MEDIAN(ABS(mm.acc - s.med)) AS mad
+      |  FROM members mm JOIN acc_stats s ON s.gid = mm.gid
+      |  GROUP BY mm.gid),
+      |outl AS (
+      |  SELECT mm.gid,
+      |    CAST(SUM(CASE WHEN mm.acc > s.med + 2.0 * d.mad THEN 1 ELSE 0 END)
+      |         AS DOUBLE) / COUNT(*) AS oratio
+      |  FROM members mm
+      |  JOIN acc_stats s ON s.gid = mm.gid
+      |  JOIN mad_stats d ON d.gid = mm.gid
+      |  GROUP BY mm.gid),
+      |blended AS (
+      |  SELECT a.gid, a.n, a.c_lat, a.c_lon, a.c_alt, a.c_conf, g.cond,
+      |    g.collinear,
+      |    CASE WHEN g.collinear
+      |         THEN 2.0 + LEAST(1.0, LOG10(GREATEST(g.cond, 1.0)) / 2.0)
+      |         WHEN g.cond < 5.0 THEN 1.0
+      |         WHEN g.cond < 20.0 THEN 1.0 + (g.cond - 5.0) / 15.0
+      |         ELSE 2.0 + LEAST(1.0, (g.cond - 20.0) / 80.0) END AS factor,
+      |    CASE WHEN s.med IS NULL THEN 0.0
+      |         WHEN a.n <= 3 THEN s.med
+      |         ELSE 0.7 * s.med + 0.3 * COALESCE(t.tmean, s.med) END AS robust,
+      |    o.oratio
+      |  FROM agg a
+      |  JOIN geom g ON g.gid = a.gid
+      |  JOIN acc_stats s ON s.gid = a.gid
+      |  LEFT JOIN trimmed t ON t.gid = a.gid
+      |  JOIN outl o ON o.gid = a.gid),
+      |multi AS (
+      |  SELECT gid, n, c_lat AS lat, c_lon AS lon, c_alt AS alt,
+      |    CASE WHEN collinear
+      |         THEN GREATEST(6.0,
+      |           (CASE WHEN oratio > 0 THEN robust * (1.0 + oratio * 0.5)
+      |                 ELSE robust END) *
+      |           GREATEST(factor, SQRT(cond / 10.0)))
+      |         ELSE GREATEST(
+      |           CASE WHEN oratio > 0 THEN robust * (1.0 + oratio * 0.5)
+      |                ELSE robust END,
+      |           (CASE WHEN oratio > 0 THEN robust * (1.0 + oratio * 0.5)
+      |                 ELSE robust END) * factor) END AS accuracy,
+      |    CASE WHEN collinear
+      |         THEN LEAST(0.69, c_conf / (factor * 1.2))
+      |         ELSE c_conf / SQRT(factor) END AS confidence
+      |  FROM blended WHERE n > 1),
+      |single AS (
+      |  SELECT gid, 1 AS n, lat, lon, alt, acc AS accuracy, conf AS confidence
+      |  FROM members
+      |  WHERE gid IN (SELECT gid FROM agg WHERE n = 1)),
+      |unioned AS (
+      |  SELECT * FROM multi UNION ALL SELECT * FROM single)
+      |SELECT CAST(gid AS VARCHAR) AS group_id, CAST(n AS BIGINT) AS n_members,
+      |       ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon, ROUND(alt, 6) AS alt,
+      |       ROUND(accuracy, 4) AS accuracy, ROUND(confidence, 4) AS confidence
+      |FROM unioned ORDER BY group_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.algo.{Combiner, Position}
+    val members = Tables.events(s, dir).select(
+      col("user_id").as("gid"), (col("event_id") % 6).as("m"),
+      when(col("user_id") % 4 === 0,
+        (col("user_id") % 90) + (col("event_id") % 6) * lit(0.001))
+        .otherwise((col("user_id") % 90) +
+          ((col("event_id") % 6) * (col("event_id") % 6)) * lit(0.0007)).as("lat"),
+      when(col("user_id") % 4 === 0,
+        ((col("user_id") % 180) - 90) + (col("event_id") % 6) * lit(0.002))
+        .otherwise(((col("user_id") % 180) - 90) +
+          when(col("event_id") % 2 === 0, col("event_id") % 6)
+            .otherwise(-(col("event_id") % 6)) * lit(0.0011)).as("lon"),
+      ((col("event_id") % 6) * lit(2.0)).as("alt"),
+      when(col("event_id") % 6 === 5, lit(60.0))
+        .otherwise(lit(5.0) + (col("event_id") % 6) * lit(3.0)).as("acc"),
+      (lit(0.5) + (col("event_id") % 6) * lit(0.05)).as("conf"),
+      (lit(0.5) + (col("event_id") % 6) * lit(0.25)).as("w"))
+      .where(!(col("gid") % 7 === 0 && col("m") > 0))
+      .distinct()
+    members
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (gid, it) =>
+        // sort by member index: Scala's accumulation order (SQL SUM order
+        // differs only in final-ulp association; outputs are rounded)
+        val rows = it.toSeq.sortBy(_._2)
+        val wps = rows.map { case (_, _, lat, lon, alt, acc, conf, w) =>
+          Combiner.WeightedPosition(Position(lat, lon, alt, acc, conf), w)
+        }
+        val p = Combiner.combine(wps).get
+        (gid.toString, rows.size.toLong, p.lat, p.lon, p.alt, p.accuracy, p.confidence)
+      }
+      .toDF("group_id", "n_members", "lat0", "lon0", "alt0", "acc0", "conf0")
+      .select(col("group_id"), col("n_members"),
+        round(col("lat0"), 6).as("lat"), round(col("lon0"), 6).as("lon"),
+        round(col("alt0"), 6).as("alt"), round(col("acc0"), 4).as("accuracy"),
+        round(col("conf0"), 4).as("confidence"))
+      .orderBy("group_id")
+  }
+
   val all: Seq[Reg] = Seq(
     batchScoring, proximityTier, contextClasses, scenarioClasses, physicsGate,
-    logDistance, selectionEngine)
+    logDistance, selectionEngine, combinerBlend)
 }
