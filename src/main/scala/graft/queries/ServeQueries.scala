@@ -717,7 +717,122 @@ object ServeQueries {
       .orderBy("group_id")
   }
 
+  /** P3 — RSSI-ratio interpolation, oracled end-to-end: the C(n,2) pair
+    * enumeration (the J4 self-join shape, ordered by scan index), the
+    * 10^(Δrssi/20) ratio interpolation per pair, |Δrssi|/30 pair weights,
+    * the both-sides-only altitude blend, the signal-factor accuracy scale,
+    * and the two-stage capped confidence with its strong-signal floor —
+    * all per-request arithmetic DuckDB restates (POW parity per
+    * p5/r7_wcl). Scan-level stats run over ALL scans (including the
+    * unknown-AP one some requests carry) while pair terms use only
+    * known-AP pairs — the oracle distinguishes the two the same way the
+    * algorithm does. */
+  val rssiRatio: Reg = Reg.sql(
+    "p3_rssi_ratio",
+    """WITH scans AS (
+      |  SELECT DISTINCT user_id AS rid, event_id % 5 AS m,
+      |         (user_id * 3 + event_id % 5) % 50 AS s,
+      |         CAST(-40 - ((user_id + (event_id % 5) * 7) % 55) AS DOUBLE) AS rssi
+      |  FROM events),
+      |ap AS (
+      |  SELECT CAST(s_suppkey AS BIGINT) AS s,
+      |         ((s_suppkey % 120) - 60 + (s_suppkey % 10) * CAST(0.0005 AS DOUBLE))
+      |           AS ap_lat,
+      |         ((s_suppkey % 300) - 150 + (s_suppkey % 7) * CAST(0.0005 AS DOUBLE))
+      |           AS ap_lon,
+      |         CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal / 1000 END AS ap_alt,
+      |         (CAST(5.0 AS DOUBLE) + s_suppkey % 10) AS ap_hacc
+      |  FROM supplier WHERE s_suppkey <= 50),
+      |sc AS (SELECT scans.*, ap.ap_lat, ap.ap_lon, ap.ap_alt, ap.ap_hacc,
+      |              (ap.s IS NOT NULL) AS known
+      |       FROM scans LEFT JOIN ap ON ap.s = scans.s),
+      |pairs AS (
+      |  SELECT a.rid,
+      |         ABS(a.rssi - b.rssi) / 30.0 AS w,
+      |         ((a.ap_lat + POWER(10, (a.rssi - b.rssi) / 20.0) * b.ap_lat) /
+      |          (1 + POWER(10, (a.rssi - b.rssi) / 20.0))) *
+      |           (ABS(a.rssi - b.rssi) / 30.0) AS wlat,
+      |         ((a.ap_lon + POWER(10, (a.rssi - b.rssi) / 20.0) * b.ap_lon) /
+      |          (1 + POWER(10, (a.rssi - b.rssi) / 20.0))) *
+      |           (ABS(a.rssi - b.rssi) / 30.0) AS wlon,
+      |         CASE WHEN a.ap_alt IS NOT NULL AND b.ap_alt IS NOT NULL
+      |              THEN ((a.ap_alt + POWER(10, (a.rssi - b.rssi) / 20.0) * b.ap_alt) /
+      |                    (1 + POWER(10, (a.rssi - b.rssi) / 20.0))) *
+      |                     (ABS(a.rssi - b.rssi) / 30.0)
+      |              ELSE 0.0 END AS walt,
+      |         CASE WHEN a.ap_alt IS NOT NULL AND b.ap_alt IS NOT NULL
+      |              THEN ABS(a.rssi - b.rssi) / 30.0 ELSE 0.0 END AS altw
+      |  FROM sc a JOIN sc b ON b.rid = a.rid AND a.m < b.m
+      |  WHERE a.known AND b.known),
+      |pagg AS (
+      |  SELECT rid, SUM(w) AS total_w, SUM(wlat) AS sw_lat, SUM(wlon) AS sw_lon,
+      |         SUM(walt) AS sw_alt, SUM(altw) AS alt_w
+      |  FROM pairs GROUP BY rid),
+      |sstats AS (
+      |  SELECT rid, COUNT(*) AS n, AVG(rssi) AS avg_rssi,
+      |         AVG(LEAST(1.0, GREATEST(0.0, (rssi + 95.0) / 45.0))) AS sigq,
+      |         COALESCE(AVG(CASE WHEN known THEN ap_hacc END), 15.0) AS base_acc
+      |  FROM sc GROUP BY rid),
+      |calc AS (
+      |  SELECT p.rid, s.n, p.total_w,
+      |    GREATEST(-90.0, LEAST(90.0, p.sw_lat / p.total_w)) AS lat,
+      |    GREATEST(-180.0, LEAST(180.0, p.sw_lon / p.total_w)) AS lon,
+      |    CASE WHEN p.alt_w > 0 THEN p.sw_alt / p.alt_w ELSE 0.0 END AS alt,
+      |    s.base_acc *
+      |      GREATEST(1.0, LEAST(3.0, (-s.avg_rssi + (-50.0)) / 10.0)) AS accuracy,
+      |    CASE WHEN s.avg_rssi >= -70.0
+      |         THEN GREATEST(0.7,
+      |           LEAST(0.85, LEAST(0.85, p.total_w / (s.n * (s.n - 1) / 2.0))
+      |                       + s.sigq * 1.0))
+      |         ELSE LEAST(0.85, LEAST(0.85, p.total_w / (s.n * (s.n - 1) / 2.0))
+      |                    + s.sigq * 1.0) END AS confidence
+      |  FROM pagg p JOIN sstats s ON s.rid = p.rid
+      |  WHERE s.n >= 2 AND p.total_w > 0)
+      |SELECT CAST(rid AS VARCHAR) AS request_id, CAST(n AS BIGINT) AS n_scans,
+      |       ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon, ROUND(alt, 6) AS alt,
+      |       ROUND(accuracy, 4) AS accuracy, ROUND(confidence, 4) AS confidence
+      |FROM calc ORDER BY request_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.algo.{AccessPoint, RssiRatio, WifiScan}
+    val apDim = Tables.supplier(s, dir)
+      .where(col("s_suppkey") <= 50)
+      .select(col("s_suppkey").cast("long").as("s"),
+        ((col("s_suppkey") % 120) - 60 + (col("s_suppkey") % 10) * 0.0005).as("ap_lat"),
+        ((col("s_suppkey") % 300) - 150 + (col("s_suppkey") % 7) * 0.0005).as("ap_lon"),
+        when(col("s_suppkey") % 3 === 0, col("s_acctbal") / 1000).as("ap_alt"),
+        (lit(5.0) + col("s_suppkey") % 10).as("ap_hacc"))
+    Tables.events(s, dir)
+      .select(col("user_id").as("rid"), (col("event_id") % 5).as("m"),
+        ((col("user_id") * 3 + col("event_id") % 5) % 50).as("s"),
+        (-lit(40) - ((col("user_id") + (col("event_id") % 5) * 7) % 55))
+          .cast("double").as("rssi"))
+      .distinct()
+      .join(apDim, Seq("s"), "left")
+      .select(col("rid"), col("m"), col("s"), col("rssi"),
+        col("ap_lat"), col("ap_lon"), col("ap_alt"), col("ap_hacc"))
+      .as[(Long, Long, Long, Double,
+           Option[Double], Option[Double], Option[Double], Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (rid, it) =>
+        val rows = it.toSeq.sortBy(_._2) // scan index = member index
+        val scans = rows.map(r => WifiScan(r._3.toString, r._4, 2437))
+        val aps = rows.collect { case (_, _, mac, _, Some(la), Some(lo), alt, hacc) =>
+          AccessPoint(mac.toString, la, lo, altitude = alt,
+            horizontalAccuracy = hacc)
+        }
+        RssiRatio.calculate(scans, aps).map { p =>
+          (rid.toString, rows.size.toLong, p.lat, p.lon, p.alt, p.accuracy, p.confidence)
+        }
+      }
+      .toDF("request_id", "n_scans", "lat0", "lon0", "alt0", "acc0", "conf0")
+      .select(col("request_id"), col("n_scans"),
+        round(col("lat0"), 6).as("lat"), round(col("lon0"), 6).as("lon"),
+        round(col("alt0"), 6).as("alt"), round(col("acc0"), 4).as("accuracy"),
+        round(col("conf0"), 4).as("confidence"))
+      .orderBy("request_id")
+  }
+
   val all: Seq[Reg] = Seq(
     batchScoring, proximityTier, contextClasses, scenarioClasses, physicsGate,
-    logDistance, selectionEngine, combinerBlend)
+    logDistance, selectionEngine, combinerBlend, rssiRatio)
 }
