@@ -832,7 +832,54 @@ object ServeQueries {
       .orderBy("request_id")
   }
 
+  /** C5 — external (VLSS-shaped) request mapping, oracled: the nested
+    * wifiInfo array explodes to one scan row per entry with MAC
+    * normalization (lowercase, hyphens → colons) and unit casts; DuckDB
+    * states the exploded, normalized rows directly. */
+  val requestMapping: Reg = Reg.sql(
+    "c5_request_mapping",
+    """WITH k(i) AS (VALUES (0), (1)),
+      |rows_ AS (
+      |  SELECT CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)
+      |           AS request_id,
+      |         CASE WHEN user_id % 2 = 0 THEN 'clientA' ELSE 'clientB' END
+      |           AS client,
+      |         CASE WHEN k.i = 0
+      |              THEN 'AA-BB-CC-00-' || printf('%02X', user_id % 99) || '-'
+      |                   || printf('%02X', event_id % 99)
+      |              ELSE 'dd-ee-ff-11-' || printf('%02x', user_id % 99) || '-'
+      |                   || printf('%02x', event_id % 97) END AS raw_mac,
+      |         CASE WHEN k.i = 0 THEN CAST(-35 - (event_id % 60) AS DOUBLE)
+      |              ELSE CAST(-40 - (user_id % 55) AS DOUBLE) END
+      |           AS signal_strength,
+      |         CASE WHEN k.i = 0 THEN 2412 ELSE 5200 END AS frequency_mhz
+      |  FROM events CROSS JOIN k)
+      |SELECT request_id, client,
+      |       lower(replace(raw_mac, '-', ':')) AS mac,
+      |       signal_strength, frequency_mhz
+      |FROM rows_ ORDER BY request_id, mac""".stripMargin) { (s, dir) =>
+    val external = Tables.events(s, dir).select(
+      concat(col("user_id").cast("string"), lit(":"),
+        col("event_id").cast("string")).as("id"),
+      when(col("user_id") % 2 === 0, "clientA").otherwise("clientB").as("client"),
+      array(
+        struct(
+          concat(lit("AA-BB-CC-00-"), format_string("%02X", col("user_id") % 99),
+            lit("-"), format_string("%02X", col("event_id") % 99)).as("macAddress"),
+          (-lit(35) - (col("event_id") % 60)).cast("double").as("rssi"),
+          lit(2412).as("frequency")),
+        struct(
+          concat(lit("dd-ee-ff-11-"), format_string("%02x", col("user_id") % 99),
+            lit("-"), format_string("%02x", col("event_id") % 97)).as("macAddress"),
+          (-lit(40) - (col("user_id") % 55)).cast("double").as("rssi"),
+          lit(5200).as("frequency"))).as("wifiInfo"))
+    graft.serve.Comparison.mapExternalRequest(external)
+      .select(col("request_id"), col("client"), col("mac"),
+        col("signal_strength"), col("frequency_mhz"))
+      .orderBy("request_id", "mac")
+  }
+
   val all: Seq[Reg] = Seq(
     batchScoring, proximityTier, contextClasses, scenarioClasses, physicsGate,
-    logDistance, selectionEngine, combinerBlend, rssiRatio)
+    logDistance, selectionEngine, combinerBlend, rssiRatio, requestMapping)
 }
