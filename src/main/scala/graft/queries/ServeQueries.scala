@@ -879,7 +879,68 @@ object ServeQueries {
       .orderBy("request_id", "mac")
   }
 
+  /** C4 — AP enrichment, oracled: the request's scanned MACs left-join the
+    * calculation diagnostics into one record per AP (unmatched scans keep
+    * null diagnostics). The struct column is flattened for the hash gate —
+    * same fields, scalar columns. */
+  val apEnrichment: Reg = Reg.sql(
+    "c4_ap_enrichment",
+    """WITH req AS (
+      |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS request_id,
+      |         printf('%02x', (user_id * 5 + event_id % 4) % 60) AS mac,
+      |         CAST(-45 - ((user_id + event_id % 4) % 50) AS DOUBLE) AS rssi
+      |  FROM events),
+      |calc AS (
+      |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS request_id,
+      |         printf('%02x', (user_id * 5 + event_id % 4) % 60) AS mac,
+      |         CASE WHEN (user_id * 5 + event_id % 4) % 60 % 3 = 0
+      |              THEN 'active' ELSE 'warning' END AS status,
+      |         CASE WHEN event_id % 4 = 0 THEN 'used' ELSE 'filtered' END
+      |           AS usage,
+      |         CAST((user_id % 90) AS DOUBLE) AS lat,
+      |         CAST((user_id % 180) - 90 AS DOUBLE) AS lon
+      |  FROM events WHERE event_id % 3 <> 0),
+      |cd AS (
+      |  SELECT request_id, mac, MIN(status) AS status, MIN(usage) AS usage,
+      |         MIN(lat) AS lat, MIN(lon) AS lon
+      |  FROM calc GROUP BY request_id, mac)
+      |SELECT r.request_id, r.mac, r.rssi, c.status, c.usage, c.lat, c.lon
+      |FROM req r LEFT JOIN cd c ON c.request_id = r.request_id AND c.mac = r.mac
+      |ORDER BY r.request_id, r.mac""".stripMargin) { (s, dir) =>
+    val requestAps = Tables.events(s, dir).select(
+      col("user_id").cast("string").as("request_id"),
+      format_string("%02x", (col("user_id") * 5 + col("event_id") % 4) % 60).as("mac"),
+      (-lit(45) - ((col("user_id") + col("event_id") % 4) % 50))
+        .cast("double").as("rssi")).distinct()
+    // Calculation diagnostics exist for a subset of scans; MIN-dedupe keeps
+    // one deterministic record per (request, mac) like the service's map.
+    val calcInfo = Tables.events(s, dir)
+      .where(col("event_id") % 3 =!= 0)
+      .select(
+        col("user_id").cast("string").as("request_id"),
+        format_string("%02x", (col("user_id") * 5 + col("event_id") % 4) % 60).as("mac"),
+        when(((col("user_id") * 5 + col("event_id") % 4) % 60) % 3 === 0, "active")
+          .otherwise("warning").as("status"),
+        when(col("event_id") % 4 === 0, "used").otherwise("filtered").as("usage"),
+        (col("user_id") % 90).cast("double").as("lat"),
+        ((col("user_id") % 180) - 90).cast("double").as("lon"))
+      .distinct()
+      .groupBy("request_id", "mac")
+      .agg(min("status").as("status"), min("usage").as("usage"),
+        min("lat").as("lat"), min("lon").as("lon"))
+    graft.serve.Comparison.enrichAccessPoints(requestAps, calcInfo)
+      .select(col("request_id"),
+        col("access_point.mac").as("mac"),
+        col("access_point.rssi").as("rssi"),
+        col("access_point.status").as("status"),
+        col("access_point.usage").as("usage"),
+        col("access_point.lat").as("lat"),
+        col("access_point.lon").as("lon"))
+      .orderBy("request_id", "mac")
+  }
+
   val all: Seq[Reg] = Seq(
     batchScoring, proximityTier, contextClasses, scenarioClasses, physicsGate,
-    logDistance, selectionEngine, combinerBlend, rssiRatio, requestMapping)
+    logDistance, selectionEngine, combinerBlend, rssiRatio, requestMapping,
+    apEnrichment)
 }
