@@ -18,7 +18,9 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkSuite {
     CoreQueries.a9MadOutliers,     // double percentile + joins
     CoreQueries.p2WeightedCentroid, // float sums over shuffled input
     ServeQueries.proximityTier,    // per-request mapGroups panel
-    LlmQueries.winnowNearDup       // UDF fingerprints + pair join + countDistinct
+    LlmQueries.winnowNearDup,      // UDF fingerprints + pair join + countDistinct
+    ServeQueries.combinerBlend,    // per-group float accumulation (sorted members)
+    ServeQueries.rssiRatio         // pair enumeration + float sums per request
   )
 
   risky.foreach { q =>
