@@ -939,8 +939,263 @@ object ServeQueries {
       .orderBy("request_id", "mac")
   }
 
+  /** R5 — the COMPLETE two-AP positioning response, oracled end-to-end
+    * through the real service path (validate → context → select → weight →
+    * run algorithms → combine): composes the restatements proven piecewise
+    * by r1/r2_r4/p3/p8/r6 into one full-response gate.
+    *
+    * Why the 2-AP tier closes exactly: with two located APs geometry is
+    * always Poor, where proximity (0.4 × ≤0.9 = ≤0.36) and log-distance
+    * (0.5 × ≤1.0 × 0.7 × ≤1.1 = 0.385) sit BELOW the 0.4 finalist
+    * threshold in every signal tier — so the panel is {weighted_centroid,
+    * rssi_ratio} (wcl ≥ 0.832 > 0.8 → top-2 rule), degrading to wcl alone
+    * (weak+outliers drops ratio to 0.336) or proximity alone (very-weak
+    * hard constraint). A ≤2-member combine is closed-form: the member
+    * covariance is rank-1 (condition number = MaxValue → factor 3.0, never
+    * collinear below 3 members), the 2-element median is the mean, and the
+    * 2-MAD outlier test can never fire — all stated literally in SQL,
+    * including the FP quirks ((x·w)/w is NOT simplified to x). */
+  val twoApResponse: Reg = Reg.sql(
+    "r5_two_ap_response",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |-- AP keys 1..9: present and active at EVERY scale factor's supplier
+      |req AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS rid, user_id,
+      |         (user_id % 9) AS i1,
+      |         CASE WHEN (user_id * 7 + 13) % 9 = user_id % 9
+      |              THEN ((user_id % 9) + 1) % 9
+      |              ELSE (user_id * 7 + 13) % 9 END AS i2,
+      |         CAST(-35 - (user_id % 63) AS DOUBLE) AS r1,
+      |         CAST(-40 - ((user_id * 3) % 57) AS DOUBLE) AS r2
+      |  FROM u),
+      |keyed AS (
+      |  SELECT rid, (i1 + 1) AS v1, (i2 + 1) AS v2, r1, r2
+      |  FROM req),
+      |-- scan order = MAC lexicographic = AP-key order (first octet decides)
+      |ord AS (
+      |  SELECT rid,
+      |         CASE WHEN v1 < v2 THEN v1 ELSE v2 END AS va,
+      |         CASE WHEN v1 < v2 THEN r1 ELSE r2 END AS ra,
+      |         CASE WHEN v1 < v2 THEN v2 ELSE v1 END AS vb,
+      |         CASE WHEN v1 < v2 THEN r2 ELSE r1 END AS rb
+      |  FROM keyed),
+      |ap_attrs AS (
+      |  SELECT o.rid, o.va, o.ra, o.vb, o.rb,
+      |    ((o.va % 120) - 60 + (o.va % 10) * CAST(0.0005 AS DOUBLE)) AS la_a,
+      |    ((o.va % 300) - 150 + (o.va % 7) * CAST(0.0005 AS DOUBLE)) AS lo_a,
+      |    CASE WHEN o.va % 3 = 0 THEN sa.s_acctbal / 1000 END AS alt_a,
+      |    (CAST(5.0 AS DOUBLE) + o.va % 10) AS h_a,
+      |    ((o.vb % 120) - 60 + (o.vb % 10) * CAST(0.0005 AS DOUBLE)) AS la_b,
+      |    ((o.vb % 300) - 150 + (o.vb % 7) * CAST(0.0005 AS DOUBLE)) AS lo_b,
+      |    CASE WHEN o.vb % 3 = 0 THEN sb.s_acctbal / 1000 END AS alt_b,
+      |    (CAST(5.0 AS DOUBLE) + o.vb % 10) AS h_b
+      |  FROM ord o
+      |  JOIN supplier sa ON sa.s_suppkey = o.va
+      |  JOIN supplier sb ON sb.s_suppkey = o.vb),
+      |ctx AS (
+      |  SELECT *, (ra + rb) / 2 AS mean_rssi,
+      |    SQRT(((ra - (ra + rb) / 2) * (ra - (ra + rb) / 2)
+      |        + (rb - (ra + rb) / 2) * (rb - (ra + rb) / 2)) / 2) AS sd_rssi
+      |  FROM ap_attrs),
+      |cls AS (
+      |  SELECT *,
+      |    CASE WHEN mean_rssi >= -70 THEN 's' WHEN mean_rssi >= -85 THEN 'm'
+      |         WHEN mean_rssi >= -95 THEN 'w' ELSE 'v' END AS sig,
+      |    CASE WHEN sd_rssi <= 3.0 THEN 'u' WHEN sd_rssi <= 10.0 THEN 'x'
+      |         ELSE 'o' END AS dst
+      |  FROM ctx),
+      |-- R3 weights for apCount=Two, geometry=Poor (order: ap·sig·geo·dst)
+      |wts AS (
+      |  SELECT *,
+      |    CAST(0.4 AS DOUBLE) *
+      |      CAST(CASE sig WHEN 's' THEN 0.9 WHEN 'm' THEN 0.7 WHEN 'w' THEN 0.4
+      |           ELSE 0.5 END AS DOUBLE) * CAST(1.0 AS DOUBLE) *
+      |      CAST(CASE dst WHEN 'u' THEN 1.0 WHEN 'x' THEN 0.7 ELSE 0.9 END
+      |           AS DOUBLE) AS w_prox,
+      |    CAST(1.0 AS DOUBLE) *
+      |      CAST(CASE sig WHEN 's' THEN 1.0 WHEN 'm' THEN 0.9 WHEN 'w' THEN 0.6
+      |           ELSE 0.0 END AS DOUBLE) * CAST(0.8 AS DOUBLE) *
+      |      CAST(CASE dst WHEN 'u' THEN 1.2 WHEN 'x' THEN 0.9 ELSE 0.7 END
+      |           AS DOUBLE) AS w_ratio,
+      |    CAST(0.8 AS DOUBLE) *
+      |      CAST(CASE sig WHEN 's' THEN 1.0 WHEN 'm' THEN 1.0 WHEN 'w' THEN 0.8
+      |           ELSE 0.0 END AS DOUBLE) * CAST(1.3 AS DOUBLE) *
+      |      CAST(CASE dst WHEN 'u' THEN 1.0 WHEN 'x' THEN 1.8 ELSE 1.4 END
+      |           AS DOUBLE) AS w_wcl
+      |  FROM cls),
+      |-- algorithm positions ------------------------------------------------
+      |pos AS (
+      |  SELECT *,
+      |    -- proximity: strongest scan (ties keep scan order = a first)
+      |    CASE WHEN rb > ra THEN la_b ELSE la_a END AS px_lat,
+      |    CASE WHEN rb > ra THEN lo_b ELSE lo_a END AS px_lon,
+      |    CASE WHEN rb > ra THEN COALESCE(alt_b, 0.0)
+      |         ELSE COALESCE(alt_a, 0.0) END AS px_alt,
+      |    CASE WHEN rb > ra THEN h_b ELSE h_a END AS px_acc,
+      |    LEAST(0.85, GREATEST(0.0,
+      |      ((CASE WHEN rb > ra THEN rb ELSE ra END) + 90.0) / 60.0)) AS px_conf,
+      |    -- rssi_ratio: single pair (a, b); (x·w)/w stated literally
+      |    POWER(10, (ra - rb) / 20.0) AS rr_ratio,
+      |    ABS(ra - rb) / 30.0 AS rr_w
+      |  FROM wts),
+      |pos2 AS (
+      |  SELECT *,
+      |    GREATEST(-90.0, LEAST(90.0,
+      |      (((la_a + rr_ratio * la_b) / (1 + rr_ratio)) * rr_w) / rr_w)) AS rr_lat,
+      |    GREATEST(-180.0, LEAST(180.0,
+      |      (((lo_a + rr_ratio * lo_b) / (1 + rr_ratio)) * rr_w) / rr_w)) AS rr_lon,
+      |    CASE WHEN alt_a IS NOT NULL AND alt_b IS NOT NULL
+      |         THEN (((alt_a + rr_ratio * alt_b) / (1 + rr_ratio)) * rr_w) / rr_w
+      |         ELSE 0.0 END AS rr_alt,
+      |    ((h_a + h_b) / 2) *
+      |      GREATEST(1.0, LEAST(3.0, (-mean_rssi + (-50.0)) / 10.0)) AS rr_acc,
+      |    (CASE WHEN mean_rssi >= -70.0 THEN
+      |       GREATEST(0.7, LEAST(0.85, LEAST(0.85, rr_w / 1.0)
+      |         + (LEAST(1.0, GREATEST(0.0, (ra + 95.0) / 45.0))
+      |            + LEAST(1.0, GREATEST(0.0, (rb + 95.0) / 45.0))) / 2 * 1.0))
+      |     ELSE LEAST(0.85, LEAST(0.85, rr_w / 1.0)
+      |         + (LEAST(1.0, GREATEST(0.0, (ra + 95.0) / 45.0))
+      |            + LEAST(1.0, GREATEST(0.0, (rb + 95.0) / 45.0))) / 2 * 1.0)
+      |     END) AS rr_conf,
+      |    -- weighted_centroid: w = 10^clamp((rssi+30)/(-70), 0, 1)
+      |    POWER(10, GREATEST(0.0, LEAST(1.0, (ra + 30.0) / (-70.0)))) AS wc_wa,
+      |    POWER(10, GREATEST(0.0, LEAST(1.0, (rb + 30.0) / (-70.0)))) AS wc_wb
+      |  FROM pos),
+      |pos3 AS (
+      |  SELECT *,
+      |    (la_a * wc_wa + la_b * wc_wb) / (wc_wa + wc_wb) AS wc_lat,
+      |    (lo_a * wc_wa + lo_b * wc_wb) / (wc_wa + wc_wb) AS wc_lon,
+      |    CASE
+      |      WHEN alt_a IS NOT NULL AND alt_b IS NOT NULL
+      |        THEN (alt_a * wc_wa + alt_b * wc_wb) / (wc_wa + wc_wb)
+      |      WHEN alt_a IS NOT NULL THEN (alt_a * wc_wa) / wc_wa
+      |      WHEN alt_b IS NOT NULL THEN (alt_b * wc_wb) / wc_wb
+      |      ELSE 0.0 END AS wc_alt,
+      |    (h_a + h_b) / 2 AS wc_acc,
+      |    CAST(0.7 AS DOUBLE) AS wc_conf
+      |  FROM pos2),
+      |-- R4 finalists + R6 combine ------------------------------------------
+      |sel AS (
+      |  SELECT *,
+      |    -- equal RSSIs zero the pair weight and rssi_ratio produces no
+      |    -- position (total weight <= 0 → None) even when selected
+      |    CASE WHEN sig = 'v' THEN 1
+      |         WHEN w_ratio >= 0.4 AND ra <> rb THEN 2 ELSE 1 END
+      |      AS n_members,
+      |    -- very-weak → proximity sole; else wcl leads (>0.8 in every tier;
+      |    -- stable-sort tie order would put ratio first, but w_ratio ≤ 0.96
+      |    -- < 0.832 ≤ w_wcl never ties it)
+      |    CASE WHEN sig = 'v' THEN 'proximity'
+      |         WHEN w_ratio > w_wcl THEN 'rssi_ratio'
+      |         ELSE 'weighted_centroid' END AS algo1,
+      |    CASE WHEN sig = 'v' THEN NULL
+      |         WHEN w_ratio >= 0.4 AND ra <> rb THEN
+      |           CASE WHEN w_ratio > w_wcl THEN 'weighted_centroid'
+      |                ELSE 'rssi_ratio' END
+      |         ELSE NULL END AS algo2
+      |  FROM pos3),
+      |mem AS (
+      |  SELECT *,
+      |    CASE algo1 WHEN 'proximity' THEN px_lat
+      |         WHEN 'rssi_ratio' THEN rr_lat ELSE wc_lat END AS m1_lat,
+      |    CASE algo1 WHEN 'proximity' THEN px_lon
+      |         WHEN 'rssi_ratio' THEN rr_lon ELSE wc_lon END AS m1_lon,
+      |    CASE algo1 WHEN 'proximity' THEN px_alt
+      |         WHEN 'rssi_ratio' THEN rr_alt ELSE wc_alt END AS m1_alt,
+      |    CASE algo1 WHEN 'proximity' THEN px_acc
+      |         WHEN 'rssi_ratio' THEN rr_acc ELSE wc_acc END AS m1_acc,
+      |    CASE algo1 WHEN 'proximity' THEN px_conf
+      |         WHEN 'rssi_ratio' THEN rr_conf ELSE wc_conf END AS m1_conf,
+      |    CASE algo1 WHEN 'proximity' THEN w_prox * 0.6
+      |         WHEN 'rssi_ratio' THEN w_ratio * 0.75
+      |         ELSE w_wcl * 0.7 END AS m1_w,
+      |    CASE algo2 WHEN 'rssi_ratio' THEN rr_lat
+      |         WHEN 'weighted_centroid' THEN wc_lat END AS m2_lat,
+      |    CASE algo2 WHEN 'rssi_ratio' THEN rr_lon
+      |         WHEN 'weighted_centroid' THEN wc_lon END AS m2_lon,
+      |    CASE algo2 WHEN 'rssi_ratio' THEN rr_alt
+      |         WHEN 'weighted_centroid' THEN wc_alt END AS m2_alt,
+      |    CASE algo2 WHEN 'rssi_ratio' THEN rr_acc
+      |         WHEN 'weighted_centroid' THEN wc_acc END AS m2_acc,
+      |    CASE algo2 WHEN 'rssi_ratio' THEN rr_conf
+      |         WHEN 'weighted_centroid' THEN wc_conf END AS m2_conf,
+      |    CASE algo2 WHEN 'rssi_ratio' THEN w_ratio * 0.75
+      |         WHEN 'weighted_centroid' THEN w_wcl * 0.7 END AS m2_w
+      |  FROM sel),
+      |resp AS (
+      |  SELECT rid, n_members,
+      |    CASE WHEN algo2 IS NULL THEN algo1
+      |         ELSE algo1 || ',' || algo2 END AS methods,
+      |    CASE WHEN n_members = 1 THEN m1_lat
+      |         ELSE m1_lat * (m1_w / (m1_w + m2_w))
+      |            + m2_lat * (m2_w / (m1_w + m2_w)) END AS lat,
+      |    CASE WHEN n_members = 1 THEN m1_lon
+      |         ELSE m1_lon * (m1_w / (m1_w + m2_w))
+      |            + m2_lon * (m2_w / (m1_w + m2_w)) END AS lon,
+      |    CASE WHEN n_members = 1 THEN m1_alt
+      |         ELSE m1_alt * (m1_w / (m1_w + m2_w))
+      |            + m2_alt * (m2_w / (m1_w + m2_w)) END AS alt,
+      |    -- 2-member combine: median = mean, MAD inflation can't fire,
+      |    -- rank-1 covariance → cond = MaxValue → factor 3.0
+      |    CASE WHEN n_members = 1 THEN m1_acc
+      |         ELSE ((LEAST(m1_acc, m2_acc) + GREATEST(m1_acc, m2_acc)) / 2.0)
+      |              * 3.0 END AS accuracy,
+      |    CASE WHEN n_members = 1 THEN m1_conf
+      |         ELSE (m1_conf * (m1_w / (m1_w + m2_w))
+      |             + m2_conf * (m2_w / (m1_w + m2_w))) / SQRT(3.0) END
+      |      AS confidence
+      |  FROM mem)
+      |SELECT rid AS request_id, CAST(2 AS INT) AS ap_count, n_members, methods,
+      |       ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon, ROUND(alt, 6) AS alt,
+      |       ROUND(accuracy, 4) AS accuracy, ROUND(confidence, 4) AS confidence
+      |FROM resp ORDER BY request_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    def mac(v: org.apache.spark.sql.Column) =
+      concat(lit("aa:bb:cc:dd:"), format_string("%02x", v % 250), lit(":"),
+        format_string("%02x", (v * 7) % 250))
+    val apDim = Tables.supplier(s, dir)
+      .where(col("s_suppkey") <= 50)
+      .select(
+        mac(col("s_suppkey")).as("mac_addr"),
+        ((col("s_suppkey") % 120) - 60 + (col("s_suppkey") % 10) * 0.0005).as("latitude"),
+        ((col("s_suppkey") % 300) - 150 + (col("s_suppkey") % 7) * 0.0005).as("longitude"),
+        when(col("s_suppkey") % 3 === 0, col("s_acctbal") / 1000).as("altitude"),
+        (lit(5.0) + col("s_suppkey") % 10).as("horizontal_accuracy"),
+        lit(0.8).as("confidence"), lit("").as("vendor"),
+        when(col("s_suppkey") % 10 === 0, "expired").otherwise("active").as("status"))
+    // AP keys 1..9: present and active at every SF's supplier table.
+    val requests = Tables.events(s, dir)
+      .select(col("user_id")).distinct()
+      .select(col("user_id").cast("string").as("requestId"),
+        ((col("user_id") % 9) + 1).as("v1"),
+        (when((col("user_id") * 7 + 13) % 9 === col("user_id") % 9,
+          ((col("user_id") % 9) + 1) % 9)
+          .otherwise((col("user_id") * 7 + 13) % 9) + 1).as("v2"),
+        (-lit(35) - (col("user_id") % 63)).cast("double").as("r1"),
+        (-lit(40) - ((col("user_id") * 3) % 57)).cast("double").as("r2"))
+      .select(col("requestId"),
+        array(
+          struct(mac(col("v1")).as("mac"), col("r1").as("rssi"),
+            lit(2437).as("frequencyMhz")),
+          struct(mac(col("v2")).as("mac"), col("r2").as("rssi"),
+            lit(5180).as("frequencyMhz"))).as("scans"))
+      .as[Request]
+    RequestScoring.score(s, requests, apDim)
+      .toDF()
+      .select(col("requestId").as("request_id"),
+        col("apCount").as("ap_count"),
+        size(col("methodsUsed")).as("n_members"),
+        concat_ws(",", col("methodsUsed")).as("methods"),
+        round(col("latitude"), 6).as("lat"),
+        round(col("longitude"), 6).as("lon"),
+        round(col("altitude"), 6).as("alt"),
+        round(col("accuracy"), 4).as("accuracy"),
+        round(col("confidence"), 4).as("confidence"))
+      .orderBy("request_id")
+  }
+
   val all: Seq[Reg] = Seq(
     batchScoring, proximityTier, contextClasses, scenarioClasses, physicsGate,
     logDistance, selectionEngine, combinerBlend, rssiRatio, requestMapping,
-    apEnrichment)
+    apEnrichment, twoApResponse)
 }
