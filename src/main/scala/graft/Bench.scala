@@ -37,6 +37,11 @@ object Bench {
       }
       val (coldSec, coldOk) = once()
       val (warmSec, warmOk) = if (coldOk) once() else (-1.0, false)
+      // Several queries localCheckpoint multi-consumer intermediates; the
+      // blocks are only released when the driver GCs the RDD handles
+      // (ContextCleaner), so without this, query N pays query N-1's
+      // executor-memory pressure and late-run timings drift run-to-run.
+      System.gc()
       val ok = coldOk && warmOk
       (name, if (ok) warmSec else -1.0, if (coldOk) coldSec else -1.0, ok)
     }
