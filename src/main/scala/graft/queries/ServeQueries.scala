@@ -1194,8 +1194,111 @@ object ServeQueries {
       .orderBy("request_id")
   }
 
+  /** P7 — GDOP, oracled as a geometry conformance sweep: the engine computes
+    * sqrt(trace((HᵀH)⁻¹)) through Breeze/LAPACK; DuckDB restates the 3×3
+    * inverse-trace in closed form (cofactors over the symmetric normal
+    * matrix of [ux, uy, 1] rows). LAPACK and cofactor arithmetic agree to
+    * ~1e-14 relative on the well-conditioned sweep geometries, far inside
+    * the 2-decimal rounding and the 2/4/6 class tiers. Three angular
+    * patterns (spread / half-plane / narrow cone) × 3–5 APs exercise every
+    * quality class including the 30 cap. */
+  val gdopClasses: Reg = Reg.sql(
+    "p7_gdop_classes",
+    """WITH u AS (SELECT DISTINCT user_id AS gid FROM events),
+      |g AS (
+      |  SELECT gid, gid % 3 AS pat, 3 + (gid // 3) % 3 AS n,
+      |         CAST(10 + gid % 50 AS DOUBLE) AS lat0
+      |  FROM u),
+      |ap AS (
+      |  SELECT g.gid, g.n, g.lat0, k.k,
+      |    CASE g.pat
+      |      WHEN 0 THEN CASE k.k WHEN 0 THEN 0.02 WHEN 1 THEN -0.015
+      |                  WHEN 2 THEN 0.003 WHEN 3 THEN -0.01 ELSE 0.016 END
+      |      WHEN 1 THEN CASE k.k WHEN 0 THEN 0.02 WHEN 1 THEN 0.015
+      |                  WHEN 2 THEN 0.018 WHEN 3 THEN 0.01 ELSE 0.02 END
+      |      ELSE CASE k.k WHEN 0 THEN 0.02 WHEN 1 THEN 0.019
+      |           WHEN 2 THEN 0.021 WHEN 3 THEN 0.02 ELSE 0.018 END
+      |    END AS dx,
+      |    CASE g.pat
+      |      WHEN 0 THEN CASE k.k WHEN 0 THEN 0.0 WHEN 1 THEN 0.012
+      |                  WHEN 2 THEN -0.02 WHEN 3 THEN -0.014 ELSE 0.013 END
+      |      WHEN 1 THEN CASE k.k WHEN 0 THEN 0.002 WHEN 1 THEN 0.01
+      |                  WHEN 2 THEN -0.006 WHEN 3 THEN 0.015 ELSE -0.01 END
+      |      ELSE CASE k.k WHEN 0 THEN 0.001 WHEN 1 THEN 0.002
+      |           WHEN 2 THEN -0.001 WHEN 3 THEN 0.003 ELSE 0.001 END
+      |    END AS dy
+      |  FROM g JOIN (VALUES (0), (1), (2), (3), (4)) k(k) ON k.k < g.n),
+      |uv AS (
+      |  SELECT gid, n,
+      |    (dx * (6371000.0 * PI() / 180.0)) /
+      |      SQRT((dx * (6371000.0 * PI() / 180.0))
+      |             * (dx * (6371000.0 * PI() / 180.0))
+      |         + (dy * (6371000.0 * PI() / 180.0) * COS(RADIANS(lat0)))
+      |             * (dy * (6371000.0 * PI() / 180.0) * COS(RADIANS(lat0))))
+      |      AS ux,
+      |    (dy * (6371000.0 * PI() / 180.0) * COS(RADIANS(lat0))) /
+      |      SQRT((dx * (6371000.0 * PI() / 180.0))
+      |             * (dx * (6371000.0 * PI() / 180.0))
+      |         + (dy * (6371000.0 * PI() / 180.0) * COS(RADIANS(lat0)))
+      |             * (dy * (6371000.0 * PI() / 180.0) * COS(RADIANS(lat0))))
+      |      AS uy
+      |  FROM ap),
+      |m AS (
+      |  SELECT gid, ANY_VALUE(n) AS n, COUNT(*) AS cnt,
+      |         SUM(ux * ux) AS sxx, SUM(uy * uy) AS syy, SUM(ux * uy) AS sxy,
+      |         SUM(ux) AS sx, SUM(uy) AS sy
+      |  FROM uv GROUP BY gid),
+      |q AS (
+      |  SELECT gid, n,
+      |    LEAST(30.0, SQRT(GREATEST(0.0,
+      |      (((syy * cnt - sy * sy) + (sxx * cnt - sx * sx)
+      |        + (sxx * syy - sxy * sxy)) /
+      |       (sxx * (syy * cnt - sy * sy) - sxy * (sxy * cnt - sy * sx)
+      |        + sx * (sxy * sy - syy * sx)))))) AS gdop
+      |  FROM m)
+      |SELECT CAST(gid AS VARCHAR) AS group_id, CAST(n AS BIGINT) AS n_aps,
+      |       CASE WHEN gdop < 2.0 THEN 'excellent' WHEN gdop < 4.0 THEN 'good'
+      |            WHEN gdop < 6.0 THEN 'fair' ELSE 'poor' END AS geo_class,
+      |       ROUND(gdop, 2) AS gdop
+      |FROM q ORDER BY group_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.algo.Gdop
+    import graft.algo.factors.GeometricQuality
+    val offsets: Map[(Int, Int), (Double, Double)] = Map(
+      (0, 0) -> (0.02, 0.0), (0, 1) -> (-0.015, 0.012), (0, 2) -> (0.003, -0.02),
+      (0, 3) -> (-0.01, -0.014), (0, 4) -> (0.016, 0.013),
+      (1, 0) -> (0.02, 0.002), (1, 1) -> (0.015, 0.01), (1, 2) -> (0.018, -0.006),
+      (1, 3) -> (0.01, 0.015), (1, 4) -> (0.02, -0.01),
+      (2, 0) -> (0.02, 0.001), (2, 1) -> (0.019, 0.002), (2, 2) -> (0.021, -0.001),
+      (2, 3) -> (0.02, 0.003), (2, 4) -> (0.018, 0.001))
+    Tables.events(s, dir).select(col("user_id").as("gid")).distinct()
+      .as[Long]
+      .map { gid =>
+        val pat = (gid % 3).toInt
+        val n = (3 + (gid / 3) % 3).toInt
+        val lat0 = (10 + gid % 50).toDouble
+        val lon0 = 20.0
+        val coords = Array.tabulate(n) { k =>
+          val (dx, dy) = offsets((pat, k))
+          Array(lat0 + dx, lon0 + dy)
+        }
+        val gdop = Gdop.calculateGDOP(coords, Array(lat0, lon0), includeBiasTerm = true)
+        val cls = GeometricQuality.of(gdop) match {
+          case GeometricQuality.Excellent => "excellent"
+          case GeometricQuality.Good => "good"
+          case GeometricQuality.Fair => "fair"
+          case _ => "poor"
+        }
+        (gid.toString, n.toLong, cls, gdop)
+      }
+      .toDF("group_id", "n_aps", "geo_class", "g0")
+      .select(col("group_id"), col("n_aps"), col("geo_class"),
+        round(col("g0"), 2).as("gdop"))
+      .orderBy("group_id")
+  }
+
   val all: Seq[Reg] = Seq(
     batchScoring, proximityTier, contextClasses, scenarioClasses, physicsGate,
     logDistance, selectionEngine, combinerBlend, rssiRatio, requestMapping,
-    apEnrichment, twoApResponse)
+    apEnrichment, twoApResponse, gdopClasses)
 }
