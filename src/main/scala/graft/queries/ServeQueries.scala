@@ -8,16 +8,102 @@ import graft.serve.RequestScoring.{Request, ScanInput}
 
 /** R5 batch request scoring end to end on synthetic data: the AP dimension
   * derives from supplier, requests from events (user ≙ device, scans pick
-  * APs by event id). Rows-only — the per-request algorithm flow is the
-  * pure-Scala R1–R6 engine pinned by SelectionSpec/AlgorithmsSpec. */
+  * APs by event id). */
 object ServeQueries {
 
-  val batchScoring: Reg = Reg.rowsOnly("r5_batch_scoring") { (s, dir) =>
+  /** R5 — the full batch scoring flow, upgraded from rows-only to a
+    * per-request bounded-property oracle (the multi-algorithm panel itself
+    * is the pure-Scala R1–R6 engine pinned by SelectionSpec/AlgorithmsSpec
+    * and the `r2_r4_selection` sweep; its single-AP and two-AP response
+    * slices are exact-oracled in `r5_proximity_tier` / `r5_two_ap_response`).
+    * DuckDB states, per request, the EXACT outcome and known-AP count, plus
+    * range properties of the response (confidence ∈ [0,1], accuracy > 0,
+    * position inside lat/lon bounds; error responses zeroed).
+    *
+    * The outcome prediction is sound because the error arms are
+    * SQL-expressible and the panel cannot otherwise fail on this synthesis:
+    *  - "physically impossible signal set": P8 restated per frequency group;
+    *  - "no usable known APs": the J3 status filter restated over the dim;
+    *  - "no algorithm eligible" needs every weight < 0.4 with ≥ 2
+    *    candidates, which only happens in single-AP weak/mixed|outliers
+    *    contexts — unreachable here: one scan per distinct MAC means
+    *    single-AP ⟹ one valid scan ⟹ stddev 0 ⟹ uniform distribution;
+    *  - "no algorithm produced a position": every reachable finalist set
+    *    contains an always-producing algorithm (proximity / WCL /
+    *    log-distance / MLE-at-4+APs), except {trilateration, rssi_ratio} at
+    *    three/strong/uniform/excellent — where rssi_ratio only fails when
+    *    every pair Δrssi = 0 and trilateration succeeds on the non-collinear
+    *    (excellent-GDOP) geometry.
+    * The AP dim is capped at s_suppkey < 250 so the mod-250 MAC octets stay
+    * injective — duplicate MACs would multi-match the scan join and make
+    * per-request apCount load-order-dependent. */
+  val batchScoring: Reg = Reg.sql(
+    "r5_batch_scoring",
+    """WITH raw AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS request_id,
+      |         (user_id * 3 + event_id % (1 + user_id % 6)) % 100 AS supp,
+      |         CAST(-45 - (value % 50) AS DOUBLE) AS rssi,
+      |         CASE WHEN event_id % 2 = 0 THEN 2437 ELSE 5180 END AS freq
+      |  FROM events),
+      |-- strongest observation per (request, AP): max struct(rssi, freq)
+      |best AS (
+      |  SELECT * FROM (
+      |    SELECT request_id, supp, rssi, freq,
+      |           ROW_NUMBER() OVER (PARTITION BY request_id, supp
+      |                              ORDER BY rssi DESC, freq DESC) AS rn
+      |    FROM raw) WHERE rn = 1),
+      |-- the kept ≤6-scan subset: sort_array on struct(mac,…) orders by the
+      |-- zero-padded hex MAC, which is numeric order of supp
+      |kept AS (
+      |  SELECT * FROM (
+      |    SELECT request_id, supp, rssi, freq,
+      |           ROW_NUMBER() OVER (PARTITION BY request_id ORDER BY supp)
+      |             AS krn
+      |    FROM best) WHERE krn <= 6),
+      |flags AS (
+      |  SELECT k.request_id, k.supp, k.rssi, k.freq,
+      |         EXISTS (SELECT 1 FROM supplier s
+      |                 WHERE s.s_suppkey < 250 AND s.s_suppkey = k.supp)
+      |           AS known
+      |  FROM kept k),
+      |-- P8 physics: every rssi in [-100,-30]; per freq group, a strongest
+      |-- signal over -50 dBm caps the spread at 45 dB (the -30/-100
+      |-- boundary-pair exemption is unreachable with rssi in (-95,-45])
+      |grp AS (
+      |  SELECT request_id, freq, MAX(rssi) AS mx, MIN(rssi) AS mn,
+      |         COUNT(*) AS c
+      |  FROM flags GROUP BY request_id, freq),
+      |phys AS (
+      |  SELECT v.request_id, v.valid_all AND gr.groups_ok AS physics_ok
+      |  FROM (SELECT request_id,
+      |               BOOL_AND(rssi >= -100 AND rssi <= -30) AS valid_all
+      |        FROM flags GROUP BY request_id) v
+      |  JOIN (SELECT request_id,
+      |               BOOL_AND(NOT (c >= 2 AND NOT (mx = -30.0 AND mn = -100.0)
+      |                             AND mx > -50.0 AND mx - mn > 45.0))
+      |                 AS groups_ok
+      |        FROM grp GROUP BY request_id) gr USING (request_id)),
+      |agg AS (
+      |  SELECT request_id,
+      |         CAST(SUM(CASE WHEN known THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS ap_count,
+      |         BOOL_OR(known AND supp % 10 <> 0) AS has_usable
+      |  FROM flags GROUP BY request_id)
+      |SELECT a.request_id,
+      |       CASE WHEN NOT p.physics_ok THEN 'physically impossible signal set'
+      |            WHEN NOT a.has_usable THEN 'no usable known APs'
+      |            ELSE 'scored' END AS outcome,
+      |       a.ap_count,
+      |       TRUE AS conf_ok, TRUE AS acc_ok, TRUE AS pos_ok
+      |FROM agg a JOIN phys p USING (request_id)
+      |ORDER BY a.request_id""".stripMargin) { (s, dir) =>
     import s.implicits._
 
     // AP dimension: one AP per supplier, clustered positions, mixed vendors
     // and statuses (every 10th AP expired → J3 must drop it).
-    val apDim = Tables.supplier(s, dir).select(
+    val apDim = Tables.supplier(s, dir)
+      .filter(col("s_suppkey") < 250)
+      .select(
       concat(lit("aa:bb:cc:dd:"),
         format_string("%02x", col("s_suppkey") % 250), lit(":"),
         format_string("%02x", (col("s_suppkey") * 7) % 250)).as("mac_addr"),
@@ -30,12 +116,15 @@ object ServeQueries {
         .when(col("s_suppkey") % 4 === 1, "aruba").otherwise("").as("vendor"),
       when(col("s_suppkey") % 10 === 0, "expired").otherwise("active").as("status"))
 
-    // Requests: per user, up to 6 scans of APs near the user's own cluster
-    // so geometry is realistic (RSSI from the event value).
+    // Requests: per user, 1–6 scans of APs near the user's own cluster
+    // (the span varies by user so single/two/three/four-plus selection
+    // contexts are all live at every SF; users ≡ 0 mod 30 get exactly one
+    // AP whose suppkey is ≡ 0 mod 10 — the expired-status error arm).
     val nAps = 100
     val requests = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("value"))
-      .withColumn("supp", (col("user_id") * 3 + col("event_id") % 5) % nAps)
+      .withColumn("supp",
+        (col("user_id") * 3 + col("event_id") % (lit(1) + col("user_id") % 6)) % nAps)
       .select(col("user_id").cast("string").as("requestId"),
         concat(lit("aa:bb:cc:dd:"),
           format_string("%02x", col("supp") % 250), lit(":"),
@@ -59,13 +148,18 @@ object ServeQueries {
     RequestScoring.score(s, requests, apDim)
       .toDF()
       .select(
+        col("requestId").as("request_id"),
         when(col("ok"), "scored").otherwise(col("error")).as("outcome"),
-        col("confidence"), col("apCount"))
-      .groupBy("outcome")
-      .agg(count(lit(1)).as("cnt"),
-        round(avg("confidence"), 3).as("avg_confidence"),
-        round(avg("apCount"), 2).as("avg_aps"))
-      .orderBy("outcome")
+        col("apCount").cast("long").as("ap_count"),
+        when(col("ok"), col("confidence") >= 0 && col("confidence") <= 1)
+          .otherwise(col("confidence") === 0).as("conf_ok"),
+        when(col("ok"), col("accuracy") > 0)
+          .otherwise(col("accuracy") === 0).as("acc_ok"),
+        when(col("ok"),
+          col("latitude").between(-90, 90) && col("longitude").between(-180, 180))
+          .otherwise(col("latitude") === 0.0 && col("longitude") === 0.0)
+          .as("pos_ok"))
+      .orderBy("request_id")
   }
 
   /** R5 proximity tier, FULLY oracled: single-AP requests always resolve via
