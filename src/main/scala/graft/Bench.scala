@@ -47,12 +47,20 @@ object Bench {
     }
     val qs = timed.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val cold = timed.map { case (k, _, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val cold = timed.map { case (k, _, v, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val errors = timed.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = timed.filter(_._4).map(_._2).sum
+    val totalCold = timed.filter(_._4).map(_._3).sum
+    // Metric renamed total→total_warm the round warm timings became the
+    // headline (r4): cross-round deltas against the old cold-inclusive
+    // "total" would conflate the methodology change with real speedups.
+    // Field ORDER is deliberate: the harness keeps only the last ~2KB of
+    // stdout, truncating this line from the FRONT — cold map first
+    // (sacrificial), warm per-query map next, headline scalars last so the
+    // totals always survive the cut.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_queries":$cold,"errors":$errors,"sf":"$sfDir"}""")
+      s"""{"cold_queries":$cold,"queries":$qs,"errors":$errors,"sf":"$sfDir","unit":"sec","metric":"total_warm","total_cold":$totalCold,"value":$total}""")
     spark.stop()
   }
 }

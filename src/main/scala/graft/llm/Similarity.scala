@@ -232,22 +232,37 @@ object Similarity {
     // The quantizer only needs a representative sample — IVF practice trains
     // on ~1M vectors regardless of corpus size (the coarse cells barely move
     // past that, and an unsampled fit over 100 TB of embeddings would make
-    // k-means itself the bottleneck). The seeded sample is an upper-bound
-    // fraction followed by a hard limit, so the driver never sees more than
-    // maxTrainVectors rows; small corpora pass through un-sampled.
-    // Size the sample off the RAW row count (metadata-cheap on parquet — no
-    // normalize pass); it upper-bounds the normalizable count, so the chosen
-    // fraction can only over-sample, and the hard limit caps that.
-    val corpusRows = corpus.count()
+    // k-means itself the bottleneck). Seeded per-partition reservoirs, not
+    // fraction-sample + limit: a fraction needs a full count() job first to
+    // size it, and GlobalLimit funnels the survivors into ONE partition —
+    // serializing the fit on a single task, the exact bottleneck sampling
+    // exists to avoid. The reservoir pass is single-scan, shuffle-free,
+    // keeps the corpus partitioning (fit stays parallel), and caps the
+    // total at maxTrainVectors; partitions smaller than their quota pass
+    // through whole, so small corpora train un-sampled with no size branch.
     val candidates = corpus
       .select(normalizeVecUdf(col(embCol)).as("nv"))
       .where(col("nv").isNotNull)
-    val train =
-      if (corpusRows <= maxTrainVectors) candidates
-      else candidates
-        .sample(withReplacement = false,
-          math.min(1.0, maxTrainVectors * 1.2 / corpusRows), seed)
-        .limit(maxTrainVectors)
+    val spark = corpus.sparkSession
+    val candRdd = candidates.rdd
+    val quota = math.max(1, maxTrainVectors / math.max(1, candRdd.getNumPartitions))
+    val sampled = candRdd.mapPartitionsWithIndex { (pi, it) =>
+      // Algorithm R, seeded by (seed, partition) — deterministic for a
+      // fixed file layout, uniform within each partition.
+      val rng = new java.util.Random(seed ^ (pi.toLong * 0x9E3779B97F4A7C15L))
+      val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      var seen = 0L
+      it.foreach { row =>
+        seen += 1
+        if (buf.length < quota) buf += row
+        else {
+          val j = (rng.nextDouble() * seen).toLong
+          if (j < quota) buf(j.toInt) = row
+        }
+      }
+      buf.iterator
+    }
+    val train = spark.createDataFrame(sampled, candidates.schema)
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("nv")
       .fit(train)

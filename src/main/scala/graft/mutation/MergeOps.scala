@@ -259,16 +259,27 @@ object MergeOps {
     val (existing, fresh) = affected.partition(v =>
       fs.exists(new org.apache.hadoop.fs.Path(s"${path.stripSuffix("/")}/$partitionCol=$v")))
     // Brand-new partition values (today's date in the upsert flow): nothing
-    // to merge with — create the directory from the update slice directly.
+    // to merge with — create the directory from the update slice. Same
+    // write-hidden-tmp → atomic-rename protocol as rewrite(): a direct write
+    // that crashes mid-flight would leave a partial final directory that the
+    // replayed batch classifies as 'existing', and the merge then fails on a
+    // schemaless read with nothing recoverPartitionsIfNeeded can restore. A
+    // crashed tmp is hidden (readers skip it) and simply overwritten on
+    // replay; a crash after the rename replays as an idempotent upsert merge.
     fresh.foreach { v =>
       if (!insertUnmatched)
         throw new IllegalArgumentException(
           s"mergeByKeyPartitioned: partition $partitionCol=$v does not exist and " +
             "insertUnmatched = false (pure UPDATE cannot create partitions)")
+      val dir = s"${path.stripSuffix("/")}/$partitionCol=$v"
+      val tmp = swapArtifact(dir, ".tmp_rewrite")
       updates.where(col(partitionCol).cast("string") === v)
         .drop(partitionCol)
-        .write.mode(SaveMode.ErrorIfExists)
-        .parquet(s"${path.stripSuffix("/")}/$partitionCol=$v")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(tmp)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir)))
+        throw new java.io.IOException(
+          s"mergeByKeyPartitioned: cannot move fresh partition $tmp into place at $dir")
     }
     rewritePartitions(spark, path, partitionCol, existing, { (cur, v) =>
       val slice = updates.where(col(partitionCol).cast("string") === v)

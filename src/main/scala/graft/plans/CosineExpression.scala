@@ -1,9 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for cosine similarity of two `array<float>`
   * embeddings — the ANN re-rank hot path (`graft.llm.Similarity`).
@@ -26,6 +27,21 @@ case class CosineExpression(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
+
+  /** `compute` reads the unsafe buffers with `getFloat`, so anything other
+    * than `array<float>` (e.g. an `array(0.1, 0.2)` double literal from SQL)
+    * would read 4 bytes of an 8-byte slot and return garbage. Fail analysis
+    * instead; the SQL builder casts, so text callers still work. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     CosineExpression.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

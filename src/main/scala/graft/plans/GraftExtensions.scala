@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 /** SparkSessionExtensions entry point: registers the engine's native SQL
   * functions so plain `spark.sql(...)` text can use them
@@ -35,10 +35,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[HaversineExpression].getName, "haversine_m"),
     haversineBuilder)
 
+  // Cast to array<float> like haversineBuilder casts to double: SQL double
+  // literals / double embeddings would otherwise be read as 4-byte floats
+  // from 8-byte slots (CosineExpression.checkInputDataTypes is the backstop).
   private val cosineBuilder: Seq[Expression] => Expression = { children =>
     require(children.length == 2,
       s"cosine_sim expects 2 arguments, got ${children.length}")
-    CosineExpression(children.head, children(1))
+    val Seq(a, b) = children.map(c => Cast(c, ArrayType(FloatType)): Expression)
+    CosineExpression(a, b)
   }
 
   val cosineFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

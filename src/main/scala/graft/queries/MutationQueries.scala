@@ -36,18 +36,18 @@ object MutationQueries {
       |), med AS (
       |  SELECT bssid, MEDIAN(value) AS med FROM win GROUP BY bssid
       |), dev AS (
-      |  SELECT f.bssid, ABS(f.value - m.med) AS adev
+      |  SELECT f.bssid, f.day, ABS(f.value - m.med) AS adev
       |  FROM win f JOIN med m ON f.bssid = m.bssid
       |), mad AS (
       |  SELECT bssid, MEDIAN(adev) AS mad FROM dev GROUP BY bssid
       |), outliers AS (
-      |  SELECT d.bssid FROM dev d JOIN mad t ON d.bssid = t.bssid
+      |  SELECT d.bssid, d.day FROM dev d JOIN mad t ON d.bssid = t.bssid
       |  WHERE d.adev > 3 * t.mad
       |)
       |SELECT (SELECT COUNT(*) FROM fact) AS rows_before,
       |       (SELECT COUNT(*) FROM outliers) AS outliers_detected,
       |       (SELECT COUNT(*) FROM outliers) AS rows_labeled,
-      |       CAST(1 AS BIGINT) AS partitions_rewritten,
+      |       (SELECT COUNT(DISTINCT day) FROM outliers) AS partitions_rewritten,
       |       (SELECT COUNT(*) FROM fact) - (SELECT COUNT(*) FROM outliers)
       |         AS rows_after_purge""".stripMargin) { (s, dir) =>
     val work = Files.createTempDirectory("graft_mutation").toString + "/fact"

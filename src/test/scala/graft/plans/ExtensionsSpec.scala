@@ -40,6 +40,28 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with graft.SparkSuite {
     sqlVal shouldBe 0.6 +- 1e-6 // float inputs: 0.6f widens to 0.60000000954
   }
 
+  test("cosine_sim casts SQL double arrays instead of misreading their buffers") {
+    // array(0.3, 0.4, 0.0) is array<double>; before the builder cast the
+    // expression read 4 bytes of each 8-byte slot (garbage), now it widens
+    // through array<float> like any float embedding.
+    val v = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D, 0.0D), array(0.6D, 0.8D, 0.0D)) AS c")
+      .head.getDouble(0)
+    v shouldBe 0.6 +- 1e-6
+
+    // Direct construction (no builder cast) must fail analysis, not return
+    // garbage at runtime.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dd = Seq((Array(1.0, 0.0), Array(0.5, 0.5))).toDF("a", "b")
+    val bad = intercept[Exception] {
+      dd.select(ColumnBridge.column(CosineExpression(
+        ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b"))))).collect()
+    }
+    bad.getMessage should include("array<float>")
+  }
+
   test("nulls propagate; wrong arity is a clear error") {
     spark.sql("SELECT haversine_m(CAST(NULL AS DOUBLE), 0D, 1D, 1D) AS d")
       .head.isNullAt(0) shouldBe true
