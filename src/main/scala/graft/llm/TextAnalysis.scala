@@ -48,6 +48,62 @@ object TextAnalysis {
   /** Stable 64-hex content fingerprint (exact-dedup join key). */
   def fingerprint(text: Column): Column = sha2(text, 256)
 
+  /** Gopher-family repetition metrics (Rae et al. 2021 §A1.1: duplicate
+    * n-gram fractions and top-n-gram character fractions are the canonical
+    * repetition filters for pretraining corpora) — one O(n) pass per row:
+    *
+    *   dup_word_frac       = 1 − distinct words / total words
+    *   dup_2gram_frac      = 1 − distinct 2-grams / total 2-grams
+    *   top_2gram_char_frac = occurrences(most frequent 2-gram) × chars(gram)
+    *                         ÷ chars(text)   (tie → lexicographically least)
+    *
+    * A JIT UDF with per-doc hash maps, not HOFs: the HOF top-gram search is
+    * O(n²) per row (no CSE inside lambdas — see winnowHof's note), which a
+    * 100k-word document turns into 10^10 interpreted ops. Per-row and
+    * shuffle-free either way. All divisions are single double ops on exact
+    * integer counts, restated literally by the llm_repetition oracle. */
+  def repetitionStats(text: Column): Column = repetitionUdf(text)
+
+  private val repetitionUdf = udf { (text: String) =>
+    if (text == null) None
+    else {
+      val words = text.split(" ", -1)
+      val nw = words.length
+      if (nw < 2) None // no 2-grams: the gate filters these upstream
+      else {
+        val wordCnt = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i < nw) {
+          wordCnt.merge(words(i), 1, (a: Int, b: Int) => a + b)
+          i += 1
+        }
+        val gramCnt = new java.util.HashMap[String, Int]()
+        i = 0
+        while (i < nw - 1) {
+          gramCnt.merge(words(i) + " " + words(i + 1), 1, (a: Int, b: Int) => a + b)
+          i += 1
+        }
+        var topGram: String = null
+        var topCnt = 0
+        val it = gramCnt.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > topCnt ||
+            (e.getValue == topCnt && (topGram == null || e.getKey.compareTo(topGram) < 0))) {
+            topGram = e.getKey
+            topCnt = e.getValue
+          }
+        }
+        val nChars = text.codePointCount(0, text.length)
+        val gramChars = topGram.codePointCount(0, topGram.length)
+        Some((
+          1.0 - wordCnt.size.toDouble / nw.toDouble,
+          1.0 - gramCnt.size.toDouble / (nw - 1).toDouble,
+          topCnt.toDouble * gramChars.toDouble / nChars.toDouble))
+      }
+    }
+  }
+
   /** Rolling polynomial fingerprint of the first `n` tokens — the
     * prefix-dup detector (news-wire boilerplate etc.). */
   def prefixFingerprint(text: Column, n: Int): Column =

@@ -449,8 +449,111 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Gopher-family repetition filter (Rae et al. 2021 §A1.1): per-doc
+    * duplicate-word fraction, duplicate-2-gram fraction, and top-2-gram
+    * character fraction, plus the keep/drop gate — the canonical
+    * repetition-removal pass of a pretraining pipeline. FULLY oracled on
+    * natural data: every metric is exact integer counting plus one double
+    * division, stated identically by both engines (the keep flag compares
+    * the ROUNDED metrics, so both engines gate on bit-identical inputs).
+    *
+    * 100 TB shape: one O(doc length) pass per row inside the scan — no
+    * explode, no shuffle; the gate is a per-row filter the optimizer can
+    * push wherever the pipeline consumes it. */
+  val repetitionFilter: Reg = Reg.sql(
+    "llm_repetition",
+    """WITH w AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS idx
+      |  FROM w),
+      |wstats AS (
+      |  SELECT doc_id, COUNT(*) AS nw, COUNT(DISTINCT word) AS dw
+      |  FROM tok GROUP BY doc_id),
+      |big0 AS (
+      |  SELECT doc_id,
+      |         word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY idx)
+      |           AS gram
+      |  FROM tok),
+      |big AS (SELECT doc_id, gram FROM big0 WHERE gram IS NOT NULL),
+      |gstats AS (
+      |  SELECT doc_id, COUNT(*) AS ng, COUNT(DISTINCT gram) AS dg
+      |  FROM big GROUP BY doc_id),
+      |gcnt AS (
+      |  SELECT doc_id, gram, COUNT(*) AS cnt FROM big GROUP BY doc_id, gram),
+      |top AS (
+      |  SELECT doc_id, gram, cnt FROM (
+      |    SELECT doc_id, gram, cnt,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                              ORDER BY cnt DESC, gram) AS rn
+      |    FROM gcnt) WHERE rn = 1),
+      |m AS (
+      |  SELECT w.doc_id,
+      |         ROUND(1.0 - dw::DOUBLE / nw::DOUBLE, 6) AS dup_word_frac,
+      |         ROUND(1.0 - dg::DOUBLE / ng::DOUBLE, 6) AS dup_2gram_frac,
+      |         ROUND(t.cnt::DOUBLE * LENGTH(t.gram)::DOUBLE
+      |               / LENGTH(w.text)::DOUBLE, 6) AS top_2gram_char_frac
+      |  FROM w JOIN wstats USING (doc_id) JOIN gstats USING (doc_id)
+      |         JOIN top t USING (doc_id)
+      |  WHERE len(ws) >= 2)
+      |SELECT doc_id, dup_word_frac, dup_2gram_frac, top_2gram_char_frac,
+      |       (dup_word_frac <= 0.55 AND dup_2gram_frac <= 0.05
+      |        AND top_2gram_char_frac <= 0.10) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val stats = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.repetitionStats(col("text")).as("r"))
+      .where(col("r").isNotNull) // < 2 words: no 2-grams, gated out
+      .select(col("doc_id"),
+        round(col("r._1"), 6).as("dup_word_frac"),
+        round(col("r._2"), 6).as("dup_2gram_frac"),
+        round(col("r._3"), 6).as("top_2gram_char_frac"))
+    stats.withColumn("keep",
+      col("dup_word_frac") <= 0.55 && col("dup_2gram_frac") <= 0.05 &&
+        col("top_2gram_char_frac") <= 0.10)
+      .orderBy("doc_id")
+  }
+
+  /** Training-mix weighting: per-source token totals, the natural
+    * (proportional) weight, and the temperature-scaled weight ratio
+    * (tokens^0.3, the standard alpha-sampling used to up-weight small
+    * sources in multilingual / multi-source pretraining). Fully oracled:
+    * token totals are exact BIGINT sums; the two weight columns divide by
+    * order-independent aggregates (an integer SUM and a MAX), so no
+    * cross-row double accumulation can diverge — POW bit-parity between
+    * DuckDB and the JVM is already pinned by p5/p3.
+    *
+    * 100 TB shape: one partial-agg shuffle to 5-ish source rows; the window
+    * aggregates run on the post-agg frame (rows = |sources|, not |docs|). */
+  val sourceMix: Reg = Reg.sql(
+    "llm_source_mix",
+    """WITH t AS (
+      |  SELECT source, len(string_split(text, ' ')) AS wc FROM documents),
+      |s AS (
+      |  SELECT source, CAST(SUM(wc) AS BIGINT) AS tokens FROM t GROUP BY source)
+      |SELECT source, tokens,
+      |       ROUND(tokens::DOUBLE / (SUM(tokens) OVER ())::DOUBLE, 6)
+      |         AS natural_weight,
+      |       ROUND(POW(tokens::DOUBLE, 0.3)
+      |             / POW((MAX(tokens) OVER ())::DOUBLE, 0.3), 6)
+      |         AS mix_vs_top
+      |FROM s ORDER BY source""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(1))
+    Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ", -1)).cast("bigint").as("wc"))
+      .groupBy("source")
+      .agg(sum("wc").as("tokens"))
+      .select(col("source"), col("tokens"),
+        round(col("tokens").cast("double") /
+          sum("tokens").over(w).cast("double"), 6).as("natural_weight"),
+        round(pow(col("tokens").cast("double"), 0.3) /
+          pow(max("tokens").over(w).cast("double"), 0.3), 6).as("mix_vs_top"))
+      .orderBy("source")
+  }
+
   val all: Seq[Reg] = Seq(
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
-    multimodal, tokenEstimate, ngramJaccard, winnowNearDup)
+    multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
+    sourceMix)
 }

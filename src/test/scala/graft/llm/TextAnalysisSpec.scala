@@ -82,4 +82,29 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers with SparkSuite {
     both should not be empty
     both.foreach { r => r.getSeq[Long](0) shouldBe r.getSeq[Long](1) }
   }
+
+  test("repetition stats: hand-computed fractions, deterministic tie-break") {
+    import spark.implicits._
+    // "a b a b c": words 5, distinct 3 -> dup_word 1 - 3/5 = 0.4
+    // 2-grams: [a b, b a, a b, b c] -> 4 total, 3 distinct -> dup 0.25
+    // top gram "a b" x2, 3 chars, text 9 chars -> 2*3/9 = 0.666...
+    val r = Seq("a b a b c").toDF("text")
+      .select(TextAnalysis.repetitionStats(col("text")).as("r"))
+      .select("r._1", "r._2", "r._3").head
+    r.getDouble(0) shouldBe 0.4 +- 1e-12
+    r.getDouble(1) shouldBe 0.25 +- 1e-12
+    r.getDouble(2) shouldBe (2.0 * 3.0 / 9.0) +- 1e-12
+
+    // tie on gram counts ("x y" and "y x" both once): lexicographically
+    // least gram wins -> "x y" picked either way the map iterates
+    val t = Seq("x y x").toDF("text")
+      .select(TextAnalysis.repetitionStats(col("text")).as("r"))
+      .select("r._3").head.getDouble(0)
+    t shouldBe (1.0 * 3.0 / 5.0) +- 1e-12
+
+    // under 2 words: null (gated upstream)
+    Seq("solo").toDF("text")
+      .select(TextAnalysis.repetitionStats(col("text")).as("r"))
+      .head.isNullAt(0) shouldBe true
+  }
 }
