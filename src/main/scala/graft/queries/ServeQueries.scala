@@ -1391,8 +1391,195 @@ object ServeQueries {
       .orderBy("group_id")
   }
 
+  /** P4 — trilateration, oracled as an exactly-3-AP conformance sweep: with
+    * three APs the linearized system is 2 equations in 2 unknowns, so DuckDB
+    * can state the least-squares solution in closed form (Cramer's rule) and
+    * restate the full downstream chain — RSSI→distance (the p5-pinned
+    * log-distance model), the tangent-plane linearization, GDOP through the
+    * p7-proven 3×3 cofactor inverse, the piecewise GDOP factor, and the
+    * accuracy/confidence clamp chains — all as literal scalar arithmetic
+    * (one row per scenario, no unnest, every cross-term summed in a stated
+    * order). Breeze solves the square system via LU and inverts HᵀH through
+    * LAPACK; Cramer/cofactor agree to ~1e-12 on these well-conditioned
+    * triangles (prototype-swept: min GDOP margin to the 2/4/6 class
+    * boundaries is 0.09, far outside the divergence), which round(6)/
+    * round(4) absorb. Three triangle shapes (spread / narrow / squashed)
+    * sweep all four geometry classes including the GDOP-30 cap, and both
+    * strong- and weak-signal accuracy/confidence branches.
+    *
+    * The strongest RSSI is pinned to AP0 by construction (r0 ≥ −64 vs
+    * r1 ≤ −66, r2 ≤ −68), so the tangent-plane anchor and the
+    * linearization reference are deterministic. */
+  val trilaterationSweep: Reg = Reg.sql(
+    "p4_trilateration",
+    """WITH u AS (SELECT DISTINCT user_id AS gid FROM events),
+      |cfg AS (
+      |  SELECT gid,
+      |    CAST(10 + gid % 50 AS DOUBLE) AS lat0, 20.0 AS lon0,
+      |    CAST(-45 - gid % 20 AS DOUBLE) AS r0,
+      |    CAST(-66 - (gid * 3) % 15 AS DOUBLE) AS r1,
+      |    CAST(-68 - (gid * 7) % 12 AS DOUBLE) AS r2,
+      |    CASE gid % 3 WHEN 0 THEN 0.018 + (gid % 5) * 0.001
+      |                 WHEN 1 THEN 0.020 + (gid % 5) * 0.001
+      |                 ELSE 0.022 END AS dx1,
+      |    CASE gid % 3 WHEN 0 THEN 0.002 WHEN 1 THEN 0.003
+      |                 ELSE 0.0025 END AS dy1,
+      |    CASE gid % 3 WHEN 0 THEN 0.004 WHEN 1 THEN 0.009
+      |                 ELSE 0.011 + (gid % 5) * 0.0005 END AS dx2,
+      |    CASE gid % 3 WHEN 0 THEN 0.017 + (gid % 7) * 0.001
+      |                 WHEN 1 THEN 0.0065 + (gid % 7) * 0.0004
+      |                 ELSE 0.0042 + (gid % 7) * 0.0003 END AS dy2
+      |  FROM u),
+      |loc AS (
+      |  SELECT *, 111000.0 * COS(RADIANS(lat0)) AS lon_m,
+      |    -20.0 * LOG10(4.0 * PI() / (299792458.0 / (2437 * 1000000.0))) AS fref
+      |  FROM cfg),
+      |xy AS (
+      |  SELECT *,
+      |    ((lat0 + dx1) - lat0) * 111000.0 AS x1,
+      |    ((lon0 + dy1) - lon0) * lon_m AS y1,
+      |    ((lat0 + dx2) - lat0) * 111000.0 AS x2,
+      |    ((lon0 + dy2) - lon0) * lon_m AS y2,
+      |    LEAST(100.0, GREATEST(1.0, POW(10.0, (fref - r0) /
+      |      (10.0 * CASE WHEN r0 >= -65.0 THEN 2.5 ELSE 3.0 END)))) AS d0,
+      |    LEAST(100.0, GREATEST(1.0, POW(10.0, (fref - r1) /
+      |      (10.0 * CASE WHEN r1 >= -65.0 THEN 2.5 ELSE 3.0 END)))) AS d1,
+      |    LEAST(100.0, GREATEST(1.0, POW(10.0, (fref - r2) /
+      |      (10.0 * CASE WHEN r2 >= -65.0 THEN 2.5 ELSE 3.0 END)))) AS d2
+      |  FROM loc),
+      |lsq AS (
+      |  SELECT *,
+      |    2.0 * (x1 - 0.0) AS a11, 2.0 * (y1 - 0.0) AS a12,
+      |    2.0 * (x2 - 0.0) AS a21, 2.0 * (y2 - 0.0) AS a22,
+      |    (x1 * x1 + y1 * y1) - (0.0 * 0.0 + 0.0 * 0.0) + (d0 * d0 - d1 * d1) AS b1,
+      |    (x2 * x2 + y2 * y2) - (0.0 * 0.0 + 0.0 * 0.0) + (d0 * d0 - d2 * d2) AS b2
+      |  FROM xy),
+      |sol AS (
+      |  SELECT *,
+      |    (b1 * a22 - b2 * a12) / (a11 * a22 - a21 * a12) AS sx,
+      |    (a11 * b2 - a21 * b1) / (a11 * a22 - a21 * a12) AS sy
+      |  FROM lsq),
+      |-- GDOP inputs: coords and position rescaled exactly as localGdop does,
+      |-- then unit vectors position->AP recovered in meters
+      |gin AS (
+      |  SELECT *, 6371000.0 * PI() / 180.0 AS kk,
+      |    sx / (6371000.0 * PI() / 180.0) AS px,
+      |    sy / (6371000.0 * PI() / 180.0) AS py
+      |  FROM sol),
+      |gd AS (
+      |  SELECT *,
+      |    (0.0 / (6371000.0 * PI() / 180.0) - px) * kk AS dxm0,
+      |    (0.0 / (6371000.0 * PI() / 180.0) - py) * kk * COS(RADIANS(px)) AS dym0,
+      |    (x1 / (6371000.0 * PI() / 180.0) - px) * kk AS dxm1,
+      |    (y1 / (6371000.0 * PI() / 180.0) - py) * kk * COS(RADIANS(px)) AS dym1,
+      |    (x2 / (6371000.0 * PI() / 180.0) - px) * kk AS dxm2,
+      |    (y2 / (6371000.0 * PI() / 180.0) - py) * kk * COS(RADIANS(px)) AS dym2
+      |  FROM gin),
+      |uvec AS (
+      |  SELECT *,
+      |    CASE WHEN SQRT(dxm0 * dxm0 + dym0 * dym0) < 1.0 THEN 1.0
+      |         ELSE dxm0 / SQRT(dxm0 * dxm0 + dym0 * dym0) END AS ux0,
+      |    CASE WHEN SQRT(dxm0 * dxm0 + dym0 * dym0) < 1.0 THEN 0.0
+      |         ELSE dym0 / SQRT(dxm0 * dxm0 + dym0 * dym0) END AS uy0,
+      |    CASE WHEN SQRT(dxm1 * dxm1 + dym1 * dym1) < 1.0 THEN 1.0
+      |         ELSE dxm1 / SQRT(dxm1 * dxm1 + dym1 * dym1) END AS ux1,
+      |    CASE WHEN SQRT(dxm1 * dxm1 + dym1 * dym1) < 1.0 THEN 0.0
+      |         ELSE dym1 / SQRT(dxm1 * dxm1 + dym1 * dym1) END AS uy1,
+      |    CASE WHEN SQRT(dxm2 * dxm2 + dym2 * dym2) < 1.0 THEN 1.0
+      |         ELSE dxm2 / SQRT(dxm2 * dxm2 + dym2 * dym2) END AS ux2,
+      |    CASE WHEN SQRT(dxm2 * dxm2 + dym2 * dym2) < 1.0 THEN 0.0
+      |         ELSE dym2 / SQRT(dxm2 * dxm2 + dym2 * dym2) END AS uy2
+      |  FROM gd),
+      |nm AS (
+      |  SELECT *,
+      |    ux0 * ux0 + ux1 * ux1 + ux2 * ux2 AS sxx,
+      |    uy0 * uy0 + uy1 * uy1 + uy2 * uy2 AS syy,
+      |    ux0 * uy0 + ux1 * uy1 + ux2 * uy2 AS sxy,
+      |    ux0 + ux1 + ux2 AS sux, uy0 + uy1 + uy2 AS suy
+      |  FROM uvec),
+      |gq AS (
+      |  SELECT *,
+      |    LEAST(30.0, SQRT(GREATEST(0.0,
+      |      ((syy * 3.0 - suy * suy) + (sxx * 3.0 - sux * sux)
+      |       + (sxx * syy - sxy * sxy)) /
+      |      (sxx * (syy * 3.0 - suy * suy) - sxy * (sxy * 3.0 - suy * sux)
+      |       + sux * (sxy * suy - syy * sux))))) AS gdop
+      |  FROM nm),
+      |fc AS (
+      |  SELECT *,
+      |    CASE WHEN gdop <= 2.0 THEN 1.0
+      |         WHEN gdop <= 4.0 THEN 1.0 + 0.5 * ((gdop - 2.0) / (4.0 - 2.0))
+      |         WHEN gdop <= 6.0 THEN 1.5 + 0.5 * ((gdop - 4.0) / (6.0 - 4.0))
+      |         ELSE LEAST(4.0, 2.0 + (gdop - 6.0) / 2.0) END AS gf,
+      |    (r0 + r1 + r2) / 3 AS avg_s,
+      |    (d0 + d1 + d2) / 3 AS avg_d
+      |  FROM gq),
+      |pos AS (
+      |  SELECT *,
+      |    GREATEST(-90.0, LEAST(90.0, lat0 + sx / 111000.0)) AS out_lat,
+      |    GREATEST(-180.0, LEAST(180.0, lon0 + sy / lon_m)) AS out_lon,
+      |    CASE WHEN avg_s >= -65.0
+      |         THEN GREATEST(1.0, LEAST(5.0, 3.0 * (1.0 + (gf - 1.0) * 0.5)))
+      |         ELSE GREATEST(1.0, LEAST(50.0,
+      |                LEAST(avg_d * 0.3, 50.0) * gf)) END AS out_acc,
+      |    CASE WHEN avg_s >= -65.0
+      |         THEN GREATEST(0.0, LEAST(1.0, (avg_s - (-80.0)) / ((-65.0) - (-80.0))))
+      |         ELSE GREATEST(0.0, LEAST(1.0, (avg_s - (-100.0)) / ((-80.0) - (-100.0))))
+      |         END AS sig_f
+      |  FROM fc),
+      |cf AS (
+      |  SELECT *,
+      |    (0.55 + (0.85 - 0.55) * (0.7 * sig_f + 0.3 * 0.0)) *
+      |      (1.0 - 0.30 * (1.0 - 1.0 / GREATEST(1.0, gf))) AS adj
+      |  FROM pos)
+      |SELECT CAST(gid AS VARCHAR) AS group_id,
+      |       ROUND(out_lat, 6) AS lat, ROUND(out_lon, 6) AS lon,
+      |       ROUND(out_acc, 4) AS accuracy,
+      |       ROUND(GREATEST(0.55, LEAST(0.85,
+      |         CASE WHEN avg_s >= -65.0 THEN GREATEST(0.8, LEAST(0.85, adj))
+      |              WHEN avg_s < -80.0 THEN LEAST(0.58, adj)
+      |              ELSE adj END)), 4) AS confidence
+      |FROM cf ORDER BY group_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.algo.{AccessPoint, Trilateration, WifiScan}
+    Tables.events(s, dir).select(col("user_id").as("gid")).distinct()
+      .as[Long]
+      .map { gid =>
+        val lat0 = (10 + gid % 50).toDouble
+        val lon0 = 20.0
+        val r0 = (-45 - gid % 20).toDouble
+        val r1 = (-66 - (gid * 3) % 15).toDouble
+        val r2 = (-68 - (gid * 7) % 12).toDouble
+        val pat = (gid % 3).toInt
+        val (dx1, dy1, dx2, dy2) = pat match {
+          case 0 => (0.018 + (gid % 5) * 0.001, 0.002,
+            0.004, 0.017 + (gid % 7) * 0.001)
+          case 1 => (0.020 + (gid % 5) * 0.001, 0.003,
+            0.009, 0.0065 + (gid % 7) * 0.0004)
+          case _ => (0.022, 0.0025,
+            0.011 + (gid % 5) * 0.0005, 0.0042 + (gid % 7) * 0.0003)
+        }
+        val aps = Seq(
+          AccessPoint("ap0", lat0, lon0),
+          AccessPoint("ap1", lat0 + dx1, lon0 + dy1),
+          AccessPoint("ap2", lat0 + dx2, lon0 + dy2))
+        val scans = Seq(
+          WifiScan("ap0", r0, 2437),
+          WifiScan("ap1", r1, 2437),
+          WifiScan("ap2", r2, 2437))
+        val p = Trilateration.calculate(scans, aps).get
+        (gid.toString, p.lat, p.lon, p.accuracy, p.confidence)
+      }
+      .toDF("group_id", "lat_", "lon_", "acc_", "conf_")
+      .select(col("group_id"),
+        round(col("lat_"), 6).as("lat"), round(col("lon_"), 6).as("lon"),
+        round(col("acc_"), 4).as("accuracy"),
+        round(col("conf_"), 4).as("confidence"))
+      .orderBy("group_id")
+  }
+
   val all: Seq[Reg] = Seq(
     batchScoring, proximityTier, contextClasses, scenarioClasses, physicsGate,
     logDistance, selectionEngine, combinerBlend, rssiRatio, requestMapping,
-    apEnrichment, twoApResponse, gdopClasses)
+    apEnrichment, twoApResponse, gdopClasses, trilaterationSweep)
 }
