@@ -48,6 +48,64 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("bssid"), col("n"), col("mean_rssi"), col("min_rssi"), col("max_rssi"))
 
+  /** Device scan-burst sessionization: `session_window` groups a device's
+    * fixes into activity sessions separated by `gap` of silence — the
+    * streaming shape of "one positioning request's scan burst" (the
+    * reference's consumer batches per device report; sessions generalize
+    * that to bursty devices). State per open session only; the watermark
+    * closes sessions and emits them exactly once in append mode.
+    * Input needs (device_id, rssi, event_time). */
+  def sessionizedDeviceActivity(
+      measurements: DataFrame,
+      gap: String = "5 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    measurements
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(session_window(col("event_time"), gap), col("device_id"))
+      .agg(
+        count(lit(1)).as("n_scans"),
+        avg("rssi").as("mean_rssi"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("device_id"), col("n_scans"), col("mean_rssi"))
+
+  /** Streaming exact dedup on the F13 event_id — the reference consumer's
+    * at-least-once Kafka delivery makes replays routine, and
+    * `dropDuplicatesWithinWatermark` is the bounded-state form: a duplicate
+    * arriving within the watermark delay is dropped, and the dedup state for
+    * an id is evicted once the watermark passes it (an unbounded
+    * `dropDuplicates` would hold every id ever seen — the 100 TB/day
+    * state leak). Input needs (event_id, event_time) + payload columns. */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: attach each measurement to the relocation
+    * /quality alerts its AP raised in the preceding `horizon` — the
+    * "should this fix be trusted?" enrichment, computed stream-side instead
+    * of via a driver lookup. Both sides are watermarked and the join
+    * condition bounds alert_time to [scan_time − horizon, scan_time], so
+    * Spark can evict join state as the watermarks advance (an unbounded
+    * stream-stream join buffers both streams forever).
+    * Inputs: measurements (bssid, event_time, …), alerts (bssid,
+    * alert_time, …). */
+  def joinAlertsToScans(
+      measurements: DataFrame,
+      alerts: DataFrame,
+      horizon: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val m = measurements.withWatermark("event_time", watermarkDelay)
+    val a = alerts.withWatermark("alert_time", watermarkDelay)
+      .withColumnRenamed("bssid", "alert_bssid")
+    m.join(a,
+      col("bssid") === col("alert_bssid") &&
+        col("alert_time") <= col("event_time") &&
+        col("alert_time") >= col("event_time") - expr(s"INTERVAL $horizon"))
+      .drop("alert_bssid")
+  }
+
   final case class RelocationAlert(
       bssid: String,
       fromLat: Double, fromLon: Double,
