@@ -86,6 +86,39 @@ object Multimodal {
     assets.mapPartitions(_.filter(a => decodeStub(a).valid).map(featuresStub))
   }
 
+  /** STUB resample: deterministic stand-in for a real bilinear resize —
+    * emits a w×h-proportional payload by striding the source bytes. The
+    * contract a real decoder must keep: output size scales with the TARGET
+    * dims (not the source), invalid assets pass through unchanged with
+    * valid=false. */
+  private[llm] def resizeStub(a: Asset, targetW: Int, targetH: Int): Asset = {
+    val n = a.content.length
+    if (n < 4) a
+    else {
+      // One "pixel byte" per 256 target pixels keeps the fake payload
+      // proportional to the target dims, like a real resample.
+      val outLen = math.max(4, targetW * targetH / 256)
+      val out = Array.tabulate(outLen)(i => a.content((i.toLong * n / outLen).toInt))
+      out(0) = ((targetW / 16 - 1) & 0x3f).toByte // keep the fake header
+      out(1) = ((targetH / 16 - 1) & 0x3f).toByte // parseable by decodeStub
+      a.copy(content = out)
+    }
+  }
+
+  /** Resize every image/video asset to the target dims — the normalize-
+    * before-training pass. Same plumbing contract as decode: partition-
+    * parallel, bytes never shuffled, 1→1 rows. */
+  def resizeAll(
+      spark: SparkSession, assets: Dataset[Asset],
+      targetW: Int, targetH: Int): Dataset[Asset] = {
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      if (a.modality == "image" || a.modality == "video")
+        resizeStub(a, targetW, targetH)
+      else a
+    })
+  }
+
   /** Frame sampling: split a video payload into `every`-th fixed-size chunk
     * ("frames") — shows the 1→N batch shape without shuffling raw bytes. */
   def sampleFrames(

@@ -36,4 +36,24 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkSuite {
     frames.groupBy("asset_id").count().collect()
       .foreach(r => r.getLong(1) should be >= 1L)
   }
+
+  test("resizeAll: target-dim payloads, decodable headers, audio untouched") {
+    val resized = Multimodal.resizeAll(spark, assets, targetW = 256, targetH = 128)
+    val metas = Multimodal.decodeAll(spark, resized).collect()
+    metas.filter(m => m.modality == "image" || m.modality == "video").foreach { m =>
+      m.width shouldBe 256
+      m.height shouldBe 128
+      m.sizeBytes shouldBe 256 * 128 / 256 // scales with TARGET dims
+    }
+    // Audio passes through byte-identical.
+    val origAudio = assets.filter(_.modality == "audio").collect()
+      .map(a => a.assetId -> a.content.toSeq).toMap
+    resized.filter(_.modality == "audio").collect().foreach { a =>
+      a.content.toSeq shouldBe origAudio(a.assetId)
+    }
+    // Deterministic: same inputs, same bytes.
+    val again = Multimodal.resizeAll(spark, assets, 256, 128).collect()
+      .sortBy(_.assetId).map(_.content.toSeq)
+    resized.collect().sortBy(_.assetId).map(_.content.toSeq) shouldBe again
+  }
 }
