@@ -20,7 +20,10 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkSuite {
     ServeQueries.proximityTier,    // per-request mapGroups panel
     LlmQueries.winnowNearDup,      // UDF fingerprints + pair join + countDistinct
     ServeQueries.combinerBlend,    // per-group float accumulation (sorted members)
-    ServeQueries.rssiRatio         // pair enumeration + float sums per request
+    ServeQueries.rssiRatio,        // pair enumeration + float sums per request
+    LlmQueries.repetitionFilter,   // UDF hash-map counting + top-gram tie-break
+    LlmQueries.sourceMix,          // global-window denominators over an agg frame
+    ServeQueries.trilaterationSweep // LAPACK LSQ solve per scenario in a map
   )
 
   risky.foreach { q =>

@@ -44,6 +44,30 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     p should not include "l_partkey"
   }
 
+  test("llm_repetition: per-row gate — no explode, no shuffle before the output sort") {
+    // The Gopher metrics claim one fused O(doc) pass per row: the only
+    // Exchange allowed is the range partitioning of the final ORDER BY, and
+    // nothing may blow rows up through a Generate.
+    val p = plan(LlmQueries.repetitionFilter)
+    p should not include "Generate"
+    "Exchange".r.findAllIn(p).size should be <= 1
+    p should include("ReadSchema")
+    p should not include "lang" // untouched columns pruned from the scan
+  }
+
+  test("llm_source_mix: global window runs on the post-agg source frame") {
+    // The window denominators are order-independent aggregates over the
+    // |sources|-row aggregate, never over the raw documents: the plan must
+    // aggregate (partial + final) BEFORE the single-partition window.
+    val p = plan(LlmQueries.sourceMix)
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    aggIdx should be >= 0
+    winIdx should be >= 0
+    // plan prints top-down: the Window node appears above (before) the agg
+    winIdx should be < aggIdx
+  }
+
   test("per-key-aggregate frames carry no broadcast hint (driver OOM at 100x keys)") {
     // a9's median/MAD frames and the hotspot per-AP means have one row per
     // group key: broadcasting them caps the engine at broadcast-limit key
