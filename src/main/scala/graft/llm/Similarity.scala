@@ -224,22 +224,22 @@ object Similarity {
     * narrow map pass; and the candidate join is an equi-join on the cell
     * id touching ~nprobe/nlist of the corpus per query. Nothing here is
     * quadratic and no raw corpus row is shuffled more than once. */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L, maxIter: Int = 10,
-      maxTrainVectors: Int = 1000000,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    // The quantizer only needs a representative sample — IVF practice trains
-    // on ~1M vectors regardless of corpus size (the coarse cells barely move
-    // past that, and an unsampled fit over 100 TB of embeddings would make
-    // k-means itself the bottleneck). Seeded per-partition reservoirs, not
-    // fraction-sample + limit: a fraction needs a full count() job first to
-    // size it, and GlobalLimit funnels the survivors into ONE partition —
-    // serializing the fit on a single task, the exact bottleneck sampling
-    // exists to avoid. The reservoir pass is single-scan, shuffle-free,
-    // keeps the corpus partitioning (fit stays parallel), and caps the
-    // total at maxTrainVectors; partitions smaller than their quota pass
-    // through whole, so small corpora train un-sampled with no size branch.
+  /** Train the spherical k-means coarse quantizer and return its centroids.
+    *
+    * The quantizer only needs a representative sample — IVF practice trains
+    * on ~1M vectors regardless of corpus size (the coarse cells barely move
+    * past that, and an unsampled fit over 100 TB of embeddings would make
+    * k-means itself the bottleneck). Seeded per-partition reservoirs, not
+    * fraction-sample + limit: a fraction needs a full count() job first to
+    * size it, and GlobalLimit funnels the survivors into ONE partition —
+    * serializing the fit on a single task, the exact bottleneck sampling
+    * exists to avoid. The reservoir pass is single-scan, shuffle-free,
+    * keeps the corpus partitioning (fit stays parallel), and caps the
+    * total at maxTrainVectors; partitions smaller than their quota pass
+    * through whole, so small corpora train un-sampled with no size branch. */
+  private def trainQuantizer(
+      corpus: DataFrame, nlist: Int, seed: Long, maxIter: Int,
+      maxTrainVectors: Int, embCol: String): Array[Array[Double]] = {
     val candidates = corpus
       .select(normalizeVecUdf(col(embCol)).as("nv"))
       .where(col("nv").isNotNull)
@@ -263,10 +263,18 @@ object Similarity {
       buf.iterator
     }
     val train = spark.createDataFrame(sampled, candidates.schema)
-    val model = new KMeans()
+    new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("nv")
       .fit(train)
-    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+      .clusterCenters.map(_.toArray)
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L, maxIter: Int = 10,
+      maxTrainVectors: Int = 1000000,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val centers = trainQuantizer(corpus, nlist, seed, maxIter, maxTrainVectors, embCol)
 
     val cb = corpus.select(
       col(idCol).as("vec_id"), col(embCol).as("emb"),
@@ -279,6 +287,37 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), cosine(col("emb"), col("q_emb")).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the corpus with the IVF coarse quantizer, compare pairs WITHIN
+    * each cluster only, and drop the higher-id member of every pair above
+    * the cosine threshold — each semantic-duplicate group keeps its
+    * lowest-id representative. Returns the kept corpus.
+    *
+    * 100 TB shape: candidate generation is an equi-join on the cell id, so
+    * the pair space is Σ|cell|², not |corpus|² — size nlist so cells stay
+    * bounded (nlist ≈ corpus/50k keeps cells ~50k) exactly as the paper
+    * prescribes; the quantizer itself trains on the bounded reservoir
+    * sample. Deterministic end to end: seeded k-means, same assignment
+    * function for every row, lowest-id representative rule. */
+  def semanticDedup(
+      corpus: DataFrame, threshold: Double,
+      nlist: Int = 16, seed: Long = 42L, maxIter: Int = 10,
+      maxTrainVectors: Int = 1000000,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val centers = trainQuantizer(corpus, nlist, seed, maxIter, maxTrainVectors, embCol)
+    val cells = corpus.select(
+      col(idCol).as("vec_id"), col(embCol).as("emb"),
+      explode(nearestCellsUdf(centers, 1)(col(embCol))).as("cell"))
+    val dropped = cells.select(col("cell"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
+      .join(cells.select(col("cell"), col("vec_id").as("id_b"), col("emb").as("emb_b")),
+        Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Embedding-cosine near-dup: all pairs above a cosine threshold, found

@@ -310,6 +310,38 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** SemDeDup cluster-scoped semantic dedup on a planted corpus, FULLY
+    * oracled: every 5th vector plants a ×2 copy (+10M), every 10th also a
+    * ×4 copy (+20M) — a three-member semantic group whose LOWEST id must be
+    * the kept representative. Power-of-two scaling normalizes to the
+    * bit-identical unit vector, so a copy always shares its original's
+    * quantizer cell (the within-cluster comparison is guaranteed to see the
+    * pair), and raw cosine is 1 ± 1 ulp ≥ 0.95 while the strongest NATURAL
+    * pair sits at ≈ 0.60 (measured at sf0.01 and sf0.1) — the dropped set
+    * is therefore pure arithmetic DuckDB states exactly. */
+  val semanticDedup: Reg = Reg.sql(
+    "llm_semantic_dedup",
+    """WITH dropped AS (
+      |  SELECT vec_id + 10000000 AS vec_id, 'x2' AS band
+      |  FROM embeddings WHERE vec_id % 5 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 20000000, 'x4' FROM embeddings WHERE vec_id % 10 = 0)
+      |SELECT vec_id, band FROM dropped ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    def scaledCopies(mod: Int, offset: Long, pow2: Double) =
+      emb.where(col("vec_id") % mod === 0)
+        .select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"), x => (x * pow2).cast("float")).as("embedding"))
+    val corpus = emb
+      .unionByName(scaledCopies(5, 10000000L, 2.0))
+      .unionByName(scaledCopies(10, 20000000L, 4.0))
+    val kept = Similarity.semanticDedup(corpus, threshold = 0.95)
+    corpus.join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"),
+        when(col("vec_id") >= 20000000L, "x4").otherwise("x2").as("band"))
+      .orderBy("vec_id")
+  }
+
   /** Multimodal plumbing end to end on a synthetic binary corpus, FULLY
     * oracled: the corpus is pure arithmetic (asset i has len = 64 + i%192
     * bytes, modality = i%3, every asset ≥ 4 bytes so `valid` always holds
@@ -555,5 +587,5 @@ object LlmQueries {
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
-    sourceMix)
+    sourceMix, semanticDedup)
 }

@@ -149,4 +149,24 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     pairs should contain((7L, 9999L))
   }
+
+  test("semanticDedup: groups keep their lowest id; naturals survive") {
+    import org.apache.spark.sql.functions._
+    // Plant a 3-member group on vec_id 6 (x2 at +100, x4 at +200): only the
+    // original survives; every natural vector is far below the threshold.
+    val copies = embeddings.where(col("vec_id") === 6)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => (x * 2.0).cast("float")).as("embedding"))
+      .unionByName(embeddings.where(col("vec_id") === 6)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), x => (x * 4.0).cast("float")).as("embedding")))
+    val corpus = embeddings.select("vec_id", "embedding").unionByName(copies)
+    val kept = Similarity.semanticDedup(corpus, threshold = 0.95, nlist = 8)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    keptIds should contain(6L)
+    keptIds.contains(100006L) shouldBe false
+    keptIds.contains(200006L) shouldBe false
+    keptIds.size.toLong shouldBe corpus.count() - 2
+    kept.queryExecution.executedPlan.toString.contains("CartesianProduct") shouldBe false
+  }
 }
