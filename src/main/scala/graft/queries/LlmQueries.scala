@@ -342,6 +342,34 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  /** Boilerplate-prefix detection: documents sharing their first 10 tokens
+    * (news-wire headers, scraped templates) grouped and counted — the
+    * prefix-dup pass of a pretraining pipeline. FULLY oracled: the group
+    * key is the literal lowercased 10-token prefix (both engines state the
+    * same split/slice/join), with `TextAnalysis.prefixFingerprint` as the
+    * compact 64-bit join-key form for the at-scale variant (hash grouping
+    * is one shuffle on 8-byte keys instead of strings; the string form here
+    * keeps the oracle exact with no hash-collision caveat). */
+  val prefixDedup: Reg = Reg.sql(
+    "llm_prefix_dedup",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         array_to_string(string_split_regex(lower(text), '\s+')[1:10], ' ')
+      |           AS prefix
+      |  FROM documents)
+      |SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       MIN(doc_id) AS keeper
+      |FROM p GROUP BY prefix HAVING COUNT(*) >= 2
+      |ORDER BY prefix""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 10)).as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+      .where(col("n_docs") >= 2)
+      .orderBy("prefix")
+  }
+
   /** Multimodal plumbing end to end on a synthetic binary corpus, FULLY
     * oracled: the corpus is pure arithmetic (asset i has len = 64 + i%192
     * bytes, modality = i%3, every asset ≥ 4 bytes so `valid` always holds
@@ -587,5 +615,5 @@ object LlmQueries {
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
-    sourceMix, semanticDedup)
+    sourceMix, semanticDedup, prefixDedup)
 }
