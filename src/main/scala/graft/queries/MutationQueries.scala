@@ -64,6 +64,10 @@ object MutationQueries {
         lit(null).cast("string").as("global_detection_algorithm"),
         lit(null).cast("timestamp").as("global_detection_timestamp"),
         lit(null).cast("string").as("global_detection_version"))
+      // One shuffle keyed on the partition column aligns writers with
+      // directories: 1 file per day instead of (tasks x days) small files —
+      // the write-aligned layout the ingestion-date table uses at scale.
+      .repartition(col("day"))
       .write.partitionBy("day").parquet(work)
 
     // A9 over the day=3 detection window: per-key MAD on value (same math
@@ -122,6 +126,7 @@ object MutationQueries {
           col("l_partkey")).as("event_id"),
         (col("l_suppkey") % 8).as("day"),
         col("l_extendedprice").as("value"))
+      .repartition(col("day")) // writer-aligned: 1 file per day directory
       .write.partitionBy("day").parquet(work)
 
     val before = s.read.parquet(work).count()
