@@ -370,6 +370,80 @@ object LlmQueries {
       .orderBy("prefix")
   }
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * 8-token n-gram with the held-out eval set (every 50th doc stands in
+    * for the benchmark) — the standard pre-training hygiene pass (the
+    * GPT-3/PaLM papers decontaminate exactly this way: high-order n-gram
+    * collision against eval sets). FULLY oracled: both engines state the
+    * same lowercased token 8-grams and the same (train, eval, shared-gram)
+    * counting.
+    *
+    * 100 TB shape: the eval side is small by definition (benchmarks are
+    * KBs–MBs) — its gram set broadcasts; the train side explodes to grams
+    * once and the match is a broadcast hash join on the gram string, no
+    * shuffle of the corpus. */
+  val decontaminate: Reg = Reg.sql(
+    "llm_decontaminate",
+    """WITH base AS (SELECT doc_id, lower(text) AS lt FROM documents),
+      |snip AS (
+      |  SELECT doc_id AS snip_id,
+      |         array_to_string(string_split_regex(lt, '\s+')[1:8], ' ') AS snippet
+      |  FROM base WHERE doc_id % 50 = 0),
+      |aug AS (
+      |  SELECT b.doc_id,
+      |         CASE WHEN b.doc_id % 9 = 1 AND s.snippet IS NOT NULL
+      |              THEN b.lt || ' ' || s.snippet ELSE b.lt END AS lt
+      |  FROM base b LEFT JOIN snip s ON s.snip_id = (b.doc_id % 10) * 50),
+      |toks AS (SELECT doc_id, string_split_regex(lt, '\s+') AS ws FROM aug),
+      |grams AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(ws) >= 8 THEN
+      |      list_transform(range(1, len(ws) - 8 + 2),
+      |                     i -> array_to_string(ws[i:i+7], ' '))
+      |    ELSE [] END) AS gram
+      |  FROM toks),
+      |eval_g AS (
+      |  SELECT DISTINCT doc_id AS eval_id, gram FROM grams WHERE doc_id % 50 = 0),
+      |train_g AS (
+      |  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 50 <> 0)
+      |SELECT t.doc_id, e.eval_id,
+      |       CAST(COUNT(*) AS BIGINT) AS shared_8grams
+      |FROM train_g t JOIN eval_g e USING (gram)
+      |GROUP BY t.doc_id, e.eval_id
+      |ORDER BY t.doc_id, e.eval_id""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+    // Planted contamination: train docs with id % 9 = 1 absorb the first
+    // 8 tokens of one eval doc, so flagged (train, eval) pairs exist by
+    // construction at every SF — on top of any natural collisions. Both
+    // engines state the identical augmentation, so the pair list stays an
+    // exact oracle.
+    val snip = base.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("snip_id"),
+        concat_ws(" ", slice(split(col("lt"), "\\s+"), 1, 8)).as("snippet"))
+    val aug = base
+      .join(broadcast(snip), col("snip_id") === (col("doc_id") % 10) * 50, "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 9 === 1 && col("snippet").isNotNull,
+          concat(col("lt"), lit(" "), col("snippet")))
+          .otherwise(col("lt")).as("lt"))
+    val grams = aug
+      .select(col("doc_id"), split(col("lt"), "\\s+").as("ws"))
+      .select(col("doc_id"), explode(
+        when(size(col("ws")) >= 8,
+          transform(sequence(lit(1), size(col("ws")) - 8 + 1),
+            i => concat_ws(" ", slice(col("ws"), i, lit(8)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val evalG = broadcast(
+      grams.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("eval_id"), col("gram")).distinct())
+    grams.where(col("doc_id") % 50 =!= 0).distinct()
+      .join(evalG, "gram")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("shared_8grams"))
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** Multimodal plumbing end to end on a synthetic binary corpus, FULLY
     * oracled: the corpus is pure arithmetic (asset i has len = 64 + i%192
     * bytes, modality = i%3, every asset ≥ 4 bytes so `valid` always holds
@@ -615,5 +689,5 @@ object LlmQueries {
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
-    sourceMix, semanticDedup, prefixDedup)
+    sourceMix, semanticDedup, prefixDedup, decontaminate)
 }
