@@ -111,6 +111,13 @@ object Multimodal {
   def resizeAll(
       spark: SparkSession, assets: Dataset[Asset],
       targetW: Int, targetH: Int): Dataset[Asset] = {
+    // The stub's fake 6-bit header can only express multiples of 16 up to
+    // 1024 — out-of-range targets would silently decode to WRONG dimensions
+    // downstream, so fail loudly at the driver instead (a real decoder
+    // replacing the stub lifts this).
+    def valid(d: Int) = d >= 16 && d <= 1024 && d % 16 == 0
+    require(valid(targetW) && valid(targetH),
+      s"resizeAll stub supports multiples of 16 in [16, 1024]; got ${targetW}x$targetH")
     import spark.implicits._
     assets.mapPartitions(_.map { a =>
       if (a.modality == "image" || a.modality == "video")

@@ -244,7 +244,14 @@ object Similarity {
       .select(normalizeVecUdf(col(embCol)).as("nv"))
       .where(col("nv").isNotNull)
     val spark = corpus.sparkSession
-    val candRdd = candidates.rdd
+    // More input splits than the cap (the 100 TB shape): merge splits first
+    // — coalesce is shuffle-free — so the per-partition quota stays ≥ 1
+    // WITHOUT the quota floor silently raising the total above
+    // maxTrainVectors (quota × partitions ≤ maxTrainVectors always).
+    val raw = candidates.rdd
+    val candRdd =
+      if (raw.getNumPartitions > maxTrainVectors) raw.coalesce(maxTrainVectors)
+      else raw
     val quota = math.max(1, maxTrainVectors / math.max(1, candRdd.getNumPartitions))
     val sampled = candRdd.mapPartitionsWithIndex { (pi, it) =>
       // Algorithm R, seeded by (seed, partition) — deterministic for a
@@ -302,7 +309,11 @@ object Similarity {
     * prescribes; the quantizer itself trains on the bounded reservoir
     * sample. Deterministic end to end: seeded k-means, same assignment
     * function for every row, lowest-id representative rule. */
-  def semanticDedup(
+  /** The ids `semanticDedup` drops — the higher-id member of every
+    * within-cell pair at or above the threshold. Exposed separately so
+    * callers needing the drop list (audit trails, the oracle query) don't
+    * re-derive it by double-anti-joining the kept set. */
+  def semanticDuplicates(
       corpus: DataFrame, threshold: Double,
       nlist: Int = 16, seed: Long = 42L, maxIter: Int = 10,
       maxTrainVectors: Int = 1000000,
@@ -311,14 +322,23 @@ object Similarity {
     val cells = corpus.select(
       col(idCol).as("vec_id"), col(embCol).as("emb"),
       explode(nearestCellsUdf(centers, 1)(col(embCol))).as("cell"))
-    val dropped = cells.select(col("cell"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
+    cells.select(col("cell"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
       .join(cells.select(col("cell"), col("vec_id").as("id_b"), col("emb").as("emb_b")),
         Seq("cell"))
       .where(col("id_a") < col("id_b"))
       .where(cosine(col("emb_a"), col("emb_b")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
-    corpus.join(dropped, Seq(idCol), "left_anti")
   }
+
+  def semanticDedup(
+      corpus: DataFrame, threshold: Double,
+      nlist: Int = 16, seed: Long = 42L, maxIter: Int = 10,
+      maxTrainVectors: Int = 1000000,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    corpus.join(
+      semanticDuplicates(corpus, threshold, nlist, seed, maxIter, maxTrainVectors,
+        idCol, embCol),
+      Seq(idCol), "left_anti")
 
   /** Embedding-cosine near-dup: all pairs above a cosine threshold, found
     * through LSH buckets (id_a < id_b, no crossJoin). */

@@ -335,8 +335,7 @@ object LlmQueries {
     val corpus = emb
       .unionByName(scaledCopies(5, 10000000L, 2.0))
       .unionByName(scaledCopies(10, 20000000L, 4.0))
-    val kept = Similarity.semanticDedup(corpus, threshold = 0.95)
-    corpus.join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
+    Similarity.semanticDuplicates(corpus, threshold = 0.95)
       .select(col("vec_id"),
         when(col("vec_id") >= 20000000L, "x4").otherwise("x2").as("band"))
       .orderBy("vec_id")

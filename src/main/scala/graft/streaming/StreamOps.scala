@@ -85,10 +85,13 @@ object StreamOps {
   /** Stream-stream interval join: attach each measurement to the relocation
     * /quality alerts its AP raised in the preceding `horizon` — the
     * "should this fix be trusted?" enrichment, computed stream-side instead
-    * of via a driver lookup. Both sides are watermarked and the join
-    * condition bounds alert_time to [scan_time − horizon, scan_time], so
-    * Spark can evict join state as the watermarks advance (an unbounded
-    * stream-stream join buffers both streams forever).
+    * of via a driver lookup. LEFT OUTER: an alert-free measurement is the
+    * common case and must still flow through (with null alert columns) —
+    * an inner join would make "no alert" indistinguishable from "no data"
+    * for the downstream trust gate. Both sides are watermarked and the
+    * join condition bounds alert_time to [scan_time − horizon, scan_time],
+    * so Spark can evict join state as the watermarks advance (unmatched
+    * rows emit once the watermark proves no alert can still arrive).
     * Inputs: measurements (bssid, event_time, …), alerts (bssid,
     * alert_time, …). */
   def joinAlertsToScans(
@@ -102,7 +105,8 @@ object StreamOps {
     m.join(a,
       col("bssid") === col("alert_bssid") &&
         col("alert_time") <= col("event_time") &&
-        col("alert_time") >= col("event_time") - expr(s"INTERVAL $horizon"))
+        col("alert_time") >= col("event_time") - expr(s"INTERVAL $horizon"),
+      "left_outer")
       .drop("alert_bssid")
   }
 

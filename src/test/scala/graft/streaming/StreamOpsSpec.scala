@@ -104,7 +104,9 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkSuite {
       .outputMode("append").start()
     try {
       // ap1 alerted 30 min before its scan (inside horizon); ap2's alert is
-      // 2 hours stale (outside); ap3 scans with no alert at all.
+      // 2 hours stale (outside); ap3 scans with no alert at all. LEFT
+      // OUTER: ap2/ap3 must still flow through with a null alert once the
+      // watermark proves no matching alert can arrive.
       alerts.addData(("ap1", "relocation", T0 - 30 * 60000),
         ("ap2", "relocation", T0 - 2 * 3600 * 1000))
       scans.addData(("ap1", -60.0, T0), ("ap2", -50.0, T0), ("ap3", -40.0, T0))
@@ -113,7 +115,8 @@ class StreamOpsSpec extends AnyFunSuite with Matchers with SparkSuite {
       q.processAllAvailable()
       val rows = spark.table("scan_alerts").collect()
         .map(r => (r.getAs[String]("bssid"), r.getAs[String]("kind")))
-      rows.toSet shouldBe Set(("ap1", "relocation"))
+      rows.toSet shouldBe Set(
+        ("ap1", "relocation"), ("ap2", null), ("ap3", null))
     } finally q.stop()
   }
 
