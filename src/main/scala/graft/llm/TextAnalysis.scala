@@ -64,7 +64,10 @@ object TextAnalysis {
     * integer counts, restated literally by the llm_repetition oracle. */
   def repetitionStats(text: Column): Column = repetitionUdf(text)
 
-  private val repetitionUdf = udf { (text: String) =>
+  private val repetitionUdf = udf { (text: String) => repetitionMetrics(text) }
+
+  /** Pure form of the metric computation (property-tested in PropertySpec). */
+  private[graft] def repetitionMetrics(text: String): Option[(Double, Double, Double)] = {
     if (text == null) None
     else {
       val words = text.split(" ", -1)

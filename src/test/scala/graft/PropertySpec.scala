@@ -71,6 +71,27 @@ object PropertySpec extends Properties("graft") {
         out.forall(v => v >= series.min - 1e-9 && v <= series.max + 1e-9)
     }
 
+  property("repetition metrics bounded; all-distinct and all-same extremes exact") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.take(40))) { ws =>
+      (ws.size >= 2) ==> {
+        val text = ws.mkString(" ")
+        val Some((dw, dg, tg)) = graft.llm.TextAnalysis.repetitionMetrics(text)
+        // tg can exceed 1.0 on degenerate repeats (overlapping gram
+        // occurrences) — that is the real Gopher metric's behavior too;
+        // larger only ever means "worse", which is all the filter needs.
+        val bounded = dw >= 0.0 && dw < 1.0 && dg >= 0.0 && dg < 1.0 && tg > 0.0
+        val distinctExact =
+          if (ws.distinct.size == ws.size) dw == 0.0 else true
+        val allSameExact =
+          if (ws.distinct.size == 1) {
+            val gramChars = 2 * ws.head.length + 1
+            dw == 1.0 - 1.0 / ws.size && dg == 1.0 - 1.0 / (ws.size - 1) &&
+            tg == (ws.size - 1).toDouble * gramChars.toDouble / text.length.toDouble
+          } else true
+        bounded && distinctExact && allSameExact
+      }
+    }
+
   property("CUSUM never fires on a constant series") =
     forAll(Gen.choose(-100.0, 100.0), Gen.choose(2, 60)) { (level, n) =>
       StateRefinement.cusumChangePoints(
