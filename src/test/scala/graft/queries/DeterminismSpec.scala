@@ -23,7 +23,9 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkSuite {
     ServeQueries.rssiRatio,        // pair enumeration + float sums per request
     LlmQueries.repetitionFilter,   // UDF hash-map counting + top-gram tie-break
     LlmQueries.sourceMix,          // global-window denominators over an agg frame
-    ServeQueries.trilaterationSweep // LAPACK LSQ solve per scenario in a map
+    ServeQueries.trilaterationSweep, // LAPACK LSQ solve per scenario in a map
+    LlmQueries.semanticDedup,      // seeded k-means quantizer + cell pair join
+    LlmQueries.decontaminate       // gram explode + broadcast join + counts
   )
 
   risky.foreach { q =>
