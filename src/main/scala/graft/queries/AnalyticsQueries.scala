@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.AsofJoin
+
+/** Round-5 analytics extensions: the temporal/sketch/grouping-set operator
+  * families a warehouse-grade engine needs beyond the reference's literal
+  * surface, each DuckDB-oracled.
+  *
+  *  - J6 as-of join — the reference's "latest prior AP-state for this
+  *    request" lookup (`wifi-positioning-service` repository get per
+  *    request) as a set-oriented batch operator; DuckDB's native ASOF JOIN
+  *    is the oracle.
+  *  - O9 sessionization — `session_window` in BATCH mode, the exact operator
+  *    `StreamOps.sessionizedDeviceActivity` runs on the stream, oracled via
+  *    the gaps-and-islands SQL encoding.
+  *  - A14 percentile bands — exact interpolated percentiles
+  *    (`percentile(..., array(...))`, one pass, partial-aggregatable) vs
+  *    DuckDB `quantile_cont`.
+  *  - A15 CUBE — full grouping-set lattice (A12 ROLLUP / A13 PIVOT complete
+  *    the family), `grouping()` disambiguating rolled-up levels from data
+  *    nulls.
+  *  - O10 HLL sketch — `approx_count_distinct` (HyperLogLog++, mergeable,
+  *    one shuffle of fixed-size sketches instead of a distinct-key shuffle:
+  *    THE count-distinct shape at 100 TB) under a bounded-property oracle:
+  *    the sketch must land within 5% of the exact count, which DuckDB
+  *    states as a constant-true gate next to the exact count it verifies.
+  */
+object AnalyticsQueries {
+
+  /** J6 — as-of join: each purchase event matched to the user's most recent
+    * prior (inclusive) view event. One Exchange on user_id, no pair
+    * expansion (see AsofJoin scaladoc). Millisecond epochs are emitted
+    * instead of raw timestamps (Spark truncates parquet ns to µs, DuckDB
+    * keeps ns; ms floors compose identically from either). */
+  val j6AsofJoin: Reg = Reg.sql(
+    "j6_asof_join",
+    """SELECT p.event_id, p.user_id, p.value AS purchase_value,
+      |       v.event_id AS view_event_id, v.value AS view_value,
+      |       epoch_ms(p.ts) - epoch_ms(v.ts) AS ms_since_view
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val views = ev.where(col("event_type") === "view")
+      .select("event_id", "user_id", "ts", "value")
+    AsofJoin.joinAsof(
+      purchases, views,
+      on = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      rightCols = Seq("event_id", "value"), rightPrefix = "view_")
+      .select(
+        col("event_id"), col("user_id"),
+        col("value").as("purchase_value"),
+        col("view_event_id"),
+        col("view_value"),
+        (unix_millis(col("ts")) - unix_millis(col("view_ts"))).as("ms_since_view"))
+      .orderBy("event_id")
+  }
+
+  /** O9 — batch sessionization with the streaming operator: sessions close
+    * after 6 h of per-user silence (median inter-event gap in the testdata
+    * is ~7.3 h, so the gap genuinely splits). Spark opens a new session when
+    * `t - last >= gap` (an event joins only while `t < last + gap`); the
+    * oracle's gaps-and-islands break uses the same `>=`. */
+  val o9Sessionize: Reg = Reg.sql(
+    "o9_sessionize",
+    """WITH x AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN LAG(ts) OVER w IS NULL
+      |              OR ts - LAG(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |y AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM x)
+      |SELECT user_id,
+      |       epoch_ms(MIN(ts)) AS session_start_ms,
+      |       epoch_ms(MAX(ts)) + 21600000 AS session_end_ms,
+      |       COUNT(*) AS n_events,
+      |       FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |             / COUNT(*) * 10000) / 10000 AS mean_value
+      |FROM y GROUP BY user_id, sess
+      |ORDER BY user_id, session_start_ms""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        // Session mean, boundary-proof across engines: the DECIMAL sum is
+        // exact (order-independent), the single IEEE division is then
+        // bit-identical in Spark and DuckDB, and FLOOR (unlike ROUND) has
+        // no half-grid tie for shortest-repr printing to flip — a plain
+        // ROUND(AVG(value),4) flaked by one ulp at sf0.1.
+        (floor(sum(col("value").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)) * 1e4) / 1e4).as("mean_value"))
+      .select(
+        col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"), col("mean_value"))
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  /** A14 — grouped exact percentile bands. `percentile` is the exact
+    * interpolated form (position (n−1)·p, linear between ranks — the same
+    * definition as DuckDB `quantile_cont`), computed in ONE pass over the
+    * group as a partial-aggregatable sketch of value counts. Rounded to
+    * cents: both engines interpolate in doubles on ~1e5-scale values, so
+    * agreement holds to ~1e-6 — far below the grid. */
+  val a14PercentileBands: Reg = Reg.sql(
+    "a14_percentile_bands",
+    """SELECT l_returnflag,
+      |       ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+      |       ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+      |       ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+      |       ROUND(quantile_cont(l_extendedprice, 0.90), 2) AS p90,
+      |       ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+      |       COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))").as("__p"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("__p"), 1), 2).as("p25"),
+        round(element_at(col("__p"), 2), 2).as("p50"),
+        round(element_at(col("__p"), 3), 2).as("p75"),
+        round(element_at(col("__p"), 4), 2).as("p90"),
+        round(element_at(col("__p"), 5), 2).as("p99"),
+        col("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A15 — CUBE over (returnflag, linestatus): all four grouping sets in one
+    * pass (Spark expands the lattice map-side; still one shuffle).
+    * `grouping()` tags rolled-up levels — never trust null-vs-'ALL'
+    * coalescing, which conflates data nulls with subtotals. */
+  val a15Cube: Reg = Reg.sql(
+    "a15_cube",
+    """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS return_flag,
+      |       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS line_status,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY return_flag, line_status""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).as("__g1"),
+        grouping(col("l_linestatus")).as("__g2"),
+        count(lit(1)).as("cnt"),
+        sum("l_quantity").cast("double").as("sum_qty"))
+      .select(
+        when(col("__g1") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("return_flag"),
+        when(col("__g2") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("line_status"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("return_flag", "line_status")
+  }
+
+  /** O10 — HyperLogLog++ count-distinct sketch under a bounded-property
+    * oracle. At 100 TB `COUNT(DISTINCT key)` shuffles every distinct key;
+    * the sketch shuffles a fixed ~kB register set per group and merges —
+    * this query pins that the rsd=2% sketch stays within 5% of truth (the
+    * exact count rides along for the hash gate; both engines compute it). */
+  val o10ApproxDistinct: Reg = Reg.sql(
+    "o10_approx_distinct",
+    """SELECT l_returnflag,
+      |       COUNT(DISTINCT l_partkey) AS exact_parts,
+      |       TRUE AS hll_within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("__approx"))
+      .select(
+        col("l_returnflag"), col("exact_parts"),
+        (abs(col("__approx").cast("double") / col("exact_parts") - 1.0) <= 0.05)
+          .as("hll_within_5pct"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Reg] = Seq(
+    j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct)
+}

@@ -25,7 +25,9 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkSuite {
     LlmQueries.sourceMix,          // global-window denominators over an agg frame
     ServeQueries.trilaterationSweep, // LAPACK LSQ solve per scenario in a map
     LlmQueries.semanticDedup,      // seeded k-means quantizer + cell pair join
-    LlmQueries.decontaminate       // gram explode + broadcast join + counts
+    LlmQueries.decontaminate,      // gram explode + broadcast join + counts
+    AnalyticsQueries.j6AsofJoin,   // running-last window under equal-time ties
+    AnalyticsQueries.o9Sessionize  // session merge + float avg over shuffled input
   )
 
   risky.foreach { q =>

@@ -110,6 +110,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     }
   }
 
+  test("j6: the as-of join is one key shuffle — no pair expansion, no nested loop") {
+    val p = plan(AnalyticsQueries.j6AsofJoin)
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // one hashpartitioning Exchange for the union window; the final ORDER BY
+    // adds a rangepartitioning one
+    "hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("a14/o10: percentile and HLL sketches partial-aggregate before the shuffle") {
+    Seq(AnalyticsQueries.a14PercentileBands, AnalyticsQueries.o10ApproxDistinct).foreach { q =>
+      val p = plan(q)
+      // partial + final HashAggregate pair = map-side combine of the sketch
+      withClue(q.name)("HashAggregate|SortAggregate|ObjectHashAggregate".r.findAllIn(p).size should be >= 2)
+    }
+  }
+
   test("no query plan contains a CartesianProduct or driver collect") {
     SparkEntryPlans.all.foreach { case (name, p) =>
       withClue(name)(p should not include "CartesianProduct")
@@ -118,6 +135,6 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
 
   private object SparkEntryPlans {
     lazy val all: Seq[(String, String)] =
-      (CoreQueries.all ++ LlmQueries.all).map(r => r.name -> plan(r))
+      (CoreQueries.all ++ LlmQueries.all ++ AnalyticsQueries.all).map(r => r.name -> plan(r))
   }
 }
