@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, RangeJoin}
 
 /** Round-5 analytics extensions: the temporal/sketch/grouping-set operator
   * families a warehouse-grade engine needs beyond the reference's literal
@@ -187,6 +187,72 @@ object AnalyticsQueries {
       .orderBy("l_returnflag")
   }
 
+  /** J7 — range (band) join: every customer balance matched to each
+    * nation's supplier-balance envelope [min, max]. Spark would plan the raw
+    * BETWEEN join as a BroadcastNestedLoopJoin; `RangeJoin.bucketed` turns
+    * it into an equi-join on a domain bucket + residual filter (see its
+    * scaladoc). Band bounds are exact data values (min/max of parquet
+    * doubles), so membership cannot straddle an engine-specific ulp. */
+  val j7BandJoin: Reg = Reg.sql(
+    "j7_band_join",
+    """WITH bands AS (
+      |  SELECT n_name, MIN(s_acctbal) AS lo, MAX(s_acctbal) AS hi
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT b.n_name, COUNT(*) AS n_customers,
+      |       ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal
+      |FROM bands b JOIN customer c ON c.c_acctbal BETWEEN b.lo AND b.hi
+      |GROUP BY b.n_name ORDER BY b.n_name""".stripMargin) { (s, dir) =>
+    val bands = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(min("s_acctbal").as("lo"), max("s_acctbal").as("hi"))
+    RangeJoin.bucketed(
+      Tables.customer(s, dir).select("c_custkey", "c_acctbal"),
+      "c_acctbal", bands, "lo", "hi", bucketWidth = 500.0)
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"))
+      .orderBy("n_name")
+  }
+
+  /** O11 — Count-Min sketch heavy hitters under the sketch's own guarantee.
+    * At 100 TB, exact per-key counts of a hot column shuffle every key; the
+    * CMS is a fixed-size 2-D counter array that partial-aggregates
+    * map-side and merges associatively — constant shuffle bytes per
+    * partition. The oracle is bounded-property: CMS never undercounts
+    * (est ≥ exact, structural) and overshoots by at most ε·N with the
+    * pinned seed (deterministic on fixed data — verified at sf0.01 and
+    * sf0.1). Exact top-10 counts ride along for the hash gate. */
+  val o11HeavyHitters: Reg = Reg.sql(
+    "o11_heavy_hitters",
+    """SELECT l_suppkey, COUNT(*) AS exact_cnt, TRUE AS cms_within_eps
+      |FROM lineitem GROUP BY l_suppkey
+      |ORDER BY exact_cnt DESC, l_suppkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val keys = Tables.lineitem(s, dir).select("l_suppkey")
+    val sketch = keys.agg(
+      count_min_sketch(col("l_suppkey"), lit(0.001d), lit(0.99d), lit(42)).as("__cms"),
+      count(lit(1)).as("__n"))
+    val estimate = udf { (bytes: Array[Byte], key: Long) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .estimateCount(key)
+    }
+    keys.groupBy("l_suppkey").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), col("l_suppkey")).limit(10)
+      .crossJoin(sketch) // 1-row sketch frame: broadcast by construction
+      .withColumn("__est", estimate(col("__cms"), col("l_suppkey")))
+      .select(
+        col("l_suppkey"), col("exact_cnt"),
+        (col("__est") >= col("exact_cnt") &&
+          col("__est") <= col("exact_cnt") + ceil(col("__n") * 0.001d))
+          .as("cms_within_eps"))
+      .orderBy(desc("exact_cnt"), col("l_suppkey"))
+  }
+
   val all: Seq[Reg] = Seq(
-    j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct)
+    j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
+    j7BandJoin, o11HeavyHitters)
 }

@@ -119,6 +119,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     "hashpartitioning".r.findAllIn(p).size shouldBe 1
   }
 
+  test("j7: the band join is an equi-join on domain buckets, never a nested loop") {
+    val p = plan(AnalyticsQueries.j7BandJoin)
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("a14/o10: percentile and HLL sketches partial-aggregate before the shuffle") {
     Seq(AnalyticsQueries.a14PercentileBands, AnalyticsQueries.o10ApproxDistinct).foreach { q =>
       val p = plan(q)
