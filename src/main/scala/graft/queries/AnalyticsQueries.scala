@@ -1,9 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsofJoin, RangeJoin}
+import graft.operators.{AsofJoin, RangeJoin, SkewSalt}
 
 /** Round-5 analytics extensions: the temporal/sketch/grouping-set operator
   * families a warehouse-grade engine needs beyond the reference's literal
@@ -252,7 +253,56 @@ object AnalyticsQueries {
       .orderBy(desc("exact_cnt"), col("l_suppkey"))
   }
 
+  /** J8 — salted fact⋈fact join: lineitem⋈orders through `SkewSalt`
+    * (deterministic salt on the probe side, `salts`× replication of the
+    * build side) — row-identical to the plain equi-join, which is exactly
+    * what the oracle states. The technique for the hot key that AQE's
+    * skew split can't save once a single key exceeds task memory. */
+  val j8SaltedJoin: Reg = Reg.sql(
+    "j8_salted_join",
+    """SELECT o.o_orderstatus, COUNT(*) AS cnt,
+      |       CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin) { (s, dir) =>
+    val fact = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    SkewSalt.saltedJoin(fact, orders, Seq("l_orderkey"), salts = 8)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum("l_quantity").cast("double").as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** O12 — sliding time-range window: per-user trailing-hour sum/count at
+    * every event (RANGE frame over time, vs O7's ROWS running total). Both
+    * engines order and frame over the SAME floored epoch-ms longs — framing
+    * over raw timestamps would let Spark's µs vs DuckDB's ns resolution
+    * flip boundary membership. The windowed sum goes through DECIMAL
+    * (exact, order-independent within the frame). */
+  val o12TimeRangeWindow: Reg = Reg.sql(
+    "o12_time_range_window",
+    """SELECT event_id, user_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hour_sum,
+      |       COUNT(*) OVER w AS hour_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("__ms"))
+      .rangeBetween(-3600000L, 0L)
+    Tables.events(s, dir)
+      .withColumn("__ms", unix_millis(col("ts")))
+      .select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("hour_sum"),
+        count(lit(1)).over(w).as("hour_n"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Reg] = Seq(
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
-    j7BandJoin, o11HeavyHitters)
+    j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow)
 }

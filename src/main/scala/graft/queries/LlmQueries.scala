@@ -684,9 +684,37 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** Deterministic train/val/test split by CONTENT hash — the leakage-safe
+    * split a training pipeline needs at 100 TB. Hashing the text (not the
+    * id, not a RNG) gives three properties a seeded `randomSplit` lacks:
+    * byte-identical duplicates land in the SAME split (no train→eval
+    * leakage through dupes), assignment is reproducible across runs /
+    * cluster sizes / partition layouts, and late-arriving re-crawls of a
+    * document keep its split. Pure per-row expression: no shuffle, no
+    * state, fuses into the scan. First md5 hex nibble: 0–b train (12/16),
+    * c–d val (2/16), e–f test (2/16). */
+  val splitAssign: Reg = Reg.sql(
+    "llm_split_assign",
+    """SELECT doc_id,
+      |       CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+      |            WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val nibble = substring(md5(col("text")), 1, 1)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        when(nibble <= "b", "train")
+          .when(nibble <= "d", "val")
+          .otherwise("test").as("split"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Reg] = Seq(
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
-    sourceMix, semanticDedup, prefixDedup, decontaminate)
+    sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign)
 }

@@ -27,7 +27,9 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkSuite {
     LlmQueries.semanticDedup,      // seeded k-means quantizer + cell pair join
     LlmQueries.decontaminate,      // gram explode + broadcast join + counts
     AnalyticsQueries.j6AsofJoin,   // running-last window under equal-time ties
-    AnalyticsQueries.o9Sessionize  // session merge + float avg over shuffled input
+    AnalyticsQueries.o9Sessionize, // session merge + float avg over shuffled input
+    AnalyticsQueries.j8SaltedJoin, // hash-salt spread must not wobble the join
+    AnalyticsQueries.o12TimeRangeWindow // range-frame peers under ms ties
   )
 
   risky.foreach { q =>
