@@ -125,5 +125,49 @@ object IngestQueries {
       .orderBy("window_start_ms", "bssid")
   }
 
-  val all: Seq[Reg] = Seq(ingestChain, windowedStats)
+  /** S10 — a REAL streaming execution under the oracle gate (s9 runs the
+    * streaming operator in batch mode; this one runs readStream →
+    * writeStream with the state store): the corpus is written twice into a
+    * scratch source dir (at-least-once delivery replaying every event), a
+    * file-source stream dedups on event_id with
+    * `dropDuplicatesWithinWatermark`, and Trigger.AvailableNow drains it to
+    * a parquet sink. Deduped(doubled corpus) == original corpus, so DuckDB
+    * states the per-type aggregate straight from `events`. The watermark
+    * delay exceeds the corpus's 30-day event-time span so no row can go
+    * late regardless of how AvailableNow batches the files — the result is
+    * batching-invariant (in production the delay bounds state; here it
+    * pins determinism). */
+  val streamDedup: Reg = Reg.sql(
+    "s10_stream_dedup",
+    """SELECT event_type, COUNT(*) AS cnt,
+      |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val src = work + "/in"
+    val ev = Tables.events(s, dir)
+    ev.write.parquet(src)
+    ev.write.mode("append").parquet(src)
+
+    val schema = s.read.parquet(src).schema
+    val deduped = s.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "40 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .format("parquet")
+      .option("path", work + "/out")
+      .option("checkpointLocation", work + "/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    s.read.parquet(work + "/out")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Reg] = Seq(ingestChain, windowedStats, streamDedup)
 }

@@ -712,9 +712,52 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Near-dup pairs → dedup CLUSTERS: LSH emits pairs (a~b, b~c), but the
+    * keep/drop decision needs the transitive component {a,b,c} with one
+    * canonical representative — `ConnectedComponents` (distributed min-label
+    * propagation, see its scaladoc) closes that gap. Runs on the SAME
+    * planted corpus as `llm_minhash_neardup` (whose oracle proves the pair
+    * list is exact), and the DuckDB oracle computes components from that
+    * pair list with a recursive CTE — the clustering itself is verified,
+    * not just restated. doc_id%21 plants a triangle (base + near + exact
+    * copy all pairwise-similar) so multi-hop merging is actually exercised. */
+  val dupClusters: Reg = Reg.sql(
+    "llm_dup_clusters",
+    """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+      |pairs AS (
+      |  SELECT doc_id AS id_a, doc_id + 10000000 AS id_b FROM ids WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 20000000 FROM ids WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id + 20000000 FROM ids WHERE doc_id % 21 = 0),
+      |undirected AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(n, m) AS (
+      |  SELECT a, b FROM undirected
+      |  UNION
+      |  SELECT r.n, u.b FROM reach r JOIN undirected u ON r.m = u.a),
+      |comp AS (
+      |  SELECT n AS node, LEAST(n, MIN(m)) AS comp FROM reach GROUP BY n)
+      |SELECT comp AS cluster_rep, COUNT(*) AS cluster_size
+      |FROM comp GROUP BY comp ORDER BY cluster_rep""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir).select(col("doc_id"), plantedWords.as("text"))
+    val near = base.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), format_string(" x%d", col("doc_id"))).as("text"))
+    val exact = base.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val corpus = base.unionByName(near).unionByName(exact)
+    val pairs = MinHash.nearDuplicates(corpus, "doc_id", "text")
+    graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+      .groupBy(col("comp").as("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy("cluster_rep")
+  }
+
   val all: Seq[Reg] = Seq(
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
-    sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign)
+    sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
+    dupClusters)
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuite
+
+class ConnectedComponentsSpec extends AnyFunSuite with Matchers with SparkSuite {
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.run(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("separate components get separate min-id representatives") {
+    cc(Seq((1L, 2L), (2L, 3L), (10L, 11L))) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+  }
+
+  test("a long chain converges to one component (diameter rounds)") {
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    val got = cc(chain)
+    got.values.toSet shouldBe Set(1L)
+    got.keySet shouldBe (1L to 20L).toSet
+  }
+
+  test("a triangle plus pendant collapses to the smallest id") {
+    cc(Seq((5L, 7L), (7L, 9L), (9L, 5L), (9L, 2L))) shouldBe
+      Map(2L -> 2L, 5L -> 2L, 7L -> 2L, 9L -> 2L)
+  }
+
+  test("duplicate and reversed edges do not change the result") {
+    cc(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L))) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+  }
+
+  test("re-execution is deterministic") {
+    import spark.implicits._
+    val edges = (1L to 50L).flatMap(i => Seq((i, i % 10 + 100L)))
+    def run() = ConnectedComponents
+      .run(edges.toDF("a", "b").repartition(7), "a", "b")
+      .orderBy("node").collect().map(_.toString)
+    run() shouldBe run()
+  }
+
+  test("exceeding the iteration cap fails loudly, not silently wrong") {
+    import spark.implicits._
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      ConnectedComponents.run(chain, "a", "b", maxIterations = 2)
+    }
+    ex.getMessage should include("did not converge")
+  }
+}
