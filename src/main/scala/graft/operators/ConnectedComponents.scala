@@ -43,6 +43,14 @@ object ConnectedComponents {
       .withColumn("comp", col("node"))
       .localCheckpoint()
 
+    // Convergence probe: labels only ever DECREASE, so the label sum is
+    // strictly monotone until the fixpoint — comparing one aggregate per
+    // round replaces a join-and-count (half the actions per round). Summed
+    // in DECIMAL: overflow-free at any node-id scale.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+
+    var prevSum = labelSum(labels)
     var iteration = 0
     var converged = false
     while (!converged && iteration < maxIterations) {
@@ -56,12 +64,10 @@ object ConnectedComponents {
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), "node")
-        .where(col("n.comp") =!= col("o.comp"))
-        .count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0L
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iteration += 1
     }
     require(converged,
