@@ -302,7 +302,62 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** F3 — semi-structured shredding through Spark 4's VARIANT type: parse
+    * the JSON ONCE into the binary variant encoding, then typed
+    * `variant_get` extractions — the modern engine path for schemaless
+    * columns (vs F2's per-path string re-parse with get_json_object, which
+    * re-tokenizes the document for every path at 100 TB). */
+  val f3VariantShred: Reg = Reg.sql(
+    "f3_variant_shred",
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS k_band,
+      |       COUNT(*) AS cnt,
+      |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+      |FROM events GROUP BY k_band ORDER BY k_band""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(
+        (expr("variant_get(parse_json(props), '$.k', 'bigint')") % 5).as("k_band"),
+        col("value"))
+      .groupBy("k_band")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
+      .orderBy("k_band")
+  }
+
+  /** O13 — UNPIVOT, the reshape inverse of A13's pivot: wide per-group
+    * metrics melt into (group, metric, value) rows. Narrow op — one
+    * Generate per row, no shuffle beyond the source aggregation. */
+  val o13Unpivot: Reg = Reg.sql(
+    "o13_unpivot",
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |         CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+      |         CAST(COUNT(*) AS DOUBLE) AS cnt,
+      |         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag, 'cnt' AS metric, cnt AS value FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_qty', sum_qty FROM wide)
+      |ORDER BY l_returnflag, metric""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum("l_quantity").cast("double").as("sum_qty"),
+        count(lit(1)).cast("double").as("cnt"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_price"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("cnt"), col("sum_price"), col("sum_qty")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
   val all: Seq[Reg] = Seq(
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
-    j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow)
+    j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
+    f3VariantShred, o13Unpivot)
 }
