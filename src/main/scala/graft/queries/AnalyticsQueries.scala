@@ -356,8 +356,93 @@ object AnalyticsQueries {
       .orderBy("l_returnflag", "metric")
   }
 
+  /** Q5 — the classic six-table star DAG (TPC-H Q5 shape): fact joins a
+    * cascade of dimensions with a same-nation correlation between two of
+    * them. Every dimension is an explicit broadcast — the fact table never
+    * shuffles for any lookup; the only exchange is the final group-by.
+    * This is the plan shape every "revenue by geography" question takes at
+    * 100 TB, and the one that degrades worst if a dimension silently falls
+    * back to SortMergeJoin. */
+  val q5RegionVolume: Reg = Reg.sql(
+    "q5_region_volume",
+    """SELECT n.n_name,
+      |       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+      |            AS DOUBLE) AS revenue,
+      |       COUNT(*) AS cnt
+      |FROM lineitem l
+      |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      |JOIN region r   ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name IN ('ASIA', 'EUROPE')
+      |  AND c.c_nationkey = s.s_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+    // orders is FACT-sized (scales with lineitem): lineitem⋈orders is the
+    // one join here that must shuffle on the key — broadcasting it would be
+    // the 100 TB driver-OOM. The true dimensions broadcast explicitly.
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name").isin("ASIA", "EUROPE") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      // all arithmetic in DECIMAL (prices/discounts are 2dp-exact), rounded
+      // in DECIMAL, cast to double LAST: rounding a double scale-4 sum
+      // flakes on half-grid ties between engines
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy("n_name")
+  }
+
+  /** Q9 — product-line profit (TPC-H Q9 shape, p_retailprice standing in
+    * for the missing partsupp cost): a LIKE-filtered part dimension gates
+    * the fact early (the filter broadcasts WITH the dimension, pruning
+    * lineitem rows before any other join), then nation/orders slice the
+    * profit by geography and year. */
+  val q9ProductProfit: Reg = Reg.sql(
+    "q9_product_profit",
+    """SELECT n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+      |       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+      |                      - CAST(p.p_retailprice AS DECIMAL(18,2))
+      |                        * CAST(l.l_quantity AS DECIMAL(18,2)) * 0.1), 2)
+      |            AS DOUBLE) AS profit
+      |FROM lineitem l
+      |JOIN part p     ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      |WHERE p.p_name LIKE '%red%'
+      |GROUP BY n.n_name, o_year
+      |ORDER BY n.n_name, o_year""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).where(col("p_name").like("%red%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      // fact-sized orders: shuffle join on the key, never broadcast
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))
+          - col("p_retailprice").cast("decimal(18,2)")
+            * col("l_quantity").cast("decimal(18,2)")
+            * lit(new java.math.BigDecimal("0.1"))), 2)
+          .cast("double").as("profit"))
+      .orderBy("n_name", "o_year")
+  }
+
   val all: Seq[Reg] = Seq(
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
-    f3VariantShred, o13Unpivot)
+    f3VariantShred, o13Unpivot, q5RegionVolume, q9ProductProfit)
 }

@@ -119,6 +119,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     "hashpartitioning".r.findAllIn(p).size shouldBe 1
   }
 
+  test("q5/q9: every dimension broadcasts; only the fact-fact orders join may shuffle") {
+    Seq(AnalyticsQueries.q5RegionVolume, AnalyticsQueries.q9ProductProfit).foreach { q =>
+      val p = plan(q)
+      withClue(q.name) {
+        // the dimension cascade (customer/supplier/nation/region/part)
+        "BroadcastHashJoin".r.findAllIn(p).size should be >= 3
+        // at most the lineitem⋈orders key join shuffles both sides
+        "SortMergeJoin".r.findAllIn(p).size should be <= 1
+        p should not include "CartesianProduct"
+      }
+    }
+  }
+
   test("j7: the band join is an equi-join on domain buckets, never a nested loop") {
     val p = plan(AnalyticsQueries.j7BandJoin)
     p should not include "BroadcastNestedLoopJoin"
