@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter join pruning — the explicit form of the runtime filter
+  * every warehouse engine applies to selective fact⋈dim joins at scale:
+  * when the dimension side is small-after-filtering but the fact side is
+  * 100 TB, shuffling fact rows that can never match is pure waste. A Bloom
+  * filter of the dimension keys (a few MB for millions of keys at 1% fpp)
+  * rides to every fact task and discards non-matching rows AT THE SCAN,
+  * before the shuffle.
+  *
+  * Correctness: a Bloom filter has NO false negatives, so pruning never
+  * drops a matching row; false positives only let some non-matching rows
+  * through to the real join, which removes them — the result is exactly the
+  * plain join's (the registered query's oracle states precisely that).
+  * Spark's AQE injects this automatically in some shapes
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`); the explicit
+  * operator covers the shapes AQE misses and makes the prune visible and
+  * testable.
+  *
+  * The filter is built with DataFrameStatFunctions.bloomFilter — a
+  * distributed aggregation whose driver-side result is dimension-bounded
+  * (like any broadcast), never fact-sized.
+  */
+object BloomPrune {
+
+  /** Prune `fact` to rows whose `factKey` might appear in `dim`'s
+    * `dimKey` column, then (optionally) the caller completes the exact
+    * join. `expectedKeys` sizes the filter; `fpp` trades filter bytes for
+    * pass-through rate. */
+  def prunedSemiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      expectedKeys: Long,
+      fpp: Double = 0.01): DataFrame = {
+    // An empty dimension yields no sketch to merge (stat.bloomFilter NPEs);
+    // the prune is then the semi-join itself: nothing matches. The isEmpty
+    // probe is one action on the dimension side — dimension-bounded.
+    val pruned =
+      if (dim.isEmpty) fact.where(lit(false))
+      else {
+        val bloom = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
+        val bloomBc = fact.sparkSession.sparkContext.broadcast(bloom)
+        // null keys: a primitive-typed UDF yields null on null input, the
+        // filter drops the row — matching semi-join semantics exactly
+        val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+        fact.where(mightContain(col(factKey).cast("long")))
+      }
+    // exact semi-join removes bloom false positives
+    pruned.join(dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_semi")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsofJoin, RangeJoin, SkewSalt}
+import graft.operators.{AsofJoin, BloomPrune, RangeJoin, SkewSalt}
 
 /** Round-5 analytics extensions: the temporal/sketch/grouping-set operator
   * families a warehouse-grade engine needs beyond the reference's literal
@@ -441,8 +441,69 @@ object AnalyticsQueries {
       .orderBy("n_name", "o_year")
   }
 
+  /** J9 — bloom-pruned semi-join: fact rows that cannot match a (filtered,
+    * small) dimension are discarded at the scan, before any shuffle — the
+    * explicit runtime-filter every engine wants on selective fact⋈dim
+    * joins at 100 TB. The oracle is the plain semi-join: bloom pruning has
+    * no false negatives and the exact join removes false positives, so the
+    * results are identical BY CONSTRUCTION — which is exactly the claim
+    * worth gating. */
+  val j9BloomPrune: Reg = Reg.sql(
+    "j9_bloom_prune",
+    """SELECT l.l_returnflag, COUNT(*) AS cnt,
+      |       CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+      |FROM lineitem l
+      |WHERE l.l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000)
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
+    val hotSuppliers = Tables.supplier(s, dir)
+      .where(col("s_acctbal") > 9000).select("s_suppkey")
+    BloomPrune.prunedSemiJoin(
+      Tables.lineitem(s, dir).select("l_suppkey", "l_returnflag", "l_quantity"),
+      hotSuppliers, "l_suppkey", "s_suppkey", expectedKeys = 1000)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum("l_quantity").cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A16 — one-pass table profiler: per-column null count, exact distinct,
+    * min/max in a SINGLE aggregation over the scan (training-data intake
+    * profiles every batch this way; two passes over 100 TB is the naive
+    * alternative). Output in long form (column, metric, value). */
+  val a16TableProfile: Reg = Reg.sql(
+    "a16_table_profile",
+    """WITH p AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |         COUNT(*) - COUNT(l_suppkey) AS suppkey_nulls,
+      |         COUNT(DISTINCT l_suppkey) AS suppkey_distinct,
+      |         CAST(MIN(l_quantity) AS DOUBLE) AS quantity_min,
+      |         CAST(MAX(l_quantity) AS DOUBLE) AS quantity_max,
+      |         COUNT(DISTINCT l_returnflag) AS returnflag_distinct
+      |  FROM lineitem)
+      |SELECT col_metric, value FROM (
+      |  SELECT 'n_rows' AS col_metric, CAST(n_rows AS DOUBLE) AS value FROM p
+      |  UNION ALL SELECT 'quantity_max', quantity_max FROM p
+      |  UNION ALL SELECT 'quantity_min', quantity_min FROM p
+      |  UNION ALL SELECT 'returnflag_distinct', CAST(returnflag_distinct AS DOUBLE) FROM p
+      |  UNION ALL SELECT 'suppkey_distinct', CAST(suppkey_distinct AS DOUBLE) FROM p
+      |  UNION ALL SELECT 'suppkey_nulls', CAST(suppkey_nulls AS DOUBLE) FROM p)
+      |ORDER BY col_metric""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .agg(
+        count(lit(1)).cast("double").as("n_rows"),
+        (count(lit(1)) - count(col("l_suppkey"))).cast("double").as("suppkey_nulls"),
+        countDistinct(col("l_suppkey")).cast("double").as("suppkey_distinct"),
+        min("l_quantity").cast("double").as("quantity_min"),
+        max("l_quantity").cast("double").as("quantity_max"),
+        countDistinct(col("l_returnflag")).cast("double").as("returnflag_distinct"))
+      .unpivot(Array.empty, "col_metric", "value")
+      .orderBy("col_metric")
+  }
+
   val all: Seq[Reg] = Seq(
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
-    f3VariantShred, o13Unpivot, q5RegionVolume, q9ProductProfit)
+    f3VariantShred, o13Unpivot, q5RegionVolume, q9ProductProfit,
+    j9BloomPrune, a16TableProfile)
 }
