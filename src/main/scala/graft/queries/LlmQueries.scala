@@ -754,10 +754,53 @@ object LlmQueries {
       .orderBy("cluster_rep")
   }
 
+  /** Characteristic terms per source — the TF-IDF shape (explode → term
+    * frequency → document frequency → join → per-group top-k) with an
+    * INTEGER rarity weight `tf · (|sources| − df + 1)` instead of
+    * `tf · ln(N/df)`: libm `ln` differs by an ulp between JVM and C++ and
+    * would flake the hash gate; integer arithmetic ranks identically for
+    * the filter's purpose (rarer across sources ⇒ heavier). One explode
+    * pass feeds BOTH aggregations; everything after runs on |vocab|-sized
+    * frames, not the corpus. */
+  val charTerms: Reg = Reg.sql(
+    "llm_char_terms",
+    """WITH words AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT source, w, COUNT(*) AS tf FROM words WHERE w <> '' GROUP BY source, w),
+      |df AS (SELECT w, COUNT(DISTINCT source) AS df FROM words WHERE w <> '' GROUP BY w),
+      |n AS (SELECT COUNT(DISTINCT source) AS ns FROM documents),
+      |scored AS (
+      |  SELECT t.source, t.w, t.tf, d.df,
+      |         t.tf * ((SELECT ns FROM n) - d.df + 1) AS score
+      |  FROM tf t JOIN df d ON t.w = d.w),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |                               ORDER BY score DESC, w) AS rn
+      |  FROM scored)
+      |SELECT source, w, tf, df, score FROM ranked WHERE rn <= 3
+      |ORDER BY source, score DESC, w""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+      .where(col("w") =!= "")
+    val tf = words.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+    val df = words.groupBy("w").agg(countDistinct(col("source")).as("df"))
+    val nSources = Tables.documents(s, dir)
+      .agg(countDistinct(col("source")).as("ns"))
+    val scored = tf.join(df, "w")
+      .crossJoin(nSources) // 1-row frame: broadcast by construction
+      .withColumn("score", col("tf") * (col("ns") - col("df") + 1))
+    val w = Window.partitionBy("source").orderBy(col("score").desc, col("w"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("source", "w", "tf", "df", "score")
+      .orderBy(col("source"), col("score").desc, col("w"))
+  }
+
   val all: Seq[Reg] = Seq(
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
-    dupClusters)
+    dupClusters, charTerms)
 }
