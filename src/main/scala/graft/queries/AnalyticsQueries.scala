@@ -253,26 +253,29 @@ object AnalyticsQueries {
       .orderBy(desc("exact_cnt"), col("l_suppkey"))
   }
 
-  /** J8 — salted fact⋈fact join: lineitem⋈orders through `SkewSalt`
+  /** J8 — salted skewed join: lineitem⋈supplier through `SkewSalt`
     * (deterministic salt on the probe side, `salts`× replication of the
     * build side) — row-identical to the plain equi-join, which is exactly
-    * what the oracle states. The technique for the hot key that AQE's
-    * skew split can't save once a single key exceeds task memory. */
+    * what the oracle states. The scenario: a dimension too big for the
+    * broadcast budget (so the join must shuffle) meeting a fact with hot
+    * keys — salting spreads each hot key over `salts` tasks at the price
+    * of replicating only the BOUNDED side, never the fact. The technique
+    * AQE's skew split can't deliver once a single key exceeds task memory. */
   val j8SaltedJoin: Reg = Reg.sql(
     "j8_salted_join",
-    """SELECT o.o_orderstatus, COUNT(*) AS cnt,
+    """SELECT s.s_nationkey, COUNT(*) AS cnt,
       |       CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
-      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin) { (s, dir) =>
-    val fact = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
-    val orders = Tables.orders(s, dir)
-      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
-    SkewSalt.saltedJoin(fact, orders, Seq("l_orderkey"), salts = 8)
-      .groupBy("o_orderstatus")
+      |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY s.s_nationkey ORDER BY s.s_nationkey""".stripMargin) { (s, dir) =>
+    val fact = Tables.lineitem(s, dir).select("l_suppkey", "l_quantity")
+    val supp = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    SkewSalt.saltedJoin(fact, supp, Seq("l_suppkey"), salts = 8)
+      .groupBy("s_nationkey")
       .agg(
         count(lit(1)).as("cnt"),
         sum("l_quantity").cast("double").as("sum_qty"))
-      .orderBy("o_orderstatus")
+      .orderBy("s_nationkey")
   }
 
   /** O12 — sliding time-range window: per-user trailing-hour sum/count at
