@@ -64,12 +64,18 @@ object AsofJoin {
         lit(1).as("__side"),
         struct(leftPayloadCols.map(col): _*).as("__left"),
         lit(null).cast(rightStructT).as("__right")): _*)
-    val r = right.select(
-      on.map(col) ++ Seq(
-        col(rightTime).as("__t"),
-        lit(0).as("__side"),
-        lit(null).cast(leftStructT).as("__left"),
-        struct(rightPayload.map(col): _*).as("__right")): _*)
+    // SQL equi-join semantics: a NULL key matches nothing. Window
+    // partitionBy would group null-key rows from BOTH sides together and
+    // invent matches — drop null-key right rows instead (left null-key rows
+    // then sit in a partition with no right rows and correctly get nulls).
+    val r = right
+      .where(on.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        on.map(col) ++ Seq(
+          col(rightTime).as("__t"),
+          lit(0).as("__side"),
+          lit(null).cast(leftStructT).as("__left"),
+          struct(rightPayload.map(col): _*).as("__right")): _*)
 
     // Right rows sort BEFORE left rows at an equal timestamp (side 0 < 1),
     // making the match inclusive (rightTime == leftTime matches); the

@@ -37,6 +37,21 @@ object BloomPrune {
       dimKey: String,
       expectedKeys: Long,
       fpp: Double = 0.01): DataFrame = {
+    // The probe must hash EXACTLY the representation the filter was built
+    // over — a blanket cast('long') would null out string keys and silently
+    // drop every row. Dispatch on the fact key's type; reject types the
+    // sketch does not support rather than mis-probe them.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    def family(t: org.apache.spark.sql.types.DataType): String = t match {
+      case LongType | IntegerType | ShortType | ByteType => "integral"
+      case StringType => "string"
+      case other => other.typeName
+    }
+    val keyType = fact.schema(factKey).dataType
+    require(family(keyType) == family(dim.schema(dimKey).dataType),
+      s"fact key '$factKey' (${family(keyType)}) and dim key '$dimKey' " +
+        s"(${family(dim.schema(dimKey).dataType)}) must share a type family — " +
+        "the sketch hashes the native representation")
     // An empty dimension yields no sketch to merge (stat.bloomFilter NPEs);
     // the prune is then the semi-join itself: nothing matches. The isEmpty
     // probe is one action on the dimension side — dimension-bounded.
@@ -45,10 +60,19 @@ object BloomPrune {
       else {
         val bloom = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
         val bloomBc = fact.sparkSession.sparkContext.broadcast(bloom)
-        // null keys: a primitive-typed UDF yields null on null input, the
-        // filter drops the row — matching semi-join semantics exactly
-        val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
-        fact.where(mightContain(col(factKey).cast("long")))
+        // null keys: a null input to these UDFs yields null, the filter
+        // drops the row — matching semi-join semantics exactly
+        val probe = keyType match {
+          case LongType | IntegerType | ShortType | ByteType =>
+            val f = udf((k: Long) => bloomBc.value.mightContainLong(k))
+            f(col(factKey).cast("long"))
+          case StringType =>
+            val f = udf((k: String) => bloomBc.value.mightContainString(k))
+            f(col(factKey))
+          case t => throw new IllegalArgumentException(
+            s"BloomPrune supports integral and string keys, got $t for '$factKey'")
+        }
+        fact.where(probe)
       }
     // exact semi-join removes bloom false positives
     pruned.join(dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_semi")

@@ -50,6 +50,11 @@ object ConnectedComponents {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
 
+    // No edges → no nodes → empty labeling (labelSum would return a null
+    // BigDecimal and NPE in the convergence compare). A corpus with zero
+    // near-duplicate pairs is a normal input, not an error.
+    if (labels.isEmpty) return labels
+
     var prevSum = labelSum(labels)
     var iteration = 0
     var converged = false

@@ -39,10 +39,16 @@ object SkewSalt {
     // Salt from a hash of the probe row's non-key columns: deterministic
     // (re-execution returns identical rows) yet decorrelated from the key,
     // so a hot key's rows spread ~uniformly over the salt range.
+    // PRECONDITION: the non-key columns must vary within a hot key — a
+    // key-only probe would give every hot row the same salt (hash of
+    // nothing), silently paying the build replication for zero spread, so
+    // it is rejected rather than degraded. (Constant non-key columns have
+    // the same collapse and cannot be detected cheaply — caller's contract.)
     val nonKey = probe.columns.filterNot(on.contains)
-    val saltExpr =
-      if (nonKey.isEmpty) lit(0)
-      else pmod(hash(nonKey.map(col): _*), lit(salts))
+    require(nonKey.nonEmpty,
+      "saltedJoin probe needs at least one non-key column to derive the " +
+        "salt from — a key-only probe cannot spread a hot key")
+    val saltExpr = pmod(hash(nonKey.map(col): _*), lit(salts))
     val p = probe.withColumn("__salt", saltExpr)
     val b = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

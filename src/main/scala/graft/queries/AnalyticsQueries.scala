@@ -109,19 +109,22 @@ object AnalyticsQueries {
   /** A14 — grouped exact percentile bands. `percentile` is the exact
     * interpolated form (position (n−1)·p, linear between ranks — the same
     * definition as DuckDB `quantile_cont`), computed in ONE pass over the
-    * group as a partial-aggregatable sketch of value counts. Rounded to
-    * cents: both engines interpolate in doubles on ~1e5-scale values, so
-    * agreement holds to ~1e-6 — far below the grid. */
+    * group as a partial-aggregatable sketch of value counts. Both engines
+    * interpolate the SAME doubles; the output truncates (FLOOR) to cents
+    * instead of rounding — an even-n median of cent-grid prices lands
+    * exactly on the half-cent, where ROUND's engine-specific tie handling
+    * flips a cent (the o9 lesson, see Reg's float discipline). */
   val a14PercentileBands: Reg = Reg.sql(
     "a14_percentile_bands",
     """SELECT l_returnflag,
-      |       ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-      |       ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-      |       ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-      |       ROUND(quantile_cont(l_extendedprice, 0.90), 2) AS p90,
-      |       ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+      |       FLOOR(quantile_cont(l_extendedprice, 0.25) * 100) / 100 AS p25,
+      |       FLOOR(quantile_cont(l_extendedprice, 0.50) * 100) / 100 AS p50,
+      |       FLOOR(quantile_cont(l_extendedprice, 0.75) * 100) / 100 AS p75,
+      |       FLOOR(quantile_cont(l_extendedprice, 0.90) * 100) / 100 AS p90,
+      |       FLOOR(quantile_cont(l_extendedprice, 0.99) * 100) / 100 AS p99,
       |       COUNT(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    def cents(c: org.apache.spark.sql.Column) = floor(c * 100) / 100
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
@@ -129,11 +132,11 @@ object AnalyticsQueries {
         count(lit(1)).as("cnt"))
       .select(
         col("l_returnflag"),
-        round(element_at(col("__p"), 1), 2).as("p25"),
-        round(element_at(col("__p"), 2), 2).as("p50"),
-        round(element_at(col("__p"), 3), 2).as("p75"),
-        round(element_at(col("__p"), 4), 2).as("p90"),
-        round(element_at(col("__p"), 5), 2).as("p99"),
+        cents(element_at(col("__p"), 1)).as("p25"),
+        cents(element_at(col("__p"), 2)).as("p50"),
+        cents(element_at(col("__p"), 3)).as("p75"),
+        cents(element_at(col("__p"), 4)).as("p90"),
+        cents(element_at(col("__p"), 5)).as("p99"),
         col("cnt"))
       .orderBy("l_returnflag")
   }
@@ -382,13 +385,16 @@ object AnalyticsQueries {
       |WHERE r.r_name IN ('ASIA', 'EUROPE')
       |  AND c.c_nationkey = s.s_nationkey
       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, dir) =>
-    // orders is FACT-sized (scales with lineitem): lineitem⋈orders is the
-    // one join here that must shuffle on the key — broadcasting it would be
-    // the 100 TB driver-OOM. The true dimensions broadcast explicitly.
+    // Broadcast policy by how each table SCALES, not its size today:
+    // orders is fact-sized — its join must shuffle on the key (a broadcast
+    // hint would be the 100 TB driver-OOM). customer/supplier grow with SF
+    // too, so they carry NO hint — AQE broadcasts them at bench scale and
+    // falls back to shuffle when they outgrow the budget. Only the
+    // genuinely fixed dimensions (25 nations, 5 regions) hint explicitly.
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .where(col("r_name").isin("ASIA", "EUROPE") &&
@@ -426,12 +432,14 @@ object AnalyticsQueries {
       |WHERE p.p_name LIKE '%red%'
       |GROUP BY n.n_name, o_year
       |ORDER BY n.n_name, o_year""".stripMargin) { (s, dir) =>
+    // part/supplier scale with SF: no hint, AQE decides (broadcast while
+    // they fit, shuffle when they don't); fixed nation hints; fact-sized
+    // orders always shuffles on the key.
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).where(col("p_name").like("%red%"))),
+      .join(Tables.part(s, dir).where(col("p_name").like("%red%")),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
-      // fact-sized orders: shuffle join on the key, never broadcast
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("bigint").as("o_year"))
       .agg(

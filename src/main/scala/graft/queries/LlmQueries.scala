@@ -780,9 +780,13 @@ object LlmQueries {
       |SELECT source, w, tf, df, score FROM ranked WHERE rn <= 3
       |ORDER BY source, score DESC, w""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    // tf AND df both consume the exploded frame — materialize it once, or
+    // the corpus scan + explode runs twice (the cost the scaladoc claims
+    // this shape avoids)
     val words = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
       .where(col("w") =!= "")
+      .localCheckpoint()
     val tf = words.groupBy("source", "w").agg(count(lit(1)).as("tf"))
     val df = words.groupBy("w").agg(countDistinct(col("source")).as("df"))
     val nSources = Tables.documents(s, dir)

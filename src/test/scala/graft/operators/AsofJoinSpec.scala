@@ -79,6 +79,23 @@ class AsofJoinSpec extends AnyFunSuite with Matchers with SparkSuite {
     outs.head shouldBe Array(Row(23L, 6.0)) // greatest (event_id, v) struct wins
   }
 
+  test("null keys match nothing (SQL equi-join semantics), rows still kept") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, Option("u"), ts("2024-01-01 10:00:00")),
+      (2L, Option.empty[String], ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (9L, Option("u"), ts("2024-01-01 09:00:00"), 7.0),
+      (8L, Option.empty[String], ts("2024-01-01 09:00:00"), 5.0)
+    ).toDF("event_id", "user_id", "ts", "v")
+    val out = AsofJoin.joinAsof(l, r, Seq("user_id"), "ts", "ts", Seq("event_id", "v"), "r_")
+      .select("event_id", "r_event_id", "r_v").orderBy("event_id").collect()
+    out shouldBe Array(
+      Row(1L, 9L, 7.0),
+      Row(2L, null, null)) // null key: no invented null-to-null match
+  }
+
   test("plan has exactly one hash-partition Exchange and no nested-loop join") {
     val df = AsofJoin.joinAsof(leftDf, rightDf,
       on = Seq("user_id"), leftTime = "ts", rightTime = "ts",

@@ -21,6 +21,25 @@ class BloomPruneSpec extends AnyFunSuite with Matchers with SparkSuite {
     got.length should be > 0
   }
 
+  test("string keys probe the string representation (no silent long cast)") {
+    import spark.implicits._
+    val fact = Seq((1L, "US"), (2L, "DE"), (3L, "FR"), (4L, "JP")).toDF("rid", "cc")
+    val dim = Seq("US", "FR").toDF("dc")
+    val got = BloomPrune.prunedSemiJoin(fact, dim, "cc", "dc", expectedKeys = 2)
+      .select("rid").collect().map(_.getLong(0)).sorted
+    got shouldBe Array(1L, 3L)
+  }
+
+  test("mismatched key type families are rejected, not mis-probed") {
+    import spark.implicits._
+    val fact = Seq((1L, "7")).toDF("rid", "k")
+    val dim = Seq(7L).toDF("dk")
+    val ex = intercept[IllegalArgumentException] {
+      BloomPrune.prunedSemiJoin(fact, dim, "k", "dk", expectedKeys = 1)
+    }
+    ex.getMessage should include("type family")
+  }
+
   test("the bloom pass-through is selective (prunes most non-matching rows)") {
     import spark.implicits._
     val fact = (1L to 20000L).map(i => (i, i)).toDF("rid", "k")

@@ -44,6 +44,12 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers with SparkSuite 
     run() shouldBe run()
   }
 
+  test("an empty edge list yields an empty labeling, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    ConnectedComponents.run(empty, "a", "b").count() shouldBe 0L
+  }
+
   test("exceeding the iteration cap fails loudly, not silently wrong") {
     import spark.implicits._
     val chain = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")

@@ -119,16 +119,24 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     "hashpartitioning".r.findAllIn(p).size shouldBe 1
   }
 
-  test("q5/q9: every dimension broadcasts; only the fact-fact orders join may shuffle") {
+  test("q5/q9: dimensions broadcast at this scale; fact-fact orders join may shuffle") {
+    // Size-scaling dimensions (customer/supplier/part) carry NO hint — at
+    // test scale AQE/size-estimates broadcast them, at 100 TB they fall
+    // back to shuffle; only fixed nation/region hint explicitly. The audit
+    // pins the small-scale plan AND that no hint forces the fact side.
     Seq(AnalyticsQueries.q5RegionVolume, AnalyticsQueries.q9ProductProfit).foreach { q =>
       val p = plan(q)
       withClue(q.name) {
-        // the dimension cascade (customer/supplier/nation/region/part)
         "BroadcastHashJoin".r.findAllIn(p).size should be >= 3
         // at most the lineitem⋈orders key join shuffles both sides
         "SortMergeJoin".r.findAllIn(p).size should be <= 1
         p should not include "CartesianProduct"
       }
+      val hinted = q.build(spark, sfDir).queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      withClue(s"${q.name}: only the two fixed dimensions may carry hints")(
+        hinted.size should be <= 2)
     }
   }
 
