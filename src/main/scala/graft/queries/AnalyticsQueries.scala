@@ -512,9 +512,52 @@ object AnalyticsQueries {
       .orderBy("col_metric")
   }
 
+  /** O14 — time-series gap fill with forward-fill: every user gets a dense
+    * hourly grid between their first and last event (`sequence` + explode —
+    * grid size is bounded by the OBSERVED span per key, never a global
+    * clock), missing hours join as nulls, and the last seen hourly sum
+    * carries forward via `last(ignoreNulls)` — the resample-and-ffill
+    * backbone of telemetry/feature pipelines. Grid hours are epoch-hour
+    * longs (µs vs ns floors compose identically; raw timestamps never
+    * appear). */
+  val o14GapFill: Reg = Reg.sql(
+    "o14_gap_fill",
+    """WITH hourly AS (
+      |  SELECT user_id, epoch_ms(ts) // 3600000 AS h, COUNT(*) AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+      |  FROM events GROUP BY user_id, h),
+      |bounds AS (
+      |  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM bounds),
+      |joined AS (
+      |  SELECT g.user_id, g.h, x.n, x.sv FROM grid g
+      |  LEFT JOIN hourly x ON g.user_id = x.user_id AND g.h = x.h)
+      |SELECT user_id, h, COALESCE(n, 0) AS n_events,
+      |       LAST_VALUE(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+      |         ROWS UNBOUNDED PRECEDING) AS carried_sum
+      |FROM joined ORDER BY user_id, h""".stripMargin) { (s, dir) =>
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("user_id"), expr("unix_millis(ts) div 3600000").as("h"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(
+        col("user_id"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("sv"), ignoreNulls = true).over(w).as("carried_sum"))
+      .orderBy("user_id", "h")
+  }
+
   val all: Seq[Reg] = Seq(
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
     f3VariantShred, o13Unpivot, q5RegionVolume, q9ProductProfit,
-    j9BloomPrune, a16TableProfile)
+    j9BloomPrune, a16TableProfile, o14GapFill)
 }

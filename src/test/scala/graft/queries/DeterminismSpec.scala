@@ -29,7 +29,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkSuite {
     AnalyticsQueries.j6AsofJoin,   // running-last window under equal-time ties
     AnalyticsQueries.o9Sessionize, // session merge + float avg over shuffled input
     AnalyticsQueries.j8SaltedJoin, // hash-salt spread must not wobble the join
-    AnalyticsQueries.o12TimeRangeWindow // range-frame peers under ms ties
+    AnalyticsQueries.o12TimeRangeWindow, // range-frame peers under ms ties
+    AnalyticsQueries.o14GapFill    // forward-fill carry under shuffled input
   )
 
   risky.foreach { q =>
