@@ -67,12 +67,18 @@ object BloomPrune {
             val f = udf((k: Long) => bloomBc.value.mightContainLong(k))
             f(col(factKey).cast("long"))
           case StringType =>
-            val f = udf((k: String) => bloomBc.value.mightContainString(k))
+            // reference-typed UDFs ARE invoked with null (only primitive
+            // params short-circuit) and mightContainString(null) NPEs —
+            // guard explicitly
+            val f = udf((k: String) =>
+              if (k == null) false else bloomBc.value.mightContainString(k))
             f(col(factKey))
           case t => throw new IllegalArgumentException(
             s"BloomPrune supports integral and string keys, got $t for '$factKey'")
         }
-        fact.where(probe)
+        // null keys can never match a semi-join; drop them up front on
+        // every type path rather than relying on probe null semantics
+        fact.where(col(factKey).isNotNull && probe)
       }
     // exact semi-join removes bloom false positives
     pruned.join(dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_semi")

@@ -50,12 +50,13 @@ object ConnectedComponents {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
 
-    // No edges → no nodes → empty labeling (labelSum would return a null
-    // BigDecimal and NPE in the convergence compare). A corpus with zero
-    // near-duplicate pairs is a normal input, not an error.
-    if (labels.isEmpty) return labels
+    // No edges → no nodes → sum() over the empty frame returns null; that
+    // IS the emptiness signal (a corpus with zero near-duplicate pairs is
+    // normal input, not an error) — no extra isEmpty action needed.
+    val initialSum = labelSum(labels)
+    if (initialSum == null) return labels
 
-    var prevSum = labelSum(labels)
+    var prevSum = initialSum
     var iteration = 0
     var converged = false
     while (!converged && iteration < maxIterations) {

@@ -537,11 +537,14 @@ object AnalyticsQueries {
       |       LAST_VALUE(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
       |         ROWS UNBOUNDED PRECEDING) AS carried_sum
       |FROM joined ORDER BY user_id, h""".stripMargin) { (s, dir) =>
+    // consumed twice (grid bounds + the left join): materialize once or
+    // the events scan + aggregation runs for both subtrees
     val hourly = Tables.events(s, dir)
       .groupBy(col("user_id"), expr("unix_millis(ts) div 3600000").as("h"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .localCheckpoint()
     val grid = hourly.groupBy("user_id")
       .agg(min("h").as("h0"), max("h").as("h1"))
       .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))

@@ -161,25 +161,18 @@ object IngestQueries {
       .start()
     q.awaitTermination()
 
-    val result = s.read.parquet(work + "/out")
+    val agg = s.read.parquet(work + "/out")
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("cnt"),
         round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
       .orderBy("event_type")
-      // |event types| rows: materialize so the 3x-corpus scratch dir (in/
-      // out/ckpt) can be deleted NOW — the harness builds this query many
-      // times per round and the leaked dirs add up
-      .collect()
+    // |event types| rows: materialize so the 3x-corpus scratch dir (in/
+    // out/ckpt) can be deleted NOW — the harness builds this query many
+    // times per round and the leaked dirs add up. Reuse the aggregate's
+    // own schema; a hand-written StructType would drift on rename.
     val out = s.createDataFrame(
-      java.util.Arrays.asList(result: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("cnt",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("sum_value",
-          org.apache.spark.sql.types.DoubleType))))
+      java.util.Arrays.asList(agg.collect(): _*), agg.schema)
     deleteRecursively(new java.io.File(work))
     out
   }

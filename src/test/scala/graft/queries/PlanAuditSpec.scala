@@ -135,8 +135,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
       val hinted = q.build(spark, sfDir).queryExecution.analyzed.collect {
         case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
       }
-      withClue(s"${q.name}: only the two fixed dimensions may carry hints")(
-        hinted.size should be <= 2)
+      // pin WHICH relations carry hints, not just how many: every hinted
+      // subtree must be a fixed dimension (nation/region columns only) —
+      // a count-only bound would let broadcast(customer) sneak back in
+      hinted.foreach { h =>
+        val outCols = h.child.output.map(_.name)
+        withClue(s"${q.name}: hinted relation $outCols must be a fixed dimension")(
+          outCols.forall(c => c.startsWith("n_") || c.startsWith("r_")) shouldBe true)
+      }
     }
   }
 
