@@ -558,9 +558,39 @@ object AnalyticsQueries {
       .orderBy("user_id", "h")
   }
 
+  /** A17 — approximate percentile (KLL-style mergeable sketch) under a
+    * bounded-property oracle: at 100 TB the exact `percentile` holds a
+    * value-count map per group; `approx_percentile` holds a fixed-size
+    * sketch that partial-aggregates map-side. The gate pins the sketch's
+    * rank guarantee: the approximate median must land between the exact
+    * p45 and p55 (far looser than the sketch's actual accuracy=10000 rank
+    * error, so data growth cannot flip it) — DuckDB states the exact
+    * median and the constant-true bound the sketch must satisfy. */
+  val a17ApproxPercentile: Reg = Reg.sql(
+    "a17_approx_percentile",
+    """SELECT l_returnflag,
+      |       FLOOR(quantile_cont(l_extendedprice, 0.50) * 100) / 100 AS p50_exact,
+      |       TRUE AS approx_within_decile,
+      |       COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, array(0.45D, 0.5D, 0.55D))").as("__p"),
+        expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("__approx"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col("l_returnflag"),
+        (floor(element_at(col("__p"), 2) * 100) / 100).as("p50_exact"),
+        (col("__approx") >= element_at(col("__p"), 1) &&
+          col("__approx") <= element_at(col("__p"), 3)).as("approx_within_decile"),
+        col("cnt"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Reg] = Seq(
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
     f3VariantShred, o13Unpivot, q5RegionVolume, q9ProductProfit,
-    j9BloomPrune, a16TableProfile, o14GapFill)
+    j9BloomPrune, a16TableProfile, o14GapFill, a17ApproxPercentile)
 }
