@@ -801,10 +801,35 @@ object LlmQueries {
       .orderBy(col("source"), col("score").desc, col("w"))
   }
 
+  /** Deterministic stratified sampling: exactly K docs per source, chosen
+    * by content-hash order — the eval-set construction primitive. Unlike
+    * seeded `sampleBy` (fraction-approximate, partitioning-sensitive), the
+    * md5 order gives an exact per-stratum count that is reproducible
+    * across runs, cluster sizes, and engines (both sort the same lowercase
+    * hex strings), and adding documents to a source only displaces
+    * samples whose hash outranks them — near-stable under corpus growth.
+    * One shuffle on source for the per-stratum rank. */
+  val stratifiedSample: Reg = Reg.sql(
+    "llm_stratified_sample",
+    """SELECT source, doc_id FROM (
+      |  SELECT source, doc_id,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY md5(text), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select("source", "doc_id")
+      .orderBy("source", "doc_id")
+  }
+
   val all: Seq[Reg] = Seq(
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
-    dupClusters, charTerms)
+    dupClusters, charTerms, stratifiedSample)
 }
