@@ -61,4 +61,45 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval OVERLAP join: all (left, right) pairs with
+    * `l.lo <= r.hi AND r.lo <= l.hi` (inclusive), equi-keyed by `on`.
+    * Both sides explode to their covering buckets and equi-join on
+    * (key, bucket); a pair that co-resides in several buckets would then
+    * appear several times, so each pair is emitted ONLY from its canonical
+    * bucket — the one containing `max(l.lo, r.lo)`, which overlap
+    * guarantees both intervals cover. No distinct, no post-dedup shuffle.
+    * Column names must be disjoint across the two inputs (rename first). */
+  def overlapJoin(
+      left: DataFrame,
+      leftLo: String,
+      leftHi: String,
+      right: DataFrame,
+      rightLo: String,
+      rightHi: String,
+      on: Seq[String],
+      bucketWidth: Double,
+      maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+
+    def explodeSide(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val loB = floor(col(lo) / bucketWidth)
+      val hiB = floor(col(hi) / bucketWidth)
+      val buckets = when(
+        hiB - loB + 1 > maxBucketsPerInterval,
+        raise_error(lit(s"RangeJoin.overlapJoin: interval spans more than " +
+          s"$maxBucketsPerInterval buckets at width $bucketWidth — widen bucketWidth"))
+          .cast("array<bigint>"))
+        .otherwise(sequence(loB, hiB))
+      df.where(col(lo) <= col(hi)).withColumn("__bucket", explode(buckets))
+    }
+
+    val l = explodeSide(left, leftLo, leftHi)
+    val r = explodeSide(right, rightLo, rightHi)
+    l.join(r, on :+ "__bucket")
+      .where(
+        col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi) &&
+          col("__bucket") === floor(greatest(col(leftLo), col(rightLo)) / bucketWidth))
+      .drop("__bucket")
+  }
 }

@@ -588,9 +588,55 @@ object AnalyticsQueries {
       .orderBy("l_returnflag")
   }
 
+  /** J10 — interval OVERLAP self-join: per customer, how many of their
+    * order activity windows (first..last lineitem ship-day) overlap in
+    * time. `RangeJoin.overlapJoin` buckets BOTH interval sides and emits
+    * each pair from its one canonical bucket — no nested loop, no
+    * post-join distinct (see its scaladoc). Ship-days are epoch-day longs
+    * derived from the same ms floors both engines share. */
+  val j10OverlapJoin: Reg = Reg.sql(
+    "j10_overlap_join",
+    """WITH win AS (
+      |  SELECT l_orderkey AS okey,
+      |         MIN(epoch_ms(l_shipdate) // 86400000) AS lo,
+      |         MAX(epoch_ms(l_shipdate) // 86400000) AS hi
+      |  FROM lineitem GROUP BY l_orderkey),
+      |w2 AS (
+      |  SELECT o.o_custkey AS custkey, w.okey, w.lo, w.hi
+      |  FROM win w JOIN orders o ON w.okey = o.o_orderkey)
+      |SELECT a.custkey, COUNT(*) AS overlapping_pairs
+      |FROM w2 a JOIN w2 b ON a.custkey = b.custkey AND a.okey < b.okey
+      |  AND a.lo <= b.hi AND b.lo <= a.hi
+      |GROUP BY a.custkey ORDER BY a.custkey""".stripMargin) { (s, dir) =>
+    val wins = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        // l_shipdate is TIMESTAMP_NTZ; the session is pinned to UTC, so the
+        // cast reads the same instant DuckDB's epoch_ms sees
+        min(expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")).as("lo"),
+        max(expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")).as("hi"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_orderkey").as("okey"),
+        col("lo"), col("hi"))
+      // consumed as both overlap sides — materialize the window build once
+      .localCheckpoint()
+    val a = wins.select(col("custkey"), col("okey").as("a_okey"),
+      col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val b = wins.select(col("custkey"), col("okey").as("b_okey"),
+      col("lo").as("b_lo"), col("hi").as("b_hi"))
+    RangeJoin.overlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+      on = Seq("custkey"), bucketWidth = 64.0)
+      .where(col("a_okey") < col("b_okey"))
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("overlapping_pairs"))
+      .orderBy("custkey")
+  }
+
   val all: Seq[Reg] = Seq(
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
     f3VariantShred, o13Unpivot, q5RegionVolume, q9ProductProfit,
-    j9BloomPrune, a16TableProfile, o14GapFill, a17ApproxPercentile)
+    j9BloomPrune, a16TableProfile, o14GapFill, a17ApproxPercentile,
+    j10OverlapJoin)
 }

@@ -45,6 +45,26 @@ class RangeJoinSpec extends AnyFunSuite with Matchers with SparkSuite {
     p should not include "CartesianProduct"
   }
 
+  test("overlap join equals brute-force overlap filter, with NO duplicate pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val a = (0 until 60).map { i =>
+      val lo = rnd.nextInt(300).toDouble; (s"a$i", "k" + (i % 3), lo, lo + rnd.nextInt(80))
+    }.toDF("aid", "key", "alo", "ahi").repartition(4)
+    val b = (0 until 50).map { i =>
+      val lo = rnd.nextInt(300).toDouble; (s"b$i", "k" + (i % 3), lo, lo + rnd.nextInt(80))
+    }.toDF("bid", "key", "blo", "bhi").repartition(3)
+
+    val got = RangeJoin.overlapJoin(a, "alo", "ahi", b, "blo", "bhi",
+      on = Seq("key"), bucketWidth = 25.0)
+      .select("aid", "bid").collect().map(_.toString)
+    val expected = a.join(b, "key")
+      .where(col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").collect().map(_.toString)
+    got.sorted shouldBe expected.sorted
+    got.length shouldBe got.distinct.length // canonical bucket: no dup pairs
+  }
+
   test("an interval spanning more than the bucket cap fails fast") {
     val ex = intercept[Exception] {
       RangeJoin.bucketed(points, "v", intervals, "lo", "hi",
