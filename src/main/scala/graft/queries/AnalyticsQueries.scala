@@ -638,10 +638,30 @@ object AnalyticsQueries {
       .orderBy("custkey")
   }
 
+  /** A18 — equi-width histogram per group, fixed domain: bucket id is a
+    * pure per-row expression (`floor(v / width)`), so the whole histogram
+    * is ONE partial-aggregated shuffle — no bounds pre-pass, no
+    * collect-to-driver binning. The fixed domain is the streaming-friendly
+    * choice too (bucket ids stable as data arrives). */
+  val a18Histogram: Reg = Reg.sql(
+    "a18_histogram",
+    """SELECT l_returnflag,
+      |       CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bucket,
+      |       COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag, bucket
+      |ORDER BY l_returnflag, bucket""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(
+        col("l_returnflag"),
+        floor(col("l_extendedprice") / 10000).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "bucket")
+  }
+
   val all: Seq[Reg] = Seq(
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
     f3VariantShred, o13Unpivot, q5RegionVolume, q9ProductProfit,
     j9BloomPrune, a16TableProfile, o14GapFill, a17ApproxPercentile,
-    j10OverlapJoin)
+    j10OverlapJoin, a18Histogram)
 }

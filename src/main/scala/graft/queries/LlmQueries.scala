@@ -826,10 +826,35 @@ object LlmQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** Corpus n-gram frequency table (bigrams) — the count-table primitive
+    * behind contamination checks, Kneser-Ney smoothing, and memorization
+    * audits. The gram expansion is a per-row array `transform` (codegen,
+    * no UDF) exploded once; one shuffle aggregates counts. Top-k with a
+    * total-order tiebreak. A single-token document contributes no grams
+    * (guarded: Spark's `sequence(1,0)` would count DOWN, not empty). */
+  val ngramCounts: Reg = Reg.sql(
+    "llm_ngram_counts",
+    """WITH arr AS (SELECT string_split(text, ' ') AS a FROM documents),
+      |grams AS (
+      |  SELECT a[i] || ' ' || a[i+1] AS gram
+      |  FROM arr, UNNEST(range(1, len(a))) AS t(i))
+      |SELECT gram, COUNT(*) AS cnt FROM grams
+      |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(split(col("text"), " ", -1).as("a"))
+      .select(explode(when(size(col("a")) >= 2,
+        expr("transform(sequence(1, size(a) - 1), " +
+          "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(20)
+  }
+
   val all: Seq[Reg] = Seq(
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
-    dupClusters, charTerms, stratifiedSample)
+    dupClusters, charTerms, stratifiedSample, ngramCounts)
 }
