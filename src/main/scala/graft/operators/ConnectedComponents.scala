@@ -79,7 +79,87 @@ object ConnectedComponents {
     require(converged,
       s"connected components did not converge in $maxIterations rounds — " +
         "graph diameter exceeds the cap; raise maxIterations or switch to " +
-        "the large-star/small-star variant")
+        "runStar (large-star/small-star, O(log n) rounds)")
     labels
+  }
+
+  /** Connected components in O(log n) rounds via alternating
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — same contract as `run`, for graphs whose
+    * DIAMETER is the problem: a chain of drifted near-duplicates makes
+    * min-label propagation pay one round per hop, while star operations
+    * halve path lengths every round.
+    *
+    *  - large-star: every node points its LARGER neighbors at the minimum
+    *    of its closed neighborhood;
+    *  - small-star: every node and its smaller-or-equal neighbors collapse
+    *    onto their minimum.
+    * The edge set is kept canonical (u < v, distinct) and both operations
+    * only ever lower the small endpoint, so the fixpoint is a forest of
+    * stars rooted at each component's minimum — which IS the labeling.
+    * Convergence is checked exactly (one-direction EXCEPT + count compare
+    * per round), never by a hashed summary.
+    */
+  def runStar(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 40): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val nodes = edges.select(a.as("n")).unionByName(edges.select(b.as("n")))
+      .distinct().localCheckpoint()
+    var e = edges.select(least(a, b).as("u"), greatest(a, b).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+
+    def symmetric(df: DataFrame): DataFrame =
+      df.select(col("u").as("x"), col("v").as("nbr"))
+        .unionByName(df.select(col("v").as("x"), col("u").as("nbr")))
+
+    // m(x) = min of x's closed symmetric neighborhood
+    def closedMin(df: DataFrame): DataFrame =
+      symmetric(df).groupBy("x")
+        .agg(least(min(col("nbr")), first(col("x"))).as("m"))
+
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // large-star: canonical edge (u < v) is the smaller endpoint u's
+      // "larger neighbor" v — point v at m(u)
+      val mU = closedMin(e)
+      val large = e.join(mU, e("u") === mU("x"))
+        .select(col("m").as("u"), col("v"))
+        .where(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+
+      // small-star: for each node x, collapse x and its smaller neighbors
+      // (canonical edges where x is the v side) onto their minimum
+      val smallerNbrs = large.select(col("v").as("x"), col("u").as("nbr"))
+      val mSmall = smallerNbrs.groupBy("x")
+        .agg(min(col("nbr")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      val smallEdges = smallerNbrs.join(mSmall, "x")
+        .select(col("m").as("u"), col("nbr").as("v"))
+        .unionByName(mSmall.select(col("m").as("u"), col("x").as("v")))
+        .where(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct().localCheckpoint()
+
+      // exact fixpoint test: same count and nothing new on one side
+      val same = smallEdges.count() == e.count() &&
+        smallEdges.exceptAll(e).isEmpty
+      converged = same
+      e = smallEdges
+      rounds += 1
+    }
+    require(converged,
+      s"runStar did not converge in $maxRounds rounds (log2(n) expected)")
+
+    // star fixpoint: every edge (m, v) labels v with its root m; roots and
+    // isolated nodes label themselves
+    nodes
+      .join(e.select(col("v").as("n"), col("u").as("root")), Seq("n"), "left")
+      .select(col("n").as("node"), coalesce(col("root"), col("n")).as("comp"))
   }
 }

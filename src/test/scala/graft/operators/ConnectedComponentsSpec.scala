@@ -44,6 +44,38 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers with SparkSuite 
     run() shouldBe run()
   }
 
+  test("runStar agrees with min-label propagation on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(3, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until 150).map(_ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2)
+      val df = edges.toDF("a", "b").repartition(5)
+      val viaLabels = ConnectedComponents.run(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStars = ConnectedComponents.runStar(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"seed $seed")(viaStars shouldBe viaLabels)
+    }
+  }
+
+  test("runStar collapses a long chain in far fewer than diameter rounds") {
+    import spark.implicits._
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    // maxRounds 12 << diameter 63: only the O(log n) algorithm fits
+    val got = ConnectedComponents.runStar(chain, "a", "b", maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.values.toSet shouldBe Set(1L)
+    got.keySet shouldBe (1L to 64L).toSet
+  }
+
+  test("runStar on an empty edge list yields an empty labeling") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    ConnectedComponents.runStar(empty, "a", "b").count() shouldBe 0L
+  }
+
   test("an empty edge list yields an empty labeling, not a crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
