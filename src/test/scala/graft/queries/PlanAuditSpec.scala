@@ -160,6 +160,53 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     }
   }
 
+  test("explicit broadcast() hints wrap only dimension-bounded frames") {
+    // The implicit ban (no hints on per-key aggregates / mutation paths)
+    // leaves a loophole: an explicit broadcast() around a frame that SCALES
+    // with data volume is a guaranteed driver OOM at 100×. Close it: every
+    // broadcast-hinted subtree must bottom out in dimension-table scans /
+    // local relations, OR carry a constant cardinality bound (attr < lit)
+    // between the hint and any fact-table leaf. A %-slice (doc_id % k = 0)
+    // deliberately does NOT count — it is a constant FRACTION, not a
+    // constant SIZE.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThan, LessThan, LessThanOrEqual}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, OneRowRelation, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+    val dimTables = Set("region", "nation", "customer", "supplier", "part")
+    def leafBounded(l: LogicalPlan): Boolean = l match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.forall(p =>
+          dimTables.exists(t => p.toString.endsWith(s"$t.parquet")))
+        case _ => false
+      }
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case r: org.apache.spark.sql.catalyst.plans.logical.Range => true
+      case _ => false
+    }
+    def constBound(p: LogicalPlan): Boolean =
+      p.collect { case f: Filter => f.condition }.exists(_.exists {
+        case LessThan(_: AttributeReference, r) if r.foldable => true
+        case LessThanOrEqual(_: AttributeReference, r) if r.foldable => true
+        case GreaterThan(l, _: AttributeReference) if l.foldable => true
+        case _ => false
+      })
+
+    (CoreQueries.all ++ LlmQueries.all ++ AnalyticsQueries.all ++ ServeQueries.all)
+      .foreach { q =>
+        val hints = q.build(spark, sfDir).queryExecution.analyzed.collect {
+          case h: ResolvedHint => h
+        }
+        hints.foreach { h =>
+          withClue(s"${q.name}: broadcast-hinted subtree must be dimension-bounded or " +
+            s"constant-capped, got:\n${h.child.treeString}") {
+            (h.child.collectLeaves().forall(leafBounded) || constBound(h.child)) shouldBe true
+          }
+        }
+      }
+  }
+
   test("no query plan contains a CartesianProduct or driver collect") {
     SparkEntryPlans.all.foreach { case (name, p) =>
       withClue(name)(p should not include "CartesianProduct")
