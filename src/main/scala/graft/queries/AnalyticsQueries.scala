@@ -452,6 +452,98 @@ object AnalyticsQueries {
       .orderBy("n_name", "o_year")
   }
 
+  /** Q3 — shipping priority (TPC-H Q3 shape): selective filters on BOTH
+    * fact sides BEFORE the key join (order date on orders, ship date on
+    * lineitem — each must reach its parquet scan as a pushed filter) plus a
+    * segment-filtered customer gate, then a revenue top-k. The scale story
+    * this exercises that Q5/Q9 don't: join-order under double-sided fact
+    * reduction — the optimizer must join the two PRE-FILTERED facts, never
+    * filter after the join — and ORDER BY + LIMIT compiling to
+    * TakeOrderedAndProject instead of a global sort. */
+  val q3ShippingPriority: Reg = Reg.sql(
+    "q3_shipping_priority",
+    """SELECT l.l_orderkey,
+      |       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+      |            AS DOUBLE) AS revenue,
+      |       CAST(o.o_orderdate AS DATE) AS order_date,
+      |       o.o_orderpriority
+      |FROM customer c
+      |JOIN orders o   ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+      |  AND l.l_shipdate  > TIMESTAMP '1998-07-01'
+      |GROUP BY l.l_orderkey, order_date, o.o_orderpriority
+      |ORDER BY revenue DESC, l.l_orderkey
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    // Each filter sits directly on its own table so Catalyst pushes all
+    // three to the scans; no broadcast hints — customer scales with SF
+    // (AQE broadcasts it while it fits), and the fact-fact join shuffles
+    // on the order key. The unique l_orderkey tiebreak makes the top-k
+    // a total order.
+    Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") < lit("1998-07-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+          .where(col("l_shipdate") > lit("1998-07-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+        .cast("double").as("revenue"))
+      .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q18 — large-volume orders (TPC-H Q18 shape): a HAVING-gated aggregate
+    * over the fact feeds a SEMI-JOIN back onto the same fact — the
+    * semi-join-reduction decision none of the other star queries hit. The
+    * hit set is a per-key aggregate that scales with key cardinality, so it
+    * carries NO broadcast hint (the PlanAuditSpec rule); at bench scale AQE
+    * broadcasts it, at 100 TB it falls back to a key shuffle that
+    * co-partitions with the main orders⋈lineitem join. */
+  val q18LargeOrders: Reg = Reg.sql(
+    "q18_large_orders",
+    """WITH big AS (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+      |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+      |       CAST(o.o_orderdate AS DATE) AS order_date,
+      |       o.o_totalprice AS total_price,
+      |       CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+      |FROM customer c
+      |JOIN orders o   ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+      |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, order_date, total_price
+      |ORDER BY total_price DESC, o.o_orderkey
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    // sum(l_quantity) is an integer-valued double sum — exact in IEEE
+    // double regardless of order, so both the HAVING gate and the output
+    // measure hash identically without DECIMAL detours. o_totalprice is
+    // emitted verbatim from parquet (no arithmetic → no ulp risk) and its
+    // DESC order is totalized by the unique order key.
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("big_qty"))
+      .where(col("big_qty") > 300)
+      .select(col("l_orderkey").as("big_orderkey"))
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_totalprice").as("total_price"))
+      .agg(sum("l_quantity").cast("double").as("sum_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** J9 — bloom-pruned semi-join: fact rows that cannot match a (filtered,
     * small) dimension are discarded at the scan, before any shuffle — the
     * explicit runtime-filter every engine wants on selective fact⋈dim
@@ -662,6 +754,7 @@ object AnalyticsQueries {
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
     f3VariantShred, o13Unpivot, q5RegionVolume, q9ProductProfit,
+    q3ShippingPriority, q18LargeOrders,
     j9BloomPrune, a16TableProfile, o14GapFill, a17ApproxPercentile,
     j10OverlapJoin, a18Histogram)
 }

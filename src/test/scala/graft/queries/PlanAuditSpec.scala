@@ -146,6 +146,41 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     }
   }
 
+  test("q3: both fact filters reach their scans and the top-k avoids a global sort") {
+    val p = plan(AnalyticsQueries.q3ShippingPriority)
+    // double-sided fact reduction: the date filters must be PUSHED, each to
+    // its own parquet scan — filtering after the join is the 100× killer
+    p should include("PushedFilters")
+    p should include("LessThan(o_orderdate")
+    p should include("GreaterThan(l_shipdate")
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+    // no hint anywhere: customer/orders scale with SF, AQE owns the strategy
+    val hinted = AnalyticsQueries.q3ShippingPriority.build(spark, sfDir)
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    hinted shouldBe empty
+  }
+
+  test("q18: the HAVING gate feeds a semi-join reduction, never a broadcast hint") {
+    val q = AnalyticsQueries.q18LargeOrders
+    val p = plan(q)
+    withClue(p) {
+      // the aggregate hit set joins back as LeftSemi — the fact is reduced
+      // before the customer/lineitem joins, not materialized or collected
+      p should include("LeftSemi")
+      p should include("TakeOrderedAndProject")
+      p should not include "CartesianProduct"
+    }
+    // the hit set is a per-key aggregate (scales with key cardinality):
+    // broadcasting it explicitly would cap the engine at broadcast-limit keys
+    val hinted = q.build(spark, sfDir).queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    hinted shouldBe empty
+  }
+
   test("j7: the band join is an equi-join on domain buckets, never a nested loop") {
     val p = plan(AnalyticsQueries.j7BandJoin)
     p should not include "BroadcastNestedLoopJoin"
