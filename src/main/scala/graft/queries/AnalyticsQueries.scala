@@ -308,6 +308,48 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** O15 — per-key rolling median (the one window shape o7/o8/o12/o14
+    * don't cover: an order STATISTIC over a sliding frame, not a running
+    * sum/rank). The frame is the trailing 7 events and the median is
+    * reported only once the frame is FULL: an odd-count median is a pure
+    * order statistic — the middle element passes through bit-exact in both
+    * engines, with no interpolation arithmetic at all. That design retires
+    * the a14/a17 flake class by construction (even-count median interpolates
+    * (a+b)/2, and the engines disagree on decimal median semantics — DuckDB
+    * returns the lower-middle for DECIMAL input — and on the IEEE op order
+    * for DOUBLE interpolation).
+    *
+    * 100 TB shape: one hash-partition shuffle on the key feeds both the
+    * row_number and the frame; the per-row cost is O(frame)=O(7) inside the
+    * window operator, no second shuffle before the output sort. */
+  val o15RollingMedian: Reg = Reg.sql(
+    "o15_rolling_median",
+    """SELECT event_id, user_id, roll_median FROM (
+      |  SELECT event_id, user_id,
+      |         median(value) OVER w AS roll_median,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_ms(ts), event_id) AS rn
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |WHERE rn >= 7
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    // Order over the shared epoch-ms longs (never raw ns timestamps) with
+    // the unique event_id tiebreak: frame membership is total-ordered, so
+    // the order statistic is re-execution deterministic.
+    val w = Window.partitionBy("user_id").orderBy(col("__ms"), col("event_id"))
+      .rowsBetween(-6, 0)
+    val wr = Window.partitionBy("user_id").orderBy(col("__ms"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("__ms", unix_millis(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        expr("percentile(value, 0.5)").over(w).as("roll_median"),
+        row_number().over(wr).as("rn"))
+      .where(col("rn") >= 7)
+      .select("event_id", "user_id", "roll_median")
+      .orderBy("event_id")
+  }
+
   /** F3 — semi-structured shredding through Spark 4's VARIANT type: parse
     * the JSON ONCE into the binary variant encoding, then typed
     * `variant_get` extractions — the modern engine path for schemaless
@@ -754,7 +796,7 @@ object AnalyticsQueries {
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
     f3VariantShred, o13Unpivot, q5RegionVolume, q9ProductProfit,
-    q3ShippingPriority, q18LargeOrders,
+    q3ShippingPriority, q18LargeOrders, o15RollingMedian,
     j9BloomPrune, a16TableProfile, o14GapFill, a17ApproxPercentile,
     j10OverlapJoin, a18Histogram)
 }

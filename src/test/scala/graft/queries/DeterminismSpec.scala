@@ -30,7 +30,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkSuite {
     AnalyticsQueries.o9Sessionize, // session merge + float avg over shuffled input
     AnalyticsQueries.j8SaltedJoin, // hash-salt spread must not wobble the join
     AnalyticsQueries.o12TimeRangeWindow, // range-frame peers under ms ties
-    AnalyticsQueries.o14GapFill    // forward-fill carry under shuffled input
+    AnalyticsQueries.o14GapFill,   // forward-fill carry under shuffled input
+    AnalyticsQueries.o15RollingMedian // sliding order statistic under frame ties
   )
 
   risky.foreach { q =>
