@@ -136,45 +136,53 @@ object IngestQueries {
     * delay exceeds the corpus's 30-day event-time span so no row can go
     * late regardless of how AvailableNow batches the files — the result is
     * batching-invariant (in production the delay bounds state; here it
-    * pins determinism). */
+    * pins determinism).
+    *
+    * The demo streams a CONSTANT-size slice (event_id < 50000 — the whole
+    * corpus at sf0.01, a fixed cap beyond): the gate checks dedup/watermark
+    * SEMANTICS, not throughput, and the slice keeps the demo's inherent
+    * 3× corpus I/O (write-twice → state store → read-back) bounded at any
+    * SF instead of dominating the bench. */
   val streamDedup: Reg = Reg.sql(
     "s10_stream_dedup",
     """SELECT event_type, COUNT(*) AS cnt,
       |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      |FROM events WHERE event_id < 50000
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     val work = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    val src = work + "/in"
-    val ev = Tables.events(s, dir)
-    ev.write.parquet(src)
-    ev.write.mode("append").parquet(src)
+    // Scratch is 3× the slice (in/out/ckpt) and this builder runs many
+    // times per round: delete it on EVERY exit path, not just success.
+    try {
+      val src = work + "/in"
+      val ev = Tables.events(s, dir).where(col("event_id") < 50000L)
+      ev.write.parquet(src)
+      ev.write.mode("append").parquet(src)
 
-    val schema = s.read.parquet(src).schema
-    val deduped = s.readStream.schema(schema).parquet(src)
-      .withWatermark("ts", "40 days")
-      .dropDuplicatesWithinWatermark("event_id")
-    val q = deduped.writeStream
-      .format("parquet")
-      .option("path", work + "/out")
-      .option("checkpointLocation", work + "/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      val schema = s.read.parquet(src).schema
+      val deduped = s.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = deduped.writeStream
+        .format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
 
-    val agg = s.read.parquet(work + "/out")
-      .groupBy("event_type")
-      .agg(
-        count(lit(1)).as("cnt"),
-        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
-      .orderBy("event_type")
-    // |event types| rows: materialize so the 3x-corpus scratch dir (in/
-    // out/ckpt) can be deleted NOW — the harness builds this query many
-    // times per round and the leaked dirs add up. Reuse the aggregate's
-    // own schema; a hand-written StructType would drift on rename.
-    val out = s.createDataFrame(
-      java.util.Arrays.asList(agg.collect(): _*), agg.schema)
-    deleteRecursively(new java.io.File(work))
-    out
+      val agg = s.read.parquet(work + "/out")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
+        .orderBy("event_type")
+      // |event types| rows: materialize so the scratch dir can be deleted
+      // NOW rather than when the caller finishes consuming the frame. Reuse
+      // the aggregate's own schema; a hand-written StructType would drift
+      // on rename.
+      s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally deleteRecursively(new java.io.File(work))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
