@@ -52,13 +52,20 @@ object BloomPrune {
       s"fact key '$factKey' (${family(keyType)}) and dim key '$dimKey' " +
         s"(${family(dim.schema(dimKey).dataType)}) must share a type family — " +
         "the sketch hashes the native representation")
+    // The dimension subtree feeds THREE consumers (isEmpty probe, bloom
+    // aggregation, exact semi-join) and the first two are eager actions at
+    // construction time — materialize it ONCE so each consumer reads the
+    // cached blocks instead of re-running the dim scan. The materialized
+    // side is dimension-bounded by the operator's contract (that's the
+    // premise of bloom pruning), so the storage cost is a broadcast-scale
+    // footprint, never fact-sized.
+    val dimM = dim.localCheckpoint()
     // An empty dimension yields no sketch to merge (stat.bloomFilter NPEs);
-    // the prune is then the semi-join itself: nothing matches. The isEmpty
-    // probe is one action on the dimension side — dimension-bounded.
+    // the prune is then the semi-join itself: nothing matches.
     val pruned =
-      if (dim.isEmpty) fact.where(lit(false))
+      if (dimM.isEmpty) fact.where(lit(false))
       else {
-        val bloom = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
+        val bloom = dimM.stat.bloomFilter(dimKey, expectedKeys, fpp)
         val bloomBc = fact.sparkSession.sparkContext.broadcast(bloom)
         // null keys: a null input to these UDFs yields null, the filter
         // drops the row — matching semi-join semantics exactly
@@ -81,6 +88,6 @@ object BloomPrune {
         fact.where(col(factKey).isNotNull && probe)
       }
     // exact semi-join removes bloom false positives
-    pruned.join(dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_semi")
+    pruned.join(dimM.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_semi")
   }
 }

@@ -35,14 +35,29 @@ object AnalyticsQueries {
     * prior (inclusive) view event. One Exchange on user_id, no pair
     * expansion (see AsofJoin scaladoc). Millisecond epochs are emitted
     * instead of raw timestamps (Spark truncates parquet ns to µs, DuckDB
-    * keeps ns; ms floors compose identically from either). */
+    * keeps ns; ms floors compose identically from either).
+    *
+    * Duplicate-right-timestamp discipline: Spark's operator resolves equal
+    * (user_id, ts) view rows to the greatest payload struct — i.e. the max
+    * event_id row. DuckDB's ASOF JOIN tie-break among duplicate right
+    * timestamps is UNSPECIFIED, so the oracle restates Spark's rule as an
+    * explicit pre-dedup (one row per (user_id, ts), max event_id): DuckDB
+    * then never exercises its tie-break, the winner is identical by
+    * construction, and the Spark side keeps its single-shuffle plan (a
+    * Spark-side pre-dedup would burn a second Exchange on (user_id, ts)
+    * to re-state what the union window already resolves). */
   val j6AsofJoin: Reg = Reg.sql(
     "j6_asof_join",
     """SELECT p.event_id, p.user_id, p.value AS purchase_value,
       |       v.event_id AS view_event_id, v.value AS view_value,
       |       epoch_ms(p.ts) - epoch_ms(v.ts) AS ms_since_view
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, ts, event_id, value FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |                              ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'view') WHERE rn = 1) v
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
     val ev = Tables.events(s, dir)
