@@ -104,7 +104,17 @@ object ConnectedComponents {
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 40): DataFrame = {
+      maxRounds: Int = 40): DataFrame =
+    runStarCounted(edges, aCol, bCol, maxRounds)._1
+
+  /** `runStar` plus the number of star rounds actually executed, so callers
+    * and specs can assert the O(log n) convergence bound instead of taking
+    * it on faith. */
+  def runStarCounted(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 40): (DataFrame, Int) = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     val nodes = edges.select(a.as("n")).unionByName(edges.select(b.as("n")))
@@ -158,8 +168,9 @@ object ConnectedComponents {
 
     // star fixpoint: every edge (m, v) labels v with its root m; roots and
     // isolated nodes label themselves
-    nodes
+    val labels = nodes
       .join(e.select(col("v").as("n"), col("u").as("root")), Seq("n"), "left")
       .select(col("n").as("node"), coalesce(col("root"), col("n")).as("comp"))
+    (labels, rounds)
   }
 }

@@ -766,6 +766,38 @@ object LlmQueries {
       .orderBy("cluster_rep")
   }
 
+  /** Chain-shaped dup clusters through the O(log n) star algorithm:
+    * `llm_dup_clusters` exercises min-label propagation on triangle-planted
+    * clusters (diameter ≤ 2 — converges in a few rounds at any SF); this
+    * query plants the ADVERSARIAL shape, a drift chain doc i ~ doc i+10,
+    * whose cluster diameter GROWS with the corpus (N/10 hops at scale
+    * factor N/500). Min-label `run` would pay one round per hop — a 100 TB
+    * crawl with month-long drift chains would need thousands of rounds —
+    * so this routes through `runStar` (Kiveris et al. large-star/small-star,
+    * O(log n) rounds; the spec asserts the bound on the counted variant).
+    * The DuckDB oracle verifies the clustering itself by walking the chain
+    * relation with a recursive CTE (each node chases predecessors to its
+    * chain head), not by restating the residue-class answer. */
+  val dupChainClusters: Reg = Reg.sql(
+    "llm_dup_chain_clusters",
+    """WITH RECURSIVE chase(n, cur) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION ALL
+      |  SELECT c.n, d.doc_id FROM chase c
+      |  JOIN documents d ON d.doc_id = c.cur - 10),
+      |comp AS (SELECT n AS node, MIN(cur) AS comp FROM chase GROUP BY n)
+      |SELECT comp AS cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |FROM comp GROUP BY comp ORDER BY cluster_rep""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val pairs = docs.as("x")
+      .join(docs.as("y"), col("y.doc_id") === col("x.doc_id") + 10)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    graft.operators.ConnectedComponents.runStar(pairs, "id_a", "id_b")
+      .groupBy(col("comp").as("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy("cluster_rep")
+  }
+
   /** Characteristic terms per source — the TF-IDF shape (explode → term
     * frequency → document frequency → join → per-group top-k) with an
     * INTEGER rarity weight `tf · (|sources| − df + 1)` instead of
@@ -868,5 +900,5 @@ object LlmQueries {
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
-    dupClusters, charTerms, stratifiedSample, ngramCounts)
+    dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts)
 }

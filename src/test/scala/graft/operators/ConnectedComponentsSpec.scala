@@ -70,6 +70,22 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers with SparkSuite 
     got.keySet shouldBe (1L to 64L).toSet
   }
 
+  test("runStar round count is logarithmic in the chain length") {
+    import spark.implicits._
+    // the llm_dup_chain_clusters shape: drift chains whose diameter grows
+    // with the corpus. The paper's bound is O(log n) alternating rounds;
+    // assert ceil(log2(n)) + 3 so a regression to per-hop propagation
+    // (O(n) rounds) can never slip through.
+    for (n <- Seq(64L, 256L, 512L)) {
+      val chain = (1L until n).map(i => (i, i + 1)).toDF("a", "b").repartition(5)
+      val (labels, rounds) = ConnectedComponents.runStarCounted(chain, "a", "b")
+      val bound = math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 3
+      withClue(s"chain of $n: $rounds rounds vs bound $bound")(
+        rounds should be <= bound)
+      labels.collect().map(_.getLong(1)).toSet shouldBe Set(1L)
+    }
+  }
+
   test("runStar on an empty edge list yields an empty labeling") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
