@@ -50,7 +50,9 @@ object MutationQueries {
       |       (SELECT COUNT(DISTINCT day) FROM outliers) AS partitions_rewritten,
       |       (SELECT COUNT(*) FROM fact) - (SELECT COUNT(*) FROM outliers)
       |         AS rows_after_purge""".stripMargin) { (s, dir) =>
-    val work = Files.createTempDirectory("graft_mutation").toString + "/fact"
+    val root = Files.createTempDirectory("graft_mutation")
+    val work = root.toString + "/fact"
+    try {
     Tables.lineitem(s, dir)
       .select(
         concat_ws(":", col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
@@ -98,6 +100,7 @@ object MutationQueries {
     Seq((before, outlierCnt, labeled, labeledParts.size.toLong, after))
       .toDF("rows_before", "outliers_detected", "rows_labeled",
         "partitions_rewritten", "rows_after_purge")
+    } finally deleteRecursively(root.toFile)
   }
 
   /** A8 — partition-scoped purge, FULLY oracled: the scratch fact table is
@@ -119,7 +122,9 @@ object MutationQueries {
       |       (SELECT COUNT(*) FROM fact) -
       |       (SELECT COUNT(*) FROM fact WHERE day = 3 AND value > 30000.0)
       |         AS rows_after""".stripMargin) { (s, dir) =>
-    val work = Files.createTempDirectory("graft_mutation_part").toString + "/fact"
+    val root = Files.createTempDirectory("graft_mutation_part")
+    val work = root.toString + "/fact"
+    try {
     Tables.lineitem(s, dir)
       .select(
         concat_ws(":", col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
@@ -137,7 +142,134 @@ object MutationQueries {
     import s.implicits._
     Seq((before, affected.size.toLong, before - after, after))
       .toDF("rows_before", "partitions_rewritten", "rows_deleted", "rows_after")
+    } finally deleteRecursively(root.toFile)
   }
 
-  val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned)
+  /** A19 — the periodic small-file compaction job, driven end to end under
+    * the gate: partition day=3 is deliberately written as 25 small files
+    * (the accretion pattern of per-micro-batch merges / repeated point
+    * mutations), `oversizedPartitions` must name exactly that partition,
+    * and `compactPartitions` rewrites it to ONE file through the same
+    * atomic-swap protocol — content-identically (the reference counterpart
+    * is Iceberg's `rewrite_data_files`). The oracle pins the construction
+    * constants (25 → 1 files, 1 partition) AND the content checksum
+    * (row count + DECIMAL value sum) that must survive the rewrite; the
+    * Spark side emits MEASURED values, so a compaction that dropped or
+    * duplicated rows, or failed to merge files, hash-mismatches. */
+  val compactSmallFiles: Reg = Reg.sql(
+    "a19_compact_partitions",
+    """WITH fact AS (
+      |  SELECT l_suppkey % 8 AS day, l_extendedprice AS value FROM lineitem)
+      |SELECT CAST(1 AS BIGINT) AS partitions_compacted,
+      |       CAST(25 AS BIGINT) AS files_before,
+      |       CAST(1 AS BIGINT) AS files_after,
+      |       (SELECT COUNT(*) FROM fact WHERE day = 3) AS day3_rows,
+      |       (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |        FROM fact WHERE day = 3) AS day3_value_sum,
+      |       (SELECT COUNT(*) FROM fact) AS total_rows""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory("graft_compact")
+    val work = root.toString + "/fact"
+    try {
+      val fact = Tables.lineitem(s, dir)
+        .select(
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            col("l_partkey")).as("event_id"),
+          (col("l_suppkey") % 8).as("day"),
+          col("l_extendedprice").as("value"))
+      // healthy partitions: writer-aligned, 1 file each
+      fact.where(col("day") =!= 3)
+        .repartition(col("day")).write.partitionBy("day").parquet(work)
+      // the fragmented partition: 25 files of day=3 rows
+      fact.where(col("day") === 3)
+        .repartition(25).write.mode("append").partitionBy("day").parquet(work)
+
+      def fileCount(v: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(s"$work/day=$v")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .listStatus(p).count(f => f.isFile && !f.getPath.getName.startsWith("_")).toLong
+      }
+      def checksum() = s.read.parquet(work).where(col("day") === 3)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("vs"))
+        .head()
+
+      val filesBefore = fileCount("3")
+      val candidates = MergeOps.oversizedPartitions(s, work, "day", maxFiles = 8)
+      MergeOps.compactPartitions(s, work, "day", candidates, numFiles = 1)
+      val filesAfter = fileCount("3")
+      val after = checksum()
+      val total = s.read.parquet(work).count()
+
+      import s.implicits._
+      Seq((candidates.size.toLong, filesBefore, filesAfter,
+        after.getLong(0), after.getDouble(1), total))
+        .toDF("partitions_compacted", "files_before", "files_after",
+          "day3_rows", "day3_value_sum", "total_rows")
+    } finally deleteRecursively(root.toFile)
+  }
+
+  /** S11 — schema evolution across partition eras (the reference's fact
+    * table carries a `data_version` column for exactly this): the v1 era
+    * (days 0–1) is written WITHOUT the later `quality_weight` column, the
+    * v2 era (days 2–3) adds it, and a `mergeSchema` read unifies both —
+    * v1 rows surface the added column as NULL, defaulted at read time with
+    * `coalesce`. The oracle states the same unified view straight from
+    * lineitem, so a broken merge (dropped column, misaligned default,
+    * rows read under the wrong era) hash-mismatches. quality_weight is
+    * integer-valued (floor(value/100)) so its sums are IEEE-exact.
+    *
+    * 100 TB shape: schema evolution by ADDING nullable columns is the only
+    * kind that needs no rewrite of old partitions — the merged read costs
+    * footer unions, not data I/O. */
+  val schemaEvolution: Reg = Reg.sql(
+    "s11_schema_evolution",
+    """WITH fact AS (
+      |  SELECT l_suppkey % 4 AS day, l_extendedprice AS value FROM lineitem),
+      |unified AS (
+      |  SELECT day, value,
+      |         CASE WHEN day >= 2 THEN '2.0' ELSE '1.0' END AS data_version,
+      |         CASE WHEN day >= 2 THEN FLOOR(value / 100.0) END AS quality_weight
+      |  FROM fact)
+      |SELECT data_version,
+      |       COUNT(*) AS cnt,
+      |       COUNT(quality_weight) AS rows_with_weight,
+      |       CAST(SUM(COALESCE(quality_weight, 1.0)) AS DOUBLE) AS sum_eff_weight
+      |FROM unified GROUP BY data_version ORDER BY data_version""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory("graft_schema_evo")
+    val work = root.toString + "/fact"
+    try {
+      val fact = Tables.lineitem(s, dir)
+        .select(
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            col("l_partkey")).as("event_id"),
+          (col("l_suppkey") % 4).as("day"),
+          col("l_extendedprice").as("value"))
+      fact.where(col("day") < 2)
+        .withColumn("data_version", lit("1.0"))
+        .repartition(col("day")).write.partitionBy("day").parquet(work)
+      fact.where(col("day") >= 2)
+        .withColumn("data_version", lit("2.0"))
+        .withColumn("quality_weight", floor(col("value") / 100.0).cast("double"))
+        .repartition(col("day")).write.mode("append").partitionBy("day").parquet(work)
+
+      val unified = s.read.option("mergeSchema", "true").parquet(work)
+      val agg = unified.groupBy("data_version")
+        .agg(
+          count(lit(1)).as("cnt"),
+          count(col("quality_weight")).as("rows_with_weight"),
+          sum(coalesce(col("quality_weight"), lit(1.0)))
+            .cast("double").as("sum_eff_weight"))
+        .orderBy("data_version")
+      // few-row aggregate: materialize so the scratch dir can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally deleteRecursively(root.toFile)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles, schemaEvolution)
 }

@@ -243,4 +243,43 @@ class MergeOpsSpec extends AnyFunSuite with Matchers with SparkSuite {
     t.count() shouldBe 8
     t.columns should contain allOf ("event_id", "bssid", "value")
   }
+
+  test("schema evolution: mergeSchema unifies mixed-version partitions and " +
+    "partition-scoped ops preserve each era's own schema") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_schema_evo_spec")
+      .toString + "/fact"
+    // v1 era (day=0): no quality_weight column; v2 era (day=1): adds it
+    Seq(("e0", 0, 10.0), ("e1", 0, 20.0))
+      .toDF("event_id", "day", "value")
+      .withColumn("data_version", lit("1.0"))
+      .write.partitionBy("day").parquet(path)
+    Seq(("e2", 1, 30.0, 3.0), ("e3", 1, 40.0, 4.0))
+      .toDF("event_id", "day", "value", "quality_weight")
+      .withColumn("data_version", lit("2.0"))
+      .write.mode("append").partitionBy("day").parquet(path)
+
+    // merged read: union schema, v1 rows surface the added column as NULL
+    val unified = spark.read.option("mergeSchema", "true").parquet(path)
+    unified.columns should contain allOf
+      ("event_id", "value", "data_version", "quality_weight", "day")
+    unified.where("data_version = '1.0' AND quality_weight IS NULL").count() shouldBe 2
+    unified.where("data_version = '2.0' AND quality_weight IS NOT NULL").count() shouldBe 2
+
+    // a partition-scoped mutation on the v1 partition must not invent the
+    // v2 column there (each era keeps its own physical schema — adding
+    // nullable columns never forces old-partition rewrites)...
+    MergeOps.deleteWherePartitioned(
+      spark, path, "day", col("day") === 0 && col("event_id") === "e0")
+    spark.read.parquet(path + "/day=0").columns should not contain "quality_weight"
+    // ...and compaction preserves the v2 partition's widened schema
+    MergeOps.compactPartitions(spark, path, "day", Seq("1"), numFiles = 1)
+    val v2 = spark.read.parquet(path + "/day=1")
+    v2.columns should contain ("quality_weight")
+    v2.count() shouldBe 2
+    // merged read after both mutations still unifies
+    val after = spark.read.option("mergeSchema", "true").parquet(path)
+    after.count() shouldBe 3
+    after.where("quality_weight IS NULL").count() shouldBe 1
+  }
 }
