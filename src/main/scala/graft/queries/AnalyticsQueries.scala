@@ -556,6 +556,100 @@ object AnalyticsQueries {
       .limit(10)
   }
 
+  /** Q7 — volume shipping (TPC-H Q7 shape): the SAME dimension table plays
+    * two roles (nation as supplier-nation n1 and customer-nation n2) under
+    * an OR-symmetric pair filter — the self-aliased-dimension decision no
+    * other star query exercises. Each alias is pre-filtered to the pair set
+    * before its broadcast (2 rows ride to the executors, not 25) with the
+    * OR kept as the residual predicate — semantically identical to the
+    * classic formulation the oracle states, because the OR implies
+    * membership in the pair set on both sides. */
+  val q7VolumeShipping: Reg = Reg.sql(
+    "q7_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS cnt
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+      |         CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+      |  FROM supplier s
+      |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      |  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
+    val pair = Seq("NATION_3", "NATION_7")
+    val n1 = Tables.nation(s, dir).where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir).where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q17 — small-quantity revenue (TPC-H Q17 shape): a CORRELATED scalar
+    * subquery (each line item compared to 20% of its own part's average
+    * quantity) decorrelated the way every engine must at scale — one
+    * per-part aggregate, one equi-join back onto the fact, never a
+    * per-row subquery execution. The per-key threshold frame carries NO
+    * broadcast hint (it scales with part cardinality — the PlanAuditSpec
+    * rule). Threshold floats are safe across engines: sum of integer-valued
+    * quantities is IEEE-exact, and both engines state the identical
+    * `0.2 * (sum/count)` op order, so the comparison bits agree. */
+  val q17SmallQuantity: Reg = Reg.sql(
+    "q17_small_quantity",
+    """WITH thresh AS (
+      |  SELECT l_partkey, 0.2 * AVG(l_quantity) AS t
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT p.p_brand,
+      |       COUNT(*) AS small_lines,
+      |       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2)
+      |            AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN thresh th ON th.l_partkey = l.l_partkey
+      |JOIN part p    ON p.p_partkey = l.l_partkey
+      |WHERE l.l_quantity < th.t
+      |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) { (s, dir) =>
+    val thresh = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg((lit(0.2) * avg("l_quantity")).as("t"))
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(thresh, "l_partkey")
+      .where(col("l_quantity") < col("t"))
+      .join(Tables.part(s, dir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("small_lines"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("revenue"))
+      .orderBy("p_brand")
+  }
+
   /** Q18 — large-volume orders (TPC-H Q18 shape): a HAVING-gated aggregate
     * over the fact feeds a SEMI-JOIN back onto the same fact — the
     * semi-join-reduction decision none of the other star queries hit. The
@@ -811,7 +905,8 @@ object AnalyticsQueries {
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
     f3VariantShred, o13Unpivot, q5RegionVolume, q9ProductProfit,
-    q3ShippingPriority, q18LargeOrders, o15RollingMedian,
+    q3ShippingPriority, q18LargeOrders, q7VolumeShipping, q17SmallQuantity,
+    o15RollingMedian,
     j9BloomPrune, a16TableProfile, o14GapFill, a17ApproxPercentile,
     j10OverlapJoin, a18Histogram)
 }

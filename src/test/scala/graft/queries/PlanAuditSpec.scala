@@ -181,6 +181,43 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     hinted shouldBe empty
   }
 
+  test("q7: both self-aliased nation roles broadcast as pair-filtered dims") {
+    val q = AnalyticsQueries.q7VolumeShipping
+    val p = plan(q)
+    withClue(p) {
+      // two nation aliases + AQE-picked strategies for supplier/customer;
+      // at minimum the two hinted nation roles must be broadcast
+      "BroadcastHashJoin".r.findAllIn(p).size should be >= 2
+      p should not include "CartesianProduct"
+      // the pair filter reaches the nation scans (2 rows broadcast, not 25)
+      p should include("In(n_name")
+    }
+    val hinted = q.build(spark, sfDir).queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    hinted should have size 2
+    hinted.foreach { h =>
+      val outCols = h.child.output.map(_.name)
+      withClue(s"hinted relation $outCols must be a nation alias")(
+        outCols.exists(c => c == "supp_nation" || c == "cust_nation") shouldBe true)
+    }
+  }
+
+  test("q17: the correlated threshold is decorrelated to one per-key aggregate, no hint") {
+    val q = AnalyticsQueries.q17SmallQuantity
+    val p = plan(q)
+    withClue(p) {
+      p should not include "CartesianProduct"
+      // decorrelation = aggregate + equi-join, never a per-row subquery
+      p should include("HashAggregate")
+    }
+    // the per-part threshold frame scales with key cardinality: no hint
+    val hinted = q.build(spark, sfDir).queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    hinted shouldBe empty
+  }
+
   test("j7: the band join is an equi-join on domain buckets, never a nested loop") {
     val p = plan(AnalyticsQueries.j7BandJoin)
     p should not include "BroadcastNestedLoopJoin"
