@@ -21,7 +21,11 @@ object Bench {
     // cost (historically read as phantom regressions on 5-row queries); the
     // WARM run is the reported figure. Queries ordered by name for a stable
     // report.
+    // Optional first arg: comma-separated query-name filter (local
+    // iteration on one hot query without paying the full sweep).
+    val wanted = args.headOption.map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => wanted.forall(_.contains(n)))
     val timed = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): (Double, Boolean) = {
