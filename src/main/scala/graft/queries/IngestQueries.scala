@@ -185,11 +185,94 @@ object IngestQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** S12 — custom streaming STATE under the oracle gate: s10 proves the
+    * built-in state store (dropDuplicatesWithinWatermark); this runs the
+    * hand-written `flatMapGroupsWithState` relocation detector as a REAL
+    * stream (readStream → custom state fold → AvailableNow drain) and
+    * hash-gates its alert output. The fix corpus is step-shaped BY DESIGN:
+    * 5 fixes at position A then 4 at position B (~11 km away) per AP, so
+    * every EMA fold is exact (near fixes have delta 0, far fixes never
+    * touch the anchor) and the one alert per AP has closed form — fired on
+    * the 3rd consecutive far fix with from=A, to=B, fixesSeen=5 — which
+    * DuckDB states from `range(50)` including the haversine distance (the
+    * c1 formula, floored to whole meters so a cross-libm ulp cannot flip
+    * it). The corpus is written as ONE file so the AvailableNow drain is a
+    * single batch and the within-batch event-time sort fixes the fold
+    * order end to end. */
+  val streamRelocation: Reg = Reg.sql(
+    "s12_stream_relocation",
+    """WITH b AS (SELECT CAST(range AS BIGINT) AS i FROM range(50)),
+      |a AS (
+      |  -- all literals cast to DOUBLE: DuckDB otherwise runs 10.0 + i*0.5
+      |  -- in exact DECIMAL arithmetic while Spark folds IEEE doubles
+      |  SELECT printf('ap%02d', i) AS bssid,
+      |         CAST(10.0 AS DOUBLE) + i * CAST(0.5 AS DOUBLE) AS from_lat,
+      |         CAST(-30.0 AS DOUBLE) + i * CAST(0.8 AS DOUBLE) AS from_lon,
+      |         CAST(10.0 AS DOUBLE) + i * CAST(0.5 AS DOUBLE)
+      |           + CAST(0.1 AS DOUBLE) AS to_lat,
+      |         CAST(-30.0 AS DOUBLE) + i * CAST(0.8 AS DOUBLE) AS to_lon,
+      |         1700000000000 + i * 100000 + 7 * 10000 AS at_ms,
+      |         CAST(5 AS BIGINT) AS fixes_seen
+      |  FROM b)
+      |SELECT bssid, from_lat, from_lon, to_lat, to_lon,
+      |       CAST(FLOOR(2 * 6371000 * ASIN(SQRT(
+      |         POW(SIN(RADIANS(to_lat - from_lat) / 2), 2) +
+      |         COS(RADIANS(from_lat)) * COS(RADIANS(to_lat)) *
+      |         POW(SIN(RADIANS(to_lon - from_lon) / 2), 2)))) AS BIGINT)
+      |         AS distance_floor_m,
+      |       at_ms, fixes_seen
+      |FROM a ORDER BY bssid""".stripMargin) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_reloc").toString
+    try {
+      val src = work + "/in"
+      val fixes = s.range(50)
+        .select(
+          format_string("ap%02d", col("id")).as("bssid"),
+          (lit(10.0) + col("id") * 0.5).as("lat_a"),
+          (lit(-30.0) + col("id") * 0.8).as("lon_a"),
+          col("id").as("b"))
+        .select(col("bssid"), col("lat_a"), col("lon_a"), col("b"),
+          explode(sequence(lit(0), lit(8))).as("i"))
+        .select(
+          col("bssid"),
+          when(col("i") <= 4, col("lat_a"))
+            .otherwise(col("lat_a") + 0.1).as("lat"),
+          col("lon_a").as("lon"),
+          timestamp_millis(lit(1700000000000L)
+            + col("b") * 100000 + col("i") * 10000).as("event_time"))
+      fixes.coalesce(1).write.parquet(src)
+
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema).parquet(src)
+      val alerts = graft.streaming.StreamOps.relocationAlerts(
+        s, stream, jumpMeters = 500.0, confirmFixes = 3, alpha = 0.2,
+        watermarkDelay = "3650 days")
+      val q = alerts.toDF().writeStream
+        .format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val out = s.read.parquet(work + "/out")
+        .select(col("bssid"),
+          col("fromLat").as("from_lat"), col("fromLon").as("from_lon"),
+          col("toLat").as("to_lat"), col("toLon").as("to_lon"),
+          floor(col("distanceM")).cast("bigint").as("distance_floor_m"),
+          col("atMillis").as("at_ms"), col("fixesSeen").as("fixes_seen"))
+        .orderBy("bssid")
+      // 50-row alert list: materialize so the scratch dir can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
     f.delete(): Unit
   }
 
-  val all: Seq[Reg] = Seq(ingestChain, windowedStats, streamDedup)
+  val all: Seq[Reg] = Seq(ingestChain, windowedStats, streamDedup, streamRelocation)
 }
