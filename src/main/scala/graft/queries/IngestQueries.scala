@@ -268,11 +268,95 @@ object IngestQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** S13 — stream-stream interval join under the oracle gate: two REAL
+    * file streams (measurements, alerts), the watermarked LEFT OUTER
+    * interval join from `StreamOps.joinAlertsToScans`, AvailableNow drain.
+    * The outer side is the hard part: unmatched rows may only emit once the
+    * watermark PROVES no alert can still arrive, so each stream carries a
+    * far-future flush sentinel — after the data batch the watermark passes
+    * every real row and the engine's no-data micro-batch flushes the
+    * unmatched tail (the sentinel itself never emits and is filtered on
+    * both sides of the gate). The corpus is arithmetic on range(200)
+    * (20 APs × 10 fixes each, alerts on even APs covering fixes 2–5), so
+    * DuckDB states the exact joined row set with a plain LEFT JOIN. */
+  val streamJoin: Reg = Reg.sql(
+    "s13_stream_join",
+    """WITH m AS (
+      |  SELECT printf('ap%02d', CAST(range AS BIGINT) % 20) AS bssid,
+      |         1700000000000 + (CAST(range AS BIGINT) // 20) * 60000 AS event_ms
+      |  FROM range(200)),
+      |al AS (
+      |  SELECT printf('ap%02d', CAST(range AS BIGINT) * 2) AS a_bssid,
+      |         1700000000000 + 2 * 60000 AS alert_ms,
+      |         CAST(range AS BIGINT) * 2 AS sev
+      |  FROM range(10))
+      |SELECT m.bssid, m.event_ms,
+      |       al.alert_ms, al.sev
+      |FROM m LEFT JOIN al
+      |  ON al.a_bssid = m.bssid
+      | AND al.alert_ms <= m.event_ms
+      | AND al.alert_ms >= m.event_ms - 3600000
+      |ORDER BY bssid, event_ms, alert_ms, sev""".stripMargin) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+    try {
+      val T0 = 1700000000000L
+      val flushMs = T0 + 100L * 24 * 3600 * 1000
+      // 20 APs × 10 fixes, one minute apart per AP
+      val ms = s.range(200)
+        .select(
+          format_string("ap%02d", col("id") % 20).as("bssid"),
+          timestamp_millis(lit(T0) + (col("id") / 20).cast("long") * 60000)
+            .as("event_time"))
+        .unionByName(s.range(1).select(
+          lit("zz_flush").as("bssid"),
+          timestamp_millis(lit(flushMs)).as("event_time")))
+      // alerts for the 10 even APs, fired at T0+2min: fixes 2..5 land in
+      // [alert, alert+1h], fixes 0..1 precede it, 6..9 outrun the horizon
+      val al = s.range(10)
+        .select(
+          format_string("ap%02d", col("id") * 2).as("bssid"),
+          timestamp_millis(lit(T0 + 2 * 60000)).as("alert_time"),
+          (col("id") * 2).as("sev"))
+        .unionByName(s.range(1).select(
+          lit("zz_flush").as("bssid"),
+          timestamp_millis(lit(flushMs)).as("alert_time"),
+          lit(-1L).as("sev")))
+      val mSrc = work + "/m"
+      val aSrc = work + "/a"
+      ms.coalesce(1).write.parquet(mSrc)
+      al.coalesce(1).write.parquet(aSrc)
+
+      val mStream = s.readStream.schema(s.read.parquet(mSrc).schema).parquet(mSrc)
+        .withColumnRenamed("bssid", "bssid") // no-op, keeps shape explicit
+      val aStream = s.readStream.schema(s.read.parquet(aSrc).schema).parquet(aSrc)
+      val joined = graft.streaming.StreamOps.joinAlertsToScans(
+        mStream, aStream, horizon = "1 hour", watermarkDelay = "10 minutes")
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val out = s.read.parquet(work + "/out")
+        .where(col("bssid") =!= "zz_flush")
+        .select(col("bssid"),
+          unix_millis(col("event_time")).as("event_ms"),
+          unix_millis(col("alert_time")).as("alert_ms"),
+          col("sev"))
+        .orderBy(col("bssid"), col("event_ms"), col("alert_ms"), col("sev"))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
     f.delete(): Unit
   }
 
-  val all: Seq[Reg] = Seq(ingestChain, windowedStats, streamDedup, streamRelocation)
+  val all: Seq[Reg] =
+    Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin)
 }
