@@ -351,6 +351,87 @@ object IngestQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** S14 — `session_window` under a REAL streaming execution: o9 oracles
+    * the batch rendering of sessionization and StreamOpsSpec pins the
+    * append-mode mechanics; this closes the loop by hash-gating the
+    * streaming operator itself (readStream → merging session state →
+    * AvailableNow drain). The corpus is closed-form: per device, 5 fixes a
+    * minute apart, 10 minutes of silence, then 3 more fixes — with a
+    * 5-minute gap that is exactly two sessions whose bounds DuckDB states
+    * from `range(20)` (session end = last fix + gap, the session_window
+    * contract). Each device's rssi is constant, so the session mean is the
+    * constant itself — no division ulp can flake the hash. A far-future
+    * flush sentinel advances the watermark past every real session so the
+    * no-data batch emits them all; the sentinel's own session never closes
+    * and is filtered besides. */
+  val streamSessions: Reg = Reg.sql(
+    "s14_stream_sessions",
+    """WITH d AS (SELECT CAST(range AS BIGINT) AS d FROM range(20)),
+      |s AS (
+      |  SELECT printf('dev%02d', d) AS device_id,
+      |         CAST(-30.0 AS DOUBLE) - d AS mean_rssi, d
+      |  FROM d)
+      |SELECT device_id, session_start_ms, session_end_ms, n_scans, mean_rssi
+      |FROM (
+      |  SELECT device_id,
+      |         1700000000000 + d * 3600000 AS session_start_ms,
+      |         1700000000000 + d * 3600000 + 540000 AS session_end_ms,
+      |         CAST(5 AS BIGINT) AS n_scans, mean_rssi
+      |  FROM s
+      |  UNION ALL
+      |  SELECT device_id,
+      |         1700000000000 + d * 3600000 + 900000,
+      |         1700000000000 + d * 3600000 + 1320000,
+      |         CAST(3 AS BIGINT), mean_rssi
+      |  FROM s)
+      |ORDER BY device_id, session_start_ms""".stripMargin) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+    try {
+      val T0 = 1700000000000L
+      val src = work + "/in"
+      // 20 devices × (5 fixes a minute apart, 10 min silence, 3 more fixes);
+      // device bases an hour apart so the layout is obvious in the dump
+      val fixes = s.range(20)
+        .select(
+          format_string("dev%02d", col("id")).as("device_id"),
+          col("id").as("d"),
+          explode(sequence(lit(0), lit(7))).as("i"))
+        .select(
+          col("device_id"),
+          (-lit(30.0) - col("d")).cast("double").as("rssi"),
+          timestamp_millis(lit(T0) + col("d") * 3600000L +
+            when(col("i") <= 4, col("i")).otherwise(col("i") + 10) * 60000L)
+            .as("event_time"))
+        .unionByName(s.range(1).select(
+          lit("zz_flush").as("device_id"),
+          lit(0.0).as("rssi"),
+          timestamp_millis(lit(T0 + 100L * 24 * 3600 * 1000)).as("event_time")))
+      fixes.coalesce(1).write.parquet(src)
+
+      val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+      val sessions = graft.streaming.StreamOps.sessionizedDeviceActivity(
+        stream, gap = "5 minutes", watermarkDelay = "30 minutes")
+      val q = sessions.writeStream
+        .format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val out = s.read.parquet(work + "/out")
+        .where(col("device_id") =!= "zz_flush")
+        .select(col("device_id"),
+          unix_millis(col("session_start")).as("session_start_ms"),
+          unix_millis(col("session_end")).as("session_end_ms"),
+          col("n_scans"), col("mean_rssi"))
+        .orderBy("device_id", "session_start_ms")
+      // 40-row session list: materialize so the scratch dir can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
@@ -358,5 +439,6 @@ object IngestQueries {
   }
 
   val all: Seq[Reg] =
-    Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin)
+    Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
+      streamSessions)
 }
