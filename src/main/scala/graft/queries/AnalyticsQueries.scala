@@ -901,11 +901,219 @@ object AnalyticsQueries {
       .orderBy("l_returnflag", "bucket")
   }
 
+  /** Q4 — order priority checking (TPC-H Q4 shape): an EXISTS whose inner
+    * predicate CORRELATES ACROSS TABLES (the line item's ship date compared
+    * to its own order's date) — decorrelated into a left-semi join whose
+    * condition mixes the equi key with a non-equi residual. The planner
+    * decision this exercises that Q18's semi-join doesn't: the semi side is
+    * the RAW fact (no pre-aggregate), so the hash-semi must evaluate the
+    * date residual per probe instead of reducing the build side first.
+    * The testdata carries no l_commitdate/l_receiptdate, so "late line"
+    * is restated on the columns it has: shipped >90 days after the order
+    * date. Pure date arithmetic — no float risk. */
+  val q4OrderPriority: Reg = Reg.sql(
+    "q4_order_priority",
+    """SELECT o.o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q13 — customer order distribution (TPC-H Q13 shape): a LEFT OUTER
+    * fact-fact join whose filter lives in the ON clause (a WHERE would
+    * silently drop the zero-order customers the query exists to count),
+    * then a two-level aggregation (per-customer count → distribution of
+    * counts). The right-side-only ON predicate is applied BEFORE the join
+    * (semantically identical, and it keeps the filter at the orders scan);
+    * `count(o_orderkey)` counts matches, so an unmatched customer
+    * contributes c_count = 0. The second aggregate's input is
+    * |customers| rows of two ints — the distribution shuffle is trivial at
+    * any SF. (custdist, c_count) is a total order because c_count is the
+    * group key. */
+  val q13OrderDistribution: Reg = Reg.sql(
+    "q13_order_distribution",
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).select("c_custkey")
+      .join(
+        Tables.orders(s, dir).where(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q16 — supplier variety per part family (TPC-H Q16 shape): a NOT IN
+    * exclusion list (suppliers in deficit — the testdata's stand-in for the
+    * spec's complaint-comment scan) becomes a LEFT ANTI join on the fact
+    * BEFORE the dimension join, then COUNT(DISTINCT supplier) per part
+    * family — the distinct-aggregate-after-anti-join shape no other star
+    * query hits. The testdata has no partsupp table, so lineitem plays the
+    * part↔supplier bridge role. The exclusion frame is a filtered DIMENSION
+    * (suppliers in deficit — bounded fraction of a bounded table), distinct
+    * from the per-key aggregates the no-hint rule targets; it still carries
+    * no hint, AQE broadcasts it while small. */
+  val q16SupplierVariety: Reg = Reg.sql(
+    "q16_supplier_variety",
+    """SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand <> 'Brand#1'
+      |  AND p.p_size IN (1,5,9,13,17,21,25,29)
+      |  AND l.l_suppkey NOT IN
+      |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p.p_brand, p.p_size
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""".stripMargin) { (s, dir) =>
+    val excluded = Tables.supplier(s, dir)
+      .where(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("x_suppkey"))
+    Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      .join(excluded, col("l_suppkey") === col("x_suppkey"), "left_anti")
+      .join(
+        Tables.part(s, dir)
+          .where(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+          .select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** Q21 — suppliers who kept orders waiting (TPC-H Q21 shape): EXISTS and
+    * NOT EXISTS correlated to the SAME fact (lineitem) with an INEQUALITY
+    * correlate (a different supplier on the same order) — the
+    * double-self-semi-join shape that is the classic join-order stress
+    * test. Both decorrelate to hash joins on the order key with the
+    * supplier inequality as residual: semi (some other supplier touched
+    * the order) then anti (no OTHER supplier also failed it) — so all
+    * three lineitem legs shuffle on l_orderkey and the Exchange is reused
+    * across them. "Failed line" is restated on available columns as
+    * l_returnflag = 'R' within completed ('F') orders. Supplier joins
+    * last, on the already-reduced fact. */
+  val q21BlameSupplier: Reg = Reg.sql(
+    "q21_blame_supplier",
+    """SELECT s.s_name, COUNT(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s.s_name""".stripMargin) { (s, dir) =>
+    val base = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+    val others = base
+      .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+    val otherFailed = base.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"))
+    base.where(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(others,
+        col("l_orderkey") === col("l2_orderkey") &&
+          col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+      .join(otherFailed,
+        col("l_orderkey") === col("l3_orderkey") &&
+          col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** Q22 — dormant high-balance customers (TPC-H Q22 shape): a SCALAR
+    * subquery (segment-wide average balance) gating the main scan, plus a
+    * NOT EXISTS anti-join to orders. The scalar is a one-row aggregate
+    * crossJoined in (broadcast by construction — the accepted 1-row
+    * precedent); the threshold is the exact DECIMAL sum cast to DOUBLE
+    * divided by the count, the identical IEEE op order in both engines, so
+    * the `>` comparison cannot flip. Every testdata customer has SOME
+    * order, so dormancy is restated as "no order since 2000-01-01" —
+    * which keeps the anti side a date-filtered fact, the shape Q21's
+    * full-fact anti doesn't cover. */
+  val q22DormantCustomers: Reg = Reg.sql(
+    "q22_dormant_customers",
+    """WITH seg AS (
+      |  SELECT * FROM customer
+      |  WHERE c_nationkey IN (1,3,5,7,9,11,13) AND c_acctbal > 0.0),
+      |ab AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |           / COUNT(*) AS ab
+      |  FROM seg)
+      |SELECT c.c_nationkey AS nation, COUNT(*) AS numcust,
+      |       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |         AS totacctbal
+      |FROM customer c, ab
+      |WHERE c.c_nationkey IN (1,3,5,7,9,11,13)
+      |  AND c.c_acctbal > ab.ab
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c.c_nationkey
+      |ORDER BY c.c_nationkey""".stripMargin) { (s, dir) =>
+    val seg = Tables.customer(s, dir)
+      .where(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13) &&
+        col("c_acctbal") > 0.0)
+    val avgBal = seg.agg(
+      (sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+        / count(lit(1))).as("ab"))
+    seg
+      .crossJoin(avgBal)
+      .where(col("c_acctbal") > col("ab"))
+      .join(
+        Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal").cast("decimal(18,2)")), 2)
+          .cast("double").as("totacctbal"))
+      .orderBy("nation")
+  }
+
   val all: Seq[Reg] = Seq(
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
     f3VariantShred, o13Unpivot, q5RegionVolume, q9ProductProfit,
     q3ShippingPriority, q18LargeOrders, q7VolumeShipping, q17SmallQuantity,
+    q4OrderPriority, q13OrderDistribution, q16SupplierVariety,
+    q21BlameSupplier, q22DormantCustomers,
     o15RollingMedian,
     j9BloomPrune, a16TableProfile, o14GapFill, a17ApproxPercentile,
     j10OverlapJoin, a18Histogram)

@@ -31,7 +31,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkSuite {
     AnalyticsQueries.j8SaltedJoin, // hash-salt spread must not wobble the join
     AnalyticsQueries.o12TimeRangeWindow, // range-frame peers under ms ties
     AnalyticsQueries.o14GapFill,   // forward-fill carry under shuffled input
-    AnalyticsQueries.o15RollingMedian // sliding order statistic under frame ties
+    AnalyticsQueries.o15RollingMedian, // sliding order statistic under frame ties
+    AnalyticsQueries.q22DormantCustomers // scalar float threshold gating the scan
   )
 
   risky.foreach { q =>

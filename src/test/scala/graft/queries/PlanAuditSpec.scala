@@ -218,6 +218,75 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     hinted shouldBe empty
   }
 
+  test("q4/q13: semi with cross-table residual and outer with pushed ON-filter") {
+    val p4 = plan(AnalyticsQueries.q4OrderPriority)
+    withClue(p4) {
+      // EXISTS decorrelates to a hash LeftSemi on the order key; the date
+      // residual rides the join, never a per-row subquery or nested loop
+      p4 should include("LeftSemi")
+      p4 should not include "BroadcastNestedLoopJoin"
+      p4 should not include "CartesianProduct"
+      // the orders date window reaches the scan
+      p4 should include("GreaterThanOrEqual(o_orderdate")
+    }
+    val p13 = plan(AnalyticsQueries.q13OrderDistribution)
+    withClue(p13) {
+      // zero-order customers must survive: the join stays LeftOuter and the
+      // priority filter applies on the orders side (pushed to its scan),
+      // never as a post-join WHERE that would drop unmatched rows
+      p13 should include("LeftOuter")
+      p13 should include("Not(EqualTo(o_orderpriority")
+      p13 should not include "CartesianProduct"
+    }
+    Seq(AnalyticsQueries.q4OrderPriority, AnalyticsQueries.q13OrderDistribution)
+      .foreach { q =>
+        val hinted = q.build(spark, sfDir).queryExecution.analyzed.collect {
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+        }
+        withClue(q.name)(hinted shouldBe empty)
+      }
+  }
+
+  test("q16/q21: anti-join exclusions and the double self-semi-join, all hash joins") {
+    val p16 = plan(AnalyticsQueries.q16SupplierVariety)
+    withClue(p16) {
+      // NOT IN becomes a LeftAnti on the fact BEFORE the part join; the
+      // brand/size filters reach the part scan
+      p16 should include("LeftAnti")
+      p16 should include("In(p_size")
+      p16 should not include "CartesianProduct"
+    }
+    val p21 = plan(AnalyticsQueries.q21BlameSupplier)
+    withClue(p21) {
+      // EXISTS + NOT EXISTS on the same fact = two more hash joins on the
+      // order key (semi then anti), supplier-inequality as residual — a
+      // nested loop here is the 100× killer
+      "LeftSemi".r.findAllIn(p21).size should be >= 2
+      p21 should include("LeftAnti")
+      p21 should not include "BroadcastNestedLoopJoin"
+      p21 should not include "CartesianProduct"
+    }
+    Seq(AnalyticsQueries.q16SupplierVariety, AnalyticsQueries.q21BlameSupplier)
+      .foreach { q =>
+        val hinted = q.build(spark, sfDir).queryExecution.analyzed.collect {
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+        }
+        withClue(q.name)(hinted shouldBe empty)
+      }
+  }
+
+  test("q22: the scalar threshold is a one-row broadcast; dormancy is a LeftAnti") {
+    val p = plan(AnalyticsQueries.q22DormantCustomers)
+    withClue(p) {
+      // the segment-average scalar joins as a 1-row broadcast nested loop
+      // (broadcast by construction), and the recent-orders anti side keeps
+      // its date filter at the scan
+      p should include("LeftAnti")
+      p should include("GreaterThanOrEqual(o_orderdate")
+      p should not include "CartesianProduct"
+    }
+  }
+
   test("j7: the band join is an equi-join on domain buckets, never a nested loop") {
     val p = plan(AnalyticsQueries.j7BandJoin)
     p should not include "BroadcastNestedLoopJoin"
