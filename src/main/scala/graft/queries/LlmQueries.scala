@@ -895,10 +895,117 @@ object LlmQueries {
       .limit(20)
   }
 
+  /** Segment-level dedup (the CCNet/RefinedWeb LINE-dedup shape: drop every
+    * line whose content already appeared anywhere in the corpus, keep the
+    * first occurrence, reassemble the survivors). The testdata's documents
+    * carry no newlines, so "line" is re-expressed as a fixed 10-word
+    * segment — the operator shape is identical: ONE explode (corpus →
+    * segments), ONE global window shuffle keyed on segment content with
+    * the deterministic (doc_id, seg_idx) first-occurrence rule, ONE
+    * group-back per doc. Nothing is all-pairs and nothing collects; at
+    * 100 TB the window's segment-content key partitions uniformly because
+    * identical segments co-locate by definition. Output pins the
+    * reassembled text via md5 (byte-identical across engines) plus
+    * kept/dropped counts per doc. */
+  val segmentDedup: Reg = Reg.sql(
+    "llm_segment_dedup",
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |segs AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+      |         array_to_string(w[(CAST(i AS BIGINT)*10+1):(CAST(i AS BIGINT)*10+10)], ' ')
+      |           AS seg
+      |  FROM words, UNNEST(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS t(i)),
+      |keep AS (
+      |  SELECT doc_id, seg_idx, seg,
+      |         ROW_NUMBER() OVER (PARTITION BY seg
+      |                            ORDER BY doc_id, seg_idx) AS rn
+      |  FROM segs)
+      |SELECT doc_id,
+      |       COUNT(*) FILTER (rn = 1) AS kept_segs,
+      |       COUNT(*) FILTER (rn > 1) AS dropped_segs,
+      |       md5(COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+      |                      FILTER (rn = 1), '')) AS cleaned_md5
+      |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1), " +
+          "i -> array_join(slice(w, i * 10 + 1, 10), ' '))")))
+      .toDF("doc_id", "seg_idx", "seg")
+    segs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("seg").orderBy("doc_id", "seg_idx")))
+      .groupBy("doc_id")
+      .agg(
+        count(when(col("rn") === 1, 1)).as("kept_segs"),
+        count(when(col("rn") > 1, 1)).as("dropped_segs"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN rn = 1 " +
+            "THEN struct(seg_idx, seg) END)), x -> x.seg)"), " "))
+          .as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-family quality RULES (Rae et al. 2021 §A1.1 document filters —
+    * the repetition half lives in `llm_repetition`): word-count bounds,
+    * mean word length window, alphabetic-word fraction, and a minimum
+    * stop-word hit count, each a pure per-row expression fused into the
+    * scan (no shuffle at all before the output sort). The line-shaped
+    * rules (bullet/ellipsis line ratios) need newlines the testdata
+    * doesn't have and are the documented omission. Means are
+    * FLOOR-truncated per the cross-engine discipline, so the pass/fail
+    * boolean compares identical doubles in both engines. */
+  val gopherRules: Reg = Reg.sql(
+    "llm_gopher_rules",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+      |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, wc,
+      |         FLOOR(1e4 * letters / wc) / 1e4 AS mean_word_len,
+      |         FLOOR(1e4 * CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+      |                          AS BIGINT) / wc) / 1e4 AS alpha_frac,
+      |         CAST(CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END +
+      |              CASE WHEN list_contains(w, 'a') THEN 1 ELSE 0 END +
+      |              CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END +
+      |              CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END +
+      |              CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END
+      |              AS BIGINT) AS stop_hits
+      |  FROM t)
+      |SELECT doc_id, wc AS word_count, mean_word_len, alpha_frac, stop_hits,
+      |       (wc BETWEEN 20 AND 200) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+      |         AND alpha_frac >= 0.8 AND stop_hits >= 2 AS passes
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("w"),
+        length(translate(col("text"), " ", "")).cast("bigint").as("letters"))
+      .withColumn("wc", size(col("w")).cast("bigint"))
+    val stopHits = Seq("the", "a", "of", "to", "and")
+      .map(sw => when(array_contains(col("w"), sw), 1).otherwise(0))
+      .reduce(_ + _).cast("bigint")
+    val m = base.select(
+      col("doc_id"),
+      col("wc").as("word_count"),
+      (floor(lit(1e4) * col("letters") / col("wc")) / 1e4).as("mean_word_len"),
+      (floor(lit(1e4) * expr("size(filter(w, x -> x rlike '[a-z]'))").cast("bigint")
+        / col("wc")) / 1e4).as("alpha_frac"),
+      stopHits.as("stop_hits"))
+    m.select(col("doc_id"), col("word_count"), col("mean_word_len"),
+      col("alpha_frac"), col("stop_hits"),
+      (col("word_count").between(20, 200) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("alpha_frac") >= 0.8 && col("stop_hits") >= 2).as("passes"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Reg] = Seq(
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
-    dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts)
+    dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
+    segmentDedup, gopherRules)
 }
