@@ -1001,11 +1001,69 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Greedy sequence PACKING (the sample-packing step every pretraining
+    * run does before tokenized examples hit the trainer): documents fold
+    * into fixed-capacity training sequences in doc_id order — a doc that
+    * would overflow the open sequence starts the next one; each output row
+    * pins (sequence id, token offset) for its doc. Packing is inherently
+    * sequential WITHIN a stream, so the 100 TB shape shards it: one fold
+    * per source via `groupByKey(source).flatMapGroups` (parallel across
+    * shards, state = one running fill per shard, never the doc list — the
+    * iterator is consumed in sorted order after an in-group sort whose
+    * size is the shard's doc count, the same bound `BatchLocalizer`
+    * documents). DuckDB states the identical fold as a recursive CTE over
+    * the per-source row numbering. Token count = whitespace word count
+    * (the `llm_token_estimate` convention). */
+  val seqPacking: Reg = Reg.sql(
+    "llm_seq_packing",
+    """WITH RECURSIVE d AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |pack AS (
+      |  SELECT source, doc_id, wc, rn,
+      |         CAST(0 AS BIGINT) AS seq_id,
+      |         CAST(0 AS BIGINT) AS tok_offset,
+      |         wc AS fill
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.source, d.doc_id, d.wc, d.rn,
+      |         CASE WHEN p.fill + d.wc > 256 THEN p.seq_id + 1
+      |              ELSE p.seq_id END,
+      |         CASE WHEN p.fill + d.wc > 256 THEN CAST(0 AS BIGINT)
+      |              ELSE p.fill END,
+      |         CASE WHEN p.fill + d.wc > 256 THEN d.wc
+      |              ELSE p.fill + d.wc END
+      |  FROM d JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1)
+      |SELECT doc_id, source, seq_id, tok_offset, wc
+      |FROM pack ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("wc"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (source, it) =>
+        val docs = it.toArray.sortBy(_._2)
+        var seqId = 0L; var fill = 0L; var first = true
+        docs.iterator.map { case (_, docId, wc) =>
+          val offset =
+            if (first) { first = false; fill = wc; 0L }
+            else if (fill + wc > 256L) { seqId += 1; fill = wc; 0L }
+            else { val o = fill; fill += wc; o }
+          (docId, source, seqId, offset, wc)
+        }
+      }
+      .toDF("doc_id", "source", "seq_id", "tok_offset", "wc")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Reg] = Seq(
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
-    segmentDedup, gopherRules)
+    segmentDedup, gopherRules, seqPacking)
 }

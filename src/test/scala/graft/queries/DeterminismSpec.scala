@@ -32,7 +32,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkSuite {
     AnalyticsQueries.o12TimeRangeWindow, // range-frame peers under ms ties
     AnalyticsQueries.o14GapFill,   // forward-fill carry under shuffled input
     AnalyticsQueries.o15RollingMedian, // sliding order statistic under frame ties
-    AnalyticsQueries.q22DormantCustomers // scalar float threshold gating the scan
+    AnalyticsQueries.q22DormantCustomers, // scalar float threshold gating the scan
+    LlmQueries.seqPacking // per-shard fold over a sorted group iterator
   )
 
   risky.foreach { q =>
