@@ -1059,11 +1059,41 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window context CHUNKING (the RAG-indexing prep step: split
+    * each doc into fixed-size chunks with overlap so retrieval never cuts
+    * an answer span at a hard boundary): 50-word chunks on a 40-word
+    * stride, the final partial chunk clipped at the doc end. One explode,
+    * no shuffle before the output sort; chunk identity is pinned by md5 so
+    * the gate catches any boundary drift. Downstream, `llm_ann_*` index
+    * exactly this chunk shape. */
+  val contextChunks: Reg = Reg.sql(
+    "llm_context_chunks",
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |         w[(CAST(i AS BIGINT)*40+1):(CAST(i AS BIGINT)*40+50)] AS cw
+      |  FROM words, UNNEST(range(CAST(ceil(len(w)/40.0) AS BIGINT))) AS t(i))
+      |SELECT doc_id, chunk_idx,
+      |       CAST(len(cw) AS BIGINT) AS chunk_words,
+      |       md5(array_to_string(cw, ' ')) AS chunk_md5
+      |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(w) / 40.0) as int) - 1), " +
+          "i -> slice(w, i * 40 + 1, 50))")))
+      .toDF("doc_id", "chunk_idx", "cw")
+      .select(col("doc_id"), col("chunk_idx").cast("long"),
+        size(col("cw")).cast("long").as("chunk_words"),
+        md5(array_join(col("cw"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[Reg] = Seq(
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
-    segmentDedup, gopherRules, seqPacking)
+    segmentDedup, gopherRules, seqPacking, contextChunks)
 }
