@@ -432,6 +432,105 @@ object IngestQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** S4/S6 — S3-event parse + feed dispatch under the oracle gate: SQS-style
+    * ObjectCreated JSON bodies are synthesized from `documents` with planted
+    * invalids (every 7th a non-S3 eventSource, every 11th a malformed bucket
+    * name, every 13th a non-hex eTag — each exercising one validation drop
+    * in `Sources.parseS3Events`), the survivors routed by
+    * `Sources.feedType` on the object-key prefix. DuckDB restates the
+    * modular fate arithmetic directly — a hash mismatch catches a schema,
+    * regex, or dispatch-prefix drift. */
+  val eventRouting: Reg = Reg.sql(
+    "s4_event_routing",
+    """WITH e AS (
+      |  SELECT doc_id, n_chars,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'wifi_scan'
+      |              WHEN doc_id % 3 = 1 THEN 'connected_events'
+      |              ELSE 'default' END AS feed_type
+      |  FROM documents
+      |  WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0 AND doc_id % 13 <> 0)
+      |SELECT feed_type, COUNT(*) AS cnt, SUM(n_chars) AS total_size
+      |FROM e GROUP BY feed_type ORDER BY feed_type""".stripMargin) { (s, dir) =>
+    val keyPrefix = when(col("doc_id") % 3 === 0, "wifi-scan/")
+      .when(col("doc_id") % 3 === 1, "connected-events/")
+      .otherwise("other/")
+    val body = format_string(
+      """{"Records":[{"eventSource":"%s","eventTime":"2026-01-01T00:00:00Z",""" +
+        """"s3":{"bucket":{"name":"%s"},"object":{"key":"%sbatch-%d.gz",""" +
+        """"size":%d,"eTag":"%s"}}}]}""",
+      when(col("doc_id") % 7 === 0, "aws:sqs").otherwise("aws:s3"),
+      when(col("doc_id") % 11 === 0, lit("BAD_BUCKET"))
+        .otherwise(concat(lit("bkt-"), col("source"))),
+      keyPrefix, col("doc_id"), col("n_chars"),
+      when(col("doc_id") % 13 === 0, lit("zzz")).otherwise(md5(col("text"))))
+    graft.sources.Sources.parseS3Events(
+      Tables.documents(s, dir).select(body.as("body")))
+      .select(graft.sources.Sources.feedType(col("key")).as("feed_type"),
+        col("size"))
+      .groupBy("feed_type")
+      .agg(count(lit(1)).as("cnt"), sum("size").as("total_size"))
+      .orderBy("feed_type")
+  }
+
+  /** F18/F19 — error isolation + oversized reject under the oracle gate:
+    * the wire carries planted fates (every 17th line undecodable garbage,
+    * every 19th blank, every 23rd an oversized document via a 5000-char
+    * SSID against a 4 KiB cap; precedence corrupt > blank > oversized) and
+    * the gate pins the count surviving each stage: F1/F18 isolate the
+    * garbage without failing the batch, the F19 guard drops the oversized
+    * AFTER parse (it decodes fine — it is a policy reject, not an error),
+    * and everything else flows through validation untouched (fields are
+    * synthesized always-valid so the only drops are the planted ones).
+    * The counts are 1-row aggregates crossJoined (broadcast by
+    * construction). */
+  val rejectIsolation: Reg = Reg.sql(
+    "f18_reject_isolation",
+    """WITH c AS (
+      |  SELECT CASE WHEN doc_id % 17 = 0 THEN 'corrupt'
+      |              WHEN doc_id % 19 = 0 THEN 'blank'
+      |              WHEN doc_id % 23 = 0 THEN 'oversized'
+      |              ELSE 'valid' END AS fate
+      |  FROM documents)
+      |SELECT COUNT(*) AS wire_lines,
+      |       COUNT(*) FILTER (fate NOT IN ('corrupt', 'blank')) AS parsed_docs,
+      |       COUNT(*) FILTER (fate = 'oversized') AS oversized_dropped,
+      |       COUNT(*) FILTER (fate = 'valid') AS measurements
+      |FROM c""".stripMargin) { (s, dir) =>
+    val ts = lit(NowMs) - (col("doc_id") % 1000) * 1000
+    val octet = format_string("%02x", col("doc_id") % 250)
+    val ssid = when(col("doc_id") % 23 === 0,
+      concat(lit("net-"), repeat(lit("x"), 5000)))
+      .otherwise(format_string("net-%d", col("doc_id")))
+    val json = format_string(
+      """{"osVersion":"14","model":"m-%d","device":"dev","manufacturer":"acme",""" +
+        """"appNameVersion":"v1","dataVersion":"1.0","wifiConnectedEvents":[],""" +
+        """"scanResults":[{"timestamp":%d,"mode":"active",""" +
+        """"location":{"source":"fused","provider":"gps","latitude":%.4f,""" +
+        """"longitude":%.4f,"altitude":10.0,"accuracy":%.1f,"speed":0.0,""" +
+        """"bearing":0.0,"time":%d},""" +
+        """"results":[{"ssid":"%s","bssid":"aa:bb:cc:dd:ee:%s","scantime":%d,""" +
+        """"rssi":%d,"level":2}]}]}""",
+      col("doc_id"), ts,
+      (col("doc_id") % 120) - lit(60.0), (col("doc_id") % 300) - lit(150.0),
+      (col("doc_id") % 100) + lit(1.0), ts,
+      ssid, octet, ts, -(col("doc_id") % 70) - 30)
+    val line = when(col("doc_id") % 17 === 0, lit("!corrupt-not-base64!"))
+      .when(col("doc_id") % 19 === 0, lit(""))
+      .otherwise(Codec.encodeLineCol(json))
+    val wire = Tables.documents(s, dir).select(line.as("value")).localCheckpoint()
+    val cfg = ScanIngest.Config(nowMillis = Some(NowMs), maxRecordBytes = 4096)
+    val decoded = ScanIngest.decodeAndParse(wire).localCheckpoint()
+    val sizeKept = decoded.where(length(to_json(col("doc"))) <= cfg.maxRecordBytes)
+    val measurements = ScanIngest.ingest(wire, cfg)
+    wire.agg(count(lit(1)).as("wire_lines"))
+      .crossJoin(decoded.agg(count(lit(1)).as("parsed_docs")))
+      .crossJoin(sizeKept.agg(count(lit(1)).as("size_kept")))
+      .crossJoin(measurements.agg(count(lit(1)).as("measurements")))
+      .select(col("wire_lines"), col("parsed_docs"),
+        (col("parsed_docs") - col("size_kept")).as("oversized_dropped"),
+        col("measurements"))
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
@@ -440,5 +539,5 @@ object IngestQueries {
 
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
-      streamSessions)
+      streamSessions, eventRouting, rejectIsolation)
 }
