@@ -287,6 +287,49 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     }
   }
 
+  test("star-suite completion: argmin/argmax/scalar/disjunction/nested-semi shapes") {
+    // q2: the per-part argmin joins back as an EQUI join on (key, min) —
+    // never a per-row subquery; top-k compiles to TakeOrderedAndProject
+    val p2 = plan(StarQueries.q2MinCostSupplier)
+    withClue(p2) {
+      p2 should include("TakeOrderedAndProject")
+      p2 should not include "CartesianProduct"
+    }
+    // q19: the OR-of-ANDs rides the partkey hash join as residual — a
+    // nested loop over the disjunction is the 100× killer
+    val p19 = plan(StarQueries.q19DiscountedRevenue)
+    withClue(p19) {
+      p19 should not include "BroadcastNestedLoopJoin"
+      p19 should not include "CartesianProduct"
+    }
+    // q20: two semi-reductions deep, all hash joins
+    val p20 = plan(StarQueries.q20PromotableSuppliers)
+    withClue(p20) {
+      "LeftSemi".r.findAllIn(p20).size should be >= 2
+      p20 should not include "BroadcastNestedLoopJoin"
+      p20 should not include "CartesianProduct"
+    }
+    // q11/q15: the global scalar (threshold / max) is a one-row frame —
+    // its join must never shuffle the per-key side on a phantom key
+    Seq(StarQueries.q11ImportantStock, StarQueries.q15TopSupplier).foreach { q =>
+      withClue(q.name)(plan(q) should not include "CartesianProduct")
+    }
+    // per-key aggregates (costs/mins/vals/rev) carry no broadcast hint;
+    // the only hinted relations are fixed nation dimensions
+    Seq(StarQueries.q2MinCostSupplier, StarQueries.q8MarketShare,
+      StarQueries.q10ReturnedItems, StarQueries.q11ImportantStock,
+      StarQueries.q15TopSupplier, StarQueries.q20PromotableSuppliers).foreach { q =>
+      val hinted = q.build(spark, sfDir).queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      hinted.foreach { h =>
+        val outCols = h.child.output.map(_.name)
+        withClue(s"${q.name}: hinted relation $outCols must be a fixed dimension")(
+          outCols.forall(c => c.startsWith("n_") || c.startsWith("r_")) shouldBe true)
+      }
+    }
+  }
+
   test("j7: the band join is an equi-join on domain buckets, never a nested loop") {
     val p = plan(AnalyticsQueries.j7BandJoin)
     p should not include "BroadcastNestedLoopJoin"
@@ -334,7 +377,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
         case _ => false
       })
 
-    (CoreQueries.all ++ LlmQueries.all ++ AnalyticsQueries.all ++ ServeQueries.all)
+    (CoreQueries.all ++ LlmQueries.all ++ AnalyticsQueries.all ++ ServeQueries.all ++ StarQueries.all)
       .foreach { q =>
         val hints = q.build(spark, sfDir).queryExecution.analyzed.collect {
           case h: ResolvedHint => h
@@ -356,6 +399,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
 
   private object SparkEntryPlans {
     lazy val all: Seq[(String, String)] =
-      (CoreQueries.all ++ LlmQueries.all ++ AnalyticsQueries.all).map(r => r.name -> plan(r))
+      (CoreQueries.all ++ LlmQueries.all ++ AnalyticsQueries.all ++ StarQueries.all)
+        .map(r => r.name -> plan(r))
   }
 }
