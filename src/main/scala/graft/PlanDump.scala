@@ -32,7 +32,8 @@ object PlanDump {
       ("q21_blame_supplier", "EXISTS + NOT EXISTS on the same fact: both decorrelate to hash joins on the order key (LeftSemi then LeftAnti) with the supplier inequality as residual - all three lineitem legs shuffle on the SAME key, so the exchanges line up; no nested loop anywhere"),
       ("q13_order_distribution", "outer fact-fact join with an ON-clause filter: the priority predicate is applied on the orders side (pushed to its scan), the join stays LeftOuter so zero-order customers survive with count 0, and the second aggregate runs on |customers| two-int rows"),
       ("llm_segment_dedup", "corpus-wide line/segment dedup: ONE explode to segments, ONE window exchange keyed on segment content (first-occurrence rule totalized by doc_id, seg_idx), ONE group-back reassembling survivors - the CCNet shape with no all-pairs stage"),
-      ("llm_seq_packing", "greedy sample packing sharded by source: ONE groupByKey exchange, then a per-shard sequential fold over the sorted iterator - parallel across shards, which is the only parallelism packing admits"))
+      ("llm_seq_packing", "greedy sample packing sharded by source: ONE groupByKey exchange, then a per-shard sequential fold over the sorted iterator - parallel across shards, which is the only parallelism packing admits"),
+      ("q20_promotable_suppliers", "nested semi-join chain: the per-(supplier,part) aggregate is semi-reduced by the part list, threshold-filtered, then semi-reduces supplier - two LeftSemi deep, all hash joins, only the fixed nation dimension broadcast-hinted"))
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")
