@@ -1107,7 +1107,28 @@ object AnalyticsQueries {
       .orderBy("nation")
   }
 
+  /** O16 — ntile deciles: the bucket-by-rank window shape (o7 running, o8
+    * rank, o12 RANGE, o14 gap-fill, o15 rolling median complete the
+    * family). Both engines share the ntile contract — equal buckets,
+    * earlier buckets absorb the remainder — and the frame order is
+    * totalized by (value, event_id) so tie placement cannot differ. */
+  val o16NtileDeciles: Reg = Reg.sql(
+    "o16_ntile_deciles",
+    """SELECT event_id, event_type,
+      |       CAST(NTILE(10) OVER (PARTITION BY event_type
+      |                            ORDER BY value, event_id) AS BIGINT) AS decile
+      |FROM events
+      |ORDER BY event_type, decile, event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        ntile(10).over(Window.partitionBy("event_type")
+          .orderBy("value", "event_id")).cast("bigint").as("decile"))
+      .orderBy("event_type", "decile", "event_id")
+  }
+
   val all: Seq[Reg] = Seq(
+    o16NtileDeciles,
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
     f3VariantShred, o13Unpivot, q5RegionVolume, q9ProductProfit,

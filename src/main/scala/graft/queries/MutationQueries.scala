@@ -271,5 +271,48 @@ object MutationQueries {
     f.delete(): Unit
   }
 
-  val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles, schemaEvolution)
+  /** A20 — the pre-bucketed fact layout under the oracle gate: events are
+    * written ONCE bucketed+sorted by user_id (`BucketedLayout`, the
+    * shuffle-elimination half of the 100 TB story; the reference's Iceberg
+    * DDL buckets by bssid with the same intent), then the per-user
+    * aggregate runs on the bucketed table. The gate pins BOTH halves of
+    * the claim: result identity with the plain-scan aggregate (the DuckDB
+    * restatement), AND `agg_exchanges = 0` — the builder counts
+    * hashpartitioning Exchanges in the aggregation's own executed plan and
+    * emits it as a column, so a regression that silently reintroduces the
+    * shuffle hash-mismatches, not just slows down. */
+  val bucketedAgg: Reg = Reg.sql(
+    "a20_bucketed_agg",
+    """SELECT user_id, COUNT(*) AS cnt,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |         AS value_sum,
+      |       CAST(0 AS BIGINT) AS agg_exchanges
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory("graft_bucketed")
+    val tbl = "graft_a20_bucketed"
+    try {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.sources.BucketedLayout.writeBucketed(
+        Tables.events(s, dir).select("user_id", "value"),
+        tbl, root.toString + "/tbl", "user_id", numBuckets = 8)
+      val agg = graft.sources.BucketedLayout.table(s, tbl)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,2)")), 2)
+            .cast("double").as("value_sum"))
+      val exchanges = "hashpartitioning".r
+        .findAllIn(agg.queryExecution.executedPlan.toString).size
+      val out = agg
+        .withColumn("agg_exchanges", lit(exchanges.toLong))
+        .orderBy("user_id")
+      // |users| rows: materialize so the scratch table can be dropped now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      deleteRecursively(root.toFile)
+    }
+  }
+
+  val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
+    schemaEvolution, bucketedAgg)
 }
