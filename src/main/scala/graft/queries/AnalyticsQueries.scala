@@ -1127,8 +1127,42 @@ object AnalyticsQueries {
       .orderBy("event_type", "decile", "event_id")
   }
 
+  /** O17 — sketch MERGEABILITY under the gate: o10 pins the HLL estimate's
+    * error bound; this pins the property that makes sketches THE
+    * count-distinct at 100 TB — per-shard sketches unioned estimate the
+    * SAME population as the one-shot sketch, so partial aggregation over
+    * any partitioning works. Register-wise max is lossless, but the
+    * datasketches union materializes into a different target format
+    * (HLL_8) than the direct sketch, so the two ESTIMATES may differ by a
+    * hair — the contract is therefore stated as both estimates landing
+    * within the 5% band of the exact count (comfortably above lgK=12's
+    * ~1.6% RSE), not bit-equality. DuckDB states the exact count and the
+    * two constant-true gates. */
+  val o17HllMerge: Reg = Reg.sql(
+    "o17_hll_merge",
+    """SELECT COUNT(DISTINCT user_id) AS exact_distinct,
+      |       TRUE AS direct_within_bound,
+      |       TRUE AS merged_within_bound
+      |FROM events""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val direct = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("direct"))
+    val merged = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
+    def inBand(c: org.apache.spark.sql.Column) =
+      abs(c.cast("double") - col("exact_distinct").cast("double")) /
+        col("exact_distinct").cast("double") <= 0.05
+    exact.crossJoin(direct).crossJoin(merged)
+      .select(
+        col("exact_distinct"),
+        inBand(col("direct")).as("direct_within_bound"),
+        inBand(col("merged")).as("merged_within_bound"))
+  }
+
   val all: Seq[Reg] = Seq(
-    o16NtileDeciles,
+    o16NtileDeciles, o17HllMerge,
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
     f3VariantShred, o13Unpivot, q5RegionVolume, q9ProductProfit,
