@@ -1089,11 +1089,59 @@ object LlmQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** PII scrubbing (the redaction pass every compliant training pipeline
+    * runs before text leaves quarantine): emails and phone-shaped tokens
+    * are counted and replaced with typed placeholders — pure per-row
+    * regexes fused into the scan, no shuffle before the output sort. The
+    * corpus itself is PII-free, so every 5th doc gets a PLANTED
+    * contact-line suffix: the gate then pins detection counts and the
+    * redacted text (via md5) on docs with and without hits. Patterns use
+    * only class/quantifier syntax whose semantics agree between java.regex
+    * and RE2 (no lookaround, no \\d shorthand). */
+  val piiScrub: Reg = Reg.sql(
+    "llm_pii_scrub",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         text || CASE WHEN doc_id % 5 = 0
+      |                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+      |                      || '@example.com or +1-555-'
+      |                      || printf('%04d', doc_id % 10000)
+      |                 ELSE '' END AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+'))
+      |            AS BIGINT) AS emails_found,
+      |       CAST(len(regexp_extract_all(raw, '[+]1-555-[0-9]{4}'))
+      |            AS BIGINT) AS phones_found,
+      |       md5(regexp_replace(
+      |             regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+      |             '[+]1-555-[0-9]{4}', '<PHONE>', 'g')) AS clean_md5
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val emailRe = "[a-z0-9._]+@[a-z0-9.-]+"
+    val phoneRe = "[+]1-555-[0-9]{4}"
+    val raw = concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        format_string(" contact user%d@example.com or +1-555-%04d",
+          col("doc_id"), col("doc_id") % 10000)).otherwise(""))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(raw, '$emailRe', 0)"))
+          .cast("bigint").as("emails_found"),
+        size(expr(s"regexp_extract_all(raw, '$phoneRe', 0)"))
+          .cast("bigint").as("phones_found"),
+        md5(regexp_replace(
+          regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Reg] = Seq(
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
-    segmentDedup, gopherRules, seqPacking, contextChunks)
+    segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub)
 }
