@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.llm.{MinHash, Multimodal, SimHash, Similarity, TextAnalysis}
+import graft.operators.LinkRank
 
 /** Training-data-pipeline operators over the `documents` and `embeddings`
   * tables (SQL-expressible subset; the LSH/MinHash/ANN scale paths live in
@@ -1137,11 +1138,106 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Link-graph quality RANK (integer PageRank, [[graft.operators.LinkRank]]):
+    * the web-graph curation signal — rank crawled documents by incoming-link
+    * mass and keep/weight the top slice. The corpus carries no real link
+    * column, so the graph is SYNTHESIZED deterministically from doc ids
+    * (both engines state the identical three out-links per doc: a quadratic
+    * map — non-bijective, so in-degree varies; a mod-97 hub map — the first
+    * 97 docs become hubs; and one affine bijection that keeps the graph
+    * strongly connected), which makes the planted structure a real oracle:
+    * hub ranks must come out pinned to the last integer. Five synchronous
+    * power-iteration rounds, all-integer arithmetic (see LinkRank scaladoc
+    * for why that is what makes a cross-engine exact gate possible at all);
+    * DuckDB restates the rounds as chained CTEs. Top-50 by rank is a
+    * TakeOrderedAndProject — the rank vector itself never leaves the
+    * executors. */
+  val linkRank: Reg = {
+    def duckIter(prev: String): String =
+      s"""  SELECT nd.doc_id AS node,
+         |         150000000 + CAST((85 * CAST(COALESCE(SUM(p.r // 3), 0) AS BIGINT)) // 100
+         |                          AS BIGINT) AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst, r.r FROM edges e JOIN $prev r ON r.node = e.src) p
+         |    ON p.dst = nd.doc_id
+         |  GROUP BY nd.doc_id""".stripMargin
+    Reg.sql(
+      "llm_linkrank",
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
+         |nodes AS (SELECT doc_id FROM documents),
+         |edges AS (
+         |  SELECT doc_id AS src, (doc_id*doc_id + 7) % c AS dst FROM documents, n
+         |  UNION ALL SELECT doc_id, doc_id % 97 FROM documents, n
+         |  UNION ALL SELECT doc_id, (doc_id*7+13) % c FROM documents, n),
+         |it0 AS (SELECT doc_id AS node, CAST(1000000000 AS BIGINT) AS r FROM documents),
+         |it1 AS (
+         |${duckIter("it0")}),
+         |it2 AS (
+         |${duckIter("it1")}),
+         |it3 AS (
+         |${duckIter("it2")}),
+         |it4 AS (
+         |${duckIter("it3")}),
+         |it5 AS (
+         |${duckIter("it4")})
+         |SELECT node, r AS rank_scaled FROM it5
+         |ORDER BY rank_scaled DESC, node LIMIT 50""".stripMargin) { (s, dir) =>
+      // |documents| via a 1-row frame (broadcast by construction — the
+      // established 1-row crossJoin precedent, no explicit hint) so the
+      // synthesized dst stays a valid doc_id at any SF.
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("c"))
+      val withN = docs.crossJoin(n)
+      val edges =
+        withN.select(col("doc_id").as("src"),
+          ((col("doc_id") * col("doc_id") + 7) % col("c")).as("dst"))
+          .unionByName(withN.select(col("doc_id").as("src"),
+            (col("doc_id") % 97).as("dst")))
+          .unionByName(withN.select(col("doc_id").as("src"),
+            ((col("doc_id") * 7 + 13) % col("c")).as("dst")))
+      LinkRank.run(edges, "src", "dst", iterations = 5)
+        .orderBy(col("rank_scaled").desc, col("node"))
+        .limit(50)
+    }
+  }
+
+  /** Incremental (cross-batch) exact dedup — the ingestion-time shape of
+    * `llm_exact_dedup`: an incoming batch is fingerprinted and checked
+    * against the already-ingested corpus, so replayed or re-crawled
+    * documents are dropped before they enter the lake. The incoming batch
+    * is docs with id % 4 = 0 PLUS a replay slice (id % 8 = 1) that by
+    * construction already sits in the existing side — an at-least-once
+    * feed re-delivery, so `already_present = true` rows exist at every SF
+    * on top of any natural content dups. One shuffle on the 32-hex
+    * fingerprint (left join, null-check = anti-join with the flag kept);
+    * at 100 TB the existing side is a bucketed fingerprint table
+    * (`a20` layout) so the probe is exchange-free on that side. */
+  val incrementalDedup: Reg = Reg.sql(
+    "llm_incremental_dedup",
+    """WITH fp AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents),
+      |inc AS (SELECT doc_id, fp FROM fp WHERE doc_id % 4 = 0 OR doc_id % 8 = 1),
+      |ex AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 4 <> 0)
+      |SELECT i.doc_id, i.fp AS fingerprint,
+      |       e.fp IS NOT NULL AS already_present
+      |FROM inc i LEFT JOIN ex e USING (fp)
+      |ORDER BY i.doc_id""".stripMargin) { (s, dir) =>
+    val fp = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+    val inc = fp.where(col("doc_id") % 4 === 0 || col("doc_id") % 8 === 1)
+    val ex = fp.where(col("doc_id") % 4 =!= 0)
+      .select(col("fp").as("ex_fp")).distinct()
+    inc.join(ex, col("fp") === col("ex_fp"), "left")
+      .select(col("doc_id"), col("fp").as("fingerprint"),
+        col("ex_fp").isNotNull.as("already_present"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Reg] = Seq(
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
-    segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub)
+    segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
+    linkRank, incrementalDedup)
 }

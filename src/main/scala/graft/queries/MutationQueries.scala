@@ -313,6 +313,67 @@ object MutationQueries {
     }
   }
 
+  /** A21 — snapshot DIFF (the CDC reconciliation read): given two versions
+    * of a keyed table, classify every key as added / removed / changed /
+    * unchanged — the audit step after any MERGE (A6/A8) and the input to
+    * incremental downstream refresh. The "next" snapshot is simulated
+    * deterministically from orders (delete keys % 97 = 0, bump price on
+    * keys % 89 = 0, insert re-keyed copies of keys % 101 = 0), so every
+    * class is populated by construction and both engines state the
+    * identical simulation. The changed-row predicate compares the DOUBLE
+    * price directly: the update adds exactly 1.0, an exact IEEE operation
+    * both engines perform identically.
+    *
+    * Scale shape: one full-outer shuffle join on the key — the diff of two
+    * 100 TB snapshots is a co-partitioned zipper when both sit in the same
+    * bucketed layout (`a20`), and the output is the small side (the change
+    * set), so nothing data-sized reaches the driver. */
+  val snapshotDiff: Reg = Reg.sql(
+    "a21_snapshot_diff",
+    """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+      |cur AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+      |next AS (
+      |  SELECT o_orderkey AS k,
+      |         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+      |              ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + m + 1, o_totalprice
+      |  FROM orders, mx WHERE o_orderkey % 101 = 0),
+      |diff AS (
+      |  SELECT COALESCE(c.k, n.k) AS k,
+      |         CASE WHEN n.k IS NULL THEN 'removed'
+      |              WHEN c.k IS NULL THEN 'added'
+      |              WHEN c.price <> n.price THEN 'changed'
+      |              ELSE 'unchanged' END AS change_type
+      |  FROM cur c FULL OUTER JOIN next n ON c.k = n.k)
+      |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       MIN(k) AS min_key, MAX(k) AS max_key
+      |FROM diff GROUP BY change_type ORDER BY change_type""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val cur = orders.select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    // 1-row max-key frame via the established 1-row broadcast precedent
+    val mx = orders.agg(max("o_orderkey").as("m"))
+    val next = orders.where(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("nk"),
+        when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("nprice"))
+      .unionByName(orders.where(col("o_orderkey") % 101 === 0)
+        .crossJoin(broadcast(mx))
+        .select((col("o_orderkey") + col("m") + 1).as("nk"),
+          col("o_totalprice").as("nprice")))
+    cur.join(next, col("k") === col("nk"), "full_outer")
+      .select(coalesce(col("k"), col("nk")).as("key"),
+        when(col("nk").isNull, "removed")
+          .when(col("k").isNull, "added")
+          .when(col("price") =!= col("nprice"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        min("key").as("min_key"), max("key").as("max_key"))
+      .orderBy("change_type")
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
-    schemaEvolution, bucketedAgg)
+    schemaEvolution, bucketedAgg, snapshotDiff)
 }
