@@ -449,7 +449,7 @@ object IngestQueries {
       |              ELSE 'default' END AS feed_type
       |  FROM documents
       |  WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0 AND doc_id % 13 <> 0)
-      |SELECT feed_type, COUNT(*) AS cnt, SUM(n_chars) AS total_size
+      |SELECT feed_type, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS total_size
       |FROM e GROUP BY feed_type ORDER BY feed_type""".stripMargin) { (s, dir) =>
     val keyPrefix = when(col("doc_id") % 3 === 0, "wifi-scan/")
       .when(col("doc_id") % 3 === 1, "connected-events/")

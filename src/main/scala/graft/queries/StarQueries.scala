@@ -241,10 +241,10 @@ object StarQueries {
   val q12PriorityClasses: Reg = Reg.sql(
     "q12_priority_classes",
     """SELECT l.l_linestatus,
-      |       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-      |                THEN 1 ELSE 0 END) AS high_line_count,
-      |       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-      |                THEN 1 ELSE 0 END) AS low_line_count
+      |       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       |  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
