@@ -128,7 +128,11 @@ object AnalyticsQueries {
     * interpolate the SAME doubles; the output truncates (FLOOR) to cents
     * instead of rounding — an even-n median of cent-grid prices lands
     * exactly on the half-cent, where ROUND's engine-specific tie handling
-    * flips a cent (the o9 lesson, see Reg's float discipline). */
+    * flips a cent (the o9 lesson, see Reg's float discipline).
+    * Both engines use the two-sided `(1−f)·lo + f·hi` interpolation —
+    * verified bit-for-bit on every lineitem group at sf0.01 AND sf0.1 and
+    * pinned by PercentileParitySpec on ulp-adversarial cases, so the FLOOR
+    * grid has no residual half-grid exposure. */
   val a14PercentileBands: Reg = Reg.sql(
     "a14_percentile_bands",
     """SELECT l_returnflag,

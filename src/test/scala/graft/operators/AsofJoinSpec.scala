@@ -79,6 +79,44 @@ class AsofJoinSpec extends AnyFunSuite with Matchers with SparkSuite {
     outs.head shouldBe Array(Row(23L, 6.0)) // greatest (event_id, v) struct wins
   }
 
+  test("equals an explicit max-payload pre-dedup of the right side on real data") {
+    // The j6 oracle pre-dedups duplicate (user_id, ts) view rows to the max
+    // event_id row (DuckDB's ASOF tie-break among duplicates is unspecified);
+    // the Spark operator instead resolves them inside its single-Exchange
+    // window (greatest __right struct wins). This pins the two formulations
+    // equivalent on the real events table WITH planted duplicates, so scaled
+    // or re-seeded testdata cannot open a gap between them.
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val views = ev.where(col("event_type") === "view")
+      .select("event_id", "user_id", "ts", "value")
+    // plant duplicates: clone every view at the same (user_id, ts) with a
+    // shifted event_id/value on both sides of the original
+    val planted = views
+      .unionByName(views.withColumn("event_id", col("event_id") + 1000000L)
+        .withColumn("value", col("value") * 2))
+      .unionByName(views.withColumn("event_id", col("event_id") - 1000000L))
+    val viaOperator = AsofJoin.joinAsof(
+      purchases, planted, Seq("user_id"), "ts", "ts",
+      Seq("event_id", "value"), "view_")
+      .select("event_id", "view_event_id", "view_value")
+    val dedupW = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "ts")
+      .orderBy(struct(col("event_id"), col("value"), col("ts")).desc)
+    val preDeduped = planted
+      .withColumn("__rn", row_number().over(dedupW)).where($"__rn" === 1)
+      .drop("__rn")
+    val viaDedup = AsofJoin.joinAsof(
+      purchases, preDeduped, Seq("user_id"), "ts", "ts",
+      Seq("event_id", "value"), "view_")
+      .select("event_id", "view_event_id", "view_value")
+    viaOperator.exceptAll(viaDedup).count() shouldBe 0
+    viaDedup.exceptAll(viaOperator).count() shouldBe 0
+    viaOperator.count() should be > 0L
+  }
+
   test("null keys match nothing (SQL equi-join semantics), rows still kept") {
     import spark.implicits._
     val l = Seq(
