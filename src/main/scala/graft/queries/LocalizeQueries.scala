@@ -415,6 +415,62 @@ object LocalizeQueries {
         count(when(col("relocated"), 1)).as("relocated_r2")))
   }
 
+  /** P6 — the MLE optimizer itself under an EXACT oracle (not just the
+    * r7_batch_localize bounding box): 25 planted scenarios (one per nation
+    * key) put 4 equal-RSSI APs in a symmetric cross around a center, so
+    *  - the weighted-centroid start IS the center (equal weights), and
+    *  - the log-likelihood gradient cancels pairwise (N/S contribute ±d to
+    *    the lat component with the same scale; E/W contribute 0), so the
+    *    gradient-ascent fixpoint is the center analytically — the same
+    *    closed-form-fixture style as the reference's
+    *    `MaximumLikelihoodAlgorithmTest.java` known-geometry cases.
+    * IEEE wobble budget: the WCL start sits within a few ulps of the center
+    * (~1e-13°) and each residual gradient step moves ≤ lr·|g| ≈ 1e-13°, so
+    * the published estimate is within ~1e-12° of the analytic center; the
+    * centers sit mid-grid (+0.00005) on the FLOOR-1e-4 output grid, leaving
+    * a 0.5e-4° margin — nine orders of magnitude of slack. RSSI varies by
+    * scenario across all three σ tiers (2.5/4.0/6.0), which the oracle
+    * restates from the planted value. */
+  val mleFixpoint: Reg = Reg.sql(
+    "p6_mle_fixpoint",
+    """WITH cfg AS (
+      |  SELECT n_nationkey AS gid,
+      |         -30.0 + CAST(n_nationkey AS DOUBLE) * CAST(2.5 AS DOUBLE)
+      |           + CAST(0.00005 AS DOUBLE) AS clat,
+      |         10.0 + CAST(n_nationkey AS DOUBLE) * CAST(3.0 AS DOUBLE)
+      |           + CAST(0.00005 AS DOUBLE) AS clon,
+      |         CAST(-(50 + (n_nationkey * 7) % 45) AS DOUBLE) AS rssi
+      |  FROM nation)
+      |SELECT CAST(gid AS VARCHAR) AS group_id,
+      |       CAST(4 AS BIGINT) AS n_aps,
+      |       CAST(CASE WHEN rssi >= -60 THEN 2.5
+      |                 WHEN rssi >= -80 THEN 4.0
+      |                 ELSE 6.0 END AS DOUBLE) AS sigma,
+      |       FLOOR(clat * 10000) / 10000 AS est_lat,
+      |       FLOOR(clon * 10000) / 10000 AS est_lon
+      |FROM cfg ORDER BY group_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.algo.{AccessPoint, MaxLikelihood, WifiScan}
+    Tables.nation(s, dir).select(col("n_nationkey").cast("int")).as[Int]
+      .map { k =>
+        val clat = -30.0 + k * 2.5 + 0.00005
+        val clon = 10.0 + k * 3.0 + 0.00005
+        val rssi = -(50 + (k * 7) % 45).toDouble
+        val d = 0.015625
+        val aps = Seq(
+          AccessPoint("ap_n", clat + d, clon), AccessPoint("ap_s", clat - d, clon),
+          AccessPoint("ap_e", clat, clon + d), AccessPoint("ap_w", clat, clon - d))
+        val scans = aps.map(a => WifiScan(a.mac, rssi, 2437))
+        val p = MaxLikelihood.calculate(scans, aps)
+          .getOrElse(sys.error(s"p6 fixture $k: calculate returned None"))
+        (k.toString, 4L, MaxLikelihood.adaptiveSigma(rssi),
+          math.floor(p.lat * 1e4) / 1e4, math.floor(p.lon * 1e4) / 1e4)
+      }
+      .toDF("group_id", "n_aps", "sigma", "est_lat", "est_lon")
+      .orderBy("group_id")
+  }
+
   val all: Seq[Reg] =
-    Seq(batchLocalize, hotspotFull, wclTier, lofLocal, dbscanRelocation, refineLoop)
+    Seq(batchLocalize, hotspotFull, wclTier, lofLocal, dbscanRelocation, refineLoop,
+      mleFixpoint)
 }

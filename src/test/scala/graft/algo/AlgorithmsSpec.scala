@@ -208,6 +208,26 @@ class AlgorithmsSpec extends AnyFunSuite with Matchers {
     p.accuracy should (be >= 1.0 and be <= 25.0)
   }
 
+  test("MLE fixpoint on the p6 symmetric cross is the center to ~1e-9 degrees") {
+    // The p6_mle_fixpoint oracle relies on this bound: equal RSSI makes the
+    // WCL start the center (within ulps) and the gradient cancels pairwise,
+    // so the ascent must not drift. 1e-9 is 4.5 orders tighter than the
+    // query's FLOOR-1e-4 mid-grid margin.
+    (0 until 25).foreach { k =>
+      val clat = -30.0 + k * 2.5 + 0.00005
+      val clon = 10.0 + k * 3.0 + 0.00005
+      val rssi = -(50 + (k * 7) % 45).toDouble
+      val d = 0.015625
+      val aps = Seq(
+        ap("ap_n", clat + d, clon), ap("ap_s", clat - d, clon),
+        ap("ap_e", clat, clon + d), ap("ap_w", clat, clon - d))
+      val scans = aps.map(a => WifiScan(a.mac, rssi, 2437))
+      val p = MaxLikelihood.calculate(scans, aps).get
+      p.lat shouldBe clat +- 1e-9
+      p.lon shouldBe clon +- 1e-9
+    }
+  }
+
   test("MLE sigma tiers 2.5 / 4.0 / 6.0") {
     MaxLikelihood.adaptiveSigma(-55) shouldBe 2.5 +- Delta
     MaxLikelihood.adaptiveSigma(-70) shouldBe 4.0 +- Delta
