@@ -374,6 +374,66 @@ object MutationQueries {
       .orderBy("change_type")
   }
 
+  /** S15 — schema evolution beyond the additive case of s11: the two
+    * rewrites-free evolutions the reference's `data_version` column implies
+    * (`documents/wifi_measurement_s3_table_schema.md`):
+    *  - RENAME with mapping: the v1 era stores the weight as `qual`; v2
+    *    renamed it `quality_weight`. The v1 read applies the old→new map.
+    *  - TYPE WIDENING (INT → BIGINT): v1 wrote 32-bit values; v2's ids
+    *    outgrew the type (planted +3e9 offset, beyond INT32 range), so the
+    *    unified read widens v1 up the promotion lattice.
+    * `SchemaEvolution.readUnified` resolves both at read time — old
+    * partitions are never rewritten. The oracle restates the unified view
+    * straight from lineitem, and the `weight_type` column pins the widened
+    * type itself ('bigint'), so a silently-narrowed or misaligned read
+    * hash-mismatches rather than truncating. */
+  val schemaWidening: Reg = Reg.sql(
+    "s15_schema_widening",
+    """WITH fact AS (
+      |  SELECT l_suppkey % 4 AS day, l_linenumber AS qual FROM lineitem),
+      |unified AS (
+      |  SELECT CASE WHEN day >= 2 THEN '2.0' ELSE '1.0' END AS data_version,
+      |         CASE WHEN day >= 2 THEN CAST(qual AS BIGINT) + 3000000000
+      |              ELSE CAST(qual AS BIGINT) END AS quality_weight
+      |  FROM fact)
+      |SELECT data_version,
+      |       CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       CAST(SUM(quality_weight) AS BIGINT) AS weight_sum,
+      |       CAST(MAX(quality_weight) AS BIGINT) AS weight_max,
+      |       'bigint' AS weight_type
+      |FROM unified GROUP BY data_version ORDER BY data_version""".stripMargin) { (s, dir) =>
+    import graft.mutation.SchemaEvolution
+    import graft.mutation.SchemaEvolution.Era
+    val root = Files.createTempDirectory("graft_schema_widen")
+    try {
+      val fact = Tables.lineitem(s, dir)
+        .select((col("l_suppkey") % 4).as("day"), col("l_linenumber"))
+      // v1 era: INT column under the old name
+      fact.where(col("day") < 2)
+        .select(col("day"), col("l_linenumber").cast("int").as("qual"))
+        .write.parquet(root.toString + "/v1")
+      // v2 era: renamed column, values beyond INT32 range (forces BIGINT)
+      fact.where(col("day") >= 2)
+        .select(col("day"),
+          (col("l_linenumber").cast("long") + 3000000000L).as("quality_weight"))
+        .write.parquet(root.toString + "/v2")
+
+      val unified = SchemaEvolution.readUnified(s, Seq(
+        Era(root.toString + "/v1", renames = Map("qual" -> "quality_weight"), tag = "1.0"),
+        Era(root.toString + "/v2", tag = "2.0")))
+      val weightType = unified.schema("quality_weight").dataType.simpleString
+      val agg = unified.groupBy("data_version")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum("quality_weight").as("weight_sum"),
+          max("quality_weight").as("weight_max"))
+        .withColumn("weight_type", lit(weightType))
+        .orderBy("data_version")
+      // 2-row aggregate: materialize so the scratch dir can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally deleteRecursively(root.toFile)
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
-    schemaEvolution, bucketedAgg, snapshotDiff)
+    schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening)
 }
