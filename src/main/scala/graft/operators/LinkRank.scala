@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   * (host- and page-level rank is a standard Common Crawl curation
   * feature alongside the per-document rules in `llm_gopher_rules`).
   *
+  * Deviation from standard PageRank semantics, deliberately: dangling-node
+  * mass DECAYS rather than being redistributed (a sink's rank contributes
+  * to no one next round), and ranks are unnormalized (initial mass =
+  * `scale` per node, not 1/|V|) — so total mass shrinks toward the
+  * teleport-only fixpoint instead of summing to a constant. Consumers
+  * rank/threshold by relative order, which is unaffected; do not expect
+  * ranks to sum to |V|·scale.
+  *
   * Engine-portable INTEGER arithmetic throughout: ranks are BIGINTs
   * scaled by `scale`, the damping factor is the exact rational
   * `dampNum/dampDen`, and every per-edge contribution is an integer

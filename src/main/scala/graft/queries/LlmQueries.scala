@@ -1153,23 +1153,42 @@ object LlmQueries {
     * TakeOrderedAndProject — the rank vector itself never leaves the
     * executors. */
   val linkRank: Reg = {
+    // Single source of truth for the rank constants: interpolated into BOTH
+    // the oracle SQL and the LinkRank.run call, so a default change cannot
+    // silently encode two different algorithms (the gate would fail, but it
+    // would look like an engine bug instead of constant drift).
+    val Iterations = 5
+    val Scale = 1000000000L
+    val DampNum = 85L
+    val DampDen = 100L
+    val Teleport = (DampDen - DampNum) * Scale / DampDen
     def duckIter(prev: String): String =
       s"""  SELECT nd.doc_id AS node,
-         |         150000000 + CAST((85 * CAST(COALESCE(SUM(p.r // 3), 0) AS BIGINT)) // 100
+         |         $Teleport + CAST(($DampNum * CAST(COALESCE(SUM(p.c), 0) AS BIGINT)) // $DampDen
          |                          AS BIGINT) AS r
          |  FROM nodes nd LEFT JOIN (
-         |    SELECT e.dst, r.r FROM edges e JOIN $prev r ON r.node = e.src) p
+         |    SELECT e.dst, r.r // o.d AS c
+         |    FROM edges e
+         |    JOIN odeg o ON o.src = e.src
+         |    JOIN $prev r ON r.node = e.src) p
          |    ON p.dst = nd.doc_id
          |  GROUP BY nd.doc_id""".stripMargin
     Reg.sql(
       "llm_linkrank",
+      // The quadratic map squares (doc_id % c), not doc_id: identical mod c,
+      // but the operand is bounded by c so the square stays in BIGINT for
+      // any corpus up to ~3.0e9 documents (raw doc_id² overflowed past
+      // ~3.04e9 ids — Spark wraps silently, DuckDB raises). Out-degree is a
+      // GROUP BY over the synthesized edges, not a restated literal.
       s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
          |nodes AS (SELECT doc_id FROM documents),
          |edges AS (
-         |  SELECT doc_id AS src, (doc_id*doc_id + 7) % c AS dst FROM documents, n
+         |  SELECT doc_id AS src, ((doc_id % c)*(doc_id % c) + 7) % c AS dst
+         |  FROM documents, n
          |  UNION ALL SELECT doc_id, doc_id % 97 FROM documents, n
          |  UNION ALL SELECT doc_id, (doc_id*7+13) % c FROM documents, n),
-         |it0 AS (SELECT doc_id AS node, CAST(1000000000 AS BIGINT) AS r FROM documents),
+         |odeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+         |it0 AS (SELECT doc_id AS node, CAST($Scale AS BIGINT) AS r FROM documents),
          |it1 AS (
          |${duckIter("it0")}),
          |it2 AS (
@@ -1188,14 +1207,16 @@ object LlmQueries {
       val docs = Tables.documents(s, dir).select(col("doc_id"))
       val n = docs.agg(count(lit(1)).as("c"))
       val withN = docs.crossJoin(n)
+      val idModC = col("doc_id") % col("c")
       val edges =
         withN.select(col("doc_id").as("src"),
-          ((col("doc_id") * col("doc_id") + 7) % col("c")).as("dst"))
+          ((idModC * idModC + 7) % col("c")).as("dst"))
           .unionByName(withN.select(col("doc_id").as("src"),
             (col("doc_id") % 97).as("dst")))
           .unionByName(withN.select(col("doc_id").as("src"),
             ((col("doc_id") * 7 + 13) % col("c")).as("dst")))
-      LinkRank.run(edges, "src", "dst", iterations = 5)
+      LinkRank.run(edges, "src", "dst", iterations = Iterations,
+        scale = Scale, dampNum = DampNum, dampDen = DampDen)
         .orderBy(col("rank_scaled").desc, col("node"))
         .limit(50)
     }
