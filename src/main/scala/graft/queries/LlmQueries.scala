@@ -948,6 +948,59 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-frequency boilerplate removal (the CCNet/RefinedWeb line-level
+    * pass, Wenzek et al. 2019 §4.1: strip lines whose content repeats
+    * across many documents — nav bars, cookie banners, footers): distinct
+    * from `llm_segment_dedup`, which keeps the FIRST occurrence of every
+    * duplicated segment; boilerplate removal drops ALL occurrences once the
+    * segment's distinct-document frequency reaches a threshold (3 here;
+    * 15 segments qualify at sf0.01, 94 at sf0.1 — the planted-by-generation
+    * repeats). Same 10-word segment re-expression of "line" as
+    * segment_dedup (the corpus has no newlines).
+    *
+    * 100 TB shape: explode → per-segment distinct-doc count (one shuffle on
+    * segment content) → join back on segment (co-partitioned with the
+    * aggregate's output, so the join reuses that exchange on the frequency
+    * side) → one group-back per doc. Identical segments co-locate by
+    * definition, the frequency side carries one row per distinct segment,
+    * and nothing is all-pairs or driver-side. */
+  val boilerplateStrip: Reg = Reg.sql(
+    "llm_boilerplate_strip",
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |segs AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+      |         array_to_string(w[(CAST(i AS BIGINT)*10+1):(CAST(i AS BIGINT)*10+10)], ' ')
+      |           AS seg
+      |  FROM words, UNNEST(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS t(i)),
+      |freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS ndocs FROM segs GROUP BY seg)
+      |SELECT s.doc_id,
+      |       COUNT(*) FILTER (f.ndocs < 3) AS kept_segs,
+      |       COUNT(*) FILTER (f.ndocs >= 3) AS stripped_segs,
+      |       md5(COALESCE(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+      |                      FILTER (f.ndocs < 3), '')) AS cleaned_md5
+      |FROM segs s JOIN freq f ON f.seg = s.seg
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    val MinDocs = 3
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1), " +
+          "i -> array_join(slice(w, i * 10 + 1, 10), ' '))")))
+      .toDF("doc_id", "seg_idx", "seg")
+    val freq = segs.groupBy("seg")
+      .agg(countDistinct("doc_id").as("ndocs"))
+    segs.join(freq, "seg")
+      .groupBy("doc_id")
+      .agg(
+        count(when(col("ndocs") < MinDocs, 1)).as("kept_segs"),
+        count(when(col("ndocs") >= MinDocs, 1)).as("stripped_segs"),
+        md5(array_join(expr(
+          s"transform(array_sort(collect_list(CASE WHEN ndocs < $MinDocs " +
+            "THEN struct(seg_idx, seg) END)), x -> x.seg)"), " "))
+          .as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-family quality RULES (Rae et al. 2021 §A1.1 document filters —
     * the repetition half lives in `llm_repetition`): word-count bounds,
     * mean word length window, alphabetic-word fraction, and a minimum
@@ -1260,5 +1313,5 @@ object LlmQueries {
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
-    linkRank, incrementalDedup)
+    linkRank, incrementalDedup, boilerplateStrip)
 }
