@@ -434,6 +434,69 @@ object MutationQueries {
     } finally deleteRecursively(root.toFile)
   }
 
+  /** A22 — z-order layout maintenance ([[graft.operators.ZOrder]], the
+    * Delta/Iceberg OPTIMIZE ZORDER shape) under the oracle gate: the gate
+    * pins (a) the Morton bit-interleave arithmetic itself — DuckDB restates
+    * the identical mask ladder, so one wrong shift/mask hash-mismatches on
+    * 60k codes — and (b) the LAYOUT CLAIM: rows are ntile'd into 32
+    * z-ordered "files" and each bucket's (x, y) spans are emitted; a broken
+    * interleave (e.g. plain concatenation x<<16|y) would produce full-range
+    * y-spans in every bucket rather than compact rectangles, so the spans
+    * are exactly the data-skipping property the rewrite exists to buy.
+    * Dims are 16-bit reductions of (l_partkey, l_suppkey); the tile order
+    * carries a total tie-break so bucket membership is deterministic.
+    *
+    * The global ntile window here is the ORACLE's stand-in for file
+    * assignment (DuckDB must state the same 32 buckets); the production
+    * rewrite path is `ZOrder.clusterBy`, whose repartitionByRange computes
+    * range boundaries by sampling — no single-partition global sort. */
+  val zorderLayout: Reg = Reg.sql(
+    "a22_zorder_layout",
+    """WITH pts AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         CAST(l_partkey % 65536 AS BIGINT) AS x,
+      |         CAST(l_suppkey % 65536 AS BIGINT) AS y
+      |  FROM lineitem),
+      |s8 AS (SELECT *, (x | (x << 8)) & 16711935 AS x8,
+      |               (y | (y << 8)) & 16711935 AS y8 FROM pts),
+      |s4 AS (SELECT *, (x8 | (x8 << 4)) & 252645135 AS x4,
+      |               (y8 | (y8 << 4)) & 252645135 AS y4 FROM s8),
+      |s2 AS (SELECT *, (x4 | (x4 << 2)) & 858993459 AS x2,
+      |               (y4 | (y4 << 2)) & 858993459 AS y2 FROM s4),
+      |s1 AS (SELECT *, (x2 | (x2 << 1)) & 1431655765 AS xs,
+      |               (y2 | (y2 << 1)) & 1431655765 AS ys FROM s2),
+      |m AS (SELECT l_orderkey, l_linenumber, x, y, xs | (ys << 1) AS z FROM s1),
+      |b AS (SELECT *, NTILE(32) OVER (ORDER BY z, l_orderkey, l_linenumber)
+      |                  AS bucket FROM m)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       CAST(MAX(x) - MIN(x) AS BIGINT) AS x_span,
+      |       CAST(MAX(y) - MIN(y) AS BIGINT) AS y_span,
+      |       CAST(MIN(z) AS BIGINT) AS z_lo,
+      |       CAST(MAX(z) AS BIGINT) AS z_hi
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.ZOrder
+    val pts = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_partkey") % 65536).cast("long").as("x"),
+      (col("l_suppkey") % 65536).cast("long").as("y"))
+    pts
+      .withColumn("z", ZOrder.mortonCode(col("x"), col("y")))
+      .withColumn("bucket", ntile(32).over(
+        Window.orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("cnt"),
+        (max("x") - min("x")).as("x_span"),
+        (max("y") - min("y")).as("y_span"),
+        min("z").as("z_lo"),
+        max("z").as("z_hi"))
+      .select(col("bucket").cast("long").as("bucket"), col("cnt"),
+        col("x_span"), col("y_span"), col("z_lo"), col("z_hi"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
-    schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening)
+    schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout)
 }
