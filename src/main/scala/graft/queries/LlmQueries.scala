@@ -1001,6 +1001,79 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): select pretraining
+    * documents whose hashed-feature distribution looks like a TARGET
+    * domain. Features are word-level hash buckets (md5 first byte — 256
+    * buckets, identical bytes in both engines); the per-bucket importance
+    * is the add-1-smoothed ratio of target to corpus frequency; a doc's
+    * score is the sum of its words' log-ratios; the top-100 by score are
+    * the resampled slice.
+    *
+    * Cross-engine float discipline: the ONLY floating step is ln() of 256
+    * bucket ratios (each a single IEEE divide of exact BIGINT products),
+    * immediately FLOOR-quantized to integer micro-log units — per-doc
+    * scores are then exact BIGINT sums, order-independent by construction
+    * (the ulp-parity surface is 256 libm calls, not 600k-word float sums).
+    *
+    * 100 TB shape: two aggregations over the exploded words (corpus and
+    * target bucket counts), a 256-row bounded ratio table broadcast by
+    * construction (not SF-scaling — substr(md5,1,2) has ≤256 values), one
+    * per-doc regroup, and a TakeOrderedAndProject top-k. Nothing all-pairs,
+    * nothing driver-side. */
+  val importanceResample: Reg = Reg.sql(
+    "llm_importance_resample",
+    """WITH words AS (
+      |  SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |b AS (SELECT doc_id, source, substr(md5(w), 1, 2) AS bk FROM words),
+      |allc AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS cnt_all FROM b GROUP BY bk),
+      |tgtc AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS cnt_t
+      |         FROM b WHERE source = 'src0' GROUP BY bk),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_all,
+      |               CAST(COUNT(*) FILTER (source = 'src0') AS BIGINT) AS total_t
+      |        FROM b),
+      |r AS (
+      |  SELECT a.bk,
+      |         CAST(FLOOR(LN(
+      |             CAST((COALESCE(t.cnt_t, 0) + 1) * (total_all + 256) AS DOUBLE)
+      |           / CAST((a.cnt_all + 1) * (total_t + 256) AS DOUBLE)) * 1000000)
+      |           AS BIGINT) AS micro
+      |  FROM allc a LEFT JOIN tgtc t ON t.bk = a.bk, tot)
+      |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |       CAST(SUM(r.micro) AS BIGINT) AS score_micro
+      |FROM b d JOIN r ON r.bk = d.bk
+      |GROUP BY d.doc_id
+      |ORDER BY score_micro DESC, doc_id LIMIT 100""".stripMargin) { (s, dir) =>
+    val Target = "src0"
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ", -1)).as("w"))
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("w")), 1, 2).as("bk"))
+    val allCnt = words.groupBy("bk").agg(count(lit(1)).as("cnt_all"))
+    val tgtCnt = words.where(col("source") === Target)
+      .groupBy("bk").agg(count(lit(1)).as("cnt_t"))
+    val totals = words.agg(
+      count(lit(1)).as("total_all"),
+      count(when(col("source") === Target, 1)).as("total_t"))
+    val ratios = allCnt.join(tgtCnt, Seq("bk"), "left")
+      .na.fill(0L, Seq("cnt_t"))
+      .crossJoin(totals) // 1-row frame: broadcast by construction
+      .select(col("bk"),
+        floor(log(
+          ((col("cnt_t") + 1) * (col("total_all") + 256)).cast("double") /
+            ((col("cnt_all") + 1) * (col("total_t") + 256)).cast("double"))
+          * 1e6).cast("long").as("micro"))
+    // ≤256 rows by construction (2-hex-char key) — a bounded dimension,
+    // explicitly broadcast per the PlanAuditSpec discipline.
+    words.join(broadcast(ratios), "bk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("micro").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(100)
+  }
+
   /** Gopher-family quality RULES (Rae et al. 2021 §A1.1 document filters —
     * the repetition half lives in `llm_repetition`): word-count bounds,
     * mean word length window, alphabetic-word fraction, and a minimum
@@ -1313,5 +1386,5 @@ object LlmQueries {
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
-    linkRank, incrementalDedup, boilerplateStrip)
+    linkRank, incrementalDedup, boilerplateStrip, importanceResample)
 }

@@ -33,7 +33,7 @@ class OracleLintSpec extends AnyFunSuite with Matchers {
     "l_linenumber", "n_nationkey", "n_regionkey", "o_orderkey", "o_custkey",
     "p_partkey", "p_size", "r_regionkey", "s_suppkey", "s_nationkey",
     // CTE aliases that carry integers in the current oracles
-    "is_valid", "tokens", "r", "brk")
+    "is_valid", "tokens", "r", "brk", "micro", "quality_weight")
 
   private val sqlKeywords: Set[String] = Set(
     "distinct", "case", "when", "then", "else", "end", "and", "or", "not",
