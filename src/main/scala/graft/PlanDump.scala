@@ -33,7 +33,10 @@ object PlanDump {
       ("q13_order_distribution", "outer fact-fact join with an ON-clause filter: the priority predicate is applied on the orders side (pushed to its scan), the join stays LeftOuter so zero-order customers survive with count 0, and the second aggregate runs on |customers| two-int rows"),
       ("llm_segment_dedup", "corpus-wide line/segment dedup: ONE explode to segments, ONE window exchange keyed on segment content (first-occurrence rule totalized by doc_id, seg_idx), ONE group-back reassembling survivors - the CCNet shape with no all-pairs stage"),
       ("llm_seq_packing", "greedy sample packing sharded by source: ONE groupByKey exchange, then a per-shard sequential fold over the sorted iterator - parallel across shards, which is the only parallelism packing admits"),
-      ("q20_promotable_suppliers", "nested semi-join chain: the per-(supplier,part) aggregate is semi-reduced by the part list, threshold-filtered, then semi-reduces supplier - two LeftSemi deep, all hash joins, only the fixed nation dimension broadcast-hinted"))
+      ("q20_promotable_suppliers", "nested semi-join chain: the per-(supplier,part) aggregate is semi-reduced by the part list, threshold-filtered, then semi-reduces supplier - two LeftSemi deep, all hash joins, only the fixed nation dimension broadcast-hinted"),
+      ("llm_boilerplate_strip", "corpus-frequency boilerplate removal: ONE explode to segments, per-segment distinct-doc aggregate (shuffle on segment content), join back on segment reusing that exchange on the frequency side, one group-back per doc - the strip-ALL-occurrences complement of llm_segment_dedup"),
+      ("llm_importance_resample", "DSIR selection: two bucket aggregates over the exploded words, a 256-row bounded ratio frame broadcast by construction, per-doc regroup, TakeOrderedAndProject top-k - the only float math is 256 ln() calls, floor-quantized before any sum"),
+      ("a22_zorder_layout", "z-order maintenance gate: the Morton code is a pure codegen'd shift/mask projection on the scan; the ntile window is the oracle's 32-file stand-in (production path = clusterBy's sampled repartitionByRange)"))
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")
