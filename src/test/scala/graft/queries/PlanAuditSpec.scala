@@ -353,8 +353,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     // between the hint and any fact-table leaf. A %-slice (doc_id % k = 0)
     // deliberately does NOT count — it is a constant FRACTION, not a
     // constant SIZE.
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThan, LessThan, LessThanOrEqual}
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, OneRowRelation, ResolvedHint}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, GreaterThan, LessThan, LessThanOrEqual, Literal, Md5, Substring}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, OneRowRelation, Project, ResolvedHint}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
     val dimTables = Set("region", "nation", "customer", "supplier", "part")
@@ -369,13 +369,38 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
       case r: org.apache.spark.sql.catalyst.plans.logical.Range => true
       case _ => false
     }
-    def constBound(p: LogicalPlan): Boolean =
-      p.collect { case f: Filter => f.condition }.exists(_.exists {
-        case LessThan(_: AttributeReference, r) if r.foldable => true
-        case LessThanOrEqual(_: AttributeReference, r) if r.foldable => true
-        case GreaterThan(l, _: AttributeReference) if l.foldable => true
+    def constBoundCond(c: Expression): Boolean = c.exists {
+      case LessThan(_: AttributeReference, r) if r.foldable => true
+      case LessThanOrEqual(_: AttributeReference, r) if r.foldable => true
+      case GreaterThan(l, _: AttributeReference) if l.foldable => true
+      case _ => false
+    }
+    // An Aggregate is cardinality-bounded regardless of its input size when
+    // it is global (1 row) or EVERY grouping key has a provably finite
+    // domain — here, a ≤4-char md5-hex prefix (≤ 16^4 rows). That is the
+    // witness that lets e.g. the 256-bucket DSIR ratio frame broadcast even
+    // though it bottoms out in a fact scan.
+    def boundedAgg(a: Aggregate): Boolean = {
+      def defOf(attr: AttributeReference): Option[Expression] =
+        a.child.collect { case pr: Project => pr.projectList }.flatten
+          .collectFirst { case al: Alias if al.exprId == attr.exprId => al.child }
+      def boundedKey(e: Expression): Boolean = e match {
+        case Substring(Md5(_), _, Literal(n: Int, _)) => n <= 4
+        case ar: AttributeReference => defOf(ar).exists(boundedKey)
+        case al: Alias => boundedKey(al.child)
         case _ => false
-      })
+      }
+      a.groupingExpressions.isEmpty || a.groupingExpressions.forall(boundedKey)
+    }
+    // Path-sensitive bound: a subtree is safe when every root-to-leaf path
+    // is cut by a bounded Aggregate or a constant-capped Filter before it
+    // reaches a fact-table leaf.
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate if boundedAgg(a) => true
+      case f: Filter if constBoundCond(f.condition) => true
+      case l if l.children.isEmpty => leafBounded(l)
+      case other => other.children.forall(bounded)
+    }
 
     (CoreQueries.all ++ LlmQueries.all ++ AnalyticsQueries.all ++ ServeQueries.all ++ StarQueries.all)
       .foreach { q =>
@@ -383,9 +408,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
           case h: ResolvedHint => h
         }
         hints.foreach { h =>
-          withClue(s"${q.name}: broadcast-hinted subtree must be dimension-bounded or " +
-            s"constant-capped, got:\n${h.child.treeString}") {
-            (h.child.collectLeaves().forall(leafBounded) || constBound(h.child)) shouldBe true
+          withClue(s"${q.name}: broadcast-hinted subtree must be dimension-bounded, " +
+            s"constant-capped, or cut by a bounded aggregate, got:\n${h.child.treeString}") {
+            bounded(h.child) shouldBe true
           }
         }
       }
