@@ -537,7 +537,61 @@ object IngestQueries {
     f.delete(): Unit
   }
 
+  /** S16 — stream-STATIC enrichment under a REAL streaming execution: the
+    * reference's actual consume shape (each Kafka batch of scans is
+    * enriched against the known-AP dimension before aggregation —
+    * `wifi-scan-ingestion` lookup path). s13 proves stream-stream; this
+    * pins the stream-static join: a file stream of the s10 event slice
+    * joins the supplier dimension (broadcast — stateless, no watermark
+    * needed: the static side never changes mid-query and Spark replans it
+    * per micro-batch), AvailableNow drains the enriched stream to parquet,
+    * and the per-nation rollup must equal DuckDB's plain batch join — the
+    * gate catches a dropped/duplicated micro-batch, a join-key drift, or
+    * an enrichment column misalignment. Key is user_id % 10 + 1, inside
+    * the supplier key range at every SF (suppliers ≥ 10 from sf0.001 up). */
+  val streamEnrich: Reg = Reg.sql(
+    "s16_stream_enrich",
+    """SELECT s.s_nationkey,
+      |       COUNT(*) AS cnt,
+      |       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |         AS sum_value
+      |FROM events e JOIN supplier s ON s.s_suppkey = e.user_id % 10 + 1
+      |WHERE e.event_id < 50000
+      |GROUP BY s.s_nationkey ORDER BY s.s_nationkey""".stripMargin) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_enrich").toString
+    try {
+      val src = work + "/in"
+      Tables.events(s, dir).where(col("event_id") < 50000L)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .write.parquet(src)
+
+      val dim = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+        .withColumn("k", col("user_id") % 10 + 1)
+        .join(broadcast(dim), col("k") === col("s_suppkey"))
+        .select("event_id", "value", "s_nationkey")
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val agg = s.read.parquet(work + "/out")
+        .groupBy("s_nationkey")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_value"))
+        .orderBy("s_nationkey")
+      // |nations| rows: materialize so the scratch dir can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
-      streamSessions, eventRouting, rejectIsolation)
+      streamSessions, eventRouting, rejectIsolation, streamEnrich)
 }
