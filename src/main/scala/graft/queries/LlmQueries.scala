@@ -1074,6 +1074,80 @@ object LlmQueries {
       .limit(100)
   }
 
+  /** BM25 top-k retrieval (Robertson & Zaragoza 2009) — the lexical scorer
+    * a RAG/eval pipeline runs next to the ANN family: rank documents for a
+    * fixed 5-term query with k1=1.2, b=0.75 and the BM25+ idf
+    * ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Cross-engine float discipline (the DSIR pattern): every per-(doc,term)
+    * score is ONE float expression — built with the IDENTICAL operation
+    * tree in both engines, down to constants formed the same way
+    * (1.2+1.0, not 2.2) — immediately FLOOR-quantized to integer
+    * micro-units; per-doc totals are then exact BIGINT sums. avgdl is one
+    * divide of exact integers. The ulp surface is one ln() per query term.
+    *
+    * 100 TB shape: the term filter is an IN-list pushed to the scan, tf is
+    * one (doc,term) aggregate, df a ≤|terms|-row aggregate over it, doc
+    * lengths one more aggregate, and the result a TakeOrderedAndProject —
+    * no all-pairs, no hints (the tiny df/stats frames reach the joins via
+    * AQE, not a broadcast bet made at plan time). */
+  val bm25TopK: Reg = Reg.sql(
+    "llm_bm25_topk",
+    """WITH words AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |len AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      |        FROM words GROUP BY doc_id),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |                 CAST(SUM(dl) AS BIGINT) AS total_len FROM len),
+      |tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS f
+      |       FROM words WHERE w IN ('join', 'vector', 'scan', 'merge', 'filter')
+      |       GROUP BY doc_id, w),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tf GROUP BY term),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |         CAST(FLOOR(
+      |           LN(1.0 + (n_docs - dfreq + CAST(0.5 AS DOUBLE))
+      |                    / (dfreq + CAST(0.5 AS DOUBLE)))
+      |           * (CAST(f AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+      |           / (CAST(f AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |              * (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |                 * (CAST(dl AS DOUBLE)
+      |                    / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |           * 1000000) AS BIGINT) AS micro
+      |  FROM tf
+      |  JOIN df ON df.term = tf.term
+      |  JOIN len ON len.doc_id = tf.doc_id, stats)
+      |SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro,
+      |       CAST(COUNT(*) AS BIGINT) AS terms_hit
+      |FROM sc GROUP BY doc_id
+      |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    val Terms = Seq("join", "vector", "scan", "merge", "filter")
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+    val len = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = len.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val tf = words.where(col("w").isin(Terms: _*))
+      .groupBy(col("doc_id"), col("w").as("term"))
+      .agg(count(lit(1)).as("f"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5)))
+    // operation tree mirrors the oracle EXACTLY: ((idf * num) / den) * 1e6
+    val num = col("f").cast("double") * (lit(1.2) + lit(1.0))
+    val den = col("f").cast("double") + lit(1.2) *
+      (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl").cast("double") / avgdl))
+    tf.join(df, "term")
+      .join(len, "doc_id")
+      .crossJoin(stats) // 1-row frame: broadcast by construction
+      .select(col("doc_id"),
+        floor(idf * num / den * lit(1000000)).cast("long").as("micro"))
+      .groupBy("doc_id")
+      .agg(sum("micro").as("score_micro"), count(lit(1)).as("terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Gopher-family quality RULES (Rae et al. 2021 §A1.1 document filters —
     * the repetition half lives in `llm_repetition`): word-count bounds,
     * mean word length window, alphabetic-word fraction, and a minimum
@@ -1386,5 +1460,6 @@ object LlmQueries {
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
-    linkRank, incrementalDedup, boilerplateStrip, importanceResample)
+    linkRank, incrementalDedup, boilerplateStrip, importanceResample,
+    bm25TopK)
 }
