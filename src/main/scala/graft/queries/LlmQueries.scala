@@ -1148,6 +1148,47 @@ object LlmQueries {
       .limit(20)
   }
 
+  /** Per-class embedding centroids — the class-prototype vector behind
+    * nearest-class-mean classification, clustering diagnostics, and
+    * prototype-based data pruning (e.g. SemDeDup-style cluster centers):
+    * an element-wise mean over `Array[Float]` per label.
+    *
+    * Exactness: float sums are order-sensitive, so each element is first
+    * FLOOR-quantized to integer tenth-micro units (1e-7 — below float32's
+    * ~6e-8 epsilon at unit scale, so the quantization is at the noise
+    * floor); the per-(label, dim) sums are then exact BIGINT arithmetic
+    * and the mean is ONE IEEE divide — bit-identical in both engines with
+    * no accumulation-order exposure at any parallelism.
+    *
+    * 100 TB shape: posexplode to (label, dim) then ONE shuffle for the
+    * aggregate; output is |labels|×|dims| rows regardless of corpus size. */
+  val embedCentroids: Reg = Reg.sql(
+    "llm_embed_centroids",
+    """WITH e AS (
+      |  SELECT label,
+      |         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+      |         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 10000000)
+      |              AS BIGINT) AS q
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |         CAST(SUM(q) AS BIGINT) AS q_sum
+      |  FROM e GROUP BY label, pos)
+      |SELECT label, pos, n_vecs, q_sum,
+      |       CAST(q_sum AS DOUBLE) / n_vecs AS mean_micro
+      |FROM c ORDER BY label, pos""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"),
+        (col("pos") + 1).cast("long").as("pos"),
+        floor(col("col").cast("double") * lit(10000000)).cast("long").as("q"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_vecs"), sum("q").as("q_sum"))
+      .select(col("label"), col("pos"), col("n_vecs"), col("q_sum"),
+        (col("q_sum").cast("double") / col("n_vecs")).as("mean_micro"))
+      .orderBy("label", "pos")
+  }
+
   /** Gopher-family quality RULES (Rae et al. 2021 §A1.1 document filters —
     * the repetition half lives in `llm_repetition`): word-count bounds,
     * mean word length window, alphabetic-word fraction, and a minimum
@@ -1461,5 +1502,5 @@ object LlmQueries {
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
-    bm25TopK)
+    bm25TopK, embedCentroids)
 }
