@@ -767,6 +767,60 @@ object LlmQueries {
       .orderBy("cluster_rep")
   }
 
+  /** Cluster-representative selection — the retention HALF of near-dedup:
+    * real pipelines don't drop an arbitrary member of each duplicate
+    * cluster, they keep the BEST one (highest quality score) and purge the
+    * rest. Runs on the same planted corpus as `llm_dup_clusters` (pair
+    * list proven exact by the minhash oracle), with a deterministic
+    * synthetic quality (node·37 mod 1000) both engines restate; the kept
+    * doc is the (quality, doc_id)-argmax via max(struct(...)) — a total
+    * tie-break, so re-runs and engines agree. One aggregate over the
+    * component assignment; the argmax rides the same shuffle as the size
+    * count. */
+  val clusterReps: Reg = Reg.sql(
+    "llm_cluster_reps",
+    """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+      |pairs AS (
+      |  SELECT doc_id AS id_a, doc_id + 10000000 AS id_b FROM ids WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 20000000 FROM ids WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id + 20000000 FROM ids WHERE doc_id % 21 = 0),
+      |undirected AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(n, m) AS (
+      |  SELECT a, b FROM undirected
+      |  UNION
+      |  SELECT r.n, u.b FROM reach r JOIN undirected u ON r.m = u.a),
+      |comp AS (
+      |  SELECT n AS node, LEAST(n, MIN(m)) AS comp FROM reach GROUP BY n),
+      |q AS (SELECT node, comp, (node * 37) % 1000 AS quality FROM comp),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY comp
+      |                  ORDER BY quality DESC, node DESC) AS rn FROM q)
+      |SELECT comp AS cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+      |       CAST(MAX(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS kept_doc,
+      |       CAST(MAX(CASE WHEN rn = 1 THEN quality END) AS BIGINT) AS kept_quality
+      |FROM r GROUP BY comp ORDER BY cluster_rep""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir).select(col("doc_id"), plantedWords.as("text"))
+    val near = base.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), format_string(" x%d", col("doc_id"))).as("text"))
+    val exact = base.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val corpus = base.unionByName(near).unionByName(exact)
+    val pairs = MinHash.nearDuplicates(corpus, "doc_id", "text")
+    graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+      .withColumn("quality", (col("node") * 37) % 1000)
+      .groupBy(col("comp").as("cluster_rep"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        max(struct(col("quality"), col("node"))).as("best"))
+      .select(col("cluster_rep"), col("cluster_size"),
+        col("best.node").as("kept_doc"),
+        col("best.quality").as("kept_quality"))
+      .orderBy("cluster_rep")
+  }
+
   /** Chain-shaped dup clusters through the O(log n) star algorithm:
     * `llm_dup_clusters` exercises min-label propagation on triangle-planted
     * clusters (diameter ≤ 2 — converges in a few rounds at any SF); this
@@ -1502,5 +1556,5 @@ object LlmQueries {
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
-    bm25TopK, embedCentroids)
+    bm25TopK, embedCentroids, clusterReps)
 }
