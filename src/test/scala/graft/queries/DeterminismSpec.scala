@@ -33,7 +33,11 @@ class DeterminismSpec extends AnyFunSuite with Matchers with SparkSuite {
     AnalyticsQueries.o14GapFill,   // forward-fill carry under shuffled input
     AnalyticsQueries.o15RollingMedian, // sliding order statistic under frame ties
     AnalyticsQueries.q22DormantCustomers, // scalar float threshold gating the scan
-    LlmQueries.seqPacking // per-shard fold over a sorted group iterator
+    LlmQueries.seqPacking,         // per-shard fold over a sorted group iterator
+    LlmQueries.importanceResample, // ln()+floor quantization feeding a top-k
+    LlmQueries.bm25TopK,           // same class: per-term float expr + top-k ties
+    LlmQueries.clusterReps,        // max(struct) argmax under planted ties
+    LlmQueries.boilerplateStrip    // distinct-doc frequency join + collect_list sort
   )
 
   risky.foreach { q =>
