@@ -51,4 +51,37 @@ class ZOrderSpec extends AnyFunSuite with Matchers with SparkSuite {
     // and at least one dimension is tight somewhere (true block structure)
     spans.map(r => math.min(r.getAs[Long]("xs"), r.getAs[Long]("ys"))).min should be <= 16L
   }
+
+  test("clustered layout skips row groups that a row-major layout must read") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_zorder_skip").toString
+    try {
+      val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+        .toDF("x", "y")
+      // row-major: sorted by x only, 16 files — every file spans all of y
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+        .write.parquet(root + "/rowmajor")
+      ZOrder.clusterBy(grid.repartition(8), col("x"), col("y"), numFiles = 16)
+        .write.parquet(root + "/zordered")
+
+      def rowsScanned(path: String): Long = {
+        val df = spark.read.parquet(path)
+          .where(col("x") >= 8 && col("x") <= 15 && col("y") >= 8 && col("y") <= 15)
+        df.collect().length shouldBe 64 // the 8x8 box, either layout
+        df.queryExecution.executedPlan.collectLeaves()
+          .map(_.metrics("numOutputRows").value).sum
+      }
+      val rowMajor = rowsScanned(root + "/rowmajor")
+      val zOrdered = rowsScanned(root + "/zordered")
+      // The x-range prunes both layouts to ~2/16 of files; only z-order ALSO
+      // prunes on y (row-group min/max), so it must scan strictly less.
+      zOrdered should be < rowMajor
+      zOrdered should be < 4096L / 4
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+  }
 }
