@@ -1517,6 +1517,83 @@ object LlmQueries {
     }
   }
 
+  /** Triangle counting on the link graph (degree-ordered node-iterator,
+    * Suri & Vassilvitskii 2011's MR-friendly form) — the clustering-
+    * coefficient / community-density signal next to [[LinkRank]] in a
+    * web-graph curation stack. The synthesized graph plants one triangle
+    * per document (consecutive-id trio via the +1/+2 affine maps) plus the
+    * mod-97 hub map for realistic degree skew.
+    *
+    * THE scale point: wedges are enumerated at each edge's LOWER-degree
+    * endpoint ((deg, id) total order), so hub vertices — whose naive wedge
+    * count grows quadratically with corpus size — contribute only their
+    * few out-edges toward higher-ordered nodes, and total wedge work is
+    * O(E^1.5) instead of Σ deg². The oracle hash-gates n_wedges itself, so
+    * a regression to naive enumeration changes the OUTPUT, not just the
+    * runtime. All joins are equi-joins on vertex ids; counts are
+    * COUNT-only (no SUM, no floats). */
+  val linkTriangles: Reg = Reg.sql(
+    "llm_link_triangles",
+    """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
+      |ids AS (SELECT doc_id FROM documents),
+      |raw AS (
+      |  SELECT doc_id AS u, (doc_id + 1) % c AS v FROM ids, n
+      |  UNION ALL SELECT doc_id, (doc_id + 2) % c FROM ids, n
+      |  UNION ALL SELECT doc_id, doc_id % 97 FROM ids, n),
+      |und AS (
+      |  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+      |  FROM raw WHERE u <> v),
+      |deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY node),
+      |dir AS (
+      |  SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
+      |         CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS dst,
+      |         CASE WHEN (da.d, a) < (db.d, b) THEN db.d ELSE da.d END AS ddst
+      |  FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+      |wedge AS (
+      |  SELECT e1.src, e1.dst AS v, e2.dst AS w
+      |  FROM dir e1 JOIN dir e2 ON e1.src = e2.src
+      |  WHERE (e1.ddst, e1.dst) < (e2.ddst, e2.dst)),
+      |tri AS (SELECT 1 AS one
+      |        FROM wedge JOIN dir ON dir.src = wedge.v AND dir.dst = wedge.w)
+      |SELECT (SELECT COUNT(*) FROM und) AS n_edges,
+      |       (SELECT COUNT(*) FROM wedge) AS n_wedges,
+      |       (SELECT COUNT(*) FROM tri) AS n_triangles""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("c"))
+    val withN = docs.crossJoin(n) // 1-row frame: broadcast by construction
+    val raw = withN.select(col("doc_id").as("u"), ((col("doc_id") + 1) % col("c")).as("v"))
+      .unionByName(withN.select(col("doc_id").as("u"), ((col("doc_id") + 2) % col("c")).as("v")))
+      .unionByName(withN.select(col("doc_id").as("u"), (col("doc_id") % 97).as("v")))
+    val und = raw.where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val aFirst = (col("da.d") < col("db.d")) ||
+      (col("da.d") === col("db.d") && col("a") < col("b"))
+    val dirE = und
+      .join(deg.as("da"), col("da.node") === col("a"))
+      .join(deg.as("db"), col("db.node") === col("b"))
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db.d")).otherwise(col("da.d")).as("ddst"))
+    val e1Lower = (col("e1.ddst") < col("e2.ddst")) ||
+      (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
+    val wedge = dirE.as("e1")
+      .join(dirE.as("e2"), col("e1.src") === col("e2.src") && e1Lower)
+      .select(col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tri = wedge.join(dirE,
+      col("src") === col("v") && col("dst") === col("w"))
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedge.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
   /** Incremental (cross-batch) exact dedup — the ingestion-time shape of
     * `llm_exact_dedup`: an incoming batch is fingerprinted and checked
     * against the already-ingested corpus, so replayed or re-crawled
@@ -1556,5 +1633,5 @@ object LlmQueries {
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
-    bm25TopK, embedCentroids, clusterReps)
+    bm25TopK, embedCentroids, clusterReps, linkTriangles)
 }
