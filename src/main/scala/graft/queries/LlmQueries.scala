@@ -925,6 +925,44 @@ object LlmQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006: top-k by key ln(u)/w) — the length/quality-proportional
+    * corpus draw behind mixture construction, where a doc's inclusion odds
+    * scale with its weight (n_chars here). RNG-free: the uniform u comes
+    * from a Knuth multiplicative hash of doc_id in exact BIGINT arithmetic
+    * (identical in both engines; (doc_id % 2^31)·2654435761 stays inside
+    * BIGINT for any corpus), so the "random" draw is reproducible across
+    * runs, partitionings, and engines — the same reproducibility rationale
+    * as `llm_stratified_sample`, extended to weighted draws. The only
+    * floats are one ln() and one divide per doc, floor-quantized to nano
+    * units before the top-k (ulp surface ~1e-10 per doc, mid-grid safe).
+    * One scan + TakeOrderedAndProject; no shuffle beyond the top-k. */
+  val weightedSample: Reg = Reg.sql(
+    "llm_weighted_sample",
+    """WITH p AS (
+      |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+      |         CAST((doc_id % 2147483648) * 2654435761 % 2147483648
+      |              AS BIGINT) AS h
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, w,
+      |         CAST(FLOOR(LN((h + 1) / CAST(2147483649 AS DOUBLE)) / w
+      |                    * 1000000000) AS BIGINT) AS key_nano
+      |  FROM p)
+      |SELECT doc_id, CAST(w AS BIGINT) AS weight, key_nano
+      |FROM k ORDER BY key_nano DESC, doc_id LIMIT 50""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        col("n_chars").cast("double").as("w"),
+        ((col("doc_id") % 2147483648L) * 2654435761L % 2147483648L).as("h"))
+      .select(col("doc_id"), col("w"),
+        floor(log((col("h") + 1) / lit(2147483649L).cast("double")) / col("w")
+          * lit(1000000000L)).cast("long").as("key_nano"))
+      .select(col("doc_id"), col("w").cast("long").as("weight"), col("key_nano"))
+      .orderBy(col("key_nano").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** Corpus n-gram frequency table (bigrams) — the count-table primitive
     * behind contamination checks, Kneser-Ney smoothing, and memorization
     * audits. The gram expansion is a per-row array `transform` (codegen,
@@ -1633,5 +1671,5 @@ object LlmQueries {
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
-    bm25TopK, embedCentroids, clusterReps, linkTriangles)
+    bm25TopK, embedCentroids, clusterReps, linkTriangles, weightedSample)
 }
