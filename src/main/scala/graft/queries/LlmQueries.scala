@@ -963,6 +963,68 @@ object LlmQueries {
       .limit(50)
   }
 
+  /** Distribution-drift monitor: the exact two-sample Kolmogorov–Smirnov
+    * statistic between one source's length distribution and the rest of
+    * the corpus — the per-snapshot data-quality check a training pipeline
+    * runs to catch a feed whose documents suddenly shrink, truncate, or
+    * bloat. KS = max |F_a(v) − F_b(v)| over the merged support.
+    *
+    * Scale shape: the heavy work is per-VALUE aggregation (one shuffle,
+    * cardinality bounded by the statistic's value domain — document
+    * lengths — not by corpus size); the global cumulative window then runs
+    * over that bounded support, so the single-partition window is
+    * constant-sized at any SF. Float discipline: cumulative counts are
+    * exact integers; each CDF fraction is ONE divide, the gap ONE
+    * subtract, and MAX is comparison-only (no float accumulation
+    * anywhere); the output is FLOOR-quantized to micro units. */
+  val driftKs: Reg = Reg.sql(
+    "llm_drift_ks",
+    """WITH a AS (SELECT n_chars AS v FROM documents WHERE source = 'src0'),
+      |b AS (SELECT n_chars AS v FROM documents WHERE source <> 'src0'),
+      |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM a),
+      |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM b),
+      |ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM a GROUP BY v),
+      |cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY v),
+      |vals AS (SELECT DISTINCT v FROM (SELECT v FROM ca UNION ALL SELECT v FROM cb)),
+      |cum AS (
+      |  SELECT vals.v,
+      |         CAST(SUM(COALESCE(ca.c, 0)) OVER (ORDER BY vals.v
+      |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+      |         CAST(SUM(COALESCE(cb.c, 0)) OVER (ORDER BY vals.v
+      |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+      |  FROM vals
+      |  LEFT JOIN ca ON ca.v = vals.v
+      |  LEFT JOIN cb ON cb.v = vals.v)
+      |SELECT n_a, n_b,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM vals) AS n_values,
+      |       CAST(FLOOR(MAX(ABS(cum_a / CAST(n_a AS DOUBLE)
+      |                          - cum_b / CAST(n_b AS DOUBLE))) * 1000000)
+      |            AS BIGINT) AS ks_micro
+      |FROM cum, na, nb GROUP BY n_a, n_b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val ca = docs.where(col("source") === "src0")
+      .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c_a"))
+    val cb = docs.where(col("source") =!= "src0")
+      .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c_b"))
+    val na = docs.where(col("source") === "src0").agg(count(lit(1)).as("n_a"))
+    val nb = docs.where(col("source") =!= "src0").agg(count(lit(1)).as("n_b"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ca.join(cb, Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .withColumn("cum_a", sum("c_a").over(w))
+      .withColumn("cum_b", sum("c_b").over(w))
+      .crossJoin(na).crossJoin(nb) // 1-row frames: broadcast by construction
+      .agg(
+        first("n_a").as("n_a"), first("n_b").as("n_b"),
+        count(lit(1)).as("n_values"),
+        floor(max(abs(col("cum_a") / col("n_a").cast("double")
+          - col("cum_b") / col("n_b").cast("double"))) * 1e6)
+          .cast("long").as("ks_micro"))
+  }
+
   /** Corpus n-gram frequency table (bigrams) — the count-table primitive
     * behind contamination checks, Kneser-Ney smoothing, and memorization
     * audits. The gram expansion is a per-row array `transform` (codegen,
@@ -1671,5 +1733,6 @@ object LlmQueries {
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
-    bm25TopK, embedCentroids, clusterReps, linkTriangles, weightedSample)
+    bm25TopK, embedCentroids, clusterReps, linkTriangles, weightedSample,
+    driftKs)
 }
