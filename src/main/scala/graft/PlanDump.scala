@@ -36,7 +36,8 @@ object PlanDump {
       ("q20_promotable_suppliers", "nested semi-join chain: the per-(supplier,part) aggregate is semi-reduced by the part list, threshold-filtered, then semi-reduces supplier - two LeftSemi deep, all hash joins, only the fixed nation dimension broadcast-hinted"),
       ("llm_boilerplate_strip", "corpus-frequency boilerplate removal: ONE explode to segments, per-segment distinct-doc aggregate (shuffle on segment content), join back on segment reusing that exchange on the frequency side, one group-back per doc - the strip-ALL-occurrences complement of llm_segment_dedup"),
       ("llm_importance_resample", "DSIR selection: two bucket aggregates over the exploded words, a 256-row bounded ratio frame broadcast by construction, per-doc regroup, TakeOrderedAndProject top-k - the only float math is 256 ln() calls, floor-quantized before any sum"),
-      ("a22_zorder_layout", "z-order maintenance gate: the Morton code is a pure codegen'd shift/mask projection on the scan; the ntile window is the oracle's 32-file stand-in (production path = clusterBy's sampled repartitionByRange)"))
+      ("a22_zorder_layout", "z-order maintenance gate: the Morton code is a pure codegen'd shift/mask projection on the scan; the ntile window is the oracle's 32-file stand-in (production path = clusterBy's sampled repartitionByRange)"),
+      ("llm_link_triangles", "degree-ordered triangle counting: every join an equi-join on vertex ids; wedges enumerate at each edge's LOWER-degree endpoint so hub skew cannot blow up the intermediate - the wedge count is itself hash-gated"))
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")
