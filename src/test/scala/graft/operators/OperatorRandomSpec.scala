@@ -79,5 +79,32 @@ class OperatorRandomSpec extends AnyFunSuite with Matchers with SparkSuite {
         .select("lid", "rid").collect().map(_.toString).sorted
       got shouldBe expected
     }
+
+    test(s"morton code equals bit-interleave reference, injective, monotone (seed $seed)") {
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      val pts = (0 until 300).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      // reference: interleave bit-by-bit in plain Scala
+      def ref(x: Long, y: Long): Long =
+        (0 until 16).foldLeft(0L) { (acc, i) =>
+          acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+        }
+      val got = pts.toDF("x", "y")
+        .select(ZOrder.mortonCode(col("x"), col("y")).as("z"))
+        .as[Long].collect()
+      got.toSeq shouldBe pts.map { case (x, y) => ref(x, y) }
+      // injectivity on the sample (codes collide only for identical points)
+      pts.zip(got).groupBy(_._2).values.foreach { g =>
+        g.map(_._1).distinct.size shouldBe 1
+      }
+      // monotone in x for fixed y (spread16 strictly increasing)
+      val Seq((x1, y1), (x2, _)) = pts.take(2).toSeq
+      val lo = math.min(x1, x2); val hi = math.max(x1, x2)
+      if (lo != hi) {
+        val z = Seq((lo, y1), (hi, y1)).toDF("x", "y")
+          .select(ZOrder.mortonCode(col("x"), col("y")).as("z")).as[Long].collect()
+        z(0) should be < z(1)
+      }
+    }
   }
 }
