@@ -129,6 +129,28 @@ class OracleLintSpec extends AnyFunSuite with Matchers {
     withClue(violations.mkString("\n")) { violations shouldBe empty }
   }
 
+  test("every multi-row oracle carries a total-order ORDER BY") {
+    // Row order is part of the driver's correctness hash: an oracled query
+    // without ORDER BY hash-flakes the round as soon as either engine
+    // changes its natural output order. Single-row aggregates are the only
+    // legitimate exemptions (order is vacuous on one row) — each name
+    // below returns exactly 1 row by construction.
+    val singleRow = Set(
+      "a6_merge_label_purge", "a8_purge_partitioned", "a10_hotspot_full",
+      "a19_compact_partitions", "f18_reject_isolation", "llm_link_triangles",
+      "o17_hll_merge", "q6_forecast_revenue", "q14_promo_effect",
+      "q19_discounted_revenue", "r7_refine_loop")
+    val unordered = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
+      case (name, sql)
+          if !sql.toUpperCase.contains("ORDER BY") && !singleRow(name) =>
+        name
+    }
+    withClue(s"oracles without ORDER BY (add ordering or, if provably " +
+      s"1-row, extend the exemption set): ${unordered.mkString(", ")}") {
+      unordered shouldBe empty
+    }
+  }
+
   test("the linter itself flags the round-6 defect patterns") {
     // q12 shape: CASE with integer-literal branches
     integerRisky(
