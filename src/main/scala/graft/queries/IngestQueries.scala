@@ -591,7 +591,43 @@ object IngestQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** S8 — AP point lookup under the oracle gate (`Sources.apLookup`, the
+    * predicate-pushdown scan of the dimension): five point requests against
+    * a supplier-derived AP dimension, including keys that exist only at
+    * larger SFs (supplier 1000 appears from sf0.1 up) and one that exists
+    * nowhere — so the gate pins both hit and miss semantics at every scale.
+    * Each lookup is a scan-level equality filter; the union of five
+    * lookups collapses to one IN-pushed scan in the optimized plan. */
+  val pointLookup: Reg = Reg.sql(
+    "s8_point_lookup",
+    """WITH dim AS (
+      |  SELECT printf('aa:bb:cc:dd:%02x:%02x',
+      |                CAST(s_suppkey AS BIGINT) // 256 % 256,
+      |                CAST(s_suppkey AS BIGINT) % 256) AS mac_addr,
+      |         CAST(10 AS DOUBLE) + s_suppkey * CAST(0.01 AS DOUBLE) AS latitude,
+      |         CAST(20 AS DOUBLE) + s_suppkey * CAST(0.02 AS DOUBLE) AS longitude,
+      |         s_nationkey
+      |  FROM supplier)
+      |SELECT mac_addr, latitude, longitude, s_nationkey
+      |FROM dim
+      |WHERE mac_addr IN ('aa:bb:cc:dd:00:01', 'aa:bb:cc:dd:00:03',
+      |                   'aa:bb:cc:dd:00:07', 'aa:bb:cc:dd:03:e8',
+      |                   'aa:bb:cc:dd:ff:ff')
+      |ORDER BY mac_addr""".stripMargin) { (s, dir) =>
+    val dim = Tables.supplier(s, dir).select(
+      format_string("aa:bb:cc:dd:%02x:%02x",
+        expr("s_suppkey div 256 % 256"), expr("s_suppkey % 256")).as("mac_addr"),
+      (lit(10.0) + col("s_suppkey") * lit(0.01)).as("latitude"),
+      (lit(20.0) + col("s_suppkey") * lit(0.02)).as("longitude"),
+      col("s_nationkey"))
+    Seq("aa:bb:cc:dd:00:01", "aa:bb:cc:dd:00:03", "aa:bb:cc:dd:00:07",
+      "aa:bb:cc:dd:03:e8", "aa:bb:cc:dd:ff:ff")
+      .map(graft.sources.Sources.apLookup(dim, _))
+      .reduce(_.unionByName(_))
+      .orderBy("mac_addr")
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
-      streamSessions, eventRouting, rejectIsolation, streamEnrich)
+      streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup)
 }
