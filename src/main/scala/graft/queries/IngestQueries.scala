@@ -627,7 +627,44 @@ object IngestQueries {
       .orderBy("mac_addr")
   }
 
+  /** S3 — the Firehose-style batched sink under the oracle gate
+    * (`Sources.batchedSink`: the reference's 500-record buffer limits
+    * become `maxRecordsPerFile`): a single-partition slice written through
+    * the sink must land in exactly ceil(n/500) files with content intact —
+    * DuckDB states the row count, the file-count arithmetic, and the
+    * DECIMAL-exact value checksum from lineitem directly. A writer-option
+    * regression (dropped option, wrong constant, partial write) changes
+    * n_files or the checksum and hash-mismatches. */
+  val batchedSinkGate: Reg = Reg.sql(
+    "s3_batched_sink",
+    """WITH s AS (SELECT l_orderkey, l_extendedprice FROM lineitem
+      |           WHERE l_orderkey % 7 = 0)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(CEIL(COUNT(*) / 500.0) AS BIGINT) AS n_files,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+      |            AS DOUBLE) AS value_sum
+      |FROM s""".stripMargin) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft_batched_sink").toString
+    try {
+      val slice = Tables.lineitem(s, dir)
+        .where(col("l_orderkey") % 7 === 0)
+        .select("l_orderkey", "l_extendedprice")
+      graft.sources.Sources.batchedSink(slice.coalesce(1), work + "/out", 500)
+      val nFiles = new java.io.File(work + "/out").listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val agg = s.read.parquet(work + "/out")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("value_sum"))
+        .select(col("n_rows"), lit(nFiles.toLong).as("n_files"), col("value_sum"))
+      // 1-row gate: materialize so the scratch dir can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
-      streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup)
+      streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
+      batchedSinkGate)
 }
