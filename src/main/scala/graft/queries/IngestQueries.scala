@@ -663,8 +663,31 @@ object IngestQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** F14 — row-id generation under a bounded-property oracle (the o17/a17
+    * precedent for inherently nondeterministic values): uuid() values can't
+    * be restated, but their CONTRACT can — every generated id matches the
+    * RFC-4122 v4 shape and ids are unique across the frame, at any
+    * partitioning. DuckDB states the row count and the two constant-true
+    * gates; a colliding, malformed, or constant-folded id generator flips
+    * a boolean and hash-mismatches. */
+  val rowIdGate: Reg = Reg.sql(
+    "f14_row_id_contract",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       TRUE AS all_uuid_v4,
+      |       TRUE AS all_distinct
+      |FROM events WHERE event_id < 50000""".stripMargin) { (s, dir) =>
+    val ids = Tables.events(s, dir).where(col("event_id") < 50000L)
+      .repartition(8)
+      .select(uuid().as("id"))
+    val uuidRe = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    ids.agg(
+      count(lit(1)).as("n_rows"),
+      (count(when(col("id").rlike(uuidRe), 1)) === count(lit(1))).as("all_uuid_v4"),
+      (count_distinct(col("id")) === count(lit(1))).as("all_distinct"))
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
-      batchedSinkGate)
+      batchedSinkGate, rowIdGate)
 }
