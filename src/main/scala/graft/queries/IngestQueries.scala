@@ -152,6 +152,10 @@ object IngestQueries {
     val work = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // Scratch is 3× the slice (in/out/ckpt) and this builder runs many
     // times per round: delete it on EVERY exit path, not just success.
+    // State sized to the load (the s13 rationale): 8 partitions for the
+    // 50k-key dedup state instead of the session default.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
     try {
       val src = work + "/in"
       val ev = Tables.events(s, dir).where(col("event_id") < 50000L)
@@ -182,7 +186,10 @@ object IngestQueries {
       // the aggregate's own schema; a hand-written StructType would drift
       // on rename.
       s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
-    } finally deleteRecursively(new java.io.File(work))
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
   }
 
   /** S12 — custom streaming STATE under the oracle gate: s10 proves the
@@ -223,6 +230,10 @@ object IngestQueries {
       |       at_ms, fixes_seen
       |FROM a ORDER BY bssid""".stripMargin) { (s, dir) =>
     val work = java.nio.file.Files.createTempDirectory("graft_stream_reloc").toString
+    // State sized to the load (the s13 rationale): 50 keys need 4
+    // partitions of flatMapGroupsWithState stores, not the session default.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 4)
     try {
       val src = work + "/in"
       val fixes = s.range(50)
@@ -265,7 +276,10 @@ object IngestQueries {
         .orderBy("bssid")
       // 50-row alert list: materialize so the scratch dir can be deleted now
       s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally deleteRecursively(new java.io.File(work))
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
   }
 
   /** S13 — stream-stream interval join under the oracle gate: two REAL
@@ -298,6 +312,13 @@ object IngestQueries {
       | AND al.alert_ms >= m.event_ms - 3600000
       |ORDER BY bssid, event_ms, alert_ms, sev""".stripMargin) { (s, dir) =>
     val work = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+    // Size streaming state to the load: a stream-stream join instantiates
+    // FOUR state stores per shuffle partition; at the session default (32)
+    // that is 128 store inits for a 200-row demo corpus — pure fixed
+    // overhead. 4 partitions is the real production knob (state partitions
+    // sized to key cardinality), restored after the drain.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 4)
     try {
       val T0 = 1700000000000L
       val flushMs = T0 + 100L * 24 * 3600 * 1000
@@ -348,7 +369,10 @@ object IngestQueries {
           col("sev"))
         .orderBy(col("bssid"), col("event_ms"), col("alert_ms"), col("sev"))
       s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally deleteRecursively(new java.io.File(work))
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
   }
 
   /** S14 — `session_window` under a REAL streaming execution: o9 oracles
@@ -386,6 +410,10 @@ object IngestQueries {
       |  FROM s)
       |ORDER BY device_id, session_start_ms""".stripMargin) { (s, dir) =>
     val work = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+    // State sized to the load (the s13 rationale): 20 devices need 4
+    // partitions of session-window stores, not the session default.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 4)
     try {
       val T0 = 1700000000000L
       val src = work + "/in"
@@ -429,7 +457,10 @@ object IngestQueries {
         .orderBy("device_id", "session_start_ms")
       // 40-row session list: materialize so the scratch dir can be deleted now
       s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally deleteRecursively(new java.io.File(work))
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
   }
 
   /** S4/S6 — S3-event parse + feed dispatch under the oracle gate: SQS-style
