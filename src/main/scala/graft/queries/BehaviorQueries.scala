@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Geo
+
+/** Round-7 behavioral-analytics extensions: the event-sequence and
+  * state-maintenance operator family a warehouse engine needs beyond the
+  * reference's literal surface, each DuckDB-oracled.
+  *
+  *  - O18 window funnel — ordered multi-step sequence match (view → click
+  *    → purchase within a bounded horizon), the reference's scan→connect→
+  *    report device journey (`WifiScanBatchMessageListener` feeding the
+  *    comparison flow) generalized to the classic funnel shape. ONE shuffle:
+  *    all three steps resolve inside a single per-user sort via running-min
+  *    window expressions; the final per-user aggregate reuses the same hash
+  *    partitioning, so no second Exchange.
+  *  - O19 retention cohorts — first-touch cohorting + week-offset activity
+  *    matrix. Two aggregates on the same key (first-day, then activity),
+  *    joined co-partitioned; COUNT over a pre-distinct projection.
+  *  - A23 incremental aggregate maintenance — per-key partial states
+  *    (count/sum/min/max) computed on a base slice and a delta slice
+  *    independently, then merged ALGEBRAICALLY (commutative-monoid merge:
+  *    counts add, sums add, min/max fold, avg derived at the end). At 100 TB
+  *    this is THE pattern for keeping a per-AP stats table fresh: read only
+  *    the delta partition plus the stored state, never recompute the fact
+  *    table. The DuckDB oracle IS the full recompute over base ∪ delta, so
+  *    the hash gate proves merge(state(base), state(delta)) ≡ state(all).
+  *  - J11 grid-cell neighbor join — all AP pairs within 500 m, found via an
+  *    integer cell-bucket equi-join (0.01° cells, one side exploded to its
+  *    3×3 neighborhood) instead of a cross join. The cell width over-covers
+  *    the radius at every latitude in range (|lat| ≤ 51 ⇒ 500 m ≤ 0.0070°
+  *    of longitude < 0.01°), so ±1-cell expansion provably misses no pair;
+  *    the DuckDB oracle states the ALL-PAIRS ground truth, making the hash
+  *    gate a completeness proof of the bucketing scheme. This is the
+  *    scale path for the reference's proximity/interference analyses
+  *    (`ProximityDetectionAlgorithm`-adjacent spatial self-joins): shuffle
+  *    on cell keys, candidate set bounded by local density, never O(n²).
+  */
+object BehaviorQueries {
+
+  /** O18 — three-step window funnel over events: first view, first click
+    * after that view, first purchase after that click, all within 72 h of
+    * the first view. Strict `>` comparisons make intra-millisecond tie
+    * order irrelevant (a same-ms successor never qualifies), so the result
+    * is deterministic under any stable (ms, event_id) ordering. Running
+    * minima are order-insensitive; each row's running first-view equals the
+    * global first view for every row at-or-after it, which is exactly the
+    * rows the strict inequality admits.
+    *
+    * steps_reached is the sum of step indicators; the candidates are
+    * monotone by construction (a click candidate requires a view, a
+    * purchase candidate a click), so the sum is the funnel depth. */
+  val o18WindowFunnel: Reg = Reg.sql(
+    "o18_window_funnel",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ems FROM events),
+      |s1 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ems END) OVER
+      |    (PARTITION BY user_id ORDER BY ems, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1
+      |  FROM e),
+      |s2 AS (
+      |  SELECT *, CASE WHEN event_type = 'click' AND ems > v1
+      |                  AND ems <= v1 + 259200000 THEN ems END AS c2cand
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT *, MIN(c2cand) OVER
+      |    (PARTITION BY user_id ORDER BY ems, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      |  FROM s2),
+      |s4 AS (
+      |  SELECT *, CASE WHEN event_type = 'purchase' AND ems > c2
+      |                  AND ems <= v1 + 259200000 THEN ems END AS p3cand
+      |  FROM s3)
+      |SELECT user_id,
+      |       MIN(CASE WHEN event_type = 'view' THEN ems END) AS first_view_ms,
+      |       MIN(c2cand) AS first_click_ms,
+      |       MIN(p3cand) AS first_purchase_ms,
+      |       CAST(CASE WHEN MIN(CASE WHEN event_type = 'view' THEN ems END)
+      |                      IS NOT NULL THEN 1 ELSE 0 END
+      |          + CASE WHEN MIN(c2cand) IS NOT NULL THEN 1 ELSE 0 END
+      |          + CASE WHEN MIN(p3cand) IS NOT NULL THEN 1 ELSE 0 END
+      |          AS BIGINT) AS steps_reached
+      |FROM s4 GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val horizonMs = 72L * 3600 * 1000
+    val w = Window.partitionBy("user_id").orderBy(col("__ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = Tables.events(s, dir)
+      .withColumn("__ms", unix_millis(col("ts")))
+      .withColumn("v1",
+        min(when(col("event_type") === "view", col("__ms"))).over(w))
+      .withColumn("c2cand",
+        when(col("event_type") === "click" && col("__ms") > col("v1") &&
+          col("__ms") <= col("v1") + horizonMs, col("__ms")))
+      .withColumn("c2", min(col("c2cand")).over(w))
+      .withColumn("p3cand",
+        when(col("event_type") === "purchase" && col("__ms") > col("c2") &&
+          col("__ms") <= col("v1") + horizonMs, col("__ms")))
+    staged
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("__ms"))).as("first_view_ms"),
+        min(col("c2cand")).as("first_click_ms"),
+        min(col("p3cand")).as("first_purchase_ms"))
+      .select(
+        col("user_id"), col("first_view_ms"), col("first_click_ms"),
+        col("first_purchase_ms"),
+        (when(col("first_view_ms").isNotNull, 1).otherwise(0) +
+          when(col("first_click_ms").isNotNull, 1).otherwise(0) +
+          when(col("first_purchase_ms").isNotNull, 1).otherwise(0))
+          .cast("bigint").as("steps_reached"))
+      .orderBy("user_id")
+  }
+
+  /** O19 — retention cohort matrix: users cohorted by first-activity epoch
+    * week, activity bucketed by whole weeks since their own first day.
+    * Day/week indices are pure integer floor-division on epoch
+    * milliseconds — no calendar arithmetic to drift between engines. The
+    * first-day aggregate and the activity join share the user_id hash
+    * partitioning, so the join adds no Exchange; at 100 TB the first-day
+    * frame is a per-user rollup (orders of magnitude smaller than the fact
+    * table) but still scales with users, so it is deliberately NOT
+    * broadcast. */
+  val o19RetentionCohorts: Reg = Reg.sql(
+    "o19_retention_cohorts",
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |f AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT f.cohort_day // 7 AS cohort_week,
+      |         (e.day - f.cohort_day) // 7 AS week_offset, e.user_id
+      |  FROM e JOIN f USING (user_id))
+      |SELECT cohort_week, week_offset, COUNT(*) AS active_users
+      |FROM a GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(first, "user_id")
+      .select(
+        expr("cohort_day div 7").as("cohort_week"),
+        expr("(day - cohort_day) div 7").as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** A23 — incremental aggregate maintenance. The fact table is split
+    * deterministically into a base slice (l_orderkey % 10 < 8) and a delta
+    * slice; per-supplier partial states are computed on each independently
+    * and merged with the monoid operations (null-safe adds, least/greatest
+    * folds — Spark's `least`/`greatest` and DuckDB's skip NULLs
+    * identically). The oracle recomputes from scratch over the whole table:
+    * hash equality proves the merge is lossless, which is what licenses
+    * delta-only maintenance of a 100 TB stats table. Money-sum discipline
+    * per Reg: DECIMAL(18,2) internally, DOUBLE out; avg derived from the
+    * rounded sum in BOTH engines so the division sees identical inputs. */
+  val a23IncrementalAgg: Reg = Reg.sql(
+    "a23_incremental_agg",
+    """SELECT l_suppkey,
+      |       COUNT(*) AS n,
+      |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |         AS sum_qty,
+      |       CAST(MIN(l_shipdate) AS DATE) AS min_ship,
+      |       CAST(MAX(l_shipdate) AS DATE) AS max_ship,
+      |       ROUND(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |             / COUNT(*), 6) AS avg_qty
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+    def state(df: DataFrame): DataFrame = df.groupBy("l_suppkey").agg(
+      count(lit(1)).as("n"),
+      sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+      min(col("l_shipdate")).as("mn"),
+      max(col("l_shipdate")).as("mx"))
+    val zero = lit(0).cast("decimal(18,2)")
+    val b = state(li.where(col("l_orderkey") % 10 < 8)).alias("b")
+    val d = state(li.where(col("l_orderkey") % 10 >= 8)).alias("d")
+    b.join(d, col("b.l_suppkey") === col("d.l_suppkey"), "full_outer")
+      .select(
+        coalesce(col("b.l_suppkey"), col("d.l_suppkey")).as("l_suppkey"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        round((coalesce(col("b.sq"), zero) + coalesce(col("d.sq"), zero))
+          .cast("double"), 2).as("sum_qty"),
+        least(col("b.mn"), col("d.mn")).cast("date").as("min_ship"),
+        greatest(col("b.mx"), col("d.mx")).cast("date").as("max_ship"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("n"), 6))
+      .orderBy("l_suppkey")
+  }
+
+  /** Synthetic AP placement for J11, all-integer so both engines derive
+    * bit-identical coordinates: 20 cluster chains, members 0.003° of
+    * latitude apart (≈333.6 m — inside the 500 m radius for adjacent
+    * members, outside for |Δj| ≥ 2), cluster bases ≥ 9.2° of longitude
+    * apart so chains never interact. Milli-degree integer coordinates
+    * first, doubles derived once. */
+  private def apFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).select(
+      col("s_suppkey"),
+      (expr("(s_suppkey % 20) * 4987 % 100000") +
+        expr("(s_suppkey div 20) * 3")).as("lat_u"),
+      expr("(s_suppkey % 20) * 9203 % 200000").as("lon_u"))
+      .select(
+        col("s_suppkey"), col("lat_u"), col("lon_u"),
+        (col("lat_u") * 0.001 - 50.0).as("lat"),
+        (col("lon_u") * 0.001 - 100.0).as("lon"))
+
+  /** J11 — spatial neighbor self-join via integer grid cells. Left side
+    * keeps its own cell; right side explodes to the 3×3 neighborhood, so
+    * the join is a plain equi-join on (cell_lat, cell_lon) — one shuffle,
+    * output bounded by local density. A pair lands in exactly one candidate
+    * cell (the left AP's own), so no post-join dedup is needed; the
+    * haversine ≤ 500 m filter and s_suppkey ordering finish the job. The
+    * oracle's all-pairs restatement makes hash-green a proof that the
+    * bucketing misses nothing. */
+  val j11GridNeighbors: Reg = Reg.sql(
+    "j11_grid_neighbors",
+    """WITH ap AS (
+      |  -- 1e-3 (a DOUBLE literal) not 0.001 (a DECIMAL literal): DuckDB
+      |  -- would otherwise derive the coordinate decimal-exact while Spark
+      |  -- computes it in IEEE double, and the haversine inputs would drift.
+      |  SELECT s_suppkey,
+      |         ((s_suppkey % 20) * 4987 % 100000 + (s_suppkey // 20) * 3) * 1e-3
+      |           - 50.0 AS lat,
+      |         ((s_suppkey % 20) * 9203 % 200000) * 1e-3 - 100.0 AS lon
+      |  FROM supplier)
+      |SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+      |       ROUND(2 * 6371000 * ASIN(SQRT(
+      |         POW(SIN(RADIANS(b.lat - a.lat) / 2), 2) +
+      |         COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) *
+      |         POW(SIN(RADIANS(b.lon - a.lon) / 2), 2))), 3) AS dist_m
+      |FROM ap a JOIN ap b ON a.s_suppkey < b.s_suppkey
+      |WHERE 2 * 6371000 * ASIN(SQRT(
+      |        POW(SIN(RADIANS(b.lat - a.lat) / 2), 2) +
+      |        COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) *
+      |        POW(SIN(RADIANS(b.lon - a.lon) / 2), 2))) <= 500.0
+      |ORDER BY supp_a, supp_b""".stripMargin) { (s, dir) =>
+    val aps = apFrame(s, dir)
+    val left = aps.select(
+      col("s_suppkey").as("supp_a"), col("lat").as("lat_a"), col("lon").as("lon_a"),
+      expr("lat_u div 10").as("cell_lat"),
+      expr("lon_u div 10").as("cell_lon"))
+    val offsets = array((-1 to 1).flatMap(dy => (-1 to 1).map(dx =>
+      struct(lit(dy.toLong).as("dy"), lit(dx.toLong).as("dx")))): _*)
+    val right = aps.select(
+      col("s_suppkey").as("supp_b"), col("lat").as("lat_b"), col("lon").as("lon_b"),
+      expr("lat_u div 10").as("bcell_lat"),
+      expr("lon_u div 10").as("bcell_lon"),
+      explode(offsets).as("o"))
+      .select(col("supp_b"), col("lat_b"), col("lon_b"),
+        (col("bcell_lat") + col("o.dy")).as("cell_lat"),
+        (col("bcell_lon") + col("o.dx")).as("cell_lon"))
+    val dist = Geo.haversineMeters(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b"))
+    left.join(right, Seq("cell_lat", "cell_lon"))
+      .where(col("supp_a") < col("supp_b") && dist <= 500.0)
+      .select(col("supp_a"), col("supp_b"), round(dist, 3).as("dist_m"))
+      .orderBy("supp_a", "supp_b")
+  }
+
+  val all: Seq[Reg] = Seq(
+    o18WindowFunnel, o19RetentionCohorts, a23IncrementalAgg, j11GridNeighbors)
+}
