@@ -116,6 +116,15 @@ object BehaviorQueries {
       .orderBy("user_id")
   }
 
+  /** Integer floor division matching DuckDB's `//` for ANY sign: Spark's
+    * `div` truncates toward zero, which diverges from floor on negative
+    * operands (pre-1970 timestamps). `a - pmod(a, b)` is non-negative-mod
+    * subtracted, hence exactly divisible by b; for |a| < 2^53 both the
+    * numerator and the integer quotient are exactly representable, so the
+    * correctly-rounded double division is exact and the cast is lossless. */
+  private def floorDiv(a: org.apache.spark.sql.Column, b: Long) =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
   /** O19 — retention cohort matrix: users cohorted by first-activity epoch
     * week, activity bucketed by whole weeks since their own first day.
     * Day/week indices are pure integer floor-division on epoch
@@ -139,12 +148,12 @@ object BehaviorQueries {
       |FROM a GROUP BY cohort_week, week_offset
       |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
     val ev = Tables.events(s, dir)
-      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .select(col("user_id"), floorDiv(unix_millis(col("ts")), 86400000L).as("day"))
     val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
     ev.join(first, "user_id")
       .select(
-        expr("cohort_day div 7").as("cohort_week"),
-        expr("(day - cohort_day) div 7").as("week_offset"),
+        floorDiv(col("cohort_day"), 7L).as("cohort_week"),
+        floorDiv(col("day") - col("cohort_day"), 7L).as("week_offset"),
         col("user_id"))
       .distinct()
       .groupBy("cohort_week", "week_offset")
@@ -200,12 +209,15 @@ object BehaviorQueries {
     * latitude apart (≈333.6 m — inside the 500 m radius for adjacent
     * members, outside for |Δj| ≥ 2), cluster bases ≥ 9.2° of longitude
     * apart so chains never interact. Milli-degree integer coordinates
-    * first, doubles derived once. */
+    * first, doubles derived once. The chain-walk term wraps mod 1000 so
+    * lat_u < 101000 ⇒ |lat| ≤ 51.0° at ANY supplier count — the 3×3-cell
+    * completeness proof (500 m ≤ 0.0079° of longitude at 51° < 0.01°)
+    * is scale-invariant, not an artifact of small test tables. */
   private def apFrame(s: SparkSession, dir: String): DataFrame =
     Tables.supplier(s, dir).select(
       col("s_suppkey"),
       (expr("(s_suppkey % 20) * 4987 % 100000") +
-        expr("(s_suppkey div 20) * 3")).as("lat_u"),
+        expr("(s_suppkey div 20) * 3 % 1000")).as("lat_u"),
       expr("(s_suppkey % 20) * 9203 % 200000").as("lon_u"))
       .select(
         col("s_suppkey"), col("lat_u"), col("lon_u"),
@@ -227,8 +239,8 @@ object BehaviorQueries {
       |  -- would otherwise derive the coordinate decimal-exact while Spark
       |  -- computes it in IEEE double, and the haversine inputs would drift.
       |  SELECT s_suppkey,
-      |         ((s_suppkey % 20) * 4987 % 100000 + (s_suppkey // 20) * 3) * 1e-3
-      |           - 50.0 AS lat,
+      |         ((s_suppkey % 20) * 4987 % 100000 + (s_suppkey // 20) * 3 % 1000)
+      |           * 1e-3 - 50.0 AS lat,
       |         ((s_suppkey % 20) * 9203 % 200000) * 1e-3 - 100.0 AS lon
       |  FROM supplier)
       |SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
