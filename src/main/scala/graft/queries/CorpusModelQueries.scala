@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-8 corpus-modeling operators: the statistical-LM and vector-
+  * quantization family a training-data pipeline runs between cleaning and
+  * sampling. All five are hash-gated with EXACT integer outputs — floats
+  * are quantized (ln·1e6 floor, coordinate·1e3 floor) BEFORE any aggregate,
+  * so every sum is an order-free BIGINT and no cross-engine ulp can flip
+  * the gate (the DSIR precedent from round 7).
+  *
+  *  - llm_bigram_lm — CCNet/KenLM-style LM quality scoring: train a bigram
+  *    model with add-1 smoothing ON the corpus, score every document by its
+  *    total smoothed log-probability. The classic perplexity filter with the
+  *    KenLM binary replaced by two aggregations. Scale: bigram/unigram count
+  *    frames grow with VOCABULARY (Heaps' law, ≪ corpus); the score join is
+  *    two equi-joins on word keys — shuffle-partitioned, no driver state.
+  *  - llm_vocab_coverage — frequency top-K vocabulary induction + per-source
+  *    out-of-vocabulary rates, the tokenizer-fit diagnostic run before
+  *    committing a vocab. Top-K via sort-limit (TakeOrderedAndProject: per-
+  *    partition top-K then merge — never a global sort); the K-row vocab
+  *    broadcasts to the token stream.
+  *  - llm_bpe_pairs — adjacent-character-pair frequencies inside words: the
+  *    argmax candidates of the FIRST BPE merge step (Sennrich et al.), i.e.
+  *    one iteration of tokenizer training as a pure count query. Iterating
+  *    it (re-tokenize with the merged symbol, recount) is this same query in
+  *    a loop; each round is one explode+groupBy shuffle.
+  *  - llm_kmeans_assign — one Lloyd assignment step over embeddings against
+  *    deterministic seeds (vec_id < 8), in QUANTIZED integer space: coords
+  *    floor-scaled to 1e-3 grid, distances are exact BIGINT sums, argmin
+  *    tie-broken by seed id. The building block of k-means curriculum
+  *    bucketing and of IVF coarse quantizer training. Scale: seeds
+  *    broadcast; assignment is a map-side pass + one groupBy.
+  *  - llm_pq_codes — product quantization (Jégou et al.): 64-dim vectors
+  *    split into 4×16-dim subspaces, each subvector coded by its nearest of
+  *    4 per-subspace centroids (codebook = subvectors of vec_id < 4). The
+  *    memory-compression path for billion-vector ANN: 64 floats → 4 bytes.
+  *    Same broadcast-codebook shape as kmeans_assign, per-subspace.
+  */
+object CorpusModelQueries {
+
+  /** Shared quantized-embedding projection: float coords are exact in
+    * double, ·1e3 is one correctly-rounded IEEE multiply (identical in both
+    * engines), floor is deterministic — so qv is the same BIGINT lattice
+    * point everywhere, and all distance math downstream is exact integers. */
+  private val quantize =
+    "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT))"
+
+  val bigramLm: Reg = Reg.sql(
+    "llm_bigram_lm",
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bgp AS (SELECT doc_id,
+      |          UNNEST(list_transform(generate_series(1, len(w) - 1),
+      |                   i -> {'w1': w[i], 'w2': w[i + 1]})) AS p
+      |        FROM ws WHERE len(w) >= 2),
+      |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bgp),
+      |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+      |cu AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT u) AS v
+      |      FROM (SELECT UNNEST(w) AS u FROM ws))
+      |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM(CAST(FLOOR(LN((cb + 1.0) / (cu + v)) * 1e6) AS BIGINT))
+      |            AS BIGINT) AS lm_qscore
+      |FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+      |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
+    val ws = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+      .where(size(col("ws")) >= 2)
+    val bg = ws.select(col("doc_id"), explode(expr(
+      """transform(sequence(1, size(ws) - 1),
+        |          i -> struct(element_at(ws, i) AS w1,
+        |                      element_at(ws, i + 1) AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
+    // 1-row vocabulary-size aggregate: broadcast-by-construction scalar.
+    val v = ws.select(explode(col("ws")).as("u")).agg(countDistinct("u").as("v"))
+    bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1")).crossJoin(v)
+      .select(col("doc_id"),
+        expr("CAST(FLOOR(LN((cb + 1.0) / (cu + v)) * 1e6) AS BIGINT)").as("q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("q").as("lm_qscore"))
+      .orderBy("doc_id")
+  }
+
+  val vocabCoverage: Reg = Reg.sql(
+    "llm_vocab_coverage",
+    """WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS w
+      |             FROM documents),
+      |freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |vocab AS (SELECT w FROM freq ORDER BY cnt DESC, w LIMIT 500)
+      |SELECT source, COUNT(*) AS total_tokens,
+      |       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS oov_tokens,
+      |       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000
+      |            // COUNT(*) AS BIGINT) AS oov_permille
+      |FROM tok LEFT JOIN vocab v ON tok.w = v.w
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+    // Sort-limit compiles to TakeOrderedAndProject (per-partition top-K +
+    // driver merge of K·parts rows) — the vocab never causes a global sort.
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("w")).limit(500)
+      .select(col("w").as("vw"))
+    tok.join(broadcast(vocab), col("w") === col("vw"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("total_tokens"),
+        sum(when(col("vw").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      // positive operands: truncating div == floor-div, same in both engines
+      .withColumn("oov_permille",
+        expr("CAST(oov_tokens * 1000 DIV total_tokens AS BIGINT)"))
+      .orderBy("source")
+  }
+
+  val bpePairs: Reg = Reg.sql(
+    "llm_bpe_pairs",
+    """WITH wd AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |pr AS (SELECT UNNEST(list_transform(generate_series(1, length(w) - 1),
+      |                i -> substr(w, i, 2))) AS pair
+      |       FROM wd WHERE length(w) >= 2)
+      |SELECT pair, COUNT(*) AS cnt FROM pr GROUP BY pair
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ", -1)).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("pair")).limit(20)
+  }
+
+  val kmeansAssign: Reg = Reg.sql(
+    "llm_kmeans_assign",
+    """WITH q AS (SELECT vec_id,
+      |             list_transform(embedding,
+      |               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+      |           FROM embeddings),
+      |s AS (SELECT vec_id AS sid, qv AS sv FROM q WHERE vec_id < 8),
+      |d AS (SELECT q.vec_id, s.sid,
+      |        CAST(SUM((qv[i] - sv[i]) * (qv[i] - sv[i])) AS BIGINT) AS dist
+      |      FROM q CROSS JOIN s CROSS JOIN generate_series(1, 64) AS g(i)
+      |      GROUP BY 1, 2),
+      |a AS (SELECT vec_id, sid, dist,
+      |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+      |      FROM d)
+      |SELECT sid AS cluster, COUNT(*) AS n,
+      |       CAST(SUM(dist) AS BIGINT) AS total_qdist
+      |FROM a WHERE rn = 1 GROUP BY sid ORDER BY sid""".stripMargin) { (s, dir) =>
+    val q = Tables.embeddings(s, dir).select(col("vec_id"), expr(quantize).as("qv"))
+    val seeds = q.where(col("vec_id") < 8)
+      .select(col("vec_id").as("sid"), col("qv").as("sv"))
+    q.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("sid"), expr(
+        """aggregate(zip_with(qv, sv, (a, b) -> (a - b) * (a - b)),
+          |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("sid"))).as("best"))
+      .select(col("best.sid").as("cluster"), col("best.dist").as("dist"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("dist").as("total_qdist"))
+      .orderBy("cluster")
+  }
+
+  val pqCodes: Reg = Reg.sql(
+    "llm_pq_codes",
+    """WITH q AS (SELECT vec_id,
+      |             list_transform(embedding,
+      |               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+      |           FROM embeddings),
+      |sub AS (SELECT vec_id, m, qv[(16 * m + 1):(16 * m + 16)] AS sq
+      |        FROM q, generate_series(0, 3) AS gm(m)),
+      |cb AS (SELECT m, vec_id AS code, sq AS cv FROM sub WHERE vec_id < 4),
+      |d AS (SELECT sub.vec_id, sub.m, cb.code,
+      |        CAST(SUM((sq[i] - cv[i]) * (sq[i] - cv[i])) AS BIGINT) AS dist
+      |      FROM sub, cb, generate_series(1, 16) AS g(i)
+      |      WHERE sub.m = cb.m
+      |      GROUP BY 1, 2, 3),
+      |a AS (SELECT vec_id, m, code,
+      |        ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, code)
+      |          AS rn
+      |      FROM d)
+      |SELECT m AS subspace, code, COUNT(*) AS n
+      |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val q = Tables.embeddings(s, dir).select(col("vec_id"), expr(quantize).as("qv"))
+    val sub = q.select(col("vec_id"), explode(expr(
+      """transform(sequence(0, 3),
+        |          m -> struct(m AS m, slice(qv, 16 * m + 1, 16) AS sq))""".stripMargin)).as("t"))
+      .select(col("vec_id"), col("t.m").as("m"), col("t.sq").as("sq"))
+    val cb = sub.where(col("vec_id") < 4)
+      .select(col("m"), col("vec_id").as("code"), col("sq").as("cv"))
+    sub.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("code"), expr(
+        """aggregate(zip_with(sq, cv, (a, b) -> (a - b) * (a - b)),
+          |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("m").as("subspace"), col("best.code").as("code"))
+      .groupBy("subspace", "code")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("subspace", "code")
+  }
+
+  val all: Seq[Reg] =
+    Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes)
+}
