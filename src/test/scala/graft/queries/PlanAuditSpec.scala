@@ -416,6 +416,34 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
       }
   }
 
+  test("llm_vocab_coverage: top-K vocab is TakeOrdered and broadcast to the tokens") {
+    val p = plan(CorpusModelQueries.vocabCoverage)
+    // vocab induction must never global-sort the frequency table
+    p should include("TakeOrderedAndProject")
+    // the K-row vocab joins the token stream broadcast, shuffle-free
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("kmeans/pq: codebooks broadcast; assignment never shuffles the vectors twice") {
+    Seq(CorpusModelQueries.kmeansAssign, CorpusModelQueries.pqCodes).foreach { q =>
+      val p = plan(q)
+      withClue(q.name) {
+        p should not include "CartesianProduct"
+        p should not include "SortMergeJoin"
+        // seeds/codebook reach the vectors via a broadcast exchange
+        p should include("BroadcastExchange")
+      }
+    }
+  }
+
+  test("llm_bigram_lm: count frames join on word keys, scalar V broadcasts") {
+    val p = plan(CorpusModelQueries.bigramLm)
+    // the 1-row vocabulary-size aggregate is the only nested-loop join
+    "BroadcastNestedLoopJoin".r.findAllIn(p).size should be <= 1
+    p should not include "CartesianProduct"
+  }
+
   test("no query plan contains a CartesianProduct or driver collect") {
     SparkEntryPlans.all.foreach { case (name, p) =>
       withClue(name)(p should not include "CartesianProduct")
@@ -424,7 +452,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
 
   private object SparkEntryPlans {
     lazy val all: Seq[(String, String)] =
-      (CoreQueries.all ++ LlmQueries.all ++ AnalyticsQueries.all ++ StarQueries.all)
+      (CoreQueries.all ++ LlmQueries.all ++ AnalyticsQueries.all ++ StarQueries.all ++
+        CorpusModelQueries.all)
         .map(r => r.name -> plan(r))
   }
 }
