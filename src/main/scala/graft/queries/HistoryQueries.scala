@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-8 history/temporal operators — the two classic "hard SQL" shapes a
+  * warehouse engine is judged on, both pure window algebra (no self-joins,
+  * no driver loops), both exact-integer gated:
+  *
+  *  - A24 SCD2 history folding — collapse a key's event stream into
+  *    type-2 slowly-changing-dimension rows: one row per CHANGE of the
+  *    tracked attribute, versioned, with [effective_from, effective_to)
+  *    validity. The reference's AP "golden record" is exactly this shape
+  *    over time (status/location changes per BSSID); here folded from the
+  *    orders stream per customer. ONE shuffle: the lag-compare, the
+  *    version row_number and the lead() all share the per-key sort.
+  *  - O20 interval islands — union overlapping [ship, receipt] intervals
+  *    per supplier into maximal covered islands (gaps-and-islands): running
+  *    max of interval end over the per-key sort, island breaks where the
+  *    next start clears it, then one aggregate per island. Coverage and
+  *    island counts are day-integer arithmetic — exact across engines. At
+  *    100 TB both operators are a single hash-partition by key + in-
+  *    partition sort (Spark's Window), no data-sized driver state.
+  */
+object HistoryQueries {
+
+  /** A24 — SCD2 folding of per-customer order-status history. Epoch-day
+    * integers end-to-end; the driver gate hashes the version chain, so a
+    * change in tie-break order or off-by-one in the validity bounds flips
+    * the hash. */
+  val scd2History: Reg = Reg.sql(
+    "a24_scd2_history",
+    """WITH e AS (
+      |  SELECT o_custkey, o_orderstatus,
+      |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+      |         o_orderkey
+      |  FROM orders),
+      |c AS (
+      |  SELECT *, LAG(o_orderstatus) OVER
+      |    (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS prev_status
+      |  FROM e),
+      |ch AS (SELECT * FROM c
+      |       WHERE prev_status IS NULL OR o_orderstatus <> prev_status),
+      |v AS (
+      |  SELECT o_custkey, o_orderstatus, day,
+      |         ROW_NUMBER() OVER
+      |           (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS version,
+      |         LEAD(day) OVER
+      |           (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS to_day
+      |  FROM ch)
+      |SELECT o_custkey AS custkey, o_orderstatus AS status,
+      |       CAST(version AS BIGINT) AS version,
+      |       CAST(day AS BIGINT) AS from_day,
+      |       CAST(to_day AS BIGINT) AS to_day
+      |FROM v ORDER BY custkey, version""".stripMargin) { (s, dir) =>
+    val byKey = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    val e = Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderstatus"),
+      datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+        .as("day"),
+      col("o_orderkey"))
+    val changes = e
+      .withColumn("prev_status", lag("o_orderstatus", 1).over(byKey))
+      .where(col("prev_status").isNull ||
+        col("o_orderstatus") =!= col("prev_status"))
+    changes
+      .withColumn("version", row_number().over(byKey))
+      .withColumn("to_day", lead("day", 1).over(byKey))
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"),
+        col("version").cast("bigint").as("version"),
+        col("day").cast("bigint").as("from_day"),
+        col("to_day").cast("bigint").as("to_day"))
+      .orderBy("custkey", "version")
+  }
+
+  /** O20 — gaps-and-islands union of per-supplier [ship, receipt] windows.
+    * The island break test uses the running max of PRIOR interval ends
+    * (rows unbounded-preceding → 1-preceding), so touching intervals
+    * (next.start == max prior end) merge, and a long interval swallowing
+    * later short ones cannot split its island. */
+  val intervalIslands: Reg = Reg.sql(
+    "o20_interval_islands",
+    """WITH iv AS (
+      |  -- the synthetic schema has no receipt date; derive a 1..7-day
+      |  -- transit window deterministically from the order key
+      |  SELECT l_suppkey,
+      |         CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS s,
+      |         CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+      |           + 1 + l_orderkey % 7 AS e,
+      |         l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT *, MAX(e) OVER
+      |    (PARTITION BY l_suppkey ORDER BY s, e, l_orderkey, l_linenumber
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_end
+      |  FROM iv),
+      |b AS (
+      |  SELECT *, CASE WHEN prior_end IS NULL OR s > prior_end
+      |                 THEN 1 ELSE 0 END AS brk
+      |  FROM m),
+      |isl AS (
+      |  SELECT *, SUM(brk) OVER
+      |    (PARTITION BY l_suppkey ORDER BY s, e, l_orderkey, l_linenumber
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM b),
+      |g AS (
+      |  SELECT l_suppkey, island,
+      |         MIN(s) AS is_start, MAX(e) AS is_end, COUNT(*) AS n_iv
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT l_suppkey AS suppkey,
+      |       CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |       CAST(SUM(is_end - is_start + 1) AS BIGINT) AS covered_days,
+      |       CAST(SUM(n_iv) AS BIGINT) AS n_intervals
+      |FROM g GROUP BY 1 ORDER BY suppkey""".stripMargin) { (s, dir) =>
+    val order = Window.partitionBy("l_suppkey")
+      .orderBy("s", "e", "l_orderkey", "l_linenumber")
+    val iv = Tables.lineitem(s, dir).select(
+      col("l_suppkey"),
+      datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+        .as("s"),
+      (datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+        + lit(1) + col("l_orderkey") % 7).as("e"),
+      col("l_orderkey"), col("l_linenumber"))
+    val islands = iv
+      .withColumn("prior_end",
+        max("e").over(order.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prior_end").isNull || col("s") > col("prior_end"), 1)
+          .otherwise(0))
+      .withColumn("island",
+        sum("brk").over(order.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("l_suppkey", "island")
+      .agg(min("s").as("is_start"), max("e").as("is_end"),
+        count(lit(1)).as("n_iv"))
+    islands.groupBy(col("l_suppkey").as("suppkey"))
+      .agg(
+        count(lit(1)).as("n_islands"),
+        sum(col("is_end") - col("is_start") + 1).cast("bigint")
+          .as("covered_days"),
+        sum("n_iv").cast("bigint").as("n_intervals"))
+      .orderBy("suppkey")
+  }
+
+  val all: Seq[Reg] = Seq(scd2History, intervalIslands)
+}
