@@ -37,7 +37,12 @@ object PlanDump {
       ("llm_boilerplate_strip", "corpus-frequency boilerplate removal: ONE explode to segments, per-segment distinct-doc aggregate (shuffle on segment content), join back on segment reusing that exchange on the frequency side, one group-back per doc - the strip-ALL-occurrences complement of llm_segment_dedup"),
       ("llm_importance_resample", "DSIR selection: two bucket aggregates over the exploded words, a 256-row bounded ratio frame broadcast by construction, per-doc regroup, TakeOrderedAndProject top-k - the only float math is 256 ln() calls, floor-quantized before any sum"),
       ("a22_zorder_layout", "z-order maintenance gate: the Morton code is a pure codegen'd shift/mask projection on the scan; the ntile window is the oracle's 32-file stand-in (production path = clusterBy's sampled repartitionByRange)"),
-      ("llm_link_triangles", "degree-ordered triangle counting: every join an equi-join on vertex ids; wedges enumerate at each edge's LOWER-degree endpoint so hub skew cannot blow up the intermediate - the wedge count is itself hash-gated"))
+      ("llm_link_triangles", "degree-ordered triangle counting: every join an equi-join on vertex ids; wedges enumerate at each edge's LOWER-degree endpoint so hub skew cannot blow up the intermediate - the wedge count is itself hash-gated"),
+      ("llm_bigram_lm", "bigram-LM document scoring: count frames scale with VOCABULARY not corpus, the score join is two word-key equi-joins, the vocabulary-size scalar is the only (1-row) nested-loop broadcast; log-probs floor-quantize to integers BEFORE the per-doc sum so aggregation order is irrelevant"),
+      ("llm_vocab_coverage", "vocab induction: frequency top-K is TakeOrderedAndProject (per-partition top-K, never a global sort), the K-row vocab broadcasts onto the token stream - the corpus never shuffles for the lookup"),
+      ("llm_kmeans_assign", "Lloyd assignment in quantized integer space: seeds broadcast to every vector (BroadcastExchange, no SortMergeJoin), distances are exact BIGINT folds of a zip_with - assignment is a map-side pass plus one aggregate"),
+      ("a24_scd2_history", "SCD2 folding: lag-compare, version row_number and lead() validity all ride ONE per-key window exchange - change detection costs a single shuffle at any history depth"),
+      ("o20_interval_islands", "gaps-and-islands: the running-max break test and the island prefix-sum share the per-key sort; islands then aggregate twice on the same partitioning - interval union with no self-join and no pair expansion"))
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")
