@@ -103,9 +103,10 @@ object HistoryQueries {
       |                 THEN 1 ELSE 0 END AS brk
       |  FROM m),
       |isl AS (
-      |  SELECT *, SUM(brk) OVER
+      |  SELECT *, CAST(SUM(brk) OVER
       |    (PARTITION BY l_suppkey ORDER BY s, e, l_orderkey, l_linenumber
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS island
       |  FROM b),
       |g AS (
       |  SELECT l_suppkey, island,
