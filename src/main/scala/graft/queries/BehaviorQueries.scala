@@ -276,6 +276,75 @@ object BehaviorQueries {
       .orderBy("supp_a", "supp_b")
   }
 
+  /** J12 — fuzzy string join (edit distance ≤ 1) via q-gram prefix
+    * filtering, the ed-join/ppjoin family (Gravano et al. q-gram count
+    * bound; Chaudhuri/Xiao prefix principle): a single edit destroys at
+    * most 2 of a string's distinct bigrams, so any lev≤1 pair shares all
+    * but ≤2 of each side's bigram set — and under one global (frequency,
+    * bigram) total order, two sets missing ≤2 of each other MUST collide
+    * within their 3 rarest elements. Candidates therefore come from an
+    * equi-join on each name's 3 rarest bigrams (rare ⇒ selective), then
+    * exact levenshtein verifies — never an all-pairs compare. The DuckDB
+    * oracle IS the all-pairs ground truth, so hash-green is a completeness
+    * proof of the prefix filter on this corpus (the j11 pattern).
+    *
+    * Dirty probes are parts with one deterministically-deleted character;
+    * the dictionary is the full part table. At 100 TB both sides shuffle
+    * once on bigram keys; the frequency frame scales with the bigram
+    * vocabulary (≤ alphabet², trivially broadcast). */
+  val j12FuzzyJoin: Reg = Reg.sql(
+    "j12_fuzzy_join",
+    """WITH dirty AS (
+      |  SELECT p_partkey AS d_key,
+      |         substr(p_name, 1, CAST((p_partkey // 50) % length(p_name) AS INT))
+      |           || substr(p_name,
+      |                CAST((p_partkey // 50) % length(p_name) AS INT) + 2)
+      |           AS nd
+      |  FROM part WHERE p_partkey % 50 = 0)
+      |SELECT d.d_key, c.p_partkey AS c_key,
+      |       CAST(levenshtein(d.nd, c.p_name) AS BIGINT) AS dist
+      |FROM dirty d JOIN part c
+      |  ON abs(length(d.nd) - length(c.p_name)) <= 1
+      | AND levenshtein(d.nd, c.p_name) <= 1
+      |ORDER BY d_key, c_key""".stripMargin) { (s, dir) =>
+    val part = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
+    val dirty = part.where(col("p_partkey") % 50 === 0)
+      .select(col("p_partkey").as("d_key"),
+        expr("""concat(
+                |  substring(p_name, 1, CAST((p_partkey div 50) % length(p_name) AS INT)),
+                |  substring(p_name, CAST((p_partkey div 50) % length(p_name) AS INT) + 2))
+                |""".stripMargin).as("nd"))
+    def grams(df: DataFrame, key: String, name: String): DataFrame =
+      df.select(col(key), explode(expr(
+        s"array_distinct(transform(sequence(1, length($name) - 1), i -> substring($name, i, 2)))"))
+        .as("g"))
+    val cleanGrams = grams(part, "p_partkey", "p_name")
+    // one global rarity order for BOTH sides: clean-corpus frequency,
+    // unseen bigrams rank rarest (freq 0) — the order just has to be total
+    // and shared, which a left join + coalesce(0) preserves
+    val freq = cleanGrams.groupBy("g").agg(count(lit(1)).as("f"))
+    def prefix(gramsDf: DataFrame, key: String): DataFrame = {
+      val w = Window.partitionBy(key).orderBy(col("f").asc, col("g").asc)
+      gramsDf.join(freq, Seq("g"), "left")
+        .withColumn("f", coalesce(col("f"), lit(0L)))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= 3)
+        .select(col(key), col("g"))
+    }
+    val cand = prefix(grams(dirty, "d_key", "nd"), "d_key")
+      .join(prefix(cleanGrams, "p_partkey"), Seq("g"))
+      .select(col("d_key"), col("p_partkey").as("c_key")).distinct()
+    cand
+      .join(dirty, "d_key")
+      .join(part.select(col("p_partkey").as("c_key"), col("p_name")), "c_key")
+      .where(abs(length(col("nd")) - length(col("p_name"))) <= 1 &&
+        levenshtein(col("nd"), col("p_name")) <= 1)
+      .select(col("d_key"), col("c_key"),
+        levenshtein(col("nd"), col("p_name")).cast("bigint").as("dist"))
+      .orderBy("d_key", "c_key")
+  }
+
   val all: Seq[Reg] = Seq(
-    o18WindowFunnel, o19RetentionCohorts, a23IncrementalAgg, j11GridNeighbors)
+    o18WindowFunnel, o19RetentionCohorts, a23IncrementalAgg, j11GridNeighbors,
+    j12FuzzyJoin)
 }

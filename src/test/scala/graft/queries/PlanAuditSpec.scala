@@ -453,7 +453,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
   private object SparkEntryPlans {
     lazy val all: Seq[(String, String)] =
       (CoreQueries.all ++ LlmQueries.all ++ AnalyticsQueries.all ++ StarQueries.all ++
-        CorpusModelQueries.all)
+        CorpusModelQueries.all ++ BehaviorQueries.all ++ HistoryQueries.all)
         .map(r => r.name -> plan(r))
   }
 }
