@@ -204,6 +204,89 @@ object CorpusModelQueries {
       .orderBy("subspace", "code")
   }
 
+  /** BPE round 2 — the first merge APPLIED, then recounted: the argmax
+    * pair of round 1 (cnt desc, pair asc — deterministic) is replaced by a
+    * single placeholder symbol (chr(1), absent from any corpus) inside
+    * every word, and pair statistics are recomputed over the new symbol
+    * stream. Pairs spanning the placeholder are exactly BPE's symbol-pair
+    * semantics (the merged unit counts as ONE symbol). This is the loop
+    * body of tokenizer training: each further round is this same query
+    * with a longer merge list; every round costs one explode + one
+    * groupBy + a 1-row argmax broadcast. */
+  val bpeRound2: Reg = Reg.sql(
+    "llm_bpe_round2",
+    """WITH wd AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |ws AS (SELECT w FROM wd WHERE length(w) >= 2),
+      |p1 AS (SELECT UNNEST(list_transform(generate_series(1, length(w) - 1),
+      |                i -> substr(w, i, 2))) AS pair
+      |       FROM ws),
+      |c1 AS (SELECT pair, COUNT(*) AS cnt FROM p1 GROUP BY pair),
+      |top1 AS (SELECT pair AS mp FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+      |m AS (SELECT replace(w, (SELECT mp FROM top1), chr(1)) AS w2 FROM ws),
+      |mm AS (SELECT w2 FROM m WHERE length(w2) >= 2),
+      |p2 AS (SELECT UNNEST(list_transform(generate_series(1, length(w2) - 1),
+      |                i -> substr(w2, i, 2))) AS pair
+      |       FROM mm)
+      |SELECT pair, COUNT(*) AS cnt FROM p2 GROUP BY pair
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ", -1)).as("w"))
+      .where(length(col("w")) >= 2)
+    val top1 = words
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("pair")).limit(1)
+      .select(col("pair").as("mp"))
+    words.crossJoin(broadcast(top1))
+      .select(expr("replace(w, mp, chr(1))").as("w2"))
+      .where(length(col("w2")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w2) - 1), i -> substring(w2, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("pair")).limit(20)
+  }
+
+  /** Character-entropy quality gate — the gibberish/binary-blob filter:
+    * per-document Shannon entropy over the character distribution. Each
+    * class term c·ln(c/n) floor-quantizes to the 1e-6 grid BEFORE the
+    * per-doc sum (same order-free-integer discipline as the LM scorer);
+    * the output is the negated micro-nat total plus a per-char integer
+    * rate, so low-entropy (repetitive) and high-entropy (random) tails
+    * are both selectable without any float crossing the gate. */
+  val charEntropy: Reg = Reg.sql(
+    "llm_char_entropy",
+    """WITH ch AS (
+      |  SELECT doc_id, UNNEST(list_transform(generate_series(1, length(text)),
+      |           i -> substr(text, i, 1))) AS c
+      |  FROM documents),
+      |cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+      |n AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM cc GROUP BY doc_id)
+      |SELECT cc.doc_id, n.n AS n_chars,
+      |       CAST(-SUM(k * CAST(FLOOR(LN(CAST(k AS DOUBLE) / n.n) * 1e6)
+      |                          AS BIGINT)) AS BIGINT) AS entropy_micro,
+      |       CAST(-SUM(k * CAST(FLOOR(LN(CAST(k AS DOUBLE) / n.n) * 1e6)
+      |                          AS BIGINT)) // n.n AS BIGINT) AS per_char_micro
+      |FROM cc JOIN n ON n.doc_id = cc.doc_id
+      |GROUP BY cc.doc_id, n.n ORDER BY cc.doc_id""".stripMargin) { (s, dir) =>
+    val cc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
+    val n = cc.groupBy("doc_id").agg(sum("k").as("n"))
+    cc.join(n, "doc_id")
+      .select(col("doc_id"), col("n"),
+        (col("k") * expr("CAST(FLOOR(LN(CAST(k AS DOUBLE) / n) * 1e6) AS BIGINT)"))
+          .as("term"))
+      .groupBy("doc_id")
+      .agg(first("n").as("n_chars"), (-sum("term")).as("entropy_micro"))
+      // non-negative operands: truncating DIV == DuckDB's floor //
+      .withColumn("per_char_micro",
+        expr("CAST(entropy_micro DIV n_chars AS BIGINT)"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Reg] =
-    Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes)
+    Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
+      bpeRound2, charEntropy)
 }

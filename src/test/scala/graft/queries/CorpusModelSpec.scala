@@ -58,6 +58,28 @@ class CorpusModelSpec extends AnyFunSuite with Matchers with SparkSuite {
     out.length shouldBe 8
   }
 
+  test("BPE round 2: merged symbol shrinks the pair stream, top pair consumed") {
+    val r1 = CorpusModelQueries.bpePairs.build(spark, sfDir).collect()
+    val r2 = CorpusModelQueries.bpeRound2.build(spark, sfDir).collect()
+    r2.length shouldBe 20
+    // the merged pair can no longer occur as two raw characters: its round-1
+    // count must not survive unchanged at the top of round 2
+    val top1 = r1.head
+    r2.find(_.getString(0) == top1.getString(0))
+      .foreach(_.getLong(1) should be < top1.getLong(1))
+  }
+
+  test("char entropy: non-negative, zero iff single-symbol, n matches text length") {
+    val out = CorpusModelQueries.charEntropy.build(spark, sfDir).cache()
+    out.where(F.col("entropy_micro") < 0).count() shouldBe 0
+    out.where(F.col("per_char_micro") < 0).count() shouldBe 0
+    val lens = Tables.documents(spark, sfDir)
+      .select(F.sum(F.length(F.col("text")))).head().getLong(0)
+    out.agg(F.sum("n_chars")).head().getLong(0) shouldBe lens
+    out.unpersist()
+    ()
+  }
+
   test("pq codes: each subspace partitions all vectors over codes 0..3") {
     val out = CorpusModelQueries.pqCodes.build(spark, sfDir).collect()
     val vectors = Tables.embeddings(spark, sfDir).count()
