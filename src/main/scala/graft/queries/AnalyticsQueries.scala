@@ -1165,7 +1165,54 @@ object AnalyticsQueries {
         inBand(col("merged")).as("merged_within_bound"))
   }
 
+  /** O21 — the remaining rank-family windows in one audit: rank,
+    * dense_rank, percent_rank, cume_dist, nth_value over a per-nation
+    * account-balance order. The order key (acctbal desc, custkey) is a
+    * total order, so the rational ranks are tie-free and the identical
+    * IEEE division on both engines floor-quantizes identically; nth_value
+    * rides the default ANSI frame on both. One window exchange, top-5
+    * filter AFTER the full-partition functions (they need the whole
+    * partition regardless). */
+  val o21RankFamily: Reg = Reg.sql(
+    "o21_rank_family",
+    """WITH r AS (
+      |  SELECT c_nationkey, c_custkey,
+      |         RANK() OVER w AS rnk,
+      |         DENSE_RANK() OVER w AS drnk,
+      |         CAST(FLOOR(PERCENT_RANK() OVER w * 1e6) AS BIGINT) AS pr_micro,
+      |         CAST(FLOOR(CUME_DIST() OVER w * 1e6) AS BIGINT) AS cd_micro,
+      |         ROUND(CAST(CAST(NTH_VALUE(c_acctbal, 3) OVER w
+      |                    AS DECIMAL(18,2)) AS DOUBLE), 2) AS third_bal
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_nationkey
+      |               ORDER BY c_acctbal DESC, c_custkey))
+      |SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+      |       CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+      |       pr_micro, cd_micro, third_bal
+      |FROM r WHERE rnk <= 5 ORDER BY nationkey, rnk""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey").orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        col("c_acctbal"))
+      .withColumn("pr_micro",
+        floor(percent_rank().over(w) * lit(1e6)).cast("bigint"))
+      .withColumn("cd_micro",
+        floor(cume_dist().over(w) * lit(1e6)).cast("bigint"))
+      .withColumn("third_bal",
+        round(nth_value(col("c_acctbal"), 3).over(w)
+          .cast("decimal(18,2)").cast("double"), 2))
+      .where(col("rnk") <= 5)
+      .select(col("c_nationkey").as("nationkey"), col("c_custkey").as("custkey"),
+        col("rnk").cast("bigint").as("rnk"), col("drnk").cast("bigint").as("drnk"),
+        col("pr_micro"), col("cd_micro"), col("third_bal"))
+      .orderBy("nationkey", "rnk")
+  }
+
   val all: Seq[Reg] = Seq(
+    o21RankFamily,
     o16NtileDeciles, o17HllMerge,
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
