@@ -1211,8 +1211,43 @@ object AnalyticsQueries {
       .orderBy("nationkey", "rnk")
   }
 
+  /** A25 — the bivariate statistical aggregates (corr, covar, OLS fit) in
+    * one pass per group: the regression-on-facts shape (price-vs-quantity
+    * elasticity per return flag). Both engines one-pass these with partial
+    * aggregation (Spark's CentralMomentAgg merges per-partition moments),
+    * so the shuffle carries O(groups) moment tuples, never rows. The
+    * house float rule applies: one-pass moments accumulate in partition
+    * order, so results are rounded to 4 decimals (re-association noise is
+    * ~1e-10 relative, four orders below the grid). */
+  val a25StatsAgg: Reg = Reg.sql(
+    "a25_stats_agg",
+    """SELECT l_returnflag,
+      |       COUNT(*) AS n,
+      |       ROUND(CORR(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+      |       ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+      |       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS fit_slope,
+      |       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS fit_intercept,
+      |       ROUND(REGR_R2(l_extendedprice, l_quantity), 4) AS fit_r2
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("price_qty_corr"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("price_qty_covar"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4)
+          .as("fit_slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
+          .as("fit_intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 4)
+          .as("fit_r2"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Reg] = Seq(
-    o21RankFamily,
+    o21RankFamily, a25StatsAgg,
     o16NtileDeciles, o17HllMerge,
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
