@@ -1246,8 +1246,75 @@ object AnalyticsQueries {
       .orderBy("l_returnflag")
   }
 
+  /** O22 — multiset set operations: INTERSECT ALL / EXCEPT ALL between two
+    * date halves of the order stream, counted per priority. Spark plans
+    * both as hash joins with multiplicity bookkeeping (never a distinct —
+    * duplicates are data here); counts are exact integers. */
+  val o22SetOps: Reg = Reg.sql(
+    "o22_set_ops",
+    """WITH h1 AS (SELECT o_custkey, o_orderpriority FROM orders
+      |            WHERE o_orderdate < DATE '1998-06-01'),
+      |h2 AS (SELECT o_custkey, o_orderpriority FROM orders
+      |       WHERE o_orderdate >= DATE '1998-06-01'),
+      |i AS (SELECT o_orderpriority, COUNT(*) AS both_cnt
+      |      FROM (SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2)
+      |      GROUP BY 1),
+      |e AS (SELECT o_orderpriority, COUNT(*) AS only_h1_cnt
+      |      FROM (SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2)
+      |      GROUP BY 1)
+      |SELECT COALESCE(i.o_orderpriority, e.o_orderpriority) AS priority,
+      |       COALESCE(both_cnt, 0) AS both_cnt,
+      |       COALESCE(only_h1_cnt, 0) AS only_h1_cnt
+      |FROM i FULL OUTER JOIN e ON i.o_orderpriority = e.o_orderpriority
+      |ORDER BY priority""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_orderdate"))
+    val pivot = lit("1998-06-01").cast("date")
+    val h1 = o.where(col("o_orderdate") < pivot).drop("o_orderdate")
+    val h2 = o.where(col("o_orderdate") >= pivot).drop("o_orderdate")
+    val i = h1.intersectAll(h2).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("both_cnt"))
+    val e = h1.exceptAll(h2).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("only_h1_cnt"))
+    i.join(e, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority").as("priority"),
+        coalesce(col("both_cnt"), lit(0L)).as("both_cnt"),
+        coalesce(col("only_h1_cnt"), lit(0L)).as("only_h1_cnt"))
+      .orderBy("priority")
+  }
+
+  /** C6 — the plain-SQL surface end to end: a query authored as SQL TEXT
+    * against a registered view, using the engine's injected native
+    * function (`haversine_m`, the codegen'd Catalyst expression from
+    * GraftExtensions). Proves a reference user can point spark.sql at the
+    * engine and go; whole-meter floors keep the trig cross-libm safe. */
+  val c6SqlSurface: Reg = Reg.sql(
+    "c6_sql_surface",
+    """SELECT s_nationkey AS nationkey, COUNT(*) AS n,
+      |       CAST(FLOOR(MIN(2 * 6371000 * ASIN(SQRT(
+      |         POW(SIN(RADIANS((s_suppkey % 80) - 0.0) / 2), 2) +
+      |         COS(RADIANS(0.0)) * COS(RADIANS(s_suppkey % 80)) *
+      |         POW(SIN(RADIANS((s_suppkey % 160) - 0.0) / 2), 2))))) AS BIGINT)
+      |         AS min_m,
+      |       CAST(FLOOR(MAX(2 * 6371000 * ASIN(SQRT(
+      |         POW(SIN(RADIANS((s_suppkey % 80) - 0.0) / 2), 2) +
+      |         COS(RADIANS(0.0)) * COS(RADIANS(s_suppkey % 80)) *
+      |         POW(SIN(RADIANS((s_suppkey % 160) - 0.0) / 2), 2))))) AS BIGINT)
+      |         AS max_m
+      |FROM supplier GROUP BY s_nationkey ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    graft.plans.GraftExtensions.register(s)
+    Tables.supplier(s, dir).createOrReplaceTempView("graft_supplier_v")
+    s.sql(
+      """SELECT s_nationkey AS nationkey, COUNT(*) AS n,
+        |       CAST(FLOOR(MIN(haversine_m(0.0, 0.0, s_suppkey % 80,
+        |                                  s_suppkey % 160))) AS BIGINT) AS min_m,
+        |       CAST(FLOOR(MAX(haversine_m(0.0, 0.0, s_suppkey % 80,
+        |                                  s_suppkey % 160))) AS BIGINT) AS max_m
+        |FROM graft_supplier_v GROUP BY s_nationkey ORDER BY nationkey""".stripMargin)
+  }
+
   val all: Seq[Reg] = Seq(
-    o21RankFamily, a25StatsAgg,
+    o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface,
     o16NtileDeciles, o17HllMerge,
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
