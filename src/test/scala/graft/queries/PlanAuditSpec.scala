@@ -444,6 +444,35 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     p should not include "CartesianProduct"
   }
 
+  test("hive-style dt partitions prune at planning: one matching dir, no data read from others") {
+    // The ingestion-date layout (MergeOps/IngestStream write partitionBy dt)
+    // only scales if a dt predicate prunes directories BEFORE any file IO —
+    // this pins Spark's partition pruning on exactly that layout shape.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val work = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    try {
+      (1 to 300).map(i => (i.toLong, s"2024-01-${"%02d".format(i % 3 + 1)}"))
+        .toDF("id", "dt")
+        .write.partitionBy("dt").parquet(s"$work/t")
+      val q = spark.read.parquet(s"$work/t")
+        .where(col("dt") === lit("2024-01-02"))
+      val scan = q.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      scan should not be empty
+      scan.get.partitionFilters should not be empty
+      // the pruned file listing must touch ONLY the matching partition dir
+      scan.get.selectedPartitions.partitionCount shouldBe 1
+      q.count() shouldBe 100
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(work))
+    }
+  }
+
   test("no query plan contains a CartesianProduct or driver collect") {
     SparkEntryPlans.all.foreach { case (name, p) =>
       withClue(name)(p should not include "CartesianProduct")
