@@ -344,7 +344,33 @@ object BehaviorQueries {
       .orderBy("d_key", "c_key")
   }
 
+  /** O23 — first-order Markov transition counts over per-user event
+    * streams: lag(event_type) under the (ts, event_id) total order, then
+    * one count per (prev, cur) pair. The empirical transition matrix
+    * behind journey modeling and next-event prediction; at 100 TB it is
+    * one window shuffle on user_id plus a |types|²-row aggregate. */
+  val o23TransitionMatrix: Reg = Reg.sql(
+    "o23_transition_matrix",
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |         LAG(event_type) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type AS cur_type, COUNT(*) AS cnt
+      |FROM e WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, event_type
+      |ORDER BY prev_type, cur_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("prev_type", "cur_type")
+  }
+
   val all: Seq[Reg] = Seq(
     o18WindowFunnel, o19RetentionCohorts, a23IncrementalAgg, j11GridNeighbors,
-    j12FuzzyJoin)
+    j12FuzzyJoin, o23TransitionMatrix)
 }

@@ -286,7 +286,49 @@ object CorpusModelQueries {
       .orderBy("doc_id")
   }
 
+  /** Filter cascade — the FineWeb/Gopher-style ensemble gate: every rule
+    * contributes one bit to a per-document reject mask, and the corpus
+    * reports its mask histogram (mask 0 = kept). Thresholds compare by
+    * integer cross-multiplication (stop·10 < wc ⟺ stop/wc < 0.1) so no
+    * ratio ever materializes as a float. Per-row array expressions fused
+    * into the scan; the histogram is one tiny aggregate. Auditing WHICH
+    * rules fire together (not just a keep count) is what lets a pipeline
+    * tune one rule without re-running the rest. */
+  val filterCascade: Reg = Reg.sql(
+    "llm_filter_cascade",
+    """WITH f AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(ws) < 30 THEN 1 ELSE 0 END
+      |       + CASE WHEN len(list_filter(ws, w -> w IN
+      |               ('the','of','and','a','to','in','is','it'))) * 10
+      |               < len(ws) THEN 2 ELSE 0 END
+      |       + CASE WHEN len(list_distinct(ws)) * 2 < len(ws)
+      |              THEN 4 ELSE 0 END
+      |       + CASE WHEN list_max(list_transform(ws, w -> length(w))) > 25
+      |              THEN 8 ELSE 0 END AS mask
+      |  FROM f)
+      |SELECT CAST(mask AS BIGINT) AS mask, COUNT(*) AS cnt
+      |FROM m GROUP BY mask ORDER BY mask""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+      .select(col("doc_id"), (
+        when(size(col("ws")) < 30, 1).otherwise(0)
+          + when(expr(
+            """size(filter(ws, w -> w IN
+              |('the','of','and','a','to','in','is','it'))) * 10""".stripMargin)
+            < size(col("ws")), 2).otherwise(0)
+          + when(size(array_distinct(col("ws"))) * 2 < size(col("ws")), 4)
+            .otherwise(0)
+          + when(expr("array_max(transform(ws, w -> length(w)))") > 25, 8)
+            .otherwise(0)).as("mask"))
+      .groupBy(col("mask").cast("bigint").as("mask"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("mask")
+  }
+
   val all: Seq[Reg] =
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
-      bpeRound2, charEntropy)
+      bpeRound2, charEntropy, filterCascade)
 }
