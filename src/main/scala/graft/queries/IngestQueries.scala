@@ -717,8 +717,45 @@ object IngestQueries {
       (count_distinct(col("id")) === count(lit(1))).as("all_distinct"))
   }
 
+  /** S17 — multi-format source/sink roundtrips under the gate: the event
+    * slice (normalized to exact integer/string columns — value and ts
+    * carried as quantized BIGINTs so no format's float/timestamp printer
+    * is in the loop) is written as gzipped JSON-lines AND quoted CSV, read
+    * back through `spark.read.json` / `spark.read.csv`, and diffed against
+    * the parquet truth with a two-sided EXCEPT ALL INSIDE the query. The
+    * oracle states the closed form (full row count, zero mismatches per
+    * format), so a quoting, escaping, compression or schema-inference
+    * regression in either format path fails the hash gate. */
+  val multiFormatIo: Reg = Reg.sql(
+    "s17_multiformat_io",
+    """SELECT fmt, CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS rows,
+      |       CAST(0 AS BIGINT) AS mismatched
+      |FROM (VALUES ('csv'), ('json')) v(fmt) ORDER BY fmt""".stripMargin) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft_mfio").toString
+    try {
+      val truth = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(FLOOR(value * 1e6) AS BIGINT)").as("value_micro"),
+        unix_millis(col("ts")).as("ms"), col("props"))
+      truth.write.option("compression", "gzip").json(s"$work/j")
+      truth.write.option("header", "true").csv(s"$work/c")
+      // read back with the explicit schema (inference would also work for
+      // JSON; CSV needs it for exact integer types)
+      val schema = truth.schema
+      val j = s.read.schema(schema).json(s"$work/j")
+      val c = s.read.option("header", "true").schema(schema).csv(s"$work/c")
+      def gate(df: org.apache.spark.sql.DataFrame, fmt: String) = {
+        val miss = df.exceptAll(truth).count() + truth.exceptAll(df).count()
+        (fmt, df.count(), miss)
+      }
+      val rows = Seq(gate(c, "csv"), gate(j, "json"))
+      import s.implicits._
+      rows.toDF("fmt", "rows", "mismatched").orderBy("fmt")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
-      batchedSinkGate, rowIdGate)
+      batchedSinkGate, rowIdGate, multiFormatIo)
 }
