@@ -470,7 +470,48 @@ object LocalizeQueries {
       .orderBy("group_id")
   }
 
+  /** P9 — the weighted centroid through the typed-Aggregator UDAF path
+    * (`graft.functions.WclAggregator` via `functions.udaf`): same semantics
+    * as p2's built-in form, but exercising the custom-UDAF extension type
+    * with a quantized-integer buffer whose reduce/merge are exact monoid
+    * ops — the cross-engine gate then proves the distributed merge tree
+    * (any partitioning, any order) equals DuckDB's serial fold. */
+  val wclUdaf: Reg = Reg.sql(
+    "p9_wcl_udaf",
+    """WITH m AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS bssid,
+      |         CAST(FLOOR(((user_id % 90) + (event_id % 25) * CAST(0.0003 AS DOUBLE))
+      |                    * 1e6) AS BIGINT) AS latq,
+      |         CAST(FLOOR(((user_id % 180) + (event_id % 23) * CAST(0.0003 AS DOUBLE))
+      |                    * 1e6) AS BIGINT) AS lonq,
+      |         CASE event_type WHEN 'purchase' THEN 4
+      |                         WHEN 'click' THEN 3 ELSE 2 END AS w2
+      |  FROM events)
+      |SELECT bssid,
+      |       CAST(SUM(latq * w2) // SUM(w2) AS BIGINT) AS lat_micro,
+      |       CAST(SUM(lonq * w2) // SUM(w2) AS BIGINT) AS lon_micro,
+      |       CAST(SUM(w2) AS BIGINT) AS w2_sum
+      |FROM m GROUP BY bssid ORDER BY bssid""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wcl = udaf(graft.functions.WclAggregator)
+    val in = Tables.events(s, dir).select(
+      col("user_id").cast("string").as("bssid"),
+      expr("""CAST(FLOOR(((user_id % 90) + (event_id % 25) * CAST(0.0003 AS DOUBLE))
+             |           * 1e6) AS BIGINT)""".stripMargin).as("latQ"),
+      expr("""CAST(FLOOR(((user_id % 180) + (event_id % 23) * CAST(0.0003 AS DOUBLE))
+             |           * 1e6) AS BIGINT)""".stripMargin).as("lonQ"),
+      when(col("event_type") === "purchase", 4L)
+        .when(col("event_type") === "click", 3L).otherwise(2L).as("w2"))
+    in.groupBy("bssid")
+      .agg(wcl(col("latQ"), col("lonQ"), col("w2")).as("c"))
+      .select(col("bssid"),
+        col("c.latMicro").as("lat_micro"),
+        col("c.lonMicro").as("lon_micro"),
+        col("c.w2Sum").as("w2_sum"))
+      .orderBy("bssid")
+  }
+
   val all: Seq[Reg] =
     Seq(batchLocalize, hotspotFull, wclTier, lofLocal, dbscanRelocation, refineLoop,
-      mleFixpoint)
+      mleFixpoint, wclUdaf)
 }
