@@ -1313,8 +1313,41 @@ object AnalyticsQueries {
         |FROM graft_supplier_v GROUP BY s_nationkey ORDER BY nationkey""".stripMargin)
   }
 
+  /** A26 — arbitrary GROUPING SETS with grouping_id(): the multi-grain
+    * aggregate shape rollup/cube (a12/a15) cannot express — here the two
+    * single-key grains plus the grand total, WITHOUT the pair grain. One
+    * Expand + one aggregate; grouping_id() disambiguates output rows
+    * exactly as a BI layer consumes them. */
+  val a26GroupingSets: Reg = Reg.sql(
+    "a26_grouping_sets",
+    """SELECT COALESCE(l_returnflag, '~') AS returnflag,
+      |       COALESCE(l_linestatus, '~') AS linestatus,
+      |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+      |            AS BIGINT) AS gid,
+      |       COUNT(*) AS cnt,
+      |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |         AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, returnflag, linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("bigint").as("gid"),
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("~")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("~")).as("linestatus"),
+        col("gid"), col("cnt"), col("sum_qty"))
+      .orderBy("gid", "returnflag", "linestatus")
+  }
+
   val all: Seq[Reg] = Seq(
-    o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface,
+    o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface, a26GroupingSets,
     o16NtileDeciles, o17HllMerge,
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
