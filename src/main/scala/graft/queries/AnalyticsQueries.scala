@@ -1346,8 +1346,44 @@ object AnalyticsQueries {
       .orderBy("gid", "returnflag", "linestatus")
   }
 
+  /** O24 — tie-AWARE per-group top-k: RANK over a coarse score admits
+    * every row tied at the boundary (o2's row_number form cuts ties
+    * arbitrarily — correct only under a total order; this is the form for
+    * score-ranked data where dropping a tied peer is a correctness bug).
+    * Group sizes become data-dependent, which is exactly what the gate
+    * pins. */
+  val o24TopkTies: Reg = Reg.sql(
+    "o24_topk_with_ties",
+    """WITH r AS (
+      |  SELECT c_nationkey,
+      |         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS score,
+      |         RANK() OVER (PARTITION BY c_nationkey
+      |                      ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+      |                        DESC) AS rnk
+      |  FROM customer)
+      |SELECT c_nationkey AS nationkey,
+      |       COUNT(*) AS top_cnt,
+      |       CAST(MIN(score) AS BIGINT) AS min_score,
+      |       CAST(MAX(score) AS BIGINT) AS max_score
+      |FROM r WHERE rnk <= 3
+      |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    val score = floor(col("c_acctbal") / 1000).cast("bigint")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey").orderBy(col("score").desc)
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), score.as("score"))
+      .withColumn("rnk", rank().over(w))
+      .where(col("rnk") <= 3)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("top_cnt"),
+        min("score").cast("bigint").as("min_score"),
+        max("score").cast("bigint").as("max_score"))
+      .orderBy("nationkey")
+  }
+
   val all: Seq[Reg] = Seq(
     o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface, a26GroupingSets,
+    o24TopkTies,
     o16NtileDeciles, o17HllMerge,
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
