@@ -1381,9 +1381,48 @@ object AnalyticsQueries {
       .orderBy("nationkey")
   }
 
+  /** A27 — predicate aggregates (count_if / bool_and / bool_or): the
+    * data-quality-assertion shape ("EVERY row in the partition satisfies
+    * X") as one partial-aggregated pass, exact booleans and counts. */
+  val a27BoolAggs: Reg = Reg.sql(
+    "a27_bool_aggs",
+    """SELECT o_orderpriority AS priority,
+      |       CAST(COUNT_IF(o_totalprice > 100000) AS BIGINT) AS big_orders,
+      |       BOOL_AND(o_totalprice > 0) AS all_positive,
+      |       BOOL_OR(o_orderstatus = 'F') AS any_final
+      |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        count_if(col("o_totalprice") > 100000).as("big_orders"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_orderstatus") === "F").as("any_final"))
+      .orderBy("priority")
+  }
+
+  /** A28 — ordered string aggregation: the BI "concatenate members per
+    * group" op. Determinism comes from sorting BEFORE joining (array_sort
+    * + concat_ws ≡ DuckDB's string_agg ORDER BY); a bounded member filter
+    * keeps rows small — at scale the cap belongs in the query, not in hope. */
+  val a28StringAgg: Reg = Reg.sql(
+    "a28_string_agg",
+    """SELECT s_nationkey AS nationkey,
+      |       COUNT(*) AS members,
+      |       STRING_AGG(s_name, ',' ORDER BY s_name) AS names
+      |FROM supplier WHERE s_suppkey % 100 < 3
+      |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    Tables.supplier(s, dir)
+      .where(col("s_suppkey") % 100 < 3)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(
+        count(lit(1)).as("members"),
+        concat_ws(",", array_sort(collect_list(col("s_name")))).as("names"))
+      .orderBy("nationkey")
+  }
+
   val all: Seq[Reg] = Seq(
     o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface, a26GroupingSets,
-    o24TopkTies,
+    o24TopkTies, a27BoolAggs, a28StringAgg,
     o16NtileDeciles, o17HllMerge,
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
