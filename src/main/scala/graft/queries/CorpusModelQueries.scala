@@ -328,7 +328,51 @@ object CorpusModelQueries {
       .orderBy("mask")
   }
 
+  /** Hard-negative mining — for each probe vector, the 3 nearest vectors
+    * with a DIFFERENT label (the contrastive-training pair generator for
+    * retrievers/rerankers). Distances are the exact quantized-integer L2
+    * of kmeans/PQ, tie-broken by id, so the mined set is bit-stable run to
+    * run — resumable curriculum generation needs exactly that. The probe
+    * batch broadcasts (bounded per run); at corpus scale the candidate
+    * side pre-filters through the IVF cells of llm_ann_ivf rather than
+    * scanning — same join, bucketed feed. */
+  val hardNegatives: Reg = Reg.sql(
+    "llm_hard_negatives",
+    """WITH q AS (SELECT vec_id, label,
+      |             list_transform(embedding,
+      |               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+      |           FROM embeddings),
+      |p AS (SELECT vec_id AS p_id, label AS p_label, qv AS pv
+      |      FROM q WHERE vec_id % 50 = 0),
+      |d AS (SELECT p.p_id, q.vec_id AS neg_id,
+      |        CAST(SUM((qv[i] - pv[i]) * (qv[i] - pv[i])) AS BIGINT) AS dist
+      |      FROM p CROSS JOIN q CROSS JOIN generate_series(1, 64) AS g(i)
+      |      WHERE q.label <> p.p_label
+      |      GROUP BY 1, 2),
+      |r AS (SELECT *, ROW_NUMBER() OVER
+      |        (PARTITION BY p_id ORDER BY dist, neg_id) AS rnk
+      |      FROM d)
+      |SELECT p_id, CAST(rnk AS BIGINT) AS rnk, neg_id, dist
+      |FROM r WHERE rnk <= 3 ORDER BY p_id, rnk""".stripMargin) { (s, dir) =>
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), expr(quantize).as("qv"))
+    val probes = q.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("p_id"), col("label").as("p_label"),
+        col("qv").as("pv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy("dist", "neg_id")
+    q.crossJoin(broadcast(probes))
+      .where(col("label") =!= col("p_label"))
+      .select(col("p_id"), col("vec_id").as("neg_id"), expr(
+        """aggregate(zip_with(qv, pv, (a, b) -> (a - b) * (a - b)),
+          |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("dist"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= 3)
+      .select(col("p_id"), col("rnk"), col("neg_id"), col("dist"))
+      .orderBy("p_id", "rnk")
+  }
+
   val all: Seq[Reg] =
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
-      bpeRound2, charEntropy, filterCascade)
+      bpeRound2, charEntropy, filterCascade, hardNegatives)
 }
