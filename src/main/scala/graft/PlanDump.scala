@@ -42,7 +42,10 @@ object PlanDump {
       ("llm_vocab_coverage", "vocab induction: frequency top-K is TakeOrderedAndProject (per-partition top-K, never a global sort), the K-row vocab broadcasts onto the token stream - the corpus never shuffles for the lookup"),
       ("llm_kmeans_assign", "Lloyd assignment in quantized integer space: seeds broadcast to every vector (BroadcastExchange, no SortMergeJoin), distances are exact BIGINT folds of a zip_with - assignment is a map-side pass plus one aggregate"),
       ("a24_scd2_history", "SCD2 folding: lag-compare, version row_number and lead() validity all ride ONE per-key window exchange - change detection costs a single shuffle at any history depth"),
-      ("o20_interval_islands", "gaps-and-islands: the running-max break test and the island prefix-sum share the per-key sort; islands then aggregate twice on the same partitioning - interval union with no self-join and no pair expansion"))
+      ("o20_interval_islands", "gaps-and-islands: the running-max break test and the island prefix-sum share the per-key sort; islands then aggregate twice on the same partitioning - interval union with no self-join and no pair expansion"),
+      ("j12_fuzzy_join", "similarity join without all-pairs: candidates from an equi-join on each name's 3 rarest bigrams (one global frequency order), exact levenshtein verifies - the all-pairs ORACLE proves the prefix filter complete, the PLAN proves it never nested-loops"),
+      ("p9_wcl_udaf", "the typed-Aggregator UDAF path: quantized-integer buffer partial-aggregates map-side (ObjectHashAggregate partial before the key exchange), so the custom aggregate shuffles O(groups) buffers, exactly like a built-in"),
+      ("llm_filter_cascade", "filter-cascade gate: all four rule bits are per-row array expressions fused with the scan, ONE aggregate on the 16-value mask domain - corpus-size work is a single pass, the histogram is free"))
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")
