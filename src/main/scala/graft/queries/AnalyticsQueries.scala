@@ -1420,9 +1420,65 @@ object AnalyticsQueries {
       .orderBy("nationkey")
   }
 
+  /** J13 — FORWARD as-of join (earliest right row at-or-after each left
+    * time): j6's union idiom traversed in reverse — one key shuffle, one
+    * per-partition sort by (time DESC, side), running last(ignoreNulls)
+    * carrying the NEAREST FOLLOWING click payload. Same zero-pair-expansion
+    * plan as backward; right-side (key,time) ties resolve to the greatest
+    * payload struct (≡ the oracle's event_id-DESC canonical row). The
+    * "time-to-next-event" shape behind conversion-lag and SLA analyses. */
+  val j13AsofForward: Reg = Reg.sql(
+    "j13_asof_forward",
+    """SELECT p.event_id, p.user_id, p.value AS purchase_value,
+      |       c.event_id AS next_click_id, c.value AS next_click_value,
+      |       epoch_ms(c.ts) - epoch_ms(p.ts) AS ms_until_click
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, ts, event_id, value FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |                              ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'click') WHERE rn = 1) c
+      |  ON p.user_id = c.user_id AND p.ts <= c.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.StructType
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val rStructT = StructType(
+      clicks.select(col("event_id"), col("value"), col("ts")).schema.fields)
+    val lStructT = StructType(purchases.schema.fields)
+    val l = purchases.select(col("user_id"), col("ts").as("__t"),
+      lit(1).as("__side"),
+      struct(col("event_id"), col("user_id"), col("ts"), col("value")).as("__l"),
+      lit(null).cast(rStructT).as("__r"))
+    val r = clicks.where(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").as("__t"), lit(0).as("__side"),
+        lit(null).cast(lStructT).as("__l"),
+        struct(col("event_id"), col("value"), col("ts")).as("__r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("__t").desc, col("__side").asc, col("__r").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("__next", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(
+        col("__l.event_id").as("event_id"),
+        col("user_id"),
+        col("__l.value").as("purchase_value"),
+        col("__next.event_id").as("next_click_id"),
+        col("__next.value").as("next_click_value"),
+        (unix_millis(col("__next.ts")) - unix_millis(col("__l.ts")))
+          .as("ms_until_click"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Reg] = Seq(
     o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface, a26GroupingSets,
-    o24TopkTies, a27BoolAggs, a28StringAgg,
+    o24TopkTies, a27BoolAggs, a28StringAgg, j13AsofForward,
     o16NtileDeciles, o17HllMerge,
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,
