@@ -372,7 +372,44 @@ object CorpusModelQueries {
       .orderBy("p_id", "rnk")
   }
 
+  /** N-gram novelty — per document, how many of its distinct word
+    * trigrams appear in NO lower-id document: the incremental-information
+    * metric curriculum ordering and near-dup triage both consume. One
+    * explode to distinct (doc, gram), a min(doc_id) per gram (gram-keyed
+    * shuffle, vocabulary-sized frame), one join back — a gram is novel
+    * exactly where its global first-seer is this doc. Integer counts only. */
+  val ngramNovelty: Reg = Reg.sql(
+    "llm_ngram_novelty",
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id,
+      |         UNNEST(list_transform(generate_series(1, len(w) - 2),
+      |                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3),
+      |fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+      |SELECT g.doc_id, COUNT(*) AS n_grams,
+      |       CAST(SUM(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS novel_grams
+      |FROM g JOIN fs ON fs.gram = g.gram
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 2),
+          |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+          |                 element_at(w, i + 2)))""".stripMargin)).as("gram"))
+      .distinct()
+    val firstSeen = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    g.join(firstSeen, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Reg] =
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
-      bpeRound2, charEntropy, filterCascade, hardNegatives)
+      bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty)
 }
