@@ -109,6 +109,24 @@ class OracleLintSpec extends AnyFunSuite with Matchers {
       }
     }
 
+  test("registered query names are unique and every query carries an oracle") {
+    // SparkEntry.queries is a Map keyed by name: a duplicate Reg name would
+    // SILENTLY shadow an earlier query (it would vanish from the driver's
+    // correctness run while its file still compiles — the worst failure
+    // mode, zero signal). Pin uniqueness and full oracle coverage here.
+    val names = graft.SparkEntry.registered.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    withClue(s"duplicate query names: ${dups.mkString(", ")}")(
+      dups shouldBe empty)
+    val unoracled = graft.SparkEntry.registered
+      .filter(_.oracle.isEmpty).map(_.name).sorted
+    // rows-only registration is allowed by the contract but currently
+    // unused — every operator has a DuckDB restatement; if one genuinely
+    // can't, list it here explicitly rather than silently weakening.
+    withClue(s"queries without an oracle: ${unoracled.mkString(", ")}")(
+      unoracled shouldBe empty)
+  }
+
   test("every integer-typed SUM in oracle SQL is cast-covered") {
     val sumRe = "(?i)\\bSUM\\s*\\(".r
     val violations = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
