@@ -63,8 +63,22 @@ object Bench {
     // stdout, truncating this line from the FRONT — cold map first
     // (sacrificial), warm per-query map next, headline scalars last so the
     // totals always survive the cut.
-    println(
-      s"""{"cold_queries":$cold,"queries":$qs,"errors":$errors,"sf":"$sfDir","unit":"sec","metric":"total_warm","total_cold":$totalCold,"value":$total}""")
+    val line =
+      s"""{"cold_queries":$cold,"queries":$qs,"errors":$errors,"sf":"$sfDir","unit":"sec","metric":"total_warm","total_cold":$totalCold,"value":$total}"""
+    println(line)
+    // Full machine-readable artifact: stdout gets truncated to ~2KB by the
+    // harness, losing most of the per-query map; write the whole JSON to a
+    // file so per-query times stay diffable round-over-round.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full per-query JSON written to $outPath")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -30,11 +30,13 @@ object WclAggregator extends Aggregator[WclIn, WclBuf, WclOut] {
   override def merge(b1: WclBuf, b2: WclBuf): WclBuf =
     WclBuf(b1.sLat + b2.sLat, b1.sLon + b2.sLon, b1.sW + b2.sW)
 
-  /** Floor division (callers keep coordinates non-negative, so truncation
-    * and floor agree — and agree with DuckDB's `//`). */
+  /** True floor division, matching DuckDB's `//` for ANY sign — negative
+    * coordinates (southern/western hemispheres) are normal for the weighted
+    * lat/lon centroids this Aggregator templates, and Scala's `/` truncates
+    * toward zero, which would diverge by 1 on negative sums. */
   override def finish(r: WclBuf): WclOut =
     if (r.sW == 0) WclOut(0L, 0L, 0L)
-    else WclOut(r.sLat / r.sW, r.sLon / r.sW, r.sW)
+    else WclOut(Math.floorDiv(r.sLat, r.sW), Math.floorDiv(r.sLon, r.sW), r.sW)
 
   override def bufferEncoder: Encoder[WclBuf] = Encoders.product[WclBuf]
   override def outputEncoder: Encoder[WclOut] = Encoders.product[WclOut]

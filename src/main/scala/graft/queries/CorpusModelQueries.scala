@@ -65,9 +65,9 @@ object CorpusModelQueries {
       |            AS BIGINT) AS lm_qscore
       |FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
       |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
-    val ws = Tables.documents(s, dir)
+    val wsAll = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
-      .where(size(col("ws")) >= 2)
+    val ws = wsAll.where(size(col("ws")) >= 2)
     val bg = ws.select(col("doc_id"), explode(expr(
       """transform(sequence(1, size(ws) - 1),
         |          i -> struct(element_at(ws, i) AS w1,
@@ -76,7 +76,9 @@ object CorpusModelQueries {
     val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
     // 1-row vocabulary-size aggregate: broadcast-by-construction scalar.
-    val v = ws.select(explode(col("ws")).as("u")).agg(countDistinct("u").as("v"))
+    // Built from the UNFILTERED corpus (wsAll), matching the oracle's v CTE:
+    // a single-word doc whose token appears nowhere else still grows V.
+    val v = wsAll.select(explode(col("ws")).as("u")).agg(countDistinct("u").as("v"))
     bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1")).crossJoin(v)
       .select(col("doc_id"),
         expr("CAST(FLOOR(LN((cb + 1.0) / (cu + v)) * 1e6) AS BIGINT)").as("q"))
@@ -259,7 +261,7 @@ object CorpusModelQueries {
     """WITH ch AS (
       |  SELECT doc_id, UNNEST(list_transform(generate_series(1, length(text)),
       |           i -> substr(text, i, 1))) AS c
-      |  FROM documents),
+      |  FROM documents WHERE length(text) >= 1),
       |cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
       |n AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM cc GROUP BY doc_id)
       |SELECT cc.doc_id, n.n AS n_chars,
@@ -269,7 +271,11 @@ object CorpusModelQueries {
       |                          AS BIGINT)) // n.n AS BIGINT) AS per_char_micro
       |FROM cc JOIN n ON n.doc_id = cc.doc_id
       |GROUP BY cc.doc_id, n.n ORDER BY cc.doc_id""".stripMargin) { (s, dir) =>
+    // length>=1 guard both sides: Spark's sequence(1, 0) steps DOWN to
+    // [1, 0] while DuckDB's generate_series(1, 0) is empty — an empty
+    // document must drop identically in both engines.
     val cc = Tables.documents(s, dir)
+      .where(length(col("text")) >= 1)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("c"))
       .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))

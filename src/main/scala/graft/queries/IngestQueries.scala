@@ -738,12 +738,18 @@ object IngestQueries {
         expr("CAST(FLOOR(value * 1e6) AS BIGINT)").as("value_micro"),
         unix_millis(col("ts")).as("ms"), col("props"))
       truth.write.option("compression", "gzip").json(s"$work/j")
-      truth.write.option("header", "true").csv(s"$work/c")
+      // emptyValue both ways: Spark CSV otherwise writes "" as an empty
+      // field and reads it back as null — a round-trip-breaking asymmetry
+      // the moment a regenerated props column contains an empty string.
+      truth.write.option("header", "true").option("emptyValue", "\"\"")
+        .csv(s"$work/c")
       // read back with the explicit schema (inference would also work for
-      // JSON; CSV needs it for exact integer types)
+      // JSON; CSV needs it for exact integer types); multiLine so a quoted
+      // embedded newline in props parses as one row, not two broken ones
       val schema = truth.schema
       val j = s.read.schema(schema).json(s"$work/j")
-      val c = s.read.option("header", "true").schema(schema).csv(s"$work/c")
+      val c = s.read.option("header", "true").option("emptyValue", "")
+        .option("multiLine", "true").schema(schema).csv(s"$work/c")
       def gate(df: org.apache.spark.sql.DataFrame, fmt: String) = {
         val miss = df.exceptAll(truth).count() + truth.exceptAll(df).count()
         (fmt, df.count(), miss)

@@ -727,8 +727,8 @@ object LlmQueries {
 
   /** Near-dup pairs → dedup CLUSTERS: LSH emits pairs (a~b, b~c), but the
     * keep/drop decision needs the transitive component {a,b,c} with one
-    * canonical representative — `ConnectedComponents` (distributed min-label
-    * propagation, see its scaladoc) closes that gap. Runs on the SAME
+    * canonical representative — `ConnectedComponents.runStar` (alternating
+    * large-star/small-star, O(log n) rounds) closes that gap. Runs on the SAME
     * planted corpus as `llm_minhash_neardup` (whose oracle proves the pair
     * list is exact), and the DuckDB oracle computes components from that
     * pair list with a recursive CTE — the clustering itself is verified,
@@ -761,7 +761,7 @@ object LlmQueries {
       .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
     val corpus = base.unionByName(near).unionByName(exact)
     val pairs = MinHash.nearDuplicates(corpus, "doc_id", "text")
-    graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+    graft.operators.ConnectedComponents.runStar(pairs, "id_a", "id_b")
       .groupBy(col("comp").as("cluster_rep"))
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy("cluster_rep")
@@ -809,7 +809,7 @@ object LlmQueries {
       .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
     val corpus = base.unionByName(near).unionByName(exact)
     val pairs = MinHash.nearDuplicates(corpus, "doc_id", "text")
-    graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+    graft.operators.ConnectedComponents.runStar(pairs, "id_a", "id_b")
       .withColumn("quality", (col("node") * 37) % 1000)
       .groupBy(col("comp").as("cluster_rep"))
       .agg(
@@ -822,7 +822,7 @@ object LlmQueries {
   }
 
   /** Chain-shaped dup clusters through the O(log n) star algorithm:
-    * `llm_dup_clusters` exercises min-label propagation on triangle-planted
+    * `llm_dup_clusters` exercises component closure on triangle-planted
     * clusters (diameter ≤ 2 — converges in a few rounds at any SF); this
     * query plants the ADVERSARIAL shape, a drift chain doc i ~ doc i+10,
     * whose cluster diameter GROWS with the corpus (N/10 hops at scale

@@ -86,6 +86,22 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers with SparkSuite 
     }
   }
 
+  test("runStar collapses a 10k-node path graph in ~log2(n) rounds") {
+    import spark.implicits._
+    // the adversarial shape for any propagation scheme: diameter 9999.
+    // Min-label would need 10k rounds; the star bound is ceil(log2(10000))
+    // = 14 plus slack for the alternation pattern.
+    val n = 10000L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("a", "b").repartition(8)
+    val (labels, rounds) = ConnectedComponents.runStarCounted(chain, "a", "b")
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 3
+    withClue(s"10k chain: $rounds rounds vs bound $bound")(
+      rounds should be <= bound)
+    val got = labels.collect()
+    got.length shouldBe n
+    got.map(_.getLong(1)).toSet shouldBe Set(1L)
+  }
+
   test("runStar on an empty edge list yields an empty labeling") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
