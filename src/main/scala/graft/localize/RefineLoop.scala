@@ -28,15 +28,27 @@ import org.apache.spark.sql.functions._
   */
 object RefineLoop {
 
-  /** Persisted state row (parquet schema at `statePath`). */
+  /** Persisted state row (parquet schema at `statePath`): position plus the
+    * full 2-D covariance (m², tangent axes) — var_lat/var_lon/cov, not one
+    * isotropic scalar, so an AP constrained along a street keeps its
+    * cross-street uncertainty. */
   final case class StateRow(
       bssid: String,
       lat: Double,
       lon: Double,
-      variance_m2: Double,
+      var_lat_m2: Double,
+      var_lon_m2: Double,
+      cov_m2: Double,
       n: Long,
       relocations: Int,
       last_sig: Long)
+
+  object StateRow {
+    /** Isotropic convenience (tests, priming). */
+    def apply(bssid: String, lat: Double, lon: Double, varianceM2: Double,
+        n: Long, relocations: Int, lastSig: Long): StateRow =
+      StateRow(bssid, lat, lon, varianceM2, varianceM2, 0.0, n, relocations, lastSig)
+  }
 
   /** One loop result: the batch estimate, the posterior state, and the
     * filter diagnostics. */
@@ -48,7 +60,9 @@ object RefineLoop {
       method: String,
       state_lat: Double,
       state_lon: Double,
-      variance_m2: Double,
+      var_lat_m2: Double,
+      var_lon_m2: Double,
+      cov_m2: Double,
       state_n: Long,
       relocations: Int,
       innovation_m: Double,
@@ -64,6 +78,30 @@ object RefineLoop {
     * claim impossible certainty. */
   def estimateVariance(loc: BatchLocalizer.ApLocation): Double =
     math.max(25.0, loc.spreadM * loc.spreadM / math.max(1L, loc.n))
+
+  /** Batch-estimate covariance R (m², tangent axes): per-axis sample second
+    * moments of the contributing measurements around the estimate, divided
+    * by n again (variance OF THE MEAN), each axis floored at a 5 m sigma and
+    * the cross term clamped inside ±0.9·σσ so R stays positive-definite. A
+    * street-constrained AP thus reports a thin ellipse, not a circle. */
+  def estimateCovariance(
+      loc: BatchLocalizer.ApLocation,
+      ms: Seq[BatchLocalizer.Measurement]): (Double, Double, Double) = {
+    val mLat = StateRefinement.MetersPerDegLat
+    val mLon = mLat * math.cos(math.toRadians(loc.lat))
+    var sxx = 0.0; var syy = 0.0; var sxy = 0.0
+    ms.foreach { m =>
+      val dx = (m.latitude - loc.lat) * mLat
+      val dy = (m.longitude - loc.lon) * mLon
+      sxx += dx * dx; syy += dy * dy; sxy += dx * dy
+    }
+    val n = math.max(1, ms.size).toDouble
+    val rLat = math.max(25.0, sxx / n / n)
+    val rLon = math.max(25.0, syy / n / n)
+    val cap = 0.9 * math.sqrt(rLat * rLon)
+    val rCov = math.max(-cap, math.min(cap, sxy / n / n))
+    (rLat, rLon, rCov)
+  }
 
   /** Deterministic fingerprint of an applied estimate (replay guard). */
   def fingerprint(loc: BatchLocalizer.ApLocation): Long = {
@@ -85,30 +123,34 @@ object RefineLoop {
     measurements.groupByKey(_.bssid)
       .cogroup(priors.groupByKey(_.bssid)) { (bssid, ms, ps) =>
         val prior = ps.toSeq.headOption
-        BatchLocalizer.localize(
-          bssid, BatchLocalizer.cappedSorted(ms, maxMeasurementsPerAp)) match {
+        val capped = BatchLocalizer.cappedSorted(ms, maxMeasurementsPerAp)
+        BatchLocalizer.localize(bssid, capped) match {
           case None => Iterator.empty // below bootstrap: state untouched
           case Some(loc) =>
+            val (rLat, rLon, rCov) = estimateCovariance(loc, capped)
             val est = StateRefinement.Estimate(
-              loc.lat, loc.lon, estimateVariance(loc), loc.n)
+              loc.lat, loc.lon, rLat, rLon, rCov, loc.n)
             val sig = fingerprint(loc)
             prior match {
               case Some(p) if p.last_sig == sig => // replayed batch: no-op
                 Iterator.single(Refined(bssid, loc.lat, loc.lon, loc.n, loc.method,
-                  p.lat, p.lon, p.variance_m2, p.n, p.relocations,
+                  p.lat, p.lon, p.var_lat_m2, p.var_lon_m2, p.cov_m2,
+                  p.n, p.relocations,
                   innovation_m = 0.0, relocated = false, applied = false, sig))
               case Some(p) =>
                 val r = StateRefinement.update(
-                  StateRefinement.ApState(bssid, p.lat, p.lon, p.variance_m2,
+                  StateRefinement.ApState(bssid, p.lat, p.lon,
+                    p.var_lat_m2, p.var_lon_m2, p.cov_m2,
                     p.n, p.relocations), est)
                 Iterator.single(Refined(bssid, loc.lat, loc.lon, loc.n, loc.method,
-                  r.state.lat, r.state.lon, r.state.varianceM2, r.state.n,
+                  r.state.lat, r.state.lon,
+                  r.state.pLatM2, r.state.pLonM2, r.state.pCovM2, r.state.n,
                   r.state.relocations, r.innovationM, r.relocated, applied = true,
                   sig))
               case None =>
                 val s = StateRefinement.initial(bssid, est)
                 Iterator.single(Refined(bssid, loc.lat, loc.lon, loc.n, loc.method,
-                  s.lat, s.lon, s.varianceM2, s.n, s.relocations,
+                  s.lat, s.lon, s.pLatM2, s.pLonM2, s.pCovM2, s.n, s.relocations,
                   innovation_m = 0.0, relocated = false, applied = true, sig))
             }
         }
@@ -144,7 +186,8 @@ object RefineLoop {
       .where(col("applied")) // replays must not touch state
       .select(col("bssid"),
         col("state_lat").as("lat"), col("state_lon").as("lon"),
-        col("variance_m2"), col("state_n").as("n"), col("relocations"),
+        col("var_lat_m2"), col("var_lon_m2"), col("cov_m2"),
+        col("state_n").as("n"), col("relocations"),
         col("sig").as("last_sig"))
     val p = new org.apache.hadoop.fs.Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

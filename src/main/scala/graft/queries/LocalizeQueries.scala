@@ -398,7 +398,9 @@ object LocalizeQueries {
         ((col("user_id") % 120) - 60 + lit(0.05)).as("lat"),
         ((col("user_id") % 300) - 150).cast("double").as("lon"))
       .distinct()
-      .withColumn("variance_m2", lit(100.0))
+      .withColumn("var_lat_m2", lit(100.0))
+      .withColumn("var_lon_m2", lit(100.0))
+      .withColumn("cov_m2", lit(0.0))
       .withColumn("n", lit(50L))
       .withColumn("relocations", lit(0))
       .withColumn("last_sig", lit(0L))

@@ -44,7 +44,8 @@ class RefineLoopSpec extends AnyFunSuite with Matchers with SparkSuite {
     val r = RefineLoop.run(spark, measurements("ap1"), statePath).collect().head
     r.getAs[Boolean]("relocated") shouldBe false
     r.getAs[Boolean]("applied") shouldBe true
-    r.getAs[Double]("variance_m2") should be < 400.0 // posterior tighter than prior
+    r.getAs[Double]("var_lat_m2") should be < 400.0 // posterior tighter than prior
+    r.getAs[Double]("var_lon_m2") should be < 400.0
     r.getAs[Long]("state_n") shouldBe (100L + 30L)
   }
 

@@ -37,6 +37,48 @@ class StateRefinementSpec extends AnyFunSuite with Matchers {
     r.state.n shouldBe 40 // evidence restarts after relocation
   }
 
+  test("anisotropic prior: loose axis moves more, tight axis stays tight") {
+    // street-constrained AP: σ=5 m across (lat), σ=50 m along (lon)
+    val prior = ApState("ap", 40.0, -75.0, 25.0, 2500.0, 0.0, 100L)
+    val dLat = 30.0 / MetersPerDegLat
+    val dLon = 30.0 / (MetersPerDegLat * math.cos(math.toRadians(40.0)))
+    val r = update(prior, Estimate(40.0 + dLat, -75.0 + dLon, 100.0, 30))
+    r.relocated shouldBe false
+    val movedLatM = (r.state.lat - 40.0) * MetersPerDegLat
+    val movedLonM =
+      (r.state.lon + 75.0) * MetersPerDegLat * math.cos(math.toRadians(40.0))
+    movedLatM shouldBe 30.0 * 25.0 / 125.0 +- 0.1       // K_lat = 0.2
+    movedLonM shouldBe 30.0 * 2500.0 / 2600.0 +- 0.2    // K_lon ≈ 0.96
+    r.state.pLatM2 shouldBe 25.0 * 100.0 / 125.0 +- 1e-6   // P·R/S = 20
+    r.state.pLonM2 shouldBe 2500.0 * 100.0 / 2600.0 +- 1e-6
+    r.state.pCovM2 shouldBe 0.0 +- 1e-9
+    // the isotropic filter CANNOT produce this: it would shrink the
+    // cross-street variance with the same gain as the along-street one
+    r.state.pLatM2 should be < r.state.pLonM2
+  }
+
+  test("cross-covariance steers the correction into the correlated direction") {
+    // prior uncertainty concentrated along the NE diagonal (cov > 0);
+    // a purely-east innovation must drag the state north as well
+    val prior = ApState("ap", 0.0, 0.0, 1000.0, 1000.0, 900.0, 50L)
+    val dLon = 50.0 / MetersPerDegLat // cos(0) = 1
+    val r = update(prior, Estimate(0.0, dLon, 100.0, 10))
+    r.relocated shouldBe false
+    (r.state.lat > 0.0) shouldBe true
+    (r.state.lon > 0.0) shouldBe true
+    // posterior stays symmetric-PD: |cov| < sqrt(varLat·varLon)
+    math.abs(r.state.pCovM2) should be <
+      math.sqrt(r.state.pLatM2 * r.state.pLonM2)
+  }
+
+  test("isotropic inputs reduce exactly to the scalar filter") {
+    val prior = initial("ap", Estimate(40.0, -75.0, 400.0, 30))
+    val r = update(prior, Estimate(40.0, -74.9995, 400.0, 30))
+    r.state.pLatM2 shouldBe r.state.pLonM2 +- 1e-9
+    r.state.pCovM2 shouldBe 0.0 +- 1e-9
+    r.state.varianceM2 shouldBe 200.0 +- 1e-9
+  }
+
   test("RSSI denoising: variance shrinks, mean tracked, steps followed with lag") {
     // noisy flat series around -60: smoothed variance well below raw
     val noisy = (0 until 60).map(i => -60.0 + (if (i % 2 == 0) 4.0 else -4.0))
