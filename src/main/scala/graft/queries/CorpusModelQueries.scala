@@ -415,7 +415,20 @@ object CorpusModelQueries {
       .orderBy("doc_id")
   }
 
+  /** Iterative BPE through `Bpe.trainMerges` — six merge rounds of the
+    * argmax-merge-recount loop as ONE operator with Heaps-law vocab
+    * compression and per-round lineage cuts; the oracle is the same loop
+    * unrolled into six chained DuckDB CTEs (generated, not hand-written),
+    * exact because every count is an integer and the argmax order
+    * (cnt DESC, pair ASC) is total. */
+  val bpeK: Reg = Reg.sql("llm_bpe_k", graft.llm.Bpe.oracleSqlFor(6)) { (s, dir) =>
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ", -1)).as("w"))
+    graft.llm.Bpe.trainMerges(s, words, "w", 6)
+  }
+
   val all: Seq[Reg] =
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
-      bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty)
+      bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty,
+      bpeK)
 }
