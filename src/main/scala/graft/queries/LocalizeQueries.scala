@@ -513,7 +513,58 @@ object LocalizeQueries {
       .orderBy("bssid")
   }
 
+  /** A11 — CUSUM change-point relocation detection (PAPER.md:71-77 names
+    * CUSUM alongside the jump rule and DBSCAN), FULLY oracled on a
+    * step-shaped corpus: each odd user's distance-to-anchor series steps
+    * from exactly 0 m to exactly 500 m at the halfway fix (the
+    * s12_stream_relocation planting style), so with threshold 1000 and
+    * drift 50 the detector's arithmetic is exact integer-in-double —
+    * baseline mean 0, pos accumulates 450/step, first crossing after 3
+    * displaced fixes — and DuckDB states the closed form: first_cp =
+    * n//2 + 2, detections repeat every 3 steps after each reset. The
+    * Spark side RUNS the real detector (`StateRefinement.cusumChangePoints`)
+    * per AP inside one groupByKey pass; the oracle restates the analytic
+    * answer, so a drift in the reset logic, the baseline window, or the
+    * accumulation order flips the gate. */
+  val cusumRelocation: Reg = Reg.sql(
+    "a11_cusum_relocation",
+    """WITH c AS (
+      |  SELECT user_id AS uid, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY user_id HAVING COUNT(*) >= 50)
+      |SELECT CAST(uid AS VARCHAR) AS bssid, n,
+      |       uid % 2 = 1 AS relocated,
+      |       CAST(CASE WHEN uid % 2 = 1 THEN n // 2 + 2 ELSE -1 END
+      |            AS BIGINT) AS first_cp,
+      |       CAST(CASE WHEN uid % 2 = 1 THEN 1 + (n - 1 - (n // 2 + 2)) // 3
+      |            ELSE 0 END AS BIGINT) AS n_detections
+      |FROM c ORDER BY bssid""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val ev = Tables.events(s, dir)
+      .withColumn("rank", row_number().over(w) - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+      .where(col("n") >= 50)
+    val fixes = ev.select(
+      col("user_id").cast("string").as("bssid"),
+      col("rank").cast("long").as("rank"),
+      // step plant: odd users jump exactly 500 m at the halfway fix
+      when(col("user_id") % 2 === 1 && col("rank") >= expr("n DIV 2"), 500.0)
+        .otherwise(0.0).as("dist_m"))
+      .as[(String, Long, Double)]
+    fixes.groupByKey(_._1)
+      .mapGroups { (bssid, it) =>
+        val rows = it.toIndexedSeq.sortBy(_._2)
+        val cps = graft.localize.StateRefinement.cusumChangePoints(
+          rows.map(_._3), threshold = 1000.0, drift = 50.0)
+        (bssid, rows.size.toLong, cps.nonEmpty,
+          if (cps.isEmpty) -1L else cps.head.toLong, cps.size.toLong)
+      }
+      .toDF("bssid", "n", "relocated", "first_cp", "n_detections")
+      .orderBy("bssid")
+  }
+
   val all: Seq[Reg] =
     Seq(batchLocalize, hotspotFull, wclTier, lofLocal, dbscanRelocation, refineLoop,
-      mleFixpoint, wclUdaf)
+      mleFixpoint, wclUdaf, cusumRelocation)
 }
