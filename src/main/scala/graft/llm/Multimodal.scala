@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed per-partition in bounded batches.
   *
   * The Spark-side mechanics here — schema, partition-parallel batch
-  * processing, typed output rows — are real and tested; the actual media
-  * decode is STUBBED with a deterministic fake (this container has no
-  * image/audio libraries). Swapping `decodeStub` for a JNI/FFI decoder (or
-  * porting the shape to `mapInPandas` with PIL/ffmpeg on a PySpark cluster)
-  * changes ONE function; the distribution story stays identical:
-  * mapPartitions → one task per partition, media bytes never shuffled until
-  * reduced to fixed-size features.
+  * processing, typed output rows — are real and tested. The metadata
+  * half of decode is ALSO real now: `graft.llm.ImageCodec` parses genuine
+  * PNG/JPEG/GIF container headers (signature sniffing, IHDR + CRC32
+  * verification, JPEG marker walk) in pure JVM byte logic — see
+  * `decodeImage` and the `llm_image_meta` gate. Only PIXEL decode
+  * (zlib/DCT decompression) remains stubbed with a deterministic fake
+  * (this container has no image/audio libraries). Swapping `decodeStub`
+  * for a JNI/FFI decoder (or porting the shape to `mapInPandas` with
+  * PIL/ffmpeg on a PySpark cluster) changes ONE function; the
+  * distribution story stays identical: mapPartitions → one task per
+  * partition, media bytes never shuffled until reduced to fixed-size
+  * features.
   */
 object Multimodal {
 
@@ -74,10 +79,24 @@ object Multimodal {
     AssetFeatures(a.assetId, a.modality, out.map(v => v % 1.0f))
   }
 
-  /** Decode metadata for every asset — partition-parallel, batch-shaped. */
+  /** Decode metadata for every asset — partition-parallel, batch-shaped.
+    * (Synthetic-corpus path: uses the stub header convention.) */
   def decodeAll(spark: SparkSession, assets: Dataset[Asset]): Dataset[AssetMeta] = {
     import spark.implicits._
     assets.mapPartitions(_.map(decodeStub))
+  }
+
+  /** REAL image-metadata decode: parse actual PNG/JPEG/GIF container
+    * headers from the binary column (`ImageCodec` — CRC-verified IHDR,
+    * JPEG SOF marker walk, magic sniffing). Corrupt or non-image bytes
+    * yield valid=false rows, never a task failure (F18 discipline). */
+  def decodeImage(spark: SparkSession, assets: Dataset[Asset]): Dataset[AssetMeta] = {
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val m = ImageCodec.parse(a.content)
+      AssetMeta(a.assetId, a.modality, a.content.length,
+        m.width, m.height, durationMs = 0L, valid = m.valid)
+    })
   }
 
   /** Feature-extract every valid asset. */

@@ -1725,6 +1725,52 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL image-header decode under the gate — the multimodal metadata
+    * stage upgraded from stub to genuine byte-level container parsing
+    * (`graft.llm.ImageCodec`: PNG signature+IHDR with CRC32 verification,
+    * JPEG marker walk to SOF, GIF header). Each document plants one asset
+    * with closed-form dimensions, encoded as a structurally-valid binary;
+    * every 17th asset is CORRUPTED (PNG: a bit-flip in the IHDR dims that
+    * only the CRC can catch; JPEG/GIF: broken magic) and must parse as
+    * invalid. DuckDB states the construct∘parse identity: planted dims for
+    * intact assets, zeros for corrupt ones — so a parser that skips CRC
+    * verification, misreads endianness (GIF is LE, PNG/JPEG BE), or
+    * mis-walks JPEG segments flips the hash. Pixel decompression stays
+    * env-bounded; header metadata is what resolution/aspect/format gates
+    * actually consume. */
+  val imageMeta: Reg = Reg.sql(
+    "llm_image_meta",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 17 = 0 THEN 'unknown'
+      |       WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS fmt,
+      |  CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+      |       ELSE 16 * (1 + doc_id % 60) END AS BIGINT) AS width,
+      |  CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+      |       ELSE 16 * (1 + doc_id % 40) END AS BIGINT) AS height,
+      |  doc_id % 17 <> 0 AS valid
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = (16 * (1 + id % 60)).toInt
+      val h = (16 * (1 + id % 40)).toInt
+      val bytes = (id % 3) match {
+        case 0 => graft.llm.ImageCodec.encodePng(w, h,
+          Array.tabulate(8)(j => ((id + j) % 251).toByte))
+        case 1 => graft.llm.ImageCodec.encodeJpeg(w, h)
+        case _ => graft.llm.ImageCodec.encodeGif(w, h)
+      }
+      if (id % 17 == 0) {
+        // PNG: flip inside the IHDR dims — only CRC verification catches
+        // it; JPEG/GIF: break the magic — only sniffing catches it.
+        if (id % 3 == 0) bytes(20) = (bytes(20) ^ 0x5a).toByte
+        else bytes(0) = (bytes(0) ^ 0x5a).toByte
+      }
+      val m = graft.llm.ImageCodec.parse(bytes)
+      (id, m.format, m.width.toLong, m.height.toLong, m.valid)
+    }.toDF("doc_id", "fmt", "width", "height", "valid").orderBy("doc_id")
+  }
+
   val all: Seq[Reg] = Seq(
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
@@ -1734,5 +1780,5 @@ object LlmQueries {
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
     bm25TopK, embedCentroids, clusterReps, linkTriangles, weightedSample,
-    driftKs)
+    driftKs, imageMeta)
 }
