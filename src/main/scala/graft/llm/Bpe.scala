@@ -95,6 +95,26 @@ object Bpe {
       .orderBy("round")
   }
 
+  /** Apply a trained merge table to a word column — the ENCODE half of the
+    * tokenizer: each word has the merges applied in training order (round 1
+    * first; BPE's apply order IS its train order), yielding the symbol
+    * string whose characters are the final tokens. No length filter here —
+    * unlike training (where sub-2-symbol words can't contribute pairs),
+    * encoding must keep every word. One narrow map pass: the merge table is
+    * a driver-side array of k literals baked into the plan (broadcast by
+    * construction), the corpus is never shuffled. */
+  def encode(
+      words: DataFrame,
+      wCol: String,
+      merges: Seq[(Long, String)]): DataFrame = {
+    var enc = words.select(col(wCol).as("w"))
+    merges.sortBy(_._1).foreach { case (round, mp) =>
+      enc = enc.select(
+        replace(col("w"), lit(mp), lit(round.toInt.toChar.toString)).as("w"))
+    }
+    enc
+  }
+
   /** DuckDB restatement of `trainMerges` for a given k: the same
     * argmax-merge-recount loop unrolled into k chained CTEs over the raw
     * word stream (COUNT(*) over the stream ≡ SUM(wcnt) over the vocab —
@@ -119,6 +139,37 @@ w$r AS (SELECT w FROM (SELECT replace(w, (SELECT mp FROM t$r), chr($r)) AS w
       .map(r => s"SELECT CAST($r AS BIGINT) AS round, mp AS merged, cnt FROM t$r")
       .mkString("\nUNION ALL "))
     sb.append("\nORDER BY round")
+    sb.toString
+  }
+
+  /** DuckDB restatement of train-then-ENCODE: the training CTE chain for
+    * the merge pairs, then a second replace chain over the UNFILTERED word
+    * stream (encoding keeps every word), then per-symbol counts of the
+    * encoded corpus — the token-frequency table a sampler consumes. */
+  def encodeOracleSqlFor(k: Int, topN: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH wd AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),\n")
+    sb.append("w0 AS (SELECT w FROM wd WHERE length(w) >= 2)")
+    for (r <- 1 to k) {
+      val prev = s"w${r - 1}"
+      sb.append(s""",
+p$r AS (SELECT UNNEST(list_transform(generate_series(1, length(w) - 1),
+          i -> substr(w, i, 2))) AS pair FROM $prev),
+t$r AS (SELECT pair AS mp, CAST(COUNT(*) AS BIGINT) AS cnt FROM p$r
+        GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+w$r AS (SELECT w FROM (SELECT replace(w, (SELECT mp FROM t$r), chr($r)) AS w
+                       FROM $prev) WHERE length(w) >= 2)""")
+    }
+    sb.append(",\ne0 AS (SELECT w FROM wd WHERE length(w) >= 1)")
+    for (r <- 1 to k) {
+      sb.append(s""",
+e$r AS (SELECT replace(w, (SELECT mp FROM t$r), chr($r)) AS w FROM e${r - 1})""")
+    }
+    sb.append(s""",
+sym AS (SELECT UNNEST(list_transform(generate_series(1, length(w)),
+          i -> substr(w, i, 1))) AS sym FROM e$k)
+SELECT sym, CAST(COUNT(*) AS BIGINT) AS cnt FROM sym
+GROUP BY sym ORDER BY cnt DESC, sym LIMIT $topN""")
     sb.toString
   }
 }

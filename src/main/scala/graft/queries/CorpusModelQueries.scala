@@ -427,8 +427,27 @@ object CorpusModelQueries {
     graft.llm.Bpe.trainMerges(s, words, "w", 6)
   }
 
+  /** Train-then-ENCODE through `Bpe.encode`: six merges trained, then
+    * applied in training order to the FULL word stream (no length filter —
+    * encoding keeps every word), then the per-symbol token-frequency table
+    * of the encoded corpus. The merge list is k driver-side literals baked
+    * into one narrow map pass (broadcast by construction); only the final
+    * symbol count shuffles. */
+  val bpeEncode: Reg = Reg.sql(
+    "llm_bpe_encode", graft.llm.Bpe.encodeOracleSqlFor(6, 30)) { (s, dir) =>
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ", -1)).as("w"))
+    val merges = graft.llm.Bpe.trainMerges(s, words, "w", 6)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    graft.llm.Bpe.encode(words.where(length(col("w")) >= 1), "w", merges)
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("sym"))
+      .groupBy("sym").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("sym")).limit(30)
+  }
+
   val all: Seq[Reg] =
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
       bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty,
-      bpeK)
+      bpeK, bpeEncode)
 }

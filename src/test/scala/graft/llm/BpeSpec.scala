@@ -40,6 +40,18 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkSuite {
     train(Seq("a", "b", ""), 3) shouldBe empty
   }
 
+  test("encode applies merges in training order, keeps sub-2-char words") {
+    import spark.implicits._
+    val corpus = Seq("abab", "abab", "abc", "a")
+    val merges = Bpe.trainMerges(spark, corpus.toDF("w"), "w", 6)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val enc = Bpe.encode(corpus.toDF("w"), "w", merges)
+      .collect().map(_.getString(0)).toSeq
+    // r1 ab->chr(1); r2 chr(1)chr(1)->chr(2); r3 chr(1)c->chr(3)
+    enc shouldBe Seq(
+      2.toChar.toString, 2.toChar.toString, 3.toChar.toString, "a")
+  }
+
   test("same result on any partitioning") {
     import spark.implicits._
     val words = (0 until 300).map(i => s"w${i % 7}x${i % 3}")
