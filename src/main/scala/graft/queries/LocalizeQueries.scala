@@ -564,7 +564,51 @@ object LocalizeQueries {
       .orderBy("bssid")
   }
 
+  /** R7 2-D covariance — the anisotropy gate: every AP's measurement cloud
+    * is planted STREET-SHAPED (lon spread ~hundreds of meters, lat jitter
+    * ~2 m), the real refine loop bootstraps a state per AP, and the gate
+    * asserts the covariance ellipse the isotropic scalar form cannot
+    * represent: the along-street variance dominates (> 4× cross-street),
+    * the cross-street variance sits exactly on the 25 m² sigma floor, and
+    * the cross term respects the positive-definiteness clamp. DuckDB
+    * restates the booleans and the (capped) evidence counts closed-form —
+    * a regression to isotropic fusion, a dropped floor, or a removed PD
+    * clamp each flips a column. */
+  val covEllipse: Reg = Reg.sql(
+    "r7_cov_ellipse",
+    """WITH c AS (
+      |  SELECT user_id AS uid, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY user_id HAVING COUNT(*) >= 20)
+      |SELECT CAST(uid AS VARCHAR) AS bssid,
+      |       CAST(LEAST(n, 1000) AS BIGINT) AS n,
+      |       TRUE AS street_shaped,
+      |       TRUE AS lat_floored,
+      |       TRUE AS cov_bounded
+      |FROM c ORDER BY bssid""".stripMargin) { (s, dir) =>
+    implicit val spark = s
+    import s.implicits._
+    import graft.localize.{BatchLocalizer, RefineLoop}
+    val ev = Tables.events(s, dir)
+    val synth = ev.select(
+      col("user_id").cast("string").as("bssid"),
+      ((col("user_id") % 80) - 40 + (col("event_id") % 3) * lit(0.00001)).as("lat"),
+      ((col("user_id") % 300) - 150 + (col("event_id") % 25) * lit(0.0005)).as("lon"),
+      (-lit(40) - (col("event_id") % 50)).cast("double").as("rssi"),
+      lit(1.0).as("w"))
+    val ms = BatchLocalizer.fromColumns(synth, "bssid", "lat", "lon", "rssi", "w")
+    RefineLoop.refineWith(s, ms, s.emptyDataset[RefineLoop.StateRow])
+      .toDF()
+      .select(
+        col("bssid"), col("n"),
+        (col("var_lon_m2") > col("var_lat_m2") * 4).as("street_shaped"),
+        (col("var_lat_m2") === 25.0).as("lat_floored"),
+        (abs(col("cov_m2")) <=
+          sqrt(col("var_lat_m2") * col("var_lon_m2")) * 0.9 + 1e-9)
+          .as("cov_bounded"))
+      .orderBy("bssid")
+  }
+
   val all: Seq[Reg] =
     Seq(batchLocalize, hotspotFull, wclTier, lofLocal, dbscanRelocation, refineLoop,
-      mleFixpoint, wclUdaf, cusumRelocation)
+      mleFixpoint, wclUdaf, cusumRelocation, covEllipse)
 }
