@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -48,23 +49,12 @@ object CorpusModelQueries {
   private val quantize =
     "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT))"
 
-  val bigramLm: Reg = Reg.sql(
-    "llm_bigram_lm",
-    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |bgp AS (SELECT doc_id,
-      |          UNNEST(list_transform(generate_series(1, len(w) - 1),
-      |                   i -> {'w1': w[i], 'w2': w[i + 1]})) AS p
-      |        FROM ws WHERE len(w) >= 2),
-      |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bgp),
-      |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
-      |cu AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
-      |v AS (SELECT COUNT(DISTINCT u) AS v
-      |      FROM (SELECT UNNEST(w) AS u FROM ws))
-      |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
-      |       CAST(SUM(CAST(FLOOR(LN((cb + 1.0) / (cu + v)) * 1e6) AS BIGINT))
-      |            AS BIGINT) AS lm_qscore
-      |FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
-      |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
+  /** Shared per-document bigram-LM scorer: (doc_id, n_bigrams, lm_qscore),
+    * unordered — `llm_bigram_lm` reports it directly, and
+    * `llm_perplexity_filter` normalizes it into a keep/drop decision.
+    * Count frames (cb, cu) grow with vocabulary, not corpus; the scalar V
+    * is a 1-row broadcast; the score join is two word-key equi-joins. */
+  private def docLmScores(s: SparkSession, dir: String): DataFrame = {
     val wsAll = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
     val ws = wsAll.where(size(col("ws")) >= 2)
@@ -84,7 +74,26 @@ object CorpusModelQueries {
         expr("CAST(FLOOR(LN((cb + 1.0) / (cu + v)) * 1e6) AS BIGINT)").as("q"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("q").as("lm_qscore"))
-      .orderBy("doc_id")
+  }
+
+  val bigramLm: Reg = Reg.sql(
+    "llm_bigram_lm",
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bgp AS (SELECT doc_id,
+      |          UNNEST(list_transform(generate_series(1, len(w) - 1),
+      |                   i -> {'w1': w[i], 'w2': w[i + 1]})) AS p
+      |        FROM ws WHERE len(w) >= 2),
+      |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bgp),
+      |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+      |cu AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT u) AS v
+      |      FROM (SELECT UNNEST(w) AS u FROM ws))
+      |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM(CAST(FLOOR(LN((cb + 1.0) / (cu + v)) * 1e6) AS BIGINT))
+      |            AS BIGINT) AS lm_qscore
+      |FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+      |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
+    docLmScores(s, dir).orderBy("doc_id")
   }
 
   val vocabCoverage: Reg = Reg.sql(
@@ -446,8 +455,116 @@ object CorpusModelQueries {
       .orderBy(desc("cnt"), asc("sym")).limit(30)
   }
 
+  /** CCNet-style perplexity filtering (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data"): score every
+    * document by its average per-bigram negative log-probability under the
+    * corpus's own add-1-smoothed bigram LM, then DROP the worst decile.
+    * The decile cut is rank-exact yet scale-safe: instead of a global
+    * ROW_NUMBER window (single-partition funnel at 100 TB), the K worst
+    * (avg_nll, doc_id) keys come from a sort-limit (TakeOrderedAndProject:
+    * per-partition top-K, K·partitions rows to the driver), collapse to a
+    * ONE-ROW lexicographic threshold, and the verdict is a broadcast
+    * compare fused into the scan of the scored frame. doc_id uniqueness
+    * makes the (avg_nll DESC, doc_id ASC) order total, so the
+    * threshold-compare set equals the oracle's rank set exactly. */
+  val perplexityFilter: Reg = Reg.sql(
+    "llm_perplexity_filter",
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bgp AS (SELECT doc_id,
+      |          UNNEST(list_transform(generate_series(1, len(w) - 1),
+      |                   i -> {'w1': w[i], 'w2': w[i + 1]})) AS p
+      |        FROM ws WHERE len(w) >= 2),
+      |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bgp),
+      |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+      |cu AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT u) AS v
+      |      FROM (SELECT UNNEST(w) AS u FROM ws)),
+      |doc AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |          CAST(SUM(CAST(FLOOR(LN((cb + 1.0) / (cu + v)) * 1e6) AS BIGINT))
+      |               AS BIGINT) AS lm
+      |        FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+      |        GROUP BY bg.doc_id),
+      |sc AS (SELECT doc_id, n_bigrams,
+      |              CAST((-lm) // n_bigrams AS BIGINT) AS avg_nll_micro
+      |       FROM doc),
+      |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY avg_nll_micro DESC, doc_id) AS rn,
+      |             COUNT(*) OVER () AS n FROM sc)
+      |SELECT doc_id, n_bigrams, avg_nll_micro,
+      |       CASE WHEN rn <= (n + 9) // 10 THEN 'drop' ELSE 'keep' END AS verdict
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // avg_nll is positive (every smoothed bigram prob < 1 → lm_qscore < 0),
+    // so truncating DIV == DuckDB floor // — same rationale as vocabCoverage.
+    val scored = docLmScores(s, dir)
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("CAST((-lm_qscore) DIV n_bigrams AS BIGINT)").as("avg_nll_micro"))
+      // three consumers (count, top-K, verdict scan): materialize once
+      .localCheckpoint()
+    val n = scored.count()
+    if (n == 0) {
+      scored.withColumn("verdict", lit("keep"))
+    } else {
+      val k = ((n + 9) / 10).toInt
+      val thr = scored
+        .orderBy(desc("avg_nll_micro"), asc("doc_id"))
+        .limit(k)
+        .agg(min(struct(col("avg_nll_micro").as("a"),
+          (-col("doc_id")).as("negid"))).as("t"))
+        .select(col("t.a").as("t_avg"), col("t.negid").as("t_negid"))
+      scored.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_nll_micro"),
+          when(col("avg_nll_micro") > col("t_avg") ||
+            (col("avg_nll_micro") === col("t_avg") &&
+              -col("doc_id") >= col("t_negid")), "drop")
+            .otherwise("keep").as("verdict"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Sparse random projection (Achlioptas 2003 / Johnson-Lindenstrauss):
+    * embeddings down-projected to 4 dimensions through a DETERMINISTIC
+    * {-1, 0, +1} matrix derived from an integer hash of (i, j) — no RNG,
+    * no materialized matrix, no broadcast even: the "matrix" is a codegen'd
+    * CASE inside one narrow map pass, so at 100 TB this is a pure scan-
+    * projection with zero shuffle (the cheapest possible dim-reduction
+    * before LSH bucketing or coarse clustering). Coordinates are quantized
+    * to the 1e-3 BIGINT lattice BEFORE the dot products, so every sum is
+    * exact integer arithmetic in both engines (the kmeans/pq precedent).
+    * The conventional sqrt(3/k) scale factor is omitted: downstream cosine
+    * / bucketing decisions are scale-invariant, and keeping the output
+    * integral keeps the gate exact. */
+  val randProj: Reg = {
+    // CAST(i AS BIGINT): Spark's sequence() yields INT elements and ANSI
+    // mode (Spark 4 default) would overflow-throw on i * 1315423911 in INT;
+    // the cast forces 64-bit arithmetic in both engines.
+    def w(j: Int) =
+      s"(CASE (CAST(i AS BIGINT) * 1315423911 + $j * 2654435761) % 6" +
+        " WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END)"
+    val duckCols = (0 to 3).map { j =>
+      s"""       CAST(list_sum(list_transform(generate_series(0, len(qv) - 1),
+         |         i -> qv[i + 1] * ${w(j)})) AS BIGINT) AS p$j""".stripMargin
+    }.mkString(",\n")
+    Reg.sql(
+      "llm_rand_proj",
+      s"""WITH q AS (SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |$duckCols
+         |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      def proj(j: Int) = expr(
+        s"""aggregate(sequence(0, size(qv) - 1), 0L,
+           |  (acc, i) -> acc + element_at(qv, i + 1) * ${w(j)})""".stripMargin)
+        .as(s"p$j")
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(quantize).as("qv"))
+        .select(col("vec_id") +: (0 to 3).map(proj): _*)
+        .orderBy("vec_id")
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
       bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty,
-      bpeK, bpeEncode)
+      bpeK, bpeEncode, perplexityFilter, randProj)
 }

@@ -760,8 +760,89 @@ object IngestQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** S18 — Spark 4 arbitrary-state streaming (`transformWithState`): the
+    * typed StatefulProcessor successor to s12's flatMapGroupsWithState, run
+    * as a REAL multi-batch stream. Three source files are drained one per
+    * micro-batch (`maxFilesPerTrigger` 1 + strictly ascending modification
+    * times fix the batch order), so the RocksDB-backed ValueState provably
+    * carries totals ACROSS batches: the oracle pins one row per device per
+    * batch with closed-form running sums — output no single-batch run could
+    * produce. Corpus: 10 devices × 3 files × 2 events, event values
+    * 10f + 2d + {0,1} style arithmetic on range(10), so the running sum
+    * after batch f is 10f(f+1) + (f+1)(2d+1) exactly. */
+  val statefulTotals: Reg = Reg.sql(
+    "s18_transform_with_state",
+    """WITH d AS (SELECT CAST(range AS BIGINT) AS d FROM range(10)),
+      |f AS (SELECT CAST(range AS BIGINT) AS f FROM range(3))
+      |SELECT printf('dev%02d', d) AS device_id,
+      |       CAST(f + 1 AS BIGINT) AS batch_seq,
+      |       CAST(2 * (f + 1) AS BIGINT) AS n_events,
+      |       CAST(10 * f * (f + 1) + (f + 1) * (2 * d + 1) AS BIGINT)
+      |         AS running_sum
+      |FROM d CROSS JOIN f ORDER BY device_id, batch_seq""".stripMargin) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    // State sized to the load (the s13 rationale), and the state store
+    // switched to RocksDB: transformWithState requires it (named state
+    // variables + per-variable encoders are a RocksDB-provider feature).
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.get(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = new java.io.File(work, "in")
+      src.mkdirs()
+      val t0 = System.currentTimeMillis() - 600000L
+      (0 until 3).foreach { f =>
+        // one file per future micro-batch: 10 devices × 2 events with
+        // values 10f + d and 10f + d + 1
+        val stage = s"$work/stage$f"
+        s.range(10)
+          .select(
+            format_string("dev%02d", col("id")).as("device_id"),
+            explode(array(lit(10L * f) + col("id"),
+              lit(10L * f) + col("id") + 1L)).as("value"))
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"batch$f.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // FileStreamSource orders pending files by modification time:
+        // 2 s apart is far above any fs timestamp granularity
+        dst.setLastModified(t0 + f * 2000L)
+      }
+
+      val schema = s.read.parquet(src.toString).schema
+      import s.implicits._
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+        .as[graft.streaming.StatefulOps.DeviceEvent]
+      val totals = graft.streaming.StatefulOps.runningTotals(stream)
+      val q = totals.toDF().writeStream
+        .format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val out = s.read.parquet(work + "/out")
+        .orderBy("device_id", "batch_seq")
+      // 30-row totals list: materialize so the scratch dir can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set(providerKey, prevProvider)
+      deleteRecursively(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
-      batchedSinkGate, rowIdGate, multiFormatIo)
+      batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals)
 }

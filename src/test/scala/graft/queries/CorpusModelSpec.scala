@@ -89,4 +89,43 @@ class CorpusModelSpec extends AnyFunSuite with Matchers with SparkSuite {
     all(out.map(_.getInt(0))) should (be >= 0 and be <= 3)
     all(out.map(_.getLong(1))) should (be >= 0L and be <= 3L)
   }
+
+  test("perplexity filter: exactly ceil(N/10) drops, and they are the worst scores") {
+    val out = CorpusModelQueries.perplexityFilter.build(spark, sfDir).collect()
+    val n = out.length.toLong
+    n shouldBe CorpusModelQueries.bigramLm.build(spark, sfDir).count()
+    val dropped = out.filter(_.getString(3) == "drop")
+    dropped.length.toLong shouldBe (n + 9) / 10
+    // the drop set is an upward-closed prefix of the (avg_nll desc, doc_id)
+    // order: every kept doc ranks strictly below every dropped doc
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(2), -r.getLong(0))
+    val worstKept = out.filter(_.getString(3) == "keep").map(key).maxOption
+    val bestDropped = dropped.map(key).minOption
+    for (wk <- worstKept; bd <- bestDropped)
+      Ordering[(Long, Long)].lt(wk, bd) shouldBe true
+    // scores are positive: every smoothed bigram carries nll > 0
+    all(out.map(_.getLong(2))) should be > 0L
+  }
+
+  test("random projection: deterministic, one row per vector, linear in the input") {
+    val a = CorpusModelQueries.randProj.build(spark, sfDir).collect()
+    val b = CorpusModelQueries.randProj.build(spark, sfDir).collect()
+    a should contain theSameElementsInOrderAs b
+    a.length.toLong shouldBe Tables.embeddings(spark, sfDir).count()
+    // recompute one vector's projection locally from the {-1,0,+1} hash
+    // matrix — pins the lattice quantization and the hash convention
+    val first = Tables.embeddings(spark, sfDir)
+      .orderBy("vec_id").select("vec_id", "embedding").head()
+    val qv = first.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e3).toLong)
+    def w(i: Int, j: Int): Long = ((i.toLong * 1315423911L + j * 2654435761L) % 6) match {
+      case 0 => 1L
+      case 1 => -1L
+      case _ => 0L
+    }
+    val expected = (0 to 3).map(j => qv.zipWithIndex.map { case (v, i) => v * w(i, j) }.sum)
+    val got = a.find(_.getLong(0) == first.getLong(0)).get
+    (1 to 4).map(got.getLong) shouldBe expected
+    // the four hash rows are genuinely different directions
+    (0 to 3).map(j => (0 until qv.length).map(i => w(i, j))).distinct.size shouldBe 4
+  }
 }
