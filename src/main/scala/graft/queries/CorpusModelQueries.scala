@@ -563,8 +563,71 @@ object CorpusModelQueries {
     }
   }
 
+  /** Windowed co-occurrence PMI (Church & Hanks 1990) — the word2vec/GloVe
+    * preprocessing statistic: count unordered word pairs within a ±2 token
+    * window, score each by pointwise mutual information against unigram
+    * frequencies, report the top-50 most-associated pairs (support ≥ 5).
+    * Scale: pair instances explode 2× the token stream (bounded), the
+    * count frames are vocabulary-sized, T/P are 1-row broadcast scalars,
+    * and the top-50 is a sort-limit (TakeOrderedAndProject). Float
+    * discipline: one LN per surviving pair over an identical IEEE
+    * operation tree in both engines, floor-quantized to micro-units
+    * before the ORDER BY (the BM25/DSIR precedent). */
+  val pmiCooccur: Reg = Reg.sql(
+    "llm_pmi_cooccur",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |p1 AS (SELECT UNNEST(list_transform(generate_series(1, len(w) - 1),
+      |         i -> {'w1': least(w[i], w[i + 1]),
+      |               'w2': greatest(w[i], w[i + 1])})) AS p
+      |       FROM w WHERE len(w) >= 2),
+      |p2 AS (SELECT UNNEST(list_transform(generate_series(1, len(w) - 2),
+      |         i -> {'w1': least(w[i], w[i + 2]),
+      |               'w2': greatest(w[i], w[i + 2])})) AS p
+      |       FROM w WHERE len(w) >= 3),
+      |pr AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM p1
+      |       UNION ALL SELECT p.w1, p.w2 FROM p2),
+      |cp AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pr GROUP BY 1, 2),
+      |cw AS (SELECT u AS tok, COUNT(*) AS c
+      |       FROM (SELECT UNNEST(w) AS u FROM w) GROUP BY 1),
+      |ts AS (SELECT COUNT(*) AS t FROM (SELECT UNNEST(w) AS u FROM w)),
+      |ps AS (SELECT COUNT(*) AS p FROM pr)
+      |SELECT cp.w1, cp.w2, c_ab AS pair_cnt,
+      |       CAST(FLOOR(LN((CAST(c_ab AS DOUBLE) * t * t) /
+      |                     (CAST(p AS DOUBLE) * a.c * b.c)) * 1e6) AS BIGINT)
+      |         AS pmi_micro
+      |FROM cp JOIN cw a ON a.tok = cp.w1 JOIN cw b ON b.tok = cp.w2
+      |CROSS JOIN ts CROSS JOIN ps
+      |WHERE c_ab >= 5
+      |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin) { (s, dir) =>
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+    def pairsGap(g: Int) = w.where(size(col("w")) >= g + 1)
+      .select(explode(expr(
+        s"""transform(sequence(1, size(w) - $g),
+           |  i -> struct(least(element_at(w, i), element_at(w, i + $g)) AS w1,
+           |              greatest(element_at(w, i), element_at(w, i + $g)) AS w2))""".stripMargin))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val pairs = pairsGap(1).unionByName(pairsGap(2))
+    val cp = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val toks = w.select(explode(col("w")).as("tok"))
+    val cw = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // two 1-row scalar frames: broadcast by construction
+    val scalars = toks.agg(count(lit(1)).as("t"))
+      .crossJoin(pairs.agg(count(lit(1)).as("p")))
+    cp.where(col("c_ab") >= 5)
+      .join(cw.select(col("tok").as("w1"), col("c").as("c_a")), "w1")
+      .join(cw.select(col("tok").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(scalars))
+      .select(col("w1"), col("w2"), col("c_ab").as("pair_cnt"),
+        expr("""CAST(FLOOR(LN((CAST(c_ab AS DOUBLE) * t * t) /
+               |              (CAST(p AS DOUBLE) * c_a * c_b)) * 1e6) AS BIGINT)""".stripMargin)
+          .as("pmi_micro"))
+      .orderBy(desc("pmi_micro"), asc("w1"), asc("w2")).limit(50)
+  }
+
   val all: Seq[Reg] =
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
       bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty,
-      bpeK, bpeEncode, perplexityFilter, randProj)
+      bpeK, bpeEncode, perplexityFilter, randProj, pmiCooccur)
 }

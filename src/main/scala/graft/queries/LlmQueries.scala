@@ -1771,7 +1771,54 @@ object LlmQueries {
     }.toDF("doc_id", "fmt", "width", "height", "valid").orderBy("doc_id")
   }
 
+  /** Duplicated-span coverage (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): for every SLIDING 8-word span
+    * position in a document, is that span's text also present in at least
+    * one OTHER document? Reported as per-doc covered-position counts and
+    * permille — the measurement a substring-dedup pass is driven by.
+    * Distinct from `llm_segment_dedup` (disjoint segments, first-occurrence
+    * REMOVAL) and `llm_ngram_novelty` (distinct grams vs lower-id docs):
+    * this scores every position against cross-doc document frequency.
+    * Scale: the gram→df frame is vocabulary-sized (grows sub-linearly in
+    * the corpus); positions join it on the gram key — one wide shuffle, no
+    * pair generation at all, which is why the measurement pass is cheap
+    * enough to run on every crawl snapshot. */
+  val dupSpanCoverage: Reg = Reg.sql(
+    "llm_dup_span_coverage",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |spans AS (
+      |  SELECT doc_id,
+      |         UNNEST(list_transform(generate_series(1, len(w) - 7),
+      |                  i -> array_to_string(w[i:i+7], ' '))) AS gram
+      |  FROM w WHERE len(w) >= 8),
+      |df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY gram)
+      |SELECT spans.doc_id, COUNT(*) AS n_spans,
+      |       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS dup_spans,
+      |       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000
+      |            // COUNT(*) AS BIGINT) AS dup_permille
+      |FROM spans JOIN df USING (gram)
+      |GROUP BY spans.doc_id ORDER BY spans.doc_id""".stripMargin) { (s, dir) =>
+    val spans = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .where(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 7),
+          |  i -> array_join(slice(w, i, 8), ' '))""".stripMargin)).as("gram"))
+    val df = spans.distinct().groupBy("gram")
+      .agg(count(lit(1)).as("df")) // distinct (doc, gram) first → COUNT == COUNT(DISTINCT doc)
+    spans.join(df, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      // positive operands: truncating DIV == DuckDB floor //
+      .withColumn("dup_permille",
+        expr("CAST(dup_spans * 1000 DIV n_spans AS BIGINT)"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Reg] = Seq(
+    dupSpanCoverage,
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,

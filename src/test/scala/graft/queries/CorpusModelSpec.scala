@@ -107,6 +107,45 @@ class CorpusModelSpec extends AnyFunSuite with Matchers with SparkSuite {
     all(out.map(_.getLong(2))) should be > 0L
   }
 
+  test("PMI co-occurrence: canonical pairs, support floor, rank order total") {
+    val rows = CorpusModelQueries.pmiCooccur.build(spark, sfDir).collect()
+    rows.length should be <= 50
+    // unordered-pair canonicalization: w1 <= w2 always
+    rows.foreach(r => r.getString(0) should be <= r.getString(1))
+    all(rows.map(_.getLong(2))) should be >= 5L
+    // the ORDER BY is total: pmi weakly decreasing, ties broken by (w1, w2)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (pa, pb) = (a.getLong(3), b.getLong(3))
+        pa should be >= pb
+        if (pa == pb)
+          (a.getString(0), a.getString(1)) should be < ((b.getString(0), b.getString(1)))
+      case _ => ()
+    }
+  }
+
+  test("dup-span coverage: conserved span totals, permille bounded, exact copies covered") {
+    val out = graft.queries.LlmQueries.dupSpanCoverage.build(spark, sfDir).cache()
+    out.where(F.col("dup_spans") > F.col("n_spans")).count() shouldBe 0
+    out.where(F.col("dup_permille") < 0 || F.col("dup_permille") > 1000)
+      .count() shouldBe 0
+    // every 8-word-capable doc contributes len(w) - 7 positions
+    val expect = Tables.documents(spark, sfDir)
+      .select((F.size(F.split(F.col("text"), " ", -1)) - 7).as("n"))
+      .where(F.col("n") >= 1).agg(F.sum("n")).head().getLong(0)
+    out.agg(F.sum("n_spans")).head().getLong(0) shouldBe expect
+    // byte-identical duplicate docs (if the corpus plants any) must be
+    // fully covered: every span of each copy occurs in the other
+    val dupDocs = Tables.documents(spark, sfDir)
+      .groupBy("text").agg(F.collect_list("doc_id").as("ids"))
+      .where(F.size(F.col("ids")) >= 2)
+      .select(F.explode(F.col("ids")).as("doc_id"))
+    dupDocs.join(out, "doc_id")
+      .where(F.col("dup_permille") =!= 1000).count() shouldBe 0
+    out.unpersist()
+    ()
+  }
+
   test("random projection: deterministic, one row per vector, linear in the input") {
     val a = CorpusModelQueries.randProj.build(spark, sfDir).collect()
     val b = CorpusModelQueries.randProj.build(spark, sfDir).collect()
