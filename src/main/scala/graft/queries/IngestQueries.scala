@@ -841,8 +841,89 @@ object IngestQueries {
     }
   }
 
+  /** S19 — event-time TIMERS through transformWithState: per-device session
+    * timeout as an explicit per-key alarm (`registerTimer` at lastEvent +
+    * gap), fired by the engine's `handleExpiredTimer` once the watermark
+    * proves the session cannot be extended. Two files, two micro-batches:
+    * batch 1 carries every device's 3-event session; batch 2 is one
+    * far-future flush event that pushes the watermark past every armed
+    * timer, so the trailing no-data batch (the s13 machinery) fires all 10
+    * alarms. Closed-form oracle: device d's events carry values 10d + i,
+    * i < 3, minutes apart — one closed session per device, never one for
+    * the flush sentinel (its own timer stays beyond the final watermark). */
+  val streamTimers: Reg = Reg.sql(
+    "s19_stream_timers",
+    """WITH d AS (SELECT CAST(range AS BIGINT) AS d FROM range(10))
+      |SELECT printf('dev%02d', d) AS device_id,
+      |       CAST(3 AS BIGINT) AS n_events,
+      |       CAST(30 * d + 3 AS BIGINT) AS sum_value,
+      |       CAST(1700000000000 + 120000 AS BIGINT) AS last_event_ms
+      |FROM d ORDER BY device_id""".stripMargin) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft_timers").toString
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.get(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = new java.io.File(work, "in")
+      src.mkdirs()
+      val t0 = System.currentTimeMillis() - 600000L
+      // batch 1: 10 devices × 3 events a minute apart, values 10d + i
+      val sessions = s.range(10)
+        .select(format_string("dev%02d", col("id")).as("device_id"),
+          col("id").as("d"), explode(sequence(lit(0), lit(2))).as("i"))
+        .select(col("device_id"),
+          (col("d") * 10 + col("i")).as("value"),
+          timestamp_millis(lit(NowMs) + col("i") * 60000L).as("event_time"))
+      // batch 2: watermark flush far past every lastEvent + gap
+      val flush = s.range(1).select(
+        lit("zz_flush").as("device_id"), lit(0L).as("value"),
+        timestamp_millis(lit(NowMs + 86400000L)).as("event_time"))
+      Seq(sessions, flush).zipWithIndex.foreach { case (df, f) =>
+        val stage = s"$work/stage$f"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"batch$f.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + f * 2000L)
+      }
+
+      val schema = s.read.parquet(src.toString).schema
+      import s.implicits._
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+        .withWatermark("event_time", "1 minute")
+        .as[graft.streaming.StatefulOps.TimedEvent]
+      val closed = graft.streaming.StatefulOps.sessionTimeouts(
+        stream, gapMs = 5 * 60000L)
+      val q = closed.toDF().writeStream
+        .format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val out = s.read.parquet(work + "/out")
+        .where(col("device_id") =!= "zz_flush")
+        .orderBy("device_id")
+      // 10-row session list: materialize so the scratch dir can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set(providerKey, prevProvider)
+      deleteRecursively(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
-      batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals)
+      batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals, streamTimers)
 }

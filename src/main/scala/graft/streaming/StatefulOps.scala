@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Spark 4's arbitrary-state streaming API (`transformWithState` with a
   * `StatefulProcessor`) — the successor to `flatMapGroupsWithState` that
@@ -69,6 +69,82 @@ object StatefulOps {
       .transformWithState(
         new RunningTotalsProcessor,
         TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  final case class TimedEvent(
+      device_id: String,
+      value: Long,
+      event_time: java.sql.Timestamp)
+
+  final case class ClosedSession(
+      device_id: String,
+      n_events: Long,
+      sum_value: Long,
+      last_event_ms: Long)
+
+  /** (event count, value sum, max event-time ms) of the open session. */
+  final case class SessionState(n: Long, sum: Long, lastMs: Long)
+
+  /** Session timeout via EVENT-TIME TIMERS — the transformWithState feature
+    * the built-in `session_window` (s14) does not expose: arbitrary state
+    * plus an explicit per-key alarm. Each batch folds events into the open
+    * session and re-arms one timer at lastEvent + gap; when the WATERMARK
+    * passes that instant the engine calls `handleExpiredTimer`, which emits
+    * the closed session exactly once and clears the state. Emission is
+    * therefore watermark-PROVEN (no earlier batch can still extend the
+    * session), the same guarantee the interval join in s13 leans on.
+    * State per key is 24 bytes + one timer — O(live keys) at any scale. */
+  final class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[String, TimedEvent, ClosedSession] {
+
+    @transient private var sess: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState](
+        "sess", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val prev = if (sess.exists()) Option(sess.get()) else None
+      var n = prev.map(_.n).getOrElse(0L)
+      var sum = prev.map(_.sum).getOrElse(0L)
+      var last = prev.map(_.lastMs).getOrElse(Long.MinValue)
+      rows.foreach { e =>
+        n += 1
+        sum += e.value
+        last = math.max(last, e.event_time.getTime)
+      }
+      // one live alarm per key: disarm the previous one before re-arming
+      prev.foreach(p => getHandle.deleteTimer(p.lastMs + gapMs))
+      getHandle.registerTimer(last + gapMs)
+      sess.update(SessionState(n, sum, last))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] =
+      if (sess.exists()) {
+        val st = sess.get()
+        sess.clear()
+        Iterator.single(ClosedSession(key, st.n, st.sum, st.lastMs))
+      } else Iterator.empty
+  }
+
+  /** Close sessions `gap` after their last event, proven by watermark. The
+    * input must already carry `withWatermark` on `event_time`. */
+  def sessionTimeouts(
+      events: Dataset[TimedEvent], gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.device_id)
+      .transformWithState(
+        new SessionTimeoutProcessor(gapMs),
+        TimeMode.EventTime(),
         OutputMode.Append())
   }
 }

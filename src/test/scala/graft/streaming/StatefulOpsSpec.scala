@@ -45,4 +45,40 @@ class StatefulOpsSpec extends AnyFunSuite with Matchers with SparkSuite {
       spark.conf.set(providerKey, prevProvider)
     }
   }
+
+  test("sessionTimeouts: timer fires only once the watermark proves the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.get(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val T0 = 1700000000000L
+    def ev(k: String, v: Long, ms: Long) =
+      StatefulOps.TimedEvent(k, v, new java.sql.Timestamp(ms))
+    val in = MemoryStream[StatefulOps.TimedEvent]
+    val closed = StatefulOps.sessionTimeouts(
+      in.toDS().withWatermark("event_time", "1 minute")
+        .as[StatefulOps.TimedEvent],
+      gapMs = 5 * 60000L)
+    val q = closed.toDF().writeStream.format("memory").queryName("tws_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData(ev("a", 3L, T0), ev("a", 4L, T0 + 60000L))
+      q.processAllAvailable()
+      // watermark still behind a's timer (T0+1min+5min): nothing closes
+      spark.table("tws_sessions").count() shouldBe 0
+
+      // one event an hour later drives the watermark past the alarm
+      in.addData(ev("z", 0L, T0 + 3600000L))
+      q.processAllAvailable()
+      val rows = spark.table("tws_sessions").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      rows.toSet shouldBe Set(("a", 2L, 7L, T0 + 60000L))
+    } finally {
+      q.stop()
+      spark.conf.set(providerKey, prevProvider)
+    }
+  }
 }
