@@ -473,6 +473,33 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     }
   }
 
+  test("llm_rand_proj: pure scan projection — zero Exchange, no Generate") {
+    // the projection "matrix" is a codegen'd CASE: any shuffle or explode
+    // would mean the dim-reduction stopped being a narrow map pass
+    val p = plan(CorpusModelQueries.randProj)
+    p should not include "Generate"
+    // the only allowed Exchange is the final ORDER BY's range partitioning
+    "Exchange".r.findAllIn(p).size should be <= 1
+  }
+
+  test("llm_dup_span_coverage: df frame joins on the gram key, no pair generation") {
+    val p = plan(LlmQueries.dupSpanCoverage)
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // gram-keyed equi-join: positions meet the df frame through a keyed
+    // join (SMJ/SHJ at scale; BHJ at toy SF where the df frame is tiny) —
+    // the pinned property is that it is never a non-equi expansion
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+  }
+
+  test("llm_pmi_cooccur: scalar frame broadcasts; top-50 is TakeOrdered") {
+    val p = plan(CorpusModelQueries.pmiCooccur)
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastNestedLoopJoin") // the 1-row T/P scalar frame
+    p should not include "CartesianProduct"
+  }
+
   test("no query plan contains a CartesianProduct or driver collect") {
     SparkEntryPlans.all.foreach { case (name, p) =>
       withClue(name)(p should not include "CartesianProduct")
