@@ -99,6 +99,18 @@ object Multimodal {
     })
   }
 
+  /** REAL audio-metadata decode: RIFF/WAVE chunk walk + FLAC STREAMINFO
+    * bit-field unpack (`AudioCodec`). Corrupt or non-audio bytes yield
+    * valid=false rows, never a task failure (F18 discipline). */
+  def decodeAudio(spark: SparkSession, assets: Dataset[Asset]): Dataset[AssetMeta] = {
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val m = AudioCodec.parse(a.content)
+      AssetMeta(a.assetId, a.modality, a.content.length,
+        width = 0, height = 0, m.durationMs, valid = m.valid)
+    })
+  }
+
   /** Feature-extract every valid asset. */
   def extractFeatures(spark: SparkSession, assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import spark.implicits._

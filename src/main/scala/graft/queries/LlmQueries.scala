@@ -1771,6 +1771,53 @@ object LlmQueries {
     }.toDF("doc_id", "fmt", "width", "height", "valid").orderBy("doc_id")
   }
 
+  /** REAL audio-header decode under the gate — `llm_image_meta`'s
+    * discipline for sound containers (`graft.llm.AudioCodec`: RIFF/WAVE
+    * chunk walk with declared-size consistency checks, FLAC STREAMINFO
+    * bit-field unpack). Each document plants one structurally-valid asset
+    * with closed-form sample rate / channels / sample count; every 17th is
+    * corrupted DEEP in the container (WAV: the declared RIFF size no
+    * longer matches the byte count; FLAC: the STREAMINFO block length
+    * field) so only a parser that actually verifies structure — not one
+    * that sniffs magic — rejects it. DuckDB states the construct∘parse
+    * identity including the floor-divided duration_ms, so an endianness
+    * mix-up (RIFF is LE, FLAC BE) or a bit-offset slip flips the hash. */
+  val audioMeta: Reg = Reg.sql(
+    "llm_audio_meta",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 17 = 0 THEN 'unknown'
+      |       WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS fmt,
+      |  CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+      |       ELSE 8000 * (1 + doc_id % 5) END AS BIGINT) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+      |       ELSE 1 + (doc_id // 2) % 2 END AS BIGINT) AS channels,
+      |  CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+      |       ELSE (40 * (1 + doc_id % 50) * 1000) // (8000 * (1 + doc_id % 5))
+      |       END AS BIGINT) AS duration_ms,
+      |  doc_id % 17 <> 0 AS valid
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val sr = (8000 * (1 + id % 5)).toInt
+      val ch = (1 + (id / 2) % 2).toInt
+      val n = (40 * (1 + id % 50)).toInt
+      val bytes =
+        if (id % 2 == 0) graft.llm.AudioCodec.encodeWav(sr, ch, n)
+        else graft.llm.AudioCodec.encodeFlac(sr, ch, n.toLong)
+      if (id % 17 == 0) {
+        // WAV: lie about the RIFF size (only the consistency check sees
+        // it); FLAC: bend the STREAMINFO block length (only the block
+        // header validation sees it) — magic stays intact in both.
+        if (id % 2 == 0) bytes(4) = (bytes(4) ^ 0x5a).toByte
+        else bytes(6) = (bytes(6) ^ 0x5a).toByte
+      }
+      val m = graft.llm.AudioCodec.parse(bytes)
+      (id, m.format, m.sampleRate.toLong, m.channels.toLong, m.durationMs,
+        m.valid)
+    }.toDF("doc_id", "fmt", "sample_rate", "channels", "duration_ms", "valid")
+      .orderBy("doc_id")
+  }
+
   /** Duplicated-span coverage (Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better"): for every SLIDING 8-word span
     * position in a document, is that span's text also present in at least
@@ -1827,5 +1874,5 @@ object LlmQueries {
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
     bm25TopK, embedCentroids, clusterReps, linkTriangles, weightedSample,
-    driftKs, imageMeta)
+    driftKs, imageMeta, audioMeta)
 }

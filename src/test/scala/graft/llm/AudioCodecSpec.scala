@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class AudioCodecSpec extends AnyFunSuite with Matchers {
+  import AudioCodec._
+
+  test("WAV roundtrip across rates, channel counts, and the empty stream") {
+    for {
+      sr <- Seq(8000, 16000, 44100, 48000)
+      ch <- Seq(1, 2)
+      n <- Seq(0, 1, 999, 48000)
+    } {
+      val m = parse(encodeWav(sr, ch, n))
+      withClue(s"$sr/$ch/$n") {
+        m shouldBe AudioMeta("wav", sr, ch, n * 1000L / sr, valid = true)
+      }
+    }
+  }
+
+  test("FLAC roundtrip unpacks the 20/3/36-bit STREAMINFO fields exactly") {
+    for {
+      sr <- Seq(8000, 44100, 96000, 655350) // 655350 needs all 20 bits
+      ch <- Seq(1, 2, 8)
+      n <- Seq(0L, 1L, 44100L, (1L << 36) - 1) // max needs all 36 bits
+    } {
+      val m = parse(encodeFlac(sr, ch, n))
+      withClue(s"$sr/$ch/$n") {
+        m shouldBe AudioMeta("flac", sr, ch, n * 1000L / sr, valid = true)
+      }
+    }
+  }
+
+  test("WAV declared-size lies are rejected: RIFF size and chunk size") {
+    val b = encodeWav(16000, 2, 100)
+    val riffLie = b.clone(); riffLie(4) = (riffLie(4) ^ 0x5a).toByte
+    parse(riffLie).valid shouldBe false
+    // grow the data chunk's declared size past the actual bytes
+    val dataSizeOff = 40 // RIFF(12) + fmt hdr(8) + fmt(16) + "data"
+    val chunkLie = b.clone()
+    chunkLie(dataSizeOff) = (chunkLie(dataSizeOff) + 1).toByte
+    parse(chunkLie).valid shouldBe false
+  }
+
+  test("FLAC structural checks: block type, block length, magic") {
+    val b = encodeFlac(44100, 2, 44100L)
+    val badType = b.clone(); badType(4) = (badType(4) | 0x01).toByte
+    parse(badType).valid shouldBe false
+    val badLen = b.clone(); badLen(6) = (badLen(6) ^ 0x5a).toByte
+    parse(badLen).valid shouldBe false
+    val badMagic = b.clone(); badMagic(0) = 'g'.toByte
+    parse(badMagic).valid shouldBe false
+  }
+
+  test("truncation anywhere before the header completes is invalid, never a crash") {
+    val wav = encodeWav(8000, 1, 10)
+    for (n <- 0 until 44) parse(wav.take(n)).valid shouldBe false
+    val flac = encodeFlac(8000, 1, 10L)
+    for (n <- 0 until flac.length) parse(flac.take(n)).valid shouldBe false
+    parse(flac).valid shouldBe true
+  }
+
+  test("non-PCM WAV is rejected (format tag != 1)") {
+    val b = encodeWav(8000, 1, 10)
+    b(20) = 3 // IEEE-float format tag
+    parse(b).valid shouldBe false
+  }
+}
