@@ -1476,7 +1476,105 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** O25 — Pareto front (skyline) per brand: the multi-objective
+    * shortlist operator (minimize price, maximize size; Börzsönyi et al.
+    * 2001). The oracle proves it with the O(n²) NOT-EXISTS definition;
+    * the Spark plan is the O(n log n) windowed form — a point is
+    * dominated iff some strictly-cheaper point has size ≥ its own
+    * (running max over a RANGE frame ending 1 before) or an equal-price
+    * point has strictly larger size (max over the price peer group).
+    * Scale: both windows partition by brand, so the work is
+    * embarrassingly parallel across brands with one hash shuffle and no
+    * self-join; at 100 TB the n² oracle shape is impossible but this
+    * plan is a sort within partitions. */
+  val o25ParetoFront: Reg = Reg.sql(
+    "o25_pareto_front",
+    """WITH p AS (SELECT p_brand AS brand,
+      |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+      |  CAST(p_size AS BIGINT) AS sz FROM part)
+      |SELECT brand, price_c, sz, COUNT(*) AS n_parts
+      |FROM p a WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b WHERE b.brand = a.brand AND b.price_c <= a.price_c
+      |    AND b.sz >= a.sz AND (b.price_c < a.price_c OR b.sz > a.sz))
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val p = Tables.part(s, dir).select(col("p_brand").as("brand"),
+      expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("price_c"),
+      col("p_size").cast("long").as("sz"))
+    val wStrict = Window.partitionBy("brand").orderBy("price_c")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy("brand", "price_c")
+    p.withColumn("m_strict", max("sz").over(wStrict))
+      .withColumn("m_same", max("sz").over(wSame))
+      .where(coalesce(col("m_strict"), lit(Long.MinValue)) < col("sz") &&
+        col("m_same") <= col("sz"))
+      .groupBy("brand", "price_c", "sz")
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("brand", "price_c", "sz")
+  }
+
+  /** O26 — Count-Min sketch (Cormode & Muthukrishnan 2005): d=4 hash
+    * rows × w=4096 buckets, hashes derived from md5 so both engines
+    * compute identical sketches. Estimates (min over rows) are compared
+    * against exact counts for every key with true count ≥ 8 — the CM
+    * guarantee est ≥ true holds by construction. Scale: the sketch is a
+    * fixed 16k-row frame regardless of input size (THE point of a
+    * sketch), built by one groupBy and broadcast to the probe side; at
+    * 100 TB the exact `truth` frame is what you cannot afford, and the
+    * sketch is what you ship. */
+  val o26CountMin: Reg = {
+    def bucket(col0: String, j: String) =
+      s"CAST(conv(substring(md5(concat($col0, ':', CAST($j AS STRING))), 1, 3), 16, 10) AS BIGINT)"
+    Reg.sql(
+      "o26_count_min",
+      """WITH k AS (SELECT CAST(o_custkey AS VARCHAR) AS key FROM orders),
+        |kj AS (SELECT key, UNNEST([0, 1, 2, 3]) AS j FROM k),
+        |kb AS (SELECT key, j,
+        |  (strpos('0123456789abcdef',
+        |     substr(md5(key || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1) * 256 +
+        |  (strpos('0123456789abcdef',
+        |     substr(md5(key || ':' || CAST(j AS VARCHAR)), 2, 1)) - 1) * 16 +
+        |  (strpos('0123456789abcdef',
+        |     substr(md5(key || ':' || CAST(j AS VARCHAR)), 3, 1)) - 1) AS b
+        |  FROM kj),
+        |sketch AS (SELECT j, b, COUNT(*) AS cnt FROM kb GROUP BY 1, 2),
+        |truth AS (SELECT key, COUNT(*) AS true_cnt FROM k GROUP BY 1),
+        |probes AS (SELECT key, true_cnt FROM truth WHERE true_cnt >= 8),
+        |pj AS (SELECT key, true_cnt, UNNEST([0, 1, 2, 3]) AS j FROM probes),
+        |pb AS (SELECT key, true_cnt, j,
+        |  (strpos('0123456789abcdef',
+        |     substr(md5(key || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1) * 256 +
+        |  (strpos('0123456789abcdef',
+        |     substr(md5(key || ':' || CAST(j AS VARCHAR)), 2, 1)) - 1) * 16 +
+        |  (strpos('0123456789abcdef',
+        |     substr(md5(key || ':' || CAST(j AS VARCHAR)), 3, 1)) - 1) AS b
+        |  FROM pj)
+        |SELECT CAST(pb.key AS BIGINT) AS custkey, pb.true_cnt,
+        |       MIN(sketch.cnt) AS cm_est
+        |FROM pb JOIN sketch ON sketch.j = pb.j AND sketch.b = pb.b
+        |GROUP BY 1, 2 ORDER BY custkey""".stripMargin) { (s, dir) =>
+      val keys = Tables.orders(s, dir)
+        .select(col("o_custkey").cast("string").as("key"))
+      val kb = keys.select(col("key"), explode(expr("sequence(0, 3)")).as("j"))
+        .withColumn("b", expr(bucket("key", "j")))
+      val sketch = kb.groupBy("j", "b").agg(count(lit(1)).as("cnt"))
+      val probes = keys.groupBy("key").agg(count(lit(1)).as("true_cnt"))
+        .where(col("true_cnt") >= 8)
+      val pb = probes
+        .select(col("key"), col("true_cnt"), explode(expr("sequence(0, 3)")).as("j"))
+        .withColumn("b", expr(bucket("key", "j")))
+      // the sketch is fixed-size (d·w rows) — broadcast; probes are
+      // key-cardinality and must NOT be broadcast
+      pb.join(broadcast(sketch), Seq("j", "b"))
+        .groupBy("key", "true_cnt").agg(min("cnt").as("cm_est"))
+        .select(col("key").cast("long").as("custkey"), col("true_cnt"),
+          col("cm_est"))
+        .orderBy("custkey")
+    }
+  }
+
   val all: Seq[Reg] = Seq(
+    o25ParetoFront, o26CountMin,
     o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface, a26GroupingSets,
     o24TopkTies, a27BoolAggs, a28StringAgg, j13AsofForward,
     o16NtileDeciles, o17HllMerge,

@@ -922,8 +922,89 @@ object IngestQueries {
     }
   }
 
+  /** S20 — streaming MERGE sink via `foreachBatch`: the Delta/Iceberg
+    * "writeStream.foreachBatch { MERGE INTO }" production pattern, emulated
+    * over versioned parquet state (the MergeOps substitution — the real
+    * table format is env-bounded, SURVEY §refs). A keyed changelog is
+    * drained one file per micro-batch; each batch folds into the state by
+    * a latest-wins merge (max of (ts, event_id) structs) plus an additive
+    * update counter. Both folds are commutative+associative monoids, so
+    * the final state is invariant to how AvailableNow slices the files —
+    * which is exactly the property a production upsert sink needs under
+    * at-least-once replay, and what lets DuckDB state the oracle as one
+    * window over the flat changelog. Scale: per-batch work is one
+    * keyed aggregate + one key-equi-join against state (both shuffle on
+    * the key); state is key-cardinality, never changelog-cardinality. */
+  val foreachBatchUpsert: Reg = Reg.sql(
+    "s20_foreachbatch_upsert",
+    """WITH e AS (SELECT * FROM events WHERE event_id < 50000),
+      |r AS (SELECT user_id, event_id, value,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id
+      |                           ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM e),
+      |c AS (SELECT user_id, COUNT(*) AS upd_cnt FROM e GROUP BY 1)
+      |SELECT r.user_id, r.event_id AS last_event_id, r.value AS last_value,
+      |       c.upd_cnt
+      |FROM r JOIN c ON c.user_id = r.user_id
+      |WHERE rn = 1 ORDER BY r.user_id""".stripMargin) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val src = work + "/in"
+      Tables.events(s, dir).where(col("event_id") < 50000L)
+        .select("user_id", "event_id", "ts", "value")
+        .repartition(3).write.parquet(src)
+
+      // versioned state dirs: batch N merges state v(N-1) → vN; the swap
+      // is a fresh directory write, never an in-place overwrite (the
+      // MergeOps crash-safety rule)
+      @volatile var version = -1L
+      val stateDir = (v: Long) => s"$work/state_v$v"
+
+      val schema = s.read.parquet(src).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val batchAgg = batch
+            .groupBy("user_id")
+            .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"),
+              count(lit(1)).as("upd_cnt"))
+          val merged =
+            if (version < 0) batchAgg
+            else batch.sparkSession.read.parquet(stateDir(version))
+              .unionByName(batchAgg)
+              .groupBy("user_id")
+              .agg(max("last").as("last"), sum("upd_cnt").as("upd_cnt"))
+          merged.write.parquet(stateDir(id))
+          version = id
+          ()
+        }
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val out = s.read.parquet(stateDir(version))
+        .select(col("user_id"),
+          col("last.event_id").as("last_event_id"),
+          col("last.value").as("last_value"),
+          col("upd_cnt"))
+        .orderBy("user_id")
+      // key-cardinality rows: materialize so the scratch dir can be
+      // deleted eagerly (the s10 precedent)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
-      batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals, streamTimers)
+      batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals, streamTimers,
+      foreachBatchUpsert)
 }

@@ -353,8 +353,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     // between the hint and any fact-table leaf. A %-slice (doc_id % k = 0)
     // deliberately does NOT count — it is a constant FRACTION, not a
     // constant SIZE.
-    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, GreaterThan, LessThan, LessThanOrEqual, Literal, Md5, Substring}
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, OneRowRelation, Project, ResolvedHint}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Conv, Expression, Explode, GreaterThan, LessThan, LessThanOrEqual, Literal, Md5, Sequence, Substring}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LocalRelation, LogicalPlan, OneRowRelation, Project, ResolvedHint}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
     val dimTables = Set("region", "nation", "customer", "supplier", "part")
@@ -384,9 +384,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
       def defOf(attr: AttributeReference): Option[Expression] =
         a.child.collect { case pr: Project => pr.projectList }.flatten
           .collectFirst { case al: Alias if al.exprId == attr.exprId => al.child }
+      // an attribute emitted by explode(sequence(lit, lit)) has a domain of
+      // |stop - start| + 1 values — bounded no matter what it explodes over
+      def constGenerated(attr: AttributeReference): Boolean =
+        a.child.collect { case g: Generate => g }.exists(g =>
+          g.generatorOutput.exists(_.exprId == attr.exprId) && (g.generator match {
+            case Explode(s: Sequence) =>
+              s.children.take(2).forall(_.foldable)
+            case _ => false
+          }))
       def boundedKey(e: Expression): Boolean = e match {
         case Substring(Md5(_), _, Literal(n: Int, _)) => n <= 4
-        case ar: AttributeReference => defOf(ar).exists(boundedKey)
+        // base-conversion / type casts preserve the domain cardinality of a
+        // bounded key (conv(substring(md5(..), 1, 3), 16, 10) is ≤ 16³)
+        case c: Cast => boundedKey(c.child)
+        case cv: Conv => boundedKey(cv.children.head)
+        case ar: AttributeReference => defOf(ar).exists(boundedKey) || constGenerated(ar)
         case al: Alias => boundedKey(al.child)
         case _ => false
       }
