@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1476,6 +1477,236 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** O27 — KMV (k-minimum-values) distinct sketch with MERGEABLE set
+    * operations (Bar-Yossef et al. 2002; the theta-sketch family): two
+    * customer sets are sketched by their 256 smallest md5-derived hash
+    * values; distinct-count estimates use the classic (k-1)/h_k formula,
+    * the UNION sketch is the k smallest of the merged signatures, and the
+    * intersection estimate is the Jaccard-scaled union. Every estimate is
+    * integer division over integers derived from md5, so both engines
+    * compute bit-identical sketches — the gate proves the merge algebra,
+    * and the exact counts ride along to show the error (~5%). Scale:
+    * THE point of KMV is that each set's signature is a fixed 256-row
+    * frame regardless of input size, and union/intersection need only the
+    * signatures — at 100 TB you sketch each partition and merge, never
+    * re-scanning; DISTINCT+ORDER+LIMIT compiles to per-partition top-k. */
+  val o27KmvDistinct: Reg = Reg.sql(
+    "o27_kmv_distinct",
+    """WITH h AS (SELECT DISTINCT o_orderstatus AS st, o_custkey AS k,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> CAST((strpos('0123456789abcdef',
+      |              substr(md5(CAST(o_custkey AS VARCHAR)), i, 1)) - 1) AS BIGINT)
+      |           * (CAST(1 AS BIGINT) << (4 * (8 - i))))) AS h
+      |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+      |ha AS (SELECT k, h FROM h WHERE st = 'O'),
+      |hb AS (SELECT k, h FROM h WHERE st = 'F'),
+      |ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+      |skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+      |sku AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+      |        ORDER BY h LIMIT 256),
+      |ea AS (SELECT COUNT(*) AS c, MAX(h) AS hk FROM ska),
+      |eb AS (SELECT COUNT(*) AS c, MAX(h) AS hk FROM skb),
+      |eu AS (SELECT COUNT(*) AS c, MAX(h) AS hk FROM sku),
+      |mt AS (SELECT COUNT(*) AS m FROM sku
+      |       WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+      |est AS (SELECT
+      |  CASE WHEN ea.c < 256 THEN ea.c
+      |       ELSE (255 * 4294967296) // ea.hk END AS est_a,
+      |  CASE WHEN eb.c < 256 THEN eb.c
+      |       ELSE (255 * 4294967296) // eb.hk END AS est_b,
+      |  CASE WHEN eu.c < 256 THEN eu.c
+      |       ELSE (255 * 4294967296) // eu.hk END AS est_union,
+      |  mt.m AS m, eu.c AS uc
+      |  FROM ea, eb, eu, mt),
+      |truth AS (SELECT
+      |  (SELECT COUNT(*) FROM ha) AS true_a,
+      |  (SELECT COUNT(*) FROM hb) AS true_b,
+      |  (SELECT COUNT(DISTINCT k) FROM h) AS true_union,
+      |  (SELECT COUNT(*) FROM ha WHERE k IN (SELECT k FROM hb)) AS true_inter)
+      |SELECT CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
+      |  CAST(est_union AS BIGINT) AS est_union,
+      |  CAST((m * est_union) // uc AS BIGINT) AS est_inter,
+      |  true_a, true_b, true_union, true_inter
+      |FROM est, truth""".stripMargin) { (s, dir) =>
+    val base = Tables.orders(s, dir)
+      .where(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderstatus").as("st"), col("o_custkey").as("k"))
+      .distinct()
+      // same 32-bit value as the oracle's hex fold: base-16 of the first
+      // 8 md5 hex chars
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      // (st, custkey) cardinality — tiny vs orders; feeds 6 consumers
+      .localCheckpoint()
+    val ha = base.where(col("st") === "O").select("k", "h")
+    val hb = base.where(col("st") === "F").select("k", "h")
+    val ska = ha.select("h").orderBy("h").limit(256)
+    val skb = hb.select("h").orderBy("h").limit(256)
+    val sku = ska.union(skb).distinct().orderBy("h").limit(256)
+    def sig(df: DataFrame, c: String, hk: String) =
+      df.agg(count(lit(1)).as(c), max("h").as(hk))
+    val m = sku.join(ska, Seq("h"), "left_semi").join(skb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("m"))
+    val truth =
+      ha.agg(count(lit(1)).as("true_a"))
+        .crossJoin(hb.agg(count(lit(1)).as("true_b")))
+        .crossJoin(base.select("k").distinct().agg(count(lit(1)).as("true_union")))
+        .crossJoin(ha.select("k").join(hb.select("k"), Seq("k"), "left_semi")
+          .agg(count(lit(1)).as("true_inter")))
+    sig(ska, "ca", "hka").crossJoin(sig(skb, "cb", "hkb"))
+      .crossJoin(sig(sku, "cu", "hku")).crossJoin(m).crossJoin(truth)
+      .select(
+        expr("CAST(CASE WHEN ca < 256 THEN ca ELSE (255 * 4294967296) DIV hka END AS BIGINT)").as("est_a"),
+        expr("CAST(CASE WHEN cb < 256 THEN cb ELSE (255 * 4294967296) DIV hkb END AS BIGINT)").as("est_b"),
+        expr("CAST(CASE WHEN cu < 256 THEN cu ELSE (255 * 4294967296) DIV hku END AS BIGINT)").as("est_union"),
+        expr("""CAST((m * (CASE WHEN cu < 256 THEN cu
+               |           ELSE (255 * 4294967296) DIV hku END)) DIV cu AS BIGINT)"""
+          .stripMargin).as("est_inter"),
+        col("true_a"), col("true_b"), col("true_union"), col("true_inter"))
+  }
+
+  /** A29 — declarative data-quality expectations (the Deequ/
+    * Great-Expectations operator): a constraint suite — completeness,
+    * uniqueness, range, domain membership, referential integrity —
+    * evaluated into one violations report. Scale: all per-table checks
+    * FUSE into a single aggregate pass over each table (Deequ's analyzer
+    * fusion), so a 20-constraint suite over 100 TB costs two scans + one
+    * broadcast anti-join, not 20 scans. Counts are exact integers; the
+    * discount-policy constraint genuinely fails on this corpus, proving
+    * the FAIL branch. */
+  val a29Expectations: Reg = Reg.sql(
+    "a29_expectations",
+    """WITH li AS (SELECT
+      |    COUNT(*) AS total,
+      |    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS v_pk,
+      |    COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS v_qty,
+      |    COUNT(*) FILTER (WHERE l_extendedprice < 0) AS v_price,
+      |    COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS v_null,
+      |    COUNT(*) FILTER (WHERE l_discount > 0.08) AS v_disc
+      |  FROM lineitem),
+      |ord AS (SELECT
+      |    COUNT(*) AS total,
+      |    COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS v_status,
+      |    COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'
+      |                        OR o_orderdate >= TIMESTAMP '2002-01-01') AS v_date
+      |  FROM orders),
+      |fk AS (SELECT COUNT(*) AS v FROM lineitem l
+      |       WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                         WHERE o.o_orderkey = l.l_orderkey)),
+      |rep AS (
+      |  SELECT 'lineitem.pk_unique' AS "constraint", total, v_pk AS violations FROM li
+      |  UNION ALL SELECT 'lineitem.quantity_range', total, v_qty FROM li
+      |  UNION ALL SELECT 'lineitem.price_nonneg', total, v_price FROM li
+      |  UNION ALL SELECT 'lineitem.orderkey_complete', total, v_null FROM li
+      |  UNION ALL SELECT 'lineitem.discount_policy', total, v_disc FROM li
+      |  UNION ALL SELECT 'lineitem.fk_orders', li.total, fk.v FROM li, fk
+      |  UNION ALL SELECT 'orders.status_domain', total, v_status FROM ord
+      |  UNION ALL SELECT 'orders.date_range', total, v_date FROM ord)
+      |SELECT "constraint", total, violations,
+      |       CASE WHEN violations = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+      |FROM rep ORDER BY "constraint"""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("total"),
+      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_pk"),
+      count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("v_qty"),
+      count(when(col("l_extendedprice") < 0, 1)).as("v_price"),
+      count(when(col("l_orderkey").isNull, 1)).as("v_null"),
+      count(when(col("l_discount") > 0.08, 1)).as("v_disc"))
+    val ord = Tables.orders(s, dir).agg(
+      count(lit(1)).as("total"),
+      count(when(!col("o_orderstatus").isin("O", "F", "P"), 1)).as("v_status"),
+      count(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("2002-01-01").cast("timestamp"), 1)).as("v_date"))
+    // referential check: orders is a FACT table — this must stay a
+    // shuffled anti-join on the key, never a broadcast (OOM at scale)
+    val fk = Tables.lineitem(s, dir).select("l_orderkey")
+      .join(Tables.orders(s, dir).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    def row(df: DataFrame, name: String, viol: String) =
+      df.select(lit(name).as("constraint"), col("total"),
+        col(viol).as("violations"))
+    val fkRow = li.select(col("total")).crossJoin(fk)
+      .select(lit("lineitem.fk_orders").as("constraint"), col("total"),
+        col("v").as("violations"))
+    row(li, "lineitem.pk_unique", "v_pk")
+      .unionByName(row(li, "lineitem.quantity_range", "v_qty"))
+      .unionByName(row(li, "lineitem.price_nonneg", "v_price"))
+      .unionByName(row(li, "lineitem.orderkey_complete", "v_null"))
+      .unionByName(row(li, "lineitem.discount_policy", "v_disc"))
+      .unionByName(fkRow)
+      .unionByName(row(ord, "orders.status_domain", "v_status"))
+      .unionByName(row(ord, "orders.date_range", "v_date"))
+      .withColumn("status",
+        when(col("violations") === 0, "PASS").otherwise("FAIL"))
+      .orderBy("constraint")
+  }
+
+  /** O28 — Holt linear (double exponential) smoothing per user over the
+    * event stream: level+trend recursion l_t = αx_t + (1-α)(l+b),
+    * b_t = β(l_t - l_{t-1}) + (1-β)b, α = β = 0.5. A genuinely SEQUENTIAL
+    * per-key computation expressed as one `aggregate` HOF over the
+    * time-ordered value array — per key O(n), zero extra shuffles (the
+    * sort happens inside array_sort after one groupBy). The DuckDB oracle
+    * replays the identical recursion as a recursive CTE; both engines
+    * evaluate the same IEEE op tree in the same order, so the final
+    * level/trend are bit-identical and the floor-quantized outputs hash
+    * green. Scale: state per key is 2 doubles; the collect_list is
+    * bounded by per-user history length (the r7_refine_loop cap argument
+    * applies if histories are unbounded). */
+  val o28HoltLinear: Reg = Reg.sql(
+    "o28_holt_linear",
+    """WITH RECURSIVE
+      |v AS (SELECT user_id,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS t,
+      |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+      |      FROM events),
+      |n AS (SELECT user_id, MAX(t) AS n FROM v GROUP BY 1 HAVING MAX(t) >= 2),
+      |init AS (SELECT v1.user_id, CAST(v1.xc AS DOUBLE) AS l,
+      |                CAST(v2.xc - v1.xc AS DOUBLE) AS b
+      |         FROM v v1 JOIN v v2 ON v2.user_id = v1.user_id AND v2.t = 2
+      |         WHERE v1.t = 1),
+      |dp AS (
+      |  SELECT i.user_id, 1 AS t, i.l, i.b FROM init i
+      |  UNION ALL
+      |  SELECT dp.user_id, dp.t + 1,
+      |    0.5 * CAST(v.xc AS DOUBLE) + 0.5 * (dp.l + dp.b),
+      |    0.5 * ((0.5 * CAST(v.xc AS DOUBLE) + 0.5 * (dp.l + dp.b)) - dp.l)
+      |      + 0.5 * dp.b
+      |  FROM dp JOIN v ON v.user_id = dp.user_id AND v.t = dp.t + 1)
+      |SELECT dp.user_id, n.n AS n_obs,
+      |  CAST(FLOOR(dp.l) AS BIGINT) AS level_c,
+      |  CAST(FLOOR(dp.b) AS BIGINT) AS trend_c,
+      |  CAST(FLOOR(dp.l + dp.b) AS BIGINT) AS forecast_c
+      |FROM dp JOIN n ON n.user_id = dp.user_id AND dp.t = n.n
+      |ORDER BY dp.user_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("xc"))
+      .groupBy("user_id")
+      .agg(expr("transform(array_sort(collect_list(struct(ts, event_id, xc))), p -> p.xc)")
+        .as("xs"))
+      .withColumn("n_obs", size(col("xs")).cast("long"))
+      .where(col("n_obs") >= 2)
+      .withColumn("st",
+        expr("""aggregate(sequence(2, size(xs)),
+               |  named_struct(
+               |    'l', CAST(element_at(xs, 1) AS DOUBLE),
+               |    'b', CAST(element_at(xs, 2) - element_at(xs, 1) AS DOUBLE)),
+               |  (acc, i) -> named_struct(
+               |    'l', 0.5 * CAST(element_at(xs, i) AS DOUBLE)
+               |         + 0.5 * (acc.l + acc.b),
+               |    'b', 0.5 * ((0.5 * CAST(element_at(xs, i) AS DOUBLE)
+               |                 + 0.5 * (acc.l + acc.b)) - acc.l)
+               |         + 0.5 * acc.b))""".stripMargin))
+      .select(col("user_id"), col("n_obs"),
+        expr("CAST(FLOOR(st.l) AS BIGINT)").as("level_c"),
+        expr("CAST(FLOOR(st.b) AS BIGINT)").as("trend_c"),
+        expr("CAST(FLOOR(st.l + st.b) AS BIGINT)").as("forecast_c"))
+      .orderBy("user_id")
+  }
+
   /** O25 — Pareto front (skyline) per brand: the multi-objective
     * shortlist operator (minimize price, maximize size; Börzsönyi et al.
     * 2001). The oracle proves it with the O(n²) NOT-EXISTS definition;
@@ -1574,7 +1805,7 @@ object AnalyticsQueries {
   }
 
   val all: Seq[Reg] = Seq(
-    o25ParetoFront, o26CountMin,
+    o25ParetoFront, o26CountMin, o27KmvDistinct, a29Expectations, o28HoltLinear,
     o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface, a26GroupingSets,
     o24TopkTies, a27BoolAggs, a28StringAgg, j13AsofForward,
     o16NtileDeciles, o17HllMerge,
