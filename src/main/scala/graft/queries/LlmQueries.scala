@@ -1864,8 +1864,64 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Community detection on the link graph via deterministic synchronous
+    * label propagation ([[graft.operators.LabelPropagation]], 3 rounds) —
+    * the domain/community-mix signal next to LinkRank and triangle
+    * counting in a web-curation stack. The synthesized graph plants
+    * 10-node chain blocks (intra-community edges) plus the mod-97 hub map
+    * (cross-community bridges with real degree skew), symmetrized and
+    * dedup'd so neighbor-label FREQUENCIES are well defined. The oracle
+    * unrolls the identical three rounds as chained CTEs with the same
+    * max-of-(cnt, -label) argmax, so every intermediate tie-break is
+    * pinned cross-engine. Output is the community histogram — label
+    * frames never leave the executors. */
+  val communityLpa: Reg = {
+    def duckIter(k: Int): String =
+      s"""it$k AS (
+         |  SELECT v, -mx[2] AS label FROM (
+         |    SELECT nb.v AS v, MAX([nb.cnt, -nb.label]) AS mx FROM (
+         |      SELECT e.v, l.label, COUNT(*) AS cnt
+         |      FROM edges e JOIN it${k - 1} l ON l.v = e.u
+         |      GROUP BY e.v, l.label) nb
+         |    GROUP BY nb.v) t)""".stripMargin
+    Reg.sql(
+      "llm_community_lpa",
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
+         |raw AS (
+         |  SELECT doc_id AS u, doc_id + 1 AS v FROM documents, n
+         |  WHERE (doc_id + 1) % 10 <> 0 AND doc_id + 1 < c
+         |  UNION ALL
+         |  SELECT doc_id, doc_id % 97 FROM documents WHERE doc_id % 97 <> doc_id),
+         |edges AS (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw)),
+         |it0 AS (SELECT doc_id AS v, doc_id AS label FROM documents),
+         |${duckIter(1)},
+         |${duckIter(2)},
+         |${duckIter(3)}
+         |SELECT label AS community, COUNT(*) AS size FROM it3
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val c = docs.agg(count(lit(1)).as("c"))
+      val chain = docs.crossJoin(c)
+        .where((col("doc_id") + 1) % 10 =!= 0 && col("doc_id") + 1 < col("c"))
+        .select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
+      val hubs = docs.where(col("doc_id") % 97 =!= col("doc_id"))
+        .select(col("doc_id").as("u"), (col("doc_id") % 97).as("v"))
+      val raw = chain.unionByName(hubs)
+      val edges = raw
+        .unionByName(raw.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+      graft.operators.LabelPropagation
+        .run(docs.select(col("doc_id").as("id")), edges, iterations = 3)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy("community")
+    }
+  }
+
   val all: Seq[Reg] = Seq(
-    dupSpanCoverage,
+    communityLpa, dupSpanCoverage,
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
