@@ -1920,8 +1920,118 @@ object LlmQueries {
     }
   }
 
+  /** The END-TO-END curation funnel — the five standard pretraining
+    * stages (language filter → quality gate → exact dedup → benchmark
+    * decontamination → split sampling) chained over one corpus, reported
+    * as a per-stage survival table. THE scale property: the whole funnel
+    * is ONE pass — per-doc stage flags are computed as columns (the dedup
+    * flag via a min-over-hash window restricted to prior-stage survivors,
+    * the contamination flag via one 8-gram semi-join), then a single
+    * aggregate emits every stage count. No stage re-scans the corpus, so
+    * at 100 TB this costs one scan + one gram join + one hash window — vs
+    * the naive 5 sequential filtered scans. Exact copies are planted
+    * (doc_id % 13 → +1e6 offset) since the raw corpus has none, so the
+    * dedup stage provably drops rows; stage thresholds give every other
+    * stage real drops too (500 → 218 → 166 → ... at sf0.01). */
+  val curationFunnel: Reg = Reg.sql(
+    "llm_curation_funnel",
+    """WITH aug AS (
+      |  SELECT doc_id, lang, n_chars, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, n_chars, text FROM documents
+      |  WHERE doc_id % 13 = 0),
+      |base AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         string_split(lower(text), ' ') AS ws,
+      |         sha256(lower(text)) AS h,
+      |         substr(md5(text), 1, 1) AS nib
+      |  FROM aug),
+      |grams AS (
+      |  SELECT doc_id, UNNEST(list_transform(generate_series(1, len(ws) - 7),
+      |           i -> array_to_string(ws[i:i+7], ' '))) AS gram
+      |  FROM base WHERE len(ws) >= 8),
+      |eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+      |contam AS (SELECT DISTINCT g.doc_id FROM grams g
+      |           JOIN eval_g e USING (gram) WHERE g.doc_id % 50 <> 0),
+      |flags AS (
+      |  SELECT b.doc_id,
+      |    (b.lang = 'en') AS f1,
+      |    (b.lang = 'en' AND len(b.ws) >= 30 AND b.n_chars >= 150) AS f12,
+      |    b.h, b.nib,
+      |    (b.doc_id % 50 = 0 OR c.doc_id IS NOT NULL) AS is_contam
+      |  FROM base b LEFT JOIN contam c ON c.doc_id = b.doc_id),
+      |staged AS (
+      |  SELECT doc_id, f1, f12,
+      |    (f12 AND doc_id = MIN(CASE WHEN f12 THEN doc_id END)
+      |        OVER (PARTITION BY h)) AS f123,
+      |    is_contam, nib FROM flags),
+      |agg AS (SELECT COUNT(*) AS n0,
+      |  COUNT(*) FILTER (WHERE f1) AS n1,
+      |  COUNT(*) FILTER (WHERE f12) AS n2,
+      |  COUNT(*) FILTER (WHERE f123) AS n3,
+      |  COUNT(*) FILTER (WHERE f123 AND NOT is_contam) AS n4,
+      |  COUNT(*) FILTER (WHERE f123 AND NOT is_contam AND nib <= 'b') AS n5
+      |  FROM staged)
+      |SELECT CAST(1 AS BIGINT) AS stage_no, 'lang_en' AS stage,
+      |       n0 AS docs_in, n1 AS docs_out FROM agg
+      |UNION ALL SELECT 2, 'quality', n1, n2 FROM agg
+      |UNION ALL SELECT 3, 'exact_dedup', n2, n3 FROM agg
+      |UNION ALL SELECT 4, 'decontaminate', n3, n4 FROM agg
+      |UNION ALL SELECT 5, 'train_split', n4, n5 FROM agg
+      |ORDER BY stage_no""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select("doc_id", "lang", "n_chars", "text")
+    val aug = docs.unionByName(
+      docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("lang"), col("n_chars"), col("text")))
+    val base = aug.select(col("doc_id"), col("lang"), col("n_chars"),
+      split(lower(col("text")), " ", -1).as("ws"),
+      sha2(lower(col("text")), 256).as("h"),
+      substring(md5(col("text")), 1, 1).as("nib"))
+    val grams = base.where(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(
+        expr("""transform(sequence(1, size(ws) - 7),
+               |  i -> array_join(slice(ws, i, 8), ' '))""".stripMargin))
+        .as("gram"))
+    val evalG = grams.where(col("doc_id") % 50 === 0)
+      .select("gram").distinct()
+    val contam = grams.where(col("doc_id") % 50 =!= 0)
+      .join(evalG, Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("__c", lit(true))
+    val flags = base.join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("h"), col("nib"),
+        (col("lang") === "en").as("f1"),
+        (col("lang") === "en" && size(col("ws")) >= 30 &&
+          col("n_chars") >= 150).as("f12"),
+        (col("doc_id") % 50 === 0 || col("__c").isNotNull).as("is_contam"))
+    val staged = flags.withColumn("f123",
+      col("f12") && col("doc_id") ===
+        min(when(col("f12"), col("doc_id")))
+          .over(Window.partitionBy("h")))
+    val agg = staged.agg(
+      count(lit(1)).as("n0"),
+      count(when(col("f1"), 1)).as("n1"),
+      count(when(col("f12"), 1)).as("n2"),
+      count(when(col("f123"), 1)).as("n3"),
+      count(when(col("f123") && !col("is_contam"), 1)).as("n4"),
+      count(when(col("f123") && !col("is_contam") && col("nib") <= "b", 1))
+        .as("n5"))
+    def stageRow(no: Long, name: String, in: String, out: String) =
+      agg.select(lit(no).as("stage_no"), lit(name).as("stage"),
+        col(in).as("docs_in"), col(out).as("docs_out"))
+    stageRow(1, "lang_en", "n0", "n1")
+      .unionByName(stageRow(2, "quality", "n1", "n2"))
+      .unionByName(stageRow(3, "exact_dedup", "n2", "n3"))
+      .unionByName(stageRow(4, "decontaminate", "n3", "n4"))
+      .unionByName(stageRow(5, "train_split", "n4", "n5"))
+      .orderBy("stage_no")
+  }
+
   val all: Seq[Reg] = Seq(
-    communityLpa, dupSpanCoverage,
+    curationFunnel, communityLpa, dupSpanCoverage,
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
