@@ -45,7 +45,12 @@ object PlanDump {
       ("o20_interval_islands", "gaps-and-islands: the running-max break test and the island prefix-sum share the per-key sort; islands then aggregate twice on the same partitioning - interval union with no self-join and no pair expansion"),
       ("j12_fuzzy_join", "similarity join without all-pairs: candidates from an equi-join on each name's 3 rarest bigrams (one global frequency order), exact levenshtein verifies - the all-pairs ORACLE proves the prefix filter complete, the PLAN proves it never nested-loops"),
       ("p9_wcl_udaf", "the typed-Aggregator UDAF path: quantized-integer buffer partial-aggregates map-side (ObjectHashAggregate partial before the key exchange), so the custom aggregate shuffles O(groups) buffers, exactly like a built-in"),
-      ("llm_filter_cascade", "filter-cascade gate: all four rule bits are per-row array expressions fused with the scan, ONE aggregate on the 16-value mask domain - corpus-size work is a single pass, the histogram is free"))
+      ("llm_filter_cascade", "filter-cascade gate: all four rule bits are per-row array expressions fused with the scan, ONE aggregate on the 16-value mask domain - corpus-size work is a single pass, the histogram is free"),
+      ("llm_unigram_viterbi", "unigram-LM Viterbi: the vocabulary (Heaps-law-sized) broadcasts onto the per-word cost grid; the DP itself is a per-row aggregate HOF over collected arrays - segmentation is a narrow map pass, no shuffle after the grid groupBy"),
+      ("o25_pareto_front", "skyline: BOTH dominance tests are windows partitioned by brand (one exchange), running max over the strictly-cheaper RANGE frame plus the price peer-group max - O(n log n) per group, no self-join, no O(n^2) pair stage"),
+      ("o26_count_min", "Count-Min: the sketch aggregate groups on (row, md5-derived bucket) - a provably <=4x4096-row frame (PlanAuditSpec witness) broadcast to the probe side; the fact stream never shuffles twice"),
+      ("llm_curation_funnel", "five curation stages in ONE corpus pass: stage flags are columns (dedup = min-over-hash window, contamination = one 8-gram semi-join), one aggregate emits every stage count - no per-stage re-scan"),
+      ("o28_holt_linear", "sequential smoothing as a plan: ONE groupBy exchange collects each key's ordered history, the level+trend recursion runs inside a codegen'd aggregate HOF - per-key O(n), state 2 doubles"))
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")

@@ -497,6 +497,82 @@ object MutationQueries {
       .orderBy("bucket")
   }
 
+  /** A30 — write-audit-publish (the Netflix/Iceberg WAP governance
+    * pattern): a candidate batch is STAGED to its own directory, the
+    * a29-style constraint suite runs against the STAGED FILES (never the
+    * in-memory frame — the audit must see exactly what publish would
+    * ship), and only a fully-PASS audit atomically renames staging into
+    * the live location. Two batches prove both branches: a clean daily
+    * summary publishes; the same summary with 10 planted duplicate keys
+    * fails pk_unique and is rejected, leaving the live table untouched —
+    * the `__publish` rows report the LIVE row count read back from disk
+    * after each decision, so the gate verifies the file mechanics, not
+    * just the audit arithmetic. Scale: the audit is one fused aggregate
+    * over the staged partition (a29's analyzer-fusion argument); publish
+    * is a metadata-level rename, never a rewrite. */
+  val writeAuditPublish: Reg = Reg.sql(
+    "a30_write_audit_publish",
+    """WITH s AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |           FROM events WHERE event_id < 50000 GROUP BY 1, 2),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+      |rep AS (
+      |  SELECT 'batch_a' AS batch, 'nonempty' AS "constraint",
+      |         CAST(0 AS BIGINT) AS violations, 'PASS' AS status FROM tot
+      |  UNION ALL SELECT 'batch_a', 'n_events_positive', 0, 'PASS' FROM tot
+      |  UNION ALL SELECT 'batch_a', 'pk_unique', 0, 'PASS' FROM tot
+      |  UNION ALL SELECT 'batch_a', '__publish', n, 'PUBLISHED' FROM tot
+      |  UNION ALL SELECT 'batch_b', 'nonempty', 0, 'PASS' FROM tot
+      |  UNION ALL SELECT 'batch_b', 'n_events_positive', 0, 'PASS' FROM tot
+      |  UNION ALL SELECT 'batch_b', 'pk_unique', 10, 'FAIL' FROM tot
+      |  UNION ALL SELECT 'batch_b', '__publish', n, 'REJECTED' FROM tot)
+      |SELECT batch, "constraint", violations, status FROM rep
+      |ORDER BY batch, "constraint"""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory("graft_wap")
+    try {
+      val live = root.resolve("live")
+      val summary = Tables.events(s, dir)
+        .where(col("event_id") < 50000L)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      // batch B: same summary with 10 planted duplicate keys (the 10
+      // smallest, deterministically)
+      val dupes = summary.orderBy("user_id", "day").limit(10)
+      val batches = Seq(
+        ("batch_a", summary),
+        ("batch_b", summary.unionByName(dupes)))
+
+      val results = batches.flatMap { case (name, df) =>
+        val staging = root.resolve(s"staging_$name")
+        df.write.parquet(staging.toString) // WRITE
+        val staged = s.read.parquet(staging.toString) // audit the FILES
+        val a = staged.agg(
+          count(lit(1)).as("total"),
+          countDistinct(col("user_id"), col("day")).as("dk"),
+          count(when(col("n_events") < 1, 1)).as("v_pos")).head()
+        val (total, dk, vPos) = (a.getLong(0), a.getLong(1), a.getLong(2))
+        val audit = Seq( // AUDIT
+          ("nonempty", if (total == 0) 1L else 0L),
+          ("n_events_positive", vPos),
+          ("pk_unique", total - dk))
+        val pass = audit.forall(_._2 == 0L)
+        if (pass) { // PUBLISH: atomic directory rename, never a rewrite
+          if (Files.exists(live)) deleteRecursively(live.toFile)
+          Files.move(staging, live)
+        } else deleteRecursively(staging.toFile)
+        val liveRows =
+          if (Files.exists(live)) s.read.parquet(live.toString).count() else 0L
+        audit.map { case (c, v) =>
+          (name, c, v, if (v == 0L) "PASS" else "FAIL")
+        } :+ ((name, "__publish", liveRows,
+          if (pass) "PUBLISHED" else "REJECTED"))
+      }
+      import s.implicits._
+      results.toDF("batch", "constraint", "violations", "status")
+        .orderBy("batch", "constraint")
+    } finally deleteRecursively(root.toFile)
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
-    schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout)
+    schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
+    writeAuditPublish)
 }

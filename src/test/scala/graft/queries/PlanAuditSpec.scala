@@ -429,6 +429,36 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
       }
   }
 
+  test("o25/o28: windowed skyline and sequential smoothing never pair-expand") {
+    val p25 = plan(AnalyticsQueries.o25ParetoFront)
+    // the oracle's O(n²) NOT-EXISTS shape must NOT be the plan: dominance
+    // via two windows on one brand exchange, no joins at all
+    p25 should not include "Join"
+    p25 should include("Window")
+    val p28 = plan(AnalyticsQueries.o28HoltLinear)
+    // the recursion runs INSIDE the aggregate HOF — no explode back to rows
+    p28 should not include "Generate"
+    // collect_list partial-aggregates map-side before the key exchange
+    "ObjectHashAggregate".r.findAllIn(p28).size should be >= 2
+  }
+
+  test("llm_unigram_viterbi: vocabulary broadcasts; segmentation never sorts globally") {
+    val p = plan(TokenizerQueries.unigramViterbi)
+    // the piece-vocabulary (Heaps-law-sized) joins the cost grid broadcast
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("llm_curation_funnel: contamination check is a semi-join, dedup a window") {
+    val p = plan(LlmQueries.curationFunnel)
+    p should include("LeftSemi")
+    p should include("Window")
+    p should not include "CartesianProduct"
+    // stage counts come from ONE aggregate over the flag columns — the
+    // funnel must not materialize five filtered sub-plans with five sorts
+    "TakeOrderedAndProject|Sort\\b".r.findAllIn(p).size should be <= 4
+  }
+
   test("llm_vocab_coverage: top-K vocab is TakeOrdered and broadcast to the tokens") {
     val p = plan(CorpusModelQueries.vocabCoverage)
     // vocab induction must never global-sort the frequency table
