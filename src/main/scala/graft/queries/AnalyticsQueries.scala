@@ -1707,6 +1707,62 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** C7 — forward geodesy, completing the C1 haversine (inverse) pair:
+    * initial bearing from each sampled point toward a waypoint 1°N/0.5°E
+    * of it, and the destination point 500 m along that bearing (the
+    * standard spherical direct formulas). Both engines evaluate the
+    * IDENTICAL trig op tree (the c1/haversine precedent: libm-compatible
+    * SIN/COS/ASIN/ATAN2 agree bit-for-bit on these magnitudes), outputs
+    * floor-quantized to micro-degrees. Scale: a pure per-row projection
+    * fused with the scan — zero shuffles before the output sort. */
+  val c7GeodesicOps: Reg = {
+    val thetaSql =
+      """ATAN2(SIN(RADIANS(0.5)) * COS(RADIANS(lat + 1.0)),
+        |          COS(RADIANS(lat)) * SIN(RADIANS(lat + 1.0)) -
+        |          SIN(RADIANS(lat)) * COS(RADIANS(lat + 1.0)) * COS(RADIANS(0.5)))"""
+        .stripMargin
+    Reg.sql(
+      "c7_geodesic_ops",
+      s"""WITH m AS (
+         |  SELECT event_id AS point_id,
+         |         ((user_id % 90) + (event_id % 25) * CAST(0.0003 AS DOUBLE)) AS lat,
+         |         (((user_id % 180) - 90) + (event_id % 23) * CAST(0.0003 AS DOUBLE)) AS lon
+         |  FROM events WHERE event_id % 101 = 0),
+         |b AS (
+         |  SELECT point_id, lat, lon,
+         |    $thetaSql AS theta,
+         |    CAST(500.0 AS DOUBLE) / 6371000.0 AS dr
+         |  FROM m)
+         |SELECT point_id,
+         |  CAST(FLOOR(DEGREES(theta) * 1e6) AS BIGINT) AS bearing_micro,
+         |  CAST(FLOOR(DEGREES(ASIN(SIN(RADIANS(lat)) * COS(dr) +
+         |    COS(RADIANS(lat)) * SIN(dr) * COS(theta))) * 1e6) AS BIGINT)
+         |    AS dest_lat_micro,
+         |  CAST(FLOOR((lon + DEGREES(ATAN2(SIN(theta) * SIN(dr) * COS(RADIANS(lat)),
+         |    COS(dr) - SIN(RADIANS(lat)) * SIN(ASIN(SIN(RADIANS(lat)) * COS(dr) +
+         |      COS(RADIANS(lat)) * SIN(dr) * COS(theta)))))) * 1e6) AS BIGINT)
+         |    AS dest_lon_micro
+         |FROM b ORDER BY point_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .where(col("event_id") % 101 === 0)
+        .select(col("event_id").as("point_id"),
+          expr("((user_id % 90) + (event_id % 25) * CAST(0.0003 AS DOUBLE))").as("lat"),
+          expr("(((user_id % 180) - 90) + (event_id % 23) * CAST(0.0003 AS DOUBLE))").as("lon"))
+        .withColumn("theta", expr(thetaSql))
+        .withColumn("dr", expr("CAST(500.0 AS DOUBLE) / 6371000.0"))
+        .select(col("point_id"),
+          expr("CAST(FLOOR(DEGREES(theta) * 1e6) AS BIGINT)").as("bearing_micro"),
+          expr("""CAST(FLOOR(DEGREES(ASIN(SIN(RADIANS(lat)) * COS(dr) +
+                 |  COS(RADIANS(lat)) * SIN(dr) * COS(theta))) * 1e6) AS BIGINT)"""
+            .stripMargin).as("dest_lat_micro"),
+          expr("""CAST(FLOOR((lon + DEGREES(ATAN2(SIN(theta) * SIN(dr) * COS(RADIANS(lat)),
+                 |  COS(dr) - SIN(RADIANS(lat)) * SIN(ASIN(SIN(RADIANS(lat)) * COS(dr) +
+                 |    COS(RADIANS(lat)) * SIN(dr) * COS(theta)))))) * 1e6) AS BIGINT)"""
+            .stripMargin).as("dest_lon_micro"))
+        .orderBy("point_id")
+    }
+  }
+
   /** O25 — Pareto front (skyline) per brand: the multi-objective
     * shortlist operator (minimize price, maximize size; Börzsönyi et al.
     * 2001). The oracle proves it with the O(n²) NOT-EXISTS definition;
@@ -1806,6 +1862,7 @@ object AnalyticsQueries {
 
   val all: Seq[Reg] = Seq(
     o25ParetoFront, o26CountMin, o27KmvDistinct, a29Expectations, o28HoltLinear,
+    c7GeodesicOps,
     o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface, a26GroupingSets,
     o24TopkTies, a27BoolAggs, a28StringAgg, j13AsofForward,
     o16NtileDeciles, o17HllMerge,

@@ -2030,7 +2030,9 @@ object LlmQueries {
       .orderBy("stage_no")
   }
 
-  val all: Seq[Reg] = Seq(
+  // lazy: driftChi2 is declared below this list; a strict val would
+  // capture null at object-init time (registry lint walks every entry)
+  lazy val all: Seq[Reg] = Seq(
     curationFunnel, communityLpa, dupSpanCoverage,
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
@@ -2040,5 +2042,77 @@ object LlmQueries {
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
     bm25TopK, embedCentroids, clusterReps, linkTriangles, weightedSample,
-    driftKs, imageMeta, audioMeta)
+    driftKs, imageMeta, audioMeta, driftChi2)
+
+  /** Categorical drift monitor: Pearson chi-square independence test of
+    * the (source-group × language) contingency table — the discrete
+    * complement of `llm_drift_ks` (which watches a continuous feature).
+    * Per-cell terms (o−e)²/e are floor-quantized to micro units BEFORE
+    * the sum, so aggregation order is irrelevant and the statistic
+    * hash-gates exactly (the documented lattice-then-aggregate rule; the
+    * quantization changes the statistic by < 10·1e-6, far below any
+    * decision threshold). The dense cell grid is groups × langs — sparse
+    * (zero-observation) cells still contribute their e term, which a
+    * naive observed-rows-only join silently drops. Scale: one corpus
+    * aggregate; everything after is a ≤(2×|langs|)-row frame. */
+  val driftChi2: Reg = Reg.sql(
+    "llm_drift_chi2",
+    """WITH t AS (SELECT CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS g,
+      |                  lang FROM documents),
+      |o AS (SELECT g, lang, CAST(COUNT(*) AS BIGINT) AS o FROM t GROUP BY 1, 2),
+      |grid AS (SELECT g.g, l.lang
+      |         FROM (SELECT DISTINCT g FROM t) g
+      |         CROSS JOIN (SELECT DISTINCT lang FROM t) l),
+      |dense AS (SELECT grid.g, grid.lang, COALESCE(o.o, 0) AS o
+      |          FROM grid LEFT JOIN o ON o.g = grid.g AND o.lang = grid.lang),
+      |rt AS (SELECT g, CAST(SUM(o) AS BIGINT) AS r FROM dense GROUP BY 1),
+      |ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM dense GROUP BY 1),
+      |gt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM dense),
+      |cells AS (
+      |  SELECT d.g, d.lang,
+      |    CAST(FLOOR(((CAST(d.o AS DOUBLE) -
+      |        (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) *
+      |      (CAST(d.o AS DOUBLE) -
+      |        (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) /
+      |      (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1e6)
+      |      AS BIGINT) AS term
+      |  FROM dense d JOIN rt ON rt.g = d.g JOIN ct ON ct.lang = d.lang
+      |  CROSS JOIN gt),
+      |nl AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS k FROM t)
+      |SELECT (SELECT CAST(r AS BIGINT) FROM rt WHERE g = 'a') AS n_a,
+      |       (SELECT CAST(r AS BIGINT) FROM rt WHERE g = 'b') AS n_b,
+      |       (SELECT k - 1 FROM nl) AS dof,
+      |       CAST(SUM(term) AS BIGINT) AS chi2_micro
+      |FROM cells""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .select(when(col("source") === "src0", "a").otherwise("b").as("g"),
+        col("lang"))
+    val o = t.groupBy("g", "lang").agg(count(lit(1)).as("o"))
+    val grid = t.select("g").distinct().crossJoin(t.select("lang").distinct())
+    val dense = grid.join(o, Seq("g", "lang"), "left")
+      .select(col("g"), col("lang"), coalesce(col("o"), lit(0L)).as("o"))
+    val rt = dense.groupBy("g").agg(sum("o").as("r"))
+    val ct = dense.groupBy("lang").agg(sum("o").as("c"))
+    val gt = dense.agg(sum("o").as("n"))
+    // gt/nA/nB/dof are 1-row (or 2-row bounded) scalar frames — the
+    // 1-row-crossJoin precedent: no explicit hint, AQE broadcasts
+    val cells = dense.join(rt, "g").join(ct, "lang").crossJoin(gt)
+      .select(col("g"), expr(
+        """CAST(FLOOR(((CAST(o AS DOUBLE) -
+          |    (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) *
+          |  (CAST(o AS DOUBLE) -
+          |    (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) /
+          |  (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1e6)
+          |  AS BIGINT)""".stripMargin).as("term"))
+    // all scalars in ONE 1-row aggregate: a single 1-row x 1-row
+    // crossJoin plans as a BroadcastNestedLoopJoin (the established
+    // scalar-frame idiom), never a CartesianProduct chain
+    val scalars = dense.agg(
+      sum(when(col("g") === "a", col("o"))).as("n_a"),
+      sum(when(col("g") === "b", col("o"))).as("n_b"),
+      (countDistinct("lang") - 1).as("dof"))
+    cells.agg(sum("term").as("chi2_micro"))
+      .crossJoin(scalars)
+      .select(col("n_a"), col("n_b"), col("dof"), col("chi2_micro"))
+  }
 }
