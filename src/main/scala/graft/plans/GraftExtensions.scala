@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.haversineFunction)
     ext.injectFunction(GraftExtensions.cosineFunction)
     ext.injectOptimizerRule(_ => OutlierIdiomRule)
+    ext.injectOptimizerRule(_ => CircleFilterRule)
   }
 }
 
@@ -51,11 +52,19 @@ object GraftExtensions {
     cosineBuilder)
 
   /** Register on an EXISTING session (getOrCreate ignores extensions when a
-    * session already exists — e.g. shared test fixtures, spark-shell). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    * session already exists — e.g. shared test fixtures, spark-shell).
+    * Functions go to the registry; optimizer rules ride the experimental
+    * hook (the only post-construction injection point Spark exposes). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(haversineFunction, cosineFunction).foreach { f =>
       spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
     }
+    Seq(OutlierIdiomRule, CircleFilterRule).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
+  }
 }
 
 /** Session factory with the engine's recommended local-mode configuration:

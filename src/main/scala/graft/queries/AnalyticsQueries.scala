@@ -1763,6 +1763,61 @@ object AnalyticsQueries {
     }
   }
 
+  /** C8 — the CircleFilterRule end-to-end: a radius query around a
+    * constant center, written as plain SQL text through the injected
+    * `haversine_m`, executed against REAL parquet files with raw
+    * latitude/longitude columns. The optimizer rule conjoins the
+    * circle's bounding box so the scan prunes on row-group min/max
+    * stats (CircleFilterRuleSpec asserts the bounds reach
+    * `PushedFilters`); the box is a strict superset of the circle, so
+    * the DuckDB oracle — which states only the exact haversine
+    * predicate — proves the rewrite changes nothing. At 100 TB this is
+    * the difference between scanning the planet and scanning ~4° of it. */
+  val c8CircleFilter: Reg = Reg.sql(
+    "c8_circle_filter",
+    """WITH m AS (
+      |  SELECT ((user_id % 90) + (event_id % 25) * CAST(0.0003 AS DOUBLE)) AS lat,
+      |         (((user_id % 180) - 90) + (event_id % 23) * CAST(0.0003 AS DOUBLE)) AS lon
+      |  FROM events),
+      |d AS (SELECT 2 * 6371000 * ASIN(SQRT(
+      |        POW(SIN(RADIANS(45.0 - lat) / 2), 2) +
+      |        COS(RADIANS(lat)) * COS(RADIANS(45.0)) *
+      |        POW(SIN(RADIANS(-45.0 - lon) / 2), 2))) AS dist FROM m)
+      |SELECT COUNT(*) AS cnt,
+      |       CAST(FLOOR(MIN(dist)) AS BIGINT) AS min_m,
+      |       CAST(FLOOR(MAX(dist)) AS BIGINT) AS max_m
+      |FROM d WHERE dist <= 200000.0""".stripMargin) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft_circle").toString
+    try {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          expr("((user_id % 90) + (event_id % 25) * CAST(0.0003 AS DOUBLE))")
+            .as("latitude"),
+          expr("(((user_id % 180) - 90) + (event_id % 23) * CAST(0.0003 AS DOUBLE))")
+            .as("longitude"))
+        .write.parquet(work + "/pts")
+      graft.plans.GraftExtensions.register(s)
+      s.read.parquet(work + "/pts").createOrReplaceTempView("graft_circle_pts")
+      val out = s.sql(
+        """SELECT COUNT(*) AS cnt,
+          |  CAST(FLOOR(MIN(haversine_m(latitude, longitude, 45.0, -45.0)))
+          |    AS BIGINT) AS min_m,
+          |  CAST(FLOOR(MAX(haversine_m(latitude, longitude, 45.0, -45.0)))
+          |    AS BIGINT) AS max_m
+          |FROM graft_circle_pts
+          |WHERE haversine_m(latitude, longitude, 45.0, -45.0) <= 200000.0"""
+          .stripMargin)
+      // 1 row: materialize so the scratch dir can be deleted eagerly
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(work))
+    }
+  }
+
   /** O25 — Pareto front (skyline) per brand: the multi-objective
     * shortlist operator (minimize price, maximize size; Börzsönyi et al.
     * 2001). The oracle proves it with the O(n²) NOT-EXISTS definition;
@@ -1862,7 +1917,7 @@ object AnalyticsQueries {
 
   val all: Seq[Reg] = Seq(
     o25ParetoFront, o26CountMin, o27KmvDistinct, a29Expectations, o28HoltLinear,
-    c7GeodesicOps,
+    c7GeodesicOps, c8CircleFilter,
     o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface, a26GroupingSets,
     o24TopkTies, a27BoolAggs, a28StringAgg, j13AsofForward,
     o16NtileDeciles, o17HllMerge,

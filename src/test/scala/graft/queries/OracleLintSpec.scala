@@ -158,7 +158,8 @@ class OracleLintSpec extends AnyFunSuite with Matchers {
       "a19_compact_partitions", "f18_reject_isolation", "llm_link_triangles",
       "o17_hll_merge", "q6_forecast_revenue", "q14_promo_effect",
       "q19_discounted_revenue", "r7_refine_loop", "s3_batched_sink",
-      "f14_row_id_contract", "o27_kmv_distinct", "llm_drift_chi2")
+      "f14_row_id_contract", "o27_kmv_distinct", "llm_drift_chi2",
+      "c8_circle_filter")
     val unordered = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
       case (name, sql)
           if !sql.toUpperCase.contains("ORDER BY") && !singleRow(name) =>
