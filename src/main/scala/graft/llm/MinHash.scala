@@ -101,15 +101,22 @@ object MinHash {
       shingles(col(textCol), cfg.shingleSize).as("shingles"))
       .withColumn("sig", signature(col("shingles"), cfg.numHashes))
 
-  /** Candidate pairs (id_a < id_b) from banded LSH buckets. */
-  def candidatePairs(signedDocs: DataFrame, cfg: Config): DataFrame = {
+  /** (id, band, bucket) — one row per LSH band of each signed doc; the
+    * shared banding step of batch pair generation and the streaming
+    * incremental matcher. */
+  def banded(signedDocs: DataFrame, cfg: Config): DataFrame = {
     val rowsPerBand = cfg.numHashes / cfg.numBands
-    val banded = signedDocs
+    signedDocs
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(cfg.numBands - 1)),
           b => xxhash64(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
           .as(Seq("band", "bucket")))
+  }
+
+  /** Candidate pairs (id_a < id_b) from banded LSH buckets. */
+  def candidatePairs(signedDocs: DataFrame, cfg: Config): DataFrame = {
+    val banded = this.banded(signedDocs, cfg)
 
     // Mega-bucket guardrail: drop buckets that would go quadratic.
     val bucketSizes = banded.groupBy("band", "bucket").count()

@@ -2030,9 +2030,142 @@ object LlmQueries {
       .orderBy("stage_no")
   }
 
-  // lazy: driftChi2 is declared below this list; a strict val would
-  // capture null at object-init time (registry lint walks every entry)
+  /** STREAMING incremental near-dup — the MinHash-LSH family run as a
+    * real multi-batch stream: documents arrive one file per micro-batch
+    * (base corpus, then near-dups, then exact copies — ascending mtimes
+    * fix the order, the s18 technique), and each batch is matched against
+    * TWO persisted state tables before being folded in: a bucket-min
+    * store ((band, bucket) → smallest doc id seen — a min-merge monoid,
+    * so folding is batching-shape-invariant) and a doc-shingle store for
+    * exact-Jaccard verification of the candidate (bucket collisions must
+    * never flag a false dup — the same verify step the batch pipeline
+    * has). This is the arrival-order-respecting dedup a continuously
+    * ingesting corpus needs: a new document dups against the EARLIEST
+    * seen copy, never the reverse, and history is never re-clustered.
+    * Scale: per batch one banding pass + two key equi-joins; both state
+    * tables grow linearly with distinct docs (bucket store is
+    * bands×docs rows of three longs; production would partition both by
+    * key). Closed-form oracle: the planted corpus pins every (doc,
+    * dup_of, jaccard) triple by arithmetic. */
+  val streamNearDup: Reg = Reg.sql(
+    "llm_stream_neardup",
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |d AS (
+      |  SELECT doc_id + 10000000 AS doc_id, doc_id AS dup_of,
+      |         ROUND(CAST(18 AS DOUBLE) / CAST(19 AS DOUBLE), 4) AS jaccard
+      |  FROM ids WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, doc_id, CAST(1.0 AS DOUBLE)
+      |  FROM ids WHERE doc_id % 7 = 0)
+      |SELECT doc_id, dup_of, jaccard FROM d ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+      import graft.llm.MinHash
+      val cfg = MinHash.Config()
+      val work = java.nio.file.Files.createTempDirectory("graft_sneardup").toString
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), plantedWords.as("text"))
+        val near = base.where(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), format_string(" x%d", col("doc_id"))).as("text"))
+        val exact = base.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+
+        // one file per future micro-batch, mtime-ordered (s18 technique)
+        val src = new java.io.File(work, "in")
+        src.mkdirs()
+        val t0 = System.currentTimeMillis() - 600000L
+        Seq(base, near, exact).zipWithIndex.foreach { case (df, i) =>
+          val stage = s"$work/stage$i"
+          df.coalesce(1).write.parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(src, s"batch$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(t0 + i * 2000L)
+        }
+
+        @volatile var version = -1L
+        val outPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+        val bucketDir = (v: Long) => s"$work/buckets_v$v"
+        val docsDir = (v: Long) => s"$work/docs_v$v"
+
+        val schema = s.read.parquet(src.toString).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src.toString)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            val ss = batch.sparkSession
+            val signed = MinHash.signed(batch, "doc_id", "text", cfg)
+              .localCheckpoint() // consumed by banding, verify, and state fold
+            val banded = MinHash.banded(signed, cfg)
+            if (version >= 0) {
+              val buckets = ss.read.parquet(bucketDir(version))
+              val docsSt = ss.read.parquet(docsDir(version))
+              // verify EVERY matched bucket-min candidate, then keep the
+              // smallest VERIFIED one — a hash-collision candidate with
+              // smaller id must not mask the true duplicate
+              val verified = banded
+                .join(buckets, Seq("band", "bucket"))
+                .select(col("id"), col("min_id")).distinct()
+                .join(signed.select(col("id"), col("shingles")), "id")
+                .join(docsSt.select(col("doc_id").as("min_id"),
+                  col("shingles").as("s2")), "min_id")
+                .withColumn("jaccard",
+                  MinHash.jaccard(col("shingles"), col("s2")))
+                .where(col("jaccard") >= cfg.jaccardThreshold)
+                .groupBy(col("id"))
+                .agg(min(struct(col("min_id"), col("jaccard"))).as("m"))
+                .select(col("id").as("doc_id"), col("m.min_id").as("dup_of"),
+                  round(col("m.jaccard"), 4).as("jaccard"))
+                .localCheckpoint()
+              if (verified.count() > 0) {
+                verified.write.parquet(s"$work/out_$id")
+                outPaths.synchronized { outPaths += s"$work/out_$id"; () }
+              }
+            }
+            val batchMins = banded.groupBy("band", "bucket")
+              .agg(min(col("id")).as("min_id"))
+            val mergedBuckets =
+              if (version < 0) batchMins
+              else ss.read.parquet(bucketDir(version)).unionByName(batchMins)
+                .groupBy("band", "bucket").agg(min(col("min_id")).as("min_id"))
+            mergedBuckets.write.parquet(bucketDir(id))
+            val newDocs = signed.select(col("id").as("doc_id"), col("shingles"))
+            val mergedDocs =
+              if (version < 0) newDocs
+              else ss.read.parquet(docsDir(version)).unionByName(newDocs)
+            mergedDocs.write.parquet(docsDir(id))
+            version = id
+            ()
+          }
+          .option("checkpointLocation", work + "/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+
+        val out = s.read.parquet(outPaths.toSeq: _*)
+          .orderBy("doc_id")
+        // dup-pair cardinality rows: materialize so scratch can be deleted
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(work))
+      }
+  }
+
+  // lazy: driftChi2 and streamNearDup are declared around this list; lazy
+  // avoids capturing null at object-init time (registry lint walks every
+  // entry)
   lazy val all: Seq[Reg] = Seq(
+    streamNearDup,
     curationFunnel, communityLpa, dupSpanCoverage,
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
