@@ -318,10 +318,15 @@ object BehaviorQueries {
       df.select(col(key), explode(expr(
         s"array_distinct(transform(sequence(1, length($name) - 1), i -> substring($name, i, 2)))"))
         .as("g"))
-    val cleanGrams = grams(part, "p_partkey", "p_name")
-    // one global rarity order for BOTH sides: clean-corpus frequency,
-    // unseen bigrams rank rarest (freq 0) — the order just has to be total
-    // and shared, which a left join + coalesce(0) preserves
+    // Dedup-before-expensive: every costly stage (rarity prefix window,
+    // candidate join, levenshtein verify) runs on DISTINCT clean names;
+    // id pairs re-expand only AFTER verification. Identical output — but
+    // under duplicate-heavy data (the sf1 replica: every name ×10) the
+    // verify workload drops by the duplicate multiplicity instead of
+    // growing with its square. Any shared total order keeps the prefix
+    // filter complete, so ranking by distinct-name frequency is sound.
+    val cleanNames = part.select(col("p_name")).distinct()
+    val cleanGrams = grams(cleanNames, "p_name", "p_name")
     val freq = cleanGrams.groupBy("g").agg(count(lit(1)).as("f"))
     def prefix(gramsDf: DataFrame, key: String): DataFrame = {
       val w = Window.partitionBy(key).orderBy(col("f").asc, col("g").asc)
@@ -332,15 +337,16 @@ object BehaviorQueries {
         .select(col(key), col("g"))
     }
     val cand = prefix(grams(dirty, "d_key", "nd"), "d_key")
-      .join(prefix(cleanGrams, "p_partkey"), Seq("g"))
-      .select(col("d_key"), col("p_partkey").as("c_key")).distinct()
+      .join(prefix(cleanGrams, "p_name"), Seq("g"))
+      .select(col("d_key"), col("p_name")).distinct()
     cand
       .join(dirty, "d_key")
-      .join(part.select(col("p_partkey").as("c_key"), col("p_name")), "c_key")
       .where(abs(length(col("nd")) - length(col("p_name"))) <= 1 &&
         levenshtein(col("nd"), col("p_name")) <= 1)
-      .select(col("d_key"), col("c_key"),
+      .select(col("d_key"), col("p_name"),
         levenshtein(col("nd"), col("p_name")).cast("bigint").as("dist"))
+      .join(part.select(col("p_partkey").as("c_key"), col("p_name")), "p_name")
+      .select(col("d_key"), col("c_key"), col("dist"))
       .orderBy("d_key", "c_key")
   }
 

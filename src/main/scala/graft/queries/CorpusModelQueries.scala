@@ -371,18 +371,43 @@ object CorpusModelQueries {
       |FROM r WHERE rnk <= 3 ORDER BY p_id, rnk""".stripMargin) { (s, dir) =>
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), expr(quantize).as("qv"))
-    val probes = q.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("p_id"), col("label").as("p_label"),
-        col("qv").as("pv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("p_id").orderBy("dist", "neg_id")
-    q.crossJoin(broadcast(probes))
+    // Dedup-before-expensive (the j12 discipline): distance mining runs on
+    // DISTINCT (vector, label) groups; ids re-expand after ranking. Under
+    // duplicate-heavy data (the sf1 replica: every vector ×10) the scored
+    // pair count drops by the duplicate multiplicity on BOTH sides.
+    // Exactness: a duplicate group reaches the expanded (dist, neg_id)
+    // top-3 only if its (dist, min_id) group key ranks in the group
+    // top-3 — each contributing group contributes its min id first, so a
+    // group ranked 4th is preceded by at least three smaller (dist, id)
+    // pairs from other groups' minima alone.
+    val groups = q.groupBy("qv", "label").agg(min("vec_id").as("min_id"))
+      .localCheckpoint() // reused for negatives + the probe filter below
+    val probeGroups = q.where(col("vec_id") % 50 === 0)
+      .groupBy(col("qv").as("pv"), col("label").as("p_label"))
+      .agg(count(lit(1)).as("__n"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy("pv", "p_label").orderBy("dist", "min_id")
+    val top3Groups = groups.crossJoin(broadcast(probeGroups))
       .where(col("label") =!= col("p_label"))
-      .select(col("p_id"), col("vec_id").as("neg_id"), expr(
-        """aggregate(zip_with(qv, pv, (a, b) -> (a - b) * (a - b)),
-          |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("dist"))
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .select(col("pv"), col("p_label"), col("qv"), col("label"), col("min_id"),
+        expr("""aggregate(zip_with(qv, pv, (a, b) -> (a - b) * (a - b)),
+               |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+          .as("dist"))
+      .withColumn("__g", row_number().over(wG))
+      .where(col("__g") <= 3)
+    // expand the surviving groups back to ids, re-rank per probe VECTOR
+    val wV = org.apache.spark.sql.expressions.Window
+      .partitionBy("pv", "p_label").orderBy("dist", "neg_id")
+    val topPerVector = top3Groups
+      .join(q.select(col("qv"), col("label"), col("vec_id").as("neg_id")),
+        Seq("qv", "label"))
+      .withColumn("rnk", row_number().over(wV).cast("bigint"))
       .where(col("rnk") <= 3)
+    // expand probe vectors back to probe ids (copies share the ranking)
+    topPerVector
+      .join(q.where(col("vec_id") % 50 === 0)
+        .select(col("qv").as("pv"), col("label").as("p_label"),
+          col("vec_id").as("p_id")), Seq("pv", "p_label"))
       .select(col("p_id"), col("rnk"), col("neg_id"), col("dist"))
       .orderBy("p_id", "rnk")
   }
