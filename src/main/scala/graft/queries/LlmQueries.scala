@@ -2161,11 +2161,76 @@ object LlmQueries {
       }
   }
 
+  /** The dataset card — the summary-statistics bundle published next to a
+    * released corpus (size, token/char volume, language/source diversity,
+    * duplication rate, length envelope), emitted as one (metric, value)
+    * table. ONE fused aggregate pass over the corpus (the a29 analyzer-
+    * fusion discipline: a 10-metric card costs one scan); ratios use
+    * integer floor division so every value is an exact BIGINT. */
+  val datasetCard: Reg = Reg.sql(
+    "llm_dataset_card",
+    """WITH t AS (SELECT doc_id, lang, source, n_chars,
+      |                  len(string_split(text, ' ')) AS n_tok,
+      |                  sha256(text) AS h FROM documents),
+      |m AS (SELECT
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  COUNT(DISTINCT source) AS n_sources,
+      |  COUNT(*) - COUNT(DISTINCT h) AS exact_dups,
+      |  COUNT(*) FILTER (WHERE lang = 'en') * 1000 // COUNT(*) AS en_permille,
+      |  CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS mean_chars_floor,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |  FROM t)
+      |SELECT 'n_docs' AS metric, CAST(n_docs AS BIGINT) AS value FROM m
+      |UNION ALL SELECT 'n_tokens', n_tokens FROM m
+      |UNION ALL SELECT 'n_chars', n_chars FROM m
+      |UNION ALL SELECT 'n_langs', n_langs FROM m
+      |UNION ALL SELECT 'n_sources', n_sources FROM m
+      |UNION ALL SELECT 'exact_dup_docs', exact_dups FROM m
+      |UNION ALL SELECT 'en_permille', CAST(en_permille AS BIGINT) FROM m
+      |UNION ALL SELECT 'mean_chars_floor', CAST(mean_chars_floor AS BIGINT) FROM m
+      |UNION ALL SELECT 'min_chars', min_chars FROM m
+      |UNION ALL SELECT 'max_chars', max_chars FROM m
+      |ORDER BY metric""".stripMargin) { (s, dir) =>
+    val m = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
+        sha2(col("text"), 256).as("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        (count(lit(1)) - countDistinct("h")).as("exact_dups"),
+        expr("count(CASE WHEN lang = 'en' THEN 1 END) * 1000 DIV count(1)")
+          .as("en_permille"),
+        min("n_chars").cast("long").as("min_chars"),
+        max("n_chars").cast("long").as("max_chars"))
+      .withColumn("mean_chars_floor", expr("n_chars DIV n_docs"))
+    def row(name: String, c: String) =
+      m.select(lit(name).as("metric"), col(c).cast("long").as("value"))
+    row("n_docs", "n_docs")
+      .unionByName(row("n_tokens", "n_tokens"))
+      .unionByName(row("n_chars", "n_chars"))
+      .unionByName(row("n_langs", "n_langs"))
+      .unionByName(row("n_sources", "n_sources"))
+      .unionByName(row("exact_dup_docs", "exact_dups"))
+      .unionByName(row("en_permille", "en_permille"))
+      .unionByName(row("mean_chars_floor", "mean_chars_floor"))
+      .unionByName(row("min_chars", "min_chars"))
+      .unionByName(row("max_chars", "max_chars"))
+      .orderBy("metric")
+  }
+
   // lazy: driftChi2 and streamNearDup are declared around this list; lazy
   // avoids capturing null at object-init time (registry lint walks every
   // entry)
   lazy val all: Seq[Reg] = Seq(
-    streamNearDup,
+    streamNearDup, datasetCard,
     curationFunnel, communityLpa, dupSpanCoverage,
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
