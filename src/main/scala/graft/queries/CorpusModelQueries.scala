@@ -280,21 +280,20 @@ object CorpusModelQueries {
       |                          AS BIGINT)) // n.n AS BIGINT) AS per_char_micro
       |FROM cc JOIN n ON n.doc_id = cc.doc_id
       |GROUP BY cc.doc_id, n.n ORDER BY cc.doc_id""".stripMargin) { (s, dir) =>
-    // length>=1 guard both sides: Spark's sequence(1, 0) steps DOWN to
-    // [1, 0] while DuckDB's generate_series(1, 0) is empty — an empty
-    // document must drop identically in both engines.
-    val cc = Tables.documents(s, dir)
+    // length>=1 guard both sides: the UDF returns null for empty text, and
+    // DuckDB's generate_series(1, 0) is empty — an empty document must
+    // drop identically in both engines. The metric is per-row computable,
+    // so the Spark side is ONE fused scan pass (TextAnalysis
+    // .charEntropyStats — per-doc count map in a JIT UDF) instead of the
+    // oracle's explode shape, which pays one row per CHARACTER through two
+    // corpus-character-sized shuffles; at sf1 that explode form was the
+    // slowest non-join query on the surface (22 s → ~2 s).
+    Tables.documents(s, dir)
       .where(length(col("text")) >= 1)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("c"))
-      .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
-    val n = cc.groupBy("doc_id").agg(sum("k").as("n"))
-    cc.join(n, "doc_id")
-      .select(col("doc_id"), col("n"),
-        (col("k") * expr("CAST(FLOOR(LN(CAST(k AS DOUBLE) / n) * 1e6) AS BIGINT)"))
-          .as("term"))
-      .groupBy("doc_id")
-      .agg(first("n").as("n_chars"), (-sum("term")).as("entropy_micro"))
+      .select(col("doc_id"),
+        graft.llm.TextAnalysis.charEntropyStats(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r._1").as("n_chars"), col("r._2").as("entropy_micro"))
       // non-negative operands: truncating DIV == DuckDB's floor //
       .withColumn("per_char_micro",
         expr("CAST(entropy_micro DIV n_chars AS BIGINT)"))

@@ -449,10 +449,15 @@ object LlmQueries {
     val evalG = broadcast(
       grams.where(col("doc_id") % 50 === 0 && col("doc_id") < 3200)
         .select(col("doc_id").as("eval_id"), col("gram")).distinct())
-    grams.where(col("doc_id") % 50 =!= 0).distinct()
+    // Train-side dedup happens AFTER the broadcast join: the oracle's
+    // "distinct train grams" then count ≡ count(DISTINCT gram) per
+    // (train, eval) pair, and joining first means the map-side broadcast
+    // probe discards every non-colliding gram — no corpus-gram-sized
+    // distinct shuffle; only the (tiny) collision set ever exchanges.
+    grams.where(col("doc_id") % 50 =!= 0)
       .join(evalG, "gram")
       .groupBy("doc_id", "eval_id")
-      .agg(count(lit(1)).as("shared_8grams"))
+      .agg(countDistinct(col("gram")).as("shared_8grams"))
       .orderBy("doc_id", "eval_id")
   }
 

@@ -80,6 +80,26 @@ class CorpusModelSpec extends AnyFunSuite with Matchers with SparkSuite {
     ()
   }
 
+  test("charEntropyMetrics == the explode-restatement arithmetic on random strings") {
+    // the fused UDF replaced a per-character explode plan; this pins the
+    // pure function to the exact integer arithmetic the DuckDB oracle runs
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 300) {
+      val len = trial % 40 // include 0: empty must map to None (drop row)
+      val s = (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val got = graft.llm.TextAnalysis.charEntropyMetrics(s)
+      if (len == 0) got shouldBe None
+      else {
+        val n = len.toLong
+        val total = s.groupBy(identity).values
+          .map(g => g.length.toLong *
+            math.floor(math.log(g.length.toDouble / n) * 1e6).toLong)
+          .sum
+        got shouldBe Some((n, -total))
+      }
+    }
+  }
+
   test("pq codes: each subspace partitions all vectors over codes 0..3") {
     val out = CorpusModelQueries.pqCodes.build(spark, sfDir).collect()
     val vectors = Tables.embeddings(spark, sfDir).count()
