@@ -243,7 +243,7 @@ object ScanIngest {
     // Batch mode: materialize decoded docs once — both explode branches scan
     // them, and gunzip+parse is the expensive step. Streaming plans cannot
     // checkpoint mid-stream, so there the source cache/exchange reuse applies.
-    val docs = if (decoded.isStreaming) decoded else decoded.localCheckpoint()
+    val docs = if (decoded.isStreaming) decoded else decoded.localCheckpoint(false)
     val connected = validateAndEnrich(flattenConnected(docs), cfg)
     val scans = validateAndEnrich(flattenScans(docs), cfg)
     connected.unionByName(scans)

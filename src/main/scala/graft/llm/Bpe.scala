@@ -59,7 +59,7 @@ object Bpe {
     var vocab = words.select(col(wCol).as("w"))
       .where(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("wcnt"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     val merges = Seq.newBuilder[Row]
     var round = 1
@@ -83,7 +83,7 @@ object Bpe {
           .where(length(col("w")) >= 2)
           // distinct words can collapse onto the same symbol string
           .groupBy("w").agg(sum("wcnt").as("wcnt"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         vocab.unpersist()
         vocab = next
         round += 1

@@ -149,7 +149,7 @@ object MinHash {
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame =
-    nearDuplicatesFromSigned(signed(docs, idCol, textCol, cfg).localCheckpoint(), cfg)
+    nearDuplicatesFromSigned(signed(docs, idCol, textCol, cfg).localCheckpoint(false), cfg)
 
   /** Same pipeline over an already-materialized signature frame — callers
     * that also need the candidates or counts share ONE signature pass

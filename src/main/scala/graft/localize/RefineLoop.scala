@@ -181,7 +181,7 @@ object RefineLoop {
       // The loop output is reused twice (state write + caller's read) and is
       // the product of a nondeterministic-order shuffle feeding the capped
       // localizer — materialize ONCE so both consumers see the same rows.
-      .localCheckpoint()
+      .localCheckpoint(false)
     val stateUpdate = refined
       .where(col("applied")) // replays must not touch state
       .select(col("bssid"),

@@ -59,7 +59,7 @@ object BloomPrune {
     // side is dimension-bounded by the operator's contract (that's the
     // premise of bloom pruning), so the storage cost is a broadcast-scale
     // footprint, never fact-sized.
-    val dimM = dim.localCheckpoint()
+    val dimM = dim.localCheckpoint(false)
     // An empty dimension yields no sketch to merge (stat.bloomFilter NPEs);
     // the prune is then the semi-join itself: nothing matches.
     val pruned =

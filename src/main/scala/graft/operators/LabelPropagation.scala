@@ -36,7 +36,7 @@ object LabelPropagation {
         .groupBy("v")
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("mx"))
         .select(col("v"), (-col("mx.nl")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     labels
   }

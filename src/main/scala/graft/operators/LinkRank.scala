@@ -63,12 +63,12 @@ object LinkRank {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Out-degree with multiplicity, attached once; the per-round join then
     // carries everything a contribution needs.
     val withDeg = e.join(
       e.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     val teleport = (dampDen - dampNum) * scale / dampDen
     var ranks = nodes.withColumn("r", lit(scale))
@@ -84,7 +84,7 @@ object LinkRank {
           (lit(teleport) +
             expr(s"($dampNum * coalesce(csum, cast(0 as bigint))) div $dampDen"))
             .as("r"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }

@@ -792,7 +792,7 @@ object AnalyticsQueries {
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val grid = hourly.groupBy("user_id")
       .agg(min("h").as("h0"), max("h").as("h1"))
       .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
@@ -868,7 +868,7 @@ object AnalyticsQueries {
       .select(col("o_custkey").as("custkey"), col("l_orderkey").as("okey"),
         col("lo"), col("hi"))
       // consumed as both overlap sides — materialize the window build once
-      .localCheckpoint()
+      .localCheckpoint(false)
     val a = wins.select(col("custkey"), col("okey").as("a_okey"),
       col("lo").as("a_lo"), col("hi").as("a_hi"))
     val b = wins.select(col("custkey"), col("okey").as("b_okey"),
@@ -1537,7 +1537,7 @@ object AnalyticsQueries {
       .withColumn("h",
         expr("CAST(conv(substring(md5(CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
       // (st, custkey) cardinality — tiny vs orders; feeds 6 consumers
-      .localCheckpoint()
+      .localCheckpoint(false)
     val ha = base.where(col("st") === "O").select("k", "h")
     val hb = base.where(col("st") === "F").select("k", "h")
     val ska = ha.select("h").orderBy("h").limit(256)

@@ -380,7 +380,7 @@ object CorpusModelQueries {
     // group ranked 4th is preceded by at least three smaller (dist, id)
     // pairs from other groups' minima alone.
     val groups = q.groupBy("qv", "label").agg(min("vec_id").as("min_id"))
-      .localCheckpoint() // reused for negatives + the probe filter below
+      .localCheckpoint(false) // reused for negatives + the probe filter below
     val probeGroups = q.where(col("vec_id") % 50 === 0)
       .groupBy(col("qv").as("pv"), col("label").as("p_label"))
       .agg(count(lit(1)).as("__n"))
@@ -522,7 +522,7 @@ object CorpusModelQueries {
       .select(col("doc_id"), col("n_bigrams"),
         expr("CAST((-lm_qscore) DIV n_bigrams AS BIGINT)").as("avg_nll_micro"))
       // three consumers (count, top-K, verdict scan): materialize once
-      .localCheckpoint()
+      .localCheckpoint(false)
     val n = scored.count()
     if (n == 0) {
       scored.withColumn("verdict", lit("keep"))

@@ -81,7 +81,7 @@ object IngestQueries {
     // ingest chain scan it (gzip encode would otherwise run twice).
     val wire = Tables.documents(s, dir)
       .select(Codec.encodeLineCol(rawJson).as("value"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val measurements = ScanIngest.ingest(
       wire, ScanIngest.Config(nowMillis = Some(NowMs)))
     ScanIngest.dedup(measurements)
@@ -548,9 +548,9 @@ object IngestQueries {
     val line = when(col("doc_id") % 17 === 0, lit("!corrupt-not-base64!"))
       .when(col("doc_id") % 19 === 0, lit(""))
       .otherwise(Codec.encodeLineCol(json))
-    val wire = Tables.documents(s, dir).select(line.as("value")).localCheckpoint()
+    val wire = Tables.documents(s, dir).select(line.as("value")).localCheckpoint(false)
     val cfg = ScanIngest.Config(nowMillis = Some(NowMs), maxRecordBytes = 4096)
-    val decoded = ScanIngest.decodeAndParse(wire).localCheckpoint()
+    val decoded = ScanIngest.decodeAndParse(wire).localCheckpoint(false)
     val sizeKept = decoded.where(length(to_json(col("doc"))) <= cfg.maxRecordBytes)
     val measurements = ScanIngest.ingest(wire, cfg)
     wire.agg(count(lit(1)).as("wire_lines"))

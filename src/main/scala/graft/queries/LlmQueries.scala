@@ -585,7 +585,7 @@ object LlmQueries {
         explode(TextAnalysis.winnow(col("text"), k = 8, w = 4)).as("fp"))
       // consumed three times (stop-gram agg + both pair sides) — compute
       // the per-row fingerprints once
-      .localCheckpoint()
+      .localCheckpoint(false)
     val rare = fps.groupBy("fp")
       .agg(countDistinct("doc_id").as("nd"))
       .where(col("nd") <= 5)
@@ -890,7 +890,7 @@ object LlmQueries {
     val words = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
       .where(col("w") =!= "")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val tf = words.groupBy("source", "w").agg(count(lit(1)).as("tf"))
     val df = words.groupBy("w").agg(countDistinct(col("source")).as("df"))
     val nSources = Tables.documents(s, dir)
@@ -2105,7 +2105,7 @@ object LlmQueries {
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
             val ss = batch.sparkSession
             val signed = MinHash.signed(batch, "doc_id", "text", cfg)
-              .localCheckpoint() // consumed by banding, verify, and state fold
+              .localCheckpoint(false) // consumed by banding, verify, and state fold
             val banded = MinHash.banded(signed, cfg)
             if (version >= 0) {
               val buckets = ss.read.parquet(bucketDir(version))
@@ -2126,7 +2126,7 @@ object LlmQueries {
                 .agg(min(struct(col("min_id"), col("jaccard"))).as("m"))
                 .select(col("id").as("doc_id"), col("m.min_id").as("dup_of"),
                   round(col("m.jaccard"), 4).as("jaccard"))
-                .localCheckpoint()
+                .localCheckpoint(false)
               if (verified.count() > 0) {
                 verified.write.parquet(s"$work/out_$id")
                 outPaths.synchronized { outPaths += s"$work/out_$id"; () }
