@@ -376,7 +376,50 @@ object BehaviorQueries {
       .orderBy("prev_type", "cur_type")
   }
 
+  /** Distributed ROC-AUC (`RankMetrics.aucExact`) — the model-eval rank
+    * statistic computed without any corpus-sized global sort: one distinct-
+    * score aggregate, a domain-bounded bucket-offset window (broadcast), a
+    * per-bucket parallel running sum, and the Mann-Whitney identity on
+    * DOUBLED ranks so the average-rank tie convention stays in exact
+    * BIGINTs. The synthetic "model" floors `value` and adds +50 for
+    * purchases — a planted signal, so AUC lands strictly above ½ and the
+    * gate exercises both the tie handling (floored scores collide heavily)
+    * and the concordance arithmetic; the oracle restates the doubled-rank
+    * algebra from a plain ordered window. */
+  val o29Auc: Reg = Reg.sql(
+    "o29_auc",
+    """WITH s AS (
+      |  SELECT CAST(FLOOR(value) AS BIGINT)
+      |         + CASE WHEN event_type = 'purchase' THEN 50 ELSE 0 END AS sc,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |g AS (SELECT sc, CAST(COUNT(*) AS BIGINT) AS c,
+      |             CAST(SUM(y) AS BIGINT) AS p
+      |      FROM s GROUP BY sc),
+      |o AS (SELECT sc, c, p,
+      |             CAST(COALESCE(SUM(c) OVER (ORDER BY sc
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |                  0) AS BIGINT) AS cb
+      |      FROM g),
+      |t AS (SELECT CAST(SUM(p * (2 * cb + c + 1)) AS BIGINT) AS r2,
+      |             CAST(SUM(p) AS BIGINT) AS n_pos,
+      |             CAST(SUM(c - p) AS BIGINT) AS n_neg
+      |      FROM o)
+      |SELECT n_pos, n_neg,
+      |       CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+      |       CAST(CASE WHEN n_pos * n_neg > 0
+      |                 THEN (r2 - n_pos * (n_pos + 1)) * 500000
+      |                      // (n_pos * n_neg) END AS BIGINT) AS auc_ppm
+      |FROM t""".stripMargin) { (s, dir) =>
+    val scored = Tables.events(s, dir)
+      .select(
+        (expr("CAST(FLOOR(value) AS BIGINT)") +
+          when(col("event_type") === "purchase", 50L).otherwise(0L)).as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+    graft.analytics.RankMetrics.aucExact(scored, "score", "label")
+  }
+
   val all: Seq[Reg] = Seq(
     o18WindowFunnel, o19RetentionCohorts, a23IncrementalAgg, j11GridNeighbors,
-    j12FuzzyJoin, o23TransitionMatrix)
+    j12FuzzyJoin, o23TransitionMatrix, o29Auc)
 }

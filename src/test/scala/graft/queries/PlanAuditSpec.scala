@@ -55,6 +55,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     p should not include "lang" // untouched columns pruned from the scan
   }
 
+  test("llm_char_entropy: fused per-row pass — no explode, no shuffle before the sort") {
+    // The entropy gate claims one O(doc) count-map pass per row (it
+    // replaced a per-CHARACTER explode): nothing may generate rows, and the
+    // only Exchange allowed is the final ORDER BY's range partitioning.
+    val p = plan(CorpusModelQueries.charEntropy)
+    p should not include "Generate"
+    "Exchange".r.findAllIn(p).size should be <= 1
+  }
+
+  test("o29_auc: global-rank AUC without a corpus-sized single-partition funnel") {
+    // Two-level prefix sum: the distinct-score frame shuffles by HASH (sc,
+    // then bucket), the bucket-offset frame joins back by BROADCAST, and
+    // the only SinglePartition exchanges sit above aggregates (the
+    // domain-bounded offset window and the final 1-row reduce) — the raw
+    // frame must never funnel through one partition for the ranking.
+    val p = plan(BehaviorQueries.o29Auc)
+    p should include("BroadcastExchange")
+    // the within-bucket running sum's window shuffles by HASH on the bucket
+    p should include("hashpartitioning(b")
+    "Exchange SinglePartition".r.findAllIn(p).size should be <= 2
+  }
+
   test("llm_source_mix: global window runs on the post-agg source frame") {
     // The window denominators are order-independent aggregates over the
     // |sources|-row aggregate, never over the raw documents: the plan must
