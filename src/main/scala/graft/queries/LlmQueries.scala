@@ -2235,7 +2235,7 @@ object LlmQueries {
   // avoids capturing null at object-init time (registry lint walks every
   // entry)
   lazy val all: Seq[Reg] = Seq(
-    streamNearDup, datasetCard,
+    streamNearDup, datasetCard, shardAssign,
     curationFunnel, communityLpa, dupSpanCoverage,
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
@@ -2246,6 +2246,38 @@ object LlmQueries {
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
     bm25TopK, embedCentroids, clusterReps, linkTriangles, weightedSample,
     driftKs, imageMeta, audioMeta, driftChi2)
+
+  /** Training-shard assignment by GLOBAL cumulative token count — the
+    * writer-side step after packing/splitting: every doc gets the shard id
+    * `cum_tokens_before DIV shardTokens` in stable doc_id order, so shard
+    * boundaries are a pure function of the corpus (re-runs, re-partitions
+    * and engine changes produce the identical layout — the property object
+    * stores need for resumable exports). The global running sum goes
+    * through `PrefixSum.globalCumsum` (two-level bucketed prefix: hash-
+    * partitioned within-bucket windows + a corpus/width-sized offset frame)
+    * — never a single-partition ORDER BY window; the oracle IS that naive
+    * window, so the gate proves the two-level decomposition exact. Token
+    * counts use the chars/4 heuristic on the stored n_chars (integral,
+    * engine-identical). */
+  val shardAssign: Reg = Reg.sql(
+    "llm_shard_assign",
+    """WITH t AS (SELECT doc_id, n_chars // 4 AS toks FROM documents),
+      |c AS (SELECT doc_id, toks,
+      |        CAST(COALESCE(SUM(toks) OVER (ORDER BY doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |             AS BIGINT) AS cum_before
+      |      FROM t)
+      |SELECT doc_id, CAST(toks AS BIGINT) AS toks, cum_before,
+      |       CAST(cum_before // 16384 AS BIGINT) AS shard_id
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      // n_chars >= 0, so truncating DIV == DuckDB's floor //
+      .select(col("doc_id"), expr("CAST(n_chars DIV 4 AS BIGINT)").as("toks"))
+    graft.operators.PrefixSum.globalCumsum(t, "doc_id", "toks", bucketWidth = 1024L)
+      .select(col("doc_id"), col("toks"), col("cum_before"),
+        expr("CAST(cum_before DIV 16384 AS BIGINT)").as("shard_id"))
+      .orderBy("doc_id")
+  }
 
   /** Categorical drift monitor: Pearson chi-square independence test of
     * the (source-group × language) contingency table — the discrete
