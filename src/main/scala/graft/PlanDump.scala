@@ -50,7 +50,11 @@ object PlanDump {
       ("o25_pareto_front", "skyline: BOTH dominance tests are windows partitioned by brand (one exchange), running max over the strictly-cheaper RANGE frame plus the price peer-group max - O(n log n) per group, no self-join, no O(n^2) pair stage"),
       ("o26_count_min", "Count-Min: the sketch aggregate groups on (row, md5-derived bucket) - a provably <=4x4096-row frame (PlanAuditSpec witness) broadcast to the probe side; the fact stream never shuffles twice"),
       ("llm_curation_funnel", "five curation stages in ONE corpus pass: stage flags are columns (dedup = min-over-hash window, contamination = one 8-gram semi-join), one aggregate emits every stage count - no per-stage re-scan"),
-      ("o28_holt_linear", "sequential smoothing as a plan: ONE groupBy exchange collects each key's ordered history, the level+trend recursion runs inside a codegen'd aggregate HOF - per-key O(n), state 2 doubles"))
+      ("o28_holt_linear", "sequential smoothing as a plan: ONE groupBy exchange collects each key's ordered history, the level+trend recursion runs inside a codegen'd aggregate HOF - per-key O(n), state 2 doubles"),
+      ("llm_char_entropy", "entropy gate after the explode->UDF rewrite: one fused O(doc) count-map pass per row - NO Generate, no shuffle before the output sort (the oracle still walks one row per character; at sf1 this plan is ~10x the explode form)"),
+      ("llm_decontaminate", "gram-collision decontamination: train grams probe the BROADCAST eval-gram set map-side, dedup (count DISTINCT per pair) happens on the collision set AFTER the join - the corpus-gram frame is never distinct-shuffled"),
+      ("o29_auc", "global-rank AUC without a global sort: distinct-score hash aggregate, domain-bounded bucket offsets broadcast back, within-bucket running sums on a hashpartitioning(b) window - the only SinglePartition exchanges sit above constant-sized aggregates"),
+      ("llm_shard_assign", "two-level global prefix sum: bucket totals + broadcast offsets + per-bucket windows replace the naive single-partition ORDER BY cumulative window the oracle states"))
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")
