@@ -1869,6 +1869,75 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span REMOVAL — the action half of Lee et al. substring
+    * dedup (`llm_dup_span_coverage` is the measurement half): every token
+    * position covered by ANY 8-word span whose text occurs in ≥ 2
+    * documents is dropped, and the residual document is reassembled in
+    * original token order. Exact-span semantics (not segment- or
+    * first-occurrence-based like `llm_segment_dedup`): a covered position
+    * is covered in EVERY document carrying the span, so shared boilerplate
+    * vanishes everywhere at once.
+    *
+    * Scale shape: spans join the vocabulary-sized gram→df frame (no pair
+    * generation); duplicated spans expand to ≤ 8 covered positions each;
+    * the rebuild is one anti-join on (doc, pos) plus one group-back with a
+    * position-sorted array — every stage an equi-join or keyed aggregate
+    * on corpus-linear frames. Fully-covered documents survive as empty
+    * strings (left join from the corpus), which downstream length gates
+    * then drop — the pipeline-visible difference between "document
+    * removed" and "document emptied" that Lee et al. call out. */
+  val dupSpanStrip: Reg = Reg.sql(
+    "llm_dup_span_strip",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sp AS (SELECT doc_id, UNNEST(list_transform(generate_series(1, len(w) - 7),
+      |         i -> {'i': i, 'gram': array_to_string(w[i:i+7], ' ')})) AS s
+      |       FROM w WHERE len(w) >= 8),
+      |spans AS (SELECT doc_id, s.i AS i, s.gram AS gram FROM sp),
+      |df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY gram),
+      |dup AS (SELECT DISTINCT doc_id, pos FROM (
+      |          SELECT spans.doc_id, UNNEST(generate_series(i, i + 7)) AS pos
+      |          FROM spans JOIN df USING (gram) WHERE df >= 2)),
+      |tok2 AS (SELECT doc_id, t.pos AS pos, t.tok AS tok FROM (
+      |           SELECT doc_id, UNNEST(list_transform(generate_series(1, len(w)),
+      |             j -> {'pos': j, 'tok': w[j]})) AS t FROM w)),
+      |kept AS (SELECT tok2.* FROM tok2 ANTI JOIN dup USING (doc_id, pos))
+      |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+      |       CAST(COUNT(kept.pos) AS BIGINT) AS kept_tokens,
+      |       COALESCE(string_agg(kept.tok, ' ' ORDER BY kept.pos), '')
+      |         AS stripped_text
+      |FROM w LEFT JOIN kept ON kept.doc_id = w.doc_id
+      |GROUP BY w.doc_id, len(w.w) ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+    val spans = w.where(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 7),
+          |  i -> struct(i AS i, array_join(slice(w, i, 8), ' ') AS gram))"""
+          .stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.gram").as("gram"))
+    val dfG = spans.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val dup = spans.join(dfG.where(col("df") >= 2), "gram")
+      .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("pos"))
+      .distinct()
+    val toks = w.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(w)), j -> struct(j AS pos, element_at(w, j) AS tok))"))
+      .as("t"))
+      .select(col("doc_id"), col("t.pos").as("pos"), col("t.tok").as("tok"))
+    val keptAgg = toks.join(dup, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+          " ").as("stripped_text"))
+    w.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("stripped_text"), lit("")).as("stripped_text"))
+      .orderBy("doc_id")
+  }
+
   /** Community detection on the link graph via deterministic synchronous
     * label propagation ([[graft.operators.LabelPropagation]], 3 rounds) —
     * the domain/community-mix signal next to LinkRank and triangle
@@ -2235,7 +2304,7 @@ object LlmQueries {
   // avoids capturing null at object-init time (registry lint walks every
   // entry)
   lazy val all: Seq[Reg] = Seq(
-    streamNearDup, datasetCard, shardAssign,
+    streamNearDup, datasetCard, shardAssign, dupSpanStrip,
     curationFunnel, communityLpa, dupSpanCoverage,
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,

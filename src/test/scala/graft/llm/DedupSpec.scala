@@ -64,6 +64,33 @@ class DedupSpec extends AnyFunSuite with Matchers with SparkSuite {
     plan should not include "CartesianProduct"
   }
 
+  test("span strip agrees with span coverage on exactly which docs lose tokens") {
+    // measurement half vs action half of Lee et al. substring dedup: a doc
+    // whose coverage query reports zero duplicated spans must come through
+    // the strip untouched; one with any duplicated span must lose at least
+    // one full 8-token span's worth of positions.
+    import graft.queries.LlmQueries
+    val cov = LlmQueries.dupSpanCoverage.build(spark, sfDir)
+      .select(col("doc_id"), col("dup_spans"))
+    val strip = LlmQueries.dupSpanStrip.build(spark, sfDir)
+    val j = strip.join(cov, Seq("doc_id")).collect()
+    j.length should be > 0
+    j.foreach { r =>
+      val (n, kept, dup) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      withClue(s"doc ${r.getLong(0)}: ") {
+        if (dup == 0L) kept shouldBe n
+        else kept should be <= (n - 8L)
+      }
+    }
+    // reassembly sanity: kept tokens of an untouched doc reproduce the text
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val untouched = strip.join(cov, Seq("doc_id"))
+      .where(col("dup_spans") === 0)
+      .join(docs, Seq("doc_id"))
+      .where(col("stripped_text") =!= col("text"))
+    untouched.count() shouldBe 0L
+  }
+
   test("shingles: n-gram set with short-text fallback") {
     import spark.implicits._
     val df = Seq(("a b c d", 1), ("ab", 2)).toDF("text", "id")
