@@ -54,7 +54,7 @@ object PlanDump {
       ("llm_char_entropy", "entropy gate after the explode->UDF rewrite: one fused O(doc) count-map pass per row - NO Generate, no shuffle before the output sort (the oracle still walks one row per character; at sf1 this plan is ~10x the explode form)"),
       ("llm_decontaminate", "gram-collision decontamination: train grams probe the BROADCAST eval-gram set map-side, dedup (count DISTINCT per pair) happens on the collision set AFTER the join - the corpus-gram frame is never distinct-shuffled"),
       ("o29_auc", "global-rank AUC without a global sort: distinct-score hash aggregate, domain-bounded bucket offsets broadcast back, within-bucket running sums on a hashpartitioning(b) window - the only SinglePartition exchanges sit above constant-sized aggregates"),
-      ("llm_shard_assign", "two-level global prefix sum: bucket totals + broadcast offsets + per-bucket windows replace the naive single-partition ORDER BY cumulative window the oracle states"))
+      ("llm_shard_assign", "two-level global prefix sum: bucket totals + hint-free offset join (AQE broadcasts it while small, shuffle-joins beyond - the frame scales with rows/width, so no hint) + per-bucket windows replace the naive single-partition ORDER BY cumulative window the oracle states"))
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")

@@ -47,30 +47,53 @@ object RankMetrics {
       scored: DataFrame,
       scoreCol: String,
       labelCol: String,
+      bucketWidth: Long = 64L): DataFrame =
+    aucExactBy(scored, Nil, scoreCol, labelCol, bucketWidth)
+
+  /** Per-slice form: one AUC row per distinct `groupCols` tuple — model
+    * eval by segment/source/language, each slice ranked independently.
+    * Same two-level shape with every frame keyed by the slice: score
+    * groups aggregate on (slice, score), bucket offsets run in a window
+    * PARTITIONED by slice over the (slice, bucket) frame (|slices| ·
+    * |domain|/width rows, hash-distributed — parallel across slices), and
+    * the broadcast join carries the slice key. No stage concentrates one
+    * slice's rows on one partition beyond its per-bucket share. */
+  def aucExactBy(
+      scored: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      labelCol: String,
       bucketWidth: Long = 64L): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val gks = groupCols.map(col)
     val g = scored
-      .groupBy(col(scoreCol).cast("long").as("sc"))
+      .groupBy(gks :+ col(scoreCol).cast("long").as("sc"): _*)
       .agg(count(lit(1)).as("c"), sum(col(labelCol).cast("long")).as("p"))
       .withColumn("b", expr(s"sc DIV $bucketWidth"))
-    // Domain-bounded bucket totals: the one frame allowed a global window.
-    val wB = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    val offs = g.groupBy("b").agg(sum("c").as("bc"))
-      .select(col("b"), coalesce(sum("bc").over(wB), lit(0L)).as("boff"))
-    val wIn = Window.partitionBy("b").orderBy("sc")
+    // Bucket totals: |slices| × domain-bounded. Grouped: the offset window
+    // partitions by slice; ungrouped: the frame itself is domain-bounded,
+    // the one frame allowed a global window.
+    val wB = (if (groupCols.isEmpty) Window.orderBy("b")
+              else Window.partitionBy(gks: _*).orderBy("b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = g.join(broadcast(offs), "b")
+    val offs = g.groupBy(gks :+ col("b"): _*).agg(sum("c").as("bc"))
+      .select(gks :+ col("b") :+
+        coalesce(sum("bc").over(wB), lit(0L)).as("boff"): _*)
+    val wIn = Window.partitionBy(gks :+ col("b"): _*).orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.join(broadcast(offs), groupCols :+ "b")
       .withColumn("cb", col("boff") + coalesce(sum("c").over(wIn), lit(0L)))
     ranked
+      .groupBy(gks: _*)
       .agg(
         sum(col("p") * (lit(2L) * col("cb") + col("c") + lit(1L))).as("r2"),
         sum("p").as("n_pos"),
         sum(col("c") - col("p")).as("n_neg"))
-      .select(
+      .select(gks ++ Seq(
         col("n_pos"), col("n_neg"),
         (col("r2") - col("n_pos") * (col("n_pos") + lit(1L))).as("u2"),
         when(col("n_pos") * col("n_neg") > 0,
           expr("(r2 - n_pos * (n_pos + 1)) * 500000 DIV (n_pos * n_neg)"))
-          .as("auc_ppm"))
+          .as("auc_ppm")): _*)
   }
 }

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *      bucketWidth so this frame is broadcast-trivial (≤ ~10⁶ rows covers
   *      a 10¹²-row corpus at width 10⁶; add a second level before that
   *      ever binds);
-  *   3. each row's global prefix = its bucket's offset (broadcast join)
-  *      plus a WITHIN-bucket running sum — a hash-partitioned window,
-  *      fully parallel.
+  *   3. each row's global prefix = its bucket's offset (joined back
+  *      hint-free — AQE broadcasts the small frame adaptively) plus a
+  *      WITHIN-bucket running sum — a hash-partitioned window, fully
+  *      parallel.
   *
   * `orderCol` must be integral and UNIQUE per row (a ROWS frame under ties
   * would make the prefix order-dependent); values must be non-negative
@@ -43,7 +44,12 @@ object PrefixSum {
       .select(col("__b"), coalesce(sum("__bc").over(wB), lit(0L)).as("__boff"))
     val wIn = Window.partitionBy("__b").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    base.join(broadcast(offs), "__b")
+    // No broadcast hint on the offset frame: it scales with rows/bucketWidth
+    // (a fraction, not a constant size), so a hint would pin a driver OOM to
+    // a bad width choice. AQE broadcasts it adaptively whenever it is small
+    // — every sane width — and degrades to a shuffle join instead of an OOM
+    // beyond that (the repo's standing rule for data-scaling frames).
+    base.join(offs, "__b")
       .withColumn("cum_before",
         col("__boff") + coalesce(sum(col(valueCol).cast("long")).over(wIn), lit(0L)))
       .drop("__b", "__boff")

@@ -419,7 +419,52 @@ object BehaviorQueries {
     graft.analytics.RankMetrics.aucExact(scored, "score", "label")
   }
 
+  /** Per-slice AUC (`RankMetrics.aucExactBy`) — the model-eval matrix a
+    * pipeline actually reports: one tie-aware exact AUC per segment, every
+    * slice ranked independently and in parallel (the bucket-offset window
+    * partitions by slice; no slice ever funnels to one partition). Slices
+    * here are the deterministic user cohorts `user_id % 3`; same planted
+    * +50 purchase signal as `o29_auc`, so every slice sits strictly above
+    * ½ and slices differ only by sampling noise — exactly the dashboard a
+    * per-source quality-classifier eval produces. */
+  val o30SlicedAuc: Reg = Reg.sql(
+    "o30_sliced_auc",
+    """WITH s AS (
+      |  SELECT user_id % 3 AS segment,
+      |         CAST(FLOOR(value) AS BIGINT)
+      |         + CASE WHEN event_type = 'purchase' THEN 50 ELSE 0 END AS sc,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |g AS (SELECT segment, sc, CAST(COUNT(*) AS BIGINT) AS c,
+      |             CAST(SUM(y) AS BIGINT) AS p
+      |      FROM s GROUP BY 1, 2),
+      |o AS (SELECT segment, sc, c, p,
+      |             CAST(COALESCE(SUM(c) OVER (PARTITION BY segment ORDER BY sc
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |                  0) AS BIGINT) AS cb
+      |      FROM g),
+      |t AS (SELECT segment, CAST(SUM(p * (2 * cb + c + 1)) AS BIGINT) AS r2,
+      |             CAST(SUM(p) AS BIGINT) AS n_pos,
+      |             CAST(SUM(c - p) AS BIGINT) AS n_neg
+      |      FROM o GROUP BY segment)
+      |SELECT segment, n_pos, n_neg,
+      |       CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+      |       CAST(CASE WHEN n_pos * n_neg > 0
+      |                 THEN (r2 - n_pos * (n_pos + 1)) * 500000
+      |                      // (n_pos * n_neg) END AS BIGINT) AS auc_ppm
+      |FROM t ORDER BY segment""".stripMargin) { (s, dir) =>
+    val scored = Tables.events(s, dir)
+      .select(
+        (col("user_id") % 3).as("segment"),
+        (expr("CAST(FLOOR(value) AS BIGINT)") +
+          when(col("event_type") === "purchase", 50L).otherwise(0L)).as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+    graft.analytics.RankMetrics
+      .aucExactBy(scored, Seq("segment"), "score", "label")
+      .orderBy("segment")
+  }
+
   val all: Seq[Reg] = Seq(
     o18WindowFunnel, o19RetentionCohorts, a23IncrementalAgg, j11GridNeighbors,
-    j12FuzzyJoin, o23TransitionMatrix, o29Auc)
+    j12FuzzyJoin, o23TransitionMatrix, o29Auc, o30SlicedAuc)
 }

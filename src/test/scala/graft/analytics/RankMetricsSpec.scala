@@ -62,6 +62,29 @@ class RankMetricsSpec extends AnyFunSuite with Matchers with SparkSuite {
       .head().getLong(3) shouldBe 0L
   }
 
+  test("aucExactBy: each slice equals the ungrouped AUC of that slice alone") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 300).map { i =>
+      val g = (i % 3).toLong
+      val sc = rnd.nextInt(15).toLong
+      val y = if (rnd.nextInt(15) < sc) 1L else 0L
+      (g, sc, y)
+    }
+    val df = rows.toDF("seg", "score", "label")
+    val sliced = RankMetrics.aucExactBy(df, Seq("seg"), "score", "label", 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(4)))).toMap
+    for (g <- 0L to 2L) {
+      val solo = RankMetrics
+        .aucExact(df.where($"seg" === g), "score", "label", 4).head()
+      withClue(s"slice $g: ") {
+        sliced(g) shouldBe ((solo.getLong(0), solo.getLong(1),
+          Option(solo.get(3))))
+      }
+    }
+  }
+
   test("o29 planted signal: purchase +50 boost puts AUC strictly above 1/2") {
     val out = graft.queries.BehaviorQueries.o29Auc
       .build(spark, "/root/testdata/sf0.001").head()
