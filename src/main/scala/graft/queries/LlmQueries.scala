@@ -2314,7 +2314,7 @@ object LlmQueries {
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
     bm25TopK, embedCentroids, clusterReps, linkTriangles, weightedSample,
-    driftKs, imageMeta, audioMeta, driftChi2)
+    driftKs, imageMeta, audioMeta, driftChi2, driftPsi)
 
   /** Training-shard assignment by GLOBAL cumulative token count — the
     * writer-side step after packing/splitting: every doc gets the shard id
@@ -2418,5 +2418,64 @@ object LlmQueries {
     cells.agg(sum("term").as("chi2_micro"))
       .crossJoin(scalars)
       .select(col("n_a"), col("n_b"), col("dof"), col("chi2_micro"))
+  }
+
+  /** Population Stability Index — the third leg of the drift-monitor
+    * family (llm_drift_ks: continuous two-sample; llm_drift_chi2:
+    * categorical independence; PSI: the industry-standard binned
+    * distribution-shift score with its conventional 0.2 alert threshold).
+    * n_chars bins into fixed 128-char buckets over the UNION of observed
+    * bins; Laplace +1 smoothing makes empty-bin terms finite exactly the
+    * way production PSI implementations do. Each bin term
+    * (pa−pb)·ln(pa/pb) floor-quantizes to micro units BEFORE the sum
+    * (identical IEEE op order both engines — the chi2 discipline), and the
+    * alert verdict compares INTEGERS (psi_micro ≥ 200000). Scale: one
+    * corpus aggregate per population; everything after runs on the
+    * domain-bounded bin frame; totals are 1-row scalar crossJoins. */
+  val driftPsi: Reg = Reg.sql(
+    "llm_drift_psi",
+    """WITH a AS (SELECT n_chars // 128 AS bin, CAST(COUNT(*) AS BIGINT) AS ca
+      |           FROM documents WHERE source = 'src0' GROUP BY 1),
+      |b AS (SELECT n_chars // 128 AS bin, CAST(COUNT(*) AS BIGINT) AS cb
+      |      FROM documents WHERE source <> 'src0' GROUP BY 1),
+      |bins AS (SELECT bin FROM a UNION SELECT bin FROM b),
+      |g AS (SELECT bins.bin, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      |      FROM bins LEFT JOIN a USING (bin) LEFT JOIN b USING (bin)),
+      |na AS (SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS na FROM a),
+      |nb AS (SELECT CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS nb FROM b),
+      |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbins FROM bins),
+      |t AS (SELECT bin,
+      |        CAST(ca + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE) AS pa,
+      |        CAST(cb + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE) AS pb
+      |      FROM g CROSS JOIN na CROSS JOIN nb CROSS JOIN k)
+      |SELECT (SELECT nbins FROM k) AS n_bins,
+      |       CAST(SUM(CAST(FLOOR(((pa - pb) * LN(pa / pb)) * 1e6) AS BIGINT))
+      |            AS BIGINT) AS psi_micro,
+      |       CAST(SUM(CAST(FLOOR(((pa - pb) * LN(pa / pb)) * 1e6) AS BIGINT))
+      |            AS BIGINT) >= 200000 AS drifted
+      |FROM t""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val a = docs.where(col("source") === "src0")
+      .groupBy(expr("n_chars DIV 128").as("bin")).agg(count(lit(1)).as("ca"))
+    val b = docs.where(col("source") =!= "src0")
+      .groupBy(expr("n_chars DIV 128").as("bin")).agg(count(lit(1)).as("cb"))
+    val bins = a.select("bin").unionByName(b.select("bin")).distinct()
+    val g = bins.join(a, Seq("bin"), "left").join(b, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    // 1-row scalar frames, the chi2 crossJoin idiom
+    val na = a.agg(coalesce(sum("ca"), lit(0L)).as("na"))
+    val nb = b.agg(coalesce(sum("cb"), lit(0L)).as("nb"))
+    val k = bins.agg(count(lit(1)).as("nbins"))
+    val terms = g.crossJoin(na).crossJoin(nb).crossJoin(k)
+      .select(col("nbins"), expr(
+        """CAST(FLOOR(((CAST(ca + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE) -
+          |      CAST(cb + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE)) *
+          |    LN((CAST(ca + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE)) /
+          |       (CAST(cb + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE)))) * 1e6)
+          |  AS BIGINT)""".stripMargin).as("term"))
+    terms.agg(max("nbins").as("n_bins"), sum("term").as("psi_micro"))
+      .withColumn("drifted", col("psi_micro") >= 200000L)
   }
 }
