@@ -154,10 +154,15 @@ object ConnectedComponents {
       // compute-once form beats relying on ReuseExchange by ~20%; lazy, so
       // the blocks are written when the round's count() first computes it.
       val mU = closedMin(e)
+      // No distinct here: duplicates in the large-star output are harmless
+      // (small-star's min-aggregate absorbs them and smallEdges re-
+      // canonicalizes with its own distinct) and each edge emits exactly
+      // one (m(u), v) row anyway — dropping the dedup saves one full
+      // shuffle per round.
       val large = e.join(mU, e("u") === mU("x"))
         .select(col("m").as("u"), col("v"))
         .where(col("u") =!= col("v"))
-        .distinct().localCheckpoint(false)
+        .localCheckpoint(false)
 
       // small-star: for each node x, collapse x and its smaller neighbors
       // (canonical edges where x is the v side) onto their minimum
