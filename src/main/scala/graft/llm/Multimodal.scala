@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side mechanics here — schema, partition-parallel batch
   * processing, typed output rows — are real and tested. The metadata
-  * half of decode is ALSO real now: `graft.llm.ImageCodec` parses genuine
-  * PNG/JPEG/GIF container headers (signature sniffing, IHDR + CRC32
-  * verification, JPEG marker walk) in pure JVM byte logic — see
-  * `decodeImage` and the `llm_image_meta` gate. Only PIXEL decode
-  * (zlib/DCT decompression) remains stubbed with a deterministic fake
+  * half of decode is ALSO real now for all three modalities:
+  * `graft.llm.ImageCodec` parses genuine PNG/JPEG/GIF container headers
+  * (signature sniffing, IHDR + CRC32 verification, JPEG marker walk),
+  * `AudioCodec` walks RIFF/WAVE chunks and unpacks FLAC STREAMINFO bit
+  * fields, and `VideoCodec` walks ISO BMFF/MP4 boxes (mvhd, tkhd 16.16
+  * dims) and AVI `avih` headers — see `decodeImage` / `decodeAudio` /
+  * `decodeVideo` and the `llm_image_meta` / `llm_audio_meta` /
+  * `llm_video_meta` gates. Only PIXEL/SAMPLE decode
+  * (zlib/DCT/codec decompression) remains stubbed with a deterministic fake
   * (this container has no image/audio libraries). Swapping `decodeStub`
   * for a JNI/FFI decoder (or porting the shape to `mapInPandas` with
   * PIL/ffmpeg on a PySpark cluster) changes ONE function; the
@@ -108,6 +112,19 @@ object Multimodal {
       val m = AudioCodec.parse(a.content)
       AssetMeta(a.assetId, a.modality, a.content.length,
         width = 0, height = 0, m.durationMs, valid = m.valid)
+    })
+  }
+
+  /** REAL video-metadata decode: ISO BMFF/MP4 box walk (mvhd timescale +
+    * duration, tkhd 16.16 fixed-point dims) and AVI RIFF `avih` header
+    * (`VideoCodec`). Corrupt or non-video bytes yield valid=false rows,
+    * never a task failure (F18 discipline). */
+  def decodeVideo(spark: SparkSession, assets: Dataset[Asset]): Dataset[AssetMeta] = {
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val m = VideoCodec.parse(a.content)
+      AssetMeta(a.assetId, a.modality, a.content.length,
+        m.width, m.height, m.durationMs, valid = m.valid)
     })
   }
 

@@ -1823,6 +1823,61 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL video-metadata decode gate — third leg of the media family
+    * (llm_image_meta: PNG/JPEG/GIF; llm_audio_meta: WAV/FLAC): a planted
+    * binary corpus of genuine ISO BMFF/MP4 files (box walk, mvhd
+    * timescale/duration, tkhd 16.16 fixed-point dims) and AVI files (RIFF
+    * `LIST hdrl`/`avih` main header), with every 17th file corrupted in
+    * its SIZE field only (magic intact — only declared-size consistency
+    * catches it). The oracle states the construct∘parse identity in
+    * closed form; truncating Long division on non-negative operands
+    * matches DuckDB's floor `//` for both duration formulas. */
+  val videoMeta: Reg = Reg.sql(
+    "llm_video_meta",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 17 = 0 THEN 'unknown'
+      |       WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS fmt,
+      |  CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+      |       WHEN doc_id % 2 = 0 THEN 160 * (1 + doc_id % 8)
+      |       ELSE 320 * (1 + doc_id % 4) END AS BIGINT) AS width,
+      |  CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+      |       WHEN doc_id % 2 = 0 THEN 120 * (1 + doc_id % 8)
+      |       ELSE 240 * (1 + doc_id % 4) END AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+      |       WHEN doc_id % 2 = 0 THEN (500 * (1 + doc_id % 60) * 1000)
+      |                               // (1000 * (1 + doc_id % 4))
+      |       ELSE (33333 * 24 * (1 + doc_id % 50)) // 1000
+      |       END AS BIGINT) AS duration_ms,
+      |  doc_id % 17 <> 0 AS valid
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val bytes =
+        if (id % 2 == 0)
+          graft.llm.VideoCodec.encodeMp4(
+            timescale = (1000 * (1 + id % 4)).toInt,
+            durationTicks = 500 * (1 + id % 60),
+            width = (160 * (1 + id % 8)).toInt,
+            height = (120 * (1 + id % 8)).toInt)
+        else
+          graft.llm.VideoCodec.encodeAvi(
+            usPerFrame = 33333,
+            totalFrames = 24 * (1 + id % 50),
+            width = (320 * (1 + id % 4)).toInt,
+            height = (240 * (1 + id % 4)).toInt)
+      if (id % 17 == 0) {
+        // bend only a SIZE field (magic stays intact): MP4 → the moov
+        // box's declared size; AVI → the RIFF size. Only declared-size
+        // consistency checking catches either.
+        if (id % 2 == 0) bytes(23) = (bytes(23) ^ 0x5a).toByte
+        else bytes(4) = (bytes(4) ^ 0x5a).toByte
+      }
+      val m = graft.llm.VideoCodec.parse(bytes)
+      (id, m.format, m.width.toLong, m.height.toLong, m.durationMs, m.valid)
+    }.toDF("doc_id", "fmt", "width", "height", "duration_ms", "valid")
+      .orderBy("doc_id")
+  }
+
   /** Duplicated-span coverage (Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better"): for every SLIDING 8-word span
     * position in a document, is that span's text also present in at least
@@ -2314,7 +2369,7 @@ object LlmQueries {
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
     bm25TopK, embedCentroids, clusterReps, linkTriangles, weightedSample,
-    driftKs, imageMeta, audioMeta, driftChi2, driftPsi)
+    driftKs, imageMeta, audioMeta, videoMeta, driftChi2, driftPsi)
 
   /** Training-shard assignment by GLOBAL cumulative token count — the
     * writer-side step after packing/splitting: every doc gets the shard id
