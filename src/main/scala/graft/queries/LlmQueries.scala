@@ -1823,6 +1823,49 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL sample-level PCM feature extraction — past metadata into actual
+    * signal math: every doc plants a genuine 16-bit mono WAV
+    * (`AudioCodec.encodeWav`, deterministic byte pattern), and
+    * `AudioCodec.pcmStats` decodes the little-endian PCM stream and
+    * computes energy (Σ sample², exact integer) and the zero-crossing
+    * count — the silence/tone/speech gate features an audio curation
+    * filter runs. The oracle re-derives every sample VALUE closed-form
+    * from the byte-pattern arithmetic (unsigned-pair → signed 16-bit) and
+    * restates both sums, so the gate proves the byte-level sample decode
+    * itself, not just plumbing. rms_floor = ⌊√(sum_sq div n)⌋: integer
+    * div first, then one correctly-rounded IEEE sqrt — identical both
+    * engines. */
+  val pcmFeatures: Reg = Reg.sql(
+    "llm_pcm_features",
+    """WITH d AS (SELECT doc_id, 40 * (1 + doc_id % 50) AS n FROM documents),
+      |k AS (SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS k FROM d),
+      |v AS (SELECT doc_id, n, k,
+      |        CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      |      FROM (SELECT doc_id, n, k,
+      |              (((2*k+1)*31 + 7) % 251) * 256 + ((2*k*31 + 7) % 251) AS u
+      |            FROM k)),
+      |p AS (SELECT doc_id, n, k, s,
+      |        LAG(s) OVER (PARTITION BY doc_id ORDER BY k) AS ps FROM v)
+      |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+      |  CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+      |  CAST(FLOOR(SQRT(CAST(SUM(s * s) // MAX(n) AS DOUBLE))) AS BIGINT)
+      |    AS rms_floor,
+      |  CAST(SUM(CASE WHEN ps IS NOT NULL AND
+      |                     ((ps < 0 AND s > 0) OR (ps > 0 AND s < 0))
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val sr = (8000 * (1 + id % 5)).toInt
+      val n = (40 * (1 + id % 50)).toInt
+      val st = graft.llm.AudioCodec.pcmStats(
+        graft.llm.AudioCodec.encodeWav(sr, 1, n))
+      val rms = math.floor(math.sqrt((st.sumSq / st.nSamples).toDouble)).toLong
+      (id, st.nSamples, st.sumSq, rms, st.zeroCrossings)
+    }.toDF("doc_id", "n_samples", "sum_sq", "rms_floor", "zero_crossings")
+      .orderBy("doc_id")
+  }
+
   /** REAL video-metadata decode gate — third leg of the media family
     * (llm_image_meta: PNG/JPEG/GIF; llm_audio_meta: WAV/FLAC): a planted
     * binary corpus of genuine ISO BMFF/MP4 files (box walk, mvhd
@@ -2369,7 +2412,7 @@ object LlmQueries {
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
     bm25TopK, embedCentroids, clusterReps, linkTriangles, weightedSample,
-    driftKs, imageMeta, audioMeta, videoMeta, driftChi2, driftPsi)
+    driftKs, imageMeta, audioMeta, videoMeta, pcmFeatures, driftChi2, driftPsi)
 
   /** Training-shard assignment by GLOBAL cumulative token count — the
     * writer-side step after packing/splitting: every doc gets the shard id

@@ -66,4 +66,38 @@ class AudioCodecSpec extends AnyFunSuite with Matchers {
     b(20) = 3 // IEEE-float format tag
     parse(b).valid shouldBe false
   }
+
+  test("pcmStats decodes the exact sample values: energy and crossings match a direct recompute") {
+    for (n <- Seq(1, 2, 40, 777)) {
+      val st = pcmStats(encodeWav(8000, 1, n))
+      // re-derive every sample from the encoder's byte pattern directly
+      val samples = (0 until n).map { k =>
+        val lo = (2 * k * 31 + 7) % 251
+        val hi = ((2 * k + 1) * 31 + 7) % 251
+        ((hi << 8) | lo).toShort.toInt
+      }
+      withClue(s"n=$n") {
+        st.valid shouldBe true
+        st.nSamples shouldBe n.toLong
+        st.sumSq shouldBe samples.map(s => s.toLong * s.toLong).sum
+        st.zeroCrossings shouldBe samples.sliding(2).count {
+          case Seq(a, b) => (a < 0 && b > 0) || (a > 0 && b < 0)
+          case _         => false
+        }.toLong
+      }
+    }
+  }
+
+  test("pcmStats on FLAC / corrupt / empty input is invalid, never a crash") {
+    pcmStats(encodeFlac(8000, 1, 10L)).valid shouldBe false
+    val bad = encodeWav(8000, 1, 10)
+    bad(4) = (bad(4) ^ 0x5a).toByte
+    pcmStats(bad).valid shouldBe false
+    pcmStats(Array.emptyByteArray).valid shouldBe false
+    // zero-sample stream: valid but silent
+    val empty = pcmStats(encodeWav(8000, 1, 0))
+    empty.valid shouldBe true
+    empty.nSamples shouldBe 0L
+    empty.sumSq shouldBe 0L
+  }
 }
