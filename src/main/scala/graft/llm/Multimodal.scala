@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   * fields, and `VideoCodec` walks ISO BMFF/MP4 boxes (mvhd, tkhd 16.16
   * dims) and AVI `avih` headers — see `decodeImage` / `decodeAudio` /
   * `decodeVideo` and the `llm_image_meta` / `llm_audio_meta` /
-  * `llm_video_meta` gates. Only PIXEL/SAMPLE decode
-  * (zlib/DCT/codec decompression) remains stubbed with a deterministic fake
+  * `llm_video_meta` gates. CONTENT decode is real where the JVM suffices:
+  * full PNG pixel reconstruction (CRC walk + zlib inflate + all five
+  * scanline filters — `ImageCodec.decodePngPixels`, `llm_png_pixels`) and
+  * 16-bit PCM sample decode with energy/zero-crossing features
+  * (`AudioCodec.pcmStats`, `llm_pcm_features`). Only codec-compressed
+  * payloads (JPEG entropy decode, GIF LZW, video codecs) remain stubbed
+  * with a deterministic fake
   * (this container has no image/audio libraries). Swapping `decodeStub`
   * for a JNI/FFI decoder (or porting the shape to `mapInPandas` with
   * PIL/ffmpeg on a PySpark cluster) changes ONE function; the

@@ -1823,6 +1823,47 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL full PNG pixel decode gate — the deepest of the media gates:
+    * every doc plants a complete, spec-valid PNG (raw RGB run through
+    * genuine per-row scanline filters — row y uses type (y+id)%5, so all
+    * five reconstruction paths execute — then zlib-DEFLATED with the
+    * JVM's Deflater), and `ImageCodec.decodePngPixels` reverses the whole
+    * stack: chunk CRC verification, IDAT inflate, unfiltering, integer
+    * BT.601 luma (r·299+g·587+b·114) stats. The oracle restates the luma
+    * of every pixel closed-form from the planted byte pattern — decode
+    * must reproduce each pixel VALUE exactly through compression and all
+    * filter types for the hash to match. */
+  val pngPixels: Reg = Reg.sql(
+    "llm_png_pixels",
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 4 AS h
+      |           FROM documents),
+      |j AS (SELECT doc_id, w, h, UNNEST(generate_series(0, w * h - 1)) AS j
+      |      FROM d),
+      |l AS (SELECT doc_id, w, h,
+      |        ((3*j*37 + doc_id) % 256) * 299
+      |        + (((3*j + 1)*37 + doc_id) % 256) * 587
+      |        + (((3*j + 2)*37 + doc_id) % 256) * 114 AS luma
+      |      FROM j)
+      |SELECT doc_id, CAST(MAX(w * h) AS BIGINT) AS n_pixels,
+      |  CAST(SUM(luma) AS BIGINT) AS sum_luma1000,
+      |  CAST(MIN(luma) AS BIGINT) AS min_luma1000,
+      |  CAST(MAX(luma) AS BIGINT) AS max_luma1000
+      |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = (4 + id % 8).toInt
+      val h = (3 + id % 4).toInt
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + id) % 256).toByte)
+      val png = graft.llm.ImageCodec.encodePngPixels(
+        w, h, rgb, y => ((y + id) % 5).toInt)
+      val st = graft.llm.ImageCodec.decodePngPixels(png)
+      (id, st.nPixels, st.sumLuma1000, st.minLuma1000.toLong,
+        st.maxLuma1000.toLong)
+    }.toDF("doc_id", "n_pixels", "sum_luma1000", "min_luma1000",
+      "max_luma1000")
+      .orderBy("doc_id")
+  }
+
   /** REAL sample-level PCM feature extraction — past metadata into actual
     * signal math: every doc plants a genuine 16-bit mono WAV
     * (`AudioCodec.encodeWav`, deterministic byte pattern), and
@@ -2412,7 +2453,8 @@ object LlmQueries {
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
     bm25TopK, embedCentroids, clusterReps, linkTriangles, weightedSample,
-    driftKs, imageMeta, audioMeta, videoMeta, pcmFeatures, driftChi2, driftPsi)
+    driftKs, imageMeta, audioMeta, videoMeta, pcmFeatures, pngPixels,
+    driftChi2, driftPsi)
 
   /** Training-shard assignment by GLOBAL cumulative token count — the
     * writer-side step after packing/splitting: every doc gets the shard id

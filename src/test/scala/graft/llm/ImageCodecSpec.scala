@@ -63,4 +63,43 @@ class ImageCodecSpec extends AnyFunSuite with Matchers {
     parse(null).valid shouldBe false
     parse(Array.empty[Byte]).valid shouldBe false
   }
+
+  private def lumaStats(rgb: Array[Byte]): (Long, Int, Int) = {
+    val lumas = rgb.grouped(3).map(p =>
+      (p(0) & 0xff) * 299 + (p(1) & 0xff) * 587 + (p(2) & 0xff) * 114).toSeq
+    (lumas.map(_.toLong).sum, lumas.min, lumas.max)
+  }
+
+  test("PNG pixel decode reverses deflate + every scanline filter exactly") {
+    val rnd = new scala.util.Random(17)
+    // each single filter type alone, then a mix cycling all five
+    val filters: Seq[Int => Int] =
+      (0 to 4).map(f => (_: Int) => f) :+ ((y: Int) => y % 5)
+    for ((rf, idx) <- filters.zipWithIndex; (w, h) <- Seq((1, 1), (7, 3), (16, 9))) {
+      val rgb = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val st = decodePngPixels(encodePngPixels(w, h, rgb, rf))
+      val (sum, mn, mx) = lumaStats(rgb)
+      withClue(s"filter set $idx, ${w}x$h: ") {
+        st shouldBe PixelStats(w.toLong * h, sum, mn, mx, valid = true)
+      }
+    }
+  }
+
+  test("PNG pixel decode rejects IDAT corruption, truncation, and trailing garbage") {
+    val rgb = Array.tabulate[Byte](12 * 5 * 3)(i => (i * 7).toByte)
+    val png = encodePngPixels(12, 5, rgb, _ % 5)
+    decodePngPixels(png).valid shouldBe true
+    // flip one IDAT payload byte: the chunk CRC must catch it
+    val idatOff = 8 + 25 // sig + IHDR chunk(4+4+13+4)
+    val corrupt = png.clone()
+    corrupt(idatOff + 8 + 3) = (corrupt(idatOff + 8 + 3) ^ 0x5a).toByte
+    decodePngPixels(corrupt).valid shouldBe false
+    // truncated file: invalid, never a crash
+    for (n <- 0 until png.length by 7) decodePngPixels(png.take(n)).valid shouldBe false
+    // wrong color type (grayscale) refuses pixel decode
+    val gray = png.clone(); gray(25) = 0
+    decodePngPixels(gray).valid shouldBe false
+    // metadata-only shell (arbitrary payload) fails the inflate stage
+    decodePngPixels(encodePng(4, 4, Array[Byte](1, 2, 3))).valid shouldBe false
+  }
 }
