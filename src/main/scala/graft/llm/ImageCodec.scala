@@ -303,6 +303,212 @@ object ImageCodec {
     if (w > 0 && h > 0) ImageMeta("gif", w, h, valid = true) else Invalid
   }
 
+  // ------------------------------------------------- GIF pixel decode ----
+
+  /** REAL full GIF encode: 256-entry global palette, image descriptor,
+    * and the indexed pixel stream compressed with a genuine GIF-variant
+    * LZW encoder (dictionary building, LSB-first bit packing, code width
+    * growing 9→12 bits as entries accumulate) split into ≤255-byte
+    * sub-blocks. Dictionary reset (deferred clear) is not emitted, so
+    * inputs are bounded to what 12-bit codes can hold without one. */
+  def encodeGifPixels(
+      width: Int, height: Int, indices: Array[Byte],
+      palette: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+      s"bad dims ${width}x$height")
+    require(indices.length == width * height, "one palette index per pixel")
+    require(palette.length == 768, "256-entry RGB palette required")
+    require(indices.length <= 3000,
+      "LZW clear-code reset not emitted; bounded inputs only")
+    // --- LZW encode (min code size 8, 256-color) ---
+    val clear = 256; val end = 257
+    var next = 258
+    var widthBits = 9
+    val dict = new java.util.HashMap[Long, Integer]()
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += widthBits
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    emit(clear)
+    var cur = indices(0) & 0xff
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i) & 0xff
+      val key = (cur.toLong << 12) | k
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        dict.put(key, Integer.valueOf(next)); next += 1
+        // encoder bumps one entry EARLIER than the decoder: its dictionary
+        // runs one ahead (it registers on emit, the decoder on read)
+        if (next == (1 << widthBits) + 1 && widthBits < 12) widthBits += 1
+        cur = k
+      }
+      i += 1
+    }
+    emit(cur)
+    // The END code is read by the decoder AFTER it registers its entry for
+    // the final data code, which equalizes the two dictionaries — so if the
+    // counter sits exactly on a width boundary here, the decoder bumps
+    // before reading END and the encoder must match (the one place the
+    // one-entry lag between the two sides closes).
+    if (next == (1 << widthBits) && widthBits < 12) widthBits += 1
+    emit(end)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    val lzw = out.toByteArray
+    // --- container ---
+    val head = new java.io.ByteArrayOutputStream()
+    head.write("GIF89a".getBytes("US-ASCII"))
+    head.write(width & 0xff); head.write(width >>> 8)
+    head.write(height & 0xff); head.write(height >>> 8)
+    head.write(0xf7) // global table, 8-bit, 256 entries
+    head.write(0); head.write(0) // bg index, aspect
+    head.write(palette, 0, 768)
+    head.write(0x2c) // image descriptor
+    head.write(0); head.write(0); head.write(0); head.write(0) // left, top
+    head.write(width & 0xff); head.write(width >>> 8)
+    head.write(height & 0xff); head.write(height >>> 8)
+    head.write(0) // no local table, no interlace
+    head.write(8) // LZW min code size
+    var p = 0
+    while (p < lzw.length) {
+      val n = math.min(255, lzw.length - p)
+      head.write(n); head.write(lzw, p, n); p += n
+    }
+    head.write(0) // block terminator
+    head.write(0x3b) // trailer
+    head.toByteArray
+  }
+
+  /** REAL full GIF pixel decode in pure JVM logic: header + logical screen
+    * descriptor, global palette, extension-block skipping, and a general
+    * GIF-LZW decoder (clear/end codes, the `code == next` self-reference
+    * case, LSB-first unpacking, 9→12-bit width growth), with the decoded
+    * index count required to equal w·h exactly. Luma stats run the indices
+    * through the palette. Any structural inconsistency or invalid code is
+    * valid=false, never a throw. */
+  def decodeGifPixels(b: Array[Byte]): PixelStats = {
+    try decodeGifPixelsUnsafe(b)
+    catch { case _: Exception => InvalidPixels }
+  }
+
+  private def decodeGifPixelsUnsafe(b: Array[Byte]): PixelStats = {
+    if (b.length < 13) return InvalidPixels
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF89a" && sig != "GIF87a") return InvalidPixels
+    val width = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+    val height = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+    val packed = b(10) & 0xff
+    if ((packed & 0x80) == 0) return InvalidPixels // need a global table
+    val tableSize = 2 << (packed & 0x07)
+    var off = 13
+    if (off + 3 * tableSize > b.length) return InvalidPixels
+    val palOff = off
+    off += 3 * tableSize
+    // skip extension blocks, find the image descriptor
+    while (off < b.length && (b(off) & 0xff) == 0x21) {
+      off += 2 // introducer + label
+      while (off < b.length && (b(off) & 0xff) != 0) off += 1 + (b(off) & 0xff)
+      off += 1
+    }
+    if (off + 10 > b.length || (b(off) & 0xff) != 0x2c) return InvalidPixels
+    val iw = (b(off + 5) & 0xff) | ((b(off + 6) & 0xff) << 8)
+    val ih = (b(off + 7) & 0xff) | ((b(off + 8) & 0xff) << 8)
+    if (iw != width || ih != height) return InvalidPixels
+    if ((b(off + 9) & 0x80) != 0) return InvalidPixels // no local tables
+    off += 10
+    if (off >= b.length) return InvalidPixels
+    val minCode = b(off) & 0xff
+    if (minCode < 2 || minCode > 8) return InvalidPixels
+    off += 1
+    // concatenate sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (off < b.length && (b(off) & 0xff) != 0) {
+      val n = b(off) & 0xff
+      if (off + 1 + n > b.length) return InvalidPixels
+      data.write(b, off + 1, n); off += 1 + n
+    }
+    if (off >= b.length) return InvalidPixels // missing terminator
+    val lzw = data.toByteArray
+    // --- general GIF-LZW decode ---
+    val clear = 1 << minCode
+    val end = clear + 1
+    val nPixels = width * height
+    val out = new Array[Byte](nPixels)
+    var outLen = 0
+    // dictionary as (prefix code, appended byte); roots are implicit
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var next = end + 1
+    var widthBits = minCode + 1
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    var prev = -1
+    def emitStr(code: Int): Int = { // writes the string, returns first byte
+      var stack = List.empty[Byte]
+      var c = code
+      while (c >= clear + 2) { stack = append(c) :: stack; c = prefix(c) }
+      val first = c.toByte
+      stack = first :: stack
+      stack.foreach { v =>
+        if (outLen >= nPixels) throw new IllegalStateException("overflow")
+        out(outLen) = v; outLen += 1
+      }
+      first & 0xff
+    }
+    var done = false
+    while (!done) {
+      while (bitCnt < widthBits && pos < lzw.length) {
+        bitBuf |= (lzw(pos) & 0xffL) << bitCnt; bitCnt += 8; pos += 1
+      }
+      if (bitCnt < widthBits) return InvalidPixels // ran out of codes
+      val code = (bitBuf & ((1L << widthBits) - 1)).toInt
+      bitBuf >>>= widthBits; bitCnt -= widthBits
+      if (code == clear) {
+        next = end + 1; widthBits = minCode + 1; prev = -1
+      } else if (code == end) {
+        done = true
+      } else if (prev == -1) {
+        if (code >= clear) return InvalidPixels
+        emitStr(code); prev = code
+      } else {
+        if (code > next) return InvalidPixels
+        val first =
+          if (code == next) { // the KwKwK self-reference case
+            val f = emitStr(prev)
+            if (outLen >= nPixels) return InvalidPixels
+            out(outLen) = f.toByte; outLen += 1
+            f
+          } else emitStr(code)
+        if (next < 4096) {
+          prefix(next) = prev; append(next) = first.toByte; next += 1
+          if (next == (1 << widthBits) && widthBits < 12) widthBits += 1
+        }
+        prev = code
+      }
+    }
+    if (outLen != nPixels) return InvalidPixels
+    // luma through the palette
+    var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+    var j = 0
+    while (j < nPixels) {
+      val idx = out(j) & 0xff
+      if (idx >= tableSize) return InvalidPixels
+      val p0 = palOff + 3 * idx
+      val luma = (b(p0) & 0xff) * 299 + (b(p0 + 1) & 0xff) * 587 +
+        (b(p0 + 2) & 0xff) * 114
+      sum += luma
+      if (luma < mn) mn = luma
+      if (luma > mx) mx = luma
+      j += 1
+    }
+    PixelStats(nPixels.toLong, sum, mn, mx, valid = true)
+  }
+
   // -------------------------------------------------------------- sniff --
 
   /** Format sniffing + parse: dispatch on magic bytes, like `file(1)`. */

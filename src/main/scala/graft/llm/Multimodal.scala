@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   * `decodeVideo` and the `llm_image_meta` / `llm_audio_meta` /
   * `llm_video_meta` gates. CONTENT decode is real where the JVM suffices:
   * full PNG pixel reconstruction (CRC walk + zlib inflate + all five
-  * scanline filters — `ImageCodec.decodePngPixels`, `llm_png_pixels`) and
-  * 16-bit PCM sample decode with energy/zero-crossing features
-  * (`AudioCodec.pcmStats`, `llm_pcm_features`). Only codec-compressed
-  * payloads (JPEG entropy decode, GIF LZW, video codecs) remain stubbed
+  * scanline filters — `ImageCodec.decodePngPixels`, `llm_png_pixels`),
+  * full GIF decode (general LZW + palette —
+  * `ImageCodec.decodeGifPixels`, `llm_gif_pixels`), and 16-bit PCM sample
+  * decode with energy/zero-crossing features (`AudioCodec.pcmStats`,
+  * `llm_pcm_features`). Only payloads needing a native codec
+  * (JPEG entropy decode, video codecs) remain stubbed
   * with a deterministic fake
   * (this container has no image/audio libraries). Swapping `decodeStub`
   * for a JNI/FFI decoder (or porting the shape to `mapInPandas` with

@@ -1864,6 +1864,52 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL full GIF pixel decode gate — LZW is pure bit logic, so GIF
+    * content decode needs no library either: every doc plants a complete
+    * GIF (256-entry closed-form palette, indexed pixels compressed by a
+    * genuine dictionary-building LZW encoder with LSB-first packing and
+    * 9→12-bit width growth) and `ImageCodec.decodeGifPixels` reverses it
+    * — header walk, extension skipping, sub-block reassembly, general LZW
+    * decode (clear/end, the KwKwK self-reference, width timing), palette
+    * lookup, integer BT.601 luma. The oracle restates each pixel's luma
+    * closed-form from the planted index/palette arithmetic: the hash
+    * matches only if LZW reproduces every index exactly. */
+  val gifPixels: Reg = Reg.sql(
+    "llm_gif_pixels",
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 8 AS w, 3 + doc_id % 4 AS h
+      |           FROM documents),
+      |j AS (SELECT doc_id, w, h, UNNEST(generate_series(0, w * h - 1)) AS j
+      |      FROM d),
+      |l AS (SELECT doc_id, w, h,
+      |        (((j*37 + doc_id) % 256) * 7 % 256) * 299
+      |        + (((j*37 + doc_id) % 256) * 13 % 256) * 587
+      |        + (((j*37 + doc_id) % 256) * 29 % 256) * 114 AS luma
+      |      FROM j)
+      |SELECT doc_id, CAST(MAX(w * h) AS BIGINT) AS n_pixels,
+      |  CAST(SUM(luma) AS BIGINT) AS sum_luma1000,
+      |  CAST(MIN(luma) AS BIGINT) AS min_luma1000,
+      |  CAST(MAX(luma) AS BIGINT) AS max_luma1000
+      |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = (4 + id % 8).toInt
+      val h = (3 + id % 4).toInt
+      val idx = Array.tabulate(w * h)(j => ((j * 37 + id) % 256).toByte)
+      val pal = Array.tabulate[Byte](768) { i =>
+        val c = i / 3
+        ((i % 3 match {
+          case 0 => c * 7; case 1 => c * 13; case _ => c * 29
+        }) % 256).toByte
+      }
+      val st = graft.llm.ImageCodec.decodeGifPixels(
+        graft.llm.ImageCodec.encodeGifPixels(w, h, idx, pal))
+      (id, st.nPixels, st.sumLuma1000, st.minLuma1000.toLong,
+        st.maxLuma1000.toLong)
+    }.toDF("doc_id", "n_pixels", "sum_luma1000", "min_luma1000",
+      "max_luma1000")
+      .orderBy("doc_id")
+  }
+
   /** REAL sample-level PCM feature extraction — past metadata into actual
     * signal math: every doc plants a genuine 16-bit mono WAV
     * (`AudioCodec.encodeWav`, deterministic byte pattern), and
@@ -2454,7 +2500,7 @@ object LlmQueries {
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
     bm25TopK, embedCentroids, clusterReps, linkTriangles, weightedSample,
     driftKs, imageMeta, audioMeta, videoMeta, pcmFeatures, pngPixels,
-    driftChi2, driftPsi)
+    gifPixels, driftChi2, driftPsi)
 
   /** Training-shard assignment by GLOBAL cumulative token count — the
     * writer-side step after packing/splitting: every doc gets the shard id

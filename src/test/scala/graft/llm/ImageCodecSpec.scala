@@ -85,6 +85,87 @@ class ImageCodecSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  private val testPalette =
+    Array.tabulate[Byte](768) { i =>
+      val c = i / 3
+      ((i % 3 match {
+        case 0 => c * 7; case 1 => c * 13; case _ => c * 29
+      }) % 256).toByte
+    }
+
+  private def gifLuma(indices: Array[Byte]): (Long, Int, Int) = {
+    val lumas = indices.map { ib =>
+      val c = ib & 0xff
+      (c * 7 % 256) * 299 + (c * 13 % 256) * 587 + (c * 29 % 256) * 114
+    }.toSeq
+    (lumas.map(_.toLong).sum, lumas.min, lumas.max)
+  }
+
+  test("GIF LZW roundtrip: random index streams across dictionary growth to 12-bit codes") {
+    val rnd = new scala.util.Random(41)
+    for ((w, h) <- Seq((1, 1), (5, 4), (16, 16), (48, 48))) {
+      val idx = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+      val st = decodeGifPixels(encodeGifPixels(w, h, idx, testPalette))
+      val (sum, mn, mx) = gifLuma(idx)
+      withClue(s"${w}x$h: ") {
+        st shouldBe PixelStats(w.toLong * h, sum, mn, mx, valid = true)
+      }
+    }
+    // degenerate runs: constant and two-symbol streams (KwKwK territory)
+    for (pattern <- Seq(Array.fill[Byte](300)(7),
+      Array.tabulate[Byte](300)(j => (j % 2).toByte))) {
+      val st = decodeGifPixels(encodeGifPixels(30, 10, pattern, testPalette))
+      st.valid shouldBe true
+      st.nPixels shouldBe 300L
+    }
+  }
+
+  test("GIF LZW code-width timing: streams ending EXACTLY on a width boundary") {
+    // Build an index stream whose consecutive pairs are all distinct, so
+    // the dictionary gains exactly n-1 entries; n = 255 / 767 / 1791 puts
+    // the counter at exactly 512 / 1024 / 2048 when END is written — the
+    // one place the encoder/decoder one-entry lag closes. A width-timing
+    // bug flips precisely these cases.
+    def distinctPairStream(n: Int): Array[Byte] = {
+      val used = scala.collection.mutable.Set.empty[(Int, Int)]
+      val out = new Array[Byte](n)
+      var cur = 0
+      out(0) = 0
+      for (j <- 1 until n) {
+        // rotate the preference so prefix visits stay balanced (a fixed
+        // smallest-b preference exhausts node 0's out-edges)
+        val nxt = (1 to 256).map(t => (cur + t) % 256)
+          .find(b => !used.contains((cur, b))).get
+        used += ((cur, nxt))
+        out(j) = nxt.toByte
+        cur = nxt
+      }
+      out
+    }
+    for (n <- Seq(254, 255, 256, 766, 767, 768, 1790, 1791, 1792)) {
+      val idx = distinctPairStream(n)
+      val st = decodeGifPixels(encodeGifPixels(n, 1, idx, testPalette))
+      val (sum, mn, mx) = gifLuma(idx)
+      withClue(s"n=$n: ") {
+        st shouldBe PixelStats(n.toLong, sum, mn, mx, valid = true)
+      }
+    }
+  }
+
+  test("GIF pixel decode rejects truncation, bad dims, and short streams") {
+    val idx = Array.tabulate[Byte](60)(j => (j * 11).toByte)
+    val gif = encodeGifPixels(10, 6, idx, testPalette)
+    decodeGifPixels(gif).valid shouldBe true
+    for (n <- 0 until gif.length by 5)
+      decodeGifPixels(gif.take(n)).valid shouldBe false
+    // image-descriptor dims disagreeing with the screen descriptor
+    val badDims = gif.clone()
+    badDims(6) = (badDims(6) + 1).toByte // screen width no longer matches
+    decodeGifPixels(badDims).valid shouldBe false
+    // metadata-only shell (no pixel stream) must not pass
+    decodeGifPixels(encodeGif(4, 4)).valid shouldBe false
+  }
+
   test("PNG pixel decode rejects IDAT corruption, truncation, and trailing garbage") {
     val rgb = Array.tabulate[Byte](12 * 5 * 3)(i => (i * 7).toByte)
     val png = encodePngPixels(12, 5, rgb, _ % 5)
