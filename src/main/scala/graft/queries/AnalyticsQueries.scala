@@ -1915,7 +1915,39 @@ object AnalyticsQueries {
     }
   }
 
+  /** Exact global order statistics WITHOUT a global sort
+    * ([[graft.operators.ExactQuantile]]): the median and p90 of the whole
+    * fact table found by descending a bucket histogram — one aggregate
+    * pass per level over a geometrically shrinking slice, the bucket
+    * frame driver-bounded by construction (≤ fanout rows), a final
+    * TakeOrdered only on the collapsed residue. The scale story Spark's
+    * own exact `percentile` (value-buffer state) and ORDER-BY ranking
+    * (full shuffle) cannot tell at 100 TB. Values floor to whole dollars
+    * so both engines rank the identical integer multiset; the oracle is
+    * the naive full-sort ROW_NUMBER definition, so the gate proves the
+    * histogram descent lands on exactly the right element, ties and all. */
+  val o31ExactMedian: Reg = Reg.sql(
+    "o31_exact_median",
+    """WITH v AS (SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS v
+      |           FROM lineitem),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+      |km AS (SELECT n, (n + 1) // 2 AS k, (9 * n + 9) // 10 AS k90 FROM n),
+      |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v)
+      |SELECT km.n, km.k AS median_rank,
+      |       (SELECT r.v FROM r, km WHERE r.rn = km.k) AS median,
+      |       (SELECT r.v FROM r, km WHERE r.rn = km.k90) AS p90
+      |FROM km""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val base = Tables.lineitem(s, dir)
+      .select(expr("CAST(FLOOR(l_extendedprice) AS BIGINT)").as("v"))
+    val (n, k, med) = graft.operators.ExactQuantile.medianExact(base, "v")
+    val p90 = graft.operators.ExactQuantile
+      .valueAtRank(base, "v", (9 * n + 9) / 10)
+    Seq((n, k, med, p90)).toDF("n", "median_rank", "median", "p90")
+  }
+
   val all: Seq[Reg] = Seq(
+    o31ExactMedian,
     o25ParetoFront, o26CountMin, o27KmvDistinct, a29Expectations, o28HoltLinear,
     c7GeodesicOps, c8CircleFilter,
     o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface, a26GroupingSets,
