@@ -77,6 +77,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     "Exchange SinglePartition".r.findAllIn(p).size should be <= 2
   }
 
+  test("media decode gates: fused per-row typed pipelines, no shuffle before the sort") {
+    // PNG/GIF pixel decode, PCM features, and video metadata are per-row
+    // encode→decode map passes over the doc_id scan: media bytes must
+    // never shuffle — the only Exchange allowed is the output ORDER BY.
+    Seq(LlmQueries.pngPixels, LlmQueries.gifPixels, LlmQueries.pcmFeatures,
+      LlmQueries.videoMeta)
+      .foreach { q =>
+        val p = plan(q)
+        withClue(q.name) {
+          "Exchange".r.findAllIn(p).size should be <= 1
+          p should not include "Generate"
+          p should include("MapElements")
+        }
+      }
+  }
+
   test("llm_source_mix: global window runs on the post-agg source frame") {
     // The window denominators are order-independent aggregates over the
     // |sources|-row aggregate, never over the raw documents: the plan must
