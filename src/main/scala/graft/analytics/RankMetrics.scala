@@ -81,7 +81,11 @@ object RankMetrics {
         coalesce(sum("bc").over(wB), lit(0L)).as("boff"): _*)
     val wIn = Window.partitionBy(gks :+ col("b"): _*).orderBy("sc")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = g.join(broadcast(offs), groupCols :+ "b")
+    // No broadcast hint on the offset frame: ungrouped it is domain-bounded,
+    // but grouped it scales with |slices| — a hint would pin a driver OOM to
+    // slice cardinality. AQE broadcasts it adaptively whenever it is small
+    // and degrades to a shuffle join beyond that (same rule as PrefixSum).
+    val ranked = g.join(offs, groupCols :+ "b")
       .withColumn("cb", col("boff") + coalesce(sum("c").over(wIn), lit(0L)))
     ranked
       .groupBy(gks: _*)

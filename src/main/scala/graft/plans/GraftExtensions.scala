@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.haversineFunction)
     ext.injectFunction(GraftExtensions.cosineFunction)
+    ext.injectFunction(GraftExtensions.orderBitsFunction)
     ext.injectOptimizerRule(_ => OutlierIdiomRule)
     ext.injectOptimizerRule(_ => CircleFilterRule)
   }
@@ -51,12 +52,23 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CosineExpression].getName, "cosine_sim"),
     cosineBuilder)
 
+  private val orderBitsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1,
+      s"double_order_bits expects 1 argument, got ${children.length}")
+    DoubleOrderBitsExpression(Cast(children.head, DoubleType))
+  }
+
+  val orderBitsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("double_order_bits"),
+    new ExpressionInfo(classOf[DoubleOrderBitsExpression].getName, "double_order_bits"),
+    orderBitsBuilder)
+
   /** Register on an EXISTING session (getOrCreate ignores extensions when a
     * session already exists — e.g. shared test fixtures, spark-shell).
     * Functions go to the registry; optimizer rules ride the experimental
     * hook (the only post-construction injection point Spark exposes). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(haversineFunction, cosineFunction).foreach { f =>
+    Seq(haversineFunction, cosineFunction, orderBitsFunction).foreach { f =>
       spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
     }
     Seq(OutlierIdiomRule, CircleFilterRule).foreach { r =>

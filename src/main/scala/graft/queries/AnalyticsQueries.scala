@@ -1940,14 +1940,44 @@ object AnalyticsQueries {
     import s.implicits._
     val base = Tables.lineitem(s, dir)
       .select(expr("CAST(FLOOR(l_extendedprice) AS BIGINT)").as("v"))
-    val (n, k, med) = graft.operators.ExactQuantile.medianExact(base, "v")
-    val p90 = graft.operators.ExactQuantile
-      .valueAtRank(base, "v", (9 * n + 9) / 10)
+    val n = base.where(col("v").isNotNull).count()
+    val k = (n + 1) / 2
+    // median + p90 out of ONE shared descent: each level is a single
+    // aggregate serving both ranks, not one descent per statistic
+    val Seq(med, p90) = graft.operators.ExactQuantile
+      .valueAtRanks(base, "v", Seq(k, (9 * n + 9) / 10))
     Seq((n, k, med, p90)).toDF("n", "median_rank", "median", "p90")
   }
 
+  /** Exact order statistics over a raw DOUBLE column — the histogram
+    * descent riding the order-preserving IEEE-754 bit map
+    * ([[graft.plans.DoubleOrderBitsExpression]]): descend on mapped longs,
+    * reverse-map the found element. Median and p95 come out of ONE shared
+    * multi-rank descent (one aggregate pass per level total). The oracle is
+    * the naive full-sort ROW_NUMBER definition over the same doubles; both
+    * engines return the identical stored parquet element (pure selection,
+    * no arithmetic), so the values hash bit-identically. */
+  val o32ExactMedianDouble: Reg = Reg.sql(
+    "o32_exact_median_double",
+    """WITH v AS (SELECT l_extendedprice AS v FROM lineitem
+      |           WHERE l_extendedprice IS NOT NULL),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+      |km AS (SELECT n, (n + 1) // 2 AS k50, (19 * n + 19) // 20 AS k95 FROM n),
+      |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v)
+      |SELECT km.n,
+      |       (SELECT r.v FROM r, km WHERE r.rn = km.k50) AS median,
+      |       (SELECT r.v FROM r, km WHERE r.rn = km.k95) AS p95
+      |FROM km""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val base = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+    val n = base.where(col("v").isNotNull).count()
+    val Seq(med, p95) = graft.operators.ExactQuantile
+      .valueAtRanksDouble(base, "v", Seq((n + 1) / 2, (19 * n + 19) / 20))
+    Seq((n, med, p95)).toDF("n", "median", "p95")
+  }
+
   val all: Seq[Reg] = Seq(
-    o31ExactMedian,
+    o31ExactMedian, o32ExactMedianDouble,
     o25ParetoFront, o26CountMin, o27KmvDistinct, a29Expectations, o28HoltLinear,
     c7GeodesicOps, c8CircleFilter,
     o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface, a26GroupingSets,

@@ -44,6 +44,52 @@ class ExactQuantileSpec extends AnyFunSuite with Matchers with SparkSuite {
       Seq.fill(100)(42L).toDF("v"), "v") shouldBe ((100L, 50L, 42L))
   }
 
+  test("valueAtRanks: one shared descent matches per-rank answers across seeds") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val values = (0 until 2500).map(_ =>
+        (rnd.nextInt(4000) - 2000).toLong * (if (rnd.nextInt(3) == 0) 13 else 1))
+      val df = values.toDF("v")
+      val sorted = values.sorted
+      val ranks = Seq(1L, 625L, 1250L, 1251L, 2375L, 2500L)
+      // tiny fanout forces several shared levels; duplicate rank allowed
+      val got = ExactQuantile.valueAtRanks(df, "v", ranks :+ 1250L,
+        fanout = 8, directLimit = 16L)
+      got shouldBe (ranks :+ 1250L).map(r => sorted((r - 1).toInt))
+    }
+  }
+
+  test("valueAtRanksDouble: bit-map descent == sorted doubles, negatives/ties/fractions") {
+    import spark.implicits._
+    for (seed <- Seq(5, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val values = (0 until 2000).map { _ =>
+        val base = (rnd.nextInt(800) - 400) * 0.37
+        if (rnd.nextInt(4) == 0) base else base + rnd.nextDouble() * 1e-3
+      }
+      val df = values.toDF("v")
+      val sorted = values.sorted
+      val ranks = Seq(1L, 500L, 1000L, 1001L, 1999L, 2000L)
+      val got = ExactQuantile.valueAtRanksDouble(df, "v", ranks,
+        fanout = 64, directLimit = 32L)
+      got shouldBe ranks.map(r => sorted((r - 1).toInt))
+    }
+  }
+
+  test("double order-bit map is an order isomorphism and self-inverse") {
+    import graft.plans.DoubleOrderBitsExpression._
+    val specials = Seq(Double.NegativeInfinity, -1e300, -1.5, -Double.MinPositiveValue,
+      -0.0, 0.0, Double.MinPositiveValue, 0.3, 2.0, 1e300, Double.PositiveInfinity)
+    specials.sliding(2).foreach { case Seq(a, b) =>
+      assert(toBits(a) < toBits(b), s"$a vs $b")
+    }
+    specials.foreach(d => assert(fromBits(toBits(d)) == d ||
+      (d == 0.0 && fromBits(toBits(d)) == d)))
+    // NaN sorts above +Infinity (totalOrder convention)
+    assert(toBits(Double.NaN) > toBits(Double.PositiveInfinity))
+  }
+
   test("invalid ranks fail loudly") {
     import spark.implicits._
     val df = Seq(1L, 2L).toDF("v")

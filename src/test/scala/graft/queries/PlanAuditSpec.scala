@@ -117,6 +117,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
       }
       withClue(q.name)(hinted shouldBe empty)
     }
+    // Same rule for the AUC prefix-sum offset frame: ungrouped it is
+    // domain-bounded, but the grouped (per-slice) frame scales with slice
+    // cardinality — the hint must stay off and the strategy with AQE.
+    import spark.implicits._
+    val scored = (1 to 50).map(i => (i % 7, i % 97, i % 3 min 1)).toDF("slice", "s", "y")
+    Seq(
+      graft.analytics.RankMetrics.aucExact(scored, "s", "y"),
+      graft.analytics.RankMetrics.aucExactBy(scored, Seq("slice"), "s", "y")
+    ).foreach { df =>
+      val hinted = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      withClue("RankMetrics auc offset frame")(hinted shouldBe empty)
+    }
   }
 
   test("mutation paths carry no broadcast hint (hit sets scale with data volume)") {
