@@ -2301,11 +2301,13 @@ object LlmQueries {
     * has). This is the arrival-order-respecting dedup a continuously
     * ingesting corpus needs: a new document dups against the EARLIEST
     * seen copy, never the reverse, and history is never re-clustered.
-    * Scale: per batch one banding pass + two key equi-joins; both state
-    * tables grow linearly with distinct docs (bucket store is
-    * bands×docs rows of three longs; production would partition both by
-    * key). Closed-form oracle: the planted corpus pins every (doc,
-    * dup_of, jaccard) triple by arithmetic. */
+    * Scale: per batch one banding pass + two key equi-joins, and —
+    * via [[graft.streaming.IncrementalNearDup]] — per-batch WRITE volume
+    * proportional to the batch, never the corpus: the doc-shingle store
+    * is append-only (one subdir per batch), the bucket-min store is an
+    * LSM delta log collapsed on read by the min-monoid law and compacted
+    * on an amortized threshold. Closed-form oracle: the planted corpus
+    * pins every (doc, dup_of, jaccard) triple by arithmetic. */
   val streamNearDup: Reg = Reg.sql(
     "llm_stream_neardup",
     """WITH ids AS (SELECT doc_id FROM documents),
@@ -2346,10 +2348,8 @@ object LlmQueries {
           dst.setLastModified(t0 + i * 2000L)
         }
 
-        @volatile var version = -1L
         val outPaths = scala.collection.mutable.ArrayBuffer.empty[String]
-        val bucketDir = (v: Long) => s"$work/buckets_v$v"
-        val docsDir = (v: Long) => s"$work/docs_v$v"
+        val stateRoot = s"$work/state"
 
         val schema = s.read.parquet(src.toString).schema
         val q = s.readStream.schema(schema)
@@ -2357,48 +2357,17 @@ object LlmQueries {
           .parquet(src.toString)
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-            val ss = batch.sparkSession
-            val signed = MinHash.signed(batch, "doc_id", "text", cfg)
-              .localCheckpoint(false) // consumed by banding, verify, and state fold
-            val banded = MinHash.banded(signed, cfg)
-            if (version >= 0) {
-              val buckets = ss.read.parquet(bucketDir(version))
-              val docsSt = ss.read.parquet(docsDir(version))
-              // verify EVERY matched bucket-min candidate, then keep the
-              // smallest VERIFIED one — a hash-collision candidate with
-              // smaller id must not mask the true duplicate
-              val verified = banded
-                .join(buckets, Seq("band", "bucket"))
-                .select(col("id"), col("min_id")).distinct()
-                .join(signed.select(col("id"), col("shingles")), "id")
-                .join(docsSt.select(col("doc_id").as("min_id"),
-                  col("shingles").as("s2")), "min_id")
-                .withColumn("jaccard",
-                  MinHash.jaccard(col("shingles"), col("s2")))
-                .where(col("jaccard") >= cfg.jaccardThreshold)
-                .groupBy(col("id"))
-                .agg(min(struct(col("min_id"), col("jaccard"))).as("m"))
-                .select(col("id").as("doc_id"), col("m.min_id").as("dup_of"),
-                  round(col("m.jaccard"), 4).as("jaccard"))
-                .localCheckpoint(false)
-              if (verified.count() > 0) {
-                verified.write.parquet(s"$work/out_$id")
-                outPaths.synchronized { outPaths += s"$work/out_$id"; () }
-              }
+            // match against existing state, then fold the batch in with
+            // O(batch) bytes written (append-only doc-shingle subdirs +
+            // bucket-min delta log; see IncrementalNearDup)
+            val verified = graft.streaming.IncrementalNearDup
+              .processBatch(batch.toDF(), id, stateRoot, cfg)
+            if (!verified.isEmpty) {
+              verified.write.parquet(s"$work/out_$id")
+              outPaths.synchronized { outPaths += s"$work/out_$id"; () }
             }
-            val batchMins = banded.groupBy("band", "bucket")
-              .agg(min(col("id")).as("min_id"))
-            val mergedBuckets =
-              if (version < 0) batchMins
-              else ss.read.parquet(bucketDir(version)).unionByName(batchMins)
-                .groupBy("band", "bucket").agg(min(col("min_id")).as("min_id"))
-            mergedBuckets.write.parquet(bucketDir(id))
-            val newDocs = signed.select(col("id").as("doc_id"), col("shingles"))
-            val mergedDocs =
-              if (version < 0) newDocs
-              else ss.read.parquet(docsDir(version)).unionByName(newDocs)
-            mergedDocs.write.parquet(docsDir(id))
-            version = id
+            graft.streaming.IncrementalNearDup
+              .maybeCompact(batch.sparkSession, stateRoot, id)
             ()
           }
           .option("checkpointLocation", work + "/ckpt")
