@@ -95,6 +95,129 @@ object Bpe {
       .orderBy("round")
   }
 
+  /** Train `k` BPE merges with ONE Spark job, however large `k` is — the
+    * shape that survives a real 50k-merge production vocabulary, where
+    * [[trainMerges]]'s one-aggregation-per-round loop would submit 50k
+    * Spark jobs.
+    *
+    * The insight (how HuggingFace tokenizers / SentencePiece train): BPE
+    * never needs the corpus after the initial word count — its entire
+    * loop state is the (word, frequency) table, vocabulary-sized by
+    * Heaps' law. So: one distributed `groupBy(w).count` pass builds the
+    * vocab, ONE bounded collect brings it to the driver, and the full
+    * merge loop runs in memory with INCREMENTAL pair-count maintenance —
+    * each merge touches only the words containing the merged pair (an
+    * inverted pair→words index), the textbook O(affected)-per-round
+    * trainer. Result is bit-identical to [[trainMerges]]: same pair
+    * windows (overlapping counted), same left-to-right non-overlapping
+    * replace, same (cnt DESC, pair ASC) argmax total order.
+    *
+    * At warehouse scale the vocab collect is the one driver-sized object
+    * (~10⁷ distinct words for a 100 TB web corpus); the standard
+    * production knob when that overflows is a min-count cutoff on the
+    * vocab (`minCount`) — hapax pruning, the same approximation every
+    * production trainer applies.
+    *
+    * Placeholder symbols are injectable (`placeholder`): the default
+    * chr(1..k) control-char scheme caps k at 31 before colliding with
+    * printable text; larger vocabularies pass a private-use-area mapping
+    * (e.g. U+E000+r) that no corpus character can collide with.
+    */
+  def trainMergesDriver(
+      spark: SparkSession,
+      words: DataFrame,
+      wCol: String,
+      k: Int,
+      placeholder: Int => Char = _.toChar,
+      minCount: Long = 1L): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val phs = (1 to k).map(placeholder)
+    require(phs.distinct.length == phs.length, "placeholder must be injective")
+
+    // THE one Spark job: vocabulary aggregation + bounded collect
+    // (Heaps-law-sized; minCount is the overflow knob).
+    val vocab = words.select(col(wCol).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      .where(col("wcnt") >= minCount)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    val merges = trainInMemory(vocab, k, placeholder)
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        merges.map { case (r, m, c) => Row(r, m, c) }: _*), outSchema)
+      .orderBy("round")
+  }
+
+  /** The in-memory merge loop over a (word, count) vocabulary —
+    * incremental pair counts via an inverted pair→slots index, so each
+    * round costs O(words containing the merged pair), not O(vocab).
+    * Exposed for property tests. */
+  private[graft] def trainInMemory(
+      vocab: Array[(String, Long)],
+      k: Int,
+      placeholder: Int => Char): Seq[(Long, String, Long)] = {
+    import scala.collection.mutable
+    val wArr = vocab.map(_._1)
+    val cArr = vocab.map(_._2)
+    val pc = mutable.HashMap.empty[String, Long]
+    val idx = mutable.HashMap.empty[String, mutable.Set[Int]]
+
+    def add(i: Int): Unit = {
+      val w = wArr(i); val c = cArr(i)
+      var j = 0
+      while (j < w.length - 1) {
+        val p = w.substring(j, j + 2)
+        pc.update(p, pc.getOrElse(p, 0L) + c)
+        idx.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+    }
+    def remove(i: Int): Unit = {
+      val w = wArr(i); val c = cArr(i)
+      var j = 0
+      while (j < w.length - 1) {
+        val p = w.substring(j, j + 2)
+        val n = pc(p) - c
+        if (n == 0L) { pc.remove(p); () } else pc.update(p, n)
+        idx.get(p).foreach { s => s -= i; if (s.isEmpty) idx.remove(p) }
+        j += 1
+      }
+    }
+    wArr.indices.foreach(add)
+
+    val out = Seq.newBuilder[(Long, String, Long)]
+    var round = 1
+    var dry = false
+    while (round <= k && !dry) {
+      if (pc.isEmpty) dry = true
+      else {
+        // argmax under the same total order as the distributed trainer:
+        // cnt DESC, pair ASC (BMP-only symbols, so UTF-16 compareTo ==
+        // the engines' UTF-8 byte order)
+        var bestP: String = null
+        var bestC = -1L
+        pc.foreach { case (p, c) =>
+          if (c > bestC || (c == bestC && p.compareTo(bestP) < 0)) {
+            bestP = p; bestC = c
+          }
+        }
+        out += ((round.toLong, bestP, bestC))
+        val ph = placeholder(round).toString
+        // only words containing the merged pair change — snapshot, rewrite
+        val affected = idx.get(bestP).map(_.toArray).getOrElse(Array.empty)
+        affected.foreach { i =>
+          remove(i)
+          // left-to-right non-overlapping, same as SQL replace()
+          wArr(i) = wArr(i).replace(bestP, ph)
+          add(i)
+        }
+        round += 1
+      }
+    }
+    out.result()
+  }
+
   /** Apply a trained merge table to a word column — the ENCODE half of the
     * tokenizer: each word has the merges applied in training order (round 1
     * first; BPE's apply order IS its train order), yielding the symbol
@@ -120,18 +243,21 @@ object Bpe {
     * word stream (COUNT(*) over the stream ≡ SUM(wcnt) over the vocab —
     * exact integer equivalence, so engine-side compression is invisible
     * to the gate). */
-  def oracleSqlFor(k: Int): String = {
+  def oracleSqlFor(k: Int, chrOf: Int => Int = identity): String = {
+    // every CTE is MATERIALIZED: each w<r> is referenced twice (pair scan
+    // + next round), and inlining would both re-open the parquet file per
+    // reference (fd exhaustion at k=64) and re-derive the chain
     val sb = new StringBuilder
-    sb.append("WITH wd AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),\n")
-    sb.append("w0 AS (SELECT w FROM wd WHERE length(w) >= 2)")
+    sb.append("WITH wd AS MATERIALIZED (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),\n")
+    sb.append("w0 AS MATERIALIZED (SELECT w FROM wd WHERE length(w) >= 2)")
     for (r <- 1 to k) {
       val prev = s"w${r - 1}"
       sb.append(s""",
-p$r AS (SELECT UNNEST(list_transform(generate_series(1, length(w) - 1),
+p$r AS MATERIALIZED (SELECT UNNEST(list_transform(generate_series(1, length(w) - 1),
           i -> substr(w, i, 2))) AS pair FROM $prev),
-t$r AS (SELECT pair AS mp, CAST(COUNT(*) AS BIGINT) AS cnt FROM p$r
+t$r AS MATERIALIZED (SELECT pair AS mp, CAST(COUNT(*) AS BIGINT) AS cnt FROM p$r
         GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
-w$r AS (SELECT w FROM (SELECT replace(w, (SELECT mp FROM t$r), chr($r)) AS w
+w$r AS MATERIALIZED (SELECT w FROM (SELECT replace(w, (SELECT mp FROM t$r), chr(${chrOf(r)})) AS w
                        FROM $prev) WHERE length(w) >= 2)""")
     }
     sb.append("\n")

@@ -457,7 +457,26 @@ object CorpusModelQueries {
   val bpeK: Reg = Reg.sql("llm_bpe_k", graft.llm.Bpe.oracleSqlFor(6)) { (s, dir) =>
     val words = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ", -1)).as("w"))
-    graft.llm.Bpe.trainMerges(s, words, "w", 6)
+    graft.llm.Bpe.trainMergesDriver(s, words, "w", 6)
+  }
+
+  /** BPE at production vocab scale: 64 merge rounds in ONE Spark job —
+    * `Bpe.trainMergesDriver` collects the Heaps-law-sized (word, count)
+    * vocabulary once and runs the whole merge loop driver-side with
+    * incremental pair-count maintenance (only words containing the merged
+    * pair are touched per round), exactly how HuggingFace/SentencePiece
+    * train. Placeholders live in the Unicode private use area
+    * (U+E000+r−1) so 64 (or 50 000) rounds cannot collide with corpus
+    * text the way chr(1..31) control chars would past k=31. The oracle is
+    * the same loop unrolled into 64 chained DuckDB CTEs with the same
+    * PUA placeholders — exact integer counts, total argmax order. */
+  val bpeK64: Reg = Reg.sql(
+    "llm_bpe_k64", graft.llm.Bpe.oracleSqlFor(64, r => 0xE000 + r - 1)) {
+    (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ", -1)).as("w"))
+      graft.llm.Bpe.trainMergesDriver(s, words, "w", 64,
+        placeholder = r => (0xE000 + r - 1).toChar)
   }
 
   /** Train-then-ENCODE through `Bpe.encode`: six merges trained, then
@@ -470,7 +489,7 @@ object CorpusModelQueries {
     "llm_bpe_encode", graft.llm.Bpe.encodeOracleSqlFor(6, 30)) { (s, dir) =>
     val words = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ", -1)).as("w"))
-    val merges = graft.llm.Bpe.trainMerges(s, words, "w", 6)
+    val merges = graft.llm.Bpe.trainMergesDriver(s, words, "w", 6)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     graft.llm.Bpe.encode(words.where(length(col("w")) >= 1), "w", merges)
       .select(explode(expr(
@@ -653,5 +672,5 @@ object CorpusModelQueries {
   val all: Seq[Reg] =
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
       bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty,
-      bpeK, bpeEncode, perplexityFilter, randProj, pmiCooccur)
+      bpeK, bpeK64, bpeEncode, perplexityFilter, randProj, pmiCooccur)
 }

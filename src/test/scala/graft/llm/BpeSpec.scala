@@ -60,4 +60,82 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkSuite {
     Bpe.trainMerges(spark, df1, "w", 4).collect().map(_.toString) shouldBe
       Bpe.trainMerges(spark, df7, "w", 4).collect().map(_.toString)
   }
+
+  test("driver trainer == distributed trainer across random corpora and k") {
+    import spark.implicits._
+    for (seed <- Seq(3, 17, 123)) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abcdef"
+      val words = (0 until 400).map { _ =>
+        (0 until 2 + rnd.nextInt(6))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val df = words.toDF("w")
+      for (k <- Seq(1, 5, 12)) {
+        val dist = Bpe.trainMerges(spark, df, "w", k)
+          .collect().map(_.toString).toSeq
+        val drv = Bpe.trainMergesDriver(spark, df, "w", k)
+          .collect().map(_.toString).toSeq
+        withClue(s"seed=$seed k=$k")(drv shouldBe dist)
+      }
+    }
+  }
+
+  test("driver trainer handles k=64 with private-use-area placeholders") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val words = (0 until 1500).map { _ =>
+      (0 until 3 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(10)).toChar).mkString
+    }
+    val got = Bpe.trainMergesDriver(spark, words.toDF("w"), "w", 64,
+      placeholder = r => (0xE000 + r - 1).toChar)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    got.length shouldBe 64
+    got.map(_._1).toSeq shouldBe (1L to 64L)
+    // counts are non-increasing ONLY per identical symbol universe is not
+    // guaranteed (a merge can create a new frequent pair), but every count
+    // must be >= 1 and every merged pair exactly 2 symbols
+    got.foreach { case (_, m, c) => m.length shouldBe 2; c should be >= 1L }
+    // placeholders stay in the PUA, never colliding with corpus letters
+    got.flatMap(_._2.toCharArray).filter(_ >= 0xE000).foreach { ch =>
+      ch.toInt should be < (0xE000 + 64)
+    }
+  }
+
+  test("in-memory incremental trainer == brute-force recount reference") {
+    // property check of the inverted-index maintenance against a dumb
+    // full-recount implementation of the same semantics
+    def brute(vocab: Seq[(String, Long)], k: Int): Seq[(Long, String, Long)] = {
+      var vs = vocab
+      val out = Seq.newBuilder[(Long, String, Long)]
+      var r = 1
+      var dry = false
+      while (r <= k && !dry) {
+        val pc = scala.collection.mutable.HashMap.empty[String, Long]
+        vs.foreach { case (w, c) =>
+          (0 until w.length - 1).foreach { j =>
+            val p = w.substring(j, j + 2)
+            pc.update(p, pc.getOrElse(p, 0L) + c)
+          }
+        }
+        if (pc.isEmpty) dry = true
+        else {
+          val (mp, cnt) = pc.toSeq.minBy { case (p, c) => (-c, p) }
+          out += ((r.toLong, mp, cnt))
+          vs = vs.map { case (w, c) => (w.replace(mp, r.toChar.toString), c) }
+          r += 1
+        }
+      }
+      out.result()
+    }
+    for (seed <- Seq(1, 2, 42, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 120).map { _ =>
+        ((0 until 2 + rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString,
+          (1 + rnd.nextInt(9)).toLong)
+      }.toArray
+      val got = Bpe.trainInMemory(vocab, 10, _.toChar)
+      withClue(s"seed=$seed")(got shouldBe brute(vocab.toSeq, 10))
+    }
+  }
 }
