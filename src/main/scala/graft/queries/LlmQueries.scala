@@ -1910,6 +1910,58 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL full baseline JPEG decode gate — Huffman entropy decode,
+    * dequantization, and the IDCT are pure number logic, so JPEG content
+    * decode needs no library either (the last image format; only VIDEO
+    * content decode remains env-bounded). Every doc plants a complete
+    * baseline JPEG (`ImageCodec.encodeJpegPixels`: real forward DCT,
+    * quantization, zigzag, differential-DC/run-length-AC Huffman with
+    * byte stuffing) and `decodeJpegPixels` reverses it: DHT-built Huffman
+    * tables, MCU entropy decode, dequant, IDCT, YCbCr→RGB, ×1000 BT.601
+    * luma. JPEG is lossy, so the gate plants the closed-form-exact
+    * subfamily: TILE-CONSTANT images (every 8×8 block one luma value) with
+    * DC quant step 8 — a constant block is DC-only and round(8c/8)=c makes
+    * the round trip bit-exact — alternating grayscale and 3-component
+    * neutral-chroma (Cb=Cr=128 ⇒ R=G=B=Y exactly) per doc so both the
+    * single- and interleaved-MCU decode paths are under the hash. */
+  val jpegPixels: Reg = Reg.sql(
+    "llm_jpeg_pixels",
+    """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS tx_n, 1 + doc_id % 2 AS ty_n
+      |           FROM documents),
+      |t AS (SELECT doc_id, tx_n, ty_n,
+      |        UNNEST(generate_series(0, tx_n * ty_n - 1)) AS tile
+      |      FROM d),
+      |l AS (SELECT doc_id, tx_n, ty_n,
+      |        ((doc_id * 31 + (tile % tx_n) * 17 + (tile // tx_n) * 29) % 256)
+      |          * 1000 AS luma
+      |      FROM t)
+      |SELECT doc_id, CAST(MAX(tx_n * ty_n * 64) AS BIGINT) AS n_pixels,
+      |  CAST(SUM(luma * 64) AS BIGINT) AS sum_luma1000,
+      |  CAST(MIN(luma) AS BIGINT) AS min_luma1000,
+      |  CAST(MAX(luma) AS BIGINT) AS max_luma1000
+      |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = 8 * (1 + id % 3).toInt
+      val h = 8 * (1 + id % 2).toInt
+      val yPlane = Array.tabulate(w * h) { p =>
+        val tx = (p % w) / 8
+        val ty = (p / w) / 8
+        ((id * 31 + tx * 17 + ty * 29) % 256).toByte
+      }
+      val planes =
+        if (id % 2 == 0) Array(yPlane)
+        else Array(yPlane, Array.fill(w * h)(128.toByte),
+          Array.fill(w * h)(128.toByte))
+      val st = graft.llm.ImageCodec.decodeJpegPixels(
+        graft.llm.ImageCodec.encodeJpegPixels(w, h, planes))
+      (id, st.nPixels, st.sumLuma1000, st.minLuma1000.toLong,
+        st.maxLuma1000.toLong)
+    }.toDF("doc_id", "n_pixels", "sum_luma1000", "min_luma1000",
+      "max_luma1000")
+      .orderBy("doc_id")
+  }
+
   /** REAL sample-level PCM feature extraction — past metadata into actual
     * signal math: every doc plants a genuine 16-bit mono WAV
     * (`AudioCodec.encodeWav`, deterministic byte pattern), and
@@ -2469,7 +2521,7 @@ object LlmQueries {
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
     bm25TopK, embedCentroids, clusterReps, linkTriangles, weightedSample,
     driftKs, imageMeta, audioMeta, videoMeta, pcmFeatures, pngPixels,
-    gifPixels, driftChi2, driftPsi)
+    gifPixels, jpegPixels, driftChi2, driftPsi)
 
   /** Training-shard assignment by GLOBAL cumulative token count — the
     * writer-side step after packing/splitting: every doc gets the shard id

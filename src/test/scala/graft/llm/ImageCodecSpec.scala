@@ -183,4 +183,84 @@ class ImageCodecSpec extends AnyFunSuite with Matchers {
     // metadata-only shell (arbitrary payload) fails the inflate stage
     decodePngPixels(encodePng(4, 4, Array[Byte](1, 2, 3))).valid shouldBe false
   }
+
+  // ------------------------------------------------------------- JPEG ----
+
+  test("JPEG tile-constant round trip is bit-exact (gray and neutral-chroma)") {
+    for ((w, h) <- Seq((8, 8), (24, 16), (16, 24))) {
+      val yPlane = Array.tabulate(w * h) { p =>
+        val tx = (p % w) / 8; val ty = (p / w) / 8
+        ((tx * 53 + ty * 101 + 7) % 256).toByte
+      }
+      val expectedLumas = (for {
+        ty <- 0 until h / 8; tx <- 0 until w / 8
+      } yield ((tx * 53 + ty * 101 + 7) % 256) * 1000).toArray
+      for (planes <- Seq(
+        Array(yPlane),
+        Array(yPlane, Array.fill(w * h)(128.toByte), Array.fill(w * h)(128.toByte)))) {
+        val st = decodeJpegPixels(encodeJpegPixels(w, h, planes))
+        withClue(s"${w}x$h planes=${planes.length}: ") {
+          st.valid shouldBe true
+          st.nPixels shouldBe (w * h).toLong
+          st.sumLuma1000 shouldBe expectedLumas.map(_.toLong * 64).sum
+          st.minLuma1000 shouldBe expectedLumas.min
+          st.maxLuma1000 shouldBe expectedLumas.max
+        }
+      }
+    }
+  }
+
+  test("JPEG arbitrary images round-trip within quantization tolerance") {
+    val rnd = new scala.util.Random(7)
+    for ((w, h) <- Seq((8, 8), (19, 13), (32, 24))) { // incl. partial blocks
+      val planes = Array.fill(3)(Array.tabulate(w * h)(_ => rnd.nextInt(256).toByte))
+      val Some((dw, dh, rgb)) = decodeJpegToRgb(encodeJpegPixels(w, h, planes))
+      dw shouldBe w; dh shouldBe h
+      // reference: exact same color conversion applied to the ORIGINAL
+      // planes; per-channel error bounded by the quantizer's worst case
+      var worst = 0
+      for (p <- 0 until w * h) {
+        val yy = planes(0)(p) & 0xff
+        val cb = (planes(1)(p) & 0xff) - 128
+        val cr = (planes(2)(p) & 0xff) - 128
+        def cl(d: Double) = math.max(0, math.min(255, Math.round(d).toInt))
+        val exp = Seq(cl(yy + 1.402 * cr),
+          cl(yy - 0.344136 * cb - 0.714136 * cr), cl(yy + 1.772 * cb))
+        for (c <- 0 to 2)
+          worst = math.max(worst, math.abs((rgb(3 * p + c) & 0xff) - exp(c)))
+      }
+      // AC step 16 ⇒ per-coefficient error ≤ 8; the IDCT spreads worst-case
+      // coherent error far below this in practice
+      withClue(s"${w}x$h worst channel error $worst: ")(worst should be <= 96)
+    }
+  }
+
+  test("JPEG restart intervals: DRI + RSTn markers decode identically") {
+    val w = 40; val h = 16 // 5x2 = 10 MCUs
+    val yPlane = Array.tabulate(w * h)(p => ((p * 13 + 5) % 256).toByte)
+    val plain = decodeJpegPixels(encodeJpegPixels(w, h, Array(yPlane)))
+    plain.valid shouldBe true
+    for (ri <- Seq(1, 3, 4)) {
+      val st = decodeJpegPixels(encodeJpegPixels(w, h, Array(yPlane), restartInterval = ri))
+      withClue(s"restartInterval=$ri: ")(st shouldBe plain)
+    }
+  }
+
+  test("JPEG decode rejects truncation, progressive frames, and the metadata shell") {
+    val yPlane = Array.tabulate(64)(p => (p * 3).toByte)
+    val jpeg = encodeJpegPixels(8, 8, Array(yPlane))
+    decodeJpegPixels(jpeg).valid shouldBe true
+    for (n <- 0 until jpeg.length by 5)
+      decodeJpegPixels(jpeg.take(n)).valid shouldBe false
+    // flip SOF0 marker to SOF2 (progressive): refused, not mis-decoded
+    val prog = jpeg.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    decodeJpegPixels(prog).valid shouldBe false
+    // the dimension-only shell has no tables and no scan
+    decodeJpegPixels(encodeJpeg(8, 8)).valid shouldBe false
+    // garbage is invalid, never a throw
+    decodeJpegPixels(Array.tabulate[Byte](100)(_.toByte)).valid shouldBe false
+  }
 }
