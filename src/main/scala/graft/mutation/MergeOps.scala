@@ -213,20 +213,54 @@ object MergeOps {
   /** Apply `transform` to exactly the named partition directories, each via
     * the same write-new → atomic-swap → recover protocol as full rewrites.
     * `transform` sees the partition column (basePath read) and its output
-    * may drop it — the directory name IS the value. */
+    * may drop it — the directory name IS the value.
+    *
+    * Partition rewrites run CONCURRENTLY on a bounded pool
+    * (`maxConcurrency` driver threads): each partition's
+    * read→transform→write→swap is independent of every other (disjoint
+    * directories, disjoint swap artifacts), and Spark schedules jobs
+    * submitted from multiple threads side by side — so a wide purge
+    * touching 30 dates overlaps its 30 commit waits instead of paying
+    * them serially (a real table format parallelizes its manifest
+    * commits the same way). Failures don't abort siblings mid-swap —
+    * every partition either completes or rolls back on its own — and the
+    * first failure (in partition order, for determinism) is rethrown
+    * after all have settled. */
   def rewritePartitions(
       spark: SparkSession,
       path: String,
       partitionCol: String,
       values: Seq[String],
-      transform: (DataFrame, String) => DataFrame): Unit = {
-    values.foreach { v =>
-      val dir = s"${path.stripSuffix("/")}/$partitionCol=$v"
-      recoverIfNeeded(spark, dir)
-      val cur = spark.read.option("basePath", path).parquet(dir)
-      val out = transform(cur, v)
-      val dropped = if (out.columns.contains(partitionCol)) out.drop(partitionCol) else out
-      rewrite(spark, dir, dropped)
+      transform: (DataFrame, String) => DataFrame,
+      maxConcurrency: Int = 8): Unit = {
+    if (values.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(values.length, maxConcurrency)))
+    try {
+      val tasks = values.map { v =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val dir = s"${path.stripSuffix("/")}/$partitionCol=$v"
+            recoverIfNeeded(spark, dir)
+            val cur = spark.read.option("basePath", path).parquet(dir)
+            val out = transform(cur, v)
+            val dropped =
+              if (out.columns.contains(partitionCol)) out.drop(partitionCol) else out
+            rewrite(spark, dir, dropped)
+          }
+        })
+      }
+      var firstFailure: Throwable = null
+      tasks.foreach { t =>
+        try t.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstFailure == null) firstFailure = e.getCause
+        }
+      }
+      if (firstFailure != null) throw firstFailure
+    } finally {
+      pool.shutdown(); ()
     }
   }
 

@@ -209,6 +209,49 @@ class MergeOpsSpec extends AnyFunSuite with Matchers with SparkSuite {
     MergeOps.oversizedPartitions(spark, path, "day", maxFiles = 2) shouldBe empty
   }
 
+  test("wide rewrite: >8 partitions rewritten concurrently, correct and artifact-free") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_merge_wide")
+      .toString + "/fact"
+    (0 until 120).map(i => (s"e$i", i % 12, i.toDouble))
+      .toDF("event_id", "day", "value")
+      .write.partitionBy("day").parquet(path)
+    // every one of the 12 partitions is affected -> exceeds the pool width
+    // (each day holds values d, d+12, ..., d+108; value<60 hits 5 of each)
+    val affected = MergeOps.deleteWherePartitioned(
+      spark, path, "day", col("value") < 60)
+    affected shouldBe (0 until 12).map(_.toString).sorted
+    val t = spark.read.parquet(path)
+    t.count() shouldBe 60
+    t.where("value < 60").count() shouldBe 0
+    (0 until 12).foreach(d => t.where(s"day = $d").count() shouldBe 5)
+    // no swap artifacts left behind by any concurrent branch
+    new java.io.File(path).listFiles().map(_.getName)
+      .filter(n => n.endsWith(".tmp_rewrite") || n.endsWith(".tmp_old")) shouldBe empty
+  }
+
+  test("wide rewrite failure isolation: one bad partition fails after siblings settle") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_merge_fail")
+      .toString + "/fact"
+    (0 until 40).map(i => (s"e$i", i % 10, i.toDouble))
+      .toDF("event_id", "day", "value")
+      .write.partitionBy("day").parquet(path)
+    val boom = intercept[RuntimeException] {
+      MergeOps.rewritePartitions(spark, path, "day",
+        (0 until 10).map(_.toString), { (df, v) =>
+          if (v == "3") throw new RuntimeException("partition 3 boom")
+          df.where(col("value") < 1000) // no-op rewrite
+        })
+    }
+    boom.getMessage should include("partition 3 boom")
+    // every partition is still complete and readable: failed ones untouched,
+    // successful ones swapped cleanly
+    val t = spark.read.parquet(path)
+    t.count() shouldBe 40
+    (0 until 10).foreach(d => t.where(s"day = $d").count() shouldBe 4)
+  }
+
   test("a crashed partition rewrite is recovered before the next partitioned mutation") {
     val path = freshPartitionedTable()
     // simulate a rewrite of day=2 that died between its renames: the
