@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.plans.{DoubleOrderBitsExpression, DoubleOrderBitsInverseExpression}
+
+/** Exact PER-GROUP order statistics by fully-distributed histogram descent
+  * — the grouped extension of [[ExactQuantile]], with NO driver-side
+  * per-group state at all.
+  *
+  * Spark's exact `percentile` buffers every group's values in
+  * ObjectHashAggregate state (memory grows with group size — the 100 TB
+  * OOM), and a global `row_number` window per group sorts each group's full
+  * data. This operator instead keeps a GROUP-STATE DATAFRAME
+  * (keys, lo, hi, k, remaining) and descends all groups' histograms in
+  * lock-step:
+  *
+  *   1. each level joins the values to the state (AQE picks broadcast when
+  *      the group count is small, shuffle when it isn't — no hint), tags
+  *      each row with its group's bucket `(v − lo) DIV width`, and runs ONE
+  *      aggregate: (keys, bucket) → count. ≤ fanout buckets per group.
+  *   2. the bucket holding rank k is found per group with a window
+  *      cumulative sum over its ≤ fanout histogram rows (bounded frame —
+  *      never over data rows), producing the next level's state. Groups
+  *      whose range collapses (hi == lo) or whose remaining rows fit
+  *      `directLimit` leave the loop.
+  *   3. small residues finish exactly with a per-group `row_number` over at
+  *      most `directLimit` rows per group.
+  *
+  * Driver involvement per level is ONE emptiness check on the active-state
+  * frame; levels are ⌈log_fanout(range)⌉ — the state frame is
+  * `localCheckpoint`ed per level (the iterative-loop lineage discipline).
+  * Groups of wildly different sizes coexist: tiny groups exit to the
+  * residue finisher on level 0, huge groups keep descending.
+  */
+object GroupedQuantile {
+
+  /** Exact value at a per-group rank of an integral column.
+    *
+    * @param rankOf builds the 1-indexed rank from the group's row-count
+    *               column — e.g. `n => expr("(__n + 1) DIV 2")` via the
+    *               provided [[medianRank]]. Must satisfy 1 ≤ k ≤ n.
+    * @return one row per group: (keys..., resCol)
+    */
+  def valueAtRankBy(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      rankOf: Column => Column,
+      resCol: String = "value_at_rank",
+      fanout: Int = 4096,
+      directLimit: Long = 65536L): DataFrame = {
+    require(keys.nonEmpty, "need at least one grouping key")
+    val kc = keys.map(col)
+    val vals = df
+      .select(kc :+ col(valueCol).cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .localCheckpoint(false) // scanned once per level; cut re-derivation
+
+    var state = vals.groupBy(kc: _*)
+      .agg(min("__v").as("__lo"), max("__v").as("__hi"),
+        count(lit(1)).as("__n"))
+      .withColumn("__k", rankOf(col("__n")).cast("long"))
+      .withColumn("__rem", col("__n"))
+      .drop("__n")
+      .localCheckpoint(false)
+
+    def needsLevel(c: Column = lit(true)) =
+      col("__hi") > col("__lo") && col("__rem") > directLimit && c
+
+    // done groups carry their answer in __lo; residues finish by sorting
+    var finished = state.where(col("__hi") === col("__lo"))
+      .select(kc :+ col("__lo").as(resCol): _*)
+    var residues = state.where(col("__hi") > col("__lo") && !needsLevel())
+    var active = state.where(needsLevel())
+
+    var level = 0
+    while (level < 64 && !active.isEmpty) { // one driver action per level
+      val widened = active.withColumn("__w",
+        expr(s"CAST((CAST(__hi AS DECIMAL(21,0)) - __lo) DIV $fanout + 1 AS BIGINT)"))
+      val hist = vals.join(widened, keys) // no hint: AQE broadcasts if small
+        .where(col("__v").between(col("__lo"), col("__hi")))
+        .withColumn("__b",
+          expr("CAST((CAST(__v AS DECIMAL(21,0)) - __lo) DIV __w AS BIGINT)"))
+        .groupBy(kc ++ Seq(col("__lo"), col("__hi"), col("__k"), col("__w"),
+          col("__b")): _*)
+        .agg(count(lit(1)).as("__c"))
+      // bucket holding rank k, per group, over ≤ fanout histogram rows
+      val wCum = Window.partitionBy(kc: _*).orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wPick = Window.partitionBy(kc: _*).orderBy("__b")
+      val target = hist
+        .withColumn("__cum", sum("__c").over(wCum))
+        .where(col("__cum") >= col("__k"))
+        .withColumn("__rn", row_number().over(wPick))
+        .where(col("__rn") === 1)
+      state = target.select(kc ++ Seq(
+        expr("CAST(CAST(__lo AS DECIMAL(21,0)) + CAST(__b AS DECIMAL(21,0)) * __w AS DECIMAL(21,0))")
+          .as("__lo_d"),
+        col("__hi"), col("__w"), col("__k"), col("__cum"), col("__c")): _*)
+        .select(kc ++ Seq(
+          expr("CAST(__lo_d AS BIGINT)").as("__lo"),
+          expr("CAST(LEAST(CAST(__hi AS DECIMAL(21,0)), __lo_d + __w - 1) AS BIGINT)")
+            .as("__hi"),
+          (col("__k") - (col("__cum") - col("__c"))).as("__k"),
+          col("__c").as("__rem")): _*)
+        .localCheckpoint(false)
+      finished = finished.unionByName(
+        state.where(col("__hi") === col("__lo"))
+          .select(kc :+ col("__lo").as(resCol): _*))
+      residues = residues.unionByName(
+        state.where(col("__hi") > col("__lo") && !needsLevel()))
+      active = state.where(needsLevel())
+      level += 1
+    }
+    require(level < 64, "histogram descent failed to converge")
+
+    // finish residues: per-group sort of ≤ directLimit rows each
+    val wRn = Window.partitionBy(kc: _*).orderBy("__v")
+    val fromResidue = vals
+      .join(residues.select(kc ++ Seq(col("__lo"), col("__hi"), col("__k")): _*), keys)
+      .where(col("__v").between(col("__lo"), col("__hi")))
+      .withColumn("__rn", row_number().over(wRn))
+      .where(col("__rn") === col("__k"))
+      .select(kc :+ col("__v").as(resCol): _*)
+    finished.unionByName(fromResidue)
+  }
+
+  /** The lower-median rank `(n + 1) DIV 2` as a rank builder. */
+  val medianRank: Column => Column = n => floor((n + lit(1L)) / lit(2L)).cast("long")
+
+  /** Grouped exact rank over a DOUBLE column: descend on the
+    * order-isomorphic bit-mapped longs, reverse-map each group's result
+    * ([[graft.plans.DoubleOrderBitsExpression]] / its inverse). */
+  def valueAtRankByDouble(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      rankOf: Column => Column,
+      resCol: String = "value_at_rank",
+      fanout: Int = 4096,
+      directLimit: Long = 65536L): DataFrame = {
+    val mapped = df.select(keys.map(col) :+
+      ColumnBridge.column(DoubleOrderBitsExpression(
+        ColumnBridge.expression(col(valueCol).cast("double")))).as("__vd"): _*)
+    valueAtRankBy(mapped, keys, "__vd", rankOf, "__m", fanout, directLimit)
+      .select(keys.map(col) :+
+        ColumnBridge.column(DoubleOrderBitsInverseExpression(
+          ColumnBridge.expression(col("__m")))).as(resCol): _*)
+  }
+}

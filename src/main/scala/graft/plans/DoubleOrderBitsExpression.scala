@@ -41,6 +41,26 @@ case class DoubleOrderBitsExpression(child: Expression) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** Inverse of [[DoubleOrderBitsExpression]]: order-mapped long → the
+  * original double. Used by the grouped quantile descent, whose per-group
+  * results live in a DataFrame (no driver-side reverse-map possible). */
+case class DoubleOrderBitsInverseExpression(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "double_order_bits_inv"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DoubleOrderBitsExpression.fromBits(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = DoubleOrderBitsExpression.getClass.getName.stripSuffix("$") + "$"
+    defineCodeGen(ctx, ev, m => s"$cls.MODULE$$.fromBits($m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object DoubleOrderBitsExpression {
   /** Double → order-isomorphic long. Shared by interpreted eval + codegen. */
   def toBits(d: Double): Long = {

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.haversineFunction)
     ext.injectFunction(GraftExtensions.cosineFunction)
     ext.injectFunction(GraftExtensions.orderBitsFunction)
+    ext.injectFunction(GraftExtensions.orderBitsInvFunction)
     ext.injectOptimizerRule(_ => OutlierIdiomRule)
     ext.injectOptimizerRule(_ => CircleFilterRule)
   }
@@ -63,12 +64,26 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DoubleOrderBitsExpression].getName, "double_order_bits"),
     orderBitsBuilder)
 
+  private val orderBitsInvBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1,
+      s"double_order_bits_inv expects 1 argument, got ${children.length}")
+    DoubleOrderBitsInverseExpression(
+      Cast(children.head, org.apache.spark.sql.types.LongType))
+  }
+
+  val orderBitsInvFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("double_order_bits_inv"),
+    new ExpressionInfo(classOf[DoubleOrderBitsInverseExpression].getName,
+      "double_order_bits_inv"),
+    orderBitsInvBuilder)
+
   /** Register on an EXISTING session (getOrCreate ignores extensions when a
     * session already exists — e.g. shared test fixtures, spark-shell).
     * Functions go to the registry; optimizer rules ride the experimental
     * hook (the only post-construction injection point Spark exposes). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(haversineFunction, cosineFunction, orderBitsFunction).foreach { f =>
+    Seq(haversineFunction, cosineFunction, orderBitsFunction,
+      orderBitsInvFunction).foreach { f =>
       spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
     }
     Seq(OutlierIdiomRule, CircleFilterRule).foreach { r =>

@@ -1976,8 +1976,37 @@ object AnalyticsQueries {
     Seq((n, med, p95)).toDF("n", "median", "p95")
   }
 
+  /** Exact PER-GROUP median over a raw DOUBLE column with NO per-group
+    * value buffering anywhere — [[graft.operators.GroupedQuantile]]'s
+    * fully-distributed histogram descent (group state is itself a
+    * DataFrame; each level is one join + one (keys, bucket) aggregate +
+    * a window over ≤ fanout histogram rows), riding the IEEE-754 order
+    * bit map for doubles. Small fanout/directLimit force several real
+    * descent levels at every SF. The oracle is the naive per-group
+    * ROW_NUMBER selection; both engines return the stored parquet
+    * element, so values hash bit-identically. */
+  val o33GroupMedian: Reg = Reg.sql(
+    "o33_group_median",
+    """WITH v AS (SELECT l_suppkey, l_extendedprice AS v FROM lineitem
+      |           WHERE l_extendedprice IS NOT NULL),
+      |n AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n FROM v
+      |      GROUP BY l_suppkey),
+      |r AS (SELECT l_suppkey, v,
+      |        ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY v) AS rn
+      |      FROM v)
+      |SELECT r.l_suppkey, r.v AS median
+      |FROM r JOIN n USING (l_suppkey)
+      |WHERE r.rn = (n.n + 1) // 2
+      |ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+    graft.operators.GroupedQuantile.valueAtRankByDouble(
+      Tables.lineitem(s, dir), Seq("l_suppkey"), "l_extendedprice",
+      graft.operators.GroupedQuantile.medianRank, "median",
+      fanout = 64, directLimit = 32L)
+      .orderBy("l_suppkey")
+  }
+
   val all: Seq[Reg] = Seq(
-    o31ExactMedian, o32ExactMedianDouble,
+    o31ExactMedian, o32ExactMedianDouble, o33GroupMedian,
     o25ParetoFront, o26CountMin, o27KmvDistinct, a29Expectations, o28HoltLinear,
     c7GeodesicOps, c8CircleFilter,
     o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface, a26GroupingSets,
