@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineFunction)
     ext.injectFunction(GraftExtensions.orderBitsFunction)
     ext.injectFunction(GraftExtensions.orderBitsInvFunction)
+    ext.injectFunction(GraftExtensions.l2SqFunction)
     ext.injectOptimizerRule(_ => OutlierIdiomRule)
     ext.injectOptimizerRule(_ => CircleFilterRule)
   }
@@ -77,13 +78,26 @@ object GraftExtensions {
       "double_order_bits_inv"),
     orderBitsInvBuilder)
 
+  private val l2SqBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"l2_sq expects 2 arguments, got ${children.length}")
+    val Seq(a, b) = children.map(c =>
+      Cast(c, ArrayType(org.apache.spark.sql.types.LongType)): Expression)
+    L2SqExpression(a, b)
+  }
+
+  val l2SqFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("l2_sq"),
+    new ExpressionInfo(classOf[L2SqExpression].getName, "l2_sq"),
+    l2SqBuilder)
+
   /** Register on an EXISTING session (getOrCreate ignores extensions when a
     * session already exists — e.g. shared test fixtures, spark-shell).
     * Functions go to the registry; optimizer rules ride the experimental
     * hook (the only post-construction injection point Spark exposes). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(haversineFunction, cosineFunction, orderBitsFunction,
-      orderBitsInvFunction).foreach { f =>
+      orderBitsInvFunction, l2SqFunction).foreach { f =>
       spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
     }
     Seq(OutlierIdiomRule, CircleFilterRule).foreach { r =>

@@ -49,6 +49,18 @@ object CorpusModelQueries {
   private val quantize =
     "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT))"
 
+  /** Exact squared L2 on quantized lattice points — the codegen'd
+    * [[graft.plans.L2SqExpression]] (one static call inside whole-stage
+    * codegen) instead of the interpreted `aggregate(zip_with(...))` chain
+    * it replaces: same BIGINT result, ~element-count× fewer boxed
+    * expression evals on the pair hot paths. */
+  private def l2sq(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.L2SqExpression(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
   /** Shared per-document bigram-LM scorer: (doc_id, n_bigrams, lm_qscore),
     * unordered — `llm_bigram_lm` reports it directly, and
     * `llm_perplexity_filter` normalizes it into a keep/drop decision.
@@ -165,9 +177,8 @@ object CorpusModelQueries {
     val seeds = q.where(col("vec_id") < 8)
       .select(col("vec_id").as("sid"), col("qv").as("sv"))
     q.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("sid"), expr(
-        """aggregate(zip_with(qv, sv, (a, b) -> (a - b) * (a - b)),
-          |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("dist"))
+      .select(col("vec_id"), col("sid"),
+        l2sq(col("qv"), col("sv")).as("dist"))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("sid"))).as("best"))
       .select(col("best.sid").as("cluster"), col("best.dist").as("dist"))
@@ -204,9 +215,8 @@ object CorpusModelQueries {
     val cb = sub.where(col("vec_id") < 4)
       .select(col("m"), col("vec_id").as("code"), col("sq").as("cv"))
     sub.join(broadcast(cb), "m")
-      .select(col("vec_id"), col("m"), col("code"), expr(
-        """aggregate(zip_with(sq, cv, (a, b) -> (a - b) * (a - b)),
-          |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as("dist"))
+      .select(col("vec_id"), col("m"), col("code"),
+        l2sq(col("sq"), col("cv")).as("dist"))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("dist"), col("code"))).as("best"))
       .select(col("m").as("subspace"), col("best.code").as("code"))
@@ -389,9 +399,7 @@ object CorpusModelQueries {
     val top3Groups = groups.crossJoin(broadcast(probeGroups))
       .where(col("label") =!= col("p_label"))
       .select(col("pv"), col("p_label"), col("qv"), col("label"), col("min_id"),
-        expr("""aggregate(zip_with(qv, pv, (a, b) -> (a - b) * (a - b)),
-               |          CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
-          .as("dist"))
+        l2sq(col("qv"), col("pv")).as("dist"))
       .withColumn("__g", row_number().over(wG))
       .where(col("__g") <= 3)
     // expand the surviving groups back to ids, re-rank per probe VECTOR

@@ -44,6 +44,18 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     p should not include "l_partkey"
   }
 
+  test("llm_hard_negatives: codegen'd distance + window group limits, no interpreted HOFs") {
+    val p = plan(CorpusModelQueries.hardNegatives)
+    // exact L2 runs as the native l2_sq expression inside codegen, not the
+    // interpreted aggregate(zip_with(...)) chain it replaced
+    p should include("l2_sq")
+    p should not include "zip_with"
+    // rank<=3 windows must prune per-partition BEFORE the shuffle
+    // (InferWindowGroupLimit): the pair frame is probes x corpus sized and
+    // a full sort of it is the quadratic-materialization anti-pattern
+    p should include("WindowGroupLimit")
+  }
+
   test("llm_repetition: per-row gate — no explode, no shuffle before the output sort") {
     // The Gopher metrics claim one fused O(doc) pass per row: the only
     // Exchange allowed is the range partitioning of the final ORDER BY, and
