@@ -60,11 +60,13 @@ object Multimodal {
 
   /** STUB decode: deterministic pseudo-metadata from the byte content.
     * ??? in spirit — replace with a real decoder; the plumbing around it is
-    * the deliverable. Residual scope is VIDEO CONTENT ONLY: image decode is
-    * real for PNG+GIF+JPEG (ImageCodec.decode{Png,Gif,Jpeg}Pixels), audio
-    * PCM is real (AudioCodec.pcmStats), and the container walks (MP4 boxes,
-    * AVI headers) are real — video frame decode is the one step that still
-    * needs a codec the JVM doesn't ship. */
+    * the deliverable. Residual scope is INTER-FRAME VIDEO CODECS ONLY
+    * (H.264/VP9/AV1 motion compensation): image decode is real for
+    * PNG+GIF+JPEG (ImageCodec.decode{Png,Gif,Jpeg}Pixels), audio PCM is
+    * real (AudioCodec.pcmStats), container walks (MP4 boxes, AVI headers)
+    * are real, and MJPEG video CONTENT decode incl. frame sampling is real
+    * (VideoCodec.decodeAviMjpegFrames — each frame a full baseline JPEG
+    * decode). */
   private[llm] def decodeStub(a: Asset): AssetMeta = {
     val n = a.content.length
     if (n < 4) AssetMeta(a.assetId, a.modality, n, 0, 0, 0L, valid = false)

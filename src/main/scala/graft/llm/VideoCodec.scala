@@ -181,6 +181,119 @@ object VideoCodec {
     Invalid
   }
 
+  // ------------------------------------------- MJPEG content decode ------
+  //
+  // REAL video CONTENT decode for the one codec family that is pure JVM
+  // logic: Motion JPEG. An MJPEG AVI's `movi` chunks are each a complete
+  // baseline JPEG, and ImageCodec.decodeJpegPixels is a full baseline
+  // decoder — so frame decode + frame sampling + per-frame feature
+  // extraction need no native library. Inter-frame codecs (H.264/VP9/AV1)
+  // remain genuinely env-bounded: motion compensation needs a codec the
+  // JVM does not ship.
+
+  final case class FrameStats(
+      nFrames: Long, nPixels: Long, sumLuma1000: Long,
+      minLuma1000: Int, maxLuma1000: Int, valid: Boolean)
+
+  val InvalidFrames = FrameStats(0L, 0L, 0L, 0, 0, valid = false)
+
+  /** Structurally-honest MJPEG AVI: RIFF(AVI (LIST hdrl(avih, LIST
+    * strl(strh 'vids'/'MJPG', strf BITMAPINFOHEADER)), LIST movi(00dc
+    * JPEG frames))). Each frame is a COMPLETE baseline JPEG
+    * (ImageCodec.encodeJpegPixels output or any other). */
+  def encodeAviMjpeg(
+      usPerFrame: Int, width: Int, height: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(usPerFrame > 0, s"bad frame period $usPerFrame")
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(frames.nonEmpty, "need at least one frame")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      fourcc(id) ++ le32(data.length.toLong) ++ data ++ pad // RIFF word align
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      fourcc("LIST") ++ le32(body.length + 4L) ++ fourcc(typ) ++ body
+    val avih = le32(usPerFrame.toLong) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++
+      le32(frames.length.toLong) ++ le32(0L) ++ le32(1L) ++ le32(0L) ++
+      le32(width.toLong) ++ le32(height.toLong) ++ Array.fill[Byte](16)(0)
+    val strh = fourcc("vids") ++ fourcc("MJPG") ++ Array.fill[Byte](48)(0)
+    val strf = le32(40L) ++ le32(width.toLong) ++ le32(height.toLong) ++
+      Array[Byte](1, 0, 24, 0) ++ fourcc("MJPG") ++ Array.fill[Byte](20)(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val riffBody = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ le32(riffBody.length.toLong) ++ riffBody
+  }
+
+  /** REAL MJPEG frame decode with frame SAMPLING: walks the RIFF `movi`
+    * list, takes every `stride`-th frame (the frame-sample op of a
+    * multimodal pipeline — sampled frames are the only ones whose JPEG
+    * payload is decoded at all), runs each through the full baseline JPEG
+    * decoder, checks its dimensions against the `avih` header, and
+    * aggregates the ×1000 BT.601 luma stats across sampled frames. Any
+    * undecodable or dimension-lying frame — or a file with no decodable
+    * stream — is valid=false, never a throw. */
+  def decodeAviMjpegFrames(b: Array[Byte], stride: Int = 1): FrameStats = {
+    try decodeAviMjpegFramesUnsafe(b, stride)
+    catch { case _: Exception => InvalidFrames }
+  }
+
+  private def decodeAviMjpegFramesUnsafe(b: Array[Byte], stride: Int): FrameStats = {
+    require(stride >= 1, s"bad stride $stride")
+    val meta = parseAvi(b)
+    if (!meta.valid) return InvalidFrames
+    // find the movi list
+    var off = 12
+    var moviAt = -1
+    var moviEnd = -1
+    while (off + 8 <= b.length && moviAt < 0) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = readLe32(b, off + 4)
+      if (off + 8 + size > b.length) return InvalidFrames
+      if (id == "LIST" && size >= 4 &&
+        new String(b, off + 8, 4, "US-ASCII") == "movi") {
+        moviAt = off + 12
+        moviEnd = off + 8 + size.toInt
+      }
+      off += 8 + size.toInt + (size.toInt % 2) // RIFF word alignment
+    }
+    if (moviAt < 0) return InvalidFrames
+    var in = moviAt
+    var idx = 0
+    var n = 0L
+    var px = 0L
+    var sum = 0L
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    while (in + 8 <= moviEnd) {
+      val cid = new String(b, in, 4, "US-ASCII")
+      val csize = readLe32(b, in + 4)
+      if (in + 8 + csize > moviEnd) return InvalidFrames
+      if (cid == "00dc" || cid == "00db") {
+        if (idx % stride == 0) { // frame sampling: skip without decoding
+          val frame = java.util.Arrays.copyOfRange(b, in + 8, in + 8 + csize.toInt)
+          val fm = ImageCodec.parseJpeg(frame)
+          if (!fm.valid || fm.width != meta.width || fm.height != meta.height)
+            return InvalidFrames
+          val st = ImageCodec.decodeJpegPixels(frame)
+          if (!st.valid) return InvalidFrames
+          n += 1
+          px += st.nPixels
+          sum += st.sumLuma1000
+          if (st.minLuma1000 < mn) mn = st.minLuma1000
+          if (st.maxLuma1000 > mx) mx = st.maxLuma1000
+        }
+        idx += 1
+      }
+      in += 8 + csize.toInt + (csize.toInt % 2)
+    }
+    if (n == 0) InvalidFrames
+    else FrameStats(n, px, sum, mn, mx, valid = true)
+  }
+
   // -------------------------------------------------------------- sniff --
 
   /** Sniff the container and dispatch; anything unrecognized is Invalid,
