@@ -51,28 +51,58 @@ object GroupedQuantile {
       rankOf: Column => Column,
       resCol: String = "value_at_rank",
       fanout: Int = 4096,
+      directLimit: Long = 65536L): DataFrame =
+    valueAtRanksBy(df, keys, valueCol, Seq(rankOf), resCol, fanout, directLimit)
+      .drop("rank_slot")
+
+  /** A whole RANK VECTOR per group out of ONE lock-step descent: the rank
+    * slot index joins the grouping key, so (supplier, median) and
+    * (supplier, p95) descend as sibling "groups" sharing every level's
+    * single aggregate — r ranks cost the same number of LEVELS as one,
+    * with the per-level join fanning each value row out only to its
+    * group's ACTIVE slots (ranges shrink geometrically and slots that hit
+    * their answer leave the state).
+    *
+    * @return one row per (group, slot): (keys..., rank_slot, resCol) —
+    *         `rank_slot` is the 0-based index into `rankOfs`
+    */
+  def valueAtRanksBy(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      rankOfs: Seq[Column => Column],
+      resCol: String = "value_at_rank",
+      fanout: Int = 4096,
       directLimit: Long = 65536L): DataFrame = {
     require(keys.nonEmpty, "need at least one grouping key")
+    require(rankOfs.nonEmpty, "need at least one rank builder")
     val kc = keys.map(col)
     val vals = df
       .select(kc :+ col(valueCol).cast("long").as("__v"): _*)
       .where(col("__v").isNotNull)
       .localCheckpoint(false) // scanned once per level; cut re-derivation
 
-    var state = vals.groupBy(kc: _*)
+    val perGroup = vals.groupBy(kc: _*)
       .agg(min("__v").as("__lo"), max("__v").as("__hi"),
         count(lit(1)).as("__n"))
-      .withColumn("__k", rankOf(col("__n")).cast("long"))
+    var state = rankOfs.zipWithIndex.map { case (rankOf, i) =>
+      perGroup
+        .withColumn("__slot", lit(i.toLong))
+        .withColumn("__k", rankOf(col("__n")).cast("long"))
+    }.reduce(_ unionByName _)
       .withColumn("__rem", col("__n"))
       .drop("__n")
       .localCheckpoint(false)
+    // from here on, (keys, __slot) is the effective group key
+    val kcS = kc :+ col("__slot")
 
     def needsLevel(c: Column = lit(true)) =
       col("__hi") > col("__lo") && col("__rem") > directLimit && c
 
-    // done groups carry their answer in __lo; residues finish by sorting
-    var finished = state.where(col("__hi") === col("__lo"))
-      .select(kc :+ col("__lo").as(resCol): _*)
+    // done slots carry their answer in __lo; residues finish by sorting
+    def out(st: DataFrame, v: Column) =
+      st.select(kc ++ Seq(col("__slot").as("rank_slot"), v.as(resCol)): _*)
+    var finished = out(state.where(col("__hi") === col("__lo")), col("__lo"))
     var residues = state.where(col("__hi") > col("__lo") && !needsLevel())
     var active = state.where(needsLevel())
 
@@ -80,27 +110,30 @@ object GroupedQuantile {
     while (level < 64 && !active.isEmpty) { // one driver action per level
       val widened = active.withColumn("__w",
         expr(s"CAST((CAST(__hi AS DECIMAL(21,0)) - __lo) DIV $fanout + 1 AS BIGINT)"))
-      val hist = vals.join(widened, keys) // no hint: AQE broadcasts if small
+      // join on keys only: each value row fans out to its group's ACTIVE
+      // slots (≤ |rankOfs|, shrinking as slots finish); no hint — AQE
+      // broadcasts the state frame when the group count is small
+      val hist = vals.join(widened, keys)
         .where(col("__v").between(col("__lo"), col("__hi")))
         .withColumn("__b",
           expr("CAST((CAST(__v AS DECIMAL(21,0)) - __lo) DIV __w AS BIGINT)"))
-        .groupBy(kc ++ Seq(col("__lo"), col("__hi"), col("__k"), col("__w"),
+        .groupBy(kcS ++ Seq(col("__lo"), col("__hi"), col("__k"), col("__w"),
           col("__b")): _*)
         .agg(count(lit(1)).as("__c"))
-      // bucket holding rank k, per group, over ≤ fanout histogram rows
-      val wCum = Window.partitionBy(kc: _*).orderBy("__b")
+      // bucket holding rank k, per slot, over ≤ fanout histogram rows
+      val wCum = Window.partitionBy(kcS: _*).orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, 0)
-      val wPick = Window.partitionBy(kc: _*).orderBy("__b")
+      val wPick = Window.partitionBy(kcS: _*).orderBy("__b")
       val target = hist
         .withColumn("__cum", sum("__c").over(wCum))
         .where(col("__cum") >= col("__k"))
         .withColumn("__rn", row_number().over(wPick))
         .where(col("__rn") === 1)
-      state = target.select(kc ++ Seq(
+      state = target.select(kcS ++ Seq(
         expr("CAST(CAST(__lo AS DECIMAL(21,0)) + CAST(__b AS DECIMAL(21,0)) * __w AS DECIMAL(21,0))")
           .as("__lo_d"),
         col("__hi"), col("__w"), col("__k"), col("__cum"), col("__c")): _*)
-        .select(kc ++ Seq(
+        .select(kcS ++ Seq(
           expr("CAST(__lo_d AS BIGINT)").as("__lo"),
           expr("CAST(LEAST(CAST(__hi AS DECIMAL(21,0)), __lo_d + __w - 1) AS BIGINT)")
             .as("__hi"),
@@ -108,8 +141,7 @@ object GroupedQuantile {
           col("__c").as("__rem")): _*)
         .localCheckpoint(false)
       finished = finished.unionByName(
-        state.where(col("__hi") === col("__lo"))
-          .select(kc :+ col("__lo").as(resCol): _*))
+        out(state.where(col("__hi") === col("__lo")), col("__lo")))
       residues = residues.unionByName(
         state.where(col("__hi") > col("__lo") && !needsLevel()))
       active = state.where(needsLevel())
@@ -117,14 +149,15 @@ object GroupedQuantile {
     }
     require(level < 64, "histogram descent failed to converge")
 
-    // finish residues: per-group sort of ≤ directLimit rows each
-    val wRn = Window.partitionBy(kc: _*).orderBy("__v")
+    // finish residues: per-slot sort of ≤ directLimit rows each
+    val wRn = Window.partitionBy(kcS: _*).orderBy("__v")
     val fromResidue = vals
-      .join(residues.select(kc ++ Seq(col("__lo"), col("__hi"), col("__k")): _*), keys)
+      .join(residues.select(kc ++ Seq(col("__slot"), col("__lo"), col("__hi"),
+        col("__k")): _*), keys)
       .where(col("__v").between(col("__lo"), col("__hi")))
       .withColumn("__rn", row_number().over(wRn))
       .where(col("__rn") === col("__k"))
-      .select(kc :+ col("__v").as(resCol): _*)
+      .select(kc ++ Seq(col("__slot").as("rank_slot"), col("__v").as(resCol)): _*)
     finished.unionByName(fromResidue)
   }
 
@@ -149,5 +182,25 @@ object GroupedQuantile {
       .select(keys.map(col) :+
         ColumnBridge.column(DoubleOrderBitsInverseExpression(
           ColumnBridge.expression(col("__m")))).as(resCol): _*)
+  }
+
+  /** Rank-vector form over a DOUBLE column: one shared per-group descent
+    * on the bit-mapped longs, each (group, slot) result reverse-mapped.
+    * Output: (keys..., rank_slot, resCol). */
+  def valueAtRanksByDouble(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      rankOfs: Seq[Column => Column],
+      resCol: String = "value_at_rank",
+      fanout: Int = 4096,
+      directLimit: Long = 65536L): DataFrame = {
+    val mapped = df.select(keys.map(col) :+
+      ColumnBridge.column(DoubleOrderBitsExpression(
+        ColumnBridge.expression(col(valueCol).cast("double")))).as("__vd"): _*)
+    valueAtRanksBy(mapped, keys, "__vd", rankOfs, "__m", fanout, directLimit)
+      .select(keys.map(col) ++ Seq(col("rank_slot"),
+        ColumnBridge.column(DoubleOrderBitsInverseExpression(
+          ColumnBridge.expression(col("__m")))).as(resCol)): _*)
   }
 }

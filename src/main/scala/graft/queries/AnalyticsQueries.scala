@@ -2005,8 +2005,43 @@ object AnalyticsQueries {
       .orderBy("l_suppkey")
   }
 
+  /** Median AND p95 per group out of ONE lock-step descent
+    * ([[graft.operators.GroupedQuantile.valueAtRanksByDouble]]): the rank
+    * slot joins the grouping key, so both statistics share every level's
+    * single (keys, slot, bucket) aggregate instead of paying one descent
+    * per statistic. Oracle: per-group ROW_NUMBER selection of both ranks
+    * in one pass; both engines return stored parquet elements, so the
+    * hash is bit-exact. */
+  val o34GroupQuantiles: Reg = Reg.sql(
+    "o34_group_quantiles",
+    """WITH v AS (SELECT l_suppkey, l_extendedprice AS v FROM lineitem
+      |           WHERE l_extendedprice IS NOT NULL),
+      |n AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n FROM v
+      |      GROUP BY l_suppkey),
+      |r AS (SELECT l_suppkey, v,
+      |        ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY v) AS rn
+      |      FROM v)
+      |SELECT r.l_suppkey,
+      |  MAX(CASE WHEN rn = (n.n + 1) // 2 THEN v END) AS median,
+      |  MAX(CASE WHEN rn = (19 * n.n + 19) // 20 THEN v END) AS p95
+      |FROM r JOIN n USING (l_suppkey)
+      |GROUP BY r.l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+    import graft.operators.GroupedQuantile
+    val p95Rank: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      n => floor((n * lit(19L) + lit(19L)) / lit(20L)).cast("long")
+    GroupedQuantile.valueAtRanksByDouble(
+      Tables.lineitem(s, dir), Seq("l_suppkey"), "l_extendedprice",
+      Seq(GroupedQuantile.medianRank, p95Rank), "q",
+      fanout = 64, directLimit = 32L)
+      .groupBy("l_suppkey")
+      .agg(
+        max(when(col("rank_slot") === 0, col("q"))).as("median"),
+        max(when(col("rank_slot") === 1, col("q"))).as("p95"))
+      .orderBy("l_suppkey")
+  }
+
   val all: Seq[Reg] = Seq(
-    o31ExactMedian, o32ExactMedianDouble, o33GroupMedian,
+    o31ExactMedian, o32ExactMedianDouble, o33GroupMedian, o34GroupQuantiles,
     o25ParetoFront, o26CountMin, o27KmvDistinct, a29Expectations, o28HoltLinear,
     c7GeodesicOps, c8CircleFilter,
     o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface, a26GroupingSets,

@@ -63,6 +63,30 @@ class GroupedQuantileSpec extends AnyFunSuite with Matchers with SparkSuite {
     got shouldBe exp
   }
 
+  test("rank vector per group: one descent serves median+p90+max exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = for (g <- 1 to 8; _ <- 0 until 100 + g * 60)
+      yield (g.toLong, (rnd.nextInt(40000) - 20000).toLong)
+    val df = rows.toDF("g", "v")
+    val p90: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      n => floor((n * lit(9L) + lit(9L)) / lit(10L)).cast("long")
+    val maxRank: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      n => n
+    val got = GroupedQuantile.valueAtRanksBy(df, Seq("g"), "v",
+      Seq(GroupedQuantile.medianRank, p90, maxRank), "q",
+      fanout = 8, directLimit = 16L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      withClue(s"g=$g") {
+        got((g, 0L)) shouldBe sorted(((sorted.length + 1) / 2) - 1)
+        got((g, 1L)) shouldBe sorted(((9 * sorted.length + 9) / 10) - 1)
+        got((g, 2L)) shouldBe sorted.last
+      }
+    }
+  }
+
   test("multi-key groups and negative/tied values") {
     import spark.implicits._
     val rows = for {
