@@ -225,6 +225,109 @@ object CorpusModelQueries {
       .orderBy("subspace", "code")
   }
 
+  /** The production ANN serving pattern Jégou et al.'s PQ exists for:
+    * ASYMMETRIC DISTANCE COMPUTATION. Vectors are stored only as M=4
+    * subspace codes (4 bytes instead of 64 floats); a query batch builds a
+    * per-subspace lookup table of exact distances to every centroid (M ×
+    * ksub entries per query — the bounded side BY CONSTRUCTION: the LUT
+    * frame scales with the query batch, never the corpus), and each
+    * corpus vector's approximate distance is M table lookups summed —
+    * O(n·M) adds per query, no vector math on the scan side. An ADC
+    * shortlist (top-10) is then exactly re-ranked by true lattice L2
+    * (`l2_sq`) to the final top-3 — the standard two-stage shape.
+    *
+    * Everything runs on the 1e-3 integer lattice, so BOTH stages are
+    * exact integer arithmetic and the ENTIRE search — codes, LUTs, ADC
+    * sums, shortlist boundary, re-rank — is restated verbatim by the
+    * oracle: the rare ANN query that hash-gates end-to-end with no
+    * planted-copy trick. Ties break on vec_id at both stages (total
+    * order). Both rank≤K windows compile to WindowGroupLimit. */
+  val annPqAdc: Reg = Reg.sql(
+    "llm_ann_pq_adc",
+    """WITH q AS (SELECT vec_id,
+      |             list_transform(embedding,
+      |               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+      |           FROM embeddings),
+      |sub AS (SELECT vec_id, m, qv[(16 * m + 1):(16 * m + 16)] AS sq
+      |        FROM q, generate_series(0, 3) AS gm(m)),
+      |cb AS (SELECT m, vec_id AS code, sq AS cv FROM sub WHERE vec_id < 4),
+      |d AS (SELECT sub.vec_id, sub.m, cb.code,
+      |        CAST(SUM((sq[i] - cv[i]) * (sq[i] - cv[i])) AS BIGINT) AS dist
+      |      FROM sub, cb, generate_series(1, 16) AS g(i)
+      |      WHERE sub.m = cb.m GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id, m, code FROM (
+      |        SELECT vec_id, m, code,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id, m
+      |                             ORDER BY dist, code) AS rn FROM d)
+      |      WHERE rn = 1),
+      |lut AS (SELECT sub.vec_id AS q_id, sub.m, cb.code,
+      |        CAST(SUM((sq[i] - cv[i]) * (sq[i] - cv[i])) AS BIGINT) AS ld
+      |      FROM sub, cb, generate_series(1, 16) AS g(i)
+      |      WHERE sub.m = cb.m AND sub.vec_id < 8
+      |      GROUP BY 1, 2, 3),
+      |adc AS (SELECT lut.q_id, codes.vec_id,
+      |          CAST(SUM(lut.ld) AS BIGINT) AS adc_dist
+      |        FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
+      |        GROUP BY 1, 2),
+      |short AS (SELECT q_id, vec_id, adc_dist FROM (
+      |        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |                  ORDER BY adc_dist, vec_id) AS srn FROM adc)
+      |      WHERE srn <= 10),
+      |ex AS (SELECT short.q_id, short.vec_id, short.adc_dist,
+      |         CAST(SUM((v.qv[i] - qq.qv[i]) * (v.qv[i] - qq.qv[i])) AS BIGINT)
+      |           AS exact_dist
+      |       FROM short
+      |       JOIN q v ON v.vec_id = short.vec_id
+      |       JOIN q qq ON qq.vec_id = short.q_id, generate_series(1, 64) AS g(i)
+      |       GROUP BY 1, 2, 3)
+      |SELECT q_id, CAST(rnk AS BIGINT) AS rank, vec_id, adc_dist, exact_dist
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |              ORDER BY exact_dist, vec_id) AS rnk FROM ex)
+      |WHERE rnk <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.embeddings(s, dir).select(col("vec_id"), expr(quantize).as("qv"))
+    val sub = q.select(col("vec_id"), explode(expr(
+      """transform(sequence(0, 3),
+        |          m -> struct(m AS m, slice(qv, 16 * m + 1, 16) AS sq))""".stripMargin)).as("t"))
+      .select(col("vec_id"), col("t.m").as("m"), col("t.sq").as("sq"))
+    val cb = sub.where(col("vec_id") < 4)
+      .select(col("m"), col("vec_id").as("code"), col("sq").as("cv"))
+    // encode the corpus: nearest centroid per (vector, subspace)
+    val codes = sub.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("code"),
+        l2sq(col("sq"), col("cv")).as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"))
+    // per-query LUT: exact distance to every centroid of every subspace
+    // (queries × M × ksub rows — bounded by the query batch, broadcast
+    // is the ADC contract, not a scaling hint)
+    val lut = sub.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("m"), col("sq").as("qs"))
+      .join(broadcast(cb), "m")
+      .select(col("q_id"), col("m"), col("code"),
+        l2sq(col("qs"), col("cv")).as("ld"))
+    // ADC scan: M lookups + a sum per (query, vector)
+    val adc = codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("ld").as("adc_dist"))
+    val wShort = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
+    val short = adc.withColumn("srn", row_number().over(wShort))
+      .where(col("srn") <= 10).drop("srn")
+    // exact re-rank of the shortlist on the full lattice vectors
+    val wRank = Window.partitionBy("q_id").orderBy(col("exact_dist"), col("vec_id"))
+    short
+      .join(q, "vec_id")
+      .join(broadcast(q.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("qq"))), "q_id")
+      .withColumn("exact_dist", l2sq(col("qv"), col("qq")))
+      .withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist"),
+        col("exact_dist"))
+      .orderBy("q_id", "rank")
+  }
+
   /** BPE round 2 — the first merge APPLIED, then recounted: the argmax
     * pair of round 1 (cnt desc, pair asc — deterministic) is replaced by a
     * single placeholder symbol (chr(1), absent from any corpus) inside
@@ -680,5 +783,6 @@ object CorpusModelQueries {
   val all: Seq[Reg] =
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
       bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty,
-      bpeK, bpeK64, bpeEncode, perplexityFilter, randProj, pmiCooccur)
+      bpeK, bpeK64, bpeEncode, perplexityFilter, randProj, pmiCooccur,
+      annPqAdc)
 }
