@@ -62,6 +62,42 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with graft.SparkSuite {
     bad.getMessage should include("array<float>")
   }
 
+  test("l2_sq callable from SQL text: exact BIGINT, casts, nulls, codegen") {
+    spark.sql(
+      "SELECT l2_sq(array(3L, 0L, -2L), array(0L, 4L, 2L)) AS d")
+      .head.getLong(0) shouldBe (9L + 16L + 16L)
+    // int arrays widen through the builder cast
+    spark.sql("SELECT l2_sq(array(1, 2), array(4, 6)) AS d")
+      .head.getLong(0) shouldBe (9L + 16L)
+    // length mismatch and null propagate as NULL, never garbage/throw
+    spark.sql("SELECT l2_sq(array(1L), array(1L, 2L)) AS d")
+      .head.isNullAt(0) shouldBe true
+    spark.sql("SELECT l2_sq(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS d")
+      .head.isNullAt(0) shouldBe true
+    // fused into whole-stage codegen
+    val plan = spark.sql(
+      "SELECT l2_sq(array(id), array(id + 3)) AS d FROM range(100)")
+      .queryExecution.executedPlan.toString
+    plan.linesIterator.next() should startWith("*(")
+    plan should include("l2_sq")
+  }
+
+  test("double_order_bits / _inv: SQL round trip and order isomorphism") {
+    import spark.implicits._
+    val vals = Seq(-1e300, -2.5, -0.0, 0.0, 1.5e-308, 0.3, 7.0, 1e300)
+    val df = vals.toDF("v")
+    df.createOrReplaceTempView("dob")
+    // self-inverse through SQL text
+    val back = spark.sql(
+      "SELECT double_order_bits_inv(double_order_bits(v)) AS r FROM dob")
+      .collect().map(_.getDouble(0)).toSeq
+    back shouldBe vals
+    // mapped longs sort exactly like the doubles
+    val mapped = spark.sql("SELECT double_order_bits(v) AS m FROM dob")
+      .collect().map(_.getLong(0)).toSeq
+    mapped.sorted.map(DoubleOrderBitsExpression.fromBits) shouldBe vals.sorted
+  }
+
   test("nulls propagate; wrong arity is a clear error") {
     spark.sql("SELECT haversine_m(CAST(NULL AS DOUBLE), 0D, 1D, 1D) AS d")
       .head.isNullAt(0) shouldBe true
