@@ -101,9 +101,16 @@ object IncrementalNearDup {
 
     // Fold the batch in: ONLY batch-sized writes. Deterministic dir names
     // keyed by the batch id make a replayed batch overwrite, not re-append.
+    // Segments are written SORTED on their join keys: tight per-row-group
+    // min/max stats let the verify join's scans prune row groups via
+    // parquet stats and Spark's runtime bloom filters (each batch touches
+    // few candidate doc ids relative to the accumulated store, so the
+    // read side skips most of history instead of decoding it).
     banded.groupBy("band", "bucket").agg(min(col("id")).as("min_id"))
+      .sortWithinPartitions("band", "bucket")
       .write.mode("overwrite").parquet(s"$root/buckets/d$id")
     signed.select(col("id").as("doc_id"), col("shingles"))
+      .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(s"$root/docs/b$id")
     dups
   }
