@@ -147,5 +147,82 @@ object HistoryQueries {
       .orderBy("suppkey")
   }
 
-  val all: Seq[Reg] = Seq(scd2History, intervalIslands)
+  /** J14 — POINT-IN-TIME dimension lookup: every lineitem ship event is
+    * enriched with the customer's SCD2 status version VALID AT SHIP TIME —
+    * the classic "dimension as of event time" warehouse join, composed
+    * from two existing operators: the a24 SCD2 fold builds the
+    * [from_day, …) version chain, and `AsofJoin.joinAsof` (the j6
+    * backward-as-of union idiom: one keyed shuffle + a running-last
+    * window, never an interval pair expansion) attaches the last version
+    * change at or before each event. Contiguous SCD2 validity makes the
+    * backward as-of exactly the interval lookup — no residual BETWEEN
+    * filter needed. Events before a customer's first version surface as
+    * 'none' (LEFT semantics), never silently dropped; same-day version
+    * ties resolve to the greatest status in BOTH engines (the as-of
+    * payload-struct tie-break, restated as MAX(status) at the tied day).
+    * Output is the per-status shipment rollup — integer counts and an
+    * integral-valued quantity sum, exact cross-engine. */
+  val scd2Lookup: Reg = Reg.sql(
+    "j14_scd2_lookup",
+    """WITH e AS (
+      |  SELECT o_custkey, o_orderstatus,
+      |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+      |         o_orderkey
+      |  FROM orders),
+      |c AS (
+      |  SELECT *, LAG(o_orderstatus) OVER
+      |    (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS prev
+      |  FROM e),
+      |h AS (SELECT o_custkey AS ck, o_orderstatus AS status,
+      |             day AS from_day
+      |      FROM c WHERE prev IS NULL OR o_orderstatus <> prev),
+      |li AS (
+      |  SELECT o.o_custkey AS ck,
+      |         CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS d,
+      |         l.l_quantity
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |lk AS (
+      |  SELECT li.ck, li.d, li.l_quantity,
+      |         (SELECT MAX(h.from_day) FROM h
+      |          WHERE h.ck = li.ck AND h.from_day <= li.d) AS vday
+      |  FROM li),
+      |st AS (
+      |  SELECT lk.l_quantity,
+      |         COALESCE((SELECT MAX(h.status) FROM h
+      |                   WHERE h.ck = lk.ck AND h.from_day = lk.vday),
+      |                  'none') AS status_at_ship
+      |  FROM lk)
+      |SELECT status_at_ship, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |       CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+      |FROM st GROUP BY status_at_ship ORDER BY status_at_ship""".stripMargin) {
+    (s, dir) =>
+      val byKey = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+      val e = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderstatus"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .as("day"),
+        col("o_orderkey"))
+      val hist = e
+        .withColumn("prev", lag("o_orderstatus", 1).over(byKey))
+        .where(col("prev").isNull || col("o_orderstatus") =!= col("prev"))
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"), col("day").as("from_day"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"),
+          datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+            .as("ship_day"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_custkey").as("custkey")), "l_orderkey")
+      graft.operators.AsofJoin.joinAsof(
+        li, hist, on = Seq("custkey"),
+        leftTime = "ship_day", rightTime = "from_day",
+        rightCols = Seq("status"), rightPrefix = "v_")
+        .groupBy(coalesce(col("v_status"), lit("none")).as("status_at_ship"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum("l_quantity").cast("bigint").as("total_qty"))
+        .orderBy("status_at_ship")
+  }
+
+  val all: Seq[Reg] = Seq(scd2History, intervalIslands, scd2Lookup)
 }
