@@ -265,6 +265,89 @@ object MutationQueries {
     } finally deleteRecursively(root.toFile)
   }
 
+  /** A31 — the GDPR/right-to-be-forgotten sweep, driven end to end under
+    * the gate: delete EVERY event of a target user set from the
+    * date-partitioned fact table (partition-scoped copy-on-write — cost
+    * scales with affected dates, rewrites run concurrently), then repair
+    * the DERIVED per-day aggregate table INCREMENTALLY by subtracting the
+    * deleted slice's pre-computed aggregates (the a23 algebraic-merge
+    * property in reverse — no full recompute of history), and emit the
+    * governance audit. The gate pins three proofs at once:
+    * `remaining_target_rows` is measured by re-scanning the POST-DELETE
+    * files (the absence proof a compliance audit actually wants, pinned
+    * to 0), and the repaired derived totals are emitted NEXT TO a full
+    * recompute from the post-delete table — the oracle states both from
+    * one closed form, so a drifting incremental repair hash-mismatches.
+    * Money math in DECIMAL(18,2) end to end (the float discipline). */
+  val forgetUser: Reg = Reg.sql(
+    "a31_forget_user",
+    """WITH fact AS (
+      |  SELECT event_id % 8 AS day, user_id,
+      |         CAST(value AS DECIMAL(18,2)) AS value
+      |  FROM events),
+      |del AS (SELECT * FROM fact WHERE user_id % 97 = 0),
+      |kept AS (SELECT * FROM fact WHERE user_id % 97 <> 0)
+      |SELECT (SELECT COUNT(*) FROM fact) AS rows_before,
+      |       (SELECT COUNT(*) FROM del) AS rows_deleted,
+      |       (SELECT COUNT(*) FROM kept) AS rows_after,
+      |       (SELECT COUNT(DISTINCT day) FROM del) AS partitions_rewritten,
+      |       CAST(0 AS BIGINT) AS remaining_target_rows,
+      |       (SELECT COUNT(*) FROM kept) AS repaired_total_rows,
+      |       (SELECT COUNT(*) FROM kept) AS recomputed_total_rows,
+      |       (SELECT CAST(SUM(value) AS DOUBLE) FROM kept)
+      |         AS repaired_value_sum,
+      |       (SELECT CAST(SUM(value) AS DOUBLE) FROM kept)
+      |         AS recomputed_value_sum""".stripMargin) { (s, dir) =>
+    val root = Files.createTempDirectory("graft_forget")
+    val work = root.toString + "/fact"
+    try {
+      val target = col("user_id") % 97 === 0
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          (col("event_id") % 8).as("day"),
+          col("value").cast("decimal(18,2)").as("value"))
+        .repartition(col("day"))
+        .write.partitionBy("day").parquet(work)
+
+      def dayAgg(df: org.apache.spark.sql.DataFrame) = df.groupBy("day")
+        .agg(count(lit(1)).as("n"), sum("value").as("v"))
+
+      val before = s.read.parquet(work).count()
+      // derived table + the deleted slice's aggregates, both BEFORE the
+      // sweep (the repair inputs a real pipeline would already have)
+      val derivedBefore = dayAgg(s.read.parquet(work)).localCheckpoint(false)
+      val delAgg = dayAgg(s.read.parquet(work).where(target))
+        .select(col("day"), col("n").as("dn"), col("v").as("dv"))
+        .localCheckpoint(false)
+
+      val affected = MergeOps.deleteWherePartitioned(s, work, "day", target)
+
+      // absence proof: re-scan the post-delete files for target rows
+      val remaining = s.read.parquet(work).where(target).count()
+      val after = s.read.parquet(work).count()
+
+      // incremental repair vs full recompute — the audit's consistency leg
+      val repaired = derivedBefore
+        .join(delAgg, Seq("day"), "left")
+        .select(
+          (col("n") - coalesce(col("dn"), lit(0L))).as("n"),
+          (col("v") - coalesce(col("dv"), lit(java.math.BigDecimal.ZERO)
+            .cast("decimal(18,2)"))).as("v"))
+        .agg(sum("n").cast("bigint"), sum("v").cast("double")).head()
+      val recomputed = dayAgg(s.read.parquet(work))
+        .agg(sum("n").cast("bigint"), sum("v").cast("double")).head()
+
+      import s.implicits._
+      Seq((before, before - after, after, affected.size.toLong, remaining,
+        repaired.getLong(0), recomputed.getLong(0),
+        repaired.getDouble(1), recomputed.getDouble(1)))
+        .toDF("rows_before", "rows_deleted", "rows_after",
+          "partitions_rewritten", "remaining_target_rows",
+          "repaired_total_rows", "recomputed_total_rows",
+          "repaired_value_sum", "recomputed_value_sum")
+    } finally deleteRecursively(root.toFile)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
@@ -574,5 +657,5 @@ object MutationQueries {
 
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
-    writeAuditPublish)
+    writeAuditPublish, forgetUser)
 }
