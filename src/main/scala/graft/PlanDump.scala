@@ -54,7 +54,11 @@ object PlanDump {
       ("llm_char_entropy", "entropy gate after the explode->UDF rewrite: one fused O(doc) count-map pass per row - NO Generate, no shuffle before the output sort (the oracle still walks one row per character; at sf1 this plan is ~10x the explode form)"),
       ("llm_decontaminate", "gram-collision decontamination: train grams probe the BROADCAST eval-gram set map-side, dedup (count DISTINCT per pair) happens on the collision set AFTER the join - the corpus-gram frame is never distinct-shuffled"),
       ("o29_auc", "global-rank AUC without a global sort: distinct-score hash aggregate, domain-bounded bucket offsets broadcast back, within-bucket running sums on a hashpartitioning(b) window - the only SinglePartition exchanges sit above constant-sized aggregates"),
-      ("llm_shard_assign", "two-level global prefix sum: bucket totals + hint-free offset join (AQE broadcasts it while small, shuffle-joins beyond - the frame scales with rows/width, so no hint) + per-bucket windows replace the naive single-partition ORDER BY cumulative window the oracle states"))
+      ("llm_shard_assign", "two-level global prefix sum: bucket totals + hint-free offset join (AQE broadcasts it while small, shuffle-joins beyond - the frame scales with rows/width, so no hint) + per-bucket windows replace the naive single-partition ORDER BY cumulative window the oracle states"),
+      ("o33_group_median", "grouped exact median with DataFrame group state: per level ONE hint-free join of values to (keys, lo, hi, k) state, one (keys, bucket) aggregate, a window over <=fanout histogram rows - no per-group value buffer anywhere, level count independent of data size (measured 1.3x across the 10x extent decade)"),
+      ("llm_hard_negatives", "exact hard-negative mining after the l2_sq swap: the squared distance is ONE native codegen'd expression inside the probe crossJoin stage (no interpreted HOFs), and both rank<=3 windows compile to WindowGroupLimit - per-partition top-k pruning, the pair frame is never sorted whole"),
+      ("llm_ann_pq_adc", "PQ asymmetric-distance search: codes from a broadcast codebook join, per-query LUT (queries x M x ksub, bounded by the query batch) broadcast onto the code stream, ADC is M lookups + one sum per (query, vector), shortlist and re-rank both WindowGroupLimit"),
+      ("j14_scd2_lookup", "point-in-time SCD2 lookup: the version chain and the ship events union into ONE keyed window exchange (the backward as-of idiom) - the running-last carries the valid version to every event, never an interval pair expansion"))
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")
