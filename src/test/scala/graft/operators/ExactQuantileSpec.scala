@@ -90,6 +90,32 @@ class ExactQuantileSpec extends AnyFunSuite with Matchers with SparkSuite {
     assert(toBits(Double.NaN) > toBits(Double.PositiveInfinity))
   }
 
+  test("a rank vector shares the descent: job count grows by residues, not by levels x ranks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 20000).map(_ => rnd.nextInt(1 << 20).toLong).toDF("v")
+      .localCheckpoint(true)
+    def countJobs(body: => Unit): Int = {
+      val group = s"eq-jobs-${System.nanoTime()}"
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val one = countJobs {
+      ExactQuantile.valueAtRanks(df, "v", Seq(10000L), fanout = 16,
+        directLimit = 64L); ()
+    }
+    val five = countJobs {
+      ExactQuantile.valueAtRanks(df, "v",
+        Seq(1L, 5000L, 10000L, 15000L, 20000L), fanout = 16,
+        directLimit = 64L); ()
+    }
+    // five ranks may add residue TakeOrdereds (≤ 1 job each) and share
+    // every histogram level; a per-rank descent would pay ~5x the levels
+    five should be <= one + 5
+    five should be < one * 3
+  }
+
   test("invalid ranks fail loudly") {
     import spark.implicits._
     val df = Seq(1L, 2L).toDF("v")

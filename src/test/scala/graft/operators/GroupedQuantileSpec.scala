@@ -87,6 +87,36 @@ class GroupedQuantileSpec extends AnyFunSuite with Matchers with SparkSuite {
     }
   }
 
+  test("slots share descent levels: 3-rank job count stays near the 1-rank count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val rows = for (g <- 1 to 6; _ <- 0 until 800)
+      yield (g.toLong, rnd.nextInt(1 << 20).toLong)
+    val df = rows.toDF("g", "v").localCheckpoint(true)
+    def countJobs(body: => Unit): Int = {
+      val group = s"gq-jobs-${System.nanoTime()}"
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val p90: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      n => floor((n * lit(9L) + lit(9L)) / lit(10L)).cast("long")
+    val one = countJobs {
+      GroupedQuantile.valueAtRanksBy(df, Seq("g"), "v",
+        Seq(GroupedQuantile.medianRank), "q", fanout = 8, directLimit = 32L)
+        .count(); ()
+    }
+    val three = countJobs {
+      GroupedQuantile.valueAtRanksBy(df, Seq("g"), "v",
+        Seq(GroupedQuantile.medianRank, p90, n => n), "q",
+        fanout = 8, directLimit = 32L)
+        .count(); ()
+    }
+    // all slots advance in the same lock-step levels (one emptiness check
+    // per level); a per-rank descent would pay ~3x the level jobs
+    three should be <= one + 3
+  }
+
   test("multi-key groups and negative/tied values") {
     import spark.implicits._
     val rows = for {
