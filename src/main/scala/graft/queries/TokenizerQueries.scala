@@ -170,5 +170,87 @@ object TokenizerQueries {
         .orderBy("w1", "w2")
   }
 
-  val all: Seq[Reg] = Seq(unigramViterbi, kneserNey)
+  /** Greedy longest-match subword segmentation — the WordPiece-family
+    * encoder, completing the tokenizer triad (BPE = merge-based,
+    * unigram-Viterbi = DP-based, this = greedy longest-prefix). Vocab is
+    * corpus-derived and deterministic: every single character plus the
+    * top-50 substrings of length 2–4 (all positions, multiplicity,
+    * weighted by word frequency; cnt DESC, piece ASC total order).
+    * Encoding runs per DISTINCT word (Heaps-law compression — each word
+    * encodes once, its pieces weighted by frequency): at each position
+    * take the longest vocab piece (4→3→2, else the single char, which is
+    * always in vocab so the walk is total). The vocab is a ≤(50+alphabet)
+    * driver set baked into one JIT'd map pass — the corpus never shuffles
+    * to encode; only the final piece count aggregates. Oracle: the same
+    * greedy walk as a recursive CTE with per-length IN membership. */
+  val subwordGreedy: Reg = Reg.sql(
+    "llm_subword_greedy",
+    """WITH RECURSIVE
+      |tok AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |wf AS (SELECT w, COUNT(*) AS freq FROM tok WHERE w <> '' GROUP BY 1),
+      |pi AS (SELECT w, freq, UNNEST(generate_series(1, len(w))) AS i FROM wf),
+      |pl AS (SELECT w, freq, i,
+      |         UNNEST(generate_series(2, least(4, i))) AS l FROM pi
+      |       WHERE i >= 2),
+      |pc AS (SELECT substr(w, i - l + 1, l) AS piece, SUM(freq) AS cnt
+      |       FROM pl GROUP BY 1),
+      |top AS (SELECT piece FROM pc ORDER BY cnt DESC, piece LIMIT 50),
+      |chars AS (SELECT DISTINCT substr(w, i, 1) AS piece FROM pi),
+      |vocab AS (SELECT piece FROM top UNION SELECT piece FROM chars),
+      |enc AS (
+      |  SELECT w, freq, 0 AS pos, CAST(NULL AS VARCHAR) AS piece FROM wf
+      |  UNION ALL
+      |  SELECT w, freq, pos + plen, substr(w, pos + 1, plen)
+      |  FROM (SELECT w, freq, pos,
+      |          CASE WHEN substr(w, pos + 1, 4) IN
+      |                 (SELECT piece FROM vocab WHERE len(piece) = 4) THEN 4
+      |               WHEN substr(w, pos + 1, 3) IN
+      |                 (SELECT piece FROM vocab WHERE len(piece) = 3) THEN 3
+      |               WHEN substr(w, pos + 1, 2) IN
+      |                 (SELECT piece FROM vocab WHERE len(piece) = 2) THEN 2
+      |               ELSE 1 END AS plen
+      |        FROM enc WHERE pos < len(w)))
+      |SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+      |FROM enc WHERE piece IS NOT NULL
+      |GROUP BY piece ORDER BY cnt DESC, piece LIMIT 30""".stripMargin) {
+    (s, dir) =>
+      val wf = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ", -1)).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .localCheckpoint(false) // vocab induction + encode share it
+      // vocab: top-50 substrings len 2..4 (all positions, multiplicity)
+      val topPieces = wf
+        .select(col("w"), col("freq"),
+          explode(expr("sequence(1, length(w))")).as("i"))
+        .where(col("i") >= 2)
+        .select(col("w"), col("freq"), col("i"),
+          explode(expr("sequence(2, least(4, i))")).as("l"))
+        .select(expr("substring(w, i - l + 1, l)").as("piece"), col("freq"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("piece")).limit(50)
+        .collect().map(_.getString(0))
+      val chars = wf
+        .select(explode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+          .as("piece"))
+        .distinct().collect().map(_.getString(0))
+      val vocab = (topPieces ++ chars).toSet
+      val encodeUdf = udf { w: String =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var p = 0
+        while (p < w.length) {
+          var l = math.min(4, w.length - p)
+          while (l > 1 && !vocab.contains(w.substring(p, p + l))) l -= 1
+          out += w.substring(p, p + l)
+          p += l
+        }
+        out.toSeq
+      }
+      wf.select(explode(encodeUdf(col("w"))).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum("freq").cast("bigint").as("cnt"))
+        .orderBy(desc("cnt"), asc("piece")).limit(30)
+  }
+
+  val all: Seq[Reg] = Seq(unigramViterbi, kneserNey, subwordGreedy)
 }
