@@ -91,6 +91,29 @@ class IncrementalNearDupSpec extends AnyFunSuite with Matchers with SparkSuite {
     } finally delete(root)
   }
 
+  test("a crashed compaction (base written, deltas not yet deleted) stays correct") {
+    val root = java.nio.file.Files.createTempDirectory("ind_crash").toString
+    try {
+      (0 until 3).foreach(i => IncrementalNearDup
+        .processBatch(mkDocs(i * 100 until i * 100 + 50, "x"), i.toLong, root, cfg)
+        .count())
+      def collapsed() = IncrementalNearDup.bucketMins(spark, root).get
+        .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2)))
+        .sorted
+      val before = collapsed()
+      // simulate the crash window: the compacted base lands next to the
+      // still-live deltas (maybeCompact deletes them only AFTER the write)
+      IncrementalNearDup.bucketMins(spark, root).get
+        .write.parquet(s"$root/buckets/c999")
+      // duplicated rows are absorbed by the min-merge monoid: same state
+      collapsed() shouldBe before
+      // and a subsequent real compaction converges to one segment
+      IncrementalNearDup.maybeCompact(spark, root, 1000L, maxDeltas = 1) shouldBe true
+      collapsed() shouldBe before
+      new java.io.File(s"$root/buckets").listFiles().count(_.isDirectory) shouldBe 1
+    } finally delete(root)
+  }
+
   test("batch replay overwrites its own state segment (idempotent)") {
     val root = java.nio.file.Files.createTempDirectory("ind_rep").toString
     try {
