@@ -1002,9 +1002,92 @@ object IngestQueries {
     }
   }
 
+  /** S21 — streaming EXACT order statistics: the per-key exact median over
+    * the FULL stream history, no approximation, no raw-value buffering.
+    * State is a (key, value) → count DELTA LOG — the IncrementalNearDup
+    * layout applied to the SUM monoid: each micro-batch appends only its
+    * own per-(key, quantized-value) counts (O(batch) written, history
+    * never rewritten; replays overwrite their own deterministic segment).
+    * One difference from the min-monoid log is called out explicitly:
+    * SUM is not duplication-absorbing, so a compactor for this store must
+    * use the MergeOps atomic-swap protocol rather than the write-then-
+    * delete shortcut a min log tolerates. The median is computed from the
+    * collapsed count table by a per-key cumulative walk over DISTINCT
+    * values — state and the final window both scale with the per-key
+    * value domain, never with row count (the reason a count-map beats
+    * buffering: a billion observations of 1000 distinct values is 1000
+    * state rows). Oracle: per-key ROW_NUMBER selection over the flat
+    * stream — exact because batching is invisible to a sum of counts. */
+  val streamMedian: Reg = Reg.sql(
+    "s21_stream_median",
+    """WITH e AS (SELECT event_type AS k, CAST(FLOOR(value) AS BIGINT) AS v
+      |           FROM events
+      |           WHERE event_id < 60000 AND event_type IS NOT NULL
+      |             AND value IS NOT NULL),
+      |n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY k),
+      |r AS (SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn
+      |      FROM e)
+      |SELECT r.k AS event_type, n.n, r.v AS median
+      |FROM r JOIN n USING (k) WHERE rn = (n.n + 1) // 2
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft_smedian").toString
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val src = work + "/in"
+      Tables.events(s, dir)
+        .where(col("event_id") < 60000L && col("event_type").isNotNull &&
+          col("value").isNotNull)
+        .select(col("event_type").as("k"),
+          floor(col("value")).cast("long").as("v"))
+        .repartition(3).write.parquet(src)
+
+      val deltaDir = (id: Long) => s"$work/state/d$id"
+      val schema = s.read.parquet(src).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          // O(batch) fold: ONLY this batch's (key, value) counts land on
+          // disk; deterministic dir name makes replay overwrite
+          batch.groupBy("k", "v").agg(count(lit(1)).as("c"))
+            .sortWithinPartitions("k", "v")
+            .write.mode("overwrite").parquet(deltaDir(id))
+          ()
+        }
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      // collapse the delta log (sum monoid) and walk each key's counts
+      val stateRoot = new java.io.File(s"$work/state")
+      val dirs = stateRoot.listFiles().filter(_.isDirectory)
+        .map(_.getPath).sorted
+      val counts = s.read.parquet(dirs: _*)
+        .groupBy("k", "v").agg(sum("c").as("c"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val out = counts
+        .withColumn("cum", sum("c").over(wCum))
+        .join(counts.groupBy("k").agg(sum("c").cast("bigint").as("n")), "k")
+        .where(col("cum") >= expr("(n + 1) DIV 2"))
+        .groupBy(col("k").as("event_type"), col("n"))
+        .agg(min("v").as("median"))
+        .orderBy("event_type")
+      // key-cardinality rows: materialize so scratch can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
       batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals, streamTimers,
-      foreachBatchUpsert)
+      foreachBatchUpsert, streamMedian)
 }
