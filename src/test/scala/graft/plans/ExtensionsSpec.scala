@@ -82,6 +82,35 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with graft.SparkSuite {
     plan should include("l2_sq")
   }
 
+  test("l2_sq property: random arrays match a BigInt reference, codegen == interpreted") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val rows = (0 until 300).map { _ =>
+      val n = 1 + rnd.nextInt(80)
+      (Array.fill(n)(rnd.nextLong() % 1000000L),
+        Array.fill(n)(rnd.nextLong() % 1000000L))
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.selectExpr("l2_sq(a, b) AS d").collect().map(_.getLong(0))
+    val exp = rows.map { case (a, b) =>
+      a.zip(b).map { case (x, y) =>
+        val d = BigInt(x) - BigInt(y); d * d
+      }.sum.toLong
+    }
+    got.toSeq shouldBe exp
+    // interpreted eval path (no codegen) agrees with the codegen'd one
+    rows.take(20).foreach { case (a, b) =>
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      val ad = ArrayData.toArrayData(a)
+      val bd = ArrayData.toArrayData(b)
+      val viaCompute = L2SqExpression.compute(ad, bd).longValue()
+      val expected = a.zip(b).map { case (x, y) =>
+        (BigInt(x) - BigInt(y)).pow(2)
+      }.sum.toLong
+      viaCompute shouldBe expected
+    }
+  }
+
   test("double_order_bits / _inv: SQL round trip and order isomorphism") {
     import spark.implicits._
     val vals = Seq(-1e300, -2.5, -0.0, 0.0, 1.5e-308, 0.3, 7.0, 1e300)
