@@ -2040,8 +2040,77 @@ object AnalyticsQueries {
       .orderBy("l_suppkey")
   }
 
+  /** Exact per-group MODE with deterministic tie-breaks and no value
+    * buffering: two aggregates — (key, value) counts, then an argmax per
+    * key as max-of-struct under the (cnt DESC, value ASC) total order
+    * (value negated inside the struct so the SQL tie goes to the SMALLEST
+    * value). Both shuffles key-partitioned; state per group is one
+    * struct. Spark's own `mode()` breaks ties arbitrarily — hash-gates
+    * need the total order. */
+  val o35GroupMode: Reg = Reg.sql(
+    "o35_group_mode",
+    """WITH c AS (SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS v,
+      |             COUNT(*) AS cnt
+      |           FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_suppkey, v, cnt,
+      |        ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |                           ORDER BY cnt DESC, v ASC) AS rn
+      |      FROM c)
+      |SELECT l_suppkey, v AS mode_qty, CAST(cnt AS BIGINT) AS mode_cnt
+      |FROM r WHERE rn = 1 ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_quantity").cast("bigint").as("v"))
+      .groupBy("l_suppkey", "v").agg(count(lit(1)).as("cnt"))
+      .groupBy("l_suppkey")
+      .agg(max(struct(col("cnt"), (-col("v")).as("nv"))).as("best"))
+      .select(col("l_suppkey"), (-col("best.nv")).as("mode_qty"),
+        col("best.cnt").as("mode_cnt"))
+      .orderBy("l_suppkey")
+  }
+
+  /** Exact per-group WEIGHTED median — the robust-aggregation primitive
+    * (a weighted MAD/median is how sensor fusion downweights flaky
+    * sources): collapse to (key, value) weight sums first (both engines,
+    * so the walk is over DISTINCT values), then one per-key cumulative
+    * window picks the least value whose running weight reaches
+    * (W+1) DIV 2. Integer weights end-to-end — exact, order-free. The
+    * window runs over per-key DISTINCT values, not rows: a billion
+    * observations of a bounded quantity domain walk a tiny frame. */
+  val o36WeightedMedian: Reg = Reg.sql(
+    "o36_weighted_median",
+    """WITH c AS (SELECT l_suppkey,
+      |             CAST(FLOOR(l_extendedprice) AS BIGINT) AS v,
+      |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |           FROM lineitem GROUP BY 1, 2),
+      |t AS (SELECT l_suppkey, CAST(SUM(w) AS BIGINT) AS tw FROM c GROUP BY 1),
+      |m AS (SELECT c.l_suppkey, c.v, t.tw,
+      |        SUM(c.w) OVER (PARTITION BY c.l_suppkey ORDER BY c.v
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING
+      |                       AND CURRENT ROW) AS cum
+      |      FROM c JOIN t USING (l_suppkey))
+      |SELECT l_suppkey, tw AS total_weight, MIN(v) AS weighted_median
+      |FROM m WHERE cum >= (tw + 1) // 2
+      |GROUP BY l_suppkey, tw ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"),
+        floor(col("l_extendedprice")).cast("bigint").as("v"),
+        col("l_quantity").cast("bigint").as("w"))
+      .groupBy("l_suppkey", "v").agg(sum("w").cast("bigint").as("w"))
+    val t = c.groupBy("l_suppkey").agg(sum("w").cast("bigint").as("tw"))
+    val wCum = Window.partitionBy("l_suppkey").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    c.join(t, "l_suppkey")
+      .withColumn("cum", sum("w").over(wCum))
+      .where(col("cum") >= expr("(tw + 1) DIV 2"))
+      .groupBy(col("l_suppkey"), col("tw").as("total_weight"))
+      .agg(min("v").as("weighted_median"))
+      .orderBy("l_suppkey")
+  }
+
   val all: Seq[Reg] = Seq(
     o31ExactMedian, o32ExactMedianDouble, o33GroupMedian, o34GroupQuantiles,
+    o35GroupMode, o36WeightedMedian,
     o25ParetoFront, o26CountMin, o27KmvDistinct, a29Expectations, o28HoltLinear,
     c7GeodesicOps, c8CircleFilter,
     o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface, a26GroupingSets,
