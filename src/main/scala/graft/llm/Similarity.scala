@@ -358,4 +358,63 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** PQ asymmetric-distance search (Jégou et al.) over a QUANTIZED-lattice
+    * vector frame `(idCol, qvCol: array<bigint>)`: vectors are stored as
+    * `m` subspace codes against a codebook drawn from the first `ksub`
+    * vectors' subvectors; each query builds a (m × ksub)-entry exact
+    * distance LUT (bounded by the query batch — the ADC contract), the
+    * approximate distance is m table lookups summed per (query, vector),
+    * and the `shortlist` best by ADC are exactly re-ranked with the
+    * codegen'd `l2_sq` to the final `k`. All integer arithmetic — the
+    * result is deterministic and exactly restatable, which is how
+    * `llm_ann_pq_adc` hash-gates it; `PqAdcRecallSpec` gates its retrieval
+    * quality against brute force on clustered corpora.
+    * Output: (q_id, rank, vec_id, adc_dist, exact_dist). */
+  def pqAdcTopK(
+      quantized: DataFrame, queryIds: Column => Column, k: Int,
+      m: Int = 4, ksub: Int = 4, shortlist: Int = 10,
+      idCol: String = "vec_id", qvCol: String = "qv"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = s"size($qvCol) DIV $m"
+    val q = quantized.select(col(idCol).as("vec_id"), col(qvCol).as("qv"))
+    val sub = q.select(col("vec_id"), explode(expr(
+      s"""transform(sequence(0, ${m - 1}),
+         |          mm -> struct(mm AS m, slice(qv, ($dim) * mm + 1, $dim) AS sq))""".stripMargin)).as("t"))
+      .select(col("vec_id"), col("t.m").as("m"), col("t.sq").as("sq"))
+    val cb = sub.where(col("vec_id") < ksub)
+      .select(col("m"), col("vec_id").as("code"), col("sq").as("cv"))
+    val codes = sub.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("code"), l2sq(col("sq"), col("cv")).as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"))
+    val lut = sub.where(queryIds(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("m"), col("sq").as("qs"))
+      .join(broadcast(cb), "m")
+      .select(col("q_id"), col("m"), col("code"), l2sq(col("qs"), col("cv")).as("ld"))
+    val adc = codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("ld").as("adc_dist"))
+    val wShort = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
+    val short = adc.withColumn("srn", row_number().over(wShort))
+      .where(col("srn") <= shortlist).drop("srn")
+    val wRank = Window.partitionBy("q_id").orderBy(col("exact_dist"), col("vec_id"))
+    short
+      .join(q, "vec_id")
+      .join(broadcast(q.where(queryIds(col("vec_id")))
+        .select(col("vec_id").as("q_id"), col("qv").as("qq"))), "q_id")
+      .withColumn("exact_dist", l2sq(col("qv"), col("qq")))
+      .withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist"),
+        col("exact_dist"))
+  }
+
+  /** Exact squared L2 via the native codegen'd expression. */
+  private def l2sq(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.L2SqExpression(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 }

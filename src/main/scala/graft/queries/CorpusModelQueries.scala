@@ -284,47 +284,9 @@ object CorpusModelQueries {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
       |              ORDER BY exact_dist, vec_id) AS rnk FROM ex)
       |WHERE rnk <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val q = Tables.embeddings(s, dir).select(col("vec_id"), expr(quantize).as("qv"))
-    val sub = q.select(col("vec_id"), explode(expr(
-      """transform(sequence(0, 3),
-        |          m -> struct(m AS m, slice(qv, 16 * m + 1, 16) AS sq))""".stripMargin)).as("t"))
-      .select(col("vec_id"), col("t.m").as("m"), col("t.sq").as("sq"))
-    val cb = sub.where(col("vec_id") < 4)
-      .select(col("m"), col("vec_id").as("code"), col("sq").as("cv"))
-    // encode the corpus: nearest centroid per (vector, subspace)
-    val codes = sub.join(broadcast(cb), "m")
-      .select(col("vec_id"), col("m"), col("code"),
-        l2sq(col("sq"), col("cv")).as("d"))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("d"), col("code"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.code").as("code"))
-    // per-query LUT: exact distance to every centroid of every subspace
-    // (queries × M × ksub rows — bounded by the query batch, broadcast
-    // is the ADC contract, not a scaling hint)
-    val lut = sub.where(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("m"), col("sq").as("qs"))
-      .join(broadcast(cb), "m")
-      .select(col("q_id"), col("m"), col("code"),
-        l2sq(col("qs"), col("cv")).as("ld"))
-    // ADC scan: M lookups + a sum per (query, vector)
-    val adc = codes.join(broadcast(lut), Seq("m", "code"))
-      .groupBy("q_id", "vec_id")
-      .agg(sum("ld").as("adc_dist"))
-    val wShort = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
-    val short = adc.withColumn("srn", row_number().over(wShort))
-      .where(col("srn") <= 10).drop("srn")
-    // exact re-rank of the shortlist on the full lattice vectors
-    val wRank = Window.partitionBy("q_id").orderBy(col("exact_dist"), col("vec_id"))
-    short
-      .join(q, "vec_id")
-      .join(broadcast(q.where(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("qv").as("qq"))), "q_id")
-      .withColumn("exact_dist", l2sq(col("qv"), col("qq")))
-      .withColumn("rank", row_number().over(wRank).cast("bigint"))
-      .where(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist"),
-        col("exact_dist"))
+    graft.llm.Similarity.pqAdcTopK(
+      Tables.embeddings(s, dir).select(col("vec_id"), expr(quantize).as("qv")),
+      queryIds = _ < 8, k = 3, m = 4, ksub = 4, shortlist = 10)
       .orderBy("q_id", "rank")
   }
 
