@@ -411,6 +411,79 @@ object Similarity {
         col("exact_dist"))
   }
 
+  /** IVF + PQ composition — the billion-vector serving architecture
+    * (FAISS IVFPQ): a coarse quantizer assigns every vector to the cell of
+    * its nearest seed (first `nSeeds` vectors, exact lattice L2, seed-id
+    * tie-break — the `llm_kmeans_assign` device), each query probes its
+    * `nprobe` nearest cells, and ONLY the probed cells' vectors are
+    * ADC-scored (codes join the candidate set before the LUT join — the
+    * scan prunes BEFORE any distance work, which is the whole point of the
+    * coarse stage). The shortlist re-ranks exactly with `l2_sq`.
+    * All integer arithmetic → deterministic and exactly restatable.
+    * Output: (q_id, rank, vec_id, adc_dist, exact_dist). */
+  def ivfPqTopK(
+      quantized: DataFrame, queryIds: Column => Column, k: Int,
+      nSeeds: Int = 8, nprobe: Int = 2, m: Int = 4, ksub: Int = 4,
+      shortlist: Int = 10,
+      idCol: String = "vec_id", qvCol: String = "qv"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = quantized.select(col(idCol).as("vec_id"), col(qvCol).as("qv"))
+    val seeds = q.where(col("vec_id") < nSeeds)
+      .select(col("vec_id").as("seed"), col("qv").as("sv"))
+    // coarse assignment: nearest seed, tie to the smaller seed id
+    val assign = q.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("seed"), l2sq(col("qv"), col("sv")).as("d"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("seed"))).as("best"))
+      .select(col("vec_id"), col("best.seed").as("cell"))
+    // query probes: nprobe nearest cells each
+    val wProbe = Window.partitionBy("q_id").orderBy(col("d"), col("seed"))
+    val probes = q.where(queryIds(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"))
+      .crossJoin(broadcast(seeds))
+      .select(col("q_id"), col("seed"), l2sq(col("qq"), col("sv")).as("d"))
+      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nprobe)
+      .select(col("q_id"), col("seed").as("cell"))
+    // candidate set: vectors living in a probed cell
+    val cand = assign.join(broadcast(probes), "cell")
+      .select(col("q_id"), col("vec_id"))
+    // PQ codes + per-query LUTs (the pqAdcTopK devices)
+    val dim = s"size($qvCol) DIV $m"
+    val sub = q.select(col("vec_id"), explode(expr(
+      s"""transform(sequence(0, ${m - 1}),
+         |          mm -> struct(mm AS m, slice(qv, ($dim) * mm + 1, $dim) AS sq))""".stripMargin)).as("t"))
+      .select(col("vec_id"), col("t.m").as("m"), col("t.sq").as("sq"))
+    val cb = sub.where(col("vec_id") < ksub)
+      .select(col("m"), col("vec_id").as("code"), col("sq").as("cv"))
+    val codes = sub.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("code"), l2sq(col("sq"), col("cv")).as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"))
+    val lut = sub.where(queryIds(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("m"), col("sq").as("qs"))
+      .join(broadcast(cb), "m")
+      .select(col("q_id"), col("m"), col("code"), l2sq(col("qs"), col("cv")).as("ld"))
+    // ADC restricted to the probed candidates: the scan prunes FIRST
+    val adc = codes.join(cand, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("ld").as("adc_dist"))
+    val wShort = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
+    val short = adc.withColumn("srn", row_number().over(wShort))
+      .where(col("srn") <= shortlist).drop("srn")
+    val wRank = Window.partitionBy("q_id").orderBy(col("exact_dist"), col("vec_id"))
+    short
+      .join(q, "vec_id")
+      .join(broadcast(q.where(queryIds(col("vec_id")))
+        .select(col("vec_id").as("q_id"), col("qv").as("qq2"))), "q_id")
+      .withColumn("exact_dist", l2sq(col("qv"), col("qq2")))
+      .withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist"),
+        col("exact_dist"))
+  }
+
   /** Exact squared L2 via the native codegen'd expression. */
   private def l2sq(a: Column, b: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(

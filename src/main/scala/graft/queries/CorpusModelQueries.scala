@@ -290,6 +290,82 @@ object CorpusModelQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF + PQ — the composed billion-vector architecture (FAISS IVFPQ):
+    * coarse cells from the `llm_kmeans_assign` device (nearest of 8 seed
+    * vectors, exact lattice L2, seed-id ties), each query probes its 2
+    * nearest cells, and ONLY probed-cell vectors are ADC-scored (codes
+    * join the candidate set BEFORE the LUT join — the scan prunes before
+    * any distance work), then the `llm_ann_pq_adc` shortlist + exact
+    * re-rank. Every stage is integer arithmetic, so cell assignments,
+    * probe sets, ADC sums, shortlist boundaries, and the re-rank all sit
+    * under one hash — the full two-level index, exactly oracled. */
+  val annIvfPq: Reg = Reg.sql(
+    "llm_ann_ivfpq",
+    """WITH q AS (SELECT vec_id,
+      |             list_transform(embedding,
+      |               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+      |           FROM embeddings),
+      |seeds AS (SELECT vec_id AS seed, qv AS sv FROM q WHERE vec_id < 8),
+      |ad AS (SELECT q.vec_id, seeds.seed,
+      |         CAST(SUM((qv[i] - sv[i]) * (qv[i] - sv[i])) AS BIGINT) AS d
+      |       FROM q CROSS JOIN seeds CROSS JOIN generate_series(1, 64) AS g(i)
+      |       GROUP BY 1, 2),
+      |assign AS (SELECT vec_id, seed AS cell FROM (
+      |        SELECT vec_id, seed,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, seed) AS rn
+      |        FROM ad) WHERE rn = 1),
+      |probes AS (SELECT vec_id AS q_id, seed AS cell FROM (
+      |        SELECT vec_id, seed,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, seed) AS rn
+      |        FROM ad WHERE vec_id % 250 = 0) WHERE rn <= 2),
+      |cand AS (SELECT probes.q_id, assign.vec_id
+      |         FROM assign JOIN probes USING (cell)),
+      |sub AS (SELECT vec_id, m, qv[(16 * m + 1):(16 * m + 16)] AS sq
+      |        FROM q, generate_series(0, 3) AS gm(m)),
+      |cb AS (SELECT m, vec_id AS code, sq AS cv FROM sub WHERE vec_id < 4),
+      |cd AS (SELECT sub.vec_id, sub.m, cb.code,
+      |        CAST(SUM((sq[i] - cv[i]) * (sq[i] - cv[i])) AS BIGINT) AS dist
+      |      FROM sub, cb, generate_series(1, 16) AS g(i)
+      |      WHERE sub.m = cb.m GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id, m, code FROM (
+      |        SELECT vec_id, m, code,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id, m
+      |                             ORDER BY dist, code) AS rn FROM cd)
+      |      WHERE rn = 1),
+      |lut AS (SELECT sub.vec_id AS q_id, sub.m, cb.code,
+      |        CAST(SUM((sq[i] - cv[i]) * (sq[i] - cv[i])) AS BIGINT) AS ld
+      |      FROM sub, cb, generate_series(1, 16) AS g(i)
+      |      WHERE sub.m = cb.m AND sub.vec_id % 250 = 0
+      |      GROUP BY 1, 2, 3),
+      |adc AS (SELECT cand.q_id, cand.vec_id,
+      |          CAST(SUM(lut.ld) AS BIGINT) AS adc_dist
+      |        FROM cand
+      |        JOIN codes ON codes.vec_id = cand.vec_id
+      |        JOIN lut ON lut.q_id = cand.q_id AND lut.m = codes.m
+      |                AND lut.code = codes.code
+      |        GROUP BY 1, 2),
+      |short AS (SELECT q_id, vec_id, adc_dist FROM (
+      |        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |                  ORDER BY adc_dist, vec_id) AS srn FROM adc)
+      |      WHERE srn <= 10),
+      |ex AS (SELECT short.q_id, short.vec_id, short.adc_dist,
+      |         CAST(SUM((v.qv[i] - qq.qv[i]) * (v.qv[i] - qq.qv[i])) AS BIGINT)
+      |           AS exact_dist
+      |       FROM short
+      |       JOIN q v ON v.vec_id = short.vec_id
+      |       JOIN q qq ON qq.vec_id = short.q_id, generate_series(1, 64) AS g(i)
+      |       GROUP BY 1, 2, 3)
+      |SELECT q_id, CAST(rnk AS BIGINT) AS rank, vec_id, adc_dist, exact_dist
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |              ORDER BY exact_dist, vec_id) AS rnk FROM ex)
+      |WHERE rnk <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    graft.llm.Similarity.ivfPqTopK(
+      Tables.embeddings(s, dir).select(col("vec_id"), expr(quantize).as("qv")),
+      queryIds = _ % 250 === 0, k = 3,
+      nSeeds = 8, nprobe = 2, m = 4, ksub = 4, shortlist = 10)
+      .orderBy("q_id", "rank")
+  }
+
   /** BPE round 2 — the first merge APPLIED, then recounted: the argmax
     * pair of round 1 (cnt desc, pair asc — deterministic) is replaced by a
     * single placeholder symbol (chr(1), absent from any corpus) inside
@@ -746,5 +822,5 @@ object CorpusModelQueries {
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
       bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty,
       bpeK, bpeK64, bpeEncode, perplexityFilter, randProj, pmiCooccur,
-      annPqAdc)
+      annPqAdc, annIvfPq)
 }
