@@ -58,7 +58,8 @@ object PlanDump {
       ("o33_group_median", "grouped exact median with DataFrame group state: per level ONE hint-free join of values to (keys, lo, hi, k) state, one (keys, bucket) aggregate, a window over <=fanout histogram rows - no per-group value buffer anywhere, level count independent of data size (measured 1.3x across the 10x extent decade)"),
       ("llm_hard_negatives", "exact hard-negative mining after the l2_sq swap: the squared distance is ONE native codegen'd expression inside the probe crossJoin stage (no interpreted HOFs), and both rank<=3 windows compile to WindowGroupLimit - per-partition top-k pruning, the pair frame is never sorted whole"),
       ("llm_ann_pq_adc", "PQ asymmetric-distance search: codes from a broadcast codebook join, per-query LUT (queries x M x ksub, bounded by the query batch) broadcast onto the code stream, ADC is M lookups + one sum per (query, vector), shortlist and re-rank both WindowGroupLimit"),
-      ("j14_scd2_lookup", "point-in-time SCD2 lookup: the version chain and the ship events union into ONE keyed window exchange (the backward as-of idiom) - the running-last carries the valid version to every event, never an interval pair expansion"))
+      ("j14_scd2_lookup", "point-in-time SCD2 lookup: the version chain and the ship events union into ONE keyed window exchange (the backward as-of idiom) - the running-last carries the valid version to every event, never an interval pair expansion"),
+      ("llm_ann_ivfpq", "two-level IVF+PQ index: seeds and codebook broadcast, coarse assignment and probes are map-side argmins, and the ADC join chains codes -> CANDIDATES -> LUT in that order - the candidate semi-restriction sits before any distance work, so unprobed cells never reach the distance stage"))
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")
