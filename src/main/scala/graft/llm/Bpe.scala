@@ -149,6 +149,23 @@ object Bpe {
       .orderBy("round")
   }
 
+  /** UTF-8-byte-order string comparison (== code-point order), matching
+    * Spark's UTF8String and DuckDB's collation — Java's `compareTo` is
+    * UTF-16-unit order, which sorts U+E000..U+FFFF AFTER supplementary
+    * characters instead of before. */
+  private[graft] def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** The in-memory merge loop over a (word, count) vocabulary —
     * incremental pair counts via an inverted pair→slots index, so each
     * round costs O(words containing the merged pair), not O(vocab).
@@ -193,12 +210,14 @@ object Bpe {
       if (pc.isEmpty) dry = true
       else {
         // argmax under the same total order as the distributed trainer:
-        // cnt DESC, pair ASC (BMP-only symbols, so UTF-16 compareTo ==
-        // the engines' UTF-8 byte order)
+        // cnt DESC, pair ASC in CODE POINT order — Spark/DuckDB compare
+        // strings by UTF-8 bytes, which is code-point order; Java's
+        // UTF-16 compareTo diverges from it when a supplementary
+        // (non-BMP) character meets a char >= U+E000
         var bestP: String = null
         var bestC = -1L
         pc.foreach { case (p, c) =>
-          if (c > bestC || (c == bestC && p.compareTo(bestP) < 0)) {
+          if (c > bestC || (c == bestC && codePointCompare(p, bestP) < 0)) {
             bestP = p; bestC = c
           }
         }

@@ -251,14 +251,31 @@ object MergeOps {
         })
       }
       var firstFailure: Throwable = null
+      var interrupted = false
       tasks.foreach { t =>
         try t.get()
         catch {
           case e: java.util.concurrent.ExecutionException =>
             if (firstFailure == null) firstFailure = e.getCause
+          case e @ (_: InterruptedException |
+                    _: java.util.concurrent.CancellationException) =>
+            // don't escape mid-loop: cancel the siblings (each one still
+            // completes-or-rolls-back on its own), keep settling, and
+            // restore interrupt status after the pool is torn down
+            if (firstFailure == null) firstFailure = e
+            interrupted = interrupted || e.isInstanceOf[InterruptedException]
+            tasks.foreach(_.cancel(true))
         }
       }
-      if (firstFailure != null) throw firstFailure
+      if (firstFailure != null) {
+        if (interrupted) {
+          pool.shutdownNow()
+          try pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          catch { case _: InterruptedException => () }
+          Thread.currentThread().interrupt()
+        }
+        throw firstFailure
+      }
     } finally {
       pool.shutdown(); ()
     }

@@ -68,6 +68,7 @@ object ExactQuantile {
       fanout: Int = 4096,
       directLimit: Long = 65536L): Seq[Long] = {
     require(ranks.nonEmpty, "need at least one rank")
+    require(fanout >= 2, s"fanout must be >= 2 (got $fanout)")
     ranks.foreach(r => require(r >= 1, s"rank must be >= 1, got $r"))
     val vals = df.select(col(valueCol).cast("long").as("__v"))
       .where(col("__v").isNotNull)
@@ -91,10 +92,12 @@ object ExactQuantile {
       // Distinct active ranges — disjoint by the bucket-of-parent invariant,
       // so a row belongs to at most one and a CASE chain tags it exactly.
       val ranges = level.map(s => (s.lo, s.hi)).distinct
-      // BigInt: a range can span nearly the full long domain (the double
-      // bit map uses all 64 bits), so (hi - lo) wraps in plain long math
+      // BigInt end-to-end: a range can span nearly the full long domain
+      // (the double bit map uses all 64 bits), so (hi - lo) wraps in plain
+      // long math — and at fanout 2 the width itself is 2^63, one past
+      // Long.MaxValue, so it must never be narrowed to a long
       val widths = ranges.map { case (lo, hi) =>
-        ((BigInt(hi) - BigInt(lo)) / fanout + 1).max(1).toLong // ceil ⇒ ≤ fanout buckets
+        ((BigInt(hi) - BigInt(lo)) / fanout + 1).max(1) // ceil ⇒ ≤ fanout buckets
       }
       val ridOf = ranges.zipWithIndex.toMap
       val ridCol = ranges.zipWithIndex.foldLeft(lit(null).cast("long")) {
@@ -106,7 +109,8 @@ object ExactQuantile {
       val bCol = ranges.zipWithIndex.foldLeft(lit(null).cast("long")) {
         case (acc, ((lo, hi), rid)) =>
           when(col("__v").between(lo, hi),
-            expr(s"CAST((CAST(__v AS DECIMAL(21,0)) - ${lo}) DIV ${widths(rid)} AS BIGINT)"))
+            expr(s"CAST((CAST(__v AS DECIMAL(21,0)) - ${lo}) DIV " +
+              s"CAST(${widths(rid)} AS DECIMAL(21,0)) AS BIGINT)"))
             .otherwise(acc)
       }
       // ONE aggregate for every active rank this level; the range filter
@@ -137,9 +141,9 @@ object ExactQuantile {
         }
         // BigInt intermediates again: found*width can exceed Long.Max even
         // though the final bounds land back inside [lo, hi]
-        val bLo = (BigInt(s.lo) + BigInt(found) * width).toLong
+        val bLo = (BigInt(s.lo) + found * width).toLong
         s.lo = bLo
-        s.hi = (BigInt(s.hi) min (BigInt(bLo) + width - 1)).toLong
+        s.hi = (BigInt(s.hi) min (bLo + width - 1)).toLong
         s.remaining = cnt
         if (s.hi == s.lo) { s.res = s.lo; s.done = true }
       }

@@ -76,6 +76,7 @@ object GroupedQuantile {
       directLimit: Long = 65536L): DataFrame = {
     require(keys.nonEmpty, "need at least one grouping key")
     require(rankOfs.nonEmpty, "need at least one rank builder")
+    require(fanout >= 2, s"fanout must be >= 2 (got $fanout)")
     val kc = keys.map(col)
     val vals = df
       .select(kc :+ col(valueCol).cast("long").as("__v"): _*)
@@ -107,9 +108,13 @@ object GroupedQuantile {
     var active = state.where(needsLevel())
 
     var level = 0
-    while (level < 64 && !active.isEmpty) { // one driver action per level
+    var converged = active.isEmpty
+    while (level < 64 && !converged) { // one driver action per level
+      // __w stays DECIMAL: over the full 64-bit range at fanout 2 the
+      // width is 2^63, one past Long.MaxValue (the DIV result itself
+      // always fits — it's the +1 that must not happen in BIGINT)
       val widened = active.withColumn("__w",
-        expr(s"CAST((CAST(__hi AS DECIMAL(21,0)) - __lo) DIV $fanout + 1 AS BIGINT)"))
+        expr(s"CAST((CAST(__hi AS DECIMAL(21,0)) - __lo) DIV $fanout AS DECIMAL(21,0)) + 1"))
       // join on keys only: each value row fans out to its group's ACTIVE
       // slots (≤ |rankOfs|, shrinking as slots finish); no hint — AQE
       // broadcasts the state frame when the group count is small
@@ -145,9 +150,12 @@ object GroupedQuantile {
       residues = residues.unionByName(
         state.where(col("__hi") > col("__lo") && !needsLevel()))
       active = state.where(needsLevel())
+      converged = active.isEmpty
       level += 1
     }
-    require(level < 64, "histogram descent failed to converge")
+    // 64 levels are legitimate at fanout 2 on the full 64-bit mapped-double
+    // domain — converged means no active slots remain, not a level count
+    require(converged, "histogram descent failed to converge")
 
     // finish residues: per-slot sort of ≤ directLimit rows each
     val wRn = Window.partitionBy(kcS: _*).orderBy("__v")

@@ -67,6 +67,7 @@ object L2SqExpression {
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getLong(i) - b.getLong(i)
       acc += d * d
       i += 1

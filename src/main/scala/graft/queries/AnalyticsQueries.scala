@@ -1981,8 +1981,10 @@ object AnalyticsQueries {
     * fully-distributed histogram descent (group state is itself a
     * DataFrame; each level is one join + one (keys, bucket) aggregate +
     * a window over ≤ fanout histogram rows), riding the IEEE-754 order
-    * bit map for doubles. Small fanout/directLimit force several real
-    * descent levels at every SF. The oracle is the naive per-group
+    * bit map for doubles. Registered with the production descent
+    * constants (fanout 4096 / directLimit 65536 — sf-scale groups finish
+    * in the residue sort); the forced deep-descent exercise lives in
+    * GroupedQuantileSpec, not here. The oracle is the naive per-group
     * ROW_NUMBER selection; both engines return the stored parquet
     * element, so values hash bit-identically. */
   val o33GroupMedian: Reg = Reg.sql(
@@ -2000,8 +2002,7 @@ object AnalyticsQueries {
       |ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
     graft.operators.GroupedQuantile.valueAtRankByDouble(
       Tables.lineitem(s, dir), Seq("l_suppkey"), "l_extendedprice",
-      graft.operators.GroupedQuantile.medianRank, "median",
-      fanout = 64, directLimit = 32L)
+      graft.operators.GroupedQuantile.medianRank, "median")
       .orderBy("l_suppkey")
   }
 
@@ -2031,8 +2032,7 @@ object AnalyticsQueries {
       n => floor((n * lit(19L) + lit(19L)) / lit(20L)).cast("long")
     GroupedQuantile.valueAtRanksByDouble(
       Tables.lineitem(s, dir), Seq("l_suppkey"), "l_extendedprice",
-      Seq(GroupedQuantile.medianRank, p95Rank), "q",
-      fanout = 64, directLimit = 32L)
+      Seq(GroupedQuantile.medianRank, p95Rank), "q")
       .groupBy("l_suppkey")
       .agg(
         max(when(col("rank_slot") === 0, col("q"))).as("median"),

@@ -96,7 +96,15 @@ object IncrementalNearDup {
             round(col("m.jaccard"), 4).as("jaccard"))
           .localCheckpoint(false)
       case _ =>
-        spark.emptyDataFrame // first batch: nothing to match against
+        // first batch: nothing to match against — but keep the documented
+        // (doc_id, dup_of, jaccard) shape so callers can select columns
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("dup_of", LongType),
+            StructField("jaccard", DoubleType))))
     }
 
     // Fold the batch in: ONLY batch-sized writes. Deterministic dir names

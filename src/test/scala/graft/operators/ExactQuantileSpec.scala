@@ -123,5 +123,19 @@ class ExactQuantileSpec extends AnyFunSuite with Matchers with SparkSuite {
       ExactQuantile.valueAtRank(df, "v", 0L)
     an[IllegalArgumentException] should be thrownBy
       ExactQuantile.valueAtRank(df, "v", 3L)
+    an[IllegalArgumentException] should be thrownBy
+      ExactQuantile.valueAtRank(df, "v", 1L, fanout = 1)
+  }
+
+  test("fanout 2 over the full Long range: the 2^63 bucket width stays exact") {
+    import spark.implicits._
+    // level-0 width = (2^64 - 1) DIV 2 + 1 = 2^63 — one past Long.MaxValue;
+    // a long-narrowed width wraps negative and mis-buckets every row
+    val v0 = 987654321L
+    val rows = Seq.fill(20)(Long.MinValue) ++ Seq.fill(40)(v0) ++
+      Seq.fill(20)(Long.MaxValue)
+    val df = rows.toDF("v")
+    ExactQuantile.valueAtRank(df, "v", 40L, fanout = 2,
+      directLimit = 1L) shouldBe v0
   }
 }

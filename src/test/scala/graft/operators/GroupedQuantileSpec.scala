@@ -117,6 +117,31 @@ class GroupedQuantileSpec extends AnyFunSuite with Matchers with SparkSuite {
     three should be <= one + 3
   }
 
+  test("deep descent: fanout 2 over the full Long range walks all 64 levels") {
+    import spark.implicits._
+    // 50×Long.MinValue, 100×v0, 50×Long.MaxValue: the median is v0 and its
+    // bucket keeps 100 rows (> directLimit) at every level, so the descent
+    // only ends when the range collapses to a point — exactly 64 halvings
+    // from the full 64-bit range. Exercises the converged-not-level-count
+    // exit condition: a level counter check would throw at level == 64.
+    val v0 = 12345677L
+    val rows = Seq.fill(50)(Long.MinValue) ++ Seq.fill(100)(v0) ++
+      Seq.fill(50)(Long.MaxValue)
+    val df = rows.map((1L, _)).toDF("g", "v")
+    val got = GroupedQuantile.valueAtRankBy(df, Seq("g"), "v",
+      GroupedQuantile.medianRank, "med", fanout = 2, directLimit = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got shouldBe Map(1L -> v0)
+  }
+
+  test("fanout < 2 is rejected") {
+    import spark.implicits._
+    val df = Seq((1L, 1L)).toDF("g", "v")
+    an[IllegalArgumentException] should be thrownBy
+      GroupedQuantile.valueAtRankBy(df, Seq("g"), "v",
+        GroupedQuantile.medianRank, "med", fanout = 1, directLimit = 1L)
+  }
+
   test("multi-key groups and negative/tied values") {
     import spark.implicits._
     val rows = for {
