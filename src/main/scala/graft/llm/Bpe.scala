@@ -180,25 +180,35 @@ object Bpe {
     val pc = mutable.HashMap.empty[String, Long]
     val idx = mutable.HashMap.empty[String, mutable.Set[Int]]
 
-    def add(i: Int): Unit = {
-      val w = wArr(i); val c = cArr(i)
+    // Pair windows iterate by CODE POINT, not UTF-16 unit: the distributed
+    // trainer and the DuckDB oracle window with substring(w, i, 2) over
+    // code points (Spark's UTF8String and DuckDB both count code points),
+    // so a UTF-16 walk would split surrogate pairs and diverge on the
+    // exact non-BMP corpora the codePointCompare tie-break exists for.
+    def eachPair(w: String)(f: String => Unit): Unit = {
       var j = 0
-      while (j < w.length - 1) {
-        val p = w.substring(j, j + 2)
+      while (j < w.length) {
+        val n1 = Character.charCount(w.codePointAt(j))
+        if (j + n1 < w.length) {
+          val n2 = Character.charCount(w.codePointAt(j + n1))
+          f(w.substring(j, j + n1 + n2))
+        }
+        j += n1
+      }
+    }
+    def add(i: Int): Unit = {
+      val c = cArr(i)
+      eachPair(wArr(i)) { p =>
         pc.update(p, pc.getOrElse(p, 0L) + c)
         idx.getOrElseUpdate(p, mutable.Set.empty) += i
-        j += 1
       }
     }
     def remove(i: Int): Unit = {
-      val w = wArr(i); val c = cArr(i)
-      var j = 0
-      while (j < w.length - 1) {
-        val p = w.substring(j, j + 2)
+      val c = cArr(i)
+      eachPair(wArr(i)) { p =>
         val n = pc(p) - c
         if (n == 0L) { pc.remove(p); () } else pc.update(p, n)
         idx.get(p).foreach { s => s -= i; if (s.isEmpty) idx.remove(p) }
-        j += 1
       }
     }
     wArr.indices.foreach(add)

@@ -222,10 +222,15 @@ object MergeOps {
     * submitted from multiple threads side by side — so a wide purge
     * touching 30 dates overlaps its 30 commit waits instead of paying
     * them serially (a real table format parallelizes its manifest
-    * commits the same way). Failures don't abort siblings mid-swap —
-    * every partition either completes or rolls back on its own — and the
-    * first failure (in partition order, for determinism) is rethrown
-    * after all have settled. */
+    * commits the same way). An ordinary task FAILURE doesn't abort
+    * siblings mid-swap — each of those partitions still completes or
+    * rolls back on its own — and the first failure (in partition order,
+    * for determinism) is rethrown after all have settled. CANCELLATION is
+    * weaker: an interrupt can land on a sibling between its two renames,
+    * leaving that partition only at its hidden `.tmp_old` backup — a
+    * CRASH-EQUIVALENT state, not data loss: the next
+    * `recoverPartitionsIfNeeded` / `recoverIfNeeded` sweep (run before
+    * any read) restores it, exactly as if the process had died there. */
   def rewritePartitions(
       spark: SparkSession,
       path: String,
@@ -259,9 +264,11 @@ object MergeOps {
             if (firstFailure == null) firstFailure = e.getCause
           case e @ (_: InterruptedException |
                     _: java.util.concurrent.CancellationException) =>
-            // don't escape mid-loop: cancel the siblings (each one still
-            // completes-or-rolls-back on its own), keep settling, and
-            // restore interrupt status after the pool is torn down
+            // don't escape mid-loop: cancel the siblings, keep settling,
+            // and restore interrupt status after the pool is torn down.
+            // cancel(true) may interrupt a sibling between its two
+            // renames — that partition is then parked at .tmp_old until
+            // the pre-read recovery sweep, the same state a crash leaves
             if (firstFailure == null) firstFailure = e
             interrupted = interrupted || e.isInstanceOf[InterruptedException]
             tasks.foreach(_.cancel(true))

@@ -81,6 +81,33 @@ class BpeSpec extends AnyFunSuite with Matchers with SparkSuite {
     }
   }
 
+  test("driver trainer == distributed trainer on non-BMP corpora") {
+    // supplementary characters (UTF-16 surrogate pairs) mixed with BMP
+    // chars >= U+E000 — the exact region where Java's UTF-16 unit order
+    // and a UTF-16 substring walk both diverge from the code-point
+    // semantics of Spark/DuckDB. Exercises BOTH fixes: pair enumeration
+    // by code point (a surrogate pair is ONE symbol) and the
+    // codePointCompare argmax tie-break.
+    import spark.implicits._
+    val grin = new String(Character.toChars(0x1F600)) // U+1F600
+    val dsx = new String(Character.toChars(0x1D54F)) // U+1D54F
+    val rep = "\uFFFD" // BMP, > surrogates in UTF-16, < supplementary in UTF-8
+    val pua = "\uE001"
+    val rnd = new scala.util.Random(31)
+    val sym = Vector("a", "b", grin, dsx, rep, pua)
+    val words = (0 until 300).map { _ =>
+      (0 until 2 + rnd.nextInt(5)).map(_ => sym(rnd.nextInt(sym.length))).mkString
+    }
+    val df = words.toDF("w")
+    for (k <- Seq(1, 4, 10)) {
+      val dist = Bpe.trainMerges(spark, df, "w", k)
+        .collect().map(_.toString).toSeq
+      val drv = Bpe.trainMergesDriver(spark, df, "w", k)
+        .collect().map(_.toString).toSeq
+      withClue(s"k=$k")(drv shouldBe dist)
+    }
+  }
+
   test("driver trainer handles k=64 with private-use-area placeholders") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
