@@ -359,21 +359,121 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** Exact-integer Lloyd (k-means) training of per-subspace PQ codebooks
+    * over a quantized-lattice frame `(idCol, qvCol: array<bigint>)` —
+    * deterministic AND restatable, so the trained two-stage ANN search
+    * stays hash-gated end to end:
+    *
+    *  - INIT: `ksub` training vectors picked by a Knuth multiplicative-
+    *    hash shuffle of ids (`(id·2654435761) mod 2^32`, ties by id) — a
+    *    seeded deterministic sample, never "first k", which inherits
+    *    whatever skew the id order carries (the round-10/11 flag this
+    *    trainer closes);
+    *  - ITERATE: each Lloyd step assigns train subvectors to their
+    *    nearest code (exact lattice L2, ties to the smaller code) and
+    *    re-centers every code at the per-dimension floor(mean) back ON
+    *    the lattice — integer sums are exact, and one IEEE divide + floor
+    *    is bit-identical across engines. Empty codes keep their previous
+    *    centroid.
+    *
+    * The m=1 case IS the coarse quantizer (one "subspace" = the full
+    * vector), so IVF seeds train through the same device.
+    *
+    * 100 TB shape: the train set is bounded by `trainMod` (modulo
+    * sampling — deterministic and restatable; [[trainQuantizer]]'s seeded
+    * reservoir is the non-oracled production alternative when ids are
+    * adversarial), each iteration is one broadcast join + aggregation
+    * over the cached train subset, and the collected model is
+    * m × ksub × (dims/m) longs — KBs of driver state: the codebook
+    * itself, which then broadcasts into the search. */
+  private[graft] def trainCodebookExact(
+      quantized: DataFrame, m: Int, ksub: Int, iters: Int, trainMod: Int = 1,
+      idCol: String = "vec_id", qvCol: String = "qv"): Array[Array[Array[Long]]] = {
+    val spark = quantized.sparkSession
+    val base = quantized.select(col(idCol).cast("long").as("vec_id"), col(qvCol).as("qv"))
+    val train = if (trainMod > 1) base.where(col("vec_id") % trainMod === 0) else base
+    val dimExpr = s"size(qv) DIV $m"
+    val sub = train.select(col("vec_id"), explode(expr(
+      s"""transform(sequence(0, ${m - 1}),
+         |          mm -> struct(mm AS m, slice(qv, ($dimExpr) * mm + 1, $dimExpr) AS sq))""".stripMargin)).as("t"))
+      .select(col("vec_id"), col("t.m").as("m"), col("t.sq").as("sq"))
+      .cache()
+    try {
+      val initRows = train
+        .withColumn("hk", expr("(vec_id * 2654435761L) % 4294967296L"))
+        .orderBy("hk", "vec_id").limit(ksub)
+        .select("hk", "vec_id", "qv").collect()
+        .sortBy(r => (r.getLong(0), r.getLong(1)))
+        .map(_.getSeq[Long](2).toArray)
+      require(initRows.nonEmpty, "trainCodebookExact: empty training set")
+      val subdim = initRows(0).length / m
+      var cb: Array[Array[Array[Long]]] = Array.tabulate(m) { mm =>
+        initRows.map(v => v.slice(mm * subdim, (mm + 1) * subdim))
+      }
+      var it = 0
+      while (it < iters) {
+        val stats = sub.join(broadcast(codebookFrame(spark, cb)), "m")
+          .select(col("vec_id"), col("m"), col("code"), col("sq"),
+            l2sq(col("sq"), col("cv")).as("d"))
+          .groupBy("vec_id", "m")
+          .agg(min(struct(col("d"), col("code"))).as("best"),
+            // sq is CONSTANT within each (vec_id, m) group, so first() is
+            // value-deterministic here
+            first(col("sq")).as("sq"))
+          .select(col("m"), col("best.code").as("code"),
+            posexplode(col("sq")).as(Seq("pos", "x")))
+          .groupBy("m", "code", "pos")
+          .agg(sum("x").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        stats.foreach { r =>
+          val mm = r.getInt(0); val code = r.getLong(1).toInt
+          val pos = r.getInt(2); val s = r.getLong(3); val n = r.getLong(4)
+          // CAST(FLOOR(CAST(sum AS DOUBLE) / n) AS BIGINT): lattice sums
+          // stay far inside 2^53, so the divide is one exact-input IEEE op
+          next(mm)(code)(pos) = math.floor(s.toDouble / n).toLong
+        }
+        cb = next
+        it += 1
+      }
+      cb
+    } finally { sub.unpersist(); () }
+  }
+
+  /** A trained codebook as a broadcastable literal frame (m, code, cv). */
+  private[graft] def codebookFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      cb: Array[Array[Array[Long]]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = for { mm <- cb.indices; code <- cb(mm).indices }
+      yield org.apache.spark.sql.Row(mm, code.toLong, cb(mm)(code).toSeq)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("m", IntegerType, nullable = false),
+        StructField("code", LongType, nullable = false),
+        StructField("cv", ArrayType(LongType, containsNull = false), nullable = false))))
+  }
+
   /** PQ asymmetric-distance search (Jégou et al.) over a QUANTIZED-lattice
     * vector frame `(idCol, qvCol: array<bigint>)`: vectors are stored as
-    * `m` subspace codes against a codebook drawn from the first `ksub`
-    * vectors' subvectors; each query builds a (m × ksub)-entry exact
-    * distance LUT (bounded by the query batch — the ADC contract), the
-    * approximate distance is m table lookups summed per (query, vector),
-    * and the `shortlist` best by ADC are exactly re-ranked with the
-    * codegen'd `l2_sq` to the final `k`. All integer arithmetic — the
-    * result is deterministic and exactly restatable, which is how
-    * `llm_ann_pq_adc` hash-gates it; `PqAdcRecallSpec` gates its retrieval
-    * quality against brute force on clustered corpora.
+    * `m` subspace codes against a codebook — Lloyd-TRAINED in exact
+    * lattice integers when `trainIters > 0` ([[trainCodebookExact]]; the
+    * production path), or the first `ksub` vectors' subvectors when 0
+    * (the legacy toy device, kept for spec baselines); each query builds
+    * a (m × ksub)-entry exact distance LUT (bounded by the query batch —
+    * the ADC contract), the approximate distance is m table lookups
+    * summed per (query, vector), and the `shortlist` best by ADC are
+    * exactly re-ranked with the codegen'd `l2_sq` to the final `k`. All
+    * integer arithmetic — training included — so the result is
+    * deterministic and exactly restatable, which is how `llm_ann_pq_adc`
+    * hash-gates it; `PqAdcRecallSpec` gates its retrieval quality against
+    * brute force on clustered corpora.
     * Output: (q_id, rank, vec_id, adc_dist, exact_dist). */
   def pqAdcTopK(
       quantized: DataFrame, queryIds: Column => Column, k: Int,
       m: Int = 4, ksub: Int = 4, shortlist: Int = 10,
+      trainIters: Int = 0, trainMod: Int = 1,
       idCol: String = "vec_id", qvCol: String = "qv"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dim = s"size($qvCol) DIV $m"
@@ -382,8 +482,12 @@ object Similarity {
       s"""transform(sequence(0, ${m - 1}),
          |          mm -> struct(mm AS m, slice(qv, ($dim) * mm + 1, $dim) AS sq))""".stripMargin)).as("t"))
       .select(col("vec_id"), col("t.m").as("m"), col("t.sq").as("sq"))
-    val cb = sub.where(col("vec_id") < ksub)
-      .select(col("m"), col("vec_id").as("code"), col("sq").as("cv"))
+    val cb =
+      if (trainIters > 0)
+        codebookFrame(quantized.sparkSession,
+          trainCodebookExact(quantized, m, ksub, trainIters, trainMod, idCol, qvCol))
+      else sub.where(col("vec_id") < ksub)
+        .select(col("m"), col("vec_id").as("code"), col("sq").as("cv"))
     val codes = sub.join(broadcast(cb), "m")
       .select(col("vec_id"), col("m"), col("code"), l2sq(col("sq"), col("cv")).as("d"))
       .groupBy("vec_id", "m")
@@ -413,23 +517,32 @@ object Similarity {
 
   /** IVF + PQ composition — the billion-vector serving architecture
     * (FAISS IVFPQ): a coarse quantizer assigns every vector to the cell of
-    * its nearest seed (first `nSeeds` vectors, exact lattice L2, seed-id
-    * tie-break — the `llm_kmeans_assign` device), each query probes its
-    * `nprobe` nearest cells, and ONLY the probed cells' vectors are
-    * ADC-scored (codes join the candidate set before the LUT join — the
-    * scan prunes BEFORE any distance work, which is the whole point of the
-    * coarse stage). The shortlist re-ranks exactly with `l2_sq`.
-    * All integer arithmetic → deterministic and exactly restatable.
+    * its nearest centroid (Lloyd-trained in exact lattice integers when
+    * `trainIters > 0` — [[trainCodebookExact]] at m=1, the production
+    * path; the first `nSeeds` vectors when 0 — the legacy
+    * `llm_kmeans_assign` device), each query probes its `nprobe` nearest
+    * cells, and ONLY the probed cells' vectors are ADC-scored against the
+    * (likewise trained) PQ codebooks (codes join the candidate set before
+    * the LUT join — the scan prunes BEFORE any distance work, which is
+    * the whole point of the coarse stage). The shortlist re-ranks exactly
+    * with `l2_sq`. All integer arithmetic, training included →
+    * deterministic and exactly restatable.
     * Output: (q_id, rank, vec_id, adc_dist, exact_dist). */
   def ivfPqTopK(
       quantized: DataFrame, queryIds: Column => Column, k: Int,
       nSeeds: Int = 8, nprobe: Int = 2, m: Int = 4, ksub: Int = 4,
       shortlist: Int = 10,
+      trainIters: Int = 0, trainMod: Int = 1,
       idCol: String = "vec_id", qvCol: String = "qv"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = quantized.select(col(idCol).as("vec_id"), col(qvCol).as("qv"))
-    val seeds = q.where(col("vec_id") < nSeeds)
-      .select(col("vec_id").as("seed"), col("qv").as("sv"))
+    val seeds =
+      if (trainIters > 0)
+        codebookFrame(quantized.sparkSession,
+          trainCodebookExact(quantized, 1, nSeeds, trainIters, trainMod, idCol, qvCol))
+          .select(col("code").as("seed"), col("cv").as("sv"))
+      else q.where(col("vec_id") < nSeeds)
+        .select(col("vec_id").as("seed"), col("qv").as("sv"))
     // coarse assignment: nearest seed, tie to the smaller seed id
     val assign = q.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("seed"), l2sq(col("qv"), col("sv")).as("d"))
@@ -453,8 +566,12 @@ object Similarity {
       s"""transform(sequence(0, ${m - 1}),
          |          mm -> struct(mm AS m, slice(qv, ($dim) * mm + 1, $dim) AS sq))""".stripMargin)).as("t"))
       .select(col("vec_id"), col("t.m").as("m"), col("t.sq").as("sq"))
-    val cb = sub.where(col("vec_id") < ksub)
-      .select(col("m"), col("vec_id").as("code"), col("sq").as("cv"))
+    val cb =
+      if (trainIters > 0)
+        codebookFrame(quantized.sparkSession,
+          trainCodebookExact(quantized, m, ksub, trainIters, trainMod, idCol, qvCol))
+      else sub.where(col("vec_id") < ksub)
+        .select(col("m"), col("vec_id").as("code"), col("sq").as("cv"))
     val codes = sub.join(broadcast(cb), "m")
       .select(col("vec_id"), col("m"), col("code"), l2sq(col("sq"), col("cv")).as("d"))
       .groupBy("vec_id", "m")

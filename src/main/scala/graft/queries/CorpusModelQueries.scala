@@ -225,46 +225,99 @@ object CorpusModelQueries {
       .orderBy("subspace", "code")
   }
 
+  /** CTE chain restating [[graft.llm.Similarity.trainCodebookExact]]:
+    * `iters` UNROLLED Lloyd steps in exact lattice integers. Init picks
+    * `ksub` vectors by the Knuth multiplicative-hash shuffle of ids
+    * (seeded deterministic sample — the trained replacement for the
+    * round-10/11-flagged "first k vectors" toy codebook); each step
+    * assigns train subvectors to their nearest code (exact L2, ties to
+    * the smaller code) and re-centers at the per-dimension floor(mean)
+    * back on the lattice (exact integer sums; one IEEE divide + floor —
+    * bit-identical across engines); empty codes keep their previous
+    * centroid via the LEFT JOIN + COALESCE grid. Emits `{p}sub`
+    * (vec_id, m, sq) and the trained codebook `{p}cb{iters}` EXPLODED by
+    * dimension index i — the form downstream distance CTEs consume.
+    * The m=1 case is the IVF coarse quantizer. */
+  private def lloydCtes(p: String, src: String, m: Int, sd: Int, ksub: Int,
+      iters: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""${p}sub AS (SELECT vec_id, m, qv[($sd * m + 1):($sd * m + $sd)] AS sq
+             |        FROM $src, generate_series(0, ${m - 1}) AS ${p}gm(m)),
+             |${p}ini AS (SELECT vec_id, rn - 1 AS code FROM (
+             |        SELECT vec_id,
+             |          ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761) % 4294967296,
+             |                             vec_id) AS rn
+             |        FROM $src) WHERE rn <= $ksub),
+             |${p}cb0 AS (SELECT s.m, i.code, g.i, s.sq[g.i] AS cve
+             |        FROM ${p}sub s JOIN ${p}ini i USING (vec_id),
+             |             generate_series(1, $sd) AS g(i)),
+             |""".stripMargin
+    for (t <- 1 to iters) {
+      b ++= s"""${p}d$t AS (SELECT s.vec_id, s.m, c.code,
+               |          CAST(SUM((s.sq[c.i] - c.cve) * (s.sq[c.i] - c.cve)) AS BIGINT) AS d
+               |        FROM ${p}sub s JOIN ${p}cb${t - 1} c ON s.m = c.m
+               |        GROUP BY 1, 2, 3),
+               |${p}a$t AS (SELECT vec_id, m, code FROM (
+               |        SELECT vec_id, m, code,
+               |          ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+               |        FROM ${p}d$t) WHERE rn = 1),
+               |${p}n$t AS (SELECT a.m, a.code, g.i,
+               |          CAST(FLOOR(CAST(SUM(s.sq[g.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cve
+               |        FROM ${p}a$t a JOIN ${p}sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+               |             generate_series(1, $sd) AS g(i)
+               |        GROUP BY 1, 2, 3),
+               |${p}cb$t AS (SELECT c.m, c.code, c.i, COALESCE(n.cve, c.cve) AS cve
+               |        FROM ${p}cb${t - 1} c LEFT JOIN ${p}n$t n
+               |          ON n.m = c.m AND n.code = c.code AND n.i = c.i),
+               |""".stripMargin
+    }
+    b.result()
+  }
+
   /** The production ANN serving pattern Jégou et al.'s PQ exists for:
-    * ASYMMETRIC DISTANCE COMPUTATION. Vectors are stored only as M=4
-    * subspace codes (4 bytes instead of 64 floats); a query batch builds a
-    * per-subspace lookup table of exact distances to every centroid (M ×
-    * ksub entries per query — the bounded side BY CONSTRUCTION: the LUT
-    * frame scales with the query batch, never the corpus), and each
-    * corpus vector's approximate distance is M table lookups summed —
-    * O(n·M) adds per query, no vector math on the scan side. An ADC
-    * shortlist (top-10) is then exactly re-ranked by true lattice L2
-    * (`l2_sq`) to the final top-3 — the standard two-stage shape.
+    * ASYMMETRIC DISTANCE COMPUTATION. Vectors are stored only as M=8
+    * subspace codes (8 bytes instead of 64 floats) against per-subspace
+    * codebooks of ksub=16 codes, Lloyd-TRAINED in exact lattice integers
+    * (2 unrolled iterations — [[lloydCtes]] / `trainCodebookExact`); a
+    * query batch builds a per-subspace lookup table of exact distances to
+    * every centroid (M × ksub entries per query — the bounded side BY
+    * CONSTRUCTION: the LUT frame scales with the query batch, never the
+    * corpus), and each corpus vector's approximate distance is M table
+    * lookups summed — O(n·M) adds per query, no vector math on the scan
+    * side. An ADC shortlist (top-10) is then exactly re-ranked by true
+    * lattice L2 (`l2_sq`) to the final top-3 — the standard two-stage
+    * shape.
     *
-    * Everything runs on the 1e-3 integer lattice, so BOTH stages are
-    * exact integer arithmetic and the ENTIRE search — codes, LUTs, ADC
-    * sums, shortlist boundary, re-rank — is restated verbatim by the
-    * oracle: the rare ANN query that hash-gates end-to-end with no
-    * planted-copy trick. Ties break on vec_id at both stages (total
-    * order). Both rank≤K windows compile to WindowGroupLimit. */
+    * Everything runs on the 1e-3 integer lattice, so training AND both
+    * search stages are exact integer arithmetic and the ENTIRE pipeline —
+    * codebook training, codes, LUTs, ADC sums, shortlist boundary,
+    * re-rank — is restated verbatim by the oracle: the rare ANN query
+    * that hash-gates end-to-end with no planted-copy trick. Ties break on
+    * vec_id at both stages (total order). Both rank≤K windows compile to
+    * WindowGroupLimit. `PqAdcRecallSpec` separately gates retrieval
+    * quality (recall@10 vs brute force) on clustered skewed corpora —
+    * the case where an untrained codebook visibly loses. */
   val annPqAdc: Reg = Reg.sql(
     "llm_ann_pq_adc",
     """WITH q AS (SELECT vec_id,
       |             list_transform(embedding,
       |               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
       |           FROM embeddings),
-      |sub AS (SELECT vec_id, m, qv[(16 * m + 1):(16 * m + 16)] AS sq
-      |        FROM q, generate_series(0, 3) AS gm(m)),
-      |cb AS (SELECT m, vec_id AS code, sq AS cv FROM sub WHERE vec_id < 4),
-      |d AS (SELECT sub.vec_id, sub.m, cb.code,
-      |        CAST(SUM((sq[i] - cv[i]) * (sq[i] - cv[i])) AS BIGINT) AS dist
-      |      FROM sub, cb, generate_series(1, 16) AS g(i)
-      |      WHERE sub.m = cb.m GROUP BY 1, 2, 3),
+      |""".stripMargin +
+      lloydCtes("p", "q", m = 8, sd = 8, ksub = 16, iters = 2) +
+      """cdist AS (SELECT s.vec_id, s.m, c.code,
+      |          CAST(SUM((s.sq[c.i] - c.cve) * (s.sq[c.i] - c.cve)) AS BIGINT) AS dist
+      |        FROM psub s JOIN pcb2 c ON s.m = c.m GROUP BY 1, 2, 3),
       |codes AS (SELECT vec_id, m, code FROM (
       |        SELECT vec_id, m, code,
       |          ROW_NUMBER() OVER (PARTITION BY vec_id, m
-      |                             ORDER BY dist, code) AS rn FROM d)
+      |                             ORDER BY dist, code) AS rn FROM cdist)
       |      WHERE rn = 1),
-      |lut AS (SELECT sub.vec_id AS q_id, sub.m, cb.code,
-      |        CAST(SUM((sq[i] - cv[i]) * (sq[i] - cv[i])) AS BIGINT) AS ld
-      |      FROM sub, cb, generate_series(1, 16) AS g(i)
-      |      WHERE sub.m = cb.m AND sub.vec_id < 8
-      |      GROUP BY 1, 2, 3),
+      |lut AS (SELECT s.vec_id AS q_id, s.m, c.code,
+      |          CAST(SUM((s.sq[c.i] - c.cve) * (s.sq[c.i] - c.cve)) AS BIGINT) AS ld
+      |        FROM psub s JOIN pcb2 c ON s.m = c.m
+      |        WHERE s.vec_id < 8
+      |        GROUP BY 1, 2, 3),
       |adc AS (SELECT lut.q_id, codes.vec_id,
       |          CAST(SUM(lut.ld) AS BIGINT) AS adc_dist
       |        FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
@@ -286,30 +339,35 @@ object CorpusModelQueries {
       |WHERE rnk <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
     graft.llm.Similarity.pqAdcTopK(
       Tables.embeddings(s, dir).select(col("vec_id"), expr(quantize).as("qv")),
-      queryIds = _ < 8, k = 3, m = 4, ksub = 4, shortlist = 10)
+      queryIds = _ < 8, k = 3, m = 8, ksub = 16, shortlist = 10,
+      trainIters = 2)
       .orderBy("q_id", "rank")
   }
 
   /** IVF + PQ — the composed billion-vector architecture (FAISS IVFPQ):
-    * coarse cells from the `llm_kmeans_assign` device (nearest of 8 seed
-    * vectors, exact lattice L2, seed-id ties), each query probes its 2
-    * nearest cells, and ONLY probed-cell vectors are ADC-scored (codes
-    * join the candidate set BEFORE the LUT join — the scan prunes before
-    * any distance work), then the `llm_ann_pq_adc` shortlist + exact
-    * re-rank. Every stage is integer arithmetic, so cell assignments,
-    * probe sets, ADC sums, shortlist boundaries, and the re-rank all sit
-    * under one hash — the full two-level index, exactly oracled. */
+    * BOTH levels Lloyd-trained in exact lattice integers ([[lloydCtes]]):
+    * the coarse quantizer is the m=1 case (8 full-vector centroids — the
+    * trained replacement for the first-8-seed-vectors device), each query
+    * probes its 2 nearest cells, and ONLY probed-cell vectors are
+    * ADC-scored against the trained m=8/ksub=16 codebooks (codes join the
+    * candidate set BEFORE the LUT join — the scan prunes before any
+    * distance work), then the `llm_ann_pq_adc` shortlist + exact re-rank.
+    * Every stage — training included — is integer arithmetic, so
+    * centroids, cell assignments, probe sets, ADC sums, shortlist
+    * boundaries, and the re-rank all sit under one hash — the full
+    * trained two-level index, exactly oracled. */
   val annIvfPq: Reg = Reg.sql(
     "llm_ann_ivfpq",
     """WITH q AS (SELECT vec_id,
       |             list_transform(embedding,
       |               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
       |           FROM embeddings),
-      |seeds AS (SELECT vec_id AS seed, qv AS sv FROM q WHERE vec_id < 8),
-      |ad AS (SELECT q.vec_id, seeds.seed,
-      |         CAST(SUM((qv[i] - sv[i]) * (qv[i] - sv[i])) AS BIGINT) AS d
-      |       FROM q CROSS JOIN seeds CROSS JOIN generate_series(1, 64) AS g(i)
-      |       GROUP BY 1, 2),
+      |""".stripMargin +
+      lloydCtes("c", "q", m = 1, sd = 64, ksub = 8, iters = 2) +
+      lloydCtes("p", "q", m = 8, sd = 8, ksub = 16, iters = 2) +
+      """ad AS (SELECT s.vec_id, c.code AS seed,
+      |         CAST(SUM((s.sq[c.i] - c.cve) * (s.sq[c.i] - c.cve)) AS BIGINT) AS d
+      |       FROM csub s JOIN ccb2 c ON s.m = c.m GROUP BY 1, 2),
       |assign AS (SELECT vec_id, seed AS cell FROM (
       |        SELECT vec_id, seed,
       |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, seed) AS rn
@@ -320,23 +378,19 @@ object CorpusModelQueries {
       |        FROM ad WHERE vec_id % 250 = 0) WHERE rn <= 2),
       |cand AS (SELECT probes.q_id, assign.vec_id
       |         FROM assign JOIN probes USING (cell)),
-      |sub AS (SELECT vec_id, m, qv[(16 * m + 1):(16 * m + 16)] AS sq
-      |        FROM q, generate_series(0, 3) AS gm(m)),
-      |cb AS (SELECT m, vec_id AS code, sq AS cv FROM sub WHERE vec_id < 4),
-      |cd AS (SELECT sub.vec_id, sub.m, cb.code,
-      |        CAST(SUM((sq[i] - cv[i]) * (sq[i] - cv[i])) AS BIGINT) AS dist
-      |      FROM sub, cb, generate_series(1, 16) AS g(i)
-      |      WHERE sub.m = cb.m GROUP BY 1, 2, 3),
+      |cdist AS (SELECT s.vec_id, s.m, c.code,
+      |          CAST(SUM((s.sq[c.i] - c.cve) * (s.sq[c.i] - c.cve)) AS BIGINT) AS dist
+      |        FROM psub s JOIN pcb2 c ON s.m = c.m GROUP BY 1, 2, 3),
       |codes AS (SELECT vec_id, m, code FROM (
       |        SELECT vec_id, m, code,
       |          ROW_NUMBER() OVER (PARTITION BY vec_id, m
-      |                             ORDER BY dist, code) AS rn FROM cd)
+      |                             ORDER BY dist, code) AS rn FROM cdist)
       |      WHERE rn = 1),
-      |lut AS (SELECT sub.vec_id AS q_id, sub.m, cb.code,
-      |        CAST(SUM((sq[i] - cv[i]) * (sq[i] - cv[i])) AS BIGINT) AS ld
-      |      FROM sub, cb, generate_series(1, 16) AS g(i)
-      |      WHERE sub.m = cb.m AND sub.vec_id % 250 = 0
-      |      GROUP BY 1, 2, 3),
+      |lut AS (SELECT s.vec_id AS q_id, s.m, c.code,
+      |          CAST(SUM((s.sq[c.i] - c.cve) * (s.sq[c.i] - c.cve)) AS BIGINT) AS ld
+      |        FROM psub s JOIN pcb2 c ON s.m = c.m
+      |        WHERE s.vec_id % 250 = 0
+      |        GROUP BY 1, 2, 3),
       |adc AS (SELECT cand.q_id, cand.vec_id,
       |          CAST(SUM(lut.ld) AS BIGINT) AS adc_dist
       |        FROM cand
@@ -362,7 +416,8 @@ object CorpusModelQueries {
     graft.llm.Similarity.ivfPqTopK(
       Tables.embeddings(s, dir).select(col("vec_id"), expr(quantize).as("qv")),
       queryIds = _ % 250 === 0, k = 3,
-      nSeeds = 8, nprobe = 2, m = 4, ksub = 4, shortlist = 10)
+      nSeeds = 8, nprobe = 2, m = 8, ksub = 16, shortlist = 10,
+      trainIters = 2)
       .orderBy("q_id", "rank")
   }
 
