@@ -388,56 +388,186 @@ object Similarity {
     * itself, which then broadcasts into the search. */
   private[graft] def trainCodebookExact(
       quantized: DataFrame, m: Int, ksub: Int, iters: Int, trainMod: Int = 1,
-      idCol: String = "vec_id", qvCol: String = "qv"): Array[Array[Array[Long]]] = {
+      idCol: String = "vec_id", qvCol: String = "qv"): Array[Array[Array[Long]]] =
+    trainCodebooksExact(quantized, Seq((m, ksub)), iters, trainMod, idCol, qvCol).head
+
+  /** Train SEVERAL codebooks in shared Spark jobs — IVF+PQ needs both the
+    * coarse quantizer (m=1) and the PQ codebooks (m=8), whose Lloyd
+    * iterations are independent of each other, so each iteration runs as
+    * ONE job over a union of g-tagged subvector frames instead of one job
+    * per codebook (training wall time is job-count-dominated: the per-
+    * iteration math is KBs of codebook against the bounded train set).
+    * The hash-shuffle init is shared too: every spec takes the first
+    * `ksub_g` vectors of the SAME deterministic order, so one
+    * TakeOrdered(max ksub) collect seeds all of them — which is also
+    * exactly what the per-codebook oracle restatement computes. */
+  private[graft] def trainCodebooksExact(
+      quantized: DataFrame, specs: Seq[(Int, Int)], iters: Int,
+      trainMod: Int = 1,
+      idCol: String = "vec_id", qvCol: String = "qv",
+      maxDriverTrain: Long = 200000L): Seq[Array[Array[Array[Long]]]] = {
     val spark = quantized.sparkSession
     val base = quantized.select(col(idCol).cast("long").as("vec_id"), col(qvCol).as("qv"))
-    val train = if (trainMod > 1) base.where(col("vec_id") % trainMod === 0) else base
-    val dimExpr = s"size(qv) DIV $m"
-    val sub = train.select(col("vec_id"), explode(expr(
-      s"""transform(sequence(0, ${m - 1}),
-         |          mm -> struct(mm AS m, slice(qv, ($dimExpr) * mm + 1, $dimExpr) AS sq))""".stripMargin)).as("t"))
-      .select(col("vec_id"), col("t.m").as("m"), col("t.sq").as("sq"))
-      .cache()
-    try {
-      val initRows = train
-        .withColumn("hk", expr("(vec_id * 2654435761L) % 4294967296L"))
-        .orderBy("hk", "vec_id").limit(ksub)
-        .select("hk", "vec_id", "qv").collect()
-        .sortBy(r => (r.getLong(0), r.getLong(1)))
-        .map(_.getSeq[Long](2).toArray)
-      require(initRows.nonEmpty, "trainCodebookExact: empty training set")
-      val subdim = initRows(0).length / m
+    val train =
+      if (trainMod > 1) base.where(col("vec_id") % trainMod === 0) else base
+    val maxK = specs.map(_._2).max
+    // Size probe and driver fetch in ONE incremental job: CollectLimit
+    // stops scanning once maxDriverTrain+1 rows arrive, so an oversized
+    // train set costs one bounded probe, and a bounded one arrives whole.
+    val probe = train.limit((maxDriverTrain + 1).toInt).collect()
+    require(probe.nonEmpty, "trainCodebooksExact: empty training set")
+    if (probe.length <= maxDriverTrain) {
+      // The FAISS discipline: quantizers fit IN MEMORY on the bounded
+      // train sample (`trainMod` is the bound; a 100 TB corpus samples
+      // to ~1M vectors regardless of size) — one collect, zero
+      // per-iteration job overhead, bit-identical integer math to the
+      // distributed loop below (TrainCodebookSpec pins the equality).
+      val vecs = probe
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy { case (id, _) => ((id * 2654435761L) % 4294967296L, id) }
+        .map(_._2)
+      trainInMemory(vecs, specs, iters)
+    } else {
+      val trainC = train.cache()
+      try {
+        // Oversized train set: the same Lloyd steps as distributed jobs.
+        // All specs' iterations fuse into ONE job each over a g-tagged
+        // union of subvector frames (per-iteration math is KBs of
+        // codebook against the train set; wall time is job-count-bound).
+        val initRows = trainC
+          .withColumn("hk", expr("(vec_id * 2654435761L) % 4294967296L"))
+          .orderBy("hk", "vec_id").limit(maxK)
+          .select("hk", "vec_id", "qv").collect()
+          .sortBy(r => (r.getLong(0), r.getLong(1)))
+          .map(_.getSeq[Long](2).toArray)
+        val dims = initRows(0).length
+        val subExprs = specs.zipWithIndex.map { case ((m, _), g) =>
+          val sd = dims / m
+          s"""transform(sequence(0, ${m - 1}),
+             |          mm -> struct($g AS g, mm AS m, slice(qv, $sd * mm + 1, $sd) AS sq))""".stripMargin
+        }
+        val sub = trainC.select(col("vec_id"),
+          explode(expr(subExprs.mkString("concat(", ", ", ")"))).as("t"))
+          .select(col("vec_id"), col("t.g").as("g"), col("t.m").as("m"),
+            col("t.sq").as("sq"))
+        var cbs: Seq[Array[Array[Array[Long]]]] = specs.map { case (m, k) =>
+          val sd = dims / m
+          Array.tabulate(m) { mm =>
+            (0 until k).map(c => initRows(c).slice(mm * sd, (mm + 1) * sd)).toArray
+          }
+        }
+        var it = 0
+        while (it < iters) {
+          val stats = sub.join(broadcast(codebookFrames(spark, cbs)), Seq("g", "m"))
+            .select(col("vec_id"), col("g"), col("m"), col("code"), col("sq"),
+              l2sq(col("sq"), col("cv")).as("d"))
+            .groupBy("vec_id", "g", "m")
+            .agg(min(struct(col("d"), col("code"))).as("best"),
+              // sq is CONSTANT within each (vec_id, g, m) group, so first()
+              // is value-deterministic here
+              first(col("sq")).as("sq"))
+            .select(col("g"), col("m"), col("best.code").as("code"),
+              posexplode(col("sq")).as(Seq("pos", "x")))
+            .groupBy("g", "m", "code", "pos")
+            .agg(sum("x").as("s"), count(lit(1)).as("n"))
+            .collect()
+          val next = cbs.map(_.map(_.map(_.clone())))
+          stats.foreach { r =>
+            val g = r.getInt(0); val mm = r.getInt(1); val code = r.getLong(2).toInt
+            val pos = r.getInt(3); val s = r.getLong(4); val n = r.getLong(5)
+            // CAST(FLOOR(CAST(sum AS DOUBLE) / n) AS BIGINT): lattice sums
+            // stay far inside 2^53, so the divide is one exact-input IEEE op
+            next(g)(mm)(code)(pos) = math.floor(s.toDouble / n).toLong
+          }
+          cbs = next
+          it += 1
+        }
+        cbs
+      } finally { trainC.unpersist(); () }
+    }
+  }
+
+  /** The in-memory rendering of the same Lloyd steps: assignment by exact
+    * lattice L2 with (d, code) ties, per-dimension floor(sum/n) re-center
+    * in one IEEE divide — operation-for-operation the distributed loop's
+    * math, so both paths (and the oracle restatement) agree bitwise.
+    * `vecs` arrive in hash-shuffle init order; spec g seeds from the
+    * first ksub_g. */
+  private def trainInMemory(
+      vecs: Array[Array[Long]], specs: Seq[(Int, Int)],
+      iters: Int): Seq[Array[Array[Array[Long]]]] = {
+    val dims = vecs(0).length
+    specs.map { case (m, ksub) =>
+      val sd = dims / m
       var cb: Array[Array[Array[Long]]] = Array.tabulate(m) { mm =>
-        initRows.map(v => v.slice(mm * subdim, (mm + 1) * subdim))
+        (0 until ksub).map(c => vecs(c).slice(mm * sd, (mm + 1) * sd)).toArray
       }
       var it = 0
       while (it < iters) {
-        val stats = sub.join(broadcast(codebookFrame(spark, cb)), "m")
-          .select(col("vec_id"), col("m"), col("code"), col("sq"),
-            l2sq(col("sq"), col("cv")).as("d"))
-          .groupBy("vec_id", "m")
-          .agg(min(struct(col("d"), col("code"))).as("best"),
-            // sq is CONSTANT within each (vec_id, m) group, so first() is
-            // value-deterministic here
-            first(col("sq")).as("sq"))
-          .select(col("m"), col("best.code").as("code"),
-            posexplode(col("sq")).as(Seq("pos", "x")))
-          .groupBy("m", "code", "pos")
-          .agg(sum("x").as("s"), count(lit(1)).as("n"))
-          .collect()
+        val sums = Array.fill(m, ksub, sd)(0L)
+        val counts = Array.fill(m, ksub)(0L)
+        vecs.foreach { v =>
+          var mm = 0
+          while (mm < m) {
+            val off = mm * sd
+            var bestCode = 0
+            var bestD = Long.MaxValue
+            var c = 0
+            while (c < ksub) {
+              val cv = cb(mm)(c)
+              var d = 0L
+              var i = 0
+              while (i < sd) {
+                val x = v(off + i) - cv(i); d += x * x; i += 1
+              }
+              if (d < bestD) { bestD = d; bestCode = c } // ties keep smaller c
+              c += 1
+            }
+            counts(mm)(bestCode) += 1
+            var i = 0
+            while (i < sd) { sums(mm)(bestCode)(i) += v(off + i); i += 1 }
+            mm += 1
+          }
+        }
         val next = cb.map(_.map(_.clone()))
-        stats.foreach { r =>
-          val mm = r.getInt(0); val code = r.getLong(1).toInt
-          val pos = r.getInt(2); val s = r.getLong(3); val n = r.getLong(4)
-          // CAST(FLOOR(CAST(sum AS DOUBLE) / n) AS BIGINT): lattice sums
-          // stay far inside 2^53, so the divide is one exact-input IEEE op
-          next(mm)(code)(pos) = math.floor(s.toDouble / n).toLong
+        var mm = 0
+        while (mm < m) {
+          var c = 0
+          while (c < ksub) {
+            val n = counts(mm)(c)
+            if (n > 0L) {
+              var i = 0
+              while (i < sd) {
+                next(mm)(c)(i) = math.floor(sums(mm)(c)(i).toDouble / n).toLong
+                i += 1
+              }
+            } // empty code keeps its previous centroid
+            c += 1
+          }
+          mm += 1
         }
         cb = next
         it += 1
       }
       cb
-    } finally { sub.unpersist(); () }
+    }
+  }
+
+  /** All codebooks as one g-tagged literal frame (g, m, code, cv). */
+  private def codebookFrames(
+      spark: org.apache.spark.sql.SparkSession,
+      cbs: Seq[Array[Array[Array[Long]]]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = for {
+      g <- cbs.indices; mm <- cbs(g).indices; code <- cbs(g)(mm).indices
+    } yield org.apache.spark.sql.Row(g, mm, code.toLong, cbs(g)(mm)(code).toSeq)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("g", IntegerType, nullable = false),
+        StructField("m", IntegerType, nullable = false),
+        StructField("code", LongType, nullable = false),
+        StructField("cv", ArrayType(LongType, containsNull = false), nullable = false))))
   }
 
   /** A trained codebook as a broadcastable literal frame (m, code, cv). */
@@ -533,16 +663,23 @@ object Similarity {
       nSeeds: Int = 8, nprobe: Int = 2, m: Int = 4, ksub: Int = 4,
       shortlist: Int = 10,
       trainIters: Int = 0, trainMod: Int = 1,
-      idCol: String = "vec_id", qvCol: String = "qv"): DataFrame = {
+      idCol: String = "vec_id", qvCol: String = "qv",
+      excludeLabelCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = quantized.select(col(idCol).as("vec_id"), col(qvCol).as("qv"))
-    val seeds =
+    // both levels train through ONE shared job sequence (coarse = m=1)
+    val trainedCbs =
       if (trainIters > 0)
-        codebookFrame(quantized.sparkSession,
-          trainCodebookExact(quantized, 1, nSeeds, trainIters, trainMod, idCol, qvCol))
+        Some(trainCodebooksExact(quantized, Seq((1, nSeeds), (m, ksub)),
+          trainIters, trainMod, idCol, qvCol))
+      else None
+    val seeds = trainedCbs match {
+      case Some(cbs) =>
+        codebookFrame(quantized.sparkSession, cbs.head)
           .select(col("code").as("seed"), col("cv").as("sv"))
-      else q.where(col("vec_id") < nSeeds)
+      case None => q.where(col("vec_id") < nSeeds)
         .select(col("vec_id").as("seed"), col("qv").as("sv"))
+    }
     // coarse assignment: nearest seed, tie to the smaller seed id
     val assign = q.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("seed"), l2sq(col("qv"), col("sv")).as("d"))
@@ -557,21 +694,34 @@ object Similarity {
       .select(col("q_id"), col("seed"), l2sq(col("qq"), col("sv")).as("d"))
       .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nprobe)
       .select(col("q_id"), col("seed").as("cell"))
-    // candidate set: vectors living in a probed cell
-    val cand = assign.join(broadcast(probes), "cell")
+    // candidate set: vectors living in a probed cell — optionally minus
+    // the query's own label class (`excludeLabelCol`: the hard-negative-
+    // mining composition — the shortlist is then the k nearest
+    // OPPOSITE-label vectors by ADC, exactly re-ranked below). The label
+    // filter lands BEFORE any distance work, alongside the coarse prune.
+    val cand0 = assign.join(broadcast(probes), "cell")
       .select(col("q_id"), col("vec_id"))
+    val cand = excludeLabelCol match {
+      case Some(lc) =>
+        val lb = quantized.select(col(idCol).as("vec_id"), col(lc).as("lbl"))
+        cand0.join(lb, "vec_id")
+          .join(broadcast(lb.where(queryIds(col("vec_id")))
+            .select(col("vec_id").as("q_id"), col("lbl").as("p_lbl"))), "q_id")
+          .where(col("lbl") =!= col("p_lbl"))
+          .select(col("q_id"), col("vec_id"))
+      case None => cand0
+    }
     // PQ codes + per-query LUTs (the pqAdcTopK devices)
     val dim = s"size($qvCol) DIV $m"
     val sub = q.select(col("vec_id"), explode(expr(
       s"""transform(sequence(0, ${m - 1}),
          |          mm -> struct(mm AS m, slice(qv, ($dim) * mm + 1, $dim) AS sq))""".stripMargin)).as("t"))
       .select(col("vec_id"), col("t.m").as("m"), col("t.sq").as("sq"))
-    val cb =
-      if (trainIters > 0)
-        codebookFrame(quantized.sparkSession,
-          trainCodebookExact(quantized, m, ksub, trainIters, trainMod, idCol, qvCol))
-      else sub.where(col("vec_id") < ksub)
+    val cb = trainedCbs match {
+      case Some(cbs) => codebookFrame(quantized.sparkSession, cbs(1))
+      case None => sub.where(col("vec_id") < ksub)
         .select(col("m"), col("vec_id").as("code"), col("sq").as("cv"))
+    }
     val codes = sub.join(broadcast(cb), "m")
       .select(col("vec_id"), col("m"), col("code"), l2sq(col("sq"), col("cv")).as("d"))
       .groupBy("vec_id", "m")

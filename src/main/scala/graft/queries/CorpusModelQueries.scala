@@ -238,7 +238,7 @@ object CorpusModelQueries {
     * (vec_id, m, sq) and the trained codebook `{p}cb{iters}` EXPLODED by
     * dimension index i — the form downstream distance CTEs consume.
     * The m=1 case is the IVF coarse quantizer. */
-  private def lloydCtes(p: String, src: String, m: Int, sd: Int, ksub: Int,
+  private def lloydCtes(p: String, src: String, m: Int, sd: Int, ksub: String,
       iters: Int): String = {
     val b = new StringBuilder
     b ++= s"""${p}sub AS (SELECT vec_id, m, qv[($sd * m + 1):($sd * m + $sd)] AS sq
@@ -247,7 +247,7 @@ object CorpusModelQueries {
              |        SELECT vec_id,
              |          ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761) % 4294967296,
              |                             vec_id) AS rn
-             |        FROM $src) WHERE rn <= $ksub),
+             |        FROM $src) WHERE rn <= ($ksub)),
              |${p}cb0 AS (SELECT s.m, i.code, g.i, s.sq[g.i] AS cve
              |        FROM ${p}sub s JOIN ${p}ini i USING (vec_id),
              |             generate_series(1, $sd) AS g(i)),
@@ -304,7 +304,7 @@ object CorpusModelQueries {
       |               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
       |           FROM embeddings),
       |""".stripMargin +
-      lloydCtes("p", "q", m = 8, sd = 8, ksub = 16, iters = 2) +
+      lloydCtes("p", "q", m = 8, sd = 8, ksub = "16", iters = 2) +
       """cdist AS (SELECT s.vec_id, s.m, c.code,
       |          CAST(SUM((s.sq[c.i] - c.cve) * (s.sq[c.i] - c.cve)) AS BIGINT) AS dist
       |        FROM psub s JOIN pcb2 c ON s.m = c.m GROUP BY 1, 2, 3),
@@ -363,8 +363,10 @@ object CorpusModelQueries {
       |               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
       |           FROM embeddings),
       |""".stripMargin +
-      lloydCtes("c", "q", m = 1, sd = 64, ksub = 8, iters = 2) +
-      lloydCtes("p", "q", m = 8, sd = 8, ksub = 16, iters = 2) +
+      "nq AS (SELECT COUNT(*) AS n FROM q),\n" +
+      lloydCtes("c", "q", m = 1, sd = 64,
+        ksub = "SELECT CAST(CEIL(n / 250.0) AS BIGINT) FROM nq", iters = 2) +
+      lloydCtes("p", "q", m = 8, sd = 8, ksub = "16", iters = 2) +
       """ad AS (SELECT s.vec_id, c.code AS seed,
       |         CAST(SUM((s.sq[c.i] - c.cve) * (s.sq[c.i] - c.cve)) AS BIGINT) AS d
       |       FROM csub s JOIN ccb2 c ON s.m = c.m GROUP BY 1, 2),
@@ -413,12 +415,110 @@ object CorpusModelQueries {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
       |              ORDER BY exact_dist, vec_id) AS rnk FROM ex)
       |WHERE rnk <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    // nlist scales with the corpus so CELL OCCUPANCY stays ~250 constant
+    // (the FAISS sizing rule): the probed candidate set per query is then
+    // nprobe*250 rows at ANY corpus size — restated by the oracle as
+    // CEIL(COUNT(*)/250). At true warehouse scale nlist ~ sqrt(n) also
+    // bounds the n*nlist assignment term; for the measured decades the
+    // constant-occupancy rule is the binding one.
+    val nSeeds = math.ceil(emb.count() / 250.0).toInt
     graft.llm.Similarity.ivfPqTopK(
-      Tables.embeddings(s, dir).select(col("vec_id"), expr(quantize).as("qv")),
+      emb.select(col("vec_id"), expr(quantize).as("qv")),
       queryIds = _ % 250 === 0, k = 3,
-      nSeeds = 8, nprobe = 2, m = 8, ksub = 16, shortlist = 10,
+      nSeeds = nSeeds, nprobe = 2, m = 8, ksub = 16, shortlist = 10,
       trainIters = 2)
       .orderBy("q_id", "rank")
+  }
+
+  /** Hard-negative mining through the TRAINED IVF+PQ index — the
+    * sub-quadratic sibling of `llm_hard_negatives`: that operator scores
+    * every (probe, opposite-label vector) pair (inherently quadratic in
+    * the probed fraction), while this one prunes candidates to the
+    * probe's `nprobe` coarse cells FIRST, drops same-label rows alongside
+    * the coarse prune (before any distance work), ADC-scores only the
+    * surviving cell members, and exactly re-ranks the shortlist — so the
+    * mined per-probe negatives cost ~nprobe/nlist of the corpus instead
+    * of all of it. Exact-integer training + search keep it fully
+    * hash-oracled (the trade being ANN recall, which PqAdcRecallSpec
+    * gates). Output: (p_id, rnk, neg_id, adc_dist, dist). */
+  val hardNegativesAnn: Reg = Reg.sql(
+    "llm_hard_negatives_ann",
+    """WITH q AS (SELECT vec_id, label,
+      |             list_transform(embedding,
+      |               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+      |           FROM embeddings),
+      |""".stripMargin +
+      "nq AS (SELECT COUNT(*) AS n FROM q),\n" +
+      lloydCtes("c", "q", m = 1, sd = 64,
+        ksub = "SELECT CAST(CEIL(n / 250.0) AS BIGINT) FROM nq", iters = 2) +
+      lloydCtes("p", "q", m = 8, sd = 8, ksub = "16", iters = 2) +
+      """ad AS (SELECT s.vec_id, c.code AS seed,
+      |         CAST(SUM((s.sq[c.i] - c.cve) * (s.sq[c.i] - c.cve)) AS BIGINT) AS d
+      |       FROM csub s JOIN ccb2 c ON s.m = c.m GROUP BY 1, 2),
+      |assign AS (SELECT vec_id, seed AS cell FROM (
+      |        SELECT vec_id, seed,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, seed) AS rn
+      |        FROM ad) WHERE rn = 1),
+      |probes AS (SELECT vec_id AS q_id, seed AS cell FROM (
+      |        SELECT vec_id, seed,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, seed) AS rn
+      |        FROM ad WHERE vec_id % 50 = 0) WHERE rn <= 2),
+      |plabels AS (SELECT vec_id AS q_id, label AS p_lbl FROM q
+      |            WHERE vec_id % 50 = 0),
+      |cand AS (SELECT probes.q_id, assign.vec_id
+      |         FROM assign JOIN probes USING (cell)
+      |         JOIN q v ON v.vec_id = assign.vec_id
+      |         JOIN plabels ON plabels.q_id = probes.q_id
+      |         WHERE v.label <> plabels.p_lbl),
+      |cdist AS (SELECT s.vec_id, s.m, c.code,
+      |          CAST(SUM((s.sq[c.i] - c.cve) * (s.sq[c.i] - c.cve)) AS BIGINT) AS dist
+      |        FROM psub s JOIN pcb2 c ON s.m = c.m GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id, m, code FROM (
+      |        SELECT vec_id, m, code,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id, m
+      |                             ORDER BY dist, code) AS rn FROM cdist)
+      |      WHERE rn = 1),
+      |lut AS (SELECT s.vec_id AS q_id, s.m, c.code,
+      |          CAST(SUM((s.sq[c.i] - c.cve) * (s.sq[c.i] - c.cve)) AS BIGINT) AS ld
+      |        FROM psub s JOIN pcb2 c ON s.m = c.m
+      |        WHERE s.vec_id % 50 = 0
+      |        GROUP BY 1, 2, 3),
+      |adc AS (SELECT cand.q_id, cand.vec_id,
+      |          CAST(SUM(lut.ld) AS BIGINT) AS adc_dist
+      |        FROM cand
+      |        JOIN codes ON codes.vec_id = cand.vec_id
+      |        JOIN lut ON lut.q_id = cand.q_id AND lut.m = codes.m
+      |                AND lut.code = codes.code
+      |        GROUP BY 1, 2),
+      |short AS (SELECT q_id, vec_id, adc_dist FROM (
+      |        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |                  ORDER BY adc_dist, vec_id) AS srn FROM adc)
+      |      WHERE srn <= 10),
+      |ex AS (SELECT short.q_id, short.vec_id, short.adc_dist,
+      |         CAST(SUM((v.qv[i] - qq.qv[i]) * (v.qv[i] - qq.qv[i])) AS BIGINT)
+      |           AS exact_dist
+      |       FROM short
+      |       JOIN q v ON v.vec_id = short.vec_id
+      |       JOIN q qq ON qq.vec_id = short.q_id, generate_series(1, 64) AS g(i)
+      |       GROUP BY 1, 2, 3)
+      |SELECT q_id AS p_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS neg_id,
+      |       adc_dist, exact_dist AS dist
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |              ORDER BY exact_dist, vec_id) AS rnk FROM ex)
+      |WHERE rnk <= 3 ORDER BY p_id, rnk""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    // constant cell occupancy (~250/cell), as llm_ann_ivfpq
+    val nSeeds = math.ceil(emb.count() / 250.0).toInt
+    graft.llm.Similarity.ivfPqTopK(
+      emb.select(col("vec_id"), col("label"), expr(quantize).as("qv")),
+      queryIds = _ % 50 === 0, k = 3,
+      nSeeds = nSeeds, nprobe = 2, m = 8, ksub = 16, shortlist = 10,
+      trainIters = 2, excludeLabelCol = Some("label"))
+      .select(col("q_id").as("p_id"), col("rank").as("rnk"),
+        col("vec_id").as("neg_id"), col("adc_dist"),
+        col("exact_dist").as("dist"))
+      .orderBy("p_id", "rnk")
   }
 
   /** BPE round 2 — the first merge APPLIED, then recounted: the argmax
@@ -877,5 +977,5 @@ object CorpusModelQueries {
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
       bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty,
       bpeK, bpeK64, bpeEncode, perplexityFilter, randProj, pmiCooccur,
-      annPqAdc, annIvfPq)
+      annPqAdc, annIvfPq, hardNegativesAnn)
 }
