@@ -36,18 +36,26 @@ object MergeOps {
     new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + suffix).toString
   }
 
-  /** Atomically replace the parquet table at `path` with `updated`.
+  /** Atomically replace the directory tree at `path` with whatever
+    * `prepare` writes under the hidden staging path it is handed — the
+    * two-rename swap every mutation and compaction in this module rides:
+    * stale staging from a previous crash is cleared first, then
+    * target→backup, staging→target, delete backup.
     *
     * Hadoop's FileSystem.rename reports failure by returning FALSE, not
-    * throwing — every step is checked, and a failed tmp→target swap rolls
-    * the backup straight back so the table is never lost. */
-  private def rewrite(spark: SparkSession, path: String, updated: DataFrame): Unit = {
+    * throwing — every step is checked, and a failed staging→target swap
+    * rolls the backup straight back so the data is never lost. A crash
+    * between the renames leaves the data ONLY at `.name.tmp_old`, which
+    * [[recoverIfNeeded]] restores before any read. */
+  private[graft] def swapDir(spark: SparkSession, path: String)(
+      prepare: String => Unit): Unit = {
     val tmp = swapArtifact(path, ".tmp_rewrite")
-    updated.write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(tmpPath, true) // stale staging from a previous crash
+    prepare(tmp)
+    val target = new org.apache.hadoop.fs.Path(path)
     val backup = new org.apache.hadoop.fs.Path(swapArtifact(path, ".tmp_old"))
     if (fs.exists(backup) && fs.exists(target))
       fs.delete(backup, true) // stale leftover alongside an intact table
@@ -62,6 +70,10 @@ object MergeOps {
     }
     fs.delete(backup, true)
   }
+
+  /** Atomically replace the parquet table at `path` with `updated`. */
+  private def rewrite(spark: SparkSession, path: String, updated: DataFrame): Unit =
+    swapDir(spark, path)(tmp => updated.write.mode(SaveMode.Overwrite).parquet(tmp))
 
   /** Crash recovery, run before ANY read of the table: if a previous rewrite
     * died between its two renames, the `.tmp_old` backup IS the table —

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1002,34 +1003,27 @@ object IngestQueries {
     }
   }
 
-  /** S21 — streaming EXACT order statistics: the per-key exact median over
-    * the FULL stream history, no approximation, no raw-value buffering.
-    * State is a (key, value) → count DELTA LOG — the IncrementalNearDup
-    * layout applied to the SUM monoid: each micro-batch appends only its
-    * own per-(key, quantized-value) counts (O(batch) written, history
-    * never rewritten; replays overwrite their own deterministic segment).
-    * One difference from the min-monoid log is called out explicitly:
-    * SUM is not duplication-absorbing, so a compactor for this store must
-    * use the MergeOps atomic-swap protocol rather than the write-then-
-    * delete shortcut a min log tolerates. The median is computed from the
-    * collapsed count table by a per-key cumulative walk over DISTINCT
-    * values — state and the final window both scale with the per-key
-    * value domain, never with row count (the reason a count-map beats
-    * buffering: a billion observations of 1000 distinct values is 1000
-    * state rows). Oracle: per-key ROW_NUMBER selection over the flat
-    * stream — exact because batching is invisible to a sum of counts. */
-  val streamMedian: Reg = Reg.sql(
-    "s21_stream_median",
-    """WITH e AS (SELECT event_type AS k, CAST(FLOOR(value) AS BIGINT) AS v
-      |           FROM events
-      |           WHERE event_id < 60000 AND event_type IS NOT NULL
-      |             AND value IS NOT NULL),
-      |n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY k),
-      |r AS (SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn
-      |      FROM e)
-      |SELECT r.k AS event_type, n.n, r.v AS median
-      |FROM r JOIN n USING (k) WHERE rn = (n.n + 1) // 2
-      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+  /** Shared S21/S22 engine — streaming EXACT order statistics: per-key
+    * exact rank selections over the FULL stream history, no
+    * approximation, no raw-value buffering. State is the
+    * [[graft.streaming.SumDeltaLog]] (key, value) → count delta log:
+    * each micro-batch appends only its own per-(key, quantized-value)
+    * counts (O(batch) written, history never rewritten; replays
+    * overwrite their own deterministic segment), and the THRESHOLD-GATED
+    * compactor collapses the log through the MergeOps atomic-swap
+    * protocol — the sum monoid is not duplication-absorbing, so the
+    * min-log write-then-delete shortcut would double-count; the swap
+    * (crash-safety spec'd in SumDeltaLogSpec) is the correct one.
+    * `maxDeltas = 2` here so the 3-batch stream exercises the compaction
+    * path in production shape, not just in specs. Rank statistics come
+    * from the collapsed count table by a per-key cumulative walk over
+    * DISTINCT values — state and the final window both scale with the
+    * per-key value domain, never with row count (a billion observations
+    * of 1000 distinct values is 1000 state rows). Oracles: per-key
+    * ROW_NUMBER selections over the flat stream — exact because batching
+    * is invisible to a sum of counts. */
+  private def streamRankStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.SumDeltaLog
     val work = java.nio.file.Files.createTempDirectory("graft_smedian").toString
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", 8)
@@ -1042,7 +1036,7 @@ object IngestQueries {
           floor(col("value")).cast("long").as("v"))
         .repartition(3).write.parquet(src)
 
-      val deltaDir = (id: Long) => s"$work/state/d$id"
+      val state = work + "/state"
       val schema = s.read.parquet(src).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -1050,10 +1044,12 @@ object IngestQueries {
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           // O(batch) fold: ONLY this batch's (key, value) counts land on
-          // disk; deterministic dir name makes replay overwrite
-          batch.groupBy("k", "v").agg(count(lit(1)).as("c"))
-            .sortWithinPartitions("k", "v")
-            .write.mode("overwrite").parquet(deltaDir(id))
+          // disk; compaction amortizes the read side
+          SumDeltaLog.append(
+            batch.groupBy("k", "v").agg(count(lit(1)).as("c")),
+            state, id, Seq("k", "v"))
+          SumDeltaLog.maybeCompact(batch.sparkSession, state, id,
+            Seq("k", "v"), "c", maxDeltas = 2)
           ()
         }
         .option("checkpointLocation", work + "/ckpt")
@@ -1061,21 +1057,20 @@ object IngestQueries {
         .start()
       q.awaitTermination()
 
-      // collapse the delta log (sum monoid) and walk each key's counts
-      val stateRoot = new java.io.File(s"$work/state")
-      val dirs = stateRoot.listFiles().filter(_.isDirectory)
-        .map(_.getPath).sorted
-      val counts = s.read.parquet(dirs: _*)
-        .groupBy("k", "v").agg(sum("c").as("c"))
+      val counts = SumDeltaLog.collapsed(s, state, Seq("k", "v"), "c")
+        .getOrElse(s.emptyDataFrame)
       val wCum = org.apache.spark.sql.expressions.Window
         .partitionBy("k").orderBy("v")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val out = counts
+      val cum = counts
         .withColumn("cum", sum("c").over(wCum))
         .join(counts.groupBy("k").agg(sum("c").cast("bigint").as("n")), "k")
-        .where(col("cum") >= expr("(n + 1) DIV 2"))
+      val out = cum
         .groupBy(col("k").as("event_type"), col("n"))
-        .agg(min("v").as("median"))
+        .agg(
+          min(when(col("cum") >= expr("(n + 1) DIV 2"), col("v"))).as("median"),
+          // exact p95 rank = ceil(0.95 n) = (19n + 19) DIV 20, in integers
+          min(when(col("cum") >= expr("(19 * n + 19) DIV 20"), col("v"))).as("p95"))
         .orderBy("event_type")
       // key-cardinality rows: materialize so scratch can be deleted now
       s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
@@ -1085,9 +1080,49 @@ object IngestQueries {
     }
   }
 
+  val streamMedian: Reg = Reg.sql(
+    "s21_stream_median",
+    """WITH e AS (SELECT event_type AS k, CAST(FLOOR(value) AS BIGINT) AS v
+      |           FROM events
+      |           WHERE event_id < 60000 AND event_type IS NOT NULL
+      |             AND value IS NOT NULL),
+      |n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY k),
+      |r AS (SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn
+      |      FROM e)
+      |SELECT r.k AS event_type, n.n, r.v AS median
+      |FROM r JOIN n USING (k) WHERE rn = (n.n + 1) // 2
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    streamRankStats(s, dir).select("event_type", "n", "median")
+      .orderBy("event_type")
+  }
+
+  /** S22 — streaming grouped QUANTILES (median + exact p95) off the SAME
+    * count-delta log as s21: one cumulative walk serves every rank
+    * selection, the per-batch write volume stays O(batch), and the
+    * compactor bounds read amplification. The p95 rank is exact integer
+    * arithmetic (ceil(0.95 n) = (19n + 19) DIV 20) — no float crosses
+    * the gate. */
+  val streamQuantiles: Reg = Reg.sql(
+    "s22_stream_quantiles",
+    """WITH e AS (SELECT event_type AS k, CAST(FLOOR(value) AS BIGINT) AS v
+      |           FROM events
+      |           WHERE event_id < 60000 AND event_type IS NOT NULL
+      |             AND value IS NOT NULL),
+      |n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY k),
+      |r AS (SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn
+      |      FROM e)
+      |SELECT r.k AS event_type, n.n,
+      |       MIN(CASE WHEN rn = (n.n + 1) // 2 THEN v END) AS median,
+      |       MIN(CASE WHEN rn = (19 * n.n + 19) // 20 THEN v END) AS p95
+      |FROM r JOIN n USING (k)
+      |GROUP BY r.k, n.n
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    streamRankStats(s, dir).orderBy("event_type")
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
       batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals, streamTimers,
-      foreachBatchUpsert, streamMedian)
+      foreachBatchUpsert, streamMedian, streamQuantiles)
 }
