@@ -224,5 +224,124 @@ object HistoryQueries {
         .orderBy("status_at_ship")
   }
 
-  val all: Seq[Reg] = Seq(scd2History, intervalIslands, scd2Lookup)
+  /** A32 — INCREMENTAL SCD2 upsert: the a24 fold run as a real pipeline
+    * runs it — per day-monotone batch, close-the-open-row + insert-new-
+    * versions for CHANGED KEYS ONLY, through the MergeOps keyed-merge
+    * protocol (atomic-swap rewrite; unchanged keys' rows pass through the
+    * anti-join untouched). The fold seed is the stored OPEN row (its
+    * status stands in for lag() across the batch boundary; its version
+    * numbers the continuation), so batching is invisible: the final table
+    * is row-identical to the one-shot a24 rebuild, which IS the oracle.
+    *
+    * Per-batch cost is O(changed keys): the batch's keys semi-join out
+    * their open rows, the window fold runs over batch events only, and
+    * the merge replaces exactly those keys' chains (the physical rewrite
+    * is the documented copy-on-write trade — partition the dimension by
+    * key bucket at warehouse scale, as mergeByKeyPartitioned does for the
+    * fact table). Late (out-of-order) arrivals are the standard SCD2
+    * batch contract: they require a refold of the affected keys, not this
+    * fast path. */
+  val scd2Upsert: Reg = Reg.sql(
+    "a32_scd2_upsert",
+    """WITH e AS (
+      |  SELECT o_custkey, o_orderstatus,
+      |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+      |         o_orderkey
+      |  FROM orders),
+      |c AS (
+      |  SELECT *, LAG(o_orderstatus) OVER
+      |    (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS prev_status
+      |  FROM e),
+      |ch AS (SELECT * FROM c
+      |       WHERE prev_status IS NULL OR o_orderstatus <> prev_status),
+      |v AS (
+      |  SELECT o_custkey, o_orderstatus, day,
+      |         ROW_NUMBER() OVER
+      |           (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS version,
+      |         LEAD(day) OVER
+      |           (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS to_day
+      |  FROM ch)
+      |SELECT o_custkey AS custkey, o_orderstatus AS status,
+      |       CAST(version AS BIGINT) AS version,
+      |       CAST(day AS BIGINT) AS from_day,
+      |       CAST(to_day AS BIGINT) AS to_day
+      |FROM v ORDER BY custkey, version""".stripMargin) { (s, dir) =>
+    import graft.mutation.MergeOps
+    val work = java.nio.file.Files.createTempDirectory("graft_scd2u").toString
+    val path = s"$work/scd2"
+    try {
+      val e = Tables.orders(s, dir).select(
+        col("o_custkey").as("custkey"), col("o_orderstatus").as("status"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day"),
+        col("o_orderkey").as("orderkey"))
+      // three day-monotone batches (epoch thirds of the observed range)
+      val (lo, hi) = {
+        val r = e.agg(min("day"), max("day")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * (hi - lo) / 3
+      val batches = Seq(
+        e.where(col("day") <= cut1),
+        e.where(col("day") > cut1 && col("day") <= cut2),
+        e.where(col("day") > cut2))
+      // empty dimension with the SCD2 schema; every batch then runs the
+      // SAME merge path (batch 1 simply finds no open rows)
+      e.select(col("custkey"), col("status"),
+        lit(0L).as("version"), col("day").as("from_day"),
+        lit(null).cast("bigint").as("to_day"))
+        .where(lit(false))
+        .write.parquet(path)
+
+      batches.zipWithIndex.foreach { case (batch, _) =>
+        MergeOps.recoverIfNeeded(s, path)
+        val existing = s.read.parquet(path)
+        val changedKeys = batch.select("custkey").distinct()
+        // one open row per changed key: (status seed, version watermark)
+        val seed = existing.join(changedKeys, Seq("custkey"), "left_semi")
+          .where(col("to_day").isNull)
+          .select(col("custkey"), col("status").as("prev0"),
+            col("version").as("v0"))
+        val wB = Window.partitionBy("custkey").orderBy("day", "orderkey")
+        val newRows = batch
+          .withColumn("prev", lag("status", 1).over(wB))
+          .join(seed, Seq("custkey"), "left")
+          // the open row's status IS lag() across the batch boundary
+          .withColumn("prev_eff", coalesce(col("prev"), col("prev0")))
+          .where(col("prev_eff").isNull || col("status") =!= col("prev_eff"))
+          .withColumn("version",
+            coalesce(col("v0"), lit(0L)) + row_number().over(wB))
+          .withColumn("to_day", lead("day", 1).over(wB))
+          .select(col("custkey"), col("status"), col("version").cast("bigint"),
+            col("day").as("from_day"), col("to_day").cast("bigint"))
+        // close each changed key's open row at its first NEW change
+        val firstChange = newRows.groupBy("custkey")
+          .agg(min("from_day").as("close_day"), min("version").as("minv"))
+          .join(seed.select("custkey", "v0"), "custkey")
+          .where(col("minv") === col("v0") + 1) // a new change actually arrived
+          .select(col("custkey"), col("close_day"))
+        val adjustedOld = existing.join(changedKeys, Seq("custkey"), "left_semi")
+          .join(firstChange, Seq("custkey"), "left")
+          .withColumn("to_day",
+            when(col("to_day").isNull, col("close_day")).otherwise(col("to_day")))
+          .drop("close_day")
+        MergeOps.mergeByKey(s, path, adjustedOld.unionByName(newRows),
+          "custkey", insertUnmatched = true)
+      }
+      val out = s.read.parquet(path)
+        .select(col("custkey"), col("status"), col("version"),
+          col("from_day"), col("to_day"))
+        .orderBy("custkey", "version")
+      // dimension-sized result: materialize so scratch can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(work))
+    }
+  }
+
+  val all: Seq[Reg] = Seq(scd2History, intervalIslands, scd2Lookup, scd2Upsert)
 }
