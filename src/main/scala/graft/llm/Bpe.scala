@@ -150,21 +150,11 @@ object Bpe {
   }
 
   /** UTF-8-byte-order string comparison (== code-point order), matching
-    * Spark's UTF8String and DuckDB's collation — Java's `compareTo` is
-    * UTF-16-unit order, which sorts U+E000..U+FFFF AFTER supplementary
-    * characters instead of before. */
-  private[graft] def codePointCompare(a: String, b: String): Int = {
-    var i = 0
-    var j = 0
-    while (i < a.length && j < b.length) {
-      val ca = a.codePointAt(i)
-      val cb = b.codePointAt(j)
-      if (ca != cb) return Integer.compare(ca, cb)
-      i += Character.charCount(ca)
-      j += Character.charCount(cb)
-    }
-    Integer.compare(a.length - i, b.length - j)
-  }
+    * Spark's UTF8String and DuckDB's collation — the shared
+    * [[graft.functions.Collation]] device (aliased here for the argmax
+    * hot loop and the specs that pin it). */
+  private[graft] def codePointCompare(a: String, b: String): Int =
+    graft.functions.Collation.codePointCompare(a, b)
 
   /** The in-memory merge loop over a (word, count) vocabulary —
     * incremental pair counts via an inverted pair→slots index, so each

@@ -91,8 +91,13 @@ object TextAnalysis {
         val it = gramCnt.entrySet().iterator()
         while (it.hasNext) {
           val e = it.next()
+          // tie-break in CODE POINT order (Spark/DuckDB collation), not
+          // Java's UTF-16 compareTo — the tied grams can differ in length,
+          // so the winner changes the char-fraction metric (the Bpe
+          // argmax defect class, swept by CollationSpec)
           if (e.getValue > topCnt ||
-            (e.getValue == topCnt && (topGram == null || e.getKey.compareTo(topGram) < 0))) {
+            (e.getValue == topCnt && (topGram == null ||
+              graft.functions.Collation.codePointCompare(e.getKey, topGram) < 0))) {
             topGram = e.getKey
             topCnt = e.getValue
           }

@@ -219,7 +219,11 @@ object MergeOps {
       .collect()
       .map(_.getString(0))
       .toSeq
-      .sorted
+      // code-point order (graft.functions.Collation): partition VALUES are
+      // user strings; engine-collation order keeps the processing /
+      // first-failure order consistent with every engine-side sort of the
+      // same values
+      .sorted(graft.functions.Collation.ordering)
   }
 
   /** Apply `transform` to exactly the named partition directories, each via
@@ -323,7 +327,8 @@ object MergeOps {
       insertUnmatched: Boolean = false): Seq[String] = {
     recoverPartitionsIfNeeded(spark, path)
     val affected = updates.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
+      .distinct().collect().map(_.getString(0)).toSeq
+      .sorted(graft.functions.Collation.ordering)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (existing, fresh) = affected.partition(v =>
@@ -383,7 +388,7 @@ object MergeOps {
           f.isFile && !f.getPath.getName.startsWith("_")) > maxFiles
       }
       .map(_.getPath.getName.stripPrefix(prefix))
-      .sorted
+      .sorted(graft.functions.Collation.ordering)
   }
 
   /** Compact the named partitions to `numFiles` files each — a
@@ -416,7 +421,8 @@ object MergeOps {
       detectionVersion: String = "1.0"): Seq[String] = {
     recoverPartitionsIfNeeded(spark, path)
     val affected = outlierDistances.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
+      .distinct().collect().map(_.getString(0)).toSeq
+      .sorted(graft.functions.Collation.ordering)
     rewritePartitions(spark, path, partitionCol, affected, { (cur, v) =>
       val hits = outlierDistances.where(col(partitionCol).cast("string") === v)
       applyLabels(cur, hits, threshold, algorithm, detectionVersion)

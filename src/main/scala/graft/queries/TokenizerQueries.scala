@@ -236,20 +236,33 @@ object TokenizerQueries {
           .as("piece"))
         .distinct().collect().map(_.getString(0))
       val vocab = (topPieces ++ chars).toSet
-      val encodeUdf = udf { w: String =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var p = 0
-        while (p < w.length) {
-          var l = math.min(4, w.length - p)
-          while (l > 1 && !vocab.contains(w.substring(p, p + l))) l -= 1
-          out += w.substring(p, p + l)
-          p += l
-        }
-        out.toSeq
-      }
+      val encodeUdf = udf { w: String => greedyEncode(vocab, w) }
       wf.select(explode(encodeUdf(col("w"))).as("piece"), col("freq"))
         .groupBy("piece").agg(sum("freq").cast("bigint").as("cnt"))
         .orderBy(desc("cnt"), asc("piece")).limit(30)
+  }
+
+  /** The greedy longest-match walk, by CODE POINT — the vocab pieces come
+    * from Spark `substring` (code-point semantics) and the oracle walks
+    * with DuckDB `substr` (likewise), so a UTF-16-unit walk would split
+    * surrogate pairs and match pieces the engines never built (the Bpe
+    * pair-window defect class; CollationSpec pins this rendering).
+    * Exposed for that spec. */
+  private[graft] def greedyEncode(vocab: Set[String], w: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ncp = w.codePointCount(0, w.length)
+    var p = 0 // code-point index
+    var off = 0 // UTF-16 offset of p
+    while (p < ncp) {
+      var l = math.min(4, ncp - p)
+      while (l > 1 && !vocab.contains(w.substring(off, w.offsetByCodePoints(off, l))))
+        l -= 1
+      val end = w.offsetByCodePoints(off, l)
+      out += w.substring(off, end)
+      p += l
+      off = end
+    }
+    out.toSeq
   }
 
   val all: Seq[Reg] = Seq(unigramViterbi, kneserNey, subwordGreedy)
