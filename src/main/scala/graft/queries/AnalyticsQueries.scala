@@ -1787,7 +1787,7 @@ object AnalyticsQueries {
       |       CAST(FLOOR(MIN(dist)) AS BIGINT) AS min_m,
       |       CAST(FLOOR(MAX(dist)) AS BIGINT) AS max_m
       |FROM d WHERE dist <= 200000.0""".stripMargin) { (s, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft_circle").toString
+    val work = graft.Scratch.dir("graft_circle")
     try {
       Tables.events(s, dir)
         .select(col("event_id"),

@@ -267,7 +267,7 @@ object HistoryQueries {
       |       CAST(to_day AS BIGINT) AS to_day
       |FROM v ORDER BY custkey, version""".stripMargin) { (s, dir) =>
     import graft.mutation.MergeOps
-    val work = java.nio.file.Files.createTempDirectory("graft_scd2u").toString
+    val work = graft.Scratch.dir("graft_scd2u")
     val path = s"$work/scd2"
     try {
       val e = Tables.orders(s, dir).select(

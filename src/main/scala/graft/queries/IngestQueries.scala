@@ -150,13 +150,14 @@ object IngestQueries {
       |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
       |FROM events WHERE event_id < 50000
       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val work = graft.Scratch.dir("graft_stream")
     // Scratch is 3× the slice (in/out/ckpt) and this builder runs many
     // times per round: delete it on EVERY exit path, not just success.
-    // State sized to the load (the s13 rationale): 8 partitions for the
-    // 50k-key dedup state instead of the session default.
+    // State sized to the load (the s13 rationale): 4 partitions for the
+    // 50k-key dedup state instead of the session default — each extra
+    // partition is another state-store instance committing per batch.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", 8)
+    s.conf.set("spark.sql.shuffle.partitions", 4)
     try {
       val src = work + "/in"
       val ev = Tables.events(s, dir).where(col("event_id") < 50000L)
@@ -230,7 +231,7 @@ object IngestQueries {
       |         AS distance_floor_m,
       |       at_ms, fixes_seen
       |FROM a ORDER BY bssid""".stripMargin) { (s, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_reloc").toString
+    val work = graft.Scratch.dir("graft_stream_reloc")
     // State sized to the load (the s13 rationale): 50 keys need 4
     // partitions of flatMapGroupsWithState stores, not the session default.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -312,14 +313,14 @@ object IngestQueries {
       | AND al.alert_ms <= m.event_ms
       | AND al.alert_ms >= m.event_ms - 3600000
       |ORDER BY bssid, event_ms, alert_ms, sev""".stripMargin) { (s, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+    val work = graft.Scratch.dir("graft_stream_join")
     // Size streaming state to the load: a stream-stream join instantiates
     // FOUR state stores per shuffle partition; at the session default (32)
     // that is 128 store inits for a 200-row demo corpus — pure fixed
-    // overhead. 4 partitions is the real production knob (state partitions
-    // sized to key cardinality), restored after the drain.
+    // overhead. 2 partitions is the real production knob (state partitions
+    // sized to key cardinality — 20 APs here), restored after the drain.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", 4)
+    s.conf.set("spark.sql.shuffle.partitions", 2)
     try {
       val T0 = 1700000000000L
       val flushMs = T0 + 100L * 24 * 3600 * 1000
@@ -410,7 +411,7 @@ object IngestQueries {
       |         CAST(3 AS BIGINT), mean_rssi
       |  FROM s)
       |ORDER BY device_id, session_start_ms""".stripMargin) { (s, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+    val work = graft.Scratch.dir("graft_stream_sess")
     // State sized to the load (the s13 rationale): 20 devices need 4
     // partitions of session-window stores, not the session default.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -590,7 +591,7 @@ object IngestQueries {
       |FROM events e JOIN supplier s ON s.s_suppkey = e.user_id % 10 + 1
       |WHERE e.event_id < 50000
       |GROUP BY s.s_nationkey ORDER BY s.s_nationkey""".stripMargin) { (s, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_enrich").toString
+    val work = graft.Scratch.dir("graft_stream_enrich")
     try {
       val src = work + "/in"
       Tables.events(s, dir).where(col("event_id") < 50000L)
@@ -676,7 +677,7 @@ object IngestQueries {
       |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
       |            AS DOUBLE) AS value_sum
       |FROM s""".stripMargin) { (s, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft_batched_sink").toString
+    val work = graft.Scratch.dir("graft_batched_sink")
     try {
       val slice = Tables.lineitem(s, dir)
         .where(col("l_orderkey") % 7 === 0)
@@ -732,7 +733,7 @@ object IngestQueries {
     """SELECT fmt, CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS rows,
       |       CAST(0 AS BIGINT) AS mismatched
       |FROM (VALUES ('csv'), ('json')) v(fmt) ORDER BY fmt""".stripMargin) { (s, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft_mfio").toString
+    val work = graft.Scratch.dir("graft_mfio")
     try {
       val truth = Tables.events(s, dir).select(
         col("event_id"), col("user_id"), col("event_type"),
@@ -751,9 +752,19 @@ object IngestQueries {
       val j = s.read.schema(schema).json(s"$work/j")
       val c = s.read.option("header", "true").option("emptyValue", "")
         .option("multiLine", "true").schema(schema).csv(s"$work/c")
+      // ONE aggregation per format instead of count + two exceptAll jobs:
+      // tag each side ±1, group on the whole row, and Σ|Σtag| is exactly
+      // exceptAll(a,b).count + exceptAll(b,a).count (per-row-multiset
+      // |n_truth − n_readback|), while Σ(tag = −1) is the read-back count.
       def gate(df: org.apache.spark.sql.DataFrame, fmt: String) = {
-        val miss = df.exceptAll(truth).count() + truth.exceptAll(df).count()
-        (fmt, df.count(), miss)
+        val cols = truth.columns.map(col)
+        val r = truth.select(struct(cols: _*).as("r"), lit(1L).as("t"))
+          .unionByName(df.select(struct(cols: _*).as("r"), lit(-1L).as("t")))
+          .groupBy("r")
+          .agg(sum("t").as("d"), sum(when(col("t") === -1L, 1L).otherwise(0L)).as("nb"))
+          .agg(sum(abs(col("d"))).as("miss"), sum("nb").as("n"))
+          .head()
+        (fmt, r.getLong(1), r.getLong(0))
       }
       val rows = Seq(gate(c, "csv"), gate(j, "json"))
       import s.implicits._
@@ -781,7 +792,7 @@ object IngestQueries {
       |       CAST(10 * f * (f + 1) + (f + 1) * (2 * d + 1) AS BIGINT)
       |         AS running_sum
       |FROM d CROSS JOIN f ORDER BY device_id, batch_seq""".stripMargin) { (s, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    val work = graft.Scratch.dir("graft_tws")
     // State sized to the load (the s13 rationale), and the state store
     // switched to RocksDB: transformWithState requires it (named state
     // variables + per-variable encoders are a RocksDB-provider feature).
@@ -789,7 +800,9 @@ object IngestQueries {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.get(providerKey,
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    s.conf.set("spark.sql.shuffle.partitions", 4)
+    // 2 partitions: the state is 10 devices, and every extra partition is
+    // another RocksDB instance to open, commit, and checkpoint per batch
+    s.conf.set("spark.sql.shuffle.partitions", 2)
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
@@ -860,12 +873,14 @@ object IngestQueries {
       |       CAST(30 * d + 3 AS BIGINT) AS sum_value,
       |       CAST(1700000000000 + 120000 AS BIGINT) AS last_event_ms
       |FROM d ORDER BY device_id""".stripMargin) { (s, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft_timers").toString
+    val work = graft.Scratch.dir("graft_timers")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.get(providerKey,
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    s.conf.set("spark.sql.shuffle.partitions", 4)
+    // 2 partitions: the state is 10 devices, and every extra partition is
+    // another RocksDB instance to open, commit, and checkpoint per batch
+    s.conf.set("spark.sql.shuffle.partitions", 2)
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
@@ -948,14 +963,16 @@ object IngestQueries {
       |       c.upd_cnt
       |FROM r JOIN c ON c.user_id = r.user_id
       |WHERE rn = 1 ORDER BY r.user_id""".stripMargin) { (s, dir) =>
-    val work = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val work = graft.Scratch.dir("graft_upsert")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", 8)
     try {
       val src = work + "/in"
       Tables.events(s, dir).where(col("event_id") < 50000L)
         .select("user_id", "event_id", "ts", "value")
-        .repartition(3).write.parquet(src)
+        // 2 source files = 2 micro-batches: still a real cross-batch merge
+        // (state v0 folds into v1), at one less fixed-cost trigger
+        .repartition(2).write.parquet(src)
 
       // versioned state dirs: batch N merges state v(N-1) → vN; the swap
       // is a fresh directory write, never an in-place overwrite (the
@@ -1014,7 +1031,7 @@ object IngestQueries {
     * protocol — the sum monoid is not duplication-absorbing, so the
     * min-log write-then-delete shortcut would double-count; the swap
     * (crash-safety spec'd in SumDeltaLogSpec) is the correct one.
-    * `maxDeltas = 2` here so the 3-batch stream exercises the compaction
+    * `maxDeltas = 1` here so the 2-batch stream exercises the compaction
     * path in production shape, not just in specs. Rank statistics come
     * from the collapsed count table by a per-key cumulative walk over
     * DISTINCT values — state and the final window both scale with the
@@ -1024,7 +1041,7 @@ object IngestQueries {
     * is invisible to a sum of counts. */
   private def streamRankStats(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.SumDeltaLog
-    val work = java.nio.file.Files.createTempDirectory("graft_smedian").toString
+    val work = graft.Scratch.dir("graft_smedian")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", 8)
     try {
@@ -1034,7 +1051,9 @@ object IngestQueries {
           col("value").isNotNull)
         .select(col("event_type").as("k"),
           floor(col("value")).cast("long").as("v"))
-        .repartition(3).write.parquet(src)
+        // 2 source files = 2 micro-batches (one less fixed-cost trigger);
+        // maxDeltas = 1 below keeps the compaction path exercised
+        .repartition(2).write.parquet(src)
 
       val state = work + "/state"
       val schema = s.read.parquet(src).schema
@@ -1049,7 +1068,7 @@ object IngestQueries {
             batch.groupBy("k", "v").agg(count(lit(1)).as("c")),
             state, id, Seq("k", "v"))
           SumDeltaLog.maybeCompact(batch.sparkSession, state, id,
-            Seq("k", "v"), "c", maxDeltas = 2)
+            Seq("k", "v"), "c", maxDeltas = 1)
           ()
         }
         .option("checkpointLocation", work + "/ckpt")

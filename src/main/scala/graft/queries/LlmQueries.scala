@@ -2425,7 +2425,7 @@ object LlmQueries {
     (s, dir) =>
       import graft.llm.MinHash
       val cfg = MinHash.Config()
-      val work = java.nio.file.Files.createTempDirectory("graft_sneardup").toString
+      val work = graft.Scratch.dir("graft_sneardup")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 8)
       try {

@@ -389,8 +389,7 @@ object LocalizeQueries {
     val measurements =
       BatchLocalizer.fromColumns(synth, "bssid", "lat", "lon", "rssi", "w")
 
-    val statePath = java.nio.file.Files
-      .createTempDirectory("graft_refine").toString + "/ap_state"
+    val statePath = graft.Scratch.dir("graft_refine") + "/ap_state"
     // Prime: every 10th AP gets a prior displaced ~5.5 km north — the loop
     // must recognize these as relocations, not fuse them.
     ev.where(col("user_id") % 10 === 0)

@@ -50,7 +50,7 @@ object MutationQueries {
       |       (SELECT COUNT(DISTINCT day) FROM outliers) AS partitions_rewritten,
       |       (SELECT COUNT(*) FROM fact) - (SELECT COUNT(*) FROM outliers)
       |         AS rows_after_purge""".stripMargin) { (s, dir) =>
-    val root = Files.createTempDirectory("graft_mutation")
+    val root = java.nio.file.Paths.get(graft.Scratch.dir("graft_mutation"))
     val work = root.toString + "/fact"
     try {
     Tables.lineitem(s, dir)
@@ -122,7 +122,7 @@ object MutationQueries {
       |       (SELECT COUNT(*) FROM fact) -
       |       (SELECT COUNT(*) FROM fact WHERE day = 3 AND value > 30000.0)
       |         AS rows_after""".stripMargin) { (s, dir) =>
-    val root = Files.createTempDirectory("graft_mutation_part")
+    val root = java.nio.file.Paths.get(graft.Scratch.dir("graft_mutation_part"))
     val work = root.toString + "/fact"
     try {
     Tables.lineitem(s, dir)
@@ -167,7 +167,7 @@ object MutationQueries {
       |       (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
       |        FROM fact WHERE day = 3) AS day3_value_sum,
       |       (SELECT COUNT(*) FROM fact) AS total_rows""".stripMargin) { (s, dir) =>
-    val root = Files.createTempDirectory("graft_compact")
+    val root = java.nio.file.Paths.get(graft.Scratch.dir("graft_compact"))
     val work = root.toString + "/fact"
     try {
       val fact = Tables.lineitem(s, dir)
@@ -235,7 +235,7 @@ object MutationQueries {
       |       COUNT(quality_weight) AS rows_with_weight,
       |       CAST(SUM(COALESCE(quality_weight, 1.0)) AS DOUBLE) AS sum_eff_weight
       |FROM unified GROUP BY data_version ORDER BY data_version""".stripMargin) { (s, dir) =>
-    val root = Files.createTempDirectory("graft_schema_evo")
+    val root = java.nio.file.Paths.get(graft.Scratch.dir("graft_schema_evo"))
     val work = root.toString + "/fact"
     try {
       val fact = Tables.lineitem(s, dir)
@@ -298,7 +298,7 @@ object MutationQueries {
       |         AS repaired_value_sum,
       |       (SELECT CAST(SUM(value) AS DOUBLE) FROM kept)
       |         AS recomputed_value_sum""".stripMargin) { (s, dir) =>
-    val root = Files.createTempDirectory("graft_forget")
+    val root = java.nio.file.Paths.get(graft.Scratch.dir("graft_forget"))
     val work = root.toString + "/fact"
     try {
       val target = col("user_id") % 97 === 0
@@ -371,7 +371,7 @@ object MutationQueries {
       |         AS value_sum,
       |       CAST(0 AS BIGINT) AS agg_exchanges
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
-    val root = Files.createTempDirectory("graft_bucketed")
+    val root = java.nio.file.Paths.get(graft.Scratch.dir("graft_bucketed"))
     val tbl = "graft_a20_bucketed"
     try {
       s.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -487,7 +487,7 @@ object MutationQueries {
       |FROM unified GROUP BY data_version ORDER BY data_version""".stripMargin) { (s, dir) =>
     import graft.mutation.SchemaEvolution
     import graft.mutation.SchemaEvolution.Era
-    val root = Files.createTempDirectory("graft_schema_widen")
+    val root = java.nio.file.Paths.get(graft.Scratch.dir("graft_schema_widen"))
     try {
       val fact = Tables.lineitem(s, dir)
         .select((col("l_suppkey") % 4).as("day"), col("l_linenumber"))
@@ -610,7 +610,7 @@ object MutationQueries {
       |  UNION ALL SELECT 'batch_b', '__publish', n, 'REJECTED' FROM tot)
       |SELECT batch, "constraint", violations, status FROM rep
       |ORDER BY batch, "constraint"""".stripMargin) { (s, dir) =>
-    val root = Files.createTempDirectory("graft_wap")
+    val root = java.nio.file.Paths.get(graft.Scratch.dir("graft_wap"))
     try {
       val live = root.resolve("live")
       val summary = Tables.events(s, dir)
