@@ -59,7 +59,8 @@ object PlanDump {
       ("llm_hard_negatives", "exact hard-negative mining after the l2_sq swap: the squared distance is ONE native codegen'd expression inside the probe crossJoin stage (no interpreted HOFs), and both rank<=3 windows compile to WindowGroupLimit - per-partition top-k pruning, the pair frame is never sorted whole"),
       ("llm_ann_pq_adc", "PQ asymmetric-distance search: codes from a broadcast codebook join, per-query LUT (queries x M x ksub, bounded by the query batch) broadcast onto the code stream, ADC is M lookups + one sum per (query, vector), shortlist and re-rank both WindowGroupLimit"),
       ("j14_scd2_lookup", "point-in-time SCD2 lookup: the version chain and the ship events union into ONE keyed window exchange (the backward as-of idiom) - the running-last carries the valid version to every event, never an interval pair expansion"),
-      ("llm_ann_ivfpq", "two-level IVF+PQ index: seeds and codebook broadcast, coarse assignment and probes are map-side argmins, and the ADC join chains codes -> CANDIDATES -> LUT in that order - the candidate semi-restriction sits before any distance work, so unprobed cells never reach the distance stage"))
+      ("llm_ann_ivfpq", "two-level IVF+PQ index with TRAINED quantizers (round 12): both codebooks fit in-memory on the bounded sample and broadcast as literal frames, coarse assignment and probes are map-side argmins against them, and the ADC join chains codes -> CANDIDATES -> LUT in that order - the candidate semi-restriction sits before any distance work, so unprobed cells never reach the distance stage"),
+      ("llm_hard_negatives_ann", "sub-quadratic hard-negative mining: the exact operator's probes x corpus pair stage is replaced by the IVF+PQ candidate chain with the OPPOSITE-LABEL filter applied alongside the coarse prune - same-label rows and unprobed cells both die before the first distance expression; shortlist + exact re-rank are WindowGroupLimit"))
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")
