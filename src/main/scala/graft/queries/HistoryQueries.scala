@@ -315,6 +315,11 @@ object HistoryQueries {
           .withColumn("to_day", lead("day", 1).over(wB))
           .select(col("custkey"), col("status"), col("version").cast("bigint"),
             col("day").as("from_day"), col("to_day").cast("bigint"))
+          // pin the fold result (change rows only — batch-bounded): it feeds
+          // THREE consumers (firstChange, the merge's update union, and the
+          // key-distinct inside mergeByKey), each of which would otherwise
+          // re-run the window fold + seed join from the scan
+          .localCheckpoint()
         // close each changed key's open row at its first NEW change
         val firstChange = newRows.groupBy("custkey")
           .agg(min("from_day").as("close_day"), min("version").as("minv"))
