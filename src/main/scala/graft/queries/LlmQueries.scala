@@ -1307,6 +1307,121 @@ object LlmQueries {
       .limit(20)
   }
 
+  /** Hybrid retrieval fusion (reciprocal-rank fusion, Cormack et al. 2009)
+    * — the standard way a curation/eval pipeline combines its LEXICAL
+    * scorer (BM25) with its DENSE scorer (embedding cosine): each ranker
+    * contributes 1/(k + rank) with k=60, summed per document over the two
+    * top-100 lists; a document missing from one list contributes 0 from
+    * that side. The documents and embeddings tables share the id space, so
+    * doc_id IS the dense row's vec_id.
+    *
+    * Exactness: the BM25 side reuses llm_bm25_topk's integer-micro
+    * discipline; RRF contributions are EXACT INTEGER division
+    * (1e9 div (60+rank) — `div`/`//` in the two engines), so the fused
+    * score is a BIGINT sum with no float exposure at all. The dense rank
+    * orders on the raw cosine exactly as llm_ann_brute does (bit-identical
+    * accumulation both engines, tie-break by vec_id).
+    *
+    * 100 TB shape: BM25 is aggregates + TakeOrderedAndProject; the dense
+    * side is a linear scan against ONE broadcast query vector; each top-100
+    * list is constant-size, so the fusion join and final rank are
+    * driver-trivial no matter the corpus. */
+  val hybridRrf: Reg = Reg.sql(
+    "llm_hybrid_rrf",
+    """WITH words AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |len AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      |        FROM words GROUP BY doc_id),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |                 CAST(SUM(dl) AS BIGINT) AS total_len FROM len),
+      |tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS f
+      |       FROM words WHERE w IN ('join', 'vector', 'scan', 'merge', 'filter')
+      |       GROUP BY doc_id, w),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tf GROUP BY term),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |         CAST(FLOOR(
+      |           LN(1.0 + (n_docs - dfreq + CAST(0.5 AS DOUBLE))
+      |                    / (dfreq + CAST(0.5 AS DOUBLE)))
+      |           * (CAST(f AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+      |           / (CAST(f AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |              * (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |                 * (CAST(dl AS DOUBLE)
+      |                    / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |           * 1000000) AS BIGINT) AS micro
+      |  FROM tf
+      |  JOIN df ON df.term = tf.term
+      |  JOIN len ON len.doc_id = tf.doc_id, stats),
+      |lexs AS (SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
+      |         FROM sc GROUP BY doc_id),
+      |lex AS (SELECT doc_id, l_rank FROM (
+      |          SELECT doc_id, ROW_NUMBER() OVER
+      |            (ORDER BY score_micro DESC, doc_id) AS l_rank
+      |          FROM lexs) WHERE l_rank <= 100),
+      |dense AS (SELECT doc_id, d_rank FROM (
+      |          SELECT vec_id AS doc_id, ROW_NUMBER() OVER
+      |            (ORDER BY cs DESC, vec_id) AS d_rank
+      |          FROM (SELECT c.vec_id,
+      |                       list_cosine_similarity(c.emb, q.q_emb) AS cs
+      |                FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+      |                      FROM embeddings) c,
+      |                     (SELECT embedding::DOUBLE[] AS q_emb
+      |                      FROM embeddings WHERE vec_id = 0) q
+      |                WHERE c.vec_id <> 0)) WHERE d_rank <= 100),
+      |fused AS (
+      |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+      |         COALESCE(1000000000 // (60 + l.l_rank), 0)
+      |           + COALESCE(1000000000 // (60 + d.d_rank), 0) AS rrf_micro,
+      |         l.l_rank, d.d_rank
+      |  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+      |SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+      |       CAST(l_rank AS BIGINT) AS l_rank, CAST(d_rank AS BIGINT) AS d_rank
+      |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin) {
+    (s, dir) =>
+      val Terms = Seq("join", "vector", "scan", "merge", "filter")
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+      val len = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = len.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+      val tf = words.where(col("w").isin(Terms: _*))
+        .groupBy(col("doc_id"), col("w").as("term"))
+        .agg(count(lit(1)).as("f"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5)))
+      val num = col("f").cast("double") * (lit(1.2) + lit(1.0))
+      val den = col("f").cast("double") + lit(1.2) *
+        (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl").cast("double") / avgdl))
+      val lexs = tf.join(df, "term")
+        .join(len, "doc_id")
+        .crossJoin(stats) // 1-row frame: broadcast by construction
+        .select(col("doc_id"),
+          floor(idf * num / den * lit(1000000)).cast("long").as("micro"))
+        .groupBy("doc_id")
+        .agg(sum("micro").as("score_micro"))
+      // TakeOrderedAndProject bounds the list FIRST; the global row_number
+      // then runs over the 100-row result, never the corpus
+      val lex = lexs.orderBy(col("score_micro").desc, col("doc_id")).limit(100)
+        .withColumn("l_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_micro").desc, col("doc_id"))))
+        .select("doc_id", "l_rank")
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") === 0), k = 100)
+        .select(col("vec_id").as("doc_id"), col("rank").as("d_rank"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(expr("1000000000 div (60 + l_rank)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + d_rank)"), lit(0L)))
+            .as("rrf_micro"),
+          col("l_rank").cast("bigint").as("l_rank"),
+          col("d_rank").cast("bigint").as("d_rank"))
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+        .limit(20)
+  }
+
   /** Per-class embedding centroids — the class-prototype vector behind
     * nearest-class-mean classification, clustering diagnostics, and
     * prototype-based data pruning (e.g. SemDeDup-style cluster centers):
@@ -2570,7 +2685,8 @@ object LlmQueries {
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
-    bm25TopK, embedCentroids, clusterReps, linkTriangles, weightedSample,
+    bm25TopK, hybridRrf, embedCentroids, clusterReps, linkTriangles,
+    weightedSample,
     driftKs, imageMeta, audioMeta, videoMeta, pcmFeatures, pngPixels,
     gifPixels, jpegPixels, videoFrames, driftChi2, driftPsi)
 
