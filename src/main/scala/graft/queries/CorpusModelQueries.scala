@@ -187,6 +187,71 @@ object CorpusModelQueries {
       .orderBy("cluster")
   }
 
+  /** Simplified (centroid-based) silhouette for the llm_kmeans_assign
+    * clustering — the standard quality diagnostic a curation pipeline runs
+    * before trusting cluster-based semantic dedup or pruning: per vector,
+    * a = distance to its own (nearest) centroid, b = distance to the
+    * second-nearest, silhouette = (b − a) / b. Run on SQUARED lattice
+    * distances (the documented squared-silhouette variant) so a and b are
+    * exact integers; a ≤ b by construction of the assignment, so the
+    * permille score (b−a)·1000 div b is a NON-NEGATIVE exact integer —
+    * truncating and flooring division agree, no cross-engine exposure.
+    *
+    * 100 TB shape: identical to the assignment itself — 8 broadcast seeds,
+    * map-side distances, ONE shuffle by vec_id whose per-key group is 8
+    * rows (sort_array over a bounded collect), then the per-cluster
+    * rollup. Output is |clusters| rows at any corpus size. */
+  val silhouette: Reg = Reg.sql(
+    "llm_silhouette",
+    """WITH q AS (SELECT vec_id,
+      |             list_transform(embedding,
+      |               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+      |           FROM embeddings),
+      |s AS (SELECT vec_id AS sid, qv AS sv FROM q WHERE vec_id < 8),
+      |d AS (SELECT q.vec_id, s.sid,
+      |        CAST(SUM((qv[i] - sv[i]) * (qv[i] - sv[i])) AS BIGINT) AS dist
+      |      FROM q CROSS JOIN s CROSS JOIN generate_series(1, 64) AS g(i)
+      |      GROUP BY 1, 2),
+      |r AS (SELECT vec_id, sid, dist,
+      |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+      |      FROM d),
+      |p AS (SELECT vec_id,
+      |        MIN(CASE WHEN rn = 1 THEN sid END) AS cluster,
+      |        MIN(CASE WHEN rn = 1 THEN dist END) AS a2,
+      |        MIN(CASE WHEN rn = 2 THEN dist END) AS b2
+      |      FROM r WHERE rn <= 2 GROUP BY vec_id),
+      |sp AS (SELECT cluster,
+      |         CASE WHEN b2 = 0 THEN 0
+      |              ELSE (b2 - a2) * 1000 // b2 END AS s_permille
+      |       FROM p)
+      |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(s_permille) AS BIGINT) AS sil_sum_permille,
+      |       CAST(SUM(s_permille) // COUNT(*) AS BIGINT) AS sil_mean_permille
+      |FROM sp GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, dir) =>
+    val q = Tables.embeddings(s, dir).select(col("vec_id"), expr(quantize).as("qv"))
+    val seeds = q.where(col("vec_id") < 8)
+      .select(col("vec_id").as("sid"), col("qv").as("sv"))
+    val two = q.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("sid"), l2sq(col("qv"), col("sv")).as("dist"))
+      .groupBy("vec_id")
+      // 8 structs per key, totally ordered by (dist, sid) — bounded buffer
+      .agg(sort_array(collect_list(struct(col("dist"), col("sid")))).as("ds"))
+      .select(
+        col("ds")(0).getField("sid").as("cluster"),
+        col("ds")(0).getField("dist").as("a2"),
+        col("ds")(1).getField("dist").as("b2"))
+    two
+      .select(col("cluster"),
+        when(col("b2") === 0, 0L)
+          .otherwise(expr("(b2 - a2) * 1000 div b2")).as("s_permille"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        sum("s_permille").as("sil_sum_permille"))
+      .withColumn("sil_mean_permille",
+        expr("CAST(sil_sum_permille div n AS BIGINT)"))
+      .orderBy("cluster")
+  }
+
   val pqCodes: Reg = Reg.sql(
     "llm_pq_codes",
     """WITH q AS (SELECT vec_id,
@@ -977,5 +1042,5 @@ object CorpusModelQueries {
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
       bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty,
       bpeK, bpeK64, bpeEncode, perplexityFilter, randProj, pmiCooccur,
-      annPqAdc, annIvfPq, hardNegativesAnn)
+      annPqAdc, annIvfPq, hardNegativesAnn, silhouette)
 }
