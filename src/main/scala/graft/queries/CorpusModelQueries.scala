@@ -1038,9 +1038,94 @@ object CorpusModelQueries {
       .orderBy(desc("pmi_micro"), asc("w1"), asc("w2")).limit(50)
   }
 
+  /** S23 — STREAMING maintenance of the IVF coarse index: vectors arrive
+    * in micro-batches (file stream, 3 batches via maxFilesPerTrigger) and
+    * each batch is assigned to its nearest TRAINED coarse centroid as
+    * map-side work — the trained quantizer ([[graft.llm.Similarity
+    * .trainCodebookExact]], m=1, corpus-scaled nlist) is a broadcast
+    * literal, the per-row argmin is ONE array expression (no shuffle, no
+    * state), and the streamed assignments append to the index's cell
+    * layout. This is how the ANN family's index stays fresh as a corpus
+    * streams in: assignment cost is O(batch · nlist) flat map work at any
+    * corpus size, and cell rebalancing (retraining) is a separate offline
+    * decision, exactly as FAISS does it.
+    *
+    * The oracle restates training (lloydCtes m=1) + assignment + the
+    * per-cell rollup over the whole corpus in one shot — equal because
+    * assignment is stateless, so batch slicing is invisible. */
+  val streamIvfAssign: Reg = Reg.sql(
+    "s23_stream_ivf_assign",
+    """WITH q AS (SELECT vec_id,
+      |             list_transform(embedding,
+      |               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+      |           FROM embeddings),
+      |""".stripMargin +
+      "nq AS (SELECT COUNT(*) AS n FROM q),\n" +
+      lloydCtes("c", "q", m = 1, sd = 64,
+        ksub = "SELECT CAST(CEIL(n / 250.0) AS BIGINT) FROM nq", iters = 2) +
+      """ad AS (SELECT s.vec_id, c.code AS seed,
+      |         CAST(SUM((s.sq[c.i] - c.cve) * (s.sq[c.i] - c.cve)) AS BIGINT) AS d
+      |       FROM csub s JOIN ccb2 c ON s.m = c.m GROUP BY 1, 2),
+      |assign AS (SELECT vec_id, seed AS cell, d FROM (
+      |        SELECT vec_id, seed, d,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, seed) AS rn
+      |        FROM ad) WHERE rn = 1)
+      |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |       CAST(SUM(d) AS BIGINT) AS total_qdist
+      |FROM assign GROUP BY cell ORDER BY cell""".stripMargin) { (s, dir) =>
+    val work = graft.Scratch.dir("graft_stream_ivf")
+    try {
+      val quantized = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(quantize).as("qv"))
+      val nSeeds = math.ceil(quantized.count() / 250.0).toInt
+      val cb = graft.llm.Similarity.trainCodebookExact(
+        quantized, m = 1, ksub = nSeeds, iters = 2)(0) // nSeeds × dims longs
+      // the trained quantizer as ONE literal array-of-structs column —
+      // KBs of driver state broadcast into every task, FAISS-style
+      val cbArr = array(cb.zipWithIndex.map { case (cv, cell) =>
+        struct(
+          array(cv.map(lit(_)): _*).as("cv"),
+          lit(cell.toLong).as("cell"))
+      }: _*)
+
+      val src = work + "/in"
+      quantized.repartition(3).write.parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val assigned = stream
+        .withColumn("best", array_min(transform(cbArr, c => struct(
+          l2sq(col("qv"), c.getField("cv")).as("d"),
+          c.getField("cell").as("cell")))))
+        .select(col("vec_id"),
+          col("best").getField("cell").as("cell"),
+          col("best").getField("d").as("dist"))
+      val q = assigned.writeStream
+        .format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val agg = s.read.parquet(work + "/out")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), sum("dist").as("total_qdist"))
+        .orderBy("cell")
+      // |cells| rows: materialize so the scratch dir can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
       bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty,
       bpeK, bpeK64, bpeEncode, perplexityFilter, randProj, pmiCooccur,
-      annPqAdc, annIvfPq, hardNegativesAnn, silhouette)
+      annPqAdc, annIvfPq, hardNegativesAnn, silhouette, streamIvfAssign)
 }
