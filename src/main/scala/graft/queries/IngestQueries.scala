@@ -1139,9 +1139,119 @@ object IngestQueries {
     streamRankStats(s, dir).orderBy("event_type")
   }
 
+  /** S24 — STREAMING drift monitor: each micro-batch of documents is
+    * PSI-scored against a STATIC reference distribution (the `src0`
+    * n_chars histogram — the "training time" profile) the moment it
+    * arrives, the production data-health gate that pages before a bad
+    * feed poisons a training mix. Three deterministic batches
+    * (doc_id % 3 → one file each, ascending mtimes + maxFilesPerTrigger 1
+    * fix the batch order); foreachBatch computes the batch histogram,
+    * Laplace-smoothed PSI vs the reference in llm_drift_psi's exact
+    * integer-micro op order, and appends ONE verdict row per batch.
+    *
+    * 100 TB shape: the reference histogram is bin-count sized and static;
+    * per batch the only data-sized work is one histogram aggregate of the
+    * batch itself — the PSI algebra runs on the bounded bin frame. The
+    * oracle restates all three per-batch scores by slicing on doc_id % 3. */
+  val streamDrift: Reg = Reg.sql(
+    "s24_stream_drift",
+    """WITH ref AS (SELECT n_chars // 128 AS bin, CAST(COUNT(*) AS BIGINT) AS ca
+      |             FROM documents WHERE source = 'src0' GROUP BY 1),
+      |bt AS (SELECT doc_id % 3 AS batch, n_chars // 128 AS bin,
+      |              CAST(COUNT(*) AS BIGINT) AS cb
+      |       FROM documents GROUP BY 1, 2),
+      |bat AS (SELECT DISTINCT batch FROM bt),
+      |bins AS (SELECT batch, bin FROM bat CROSS JOIN ref
+      |         UNION SELECT batch, bin FROM bt),
+      |g AS (SELECT bins.batch, bins.bin,
+      |             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      |      FROM bins LEFT JOIN ref USING (bin)
+      |                LEFT JOIN bt ON bt.batch = bins.batch
+      |                            AND bt.bin = bins.bin),
+      |na AS (SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS na FROM ref),
+      |nb AS (SELECT batch, CAST(SUM(cb) AS BIGINT) AS nb FROM bt GROUP BY 1),
+      |k AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS nbins
+      |      FROM bins GROUP BY 1),
+      |t AS (SELECT g.batch,
+      |        CAST(FLOOR(((CAST(ca + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE) -
+      |              CAST(cb + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE)) *
+      |            LN((CAST(ca + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE)) /
+      |               (CAST(cb + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE)))) * 1e6)
+      |          AS BIGINT) AS term
+      |      FROM g CROSS JOIN na
+      |      JOIN nb ON nb.batch = g.batch
+      |      JOIN k ON k.batch = g.batch)
+      |SELECT t.batch AS batch_id, nb.nb AS n_docs,
+      |       CAST(SUM(term) AS BIGINT) AS psi_micro,
+      |       CAST(SUM(term) AS BIGINT) >= 200000 AS drifted
+      |FROM t JOIN nb ON nb.batch = t.batch
+      |GROUP BY t.batch, nb.nb ORDER BY batch_id""".stripMargin) { (s, dir) =>
+    val work = graft.Scratch.dir("graft_stream_drift")
+    try {
+      val docs = Tables.documents(s, dir)
+      val ref = docs.where(col("source") === "src0")
+        .groupBy(expr("n_chars DIV 128").as("bin")).agg(count(lit(1)).as("ca"))
+      val na = ref.agg(coalesce(sum("ca"), lit(0L)).as("na"))
+
+      val src = new java.io.File(work, "in")
+      src.mkdirs()
+      val t0 = System.currentTimeMillis() - 600000L
+      (0 until 3).foreach { f =>
+        val stage = s"$work/stage$f"
+        docs.where(col("doc_id") % 3 === f)
+          .select(col("doc_id"), col("n_chars"))
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"batch$f.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // FileStreamSource orders pending files by modification time
+        dst.setLastModified(t0 + f * 2000L): Unit
+      }
+
+      val schema = s.read.parquet(src.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val b = batch.groupBy(expr("n_chars DIV 128").as("bin"))
+            .agg(count(lit(1)).as("cb"))
+          val bins = ref.select("bin").unionByName(b.select("bin")).distinct()
+          val gg = bins.join(ref, Seq("bin"), "left").join(b, Seq("bin"), "left")
+            .select(col("bin"),
+              coalesce(col("ca"), lit(0L)).as("ca"),
+              coalesce(col("cb"), lit(0L)).as("cb"))
+          val nb = b.agg(coalesce(sum("cb"), lit(0L)).as("nb"))
+          val k = bins.agg(count(lit(1)).as("nbins"))
+          // identical IEEE op order to llm_drift_psi and the oracle
+          val verdict = gg.crossJoin(na).crossJoin(nb).crossJoin(k)
+            .select(col("nb"), expr(
+              """CAST(FLOOR(((CAST(ca + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE) -
+                |      CAST(cb + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE)) *
+                |    LN((CAST(ca + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE)) /
+                |       (CAST(cb + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE)))) * 1e6)
+                |  AS BIGINT)""".stripMargin).as("term"))
+            .groupBy("nb")
+            .agg(sum("term").as("psi_micro"))
+            .select(lit(batchId).as("batch_id"), col("nb").as("n_docs"),
+              col("psi_micro"), (col("psi_micro") >= 200000L).as("drifted"))
+          verdict.coalesce(1).write.mode("append").parquet(work + "/out")
+        }
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val out = s.read.parquet(work + "/out").orderBy("batch_id")
+      // 3 rows: materialize so the scratch dir can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
       batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals, streamTimers,
-      foreachBatchUpsert, streamMedian, streamQuantiles)
+      foreachBatchUpsert, streamMedian, streamQuantiles, streamDrift)
 }
