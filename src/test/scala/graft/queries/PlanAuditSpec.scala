@@ -607,6 +607,32 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     p should not include "CartesianProduct"
   }
 
+  test("llm_hybrid_rrf: both top lists bound by TakeOrdered; fusion never expands") {
+    // The BM25 side must reach its 100-row list through per-partition
+    // top-k (TakeOrderedAndProject), never a global sort of the scored
+    // corpus; the dense side is one broadcast query vector against the
+    // scan; the fusion join runs on two constant-size lists.
+    val p = plan(LlmQueries.hybridRrf)
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+    // the only single-partition exchanges allowed are over the bounded
+    // 100-row lists (rank assignment) and 1-row scalar frames
+    "Exchange SinglePartition".r.findAllIn(p).size should be <= 2
+  }
+
+  test("llm_silhouette: seeds broadcast; one shuffle for the per-vector fold") {
+    // 8 seeds meet the corpus through a broadcast, the two-smallest fold
+    // is ONE hash shuffle by vec_id (bounded 8-struct sort per key), and
+    // the rollup output is |clusters| rows — no corpus-sized sort anywhere.
+    val p = plan(CorpusModelQueries.silhouette)
+    p should include("BroadcastNestedLoopJoin") // the 8-row seed frame
+    p should not include "CartesianProduct"
+    // the bounded 8-struct fold (sort_array lives in the aggregate's
+    // result expressions, so only collect_list prints)
+    p should include("collect_list")
+    "Exchange hashpartitioning\\(vec_id".r.findAllIn(p).size shouldBe 1
+  }
+
   test("no query plan contains a CartesianProduct or driver collect") {
     SparkEntryPlans.all.foreach { case (name, p) =>
       withClue(name)(p should not include "CartesianProduct")
