@@ -2528,6 +2528,88 @@ object LlmQueries {
     * LSM delta log collapsed on read by the min-monoid law and compacted
     * on an amortized threshold. Closed-form oracle: the planted corpus
     * pins every (doc, dup_of, jaccard) triple by arithmetic. */
+  /** INCREMENTAL dup-cluster maintenance — the label store kept current
+    * batch over batch WITHOUT re-running connected components on the
+    * accumulated pair set (the 100 TB scale-killer this removes: a daily
+    * batch should pay O(changed), not O(corpus-CC)). Per batch:
+    *
+    *  1. [[graft.streaming.IncrementalNearDup.processBatch]] surfaces the
+    *     batch's verified dup edges against the corpus-so-far (O(batch)
+    *     state writes — the llm_stream_neardup engine);
+    *  2. edge endpoints look up their CURRENT labels (default self), and
+    *     connected components runs on the LABEL GRAPH ONLY — O(batch)
+    *     nodes, never the corpus: merging two existing clusters is a
+    *     label-to-label edge, whatever their sizes;
+    *  3. the (old label → merged min label) map relabels exactly the
+    *     affected rows through the MergeOps keyed-merge protocol
+    *     (atomic-swap; untouched clusters' rows pass through the
+    *     anti-join unchanged).
+    *
+    * Batch order near → exact → base makes base ids arrive LAST, so the
+    * %21 triangles force a real cross-batch CLUSTER MERGE (batch 2 built
+    * {near, exact} with label near; base's arrival relabels both stored
+    * rows to the smaller base id) — the path a fold-in-place shortcut
+    * would get wrong. The oracle computes components from the full
+    * planted pair list with a recursive CTE (the llm_dup_clusters gate),
+    * so batching must be invisible. */
+  val incrementalClusters: Reg = Reg.sql(
+    "llm_incremental_clusters",
+    """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+      |pairs AS (
+      |  SELECT doc_id AS id_a, doc_id + 10000000 AS id_b FROM ids WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 20000000 FROM ids WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id + 20000000 FROM ids WHERE doc_id % 21 = 0),
+      |undirected AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(n, m) AS (
+      |  SELECT a, b FROM undirected
+      |  UNION
+      |  SELECT r.n, u.b FROM reach r JOIN undirected u ON r.m = u.a),
+      |comp AS (
+      |  SELECT n AS node, LEAST(n, MIN(m)) AS comp FROM reach GROUP BY n)
+      |SELECT comp AS cluster_rep, COUNT(*) AS cluster_size
+      |FROM comp GROUP BY comp ORDER BY cluster_rep""".stripMargin) { (s, dir) =>
+    import graft.llm.MinHash
+    val cfg = MinHash.Config()
+    val work = graft.Scratch.dir("graft_incclusters")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), plantedWords.as("text"))
+      val near = base.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), format_string(" x%d", col("doc_id"))).as("text"))
+      val exact = base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+
+      val ndRoot = s"$work/state"
+      val labelsPath = s"$work/labels"
+      graft.operators.IncrementalClusters.init(s, labelsPath)
+
+      Seq(near, exact, base).zipWithIndex.foreach { case (b, i) =>
+        val pairs = graft.streaming.IncrementalNearDup
+          .processBatch(b, i.toLong, ndRoot, cfg)
+          .select(col("doc_id").as("a"), col("dup_of").as("b"))
+        graft.operators.IncrementalClusters.applyBatch(s, labelsPath, pairs)
+      }
+      val out = graft.operators.IncrementalClusters.labels(s, labelsPath)
+        .groupBy(col("label").as("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .orderBy("cluster_rep")
+      // |clusters| rows: materialize so the scratch dir can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(work))
+    }
+  }
+
   val streamNearDup: Reg = Reg.sql(
     "llm_stream_neardup",
     """WITH ids AS (SELECT doc_id FROM documents),
@@ -2678,7 +2760,7 @@ object LlmQueries {
   // avoids capturing null at object-init time (registry lint walks every
   // entry)
   lazy val all: Seq[Reg] = Seq(
-    streamNearDup, datasetCard, shardAssign, dupSpanStrip,
+    streamNearDup, incrementalClusters, datasetCard, shardAssign, dupSpanStrip,
     curationFunnel, communityLpa, dupSpanCoverage,
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,

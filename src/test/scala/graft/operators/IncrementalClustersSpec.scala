@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuite
+
+/** Pins the semantics the llm_incremental_clusters oracle cannot see from
+  * the final answer alone: labels between batches (the store really is
+  * maintained incrementally), the cross-batch CLUSTER MERGE relabel path,
+  * untouched-cluster isolation, idempotent no-op batches, and equivalence
+  * with a one-shot large-star/small-star run on the union of all edges
+  * under an adversarial arrival order. */
+class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSuite {
+
+  private def edges(ps: (Long, Long)*) = {
+    import spark.implicits._
+    ps.toDF("a", "b")
+  }
+
+  private def store(path: String): Map[Long, Long] =
+    IncrementalClusters.labels(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def scratch(tag: String): String = {
+    val d = graft.Scratch.dir(s"graft_incc_spec_$tag")
+    s"$d/labels"
+  }
+
+  test("cross-batch merge relabels every member of both clusters") {
+    val path = scratch("merge")
+    IncrementalClusters.init(spark, path)
+    // batch 1: two disjoint clusters {20,30} and {40,50}
+    IncrementalClusters.applyBatch(spark, path, edges(20L -> 30L, 40L -> 50L))
+    store(path) shouldBe Map(20L -> 20L, 30L -> 20L, 40L -> 40L, 50L -> 40L)
+    // batch 2: 10 links to 30 — the whole {20,30} cluster must relabel to
+    // 10 (including member 20, which is NOT an endpoint of the new edge),
+    // and {40,50} must pass through untouched
+    IncrementalClusters.applyBatch(spark, path, edges(10L -> 30L))
+    store(path) shouldBe Map(
+      10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L)
+  }
+
+  test("merging two multi-member clusters via one label-to-label edge") {
+    val path = scratch("twobig")
+    IncrementalClusters.init(spark, path)
+    IncrementalClusters.applyBatch(spark, path,
+      edges(100L -> 101L, 100L -> 102L, 200L -> 201L, 200L -> 202L))
+    store(path).values.toSet shouldBe Set(100L, 200L)
+    // one edge between arbitrary members merges both clusters to min=100
+    IncrementalClusters.applyBatch(spark, path, edges(102L -> 201L))
+    store(path) shouldBe Map(
+      100L -> 100L, 101L -> 100L, 102L -> 100L,
+      200L -> 100L, 201L -> 100L, 202L -> 100L)
+  }
+
+  test("empty batch is a no-op; replayed edges are idempotent") {
+    val path = scratch("idem")
+    IncrementalClusters.init(spark, path)
+    IncrementalClusters.applyBatch(spark, path, edges(7L -> 8L))
+    val first = store(path)
+    IncrementalClusters.applyBatch(spark, path, edges((Seq.empty[(Long, Long)]): _*))
+    store(path) shouldBe first
+    IncrementalClusters.applyBatch(spark, path, edges(7L -> 8L))
+    store(path) shouldBe first
+  }
+
+  test("adversarial arrival order equals one-shot CC on the edge union") {
+    // chain 1-2-3-4-5 delivered as (4,5), (1,2), (3,4), (2,3): the last
+    // batch merges THREE existing clusters transitively
+    val path = scratch("chain")
+    IncrementalClusters.init(spark, path)
+    val batches = Seq(Seq(4L -> 5L), Seq(1L -> 2L), Seq(3L -> 4L), Seq(2L -> 3L))
+    batches.foreach(b => IncrementalClusters.applyBatch(spark, path, edges(b: _*)))
+    val oneShot = ConnectedComponents
+      .runStar(edges(batches.flatten: _*), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    store(path) shouldBe oneShot
+    store(path).values.toSet shouldBe Set(1L)
+  }
+}
