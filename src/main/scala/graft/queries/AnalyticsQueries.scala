@@ -1477,6 +1477,97 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** J15 — NEAREST as-of join, completing the as-of family (j6 backward,
+    * j13 forward): each purchase pairs with its click closest IN ABSOLUTE
+    * TIME, whichever side it falls on — the sensor/label-alignment shape
+    * (match a reading to the nearest calibration, an event to the nearest
+    * snapshot). One union frame, ONE key exchange, TWO per-partition
+    * sorts (asc and desc share the hashpartitioning); the backward and
+    * forward carries are the j6/j13 running-last windows, and the nearer
+    * candidate wins with ties to the EARLIER (backward) click. Right-side
+    * (key, time) ties resolve to the greatest payload struct, restated by
+    * the oracle's event_id-DESC canonical row. ms_to_click is SIGNED
+    * (negative = click before purchase), so the verdict side is hashed
+    * too. */
+  val j15AsofNearest: Reg = Reg.sql(
+    "j15_asof_nearest",
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id, value FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |                              ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+      |p AS (SELECT event_id, user_id, ts, value FROM events
+      |      WHERE event_type = 'purchase'),
+      |b AS (
+      |  SELECT p.event_id, c.event_id AS b_id, c.value AS b_value, c.ts AS b_ts
+      |  FROM p ASOF LEFT JOIN c
+      |    ON p.user_id = c.user_id AND p.ts >= c.ts),
+      |f AS (
+      |  SELECT p.event_id, c.event_id AS f_id, c.value AS f_value, c.ts AS f_ts
+      |  FROM p ASOF LEFT JOIN c
+      |    ON p.user_id = c.user_id AND p.ts <= c.ts)
+      |SELECT p.event_id, p.user_id, p.value AS purchase_value,
+      |       CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+      |                 epoch_ms(p.ts) - epoch_ms(b_ts)
+      |                 <= epoch_ms(f_ts) - epoch_ms(p.ts))
+      |            THEN b_id ELSE f_id END AS nearest_click_id,
+      |       CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+      |                 epoch_ms(p.ts) - epoch_ms(b_ts)
+      |                 <= epoch_ms(f_ts) - epoch_ms(p.ts))
+      |            THEN b_value ELSE f_value END AS nearest_click_value,
+      |       CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+      |                 epoch_ms(p.ts) - epoch_ms(b_ts)
+      |                 <= epoch_ms(f_ts) - epoch_ms(p.ts))
+      |            THEN epoch_ms(b_ts) - epoch_ms(p.ts)
+      |            ELSE epoch_ms(f_ts) - epoch_ms(p.ts) END AS ms_to_click
+      |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.StructType
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val rStructT = StructType(
+      clicks.select(col("event_id"), col("value"), col("ts")).schema.fields)
+    val lStructT = StructType(purchases.schema.fields)
+    val l = purchases.select(col("user_id"), col("ts").as("__t"),
+      lit(1).as("__side"),
+      struct(col("event_id"), col("user_id"), col("ts"), col("value")).as("__l"),
+      lit(null).cast(rStructT).as("__r"))
+    val r = clicks.where(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").as("__t"), lit(0).as("__side"),
+        lit(null).cast(lStructT).as("__l"),
+        struct(col("event_id"), col("value"), col("ts")).as("__r"))
+    val W = org.apache.spark.sql.expressions.Window
+    // both windows hash-partition on user_id: ONE exchange, two sorts
+    val wB = W.partitionBy("user_id")
+      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wF = W.partitionBy("user_id")
+      .orderBy(col("__t").desc, col("__side").asc, col("__r").asc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val carried = l.unionByName(r)
+      .withColumn("__prev", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__next", last(col("__r"), ignoreNulls = true).over(wF))
+      .where(col("__side") === 1)
+    val db = unix_millis(col("__l.ts")) - unix_millis(col("__prev.ts"))
+    val df = unix_millis(col("__next.ts")) - unix_millis(col("__l.ts"))
+    // ties (db == df) go backward — the earlier click
+    val takeB = col("__next").isNull || (col("__prev").isNotNull && db <= df)
+    carried.select(
+      col("__l.event_id").as("event_id"),
+      col("user_id"),
+      col("__l.value").as("purchase_value"),
+      when(takeB, col("__prev.event_id")).otherwise(col("__next.event_id"))
+        .as("nearest_click_id"),
+      when(takeB, col("__prev.value")).otherwise(col("__next.value"))
+        .as("nearest_click_value"),
+      when(takeB, -db).otherwise(df).as("ms_to_click"))
+      .orderBy("event_id")
+  }
+
   /** O27 — KMV (k-minimum-values) distinct sketch with MERGEABLE set
     * operations (Bar-Yossef et al. 2002; the theta-sketch family): two
     * customer sets are sketched by their 256 smallest md5-derived hash
@@ -2114,7 +2205,7 @@ object AnalyticsQueries {
     o25ParetoFront, o26CountMin, o27KmvDistinct, a29Expectations, o28HoltLinear,
     c7GeodesicOps, c8CircleFilter,
     o21RankFamily, a25StatsAgg, o22SetOps, c6SqlSurface, a26GroupingSets,
-    o24TopkTies, a27BoolAggs, a28StringAgg, j13AsofForward,
+    o24TopkTies, a27BoolAggs, a28StringAgg, j13AsofForward, j15AsofNearest,
     o16NtileDeciles, o17HllMerge,
     j6AsofJoin, o9Sessionize, a14PercentileBands, a15Cube, o10ApproxDistinct,
     j7BandJoin, o11HeavyHitters, j8SaltedJoin, o12TimeRangeWindow,

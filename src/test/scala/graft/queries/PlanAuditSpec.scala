@@ -633,6 +633,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     "Exchange hashpartitioning\\(vec_id".r.findAllIn(p).size shouldBe 1
   }
 
+  test("j15_asof_nearest: both directional carries share one key exchange") {
+    // The backward and forward windows both hash-partition on user_id:
+    // the plan must shuffle the union frame ONCE (plus the final ORDER
+    // BY's range exchange), with zero pair expansion.
+    val p = plan(AnalyticsQueries.j15AsofNearest)
+    "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size shouldBe 1
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "SortMergeJoin" // no join at all — pure windows
+  }
+
   test("no query plan contains a CartesianProduct or driver collect") {
     SparkEntryPlans.all.foreach { case (name, p) =>
       withClue(name)(p should not include "CartesianProduct")
