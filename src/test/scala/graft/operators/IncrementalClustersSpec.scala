@@ -66,6 +66,30 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSuite 
     store(path) shouldBe first
   }
 
+  test("randomized: any batch split of a random graph equals one-shot CC") {
+    // Seeded LCG so the case set is reproducible. Graphs are sparse over a
+    // small id space to force multi-edge components and frequent
+    // cross-batch merges; batch assignment is random, so merge order is
+    // arbitrary relative to component structure.
+    for (seed <- Seq(1L, 2L, 3L)) {
+      var x = seed
+      def next(bound: Int): Int = {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (((x >>> 33) % bound).toInt + bound) % bound
+      }
+      val es = Seq.fill(30)((next(40).toLong, next(40).toLong))
+        .filter { case (a, b) => a != b }
+      val nBatches = 4
+      val batches = es.groupBy(_ => next(nBatches)).values.toSeq
+      val path = scratch(s"rand$seed")
+      IncrementalClusters.init(spark, path)
+      batches.foreach(b => IncrementalClusters.applyBatch(spark, path, edges(b: _*)))
+      val oneShot = ConnectedComponents.runStar(edges(es: _*), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"seed $seed")(store(path) shouldBe oneShot)
+    }
+  }
+
   test("adversarial arrival order equals one-shot CC on the edge union") {
     // chain 1-2-3-4-5 delivered as (4,5), (1,2), (3,4), (2,3): the last
     // batch merges THREE existing clusters transitively
