@@ -248,11 +248,12 @@ object Bpe {
   def encode(
       words: DataFrame,
       wCol: String,
-      merges: Seq[(Long, String)]): DataFrame = {
-    var enc = words.select(col(wCol).as("w"))
+      merges: Seq[(Long, String)],
+      keepCols: Seq[String] = Nil): DataFrame = {
+    var enc = words.select((keepCols.map(col) :+ col(wCol).as("w")): _*)
     merges.sortBy(_._1).foreach { case (round, mp) =>
-      enc = enc.select(
-        replace(col("w"), lit(mp), lit(round.toInt.toChar.toString)).as("w"))
+      enc = enc.select((keepCols.map(col) :+
+        replace(col("w"), lit(mp), lit(round.toInt.toChar.toString)).as("w")): _*)
     }
     enc
   }
@@ -291,6 +292,41 @@ w$r AS MATERIALIZED (SELECT w FROM (SELECT replace(w, (SELECT mp FROM t$r), chr(
     * the merge pairs, then a second replace chain over the UNFILTERED word
     * stream (encoding keeps every word), then per-symbol counts of the
     * encoded corpus — the token-frequency table a sampler consumes. */
+  /** DuckDB restatement of train-then-encode + the per-SOURCE fertility
+    * rollup (`llm_tokenizer_fertility`): the k training rounds are the
+    * `encodeOracleSqlFor` chain, the encode pass carries `source`, and
+    * fertility is exact integer permille (tokens·1000 // words). */
+  def fertilityOracleSqlFor(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH wd AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),\n")
+    sb.append("w0 AS (SELECT w FROM wd WHERE length(w) >= 2)")
+    for (r <- 1 to k) {
+      val prev = s"w${r - 1}"
+      sb.append(s""",
+p$r AS (SELECT UNNEST(list_transform(generate_series(1, length(w) - 1),
+          i -> substr(w, i, 2))) AS pair FROM $prev),
+t$r AS (SELECT pair AS mp, CAST(COUNT(*) AS BIGINT) AS cnt FROM p$r
+        GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+w$r AS (SELECT w FROM (SELECT replace(w, (SELECT mp FROM t$r), chr($r)) AS w
+                       FROM $prev) WHERE length(w) >= 2)""")
+    }
+    sb.append(""",
+se0 AS (SELECT source, w FROM (
+          SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) >= 1)""")
+    for (r <- 1 to k) {
+      sb.append(s""",
+se$r AS (SELECT source, replace(w, (SELECT mp FROM t$r), chr($r)) AS w
+         FROM se${r - 1})""")
+    }
+    sb.append(s"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(w)) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(w)) * 1000 // COUNT(*) AS BIGINT) AS fertility_permille
+FROM se$k GROUP BY source ORDER BY source""")
+    sb.toString
+  }
+
   def encodeOracleSqlFor(k: Int, topN: Int): String = {
     val sb = new StringBuilder
     sb.append("WITH wd AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),\n")

@@ -867,6 +867,34 @@ object CorpusModelQueries {
       .orderBy(desc("cnt"), asc("sym")).limit(30)
   }
 
+  /** Tokenizer FERTILITY per source — tokens emitted per whitespace word
+    * under the trained BPE, the standard metric for how well a tokenizer
+    * fits each slice of a mix (a high-fertility source costs more context
+    * window per word; multilingual pipelines budget by exactly this
+    * number). Six merges train on the full stream (the llm_bpe_encode
+    * device), every word encodes through the k driver-side merge literals
+    * (broadcast by construction — one narrow map pass), and the rollup is
+    * one |sources|-row aggregate. Token counts are symbol lengths after
+    * the merge chain; fertility is exact integer permille, so the gate
+    * hashes training, encoding, AND the ratio. */
+  val tokenizerFertility: Reg = Reg.sql(
+    "llm_tokenizer_fertility", graft.llm.Bpe.fertilityOracleSqlFor(6)) {
+    (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+      val merges = graft.llm.Bpe
+        .trainMergesDriver(s, words.select("w"), "w", 6)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      graft.llm.Bpe.encode(words.where(length(col("w")) >= 1), "w", merges,
+        keepCols = Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).as("n_tokens"))
+        .withColumn("fertility_permille",
+          expr("CAST(n_tokens * 1000 DIV n_words AS BIGINT)"))
+        .orderBy("source")
+  }
+
   /** CCNet-style perplexity filtering (Wenzek et al., "CCNet: Extracting
     * High Quality Monolingual Datasets from Web Crawl Data"): score every
     * document by its average per-bigram negative log-probability under the
@@ -1127,5 +1155,6 @@ object CorpusModelQueries {
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
       bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty,
       bpeK, bpeK64, bpeEncode, perplexityFilter, randProj, pmiCooccur,
-      annPqAdc, annIvfPq, hardNegativesAnn, silhouette, streamIvfAssign)
+      annPqAdc, annIvfPq, hardNegativesAnn, silhouette, streamIvfAssign,
+      tokenizerFertility)
 }
