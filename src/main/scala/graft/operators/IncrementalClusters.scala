@@ -33,12 +33,19 @@ object IncrementalClusters {
   }
 
   /** Fold one batch of undirected edges (`a`, `b` long columns) into the
-    * label store. No-op on an empty edge frame. */
-  def applyBatch(spark: SparkSession, path: String, edges: DataFrame): Unit = {
+    * label store. No-op on an empty edge frame.
+    *
+    * The label graph has O(batch) nodes BY CONSTRUCTION, so when it fits
+    * under `maxDriverEdges` the component fold runs as in-memory
+    * union-find (one bounded collect, zero per-round job overhead — the
+    * trainCodebooksExact discipline); an oversized batch falls back to
+    * the distributed large-star/small-star loop. Both produce component
+    * MINIMA, so the choice is invisible to the store. */
+  def applyBatch(spark: SparkSession, path: String, edges: DataFrame,
+      maxDriverEdges: Int = 2000000): Unit = {
     val pairs = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
       .localCheckpoint(false) // consumed by the lookup, CC, and upsert
-    if (pairs.isEmpty) return
     MergeOps.recoverIfNeeded(spark, path)
     val labels = spark.read.parquet(path)
     // current labels of the new edges' endpoints (default: self)
@@ -49,9 +56,39 @@ object IncrementalClusters {
         Seq("b"), "left")
       .select(coalesce(col("la"), col("a")).as("id_a"),
         coalesce(col("lb"), col("b")).as("id_b"))
-    // CC over LABELS only — O(batch) nodes regardless of cluster sizes
-    val lmap = ConnectedComponents.runStar(labelEdges, "id_a", "id_b")
-      .localCheckpoint(false)
+    // size probe and driver fetch in ONE incremental job (CollectLimit
+    // stops scanning once the bound is passed)
+    val probe = labelEdges.limit(maxDriverEdges + 1).collect()
+    if (probe.isEmpty) return
+    val lmap =
+      if (probe.length <= maxDriverEdges) {
+        // in-memory union-find with min-root selection: comp = component
+        // min, deterministic regardless of edge order
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        probe.foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) {
+            val root = math.min(ra, rb)
+            parent(math.max(ra, rb)) = root
+            parent(root) = root
+          }
+        }
+        val nodes = probe.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+        import spark.implicits._
+        nodes.map(n => (n, find(n))).toSeq.toDF("node", "comp")
+      } else
+        // CC over LABELS only — O(batch) nodes regardless of cluster sizes
+        ConnectedComponents.runStar(labelEdges, "id_a", "id_b")
+          .localCheckpoint(false)
     val updatedOld = labels
       .join(lmap.select(col("node").as("label"), col("comp")), Seq("label"))
       .select(col("node"), col("comp").as("label"))

@@ -90,6 +90,20 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSuite 
     }
   }
 
+  test("distributed fallback path labels identically to the in-memory fold") {
+    // maxDriverEdges = 1 forces the runStar fallback for every multi-edge
+    // batch; the store must end up identical to the default path
+    val pIn = scratch("fb_in"); val pFb = scratch("fb_fb")
+    IncrementalClusters.init(spark, pIn); IncrementalClusters.init(spark, pFb)
+    val batches = Seq(Seq(4L -> 5L, 8L -> 9L), Seq(1L -> 2L, 5L -> 8L), Seq(2L -> 4L))
+    batches.foreach { b =>
+      IncrementalClusters.applyBatch(spark, pIn, edges(b: _*))
+      IncrementalClusters.applyBatch(spark, pFb, edges(b: _*), maxDriverEdges = 1)
+    }
+    store(pFb) shouldBe store(pIn)
+    store(pFb).values.toSet shouldBe Set(1L)
+  }
+
   test("adversarial arrival order equals one-shot CC on the edge union") {
     // chain 1-2-3-4-5 delivered as (4,5), (1,2), (3,4), (2,3): the last
     // batch merges THREE existing clusters transitively
