@@ -152,11 +152,67 @@ object ImageCodec {
     catch { case _: Exception => InvalidPixels }
   }
 
-  private def decodePngPixelsUnsafe(b: Array[Byte]): PixelStats = {
+  private def decodePngPixelsUnsafe(b: Array[Byte]): PixelStats =
+    decodePngRgbUnsafe(b) match {
+      case None => InvalidPixels
+      case Some((width, height, px)) =>
+        var sum = 0L
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var j = 0
+        val n = width * height
+        while (j < n) {
+          val luma = (px(3 * j) & 0xff) * 299 + (px(3 * j + 1) & 0xff) * 587 +
+            (px(3 * j + 2) & 0xff) * 114
+          sum += luma
+          if (luma < mn) mn = luma
+          if (luma > mx) mx = luma
+          j += 1
+        }
+        PixelStats(n.toLong, sum, mn, mx, valid = true)
+    }
+
+  /** Average-hash (aHash) over the decoded pixel grid: one bit per pixel
+    * in scan order, set when the pixel's ×1000 BT.601 luma exceeds the
+    * image mean — compared as `luma·n > sum` so the threshold is exact
+    * integer arithmetic (no division, no float). Returns None for any
+    * image `decodePngPixels` would reject. CONTENT-derived: two PNGs with
+    * different bytes (filter choices, compression levels) but identical
+    * pixels hash identically — the whole point of perceptual dedup. A
+    * uniform brightness shift +c is also invariant:
+    * (luma+1000c)·n > sum+1000c·n ⟺ luma·n > sum. */
+  def pngAHash(b: Array[Byte]): Option[String] =
+    (try decodePngRgbUnsafe(b) catch { case _: Exception => None }).map {
+      case (width, height, px) =>
+        val n = width * height
+        val lumas = new Array[Long](n)
+        var sum = 0L
+        var j = 0
+        while (j < n) {
+          val luma = (px(3 * j) & 0xff) * 299 + (px(3 * j + 1) & 0xff) * 587 +
+            (px(3 * j + 2) & 0xff) * 114
+          lumas(j) = luma.toLong
+          sum += luma
+          j += 1
+        }
+        val bits = new java.lang.StringBuilder(n)
+        j = 0
+        while (j < n) {
+          bits.append(if (lumas(j) * n > sum) '1' else '0')
+          j += 1
+        }
+        bits.toString
+    }
+
+  /** Shared full decode to the raw RGB pixel array (scan order, 3 bytes
+    * per pixel): chunk walk + CRC verify of EVERY chunk + IDAT inflate +
+    * all-five-filter reconstruction. None on any structural defect. */
+  private def decodePngRgbUnsafe(
+      b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     val meta = parsePng(b)
-    if (!meta.valid) return InvalidPixels
+    if (!meta.valid) return None
     // IHDR constraints: depth 8, color type 2 (RGB), no interlace
-    if (b(24) != 8 || b(25) != 2 || b(28) != 0) return InvalidPixels
+    if (b(24) != 8 || b(25) != 2 || b(28) != 0) return None
     val width = meta.width; val height = meta.height
     // chunk walk: verify every CRC, gather IDAT payloads in order
     val idat = new java.io.ByteArrayOutputStream()
@@ -164,16 +220,16 @@ object ImageCodec {
     var sawEnd = false
     while (off + 12 <= b.length && !sawEnd) {
       val len = readBe32(b, off)
-      if (off + 12 + len > b.length) return InvalidPixels
+      if (off + 12 + len > b.length) return None
       val typ = new String(b, off + 4, 4, "US-ASCII")
       val typeAndData = java.util.Arrays.copyOfRange(b, off + 4, (off + 8 + len).toInt)
       if ((crc32(typeAndData) & 0xffffffffL) != readBe32(b, (off + 8 + len).toInt))
-        return InvalidPixels
+        return None
       if (typ == "IDAT") idat.write(b, off + 8, len.toInt)
       if (typ == "IEND") sawEnd = true
       off += 12 + len.toInt
     }
-    if (!sawEnd) return InvalidPixels
+    if (!sawEnd) return None
     // inflate to exactly height * (1 + 3*width) scanline bytes
     val stride = width * 3
     val expected = height * (1 + stride)
@@ -183,7 +239,7 @@ object ImageCodec {
     var got = 0
     while (got < expected && !inf.finished()) {
       val n = inf.inflate(raw, got, expected - got)
-      if (n == 0 && inf.needsInput()) return InvalidPixels // truncated stream
+      if (n == 0 && inf.needsInput()) return None // truncated stream
       got += n
     }
     val exact = got == expected && {
@@ -192,13 +248,13 @@ object ImageCodec {
       inf.finished() || inf.inflate(probe) == 0
     }
     inf.end()
-    if (!exact) return InvalidPixels
-    // unfilter all five types, then integer luma stats
+    if (!exact) return None
+    // unfilter all five types
     val px = new Array[Byte](height * stride)
     var y = 0
     while (y < height) {
       val ft = raw(y * (1 + stride)) & 0xff
-      if (ft > 4) return InvalidPixels
+      if (ft > 4) return None
       var i = 0
       while (i < stride) {
         val f = raw(y * (1 + stride) + 1 + i) & 0xff
@@ -217,20 +273,7 @@ object ImageCodec {
       }
       y += 1
     }
-    var sum = 0L
-    var mn = Int.MaxValue
-    var mx = Int.MinValue
-    var j = 0
-    val n = width * height
-    while (j < n) {
-      val luma = (px(3 * j) & 0xff) * 299 + (px(3 * j + 1) & 0xff) * 587 +
-        (px(3 * j + 2) & 0xff) * 114
-      sum += luma
-      if (luma < mn) mn = luma
-      if (luma > mx) mx = luma
-      j += 1
-    }
-    PixelStats(n.toLong, sum, mn, mx, valid = true)
+    Some((width, height, px))
   }
 
   // --------------------------------------------------------------- JPEG --

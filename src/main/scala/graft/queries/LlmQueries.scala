@@ -1981,6 +1981,57 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Perceptual-hash IMAGE dedup — the dedup×multimodal cell: every doc
+    * plants a real PNG (the llm_png_pixels construction at 8..12 × 8..10
+    * px), every 5th doc also plants a BYTE-LEVEL DIFFERENT re-encode of
+    * the same pixels (each row filtered with the NEXT filter type, then
+    * re-deflated — sha-based exact dedup provably misses it), and dedup
+    * runs on the average-hash of the DECODED content: one bit per pixel
+    * (luma·n > sum — exact integer), grouped by (dims, hash) with an
+    * id_a < id_b bucket self-join, exactly the LSH-family pair shape.
+    * ≥64 hash bits make accidental collisions vanish, and the gate would
+    * hash-catch one deterministically if it existed. Decode is the full
+    * CRC/inflate/unfilter stack per image; the oracle is the closed-form
+    * planted pair list (the simhash precedent). */
+  val imagePhashDedup: Reg = Reg.sql(
+    "llm_image_phash_dedup",
+    """SELECT doc_id AS id_a, doc_id + 30000000 AS id_b
+      |FROM documents WHERE doc_id % 5 = 0 ORDER BY id_a, id_b""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val hashed = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          if (id % 5 == 0) Seq((id, id, 0), (id + 30000000L, id, 1))
+          else Seq((id, id, 0))
+        }
+        .map { case (imgId, srcId, shift) =>
+          val w = (8 + srcId % 5).toInt
+          val h = (8 + srcId % 3).toInt
+          // FULL splitmix64-mixed per-id content: aHash is deliberately
+          // invariant to uniform brightness offsets, so any pattern where
+          // id enters additively (or through one multiply, which leaves an
+          // arithmetic progression in the extracted bits) makes unrelated
+          // same-dims images collide by construction
+          val rgb = Array.tabulate(w * h * 3) { i =>
+            var z = srcId * 1000003L + i + 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            ((z ^ (z >>> 31)) & 0xffL).toByte
+          }
+          val png = graft.llm.ImageCodec.encodePngPixels(
+            w, h, rgb, y => ((y + srcId + shift) % 5).toInt)
+          val hash = graft.llm.ImageCodec.pngAHash(png).getOrElse("")
+          (imgId, w.toLong, h.toLong, hash)
+        }.toDF("img_id", "w", "h", "hash")
+        .localCheckpoint(false) // both sides of the bucket self-join
+      hashed.as("x").join(hashed.as("y"),
+        col("x.w") === col("y.w") && col("x.h") === col("y.h") &&
+          col("x.hash") === col("y.hash") &&
+          col("x.img_id") < col("y.img_id"))
+        .select(col("x.img_id").as("id_a"), col("y.img_id").as("id_b"))
+        .orderBy("id_a", "id_b")
+  }
+
   /** REAL full GIF pixel decode gate — LZW is pure bit logic, so GIF
     * content decode needs no library either: every doc plants a complete
     * GIF (256-entry closed-form palette, indexed pixels compressed by a
@@ -2772,7 +2823,7 @@ object LlmQueries {
     bm25TopK, hybridRrf, embedCentroids, clusterReps, linkTriangles,
     weightedSample,
     driftKs, imageMeta, audioMeta, videoMeta, pcmFeatures, pngPixels,
-    gifPixels, jpegPixels, videoFrames, driftChi2, driftPsi)
+    gifPixels, jpegPixels, videoFrames, driftChi2, driftPsi, imagePhashDedup)
 
   /** Training-shard assignment by GLOBAL cumulative token count — the
     * writer-side step after packing/splitting: every doc gets the shard id

@@ -263,4 +263,27 @@ class ImageCodecSpec extends AnyFunSuite with Matchers {
     // garbage is invalid, never a throw
     decodeJpegPixels(Array.tabulate[Byte](100)(_.toByte)).valid shouldBe false
   }
+
+  test("pngAHash: content-derived, encoding- and brightness-invariant, corrupt-safe") {
+    val w = 8; val h = 8
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 53 + 11) % 256).toByte)
+    val a = encodePngPixels(w, h, rgb, y => y % 5)
+    // same pixels, every row filtered differently → different bytes
+    val b = encodePngPixels(w, h, rgb, y => (y + 1) % 5)
+    java.util.Arrays.equals(a, b) shouldBe false
+    pngAHash(a) shouldBe pngAHash(b)
+    pngAHash(a).get should have length (w * h).toLong
+    // uniform brightness +3 where no channel wraps → identical hash
+    val bright = rgb.map(v => (((v & 0xff) % 250) + 3).toByte)
+    val base = rgb.map(v => ((v & 0xff) % 250).toByte)
+    pngAHash(encodePngPixels(w, h, bright, _ => 0)) shouldBe
+      pngAHash(encodePngPixels(w, h, base, _ => 0))
+    // different content → different hash
+    val other = Array.tabulate(w * h * 3)(i => ((i * 151 + 7) % 256).toByte)
+    pngAHash(encodePngPixels(w, h, other, _ => 0)) should not be pngAHash(a)
+    // corruption → None, never a throw
+    val bad = a.clone(); bad(40) = (bad(40) ^ 0x7f).toByte
+    pngAHash(bad) shouldBe None
+    pngAHash(Array.tabulate[Byte](60)(_.toByte)) shouldBe None
+  }
 }
