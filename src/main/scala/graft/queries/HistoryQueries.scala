@@ -234,8 +234,9 @@ object HistoryQueries {
     * is row-identical to the one-shot a24 rebuild, which IS the oracle.
     *
     * Per-batch cost is O(changed keys): the batch's keys semi-join out
-    * their open rows, the window fold runs over batch events only, and
-    * the merge replaces exactly those keys' chains (the physical rewrite
+    * their stored chains, one keyed window folds those chains together
+    * with the batch's events, and the merge replaces exactly those keys'
+    * rows (the physical rewrite
     * is the documented copy-on-write trade — partition the dimension by
     * key bucket at warehouse scale, as mergeByKeyPartitioned does for the
     * fact table). Late (out-of-order) arrivals are the standard SCD2
@@ -294,45 +295,53 @@ object HistoryQueries {
         .where(lit(false))
         .write.parquet(path)
 
+      // Each batch folds the CHANGED KEYS' stored chains and the batch's
+      // events through ONE union + ONE keyed window pass (one shuffle; the
+      // lag/lead/max/sum specs share the partitioning and sort, and the
+      // post-filter windows inherit both, so no re-exchange, no re-sort):
+      //  - stored rows ride along sorted by version (their from_day order);
+      //    the OPEN row is always last among them, so the first batch
+      //    event's lag(status) IS the open status — the cross-boundary
+      //    seed, with no join;
+      //  - SCD2 chains are contiguous (to_day = next from_day), so
+      //    re-deriving every emitted row's to_day as lead(day) over the
+      //    kept rows reproduces closed rows bit-identically, closes the
+      //    open row at the first new change, and leaves it open (lead →
+      //    NULL) when the batch brought no change;
+      //  - new versions number from the open row's version watermark
+      //    (max(version) over the key) plus a running count of kept events.
+      // Per-batch cost stays O(changed keys): the semi-join prunes the
+      // dimension to the batch's key set before the fold.
       batches.zipWithIndex.foreach { case (batch, _) =>
         MergeOps.recoverIfNeeded(s, path)
         val existing = s.read.parquet(path)
         val changedKeys = batch.select("custkey").distinct()
-        // one open row per changed key: (status seed, version watermark)
-        val seed = existing.join(changedKeys, Seq("custkey"), "left_semi")
-          .where(col("to_day").isNull)
-          .select(col("custkey"), col("status").as("prev0"),
-            col("version").as("v0"))
-        val wB = Window.partitionBy("custkey").orderBy("day", "orderkey")
-        val newRows = batch
-          .withColumn("prev", lag("status", 1).over(wB))
-          .join(seed, Seq("custkey"), "left")
-          // the open row's status IS lag() across the batch boundary
-          .withColumn("prev_eff", coalesce(col("prev"), col("prev0")))
-          .where(col("prev_eff").isNull || col("status") =!= col("prev_eff"))
+        val exU = existing.join(changedKeys, Seq("custkey"), "left_semi")
+          .select(col("custkey"), col("status"), col("version"),
+            col("from_day").as("day"), lit(-1L).as("orderkey"),
+            lit(0).as("kind"))
+        val evU = batch.select(col("custkey"), col("status"),
+          lit(null).cast("bigint").as("version"), col("day"), col("orderkey"),
+          lit(1).as("kind"))
+        val w = Window.partitionBy("custkey")
+          .orderBy("day", "kind", "version", "orderkey")
+        val wAll = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val updates = exU.unionByName(evU)
+          // lag over ALL events (kept or not): change = differs from the
+          // previous EVENT, exactly the oracle's LAG-over-orders semantics
+          .withColumn("prev_eff", lag("status", 1).over(w))
+          .where(col("kind") === 0 ||
+            col("prev_eff").isNull || col("status") =!= col("prev_eff"))
+          .withColumn("v0", max(when(col("kind") === 0, col("version"))).over(wAll))
           .withColumn("version",
-            coalesce(col("v0"), lit(0L)) + row_number().over(wB))
-          .withColumn("to_day", lead("day", 1).over(wB))
+            when(col("kind") === 0, col("version"))
+              .otherwise(coalesce(col("v0"), lit(0L)) + sum("kind").over(wRun)))
+          .withColumn("to_day", lead("day", 1).over(w))
           .select(col("custkey"), col("status"), col("version").cast("bigint"),
             col("day").as("from_day"), col("to_day").cast("bigint"))
-          // pin the fold result (change rows only — batch-bounded): it feeds
-          // THREE consumers (firstChange, the merge's update union, and the
-          // key-distinct inside mergeByKey), each of which would otherwise
-          // re-run the window fold + seed join from the scan
-          .localCheckpoint()
-        // close each changed key's open row at its first NEW change
-        val firstChange = newRows.groupBy("custkey")
-          .agg(min("from_day").as("close_day"), min("version").as("minv"))
-          .join(seed.select("custkey", "v0"), "custkey")
-          .where(col("minv") === col("v0") + 1) // a new change actually arrived
-          .select(col("custkey"), col("close_day"))
-        val adjustedOld = existing.join(changedKeys, Seq("custkey"), "left_semi")
-          .join(firstChange, Seq("custkey"), "left")
-          .withColumn("to_day",
-            when(col("to_day").isNull, col("close_day")).otherwise(col("to_day")))
-          .drop("close_day")
-        MergeOps.mergeByKey(s, path, adjustedOld.unionByName(newRows),
-          "custkey", insertUnmatched = true)
+        MergeOps.mergeByKey(s, path, updates, "custkey", insertUnmatched = true)
       }
       val out = s.read.parquet(path)
         .select(col("custkey"), col("status"), col("version"),
