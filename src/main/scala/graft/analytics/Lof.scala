@@ -1,7 +1,6 @@
 package graft.analytics
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Geo
@@ -42,6 +41,55 @@ object Lof {
       cellDegrees: Double = 0.0015,
       maxCellPoints: Int = 2000)
 
+  /** Bounded kNN aggregator: keeps the k smallest (distance, neighbor id)
+    * edges per point, ordered exactly like the former
+    * `row_number over (order by d, q_id)` (ties and NaN per
+    * `java.lang.Double.compare`, i.e. Spark's double sort order).
+    *
+    * The point of the custom Aggregator over the window formulation is
+    * PARTIAL AGGREGATION: the 9-cell candidate join emits O(cell density)
+    * edges per point, and a window must shuffle ALL of them to sort each
+    * point's partition — the dominant shuffle of the whole operator. This
+    * buffer caps at k entries, so the map side combines candidates down to
+    * ≤ k edges per (point, map partition) before anything moves. */
+  private final class TopKEdges(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Double, Long),
+      scala.collection.mutable.ArrayBuffer[(Double, Long)],
+      Seq[(Double, Long)]] {
+    private def cmp(d1: Double, q1: Long, d2: Double, q2: Long): Int = {
+      val c = java.lang.Double.compare(d1, d2)
+      if (c != 0) c else java.lang.Long.compare(q1, q2)
+    }
+    private def insert(
+        buf: scala.collection.mutable.ArrayBuffer[(Double, Long)],
+        d: Double, q: Long): scala.collection.mutable.ArrayBuffer[(Double, Long)] = {
+      if (buf.length == k && cmp(d, q, buf(k - 1)._1, buf(k - 1)._2) >= 0) return buf
+      var i = buf.length
+      while (i > 0 && cmp(d, q, buf(i - 1)._1, buf(i - 1)._2) < 0) i -= 1
+      buf.insert(i, (d, q))
+      if (buf.length > k) buf.remove(k)
+      buf
+    }
+    def zero: scala.collection.mutable.ArrayBuffer[(Double, Long)] =
+      scala.collection.mutable.ArrayBuffer.empty
+    def reduce(
+        buf: scala.collection.mutable.ArrayBuffer[(Double, Long)],
+        e: (Double, Long)): scala.collection.mutable.ArrayBuffer[(Double, Long)] =
+      insert(buf, e._1, e._2)
+    def merge(
+        a: scala.collection.mutable.ArrayBuffer[(Double, Long)],
+        b: scala.collection.mutable.ArrayBuffer[(Double, Long)]): scala.collection.mutable.ArrayBuffer[(Double, Long)] = {
+      b.foreach(e => insert(a, e._1, e._2)); a
+    }
+    def finish(buf: scala.collection.mutable.ArrayBuffer[(Double, Long)]): Seq[(Double, Long)] =
+      buf.toSeq // already sorted ascending by (d, q)
+    def bufferEncoder: org.apache.spark.sql.Encoder[scala.collection.mutable.ArrayBuffer[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** points(bssid, point_id, latitude, longitude) →
     * (bssid, point_id, latitude, longitude, k_used, lof).
     * lof NULL ⇔ no neighbor in the 3×3 cell block (k_used = 0). */
@@ -58,11 +106,20 @@ object Lof {
     val cellSizes = pts.groupBy("bssid", "cx", "cy")
       .agg(count(lit(1)).as("__cell_n"))
     // usable feeds the probe side, the candidate side, and the final output
-    // join — materialize the filtered point set once.
+    // join — materialize the filtered point set once. The explicit
+    // repartition is load-bearing: everything downstream of this frame up
+    // to the kNN aggregation (9-offset explode, candidate join, haversine
+    // per candidate edge, top-k partial agg) is NARROW, so its parallelism
+    // is whatever the point set's partitioning happens to be — a
+    // single-file scan (or a broadcast-joined guardrail) collapses the
+    // whole quadratic-ish section onto one task. Spreading by cell is also
+    // the shape that holds at 100 TB: candidate work distributes by
+    // spatial bucket, never by input file-split luck.
     val usable = pts.join(
       cellSizes.where(col("__cell_n") <= cfg.maxCellPoints)
         .select("bssid", "cx", "cy"),
       Seq("bssid", "cx", "cy"))
+      .repartition(col("bssid"), col("cx"), col("cy"))
       .localCheckpoint(false) // lazy: compute-once on first action, no extra job
 
     val offsets = array(
@@ -85,13 +142,20 @@ object Lof {
         Geo.haversineMeters(col("p_lat"), col("p_lon"), col("q_lat"), col("q_lon"))
           .as("d"))
 
-    val w = Window.partitionBy("bssid", "p_id").orderBy(col("d"), col("q_id"))
-    // knn is consumed three times (k-distance, reachability, LOF numerator);
-    // without materialization each consumer would re-run the full 9-cell
-    // candidate join + window — the dominant cost of the whole operator.
-    val knn = pairs.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= cfg.k)
-      .select("bssid", "p_id", "q_id", "d")
+    // kNN per point through the bounded TopKEdges aggregator (exact same
+    // (d, q_id) order a window row_number would give, but with map-side
+    // combine — see the class doc). knn is consumed three times
+    // (k-distance, reachability, LOF numerator); without materialization
+    // each consumer would re-run the full 9-cell candidate join — the
+    // dominant cost of the whole operator.
+    val topk = udaf(new TopKEdges(cfg.k))
+    val knn = pairs
+      .where(col("d").isNotNull) // a null distance is no candidate
+      .groupBy("bssid", "p_id")
+      .agg(topk(col("d"), col("q_id").cast("long")).as("__top"))
+      .select(col("bssid"), col("p_id"), explode(col("__top")).as("__e"))
+      .select(col("bssid"), col("p_id"),
+        col("__e._2").as("q_id"), col("__e._1").as("d"))
       .localCheckpoint(false)
 
     val kdist = knn.groupBy("bssid", "p_id")
