@@ -2199,7 +2199,74 @@ object AnalyticsQueries {
       .orderBy("l_suppkey")
   }
 
+  /** A33 — join-key SKEW REPORT: the pre-flight diagnostic a 100 TB
+    * pipeline runs BEFORE committing to a join strategy (salting, AQE skew
+    * thresholds, broadcast cutoffs — j8SaltedJoin is the cure; this is the
+    * diagnosis). One shuffle builds the per-key histogram with map-side
+    * combine; every statistic after that runs on key-count-sized or
+    * histogram-of-histogram-sized frames:
+    *
+    *  - the top-10 heavy keys via TakeOrderedAndProject (never a full sort);
+    *  - exact count percentiles (p50/p90/p99 over KEYS by per-key row
+    *    count) from a cumulative walk over the count-of-counts histogram —
+    *    the single-partition window is over distinct COUNT VALUES, a frame
+    *    that grows with log-ish cardinality, not keys;
+    *  - all shares in exact integer micro units ((x * 1e6) div total), no
+    *    float exposure.
+    *
+    * Percentile rank is ceil(n_keys · p/100) computed as
+    * (n_keys · p + 99) div 100 — identical integer arithmetic in both
+    * engines. */
+  val a33SkewReport: Reg = Reg.sql(
+    "a33_skew_report",
+    """WITH c AS (SELECT l_partkey AS skew_key, CAST(COUNT(*) AS BIGINT) AS cnt
+      |           FROM lineitem GROUP BY l_partkey),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |             CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c),
+      |h AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS keys_at FROM c GROUP BY cnt),
+      |cum AS (SELECT cnt, SUM(keys_at) OVER (ORDER BY cnt) AS ck FROM h),
+      |p AS (SELECT
+      |        MIN(CASE WHEN ck >= (n_keys * 50 + 99) // 100 THEN cnt END) AS p50_cnt,
+      |        MIN(CASE WHEN ck >= (n_keys * 90 + 99) // 100 THEN cnt END) AS p90_cnt,
+      |        MIN(CASE WHEN ck >= (n_keys * 99 + 99) // 100 THEN cnt END) AS p99_cnt
+      |      FROM cum, s),
+      |top AS (SELECT skew_key, cnt,
+      |               ROW_NUMBER() OVER (ORDER BY cnt DESC, skew_key) AS rnk
+      |        FROM c QUALIFY rnk <= 10)
+      |SELECT t.skew_key, t.cnt, CAST(t.rnk AS BIGINT) AS rnk,
+      |       (t.cnt * 1000000) // n_rows AS share_micro,
+      |       n_rows, n_keys, max_cnt, p50_cnt, p90_cnt, p99_cnt
+      |FROM top t, s, p ORDER BY rnk""".stripMargin) { (s, dir) =>
+    val c = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("skew_key"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = c.agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+      max("cnt").as("max_cnt"))
+    val h = c.groupBy("cnt").agg(count(lit(1)).as("keys_at"))
+    val wc = Window.orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("ck", sum("keys_at").over(wc))
+    val p = cum.crossJoin(stats).agg( // stats: 1-row frame, broadcast
+      min(when(col("ck") >= expr("(n_keys * 50 + 99) div 100"), col("cnt")))
+        .as("p50_cnt"),
+      min(when(col("ck") >= expr("(n_keys * 90 + 99) div 100"), col("cnt")))
+        .as("p90_cnt"),
+      min(when(col("ck") >= expr("(n_keys * 99 + 99) div 100"), col("cnt")))
+        .as("p99_cnt"))
+    val top = c.orderBy(col("cnt").desc, col("skew_key")).limit(10)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("skew_key"))).cast("bigint"))
+    top.crossJoin(stats).crossJoin(p) // both 1-row frames
+      .select(col("skew_key"), col("cnt"), col("rnk"),
+        expr("(cnt * 1000000) div n_rows").as("share_micro"),
+        col("n_rows"), col("n_keys"), col("max_cnt"),
+        col("p50_cnt"), col("p90_cnt"), col("p99_cnt"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[Reg] = Seq(
+    a33SkewReport,
     o31ExactMedian, o32ExactMedianDouble, o33GroupMedian, o34GroupQuantiles,
     o35GroupMode, o36WeightedMedian,
     o25ParetoFront, o26CountMin, o27KmvDistinct, a29Expectations, o28HoltLinear,
