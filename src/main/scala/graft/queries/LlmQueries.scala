@@ -1424,6 +1424,190 @@ object LlmQueries {
         .limit(20)
   }
 
+  /** Retrieval-quality EVAL (nDCG@10) — the measurement half of an
+    * eval-driven curation loop: before trusting a retriever to mine
+    * hard negatives or rank curation candidates, score it against exact
+    * ground truth. Ground truth here is the EXACT cosine ranking (the
+    * thing ANN/lexical systems approximate), graded into relevance tiers:
+    * true ranks 1–2 → rel 3 (gain 7), 3–5 → rel 2 (gain 3), 6–10 → rel 1
+    * (gain 1), else 0. Three rankers are scored: the dense ranking itself
+    * (a built-in sanity invariant — its nDCG is exactly 1), the BM25
+    * lexical top-10, and the RRF fusion of the two top-100 lists
+    * (llm_hybrid_rrf's fused score).
+    *
+    * Exactness: no float ever enters the metric. The rank discounts
+    * 1/log2(i+1) are PRE-QUANTIZED micro-integer literals (the same ten
+    * constants in both engines), gains are integers, DCG/IDCG are BIGINT
+    * sums, and nDCG is one integer division (dcg·1e6 div idcg).
+    *
+    * 100 TB shape: each ranker's list is top-k-bounded before any
+    * metric work (TakeOrdered / bounded window), so the eval joins run on
+    * constant-size frames no matter the corpus; the only corpus-scale
+    * passes are the rankers themselves (scan + aggregate, shared shapes
+    * with llm_bm25_topk / llm_ann_brute / llm_hybrid_rrf). */
+  val retrievalNdcg: Reg = Reg.sql(
+    "llm_retrieval_ndcg",
+    """WITH words AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |len AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      |        FROM words GROUP BY doc_id),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |                 CAST(SUM(dl) AS BIGINT) AS total_len FROM len),
+      |tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS f
+      |       FROM words WHERE w IN ('join', 'vector', 'scan', 'merge', 'filter')
+      |       GROUP BY doc_id, w),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tf GROUP BY term),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |         CAST(FLOOR(
+      |           LN(1.0 + (n_docs - dfreq + CAST(0.5 AS DOUBLE))
+      |                    / (dfreq + CAST(0.5 AS DOUBLE)))
+      |           * (CAST(f AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+      |           / (CAST(f AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |              * (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |                 * (CAST(dl AS DOUBLE)
+      |                    / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      |           * 1000000) AS BIGINT) AS micro
+      |  FROM tf
+      |  JOIN df ON df.term = tf.term
+      |  JOIN len ON len.doc_id = tf.doc_id, stats),
+      |lexs AS (SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
+      |         FROM sc GROUP BY doc_id),
+      |lex AS (SELECT doc_id, l_rank FROM (
+      |          SELECT doc_id, ROW_NUMBER() OVER
+      |            (ORDER BY score_micro DESC, doc_id) AS l_rank
+      |          FROM lexs) WHERE l_rank <= 100),
+      |dense AS (SELECT doc_id, d_rank FROM (
+      |          SELECT vec_id AS doc_id, ROW_NUMBER() OVER
+      |            (ORDER BY cs DESC, vec_id) AS d_rank
+      |          FROM (SELECT c.vec_id,
+      |                       list_cosine_similarity(c.emb, q.q_emb) AS cs
+      |                FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+      |                      FROM embeddings) c,
+      |                     (SELECT embedding::DOUBLE[] AS q_emb
+      |                      FROM embeddings WHERE vec_id < 1) q
+      |                WHERE c.vec_id <> 0)) WHERE d_rank <= 100),
+      |fused AS (
+      |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+      |         COALESCE(1000000000 // (60 + l.l_rank), 0)
+      |           + COALESCE(1000000000 // (60 + d.d_rank), 0) AS rrf_micro
+      |  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id),
+      |disc AS (SELECT * FROM (VALUES
+      |  (1, 1000000), (2, 630929), (3, 500000), (4, 430676), (5, 386852),
+      |  (6, 356207), (7, 333333), (8, 315464), (9, 301029), (10, 289064))
+      |  AS t(rnk, dmicro)),
+      |gold AS (
+      |  SELECT doc_id,
+      |         CASE WHEN d_rank <= 2 THEN 7
+      |              WHEN d_rank <= 5 THEN 3 ELSE 1 END AS gain
+      |  FROM dense WHERE d_rank <= 10),
+      |idcg AS (
+      |  SELECT CAST(SUM(g.gain * d.dmicro) AS BIGINT) AS idcg_micro
+      |  FROM (SELECT gain, ROW_NUMBER() OVER
+      |          (ORDER BY gain DESC, doc_id) AS rnk FROM gold) g
+      |  JOIN disc d ON d.rnk = g.rnk),
+      |lex10 AS (SELECT doc_id, l_rank AS rnk FROM lex WHERE l_rank <= 10),
+      |dense10 AS (SELECT doc_id, d_rank AS rnk FROM dense WHERE d_rank <= 10),
+      |rrf10 AS (SELECT doc_id, rnk FROM (
+      |            SELECT doc_id, ROW_NUMBER() OVER
+      |              (ORDER BY rrf_micro DESC, doc_id) AS rnk
+      |            FROM fused) WHERE rnk <= 10),
+      |scored AS (
+      |  SELECT 'dense' AS ranker,
+      |         CAST(SUM(COALESCE(g.gain, 0) * d.dmicro) AS BIGINT) AS dcg_micro
+      |  FROM dense10 r JOIN disc d ON d.rnk = r.rnk
+      |  LEFT JOIN gold g ON g.doc_id = r.doc_id
+      |  UNION ALL
+      |  SELECT 'lexical',
+      |         CAST(SUM(COALESCE(g.gain, 0) * d.dmicro) AS BIGINT)
+      |  FROM lex10 r JOIN disc d ON d.rnk = r.rnk
+      |  LEFT JOIN gold g ON g.doc_id = r.doc_id
+      |  UNION ALL
+      |  SELECT 'rrf',
+      |         CAST(SUM(COALESCE(g.gain, 0) * d.dmicro) AS BIGINT)
+      |  FROM rrf10 r JOIN disc d ON d.rnk = r.rnk
+      |  LEFT JOIN gold g ON g.doc_id = r.doc_id)
+      |SELECT ranker, dcg_micro, idcg_micro,
+      |       (dcg_micro * 1000000) // idcg_micro AS ndcg_micro
+      |FROM scored, idcg ORDER BY ranker""".stripMargin) { (s, dir) =>
+    val Terms = Seq("join", "vector", "scan", "merge", "filter")
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+    val len = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = len.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val tf = words.where(col("w").isin(Terms: _*))
+      .groupBy(col("doc_id"), col("w").as("term"))
+      .agg(count(lit(1)).as("f"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5)))
+    val num = col("f").cast("double") * (lit(1.2) + lit(1.0))
+    val den = col("f").cast("double") + lit(1.2) *
+      (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl").cast("double") / avgdl))
+    val lexs = tf.join(df, "term")
+      .join(len, "doc_id")
+      .crossJoin(stats) // 1-row frame: broadcast by construction
+      .select(col("doc_id"),
+        floor(idf * num / den * lit(1000000)).cast("long").as("micro"))
+      .groupBy("doc_id")
+      .agg(sum("micro").as("score_micro"))
+    val lex = lexs.orderBy(col("score_micro").desc, col("doc_id")).limit(100)
+      .withColumn("l_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id"))))
+      .select("doc_id", "l_rank")
+    val emb = Tables.embeddings(s, dir)
+    val dense = Similarity.bruteForceTopK(
+      emb, emb.where(col("vec_id") < 1), k = 100)
+      .select(col("vec_id").as("doc_id"), col("rank").as("d_rank"))
+    val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr("1000000000 div (60 + l_rank)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + d_rank)"), lit(0L)))
+          .as("rrf_micro"))
+    // rank-discount micro literals: floor(1e6 / log2(i+1)), i = 1..10 —
+    // pre-quantized so neither engine computes a log at query time
+    val discMicro = typedlit(Map(
+      1 -> 1000000L, 2 -> 630929L, 3 -> 500000L, 4 -> 430676L, 5 -> 386852L,
+      6 -> 356207L, 7 -> 333333L, 8 -> 315464L, 9 -> 301029L, 10 -> 289064L))
+    val gold = dense.where(col("d_rank") <= 10)
+      .select(col("doc_id"),
+        when(col("d_rank") <= 2, 7L).when(col("d_rank") <= 5, 3L)
+          .otherwise(1L).as("gain"))
+      .localCheckpoint(false) // 10 rows; feeds idcg + three ranker evals
+    val idcg = gold
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("gain").desc, col("doc_id"))))
+      .select((col("gain") * element_at(discMicro, col("rnk"))).as("c"))
+      .agg(sum("c").as("idcg_micro"))
+    def dcgOf(name: String, ranked: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+      ranked.join(gold, Seq("doc_id"), "left")
+        .select((coalesce(col("gain"), lit(0L)) *
+          element_at(discMicro, col("rnk"))).as("c"))
+        .agg(sum("c").as("dcg_micro"))
+        .select(lit(name).as("ranker"), col("dcg_micro"))
+    val dense10 = dense.where(col("d_rank") <= 10)
+      .select(col("doc_id"), col("d_rank").cast("int").as("rnk"))
+    val lex10 = lex.where(col("l_rank") <= 10)
+      .select(col("doc_id"), col("l_rank").cast("int").as("rnk"))
+    val rrf10 = fused
+      .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_micro").desc, col("doc_id"))).cast("int"))
+      .select("doc_id", "rnk")
+    dcgOf("dense", dense10)
+      .unionByName(dcgOf("lexical", lex10))
+      .unionByName(dcgOf("rrf", rrf10))
+      .crossJoin(idcg) // 1-row frame
+      .select(col("ranker"), col("dcg_micro"), col("idcg_micro"),
+        expr("(dcg_micro * 1000000) div idcg_micro").as("ndcg_micro"))
+      .orderBy("ranker")
+  }
+
   /** Per-class embedding centroids — the class-prototype vector behind
     * nearest-class-mean classification, clustering diagnostics, and
     * prototype-based data pruning (e.g. SemDeDup-style cluster centers):
@@ -2820,7 +3004,8 @@ object LlmQueries {
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
-    bm25TopK, hybridRrf, embedCentroids, clusterReps, linkTriangles,
+    bm25TopK, hybridRrf, retrievalNdcg, embedCentroids, clusterReps,
+    linkTriangles,
     weightedSample,
     driftKs, imageMeta, audioMeta, videoMeta, pcmFeatures, pngPixels,
     gifPixels, jpegPixels, videoFrames, driftChi2, driftPsi, imagePhashDedup)
