@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -295,54 +296,7 @@ object HistoryQueries {
         .where(lit(false))
         .write.parquet(path)
 
-      // Each batch folds the CHANGED KEYS' stored chains and the batch's
-      // events through ONE union + ONE keyed window pass (one shuffle; the
-      // lag/lead/max/sum specs share the partitioning and sort, and the
-      // post-filter windows inherit both, so no re-exchange, no re-sort):
-      //  - stored rows ride along sorted by version (their from_day order);
-      //    the OPEN row is always last among them, so the first batch
-      //    event's lag(status) IS the open status — the cross-boundary
-      //    seed, with no join;
-      //  - SCD2 chains are contiguous (to_day = next from_day), so
-      //    re-deriving every emitted row's to_day as lead(day) over the
-      //    kept rows reproduces closed rows bit-identically, closes the
-      //    open row at the first new change, and leaves it open (lead →
-      //    NULL) when the batch brought no change;
-      //  - new versions number from the open row's version watermark
-      //    (max(version) over the key) plus a running count of kept events.
-      // Per-batch cost stays O(changed keys): the semi-join prunes the
-      // dimension to the batch's key set before the fold.
-      batches.zipWithIndex.foreach { case (batch, _) =>
-        MergeOps.recoverIfNeeded(s, path)
-        val existing = s.read.parquet(path)
-        val changedKeys = batch.select("custkey").distinct()
-        val exU = existing.join(changedKeys, Seq("custkey"), "left_semi")
-          .select(col("custkey"), col("status"), col("version"),
-            col("from_day").as("day"), lit(-1L).as("orderkey"),
-            lit(0).as("kind"))
-        val evU = batch.select(col("custkey"), col("status"),
-          lit(null).cast("bigint").as("version"), col("day"), col("orderkey"),
-          lit(1).as("kind"))
-        val w = Window.partitionBy("custkey")
-          .orderBy("day", "kind", "version", "orderkey")
-        val wAll = w.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)
-        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val updates = exU.unionByName(evU)
-          // lag over ALL events (kept or not): change = differs from the
-          // previous EVENT, exactly the oracle's LAG-over-orders semantics
-          .withColumn("prev_eff", lag("status", 1).over(w))
-          .where(col("kind") === 0 ||
-            col("prev_eff").isNull || col("status") =!= col("prev_eff"))
-          .withColumn("v0", max(when(col("kind") === 0, col("version"))).over(wAll))
-          .withColumn("version",
-            when(col("kind") === 0, col("version"))
-              .otherwise(coalesce(col("v0"), lit(0L)) + sum("kind").over(wRun)))
-          .withColumn("to_day", lead("day", 1).over(w))
-          .select(col("custkey"), col("status"), col("version").cast("bigint"),
-            col("day").as("from_day"), col("to_day").cast("bigint"))
-        MergeOps.mergeByKey(s, path, updates, "custkey", insertUnmatched = true)
-      }
+      batches.foreach(applyScd2Batch(s, path, _))
       val out = s.read.parquet(path)
         .select(col("custkey"), col("status"), col("version"),
           col("from_day"), col("to_day"))
@@ -355,6 +309,64 @@ object HistoryQueries {
       }
       rm(new java.io.File(work))
     }
+  }
+
+  /** One incremental SCD2 batch against the dimension at `path`: folds the
+    * CHANGED KEYS' stored chains and the batch's events through ONE union +
+    * ONE keyed window pass (one shuffle; the lag/lead/max/sum specs share
+    * the partitioning and sort, and the post-filter windows inherit both,
+    * so no re-exchange, no re-sort):
+    *
+    *  - stored rows ride along sorted by version (their from_day order);
+    *    the OPEN row is always last among them, so the first batch event's
+    *    lag(status) IS the open status — the cross-boundary seed, with no
+    *    join;
+    *  - SCD2 chains are contiguous (to_day = next from_day), so re-deriving
+    *    every emitted row's to_day as lead(day) over the kept rows
+    *    reproduces closed rows bit-identically, closes the open row at the
+    *    first new change, and leaves it open (lead → NULL) when the batch
+    *    brought no change;
+    *  - new versions number from the open row's version watermark
+    *    (max(version) over the key) plus a running count of kept events.
+    *
+    * Per-batch cost stays O(changed keys): the semi-join prunes the
+    * dimension to the batch's key set before the fold. Batches must be
+    * day-monotone (every event day in batch N+1 > every day in batch N for
+    * the same key); any such split — including empty batches — folds to the
+    * same table as the one-shot rebuild (property-tested in HistorySpec).
+    * `batch` columns: (custkey, status, day, orderkey). */
+  private[graft] def applyScd2Batch(
+      s: SparkSession, path: String, batch: DataFrame): Unit = {
+    import graft.mutation.MergeOps
+    MergeOps.recoverIfNeeded(s, path)
+    val existing = s.read.parquet(path)
+    val changedKeys = batch.select("custkey").distinct()
+    val exU = existing.join(changedKeys, Seq("custkey"), "left_semi")
+      .select(col("custkey"), col("status"), col("version"),
+        col("from_day").as("day"), lit(-1L).as("orderkey"),
+        lit(0).as("kind"))
+    val evU = batch.select(col("custkey"), col("status"),
+      lit(null).cast("bigint").as("version"), col("day"), col("orderkey"),
+      lit(1).as("kind"))
+    val w = Window.partitionBy("custkey")
+      .orderBy("day", "kind", "version", "orderkey")
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val updates = exU.unionByName(evU)
+      // lag over ALL events (kept or not): change = differs from the
+      // previous EVENT, exactly the oracle's LAG-over-orders semantics
+      .withColumn("prev_eff", lag("status", 1).over(w))
+      .where(col("kind") === 0 ||
+        col("prev_eff").isNull || col("status") =!= col("prev_eff"))
+      .withColumn("v0", max(when(col("kind") === 0, col("version"))).over(wAll))
+      .withColumn("version",
+        when(col("kind") === 0, col("version"))
+          .otherwise(coalesce(col("v0"), lit(0L)) + sum("kind").over(wRun)))
+      .withColumn("to_day", lead("day", 1).over(w))
+      .select(col("custkey"), col("status"), col("version").cast("bigint"),
+        col("day").as("from_day"), col("to_day").cast("bigint"))
+    MergeOps.mergeByKey(s, path, updates, "custkey", insertUnmatched = true)
   }
 
   val all: Seq[Reg] = Seq(scd2History, intervalIslands, scd2Lookup, scd2Upsert)

@@ -60,4 +60,60 @@ class HistorySpec extends AnyFunSuite with Matchers with SparkSuite {
     out.unpersist()
     ()
   }
+
+  test("scd2 upsert: any day-monotone batch split folds to the one-shot table") {
+    // One-shot reference: the a24-style fold over ALL events at once.
+    val e = Tables.orders(spark, sfDir).select(
+      F.col("o_custkey").as("custkey"), F.col("o_orderstatus").as("status"),
+      F.datediff(F.col("o_orderdate").cast("date"),
+        F.lit("1970-01-01").cast("date")).cast("bigint").as("day"),
+      F.col("o_orderkey").as("orderkey"))
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy("custkey").orderBy("day", "orderkey")
+    val oneShot = e
+      .withColumn("prev", F.lag("status", 1).over(wKey))
+      .where(F.col("prev").isNull || F.col("status") =!= F.col("prev"))
+      .withColumn("version", F.row_number().over(wKey).cast("bigint"))
+      .withColumn("to_day", F.lead("day", 1).over(wKey))
+      .select(F.col("custkey"), F.col("status"), F.col("version"),
+        F.col("day").as("from_day"), F.col("to_day").cast("bigint"))
+      .collect().map(_.toString).sorted
+
+    val (lo, hi) = {
+      val r = e.agg(F.min("day"), F.max("day")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // Randomized cut sets (fixed seed): uneven splits, duplicate cuts
+    // (→ EMPTY batches), single-batch, and many tiny batches.
+    val rnd = new scala.util.Random(4242)
+    val cutSets: Seq[Seq[Long]] =
+      Seq(Seq.empty[Long], Seq(lo), Seq(hi)) ++ // 1-batch + empty-batch edges
+        (1 to 3).map(n => Seq.fill(2 * n)(lo + (rnd.nextDouble() *
+          (hi - lo)).toLong).sorted)
+    cutSets.foreach { cuts =>
+      val bounds = (Long.MinValue +: cuts.sorted) :+ Long.MaxValue
+      val batches = bounds.sliding(2).map { case Seq(a, b) =>
+        e.where(F.col("day") > a && F.col("day") <= b)
+      }.toSeq
+      val work = graft.Scratch.dir("graft_scd2u_spec")
+      val path = s"$work/scd2"
+      try {
+        e.select(F.col("custkey"), F.col("status"),
+          F.lit(0L).as("version"), F.col("day").as("from_day"),
+          F.lit(null).cast("bigint").as("to_day"))
+          .where(F.lit(false)).write.parquet(path)
+        batches.foreach(HistoryQueries.applyScd2Batch(spark, path, _))
+        val folded = spark.read.parquet(path)
+          .collect().map(_.toString).sorted
+        withClue(s"cuts=$cuts: ") {
+          folded should contain theSameElementsInOrderAs oneShot
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(work))
+      }
+    }
+  }
 }
