@@ -204,6 +204,53 @@ object ImageCodec {
         bits.toString
     }
 
+  /** Position-weighted checksum over the decoded RGB byte stream:
+    * Σ byte(j)·(j+1), with dims — an order-sensitive exact-integer
+    * fingerprint of the full pixel CONTENT (a plain sum would not notice
+    * two swapped pixels), cheap for an oracle to restate from planted
+    * closed-form pixels. None for any image `decodePngPixels` rejects. */
+  def pngWeightedChecksum(b: Array[Byte]): Option[(Int, Int, Long)] =
+    (try decodePngRgbUnsafe(b) catch { case _: Exception => None }).map {
+      case (w, h, px) =>
+        var s = 0L
+        var j = 0
+        while (j < px.length) { s += (px(j) & 0xff).toLong * (j + 1); j += 1 }
+        (w, h, s)
+    }
+
+  /** REAL nearest-neighbor resize of a PNG: full content decode (chunk
+    * walk + CRC verify + inflate + filter reconstruction), integer
+    * floor-mapped resample — source pixel (x·w div tw, y·h div th) for
+    * every target pixel, the exact arithmetic an oracle can restate —
+    * and a full re-encode (scanline filters + DEFLATE), so the output is
+    * again a decodable-by-anything PNG. Up- and down-scaling both work
+    * (floor mapping repeats source pixels on the way up). Returns None
+    * for any input `decodePngPixels` would reject; never throws (F18
+    * discipline). This is the real resample behind the normalize-before-
+    * training pass — `Multimodal.resizeStub` remains only for the
+    * synthetic-header corpus whose payloads are not real images. */
+  def pngResizeNearest(b: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, s"target dims must be positive; got ${tw}x$th")
+    (try decodePngRgbUnsafe(b) catch { case _: Exception => None }).map {
+      case (w, h, px) =>
+        val out = new Array[Byte](tw * th * 3)
+        var y = 0
+        while (y < th) {
+          val sy = (y.toLong * h / th).toInt
+          var x = 0
+          while (x < tw) {
+            val sx = (x.toLong * w / tw).toInt
+            val si = (sy * w + sx) * 3
+            val di = (y * tw + x) * 3
+            out(di) = px(si); out(di + 1) = px(si + 1); out(di + 2) = px(si + 2)
+            x += 1
+          }
+          y += 1
+        }
+        encodePngPixels(tw, th, out, r => r % 5) // exercise every filter path
+    }
+  }
+
   /** Shared full decode to the raw RGB pixel array (scan order, 3 bytes
     * per pixel): chunk walk + CRC verify of EVERY chunk + IDAT inflate +
     * all-five-filter reconstruction. None on any structural defect. */

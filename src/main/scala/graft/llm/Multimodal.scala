@@ -147,11 +147,14 @@ object Multimodal {
     assets.mapPartitions(_.filter(a => decodeStub(a).valid).map(featuresStub))
   }
 
-  /** STUB resample: deterministic stand-in for a real bilinear resize —
-    * emits a w×h-proportional payload by striding the source bytes. The
-    * contract a real decoder must keep: output size scales with the TARGET
-    * dims (not the source), invalid assets pass through unchanged with
-    * valid=false. */
+  /** STUB resample for the synthetic-header corpus ONLY — real image
+    * content goes through [[ImageCodec.pngResizeNearest]] (full decode →
+    * exact floor-mapped nearest-neighbor resample → full re-encode; the
+    * `llm_image_resize` gate oracles the whole round trip). This stub
+    * emits a w×h-proportional payload by striding the source bytes for
+    * assets whose payloads are not real images. The contract both keep:
+    * output size scales with the TARGET dims (not the source), invalid
+    * assets pass through unchanged with valid=false. */
   private[llm] def resizeStub(a: Asset, targetW: Int, targetH: Int): Asset = {
     val n = a.content.length
     if (n < 4) a

@@ -2165,6 +2165,51 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL image RESIZE — the normalize-before-training pass with actual
+    * pixel geometry, no stub left in the image path: every doc plants a
+    * real PNG (closed-form pixels, varied dims 8..14 × 8..12, all five
+    * scanline filters), which is content-decoded (CRC/inflate/unfilter),
+    * nearest-neighbor resampled to 6×16 — downscale in x, UPSCALE in y,
+    * both directions in one op — re-encoded as a full PNG, and decoded
+    * AGAIN for the emitted checksum, so the gate covers the whole
+    * encode→decode→resample→encode→decode round trip. The floor mapping
+    * (sx = x·w div tw, sy = y·h div th) is exact integer arithmetic, so
+    * the oracle restates the entire resampled pixel grid from the planted
+    * closed form and checks a position-weighted checksum (order-
+    * sensitive: swapped pixels cannot cancel). 100 TB shape: 1→1
+    * partition-parallel map, bytes never shuffle. */
+  val imageResize: Reg = Reg.sql(
+    "llm_image_resize",
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 7 AS w, 8 + doc_id % 5 AS h
+      |           FROM documents),
+      |e AS (SELECT doc_id, w, h,
+      |             UNNEST(generate_series(0, 287)) AS j FROM d),
+      |px AS (
+      |  SELECT doc_id,
+      |         SUM(((doc_id * 3 +
+      |               ((((j // 3) // 6) * h // 16) * w
+      |                 + (((j // 3) % 6) * w // 6)) * 3 * 7
+      |               + (j % 3) * 7) % 251) * (j + 1)) AS cs
+      |  FROM e GROUP BY doc_id)
+      |SELECT doc_id, CAST(6 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+      |       CAST(cs AS BIGINT) AS checksum
+      |FROM px ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + id % 7).toInt
+      val h = (8 + id % 5).toInt
+      val rgb = Array.tabulate(w * h * 3)(i => ((id * 3 + i.toLong * 7) % 251).toByte)
+      val png = graft.llm.ImageCodec.encodePngPixels(
+        w, h, rgb, y => ((y + id) % 5).toInt)
+      val resized = graft.llm.ImageCodec.pngResizeNearest(png, 6, 16)
+        .getOrElse(Array.empty[Byte])
+      val (ow, oh, cs) = graft.llm.ImageCodec.pngWeightedChecksum(resized)
+        .getOrElse((0, 0, -1L))
+      (id, ow.toLong, oh.toLong, cs)
+    }.toDF("doc_id", "out_w", "out_h", "checksum")
+      .orderBy("doc_id")
+  }
+
   /** Perceptual-hash IMAGE dedup — the dedup×multimodal cell: every doc
     * plants a real PNG (the llm_png_pixels construction at 8..12 × 8..10
     * px), every 5th doc also plants a BYTE-LEVEL DIFFERENT re-encode of
@@ -3008,7 +3053,8 @@ object LlmQueries {
     linkTriangles,
     weightedSample,
     driftKs, imageMeta, audioMeta, videoMeta, pcmFeatures, pngPixels,
-    gifPixels, jpegPixels, videoFrames, driftChi2, driftPsi, imagePhashDedup)
+    gifPixels, jpegPixels, videoFrames, driftChi2, driftPsi, imagePhashDedup,
+    imageResize)
 
   /** Training-shard assignment by GLOBAL cumulative token count — the
     * writer-side step after packing/splitting: every doc gets the shard id

@@ -286,4 +286,39 @@ class ImageCodecSpec extends AnyFunSuite with Matchers {
     pngAHash(bad) shouldBe None
     pngAHash(Array.tabulate[Byte](60)(_.toByte)) shouldBe None
   }
+
+  test("pngResizeNearest: exact floor-mapped resample, up and down, corrupt-safe") {
+    val w = 10; val h = 6
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 29 + 5) % 256).toByte)
+    val png = encodePngPixels(w, h, rgb, y => y % 5)
+
+    // downscale 10x6 → 5x3: sx = x*10/5 = 2x, sy = y*6/3 = 2y
+    val down = pngResizeNearest(png, 5, 3).get
+    val expDown = Array.tabulate(5 * 3 * 3) { j =>
+      val p = j / 3; val c = j % 3
+      val sx = (p % 5) * 2; val sy = (p / 5) * 2
+      rgb((sy * w + sx) * 3 + c) & 0xff
+    }
+    val expDownCs = expDown.zipWithIndex.map { case (v, j) => v.toLong * (j + 1) }.sum
+    pngWeightedChecksum(down).get shouldBe ((5, 3, expDownCs))
+
+    // upscale 10x6 → 20x12: sx = x*10/20 = x/2, sy = y/2 — pixels repeat
+    val up = pngResizeNearest(png, 20, 12).get
+    val expUp = Array.tabulate(20 * 12 * 3) { j =>
+      val p = j / 3; val c = j % 3
+      val sx = (p % 20) * 10 / 20; val sy = (p / 20) * 6 / 12
+      rgb((sy * w + sx) * 3 + c) & 0xff
+    }
+    val expUpCs = expUp.zipWithIndex.map { case (v, j) => v.toLong * (j + 1) }.sum
+    pngWeightedChecksum(up).get shouldBe ((20, 12, expUpCs))
+
+    // identity target reproduces the source pixels exactly
+    pngWeightedChecksum(pngResizeNearest(png, w, h).get) shouldBe
+      pngWeightedChecksum(png)
+
+    // corruption → None, never a throw
+    val bad = png.clone(); bad(40) = (bad(40) ^ 0x7f).toByte
+    pngResizeNearest(bad, 4, 4) shouldBe None
+    pngResizeNearest(Array.tabulate[Byte](60)(_.toByte), 4, 4) shouldBe None
+  }
 }
