@@ -60,6 +60,87 @@ object AudioCodec {
     "RIFF".getBytes("US-ASCII") ++ le32(riffBody.length) ++ riffBody
   }
 
+  /** 16-bit PCM WAV with CALLER-SUPPLIED samples (channel-interleaved
+    * little-endian), same container structure as [[encodeWav]] — the
+    * encode half of content-level audio gates that need per-asset
+    * signal, not just per-asset length. */
+  def encodeWavSamples(
+      sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0,
+      s"bad wav params $sampleRate/$channels")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples do not tile $channels channels")
+    val blockAlign = channels * 2
+    val byteRate = sampleRate * blockAlign
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(byteRate) ++ le16(blockAlign) ++ le16(16)
+    val riffBody = "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(fmt.length) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(riffBody.length) ++ riffBody
+  }
+
+  /** Fixed-point cos/sin tables for the 16-point DFT: floor(cos(2πj/16)
+    * · 1024) (resp. sin) — INTEGER LITERALS shared verbatim with the
+    * DuckDB oracle, so the spectrum below is exact cross-engine
+    * arithmetic with no trig at query time. */
+  private[llm] val Cos16 = Array[Long](1024, 946, 724, 391, 0, -392, -725,
+    -947, -1024, -947, -725, -392, -1, 391, 724, 946)
+  private[llm] val Sin16 = Array[Long](0, 391, 724, 946, 1024, 946, 724,
+    391, 0, -392, -725, -947, -1024, -947, -725, -392)
+
+  /** REAL spectral feature extraction — the mel-spectrogram front-end
+    * math on actually-decoded PCM: non-overlapping 16-sample frames, an
+    * 8-bin fixed-point DFT per frame (re/im against [[Cos16]]/[[Sin16]],
+    * exact integer multiply-accumulate), per-bin power re²+im² summed
+    * over frames. Tail samples short of a full frame are dropped (the
+    * standard framing contract). Returns the 8 per-bin powers; None for
+    * anything [[pcmStats]] would reject. No float anywhere — the whole
+    * spectrum is oracle-restatable integer algebra. */
+  def pcmSpectrum16(b: Array[Byte]): Option[Array[Long]] = {
+    val meta = parse(b)
+    if (!meta.valid || meta.format != "wav") return None
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = readLe32(b, off + 4)
+      if (id == "data") {
+        val n = (size / 2).toInt // 16-bit samples, channel-interleaved
+        val power = new Array[Long](8)
+        var f = 0
+        while ((f + 1) * 16 <= n) {
+          var bin = 0
+          while (bin < 8) {
+            var re = 0L
+            var im = 0L
+            var j = 0
+            while (j < 16) {
+              val base = off + 8 + 2 * (f * 16 + j)
+              val s = ((b(base + 1) << 8) | (b(base) & 0xff)).toShort.toLong
+              val t = (bin * j) % 16
+              re += s * Cos16(t)
+              im += s * Sin16(t)
+              j += 1
+            }
+            power(bin) += re * re + im * im
+            bin += 1
+          }
+          f += 1
+        }
+        return Some(power)
+      }
+      off += 8 + size.toInt
+    }
+    None
+  }
+
   /** Chunk-walk a RIFF/WAVE container: verify magic, the declared RIFF
     * size against the actual byte count, locate `fmt ` (PCM only) and
     * `data`, and require the declared data size to FIT — a truncated or

@@ -2453,6 +2453,54 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL spectral audio features — the mel-spectrogram front-end math on
+    * actually-decoded PCM, upgrading the audio path from per-clip stats
+    * (llm_pcm_features: energy, zero crossings) to per-BIN content: every
+    * doc plants a WAV whose 16-bit samples follow a closed form (lengths
+    * vary 16–64, so 1–4 frames), the engine decodes the PCM out of the
+    * real RIFF container and runs an 8-bin fixed-point DFT per
+    * non-overlapping 16-sample frame (integer multiply-accumulate against
+    * the shared floor(trig·1024) literal tables — no float, no trig at
+    * query time), and the oracle restates the identical algebra from the
+    * planted closed form. 100 TB shape: 1→N(=8) partition-parallel map,
+    * audio bytes never shuffle, output is 8 rows per asset. */
+  val audioSpectrum: Reg = Reg.sql(
+    "llm_audio_spectrum",
+    """WITH tab(j, c, si) AS (VALUES
+      |  (0, 1024, 0), (1, 946, 391), (2, 724, 724), (3, 391, 946),
+      |  (4, 0, 1024), (5, -392, 946), (6, -725, 724), (7, -947, 391),
+      |  (8, -1024, 0), (9, -947, -392), (10, -725, -725), (11, -392, -947),
+      |  (12, -1, -1024), (13, 391, -947), (14, 724, -725), (15, 946, -392)),
+      |d AS (SELECT doc_id, 16 * (1 + doc_id % 4) AS n FROM documents),
+      |k AS (SELECT doc_id, UNNEST(generate_series(0, n - 1)) AS k FROM d),
+      |s AS (SELECT doc_id, k // 16 AS f, k % 16 AS j,
+      |             ((doc_id * 7 + k * 13) % 201) - 100 AS v
+      |      FROM k),
+      |b AS (SELECT UNNEST(generate_series(0, 7)) AS bin),
+      |x AS (SELECT s.doc_id, s.f, b.bin, s.v, t.c, t.si
+      |      FROM s, b
+      |      JOIN tab t ON t.j = (b.bin * s.j) % 16),
+      |p AS (SELECT doc_id, f, bin,
+      |             CAST(SUM(v * c) AS BIGINT) AS re,
+      |             CAST(SUM(v * si) AS BIGINT) AS im
+      |      FROM x GROUP BY doc_id, f, bin)
+      |SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+      |       CAST(SUM(re * re + im * im) AS BIGINT) AS power
+      |FROM p GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long].flatMap { id =>
+        val n = (16 * (1 + id % 4)).toInt
+        val samples = Array.tabulate(n)(k =>
+          (((id * 7 + k.toLong * 13) % 201) - 100).toShort)
+        val wav = graft.llm.AudioCodec.encodeWavSamples(8000, 1, samples)
+        graft.llm.AudioCodec.pcmSpectrum16(wav)
+          .map(_.zipWithIndex.map { case (p, bin) => (id, bin.toLong, p) }.toSeq)
+          .getOrElse(Seq((id, -1L, -1L)))
+      }.toDF("doc_id", "bin", "power")
+        .orderBy("doc_id", "bin")
+  }
+
   /** REAL video-metadata decode gate — third leg of the media family
     * (llm_image_meta: PNG/JPEG/GIF; llm_audio_meta: WAV/FLAC): a planted
     * binary corpus of genuine ISO BMFF/MP4 files (box walk, mvhd
@@ -3054,7 +3102,7 @@ object LlmQueries {
     weightedSample,
     driftKs, imageMeta, audioMeta, videoMeta, pcmFeatures, pngPixels,
     gifPixels, jpegPixels, videoFrames, driftChi2, driftPsi, imagePhashDedup,
-    imageResize)
+    imageResize, audioSpectrum)
 
   /** Training-shard assignment by GLOBAL cumulative token count — the
     * writer-side step after packing/splitting: every doc gets the shard id

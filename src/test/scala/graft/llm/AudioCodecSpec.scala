@@ -100,4 +100,40 @@ class AudioCodecSpec extends AnyFunSuite with Matchers {
     empty.nSamples shouldBe 0L
     empty.sumSq shouldBe 0L
   }
+
+  test("pcmSpectrum16: DFT bins match a direct recompute; tail framing; corrupt-safe") {
+    // direct reimplementation of the bin algebra against the same tables
+    def direct(samples: Array[Short]): Array[Long] = {
+      val out = new Array[Long](8)
+      for (f <- 0 until samples.length / 16; bin <- 0 until 8) {
+        var re = 0L; var im = 0L
+        for (j <- 0 until 16) {
+          val t = (bin * j) % 16
+          re += samples(f * 16 + j) * AudioCodec.Cos16(t)
+          im += samples(f * 16 + j) * AudioCodec.Sin16(t)
+        }
+        out(bin) += re * re + im * im
+      }
+      out
+    }
+    val s = Array.tabulate(48)(k => (((k * 37) % 173) - 86).toShort)
+    pcmSpectrum16(encodeWavSamples(8000, 1, s)).get shouldBe direct(s)
+
+    // DC signal concentrates in bin 0 (others only see table floor error)
+    val dc = Array.fill[Short](32)(100)
+    val spec = pcmSpectrum16(encodeWavSamples(8000, 1, dc)).get
+    spec(0) shouldBe spec.max
+    spec(0) should be > 100L * spec.drop(1).max
+
+    // tail samples short of a frame are dropped: 16+15 ≡ 16
+    val t31 = Array.tabulate(31)(k => ((k * 91) % 200 - 100).toShort)
+    pcmSpectrum16(encodeWavSamples(8000, 1, t31)).get shouldBe
+      pcmSpectrum16(encodeWavSamples(8000, 1, t31.take(16))).get
+
+    // FLAC / corrupt / empty → None, never a throw
+    pcmSpectrum16(encodeFlac(8000, 1, 10L)) shouldBe None
+    val bad2 = encodeWavSamples(8000, 1, s); bad2(4) = (bad2(4) ^ 0x5a).toByte
+    pcmSpectrum16(bad2) shouldBe None
+    pcmSpectrum16(Array.emptyByteArray) shouldBe None
+  }
 }
