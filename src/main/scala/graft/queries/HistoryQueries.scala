@@ -334,11 +334,22 @@ object HistoryQueries {
     * day-monotone (every event day in batch N+1 > every day in batch N for
     * the same key); any such split — including empty batches — folds to the
     * same table as the one-shot rebuild (property-tested in HistorySpec).
-    * `batch` columns: (custkey, status, day, orderkey). */
+    * `batch` columns: (custkey, status, day, orderkey).
+    *
+    * `fenceId` makes the apply REPLAY-SAFE for at-least-once streaming
+    * sinks: the fold itself is not idempotent (a replayed event at a day
+    * that produced several same-day versions would compare against the
+    * LAST same-day version, not its own), so a re-delivered batch must be
+    * fenced out, not re-folded. The fence is written atomically with the
+    * merged rows (MergeOps.mergeByKey) and the whole apply is skipped when
+    * the stored fence says the batch already committed. */
   private[graft] def applyScd2Batch(
-      s: SparkSession, path: String, batch: DataFrame): Unit = {
+      s: SparkSession, path: String, batch: DataFrame,
+      fenceId: Option[Long] = None): Unit = {
     import graft.mutation.MergeOps
     MergeOps.recoverIfNeeded(s, path)
+    if (fenceId.exists(id => MergeOps.readFence(s, path).exists(_ >= id)))
+      return
     val existing = s.read.parquet(path)
     val changedKeys = batch.select("custkey").distinct()
     val exU = existing.join(changedKeys, Seq("custkey"), "left_semi")
@@ -366,7 +377,9 @@ object HistoryQueries {
       .withColumn("to_day", lead("day", 1).over(w))
       .select(col("custkey"), col("status"), col("version").cast("bigint"),
         col("day").as("from_day"), col("to_day").cast("bigint"))
-    MergeOps.mergeByKey(s, path, updates, "custkey", insertUnmatched = true)
+    MergeOps.mergeByKey(s, path, updates, "custkey", insertUnmatched = true,
+      fenceId = fenceId)
+    ()
   }
 
   val all: Seq[Reg] = Seq(scd2History, intervalIslands, scd2Lookup, scd2Upsert)

@@ -1249,9 +1249,120 @@ object IngestQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** S25 — STREAMING SCD2 dimension maintenance: the a32 incremental fold
+    * ([[HistoryQueries.applyScd2Batch]]) run where a real pipeline runs it
+    * — as a `foreachBatch` sink under Structured Streaming. The order
+    * changelog is staged as day-monotone files (ascending modification
+    * times; `maxFilesPerTrigger 1` makes each file one micro-batch) and
+    * every micro-batch folds into the persisted dimension through the
+    * MergeOps keyed-merge protocol. The final table is row-identical to
+    * the one-shot a24 rebuild — batching through the streaming runtime is
+    * invisible, which IS the oracle.
+    *
+    * Replay safety: the fold itself is NOT idempotent (a replayed event
+    * at a day that produced several same-day versions would compare
+    * against the last same-day version, not its own), so the sink uses
+    * BATCH-ID FENCING — the Delta txnVersion idiom: the micro-batch id is
+    * written inside the staged dimension directory and rides the same
+    * atomic rename as the merged rows, so a replayed `foreachBatch` call
+    * whose original committed is skipped whole, and one that never
+    * committed re-runs safely (property-tested in HistorySpec). Scale:
+    * per-batch cost is O(changed keys) exactly as in a32; state is the
+    * dimension itself, never the changelog. */
+  val streamScd2: Reg = Reg.sql(
+    "s25_stream_scd2",
+    """WITH e AS (
+      |  SELECT o_custkey, o_orderstatus,
+      |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+      |         o_orderkey
+      |  FROM orders),
+      |c AS (
+      |  SELECT *, LAG(o_orderstatus) OVER
+      |    (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS prev_status
+      |  FROM e),
+      |ch AS (SELECT * FROM c
+      |       WHERE prev_status IS NULL OR o_orderstatus <> prev_status),
+      |v AS (
+      |  SELECT o_custkey, o_orderstatus, day,
+      |         ROW_NUMBER() OVER
+      |           (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS version,
+      |         LEAD(day) OVER
+      |           (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS to_day
+      |  FROM ch)
+      |SELECT o_custkey AS custkey, o_orderstatus AS status,
+      |       CAST(version AS BIGINT) AS version,
+      |       CAST(day AS BIGINT) AS from_day,
+      |       CAST(to_day AS BIGINT) AS to_day
+      |FROM v ORDER BY custkey, version""".stripMargin) { (s, dir) =>
+    val work = graft.Scratch.dir("graft_sscd2")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val e = Tables.orders(s, dir).select(
+        col("o_custkey").as("custkey"), col("o_orderstatus").as("status"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day"),
+        col("o_orderkey").as("orderkey"))
+      val (lo, hi) = {
+        val r = e.agg(min("day"), max("day")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * (hi - lo) / 3
+      // stage the changelog as day-monotone files; ascending mtimes make
+      // the file source deliver them in day order, one per micro-batch
+      val src = new java.io.File(work + "/in"); src.mkdirs()
+      val t0 = System.currentTimeMillis()
+      Seq(col("day") <= cut1,
+        col("day") > cut1 && col("day") <= cut2,
+        col("day") > cut2).zipWithIndex.foreach { case (p, i) =>
+        val tmp = new java.io.File(work + s"/tmp$i")
+        e.where(p).coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + i * 2000L)
+        ()
+      }
+      val dim = work + "/dim"
+      e.select(col("custkey"), col("status"), lit(0L).as("version"),
+        col("day").as("from_day"), lit(null).cast("bigint").as("to_day"))
+        .where(lit(false)).write.parquet(dim)
+
+      val schema = s.read.parquet(src.toString).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            HistoryQueries.applyScd2Batch(
+              batch.sparkSession, dim, batch.toDF(), fenceId = Some(id))
+            ()
+        }
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val out = s.read.parquet(dim)
+        .select(col("custkey"), col("status"), col("version"),
+          col("from_day"), col("to_day"))
+        .orderBy("custkey", "version")
+      // dimension-sized result: materialize so scratch can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
       batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals, streamTimers,
-      foreachBatchUpsert, streamMedian, streamQuantiles, streamDrift)
+      foreachBatchUpsert, streamMedian, streamQuantiles, streamDrift,
+      streamScd2)
 }

@@ -102,7 +102,15 @@ class HistorySpec extends AnyFunSuite with Matchers with SparkSuite {
           F.lit(0L).as("version"), F.col("day").as("from_day"),
           F.lit(null).cast("bigint").as("to_day"))
           .where(F.lit(false)).write.parquet(path)
-        batches.foreach(HistoryQueries.applyScd2Batch(spark, path, _))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          HistoryQueries.applyScd2Batch(spark, path, b, fenceId = Some(i.toLong))
+          // at-least-once replay: a re-delivered batch whose original
+          // committed is FENCED OUT whole (the fold is not idempotent —
+          // same-day multi-version chains would re-fold wrong), exactly
+          // how the s25 streaming sink runs it
+          if (i == 1)
+            HistoryQueries.applyScd2Batch(spark, path, b, fenceId = Some(i.toLong))
+        }
         val folded = spark.read.parquet(path)
           .collect().map(_.toString).sorted
         withClue(s"cuts=$cuts: ") {
