@@ -655,7 +655,76 @@ object MutationQueries {
     } finally deleteRecursively(root.toFile)
   }
 
+  /** A34 — INCREMENTAL VIEW MAINTENANCE of a two-sided join: the classic
+    * delta algebra ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, run as a real protocol over
+    * append-only parquet segments. Inserts arrive in three batches hitting
+    * BOTH sides (orders sliced by customer, lineitems by part — the slices
+    * deliberately cross, so every batch's deltas join against earlier
+    * batches' accumulations); each batch appends exactly the view rows its
+    * deltas create: ΔO⋈(L_acc ∪ ΔL) ∪ O_acc⋈ΔL. A pair (o, l) therefore
+    * lands exactly once — in batch max(batch(o), batch(l)) — which is what
+    * the oracle states directly: the per-batch appended row/quantity
+    * rollup equals GREATEST(o_custkey%3, l_partkey%3) over the PLAIN FULL
+    * JOIN, so a double-counted or missed delta pair breaks the hash.
+    *
+    * Scale: per-batch cost is two delta-sized keyed joins (the
+    * accumulation side streams from its segments; the delta side is batch-
+    * bounded) — never a view rebuild, never a full re-join. The store is
+    * append-only with deterministic segment names (replays overwrite their
+    * own segment — the IncrementalNearDup discipline), and the view itself
+    * is insert-only because the sources are insert-only; updates/deletes
+    * compose with the MergeOps keyed-merge protocols instead. */
+  val ivmJoin: Reg = Reg.sql(
+    "a34_ivm_join",
+    """SELECT CAST(GREATEST(o.o_custkey % 3, l.l_partkey % 3) AS BIGINT)
+      |         AS batch_id,
+      |       o.o_orderpriority,
+      |       CAST(COUNT(*) AS BIGINT) AS appended_rows,
+      |       CAST(SUM(l.l_quantity) AS BIGINT) AS qty
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val work = graft.Scratch.dir("graft_ivm")
+    try {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val oDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val lDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+      (0 until 3).foreach { i =>
+        val oDir = s"$work/o/b$i"
+        val lDir = s"$work/l/b$i"
+        o.where(col("o_custkey") % 3 === i).write.parquet(oDir)
+        l.where(col("l_partkey") % 3 === i).write.parquet(lDir)
+        // join inputs are the STORED segments, exactly as a real
+        // maintenance job would read them
+        val dO = s.read.parquet(oDir)
+        val dL = s.read.parquet(lDir)
+        val lAccNew = s.read.parquet((lDirs :+ lDir).toSeq: _*)
+        val fromNewO = dO.join(lAccNew, col("o_orderkey") === col("l_orderkey"))
+        val appended =
+          if (oDirs.isEmpty) fromNewO
+          else fromNewO.unionByName(
+            s.read.parquet(oDirs.toSeq: _*)
+              .join(dL, col("o_orderkey") === col("l_orderkey")))
+        appended
+          .select(lit(i.toLong).as("batch_id"), col("o_orderpriority"),
+            col("l_quantity"))
+          .write.parquet(s"$work/view/b$i")
+        oDirs += oDir
+        lDirs += lDir
+      }
+      val out = s.read.parquet((0 until 3).map(i => s"$work/view/b$i"): _*)
+        .groupBy("batch_id", "o_orderpriority")
+        .agg(count(lit(1)).as("appended_rows"),
+          sum("l_quantity").cast("bigint").as("qty"))
+        .orderBy("batch_id", "o_orderpriority")
+      // 15-row rollup: materialize so the scratch dir can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
-    writeAuditPublish, forgetUser)
+    writeAuditPublish, forgetUser, ivmJoin)
 }
