@@ -36,4 +36,31 @@ object Geo {
     * combined uncertainty (the reference's "within expected" check). */
   def withinExpected(distanceM: Column, acc1: Column, acc2: Column): Column =
     distanceM <= expectedUncertainty(acc1, acc2)
+
+  /** Point-in-polygon by ray casting on an INTEGER lattice — the geofence
+    * predicate (is this AP/measurement inside the campus / region / market
+    * boundary?) as a pure column expression. Coordinates and vertices are
+    * integers (e.g. micro-degrees), and the crossing test uses cross-
+    * multiplication instead of division, so every comparison is exact
+    * BIGINT arithmetic — restatable verbatim by a SQL oracle and immune to
+    * float boundary flapping. For each edge (x1,y1)→(x2,y2): the
+    * horizontal ray from the point crosses it iff the edge spans the
+    * point's y strictly on one side ((y1 > py) ≠ (y2 > py)) and the
+    * intersection lies right of the point — (px−x1)(y2−y1) < (x2−x1)(py−y1)
+    * sign-adjusted by the edge direction. Odd crossing count = inside.
+    * Polygons may be non-convex; vertices in order, closed implicitly.
+    * Stays inside whole-stage codegen (no UDF). */
+  def pointInPolygon(px: Column, py: Column, vertices: Seq[(Long, Long)]): Column = {
+    require(vertices.length >= 3, "polygon needs at least 3 vertices")
+    val crossings = vertices.indices.map { i =>
+      val (x1, y1) = vertices(i)
+      val (x2, y2) = vertices((i + 1) % vertices.length)
+      val spans = (lit(y1) > py) =!= (lit(y2) > py)
+      val lhs = (px - lit(x1)) * lit(y2 - y1)
+      val rhs = lit(x2 - x1) * (py - lit(y1))
+      val rightOf = if (y2 - y1 > 0) lhs < rhs else lhs > rhs
+      when(spans && rightOf, 1).otherwise(0)
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
 }

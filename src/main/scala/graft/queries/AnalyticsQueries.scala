@@ -2199,6 +2199,60 @@ object AnalyticsQueries {
       .orderBy("l_suppkey")
   }
 
+  /** C9 — GEOFENCE containment: point-in-polygon by exact integer ray
+    * casting ([[graft.functions.Geo.pointInPolygon]]) — the "is this
+    * AP/measurement inside the campus / market boundary?" predicate the
+    * reference's hotspot and relocation analyses would gate on. The
+    * polygon is NON-CONVEX (a notch vertex), coordinates are an integer
+    * micro-degree lattice, and every crossing test is cross-multiplied
+    * BIGINT arithmetic (no division, no float), so DuckDB restates the
+    * identical algebra edge by edge. One scan + one 8-group aggregate; the
+    * polygon is a constant folded into the row expression — at 100 TB this
+    * runs fused with the scan inside whole-stage codegen. */
+  val c9PointInPolygon: Reg = Reg.sql(
+    "c9_point_in_polygon",
+    """WITH p AS (
+      |  SELECT event_id,
+      |         (((event_id * 13) % 2000) - 1000) * 1000 + (user_id % 997) AS px,
+      |         (((event_id * 7) % 2000) - 1000) * 1000 + (user_id % 991) AS py
+      |  FROM events),
+      |e(x1, y1, x2, y2) AS (VALUES
+      |  (-800000, -600000, 900000, -700000),
+      |  (900000, -700000, 700000, 200000),
+      |  (700000, 200000, 100000, -100000),
+      |  (100000, -100000, 300000, 800000),
+      |  (300000, 800000, -600000, 500000),
+      |  (-600000, 500000, -800000, -600000)),
+      |c AS (
+      |  SELECT p.event_id, p.px, p.py,
+      |         SUM(CASE WHEN ((y1 > py) <> (y2 > py)) AND
+      |                  (CASE WHEN y2 - y1 > 0
+      |                        THEN (px - x1) * (y2 - y1) < (x2 - x1) * (py - y1)
+      |                        ELSE (px - x1) * (y2 - y1) > (x2 - x1) * (py - y1)
+      |                   END)
+      |                  THEN 1 ELSE 0 END) AS k
+      |  FROM p, e GROUP BY p.event_id, p.px, p.py)
+      |SELECT (k % 2 = 1) AS inside, px < 0 AS west, py < 0 AS south,
+      |       CAST(COUNT(*) AS BIGINT) AS n
+      |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val verts = Seq(
+      (-800000L, -600000L), (900000L, -700000L), (700000L, 200000L),
+      (100000L, -100000L), (300000L, 800000L), (-600000L, 500000L))
+    Tables.events(s, dir)
+      .select(
+        ((((col("event_id") * 13) % 2000) - 1000) * 1000 + (col("user_id") % 997))
+          .as("px"),
+        ((((col("event_id") * 7) % 2000) - 1000) * 1000 + (col("user_id") % 991))
+          .as("py"))
+      .select(
+        graft.functions.Geo.pointInPolygon(col("px"), col("py"), verts)
+          .as("inside"),
+        (col("px") < 0).as("west"), (col("py") < 0).as("south"))
+      .groupBy("inside", "west", "south")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("inside", "west", "south")
+  }
+
   /** A33 — join-key SKEW REPORT: the pre-flight diagnostic a 100 TB
     * pipeline runs BEFORE committing to a join strategy (salting, AQE skew
     * thresholds, broadcast cutoffs — j8SaltedJoin is the cure; this is the
@@ -2266,7 +2320,7 @@ object AnalyticsQueries {
   }
 
   val all: Seq[Reg] = Seq(
-    a33SkewReport,
+    a33SkewReport, c9PointInPolygon,
     o31ExactMedian, o32ExactMedianDouble, o33GroupMedian, o34GroupQuantiles,
     o35GroupMode, o36WeightedMedian,
     o25ParetoFront, o26CountMin, o27KmvDistinct, a29Expectations, o28HoltLinear,
