@@ -61,6 +61,26 @@ object Geo {
       val rightOf = if (y2 - y1 > 0) lhs < rhs else lhs > rhs
       when(spans && rightOf, 1).otherwise(0)
     }.reduce(_ + _)
-    crossings % 2 === 1
+    // Bounding-box guard conjoined FIRST: semantically redundant (a point
+    // outside the bbox casts zero crossings) but load-bearing at scale —
+    // plain range predicates short-circuit the edge tests for the vast
+    // majority of rows, and when the whole expression is used as a filter
+    // they are the part Catalyst can push to the scan (the c8
+    // CircleFilterRule precedent, needing no rule here because the box is
+    // a static conjunction, not a derived one).
+    val minX = vertices.map(_._1).min; val maxX = vertices.map(_._1).max
+    val minY = vertices.map(_._2).min; val maxY = vertices.map(_._2).max
+    px >= lit(minX) && px <= lit(maxX) &&
+      py >= lit(minY) && py <= lit(maxY) &&
+      crossings % 2 === 1
   }
+
+  /** Exact polygon area on the integer lattice: the SHOELACE sum
+    * Σ (xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ) over the closed ring — returned as
+    * |2A| (twice the area), which is always an INTEGER for lattice
+    * vertices, so the result is exact BIGINT arithmetic with no float and
+    * orientation-independent. Input is one edge per row (the lead-over-
+    * vertex-order shape); this is the per-edge TERM to SUM per polygon. */
+  def shoelaceTerm(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+    x1 * y2 - x2 * y1
 }

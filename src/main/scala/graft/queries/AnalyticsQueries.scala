@@ -2253,6 +2253,55 @@ object AnalyticsQueries {
       .orderBy("inside", "west", "south")
   }
 
+  /** C10 — exact polygon AREA on the integer lattice: each user's first 8
+    * event-derived lattice points (event order) form a closed ring, and
+    * the SHOELACE sum over its edges gives |2A| — an exact BIGINT for
+    * lattice vertices, no float, orientation-independent, well-defined
+    * (as the signed self-intersection area) even for arbitrary rings. The
+    * region-size normalizer next to c9's containment gate. Shape: one
+    * keyed window (rank + wrap-around lead share the partition sort), one
+    * keyed aggregate — parallel across polygons at any count. */
+  val c10PolygonArea: Reg = Reg.sql(
+    "c10_polygon_area",
+    """WITH p AS (
+      |  SELECT user_id, event_id,
+      |         (((event_id * 13) % 2000) - 1000) * 1000 + (user_id % 997) AS px,
+      |         (((event_id * 7) % 2000) - 1000) * 1000 + (user_id % 991) AS py
+      |  FROM events),
+      |r AS (SELECT *, ROW_NUMBER() OVER
+      |        (PARTITION BY user_id ORDER BY event_id) AS rn FROM p),
+      |v AS (SELECT user_id, rn, px, py FROM r WHERE rn <= 8),
+      |e AS (SELECT user_id, px, py,
+      |        COALESCE(LEAD(px) OVER w, FIRST_VALUE(px) OVER w) AS nx,
+      |        COALESCE(LEAD(py) OVER w, FIRST_VALUE(py) OVER w) AS ny
+      |      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+      |       CAST(ABS(SUM(px * ny - nx * py)) AS BIGINT) AS area2
+      |FROM e GROUP BY user_id HAVING COUNT(*) >= 3
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val p = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"),
+      ((((col("event_id") * 13) % 2000) - 1000) * 1000 + (col("user_id") % 997))
+        .as("px"),
+      ((((col("event_id") * 7) % 2000) - 1000) * 1000 + (col("user_id") % 991))
+        .as("py"))
+    val wRank = Window.partitionBy("user_id").orderBy("event_id")
+    val v = p.withColumn("rn", row_number().over(wRank)).where(col("rn") <= 8)
+    val wRing = Window.partitionBy("user_id").orderBy("rn")
+    val wAll = wRing.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    v.withColumn("nx",
+        coalesce(lead("px", 1).over(wRing), first("px").over(wAll)))
+      .withColumn("ny",
+        coalesce(lead("py", 1).over(wRing), first("py").over(wAll)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_vertices"),
+        abs(sum(graft.functions.Geo.shoelaceTerm(
+          col("px"), col("py"), col("nx"), col("ny")))).as("area2"))
+      .where(col("n_vertices") >= 3)
+      .orderBy("user_id")
+  }
+
   /** A33 — join-key SKEW REPORT: the pre-flight diagnostic a 100 TB
     * pipeline runs BEFORE committing to a join strategy (salting, AQE skew
     * thresholds, broadcast cutoffs — j8SaltedJoin is the cure; this is the
@@ -2320,7 +2369,7 @@ object AnalyticsQueries {
   }
 
   val all: Seq[Reg] = Seq(
-    a33SkewReport, c9PointInPolygon,
+    a33SkewReport, c9PointInPolygon, c10PolygonArea,
     o31ExactMedian, o32ExactMedianDouble, o33GroupMedian, o34GroupQuantiles,
     o35GroupMode, o36WeightedMedian,
     o25ParetoFront, o26CountMin, o27KmvDistinct, a29Expectations, o28HoltLinear,
