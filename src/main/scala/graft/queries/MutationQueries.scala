@@ -724,7 +724,66 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A35 — TIME TRAVEL over the log-structured versioned table
+    * ([[graft.mutation.VersionedTable]]): create (v0) → append (v1) →
+    * copy-on-write DELETE (v2, a replace commit), then read EVERY version
+    * AFTER all commits landed — v0 and v1 must still serve their exact
+    * historical rows (immutable segments + append-only manifest log, the
+    * Delta/Iceberg substance the in-place MergeOps swap cannot give) —
+    * then expire to the newest snapshot and prove the survivor still
+    * reads identically while exactly the unreferenced segments are
+    * vacuumed. Every emitted number is a closed form over orders, so the
+    * oracle pins each snapshot's content, not just "some rows came back".
+    *
+    * Scale: commits are O(new data) + one manifest line per segment;
+    * snapshot reads list one manifest; expiry is metadata-sized except
+    * the final segment deletes. */
+  val timeTravel: Reg = Reg.sql(
+    "a35_time_travel",
+    """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+      |v0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o WHERE k % 4 = 0),
+      |v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o WHERE k % 4 IN (0, 1)),
+      |v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o WHERE k % 4 IN (0, 1) AND c % 10 <> 3)
+      |SELECT 'v0' AS snapshot, n AS rows_n, s AS custkey_sum FROM v0
+      |UNION ALL SELECT 'v1', n, s FROM v1
+      |UNION ALL SELECT 'v2', n, s FROM v2
+      |UNION ALL SELECT 'v2_after_vacuum', n, s FROM v2
+      |UNION ALL SELECT 'vacuum', CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+      |ORDER BY snapshot""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_vtab")
+    val root = s"$work/t"
+    try {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+      VersionedTable.create(s, root, o.where(col("k") % 4 === 0))
+      VersionedTable.append(s, root, o.where(col("k") % 4 === 1))
+      // copy-on-write DELETE: v2 references only the replacement segment
+      VersionedTable.replace(s, root,
+        VersionedTable.read(s, root).where(!(col("c") % 10 === 3)))
+      def stat(v: Long): (Long, Long) = {
+        val r = VersionedTable.read(s, root, Some(v))
+          .agg(count(lit(1)), sum("c").cast("bigint")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      // all three snapshots read AFTER every commit landed: time travel
+      val (n0, s0) = stat(0); val (n1, s1) = stat(1); val (n2, s2) = stat(2)
+      val (droppedV, deletedSegs) = VersionedTable.expireSnapshots(s, root, 1)
+      val (n2b, s2b) = stat(2) // the survivor is untouched by the vacuum
+      import s.implicits._
+      Seq(
+        ("v0", n0, s0), ("v1", n1, s1), ("v2", n2, s2),
+        ("v2_after_vacuum", n2b, s2b),
+        ("vacuum", droppedV.toLong, deletedSegs.toLong))
+        .toDF("snapshot", "rows_n", "custkey_sum")
+        .orderBy("snapshot")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
-    writeAuditPublish, forgetUser, ivmJoin)
+    writeAuditPublish, forgetUser, ivmJoin, timeTravel)
 }
