@@ -37,6 +37,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     plan(CoreQueries.o1SortedScan) should include("TakeOrderedAndProject")
   }
 
+  test("a33: heavy keys via TakeOrdered; percentile windows never touch key frames") {
+    val p = plan(AnalyticsQueries.a33SkewReport)
+    // top-10 heavy keys must not be a global sort
+    p should include("TakeOrderedAndProject")
+    // the only single-partition window runs over the count-of-counts
+    // histogram (tiny); the key histogram itself partial-aggregates
+    p should include("partial_count")
+  }
+
+  test("c9: the geofence verdict fuses with the scan — no join, no explode") {
+    val p = plan(AnalyticsQueries.c9PointInPolygon)
+    p should not include "Join"
+    p should not include "Generate"
+    // one aggregation pair over the 8-cell domain is the only shuffle
+    p should include("partial_count")
+  }
+
   test("column pruning: q1 reads only the needed lineitem columns") {
     val p = plan(CoreQueries.q1PricingSummary)
     p should include("ReadSchema")
