@@ -50,7 +50,7 @@ object VersionedTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  private def readManifest(
+  private def manifestLines(
       spark: SparkSession, root: String, v: Long): Seq[String] = {
     val f = fs(spark, root)
     val p = manifest(root, v)
@@ -64,11 +64,29 @@ object VersionedTable {
     finally in.close()
   }
 
+  private def readManifest(
+      spark: SparkSession, root: String, v: Long): Seq[String] =
+    manifestLines(spark, root, v).filterNot(_.startsWith("#"))
+
+  /** The streaming-sink idempotence fence of the CURRENT version (the
+    * `#fence=<id>` manifest header — the same txnVersion idiom as
+    * MergeOps.mergeByKey's `_fence`, here riding the commit itself).
+    * None when the table is empty or the last commit was unfenced. */
+  def currentFence(spark: SparkSession, root: String): Option[Long] =
+    currentVersion(spark, root).flatMap { v =>
+      manifestLines(spark, root, v)
+        .find(_.startsWith("#fence="))
+        .map(_.stripPrefix("#fence=").toLong)
+    }
+
   /** Commit `segments` (relative names) as the next version; returns it.
     * The staged-write + atomic-rename makes the manifest the commit point;
-    * rename-over-existing fails, so racing writers cannot both commit. */
+    * rename-over-existing fails, so racing writers cannot both commit.
+    * A `fence` id is recorded in the manifest header — atomically with
+    * the segment list, since it IS the committed file. */
   private def commit(
-      spark: SparkSession, root: String, segments: Seq[String]): Long = {
+      spark: SparkSession, root: String, segments: Seq[String],
+      fence: Option[Long] = None): Long = {
     val f = fs(spark, root)
     val dir = logDir(root)
     if (!f.exists(dir) && !f.mkdirs(dir))
@@ -76,7 +94,8 @@ object VersionedTable {
     val v = currentVersion(spark, root).fold(0L)(_ + 1)
     val tmp = new Path(dir, s".v$v.manifest.tmp")
     val out = f.create(tmp, true)
-    try out.write((segments.mkString("\n") + "\n").getBytes("UTF-8"))
+    val header = fence.map(id => s"#fence=$id\n").getOrElse("")
+    try out.write((header + segments.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val target = manifest(root, v)
     if (f.exists(target) || !f.rename(tmp, target)) {
@@ -108,6 +127,23 @@ object VersionedTable {
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
     commit(spark, root,
       readManifest(spark, root, prev) :+ writeSegment(spark, root, df))
+  }
+
+  /** Replay-safe streaming-sink append: creates the table on the first
+    * batch, appends on later ones, and SKIPS whole when the current
+    * fence says `batchId` already committed (returns None) — at-least-
+    * once `foreachBatch` delivery lands each micro-batch exactly once,
+    * because the fence is a header OF the committed manifest, not a
+    * separate artifact that could tear away from it. Monotone batch ids
+    * (Structured Streaming's contract) are assumed. */
+  def appendFenced(
+      spark: SparkSession, root: String, df: DataFrame,
+      batchId: Long): Option[Long] = {
+    if (currentFence(spark, root).exists(_ >= batchId)) return None
+    val prevSegs = currentVersion(spark, root)
+      .map(readManifest(spark, root, _)).getOrElse(Seq.empty)
+    Some(commit(spark, root,
+      prevSegs :+ writeSegment(spark, root, df), fence = Some(batchId)))
   }
 
   /** REPLACE commit (the copy-on-write UPDATE/DELETE shape): the new

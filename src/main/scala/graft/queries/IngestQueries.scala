@@ -1359,10 +1359,78 @@ object IngestQueries {
     }
   }
 
+  /** S26 — streaming append into the LOG-STRUCTURED versioned table
+    * ([[graft.mutation.VersionedTable]]): each micro-batch lands as one
+    * fenced commit (`appendFenced` — the batch id is a header OF the
+    * committed manifest, so at-least-once replays of a committed batch
+    * are skipped whole, with no separate fence artifact that could tear
+    * away). The result reads EVERY version after the stream drains: the
+    * table's history IS the stream's batch history, each snapshot exactly
+    * the prefix of batches that had committed — time travel over a live
+    * ingest, the production pattern for reproducible training snapshots
+    * ("train on the corpus as of version N"). Commits are O(batch) data +
+    * one manifest; nothing is ever rewritten. */
+  val streamVersionLog: Reg = Reg.sql(
+    "s26_stream_version_log",
+    """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 30000),
+      |v(version) AS (VALUES (0), (1), (2))
+      |SELECT CAST(version AS BIGINT) AS version,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(user_id) AS BIGINT) AS uid_sum
+      |FROM v JOIN e ON e.event_id % 3 <= version
+      |GROUP BY version ORDER BY version""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_svlog")
+    val root = s"$work/t"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 30000L)
+        .select("event_id", "user_id")
+      val src = new java.io.File(work + "/in"); src.mkdirs()
+      val t0 = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val tmp = new java.io.File(work + s"/tmp$i")
+        e.where(col("event_id") % 3 === i).coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + i * 2000L)
+        ()
+      }
+      val schema = s.read.parquet(src.toString).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            VersionedTable.appendFenced(batch.sparkSession, root, batch.toDF(), id)
+            ()
+        }
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      import s.implicits._
+      val rows = (0L to 2L).map { v =>
+        val r = VersionedTable.read(s, root, Some(v))
+          .agg(count(lit(1)), sum("user_id").cast("bigint")).head()
+        (v, r.getLong(0), r.getLong(1))
+      }
+      rows.toDF("version", "n_rows", "uid_sum").orderBy("version")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
       batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals, streamTimers,
       foreachBatchUpsert, streamMedian, streamQuantiles, streamDrift,
-      streamScd2)
+      streamScd2, streamVersionLog)
 }

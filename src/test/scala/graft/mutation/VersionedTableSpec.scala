@@ -76,6 +76,22 @@ class VersionedTableSpec extends AnyFunSuite with Matchers with SparkSuite {
     VersionedTable.expireSnapshots(spark, root, 5) shouldBe ((0, 0))
   }
 
+  test("appendFenced: replays of a committed batch are skipped whole") {
+    val root = freshRoot()
+    VersionedTable.appendFenced(spark, root, df(1, 2), 0L) shouldBe Some(0L)
+    VersionedTable.appendFenced(spark, root, df(3), 1L) shouldBe Some(1L)
+    // at-least-once replay of batch 1: no new version, no new rows
+    VersionedTable.appendFenced(spark, root, df(3), 1L) shouldBe None
+    VersionedTable.currentVersion(spark, root) shouldBe Some(1L)
+    VersionedTable.read(spark, root).count() shouldBe 3L
+    VersionedTable.currentFence(spark, root) shouldBe Some(1L)
+    // the fence header never leaks into the segment list
+    idsAt(root, 1) shouldBe Set(1L, 2L, 3L)
+    // an unfenced commit afterwards clears the fence
+    VersionedTable.append(spark, root, df(4))
+    VersionedTable.currentFence(spark, root) shouldBe None
+  }
+
   test("append after expiry keeps numbering monotone and content correct") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
