@@ -540,6 +540,102 @@ object LlmQueries {
       .orderBy("id_a")
   }
 
+  /** CONTAINMENT dedup — the asymmetric complement of Jaccard near-dup:
+    * C(A,B) = |A∩B| / min(|A|,|B|) over distinct word 3-grams catches a
+    * document CONTAINED in a longer one (quotation, expansion, scrape-of-
+    * a-scrape), which symmetric Jaccard dilutes below any usable
+    * threshold. Every 7th doc plants a superset twin (its text plus 2×
+    * its word count of unique filler), so the gate has real pairs with
+    * containment = 1.0 and Jaccard < 0.5 — invisible to the symmetric
+    * family by construction.
+    *
+    * Shape: candidates from a RARE-gram inverted index (df ≤ 8, ≥ 3
+    * shared — the winnowing/MinHash bucket discipline, never all-pairs),
+    * then EXACT verification on the full distinct-gram arrays of the
+    * candidate pairs only; containment and Jaccard are integer micros
+    * ((x·1e6) div y). Fully oracled: DuckDB restates index, cap, and
+    * verify on the same augmented corpus. */
+  val containmentDedup: Reg = Reg.sql(
+    "llm_containment_dedup",
+    """WITH aug AS (
+      |  SELECT doc_id, lower(text) AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 40000000,
+      |         lower(text) || ' ' || array_to_string(
+      |           list_transform(range(1, 2 * len(string_split_regex(text, '\s+')) + 1),
+      |             j -> 'zzq' || doc_id || 'x' || j), ' ')
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |w AS (SELECT doc_id, string_split_regex(t, '\s+') AS ws FROM aug),
+      |g AS (SELECT doc_id,
+      |             CASE WHEN len(ws) >= 3 THEN
+      |               list_distinct(list_transform(range(1, len(ws) - 1),
+      |                 i -> array_to_string(ws[i:i+2], ' ')))
+      |             ELSE [] END AS grams
+      |      FROM w),
+      |ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |rare AS (SELECT gram FROM ex GROUP BY gram
+      |         HAVING COUNT(DISTINCT doc_id) <= 8),
+      |fx AS (SELECT ex.doc_id, ex.gram FROM ex JOIN rare USING (gram)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM fx a JOIN fx b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.gram) >= 3),
+      |ver AS (
+      |  SELECT c.id_a, c.id_b,
+      |         len(list_intersect(ga.grams, gb.grams)) AS inter,
+      |         len(ga.grams) AS na, len(gb.grams) AS nb
+      |  FROM cand c
+      |  JOIN g ga ON ga.doc_id = c.id_a
+      |  JOIN g gb ON gb.doc_id = c.id_b)
+      |SELECT id_a, id_b,
+      |       (inter * 1000000) // LEAST(na, nb) AS containment_micro,
+      |       (inter * 1000000) // (na + nb - inter) AS jaccard_micro
+      |FROM ver
+      |WHERE (inter * 1000000) // LEAST(na, nb) >= 900000
+      |  AND (inter * 1000000) // (na + nb - inter) < 500000
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val aug = docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .unionByName(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 40000000L).as("doc_id"),
+          concat(lower(col("text")), lit(" "),
+            array_join(expr(
+              "transform(sequence(1, 2 * size(split(text, '\\\\s+'))), " +
+                "j -> concat('zzq', doc_id, 'x', j))"), " ")).as("t")))
+    val g = aug.select(col("doc_id"),
+      expr("""CASE WHEN size(split(t, '\\s+')) >= 3 THEN
+             |  array_distinct(transform(sequence(1, size(split(t, '\\s+')) - 2),
+             |    i -> concat_ws(' ', slice(split(t, '\\s+'), i, 3))))
+             |ELSE array() END""".stripMargin).as("grams"))
+      // consumed by the inverted index AND both verify sides
+      .localCheckpoint(false)
+    val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val rare = ex.groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd")).where(col("nd") <= 8)
+      .select("gram")
+    val fx = ex.join(rare, "gram")
+    val cand = fx.select(col("gram"), col("doc_id").as("id_a"))
+      .join(fx.select(col("gram"), col("doc_id").as("id_b")), "gram")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct("gram").as("shared"))
+      .where(col("shared") >= 3)
+      .select("id_a", "id_b")
+    cand
+      .join(g.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("bigint").as("inter"),
+        size(col("ga")).cast("bigint").as("na"),
+        size(col("gb")).cast("bigint").as("nb"))
+      .select(col("id_a"), col("id_b"),
+        expr("(inter * 1000000) div least(na, nb)").as("containment_micro"),
+        expr("(inter * 1000000) div (na + nb - inter)").as("jaccard_micro"))
+      .where(col("containment_micro") >= 900000L &&
+        col("jaccard_micro") < 500000L)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Rolling-hash document fingerprinting (winnowing) near-dup, EXACTLY
     * oracled on natural data — unlike MinHash/SimHash (probabilistic →
     * planted-corpus oracles), winnowing is deterministic arithmetic both
@@ -3093,6 +3189,7 @@ object LlmQueries {
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
+    containmentDedup,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
