@@ -540,6 +540,47 @@ object LlmQueries {
       .orderBy("id_a")
   }
 
+  /** CURRICULUM ordering — the data-ORDER op of a training pipeline:
+    * documents are banded by a closed-form difficulty proxy (length band
+    * = min(9, n_chars div 100) — a scale-free banding, deliberately not a
+    * rank decile, which would need a corpus-wide single-partition window)
+    * and shuffled WITHIN each band by a deterministic per-epoch hash
+    * (md5 of doc_id:epoch — both engines produce identical hex), so each
+    * epoch sees bands easy→hard with a different but reproducible
+    * within-band permutation. Emitted: the first 8 docs of every
+    * (epoch, band) — per-group windows compile to WindowGroupLimit, so
+    * the corpus is pruned to k per group map-side, never globally
+    * sorted. */
+  val curriculumOrder: Reg = Reg.sql(
+    "llm_curriculum_order",
+    """WITH b AS (
+      |  SELECT doc_id, LEAST(9, n_chars // 100) AS band FROM documents),
+      |e AS (SELECT b.*, ep.epoch
+      |      FROM b, (VALUES (0), (1)) ep(epoch)),
+      |r AS (SELECT epoch, band, doc_id,
+      |             ROW_NUMBER() OVER (PARTITION BY epoch, band
+      |               ORDER BY md5(doc_id || ':' || epoch), doc_id) AS rnk
+      |      FROM e)
+      |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(band AS BIGINT) AS band,
+      |       CAST(rnk AS BIGINT) AS rnk, doc_id
+      |FROM r WHERE rnk <= 8 ORDER BY epoch, band, rnk""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val b = Tables.documents(s, dir).select(col("doc_id"),
+        least(lit(9L), expr("n_chars div 100")).as("band"))
+      val epochs = Seq(0, 1).toDF("epoch")
+      val e = b.crossJoin(epochs) // 2-row frame: broadcast by construction
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("epoch", "band")
+        .orderBy(md5(concat(col("doc_id"), lit(":"), col("epoch"))),
+          col("doc_id"))
+      e.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 8)
+        .select(col("epoch").cast("bigint"), col("band").cast("bigint"),
+          col("rnk").cast("bigint"), col("doc_id"))
+        .orderBy("epoch", "band", "rnk")
+  }
+
   /** CONTAINMENT dedup — the asymmetric complement of Jaccard near-dup:
     * C(A,B) = |A∩B| / min(|A|,|B|) over distinct word 3-grams catches a
     * document CONTAINED in a longer one (quotation, expansion, scrape-of-
@@ -3189,7 +3230,7 @@ object LlmQueries {
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
-    containmentDedup,
+    containmentDedup, curriculumOrder,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
