@@ -615,12 +615,14 @@ object LlmQueries {
       |      FROM w),
       |ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
       |rare AS (SELECT gram FROM ex GROUP BY gram
-      |         HAVING COUNT(DISTINCT doc_id) <= 8),
+      |         HAVING COUNT(DISTINCT doc_id) <= 4),
       |fx AS (SELECT ex.doc_id, ex.gram FROM ex JOIN rare USING (gram)),
       |cand AS (
+      |  -- (doc, gram) rows are unique (per-doc gram sets are distinct), so
+      |  -- plain COUNT(*) equals COUNT(DISTINCT gram) without the dedup pass
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM fx a JOIN fx b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.gram) >= 3),
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
       |ver AS (
       |  SELECT c.id_a, c.id_b,
       |         len(list_intersect(ga.grams, gb.grams)) AS inter,
@@ -643,24 +645,27 @@ object LlmQueries {
             array_join(expr(
               "transform(sequence(1, 2 * size(split(text, '\\\\s+'))), " +
                 "j -> concat('zzq', doc_id, 'x', j))"), " ")).as("t")))
-    val g = aug.select(col("doc_id"),
-      expr("""CASE WHEN size(split(t, '\\s+')) >= 3 THEN
-             |  array_distinct(transform(sequence(1, size(split(t, '\\s+')) - 2),
-             |    i -> concat_ws(' ', slice(split(t, '\\s+'), i, 3))))
-             |ELSE array() END""".stripMargin).as("grams"))
+    val g = aug
+      .select(col("doc_id"), split(col("t"), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        expr("""CASE WHEN size(ws) >= 3 THEN
+               |  array_distinct(transform(sequence(1, size(ws) - 2),
+               |    i -> concat_ws(' ', slice(ws, i, 3))))
+               |ELSE array() END""".stripMargin).as("grams"))
       // consumed by the inverted index AND both verify sides
       .localCheckpoint(false)
     val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
     val rare = ex.groupBy("gram")
-      .agg(countDistinct("doc_id").as("nd")).where(col("nd") <= 8)
+      .agg(countDistinct("doc_id").as("nd")).where(col("nd") <= 4)
       .select("gram")
     val fx = ex.join(rare, "gram")
     val cand = fx.select(col("gram"), col("doc_id").as("id_a"))
       .join(fx.select(col("gram"), col("doc_id").as("id_b")), "gram")
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(countDistinct("gram").as("shared"))
-      .where(col("shared") >= 3)
+      // (doc, gram) rows are unique — count(*) == countDistinct(gram)
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 5)
       .select("id_a", "id_b")
     cand
       .join(g.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
