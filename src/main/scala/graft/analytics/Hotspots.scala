@@ -58,6 +58,47 @@ object Hotspots {
       floor(lat / cellDegrees).cast("long"),
       floor(lon / cellDegrees).cast("long"))
 
+  /** A10's fourth signal — CHANGING NEIGHBOR SETS (PAPER.md:57-69): a
+    * stationary AP is co-observed with the same surrounding APs in every
+    * time bucket; a mobile one's co-observation set churns. Input is the
+    * raw sighting log `(u, tb, ap)` — device, time bucket, AP; the
+    * neighbor set of `ap` in bucket `tb` is every other AP some device
+    * saw in the same bucket. Churn is the mean Jaccard between
+    * consecutive PRESENT buckets' neighbor sets, in exact integer micros
+    * (sum of per-pair micros div pair count — no float).
+    *
+    * Scale shape: co-observation pairs come from ONE equi-join on
+    * (device, bucket) — group sizes are bounded by radio range
+    * physically, so the pair fan-out is per-scan-sized, never corpus-
+    * quadratic; neighbor sets aggregate per (ap, bucket) and the churn
+    * walk is a per-ap window. Output: (ap, n_buckets, churn_micro,
+    * mobile = churn < 0.5). APs present in fewer than two buckets carry
+    * no churn signal and are omitted. */
+  def neighborChurn(obs: DataFrame): DataFrame = {
+    val o = obs.select(col("u"), col("tb"), col("ap")).distinct()
+    val pairs = o.as("a").join(o.as("b"), Seq("u", "tb"))
+      .where(col("a.ap") =!= col("b.ap"))
+      .select(col("a.ap").as("ap"), col("tb"), col("b.ap").as("nbr"))
+      .distinct()
+    val sets = pairs.groupBy("ap", "tb")
+      .agg(sort_array(collect_set("nbr")).as("nbrs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ap").orderBy("tb")
+    val cons = sets
+      .withColumn("nxt", lead("nbrs", 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("ap"), expr(
+        "(CAST(size(array_intersect(nbrs, nxt)) AS BIGINT) * 1000000)" +
+          " div size(array_union(nbrs, nxt))").as("jm"))
+    val buckets = sets.groupBy("ap").agg(count(lit(1)).as("n_buckets"))
+    cons.groupBy("ap")
+      .agg(sum("jm").as("sjm"), count(lit(1)).as("np"))
+      .join(buckets, "ap")
+      .select(col("ap"), col("n_buckets"),
+        expr("sjm div np").as("churn_micro"))
+      .withColumn("mobile", col("churn_micro") < 500000L)
+  }
+
   /** A9 local outliers: per (bssid, cell) density vs the AP's mean cell
     * density. Returns the input plus `cell_count` and `local_outlier`
     * (density below `ratio` × mean). */

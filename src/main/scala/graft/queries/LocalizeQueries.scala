@@ -71,6 +71,54 @@ object LocalizeQueries {
       .orderBy("bssid")
   }
 
+  /** A10's fourth hotspot signal — neighbor-set CHURN
+    * ([[graft.analytics.Hotspots.neighborChurn]], PAPER.md:57-69's
+    * "changing neighbor sets"): stationary APs ('S…') are sighted by the
+    * same devices with the same co-sets in every time bucket → churn ≈ 1;
+    * each mobile AP ('M…') is sighted only by the device cohort matching
+    * the bucket (u % 4 = tb), so its co-observation set rotates bucket
+    * over bucket → churn low → flagged. A spread/SSID/OUI-blind signal:
+    * these mobile APs would pass every other a10 arm. Fully oracled —
+    * the sighting synthesis, the co-observation join, the per-bucket set
+    * algebra, and the integer-micro Jaccard walk all restate in SQL. */
+  val neighborChurn: Reg = Reg.sql(
+    "a10_neighbor_churn",
+    """WITH ev AS (SELECT user_id AS u, event_id % 4 AS tb, event_id
+      |            FROM events),
+      |obs AS (
+      |  SELECT DISTINCT u, tb, 'S' || ((u * 3 + event_id % 3) % 60) AS ap
+      |  FROM ev
+      |  UNION
+      |  SELECT DISTINCT u, tb, 'M' || (u % 5) FROM ev WHERE u % 4 = tb),
+      |p AS (SELECT DISTINCT a.ap, a.tb, b.ap AS nbr
+      |      FROM obs a JOIN obs b ON a.u = b.u AND a.tb = b.tb
+      |                           AND a.ap <> b.ap),
+      |s AS (SELECT ap, tb, list_sort(list(DISTINCT nbr)) AS nbrs
+      |      FROM p GROUP BY ap, tb),
+      |c AS (SELECT ap, nbrs,
+      |             LEAD(nbrs) OVER (PARTITION BY ap ORDER BY tb) AS nxt
+      |      FROM s),
+      |j AS (SELECT ap,
+      |        (len(list_intersect(nbrs, nxt)) * 1000000) //
+      |          len(list_distinct(list_concat(nbrs, nxt))) AS jm
+      |      FROM c WHERE nxt IS NOT NULL),
+      |b AS (SELECT ap, CAST(COUNT(*) AS BIGINT) AS n_buckets
+      |      FROM s GROUP BY ap)
+      |SELECT b.ap, b.n_buckets,
+      |       CAST(SUM(jm) // COUNT(*) AS BIGINT) AS churn_micro,
+      |       (SUM(jm) // COUNT(*)) < 500000 AS mobile
+      |FROM j JOIN b ON b.ap = j.ap
+      |GROUP BY b.ap, b.n_buckets ORDER BY b.ap""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").as("u"), (col("event_id") % 4).as("tb"),
+        col("event_id"))
+    val obs = ev.select(col("u"), col("tb"),
+        concat(lit("S"), (col("u") * 3 + col("event_id") % 3) % 60).as("ap"))
+      .unionByName(ev.where(col("u") % 4 === col("tb"))
+        .select(col("u"), col("tb"), concat(lit("M"), col("u") % 5).as("ap")))
+    graft.analytics.Hotspots.neighborChurn(obs).orderBy("ap")
+  }
+
   /** A10 full form + A9 local outliers over synthesized measurements:
     * spread + SSID-pattern + OUI flags, and grid-bucketed local-density
     * outliers — fully oracled (every arm is plain SQL over the same
@@ -608,6 +656,7 @@ object LocalizeQueries {
   }
 
   val all: Seq[Reg] =
-    Seq(batchLocalize, hotspotFull, wclTier, lofLocal, dbscanRelocation, refineLoop,
-      mleFixpoint, wclUdaf, cusumRelocation, covEllipse)
+    Seq(batchLocalize, hotspotFull, neighborChurn, wclTier, lofLocal,
+      dbscanRelocation, refineLoop, mleFixpoint, wclUdaf, cusumRelocation,
+      covEllipse)
 }
