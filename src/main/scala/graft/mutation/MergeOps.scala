@@ -116,6 +116,11 @@ object MergeOps {
       key: String,
       insertUnmatched: Boolean = false,
       fenceId: Option[Long] = None): Boolean = {
+    // Recover BEFORE the fence check: after a crash between the swap's two
+    // renames the table — fence included — lives only at the hidden
+    // backup, and a fence read against the missing target would say
+    // "never committed" and re-apply.
+    recoverIfNeeded(spark, path)
     if (fenceId.exists(id => readFence(spark, path).exists(_ >= id)))
       return false
     // No broadcast hints: the update key set is bounded for point mutations
