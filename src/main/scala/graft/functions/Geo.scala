@@ -75,6 +75,35 @@ object Geo {
       crossings % 2 === 1
   }
 
+  /** [[pointInPolygon]] for a TRANSLATED polygon family: the same base
+    * vertex ring shifted per row by integer offset columns (dx, dy) — the
+    * shape of a polygon DIMENSION TABLE whose members share one template
+    * (tiles, per-market service areas). Translation preserves every edge
+    * DELTA, so the per-edge cross-multiplication constants and direction
+    * signs stay compile-time static exactly as in the fixed-polygon form;
+    * only the vertex anchors shift by the row's offsets. Same exact
+    * integer arithmetic, same bbox guard (translated), same non-convex
+    * support. */
+  def pointInPolygonT(
+      px: Column, py: Column, dx: Column, dy: Column,
+      baseVertices: Seq[(Long, Long)]): Column = {
+    require(baseVertices.length >= 3, "polygon needs at least 3 vertices")
+    val crossings = baseVertices.indices.map { i =>
+      val (x1, y1) = baseVertices(i)
+      val (x2, y2) = baseVertices((i + 1) % baseVertices.length)
+      val spans = (lit(y1) + dy > py) =!= (lit(y2) + dy > py)
+      val lhs = (px - (lit(x1) + dx)) * lit(y2 - y1)
+      val rhs = lit(x2 - x1) * (py - (lit(y1) + dy))
+      val rightOf = if (y2 - y1 > 0) lhs < rhs else lhs > rhs
+      when(spans && rightOf, 1).otherwise(0)
+    }.reduce(_ + _)
+    val minX = baseVertices.map(_._1).min; val maxX = baseVertices.map(_._1).max
+    val minY = baseVertices.map(_._2).min; val maxY = baseVertices.map(_._2).max
+    px >= lit(minX) + dx && px <= lit(maxX) + dx &&
+      py >= lit(minY) + dy && py <= lit(maxY) + dy &&
+      crossings % 2 === 1
+  }
+
   /** Exact polygon area on the integer lattice: the SHOELACE sum
     * Σ (xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ) over the closed ring — returned as
     * |2A| (twice the area), which is always an INTEGER for lattice

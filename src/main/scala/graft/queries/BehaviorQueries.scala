@@ -464,7 +464,89 @@ object BehaviorQueries {
       .orderBy("segment")
   }
 
+  /** J16 — spatial join of points to a POLYGON TABLE (c9's single
+    * geofence generalized to the dimension-table case): 20 non-convex
+    * polygons — one template hexagon translated per region, the
+    * tiles/per-market shape — joined to the event lattice through GRID
+    * CELLS: each polygon explodes to the ≤4 cells covering its bbox, each
+    * point hashes to its one cell, and the match is an equi-join on
+    * (cx, cy) with the exact integer ray cast
+    * ([[graft.functions.Geo.pointInPolygonT]]) as the residual — never a
+    * nested loop over point × polygon. A point tests a polygon at most
+    * once (points own ONE cell), so no post-join dedup. Coordinates are
+    * shifted positive before the cell division so Spark's
+    * truncate-toward-zero `div` and the oracle's floor division agree.
+    * Zero-match regions survive via the left join (count 0, sum 0). */
+  val j16PolygonJoin: Reg = Reg.sql(
+    "j16_polygon_join",
+    """WITH p AS (
+      |  SELECT event_id,
+      |         (((event_id * 13) % 2000) - 1000) * 1000 + (user_id % 997) AS px,
+      |         (((event_id * 7) % 2000) - 1000) * 1000 + (user_id % 991) AS py
+      |  FROM events),
+      |r AS (SELECT range AS region,
+      |             (range % 5) * 600000 - 1200000 AS dx,
+      |             (range // 5) * 500000 - 750000 AS dy
+      |      FROM range(20)),
+      |v(i, x, y) AS (VALUES
+      |  (0, -200000, -150000), (1, 225000, -175000), (2, 175000, 50000),
+      |  (3, 25000, -25000), (4, 75000, 200000), (5, -150000, 125000)),
+      |e AS (SELECT a.i, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      |      FROM v a JOIN v b ON b.i = (a.i + 1) % 6),
+      |cand AS (
+      |  SELECT r.region, r.dx, r.dy, p.event_id, p.px, p.py
+      |  FROM r JOIN p ON p.px >= -200000 + r.dx AND p.px <= 225000 + r.dx
+      |               AND p.py >= -175000 + r.dy AND p.py <= 200000 + r.dy),
+      |k AS (
+      |  SELECT region, event_id, px,
+      |    SUM(CASE WHEN ((y1 + dy > py) <> (y2 + dy > py)) AND
+      |             (CASE WHEN y2 - y1 > 0
+      |                   THEN (px - (x1 + dx)) * (y2 - y1)
+      |                          < (x2 - x1) * (py - (y1 + dy))
+      |                   ELSE (px - (x1 + dx)) * (y2 - y1)
+      |                          > (x2 - x1) * (py - (y1 + dy)) END)
+      |             THEN 1 ELSE 0 END) AS c
+      |  FROM cand, e GROUP BY region, event_id, px, py, dx, dy),
+      |m AS (SELECT region, px FROM k WHERE c % 2 = 1)
+      |SELECT r.region, CAST(COUNT(m.px) AS BIGINT) AS n_inside,
+      |       CAST(COALESCE(SUM(m.px), 0) AS BIGINT) AS px_sum
+      |FROM r LEFT JOIN m ON m.region = r.region
+      |GROUP BY r.region ORDER BY r.region""".stripMargin) { (s, dir) =>
+    val base = Seq((-200000L, -150000L), (225000L, -175000L),
+      (175000L, 50000L), (25000L, -25000L), (75000L, 200000L),
+      (-150000L, 125000L))
+    val (bMinX, bMaxX) = (base.map(_._1).min, base.map(_._1).max)
+    val (bMinY, bMaxY) = (base.map(_._2).min, base.map(_._2).max)
+    val pts = Tables.events(s, dir).select(
+      ((((col("event_id") * 13) % 2000) - 1000) * 1000 + (col("user_id") % 997))
+        .as("px"),
+      ((((col("event_id") * 7) % 2000) - 1000) * 1000 + (col("user_id") % 991))
+        .as("py"))
+      .withColumn("cx", expr("(px + 2000000) div 500000"))
+      .withColumn("cy", expr("(py + 2000000) div 500000"))
+    val polys = s.range(20).select(col("id").as("region"),
+      expr("(id % 5) * 600000 - 1200000").as("dx"),
+      expr("(id div 5) * 500000 - 750000").as("dy"))
+    val polyCells = polys
+      .withColumn("cx", explode(sequence(
+        expr(s"($bMinX + dx + 2000000) div 500000"),
+        expr(s"($bMaxX + dx + 2000000) div 500000"))))
+      .withColumn("cy", explode(sequence(
+        expr(s"($bMinY + dy + 2000000) div 500000"),
+        expr(s"($bMaxY + dy + 2000000) div 500000"))))
+    val matches = pts.join(polyCells, Seq("cx", "cy"))
+      .where(Geo.pointInPolygonT(col("px"), col("py"),
+        col("dx"), col("dy"), base))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n_inside"), sum("px").as("px_sum"))
+    polys.select("region").join(matches, Seq("region"), "left")
+      .select(col("region"),
+        coalesce(col("n_inside"), lit(0L)).as("n_inside"),
+        coalesce(col("px_sum"), lit(0L)).as("px_sum"))
+      .orderBy("region")
+  }
+
   val all: Seq[Reg] = Seq(
     o18WindowFunnel, o19RetentionCohorts, a23IncrementalAgg, j11GridNeighbors,
-    j12FuzzyJoin, o23TransitionMatrix, o29Auc, o30SlicedAuc)
+    j12FuzzyJoin, o23TransitionMatrix, o29Auc, o30SlicedAuc, j16PolygonJoin)
 }
