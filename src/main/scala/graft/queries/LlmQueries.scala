@@ -1791,6 +1791,53 @@ object LlmQueries {
       .orderBy("label", "pos")
   }
 
+  /** EMBEDDING-quality diagnostics per dimension — the health check an
+    * embedding pipeline runs before building indexes on a new encoder
+    * drop: exact per-dimension moments on the 1e-4 quantization lattice
+    * (sums of q and q² stay in BIGINT at these scales; the DECIMAL
+    * upgrade is the documented next-decade path), a DEAD-dimension flag
+    * (min = max — a constant coordinate carries no information and
+    * silently wastes index bits), and the variance rank from the exact
+    * integer numerator n·Σq² − (Σq)² — dominant dimensions distort
+    * un-normalized distance metrics. One posexplode + one (dim) aggregate
+    * + a 64-row window: corpus-linear, output dimension-sized. */
+  val embeddingDimStats: Reg = Reg.sql(
+    "llm_embedding_dim_stats",
+    """WITH e AS (
+      |  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+      |         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 10000)
+      |              AS BIGINT) AS q
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(q) AS BIGINT) AS sum_q,
+      |         CAST(SUM(q * q) AS BIGINT) AS sum_sq,
+      |         CAST(MIN(q) AS BIGINT) AS min_q,
+      |         CAST(MAX(q) AS BIGINT) AS max_q
+      |  FROM e GROUP BY dim)
+      |SELECT dim, n, sum_q, sum_sq, min_q, max_q,
+      |       (min_q = max_q) AS dead,
+      |       CAST(ROW_NUMBER() OVER
+      |         (ORDER BY n * sum_sq - sum_q * sum_q DESC, dim) AS BIGINT)
+      |         AS var_rank
+      |FROM c ORDER BY dim""".stripMargin) { (s, dir) =>
+    val c = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        floor(col("col").cast("double") * lit(10000)).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
+        sum(col("q") * col("q")).as("sum_sq"),
+        min("q").as("min_q"), max("q").as("max_q"))
+    c.select(col("dim"), col("n"), col("sum_q"), col("sum_sq"),
+      col("min_q"), col("max_q"),
+      (col("min_q") === col("max_q")).as("dead"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy((col("n") * col("sum_sq") - col("sum_q") * col("sum_q")).desc,
+          col("dim"))).cast("bigint").as("var_rank"))
+      .orderBy("dim")
+  }
+
   /** Gopher-family quality RULES (Rae et al. 2021 §A1.1 document filters —
     * the repetition half lives in `llm_repetition`): word-count bounds,
     * mean word length window, alphabetic-word fraction, and a minimum
@@ -3235,7 +3282,7 @@ object LlmQueries {
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
-    containmentDedup, curriculumOrder,
+    containmentDedup, curriculumOrder, embeddingDimStats,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
