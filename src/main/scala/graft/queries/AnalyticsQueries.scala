@@ -2199,6 +2199,69 @@ object AnalyticsQueries {
       .orderBy("l_suppkey")
   }
 
+  /** O37 — EXACT sliding-window distinct count (trailing 7 days of
+    * distinct users per key, evaluated at every active day) — the metric
+    * warehouses fake with HLL because the naive exact form needs a
+    * distinct-set per window. The scalable exact rendering never builds a
+    * set: each sighting contributes a presence interval [d, d+6]; per
+    * (key, user) overlapping intervals merge into islands (the o20
+    * union walk — one keyed window); each island emits +1 at its start
+    * and −1 past its end; and ONE prefix sum per key over the merged
+    * (delta ∪ probe) day sequence reads the exact distinct count at every
+    * probe day (deltas sort before probes at the same day, so a sighting
+    * at day t counts toward t's own window). Per-key work is
+    * O(sightings); no day × user expansion, no per-window state. The
+    * oracle is the naive correlated COUNT(DISTINCT) range join — proving
+    * the island/prefix decomposition exact. */
+  val o37SlidingDistinct: Reg = Reg.sql(
+    "o37_sliding_distinct",
+    """WITH s AS (
+      |  SELECT DISTINCT event_type AS k,
+      |         CAST(ts AS DATE) - DATE '1970-01-01' AS d, user_id AS u
+      |  FROM events WHERE event_type IS NOT NULL),
+      |probes AS (SELECT DISTINCT k, d AS t FROM s)
+      |SELECT p.k, CAST(p.t AS BIGINT) AS t,
+      |       CAST(COUNT(DISTINCT s.u) AS BIGINT) AS active_users_7d
+      |FROM probes p JOIN s ON s.k = p.k AND s.d BETWEEN p.t - 6 AND p.t
+      |GROUP BY p.k, p.t ORDER BY p.k, t""".stripMargin) { (s, dir) =>
+    val sight = Tables.events(s, dir)
+      .where(col("event_type").isNotNull)
+      .select(col("event_type").as("k"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        col("user_id").as("u"))
+      .distinct()
+    // island merge per (k, u): intervals [d, d+6] union (the o20 walk)
+    val wKU = Window.partitionBy("k", "u").orderBy("d")
+    val wPrev = wKU.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = sight
+      .withColumn("brk",
+        when(col("d") > coalesce(max(col("d") + 6).over(wPrev),
+          lit(Long.MinValue)), 1).otherwise(0))
+      .withColumn("isl", sum("brk").over(
+        wKU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("k", "u", "isl")
+      .agg(min("d").as("a"), (max("d") + 6).as("b"))
+    val deltas = islands.select(col("k"), col("a").as("day"), lit(1L).as("delta"))
+      .unionByName(islands.select(col("k"), (col("b") + 1).as("day"),
+        lit(-1L).as("delta")))
+      .groupBy("k", "day").agg(sum("delta").as("delta"))
+      .select(col("k"), col("day"), col("delta"), lit(0).as("probe"),
+        lit(null).cast("long").as("t"))
+    val probes = sight.select("k", "d").distinct()
+      .select(col("k"), col("d").as("day"), lit(0L).as("delta"),
+        lit(1).as("probe"), col("d").as("t"))
+    // deltas sort before probes at equal day: a +1 at day t is inside t's
+    // own trailing window; a −1 at b+1 stops counting from day b+1 on
+    val wRun = Window.partitionBy("k").orderBy("day", "probe")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.unionByName(probes)
+      .withColumn("cnt", sum("delta").over(wRun))
+      .where(col("probe") === 1)
+      .select(col("k"), col("t"), col("cnt").as("active_users_7d"))
+      .orderBy("k", "t")
+  }
+
   /** C9 — GEOFENCE containment: point-in-polygon by exact integer ray
     * casting ([[graft.functions.Geo.pointInPolygon]]) — the "is this
     * AP/measurement inside the campus / market boundary?" predicate the
@@ -2369,7 +2432,7 @@ object AnalyticsQueries {
   }
 
   val all: Seq[Reg] = Seq(
-    a33SkewReport, c9PointInPolygon, c10PolygonArea,
+    a33SkewReport, c9PointInPolygon, c10PolygonArea, o37SlidingDistinct,
     o31ExactMedian, o32ExactMedianDouble, o33GroupMedian, o34GroupQuantiles,
     o35GroupMode, o36WeightedMedian,
     o25ParetoFront, o26CountMin, o27KmvDistinct, a29Expectations, o28HoltLinear,
