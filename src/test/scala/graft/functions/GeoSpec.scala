@@ -44,6 +44,23 @@ class GeoSpec extends AnyFunSuite with Matchers with SparkSuite {
     }
   }
 
+  test("pointInPolygonT ≡ static pointInPolygon under translation") {
+    import spark.implicits._
+    // T with offsets (dx, dy) on point (px, py) must equal the static
+    // form on the back-shifted point (px − dx, py − dy)
+    val rnd = new scala.util.Random(77)
+    val rows = Seq.fill(300)((rnd.nextInt(41) - 20L, rnd.nextInt(41) - 20L,
+      (rnd.nextInt(5) - 2L) * 7L, (rnd.nextInt(5) - 2L) * 9L))
+    val out = rows.toDF("px", "py", "dx", "dy")
+      .withColumn("t", Geo.pointInPolygonT(
+        F.col("px"), F.col("py"), F.col("dx"), F.col("dy"), poly))
+      .withColumn("ref", Geo.pointInPolygon(
+        F.col("px") - F.col("dx"), F.col("py") - F.col("dy"), poly))
+    out.where(F.col("t") =!= F.col("ref")).count() shouldBe 0
+    // and the translated polygons genuinely contain some of the sweep
+    out.where(F.col("t")).count() should be > 0L
+  }
+
   test("hand-checked containment: deep inside, outside, and inside the notch") {
     import spark.implicits._
     val cases = Seq(
