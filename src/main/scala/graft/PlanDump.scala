@@ -60,7 +60,11 @@ object PlanDump {
       ("llm_ann_pq_adc", "PQ asymmetric-distance search: codes from a broadcast codebook join, per-query LUT (queries x M x ksub, bounded by the query batch) broadcast onto the code stream, ADC is M lookups + one sum per (query, vector), shortlist and re-rank both WindowGroupLimit"),
       ("j14_scd2_lookup", "point-in-time SCD2 lookup: the version chain and the ship events union into ONE keyed window exchange (the backward as-of idiom) - the running-last carries the valid version to every event, never an interval pair expansion"),
       ("llm_ann_ivfpq", "two-level IVF+PQ index with TRAINED quantizers (round 12): both codebooks fit in-memory on the bounded sample and broadcast as literal frames, coarse assignment and probes are map-side argmins against them, and the ADC join chains codes -> CANDIDATES -> LUT in that order - the candidate semi-restriction sits before any distance work, so unprobed cells never reach the distance stage"),
-      ("llm_hard_negatives_ann", "sub-quadratic hard-negative mining: the exact operator's probes x corpus pair stage is replaced by the IVF+PQ candidate chain with the OPPOSITE-LABEL filter applied alongside the coarse prune - same-label rows and unprobed cells both die before the first distance expression; shortlist + exact re-rank are WindowGroupLimit"))
+      ("llm_hard_negatives_ann", "sub-quadratic hard-negative mining: the exact operator's probes x corpus pair stage is replaced by the IVF+PQ candidate chain with the OPPOSITE-LABEL filter applied alongside the coarse prune - same-label rows and unprobed cells both die before the first distance expression; shortlist + exact re-rank are WindowGroupLimit"),
+      ("a33_skew_report", "join-key skew diagnostics (round 12): the key histogram partial-aggregates before its one shuffle, heavy keys compile to TakeOrderedAndProject, and the only single-partition window runs over the count-of-counts histogram - a frame of distinct COUNT VALUES, not keys"),
+      ("c9_point_in_polygon", "geofence containment (round 12): the whole integer ray cast (bbox guard + 6 cross-multiplied edge tests) is ONE scan-fused projection - no join, no generate; the 8-cell verdict aggregate is the only exchange"),
+      ("j16_polygon_join", "points x polygon-table spatial join (round 12): polygons explode to their bbox's covering grid cells, points hash to ONE cell, the match is an equi-join on (cx, cy) with the exact translated ray cast as residual - no BroadcastNestedLoopJoin at any polygon count"),
+      ("o37_sliding_distinct", "exact trailing-window distinct count (round 12): per-(key,user) island windows share one exchange, boundary deltas and probe days union into ONE per-key prefix-sum window - no per-window distinct set, no day x user expansion"))
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`; regenerate after plan-affecting changes.\n")
