@@ -722,17 +722,20 @@ object IngestQueries {
   /** S17 — multi-format source/sink roundtrips under the gate: the event
     * slice (normalized to exact integer/string columns — value and ts
     * carried as quantized BIGINTs so no format's float/timestamp printer
-    * is in the loop) is written as gzipped JSON-lines AND quoted CSV, read
-    * back through `spark.read.json` / `spark.read.csv`, and diffed against
-    * the parquet truth with a two-sided EXCEPT ALL INSIDE the query. The
-    * oracle states the closed form (full row count, zero mismatches per
-    * format), so a quoting, escaping, compression or schema-inference
-    * regression in either format path fails the hash gate. */
+    * is in the loop) is written as gzipped JSON-lines, quoted CSV, AND
+    * zlib ORC (the third columnar format next to parquet — its reader is
+    * built into Spark via orc-core), read back through the respective
+    * sources, and diffed against the parquet truth with a two-sided
+    * EXCEPT ALL INSIDE the query. The oracle states the closed form
+    * (full row count, zero mismatches per format), so a quoting,
+    * escaping, compression or schema-inference regression in any format
+    * path fails the hash gate. (Avro is the one absent leg: the
+    * spark-avro module jar does not ship in this environment.) */
   val multiFormatIo: Reg = Reg.sql(
     "s17_multiformat_io",
     """SELECT fmt, CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS rows,
       |       CAST(0 AS BIGINT) AS mismatched
-      |FROM (VALUES ('csv'), ('json')) v(fmt) ORDER BY fmt""".stripMargin) { (s, dir) =>
+      |FROM (VALUES ('csv'), ('json'), ('orc')) v(fmt) ORDER BY fmt""".stripMargin) { (s, dir) =>
     val work = graft.Scratch.dir("graft_mfio")
     try {
       val truth = Tables.events(s, dir).select(
@@ -745,6 +748,7 @@ object IngestQueries {
       // the moment a regenerated props column contains an empty string.
       truth.write.option("header", "true").option("emptyValue", "\"\"")
         .csv(s"$work/c")
+      truth.write.option("compression", "zlib").orc(s"$work/o")
       // read back with the explicit schema (inference would also work for
       // JSON; CSV needs it for exact integer types); multiLine so a quoted
       // embedded newline in props parses as one row, not two broken ones
@@ -766,7 +770,8 @@ object IngestQueries {
           .head()
         (fmt, r.getLong(1), r.getLong(0))
       }
-      val rows = Seq(gate(c, "csv"), gate(j, "json"))
+      val o = s.read.schema(schema).orc(s"$work/o")
+      val rows = Seq(gate(c, "csv"), gate(j, "json"), gate(o, "orc"))
       import s.implicits._
       rows.toDF("fmt", "rows", "mismatched").orderBy("fmt")
     } finally deleteRecursively(new java.io.File(work))
