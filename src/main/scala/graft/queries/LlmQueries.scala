@@ -682,6 +682,127 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** llm_containment_dedup's SCALE SIBLING — the next-decade path its
+    * SCALING entry documents: candidate pairs come from shared WINNOW
+    * FINGERPRINTS (the ~2/(w+1) sampled subset of char-gram hashes)
+    * instead of the full rare-gram inverted index, shrinking the index
+    * and the pair fan-out by the sampling factor, while verification
+    * stays EXACT on the candidate pairs' full word-3-gram arrays — the
+    * standard index-sample / verify-exact trade, and because the oracle
+    * restates the identical winnowing arithmetic (the llm_winnow
+    * precedent), the sampled candidate rule is itself part of the exact
+    * contract, not an approximation the gate ignores. Same augmented
+    * corpus and thresholds as the exact-index form, so the two results
+    * measure the sampling recall directly (69/72 planted twins vs the
+    * exact index's 72/72 at sf0.01).
+    *
+    * MEASURED trade (SCALING.md): the sampled index wins at sf0.1
+    * (1.9 vs 2.3 s) but the char-level fingerprint pass is itself
+    * corpus-proportional, so at the uniform-density extent decade the
+    * two forms tie (~14 vs ~13 s) — sampling pays off only where the
+    * PAIR stage dominates (duplication-dense corpora), exactly the
+    * regime the density-replica stress in SCALING.md round 9 exhibits. */
+  val containmentSampled: Reg = Reg.sql(
+    "llm_containment_sampled",
+    """WITH aug AS (
+      |  SELECT doc_id, lower(text) AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 40000000,
+      |         lower(text) || ' ' || array_to_string(
+      |           list_transform(range(1, 2 * len(string_split_regex(text, '\s+')) + 1),
+      |             j -> 'zzq' || doc_id || 'x' || j), ' ')
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(t) >= 8 THEN
+      |      list_transform(range(1, length(t) - 8 + 2), i ->
+      |        list_reduce(list_prepend(0::BIGINT,
+      |          list_transform(range(i, i + 8), p -> ord(substr(t, p, 1))::BIGINT)),
+      |          (a, b) -> (a * 31 + b) % 1000000007))
+      |    ELSE [] END AS g
+      |  FROM aug),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(g) >= 4 THEN
+      |      list_sort(list_distinct(
+      |        list_transform(range(1, len(g) - 4 + 2), j -> list_min(g[j:j+3]))))
+      |    ELSE [] END AS fps
+      |  FROM grams),
+      |ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+      |rare AS (SELECT fp FROM ex GROUP BY fp
+      |         HAVING COUNT(DISTINCT doc_id) <= 8),
+      |fx AS (SELECT ex.doc_id, ex.fp FROM ex JOIN rare USING (fp)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM fx a JOIN fx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |w AS (SELECT doc_id, string_split_regex(t, '\s+') AS ws FROM aug),
+      |wg AS (SELECT doc_id,
+      |              CASE WHEN len(ws) >= 3 THEN
+      |                list_distinct(list_transform(range(1, len(ws) - 1),
+      |                  i -> array_to_string(ws[i:i+2], ' ')))
+      |              ELSE [] END AS grams
+      |       FROM w),
+      |ver AS (
+      |  SELECT c.id_a, c.id_b,
+      |         len(list_intersect(ga.grams, gb.grams)) AS inter,
+      |         len(ga.grams) AS na, len(gb.grams) AS nb
+      |  FROM cand c
+      |  JOIN wg ga ON ga.doc_id = c.id_a
+      |  JOIN wg gb ON gb.doc_id = c.id_b)
+      |SELECT id_a, id_b,
+      |       (inter * 1000000) // LEAST(na, nb) AS containment_micro,
+      |       (inter * 1000000) // (na + nb - inter) AS jaccard_micro
+      |FROM ver
+      |WHERE (inter * 1000000) // LEAST(na, nb) >= 900000
+      |  AND (inter * 1000000) // (na + nb - inter) < 500000
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val aug = docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .unionByName(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 40000000L).as("doc_id"),
+          concat(lower(col("text")), lit(" "),
+            array_join(expr(
+              "transform(sequence(1, 2 * size(split(text, '\\\\s+'))), " +
+                "j -> concat('zzq', doc_id, 'x', j))"), " ")).as("t")))
+      // feeds the fingerprint index AND the word-gram verify arrays
+      .localCheckpoint(false)
+    val fps = aug.select(col("doc_id"),
+      explode(TextAnalysis.winnow(col("t"), k = 8, w = 4)).as("fp"))
+    val rare = fps.groupBy("fp")
+      .agg(countDistinct("doc_id").as("nd")).where(col("nd") <= 8)
+      .select("fp")
+    val fx = fps.join(rare, "fp")
+    val cand = fx.select(col("fp"), col("doc_id").as("id_a"))
+      .join(fx.select(col("fp"), col("doc_id").as("id_b")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      // (doc, fp) rows are unique (winnow emits a distinct set per doc)
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 3)
+      .select("id_a", "id_b")
+    val g = aug
+      .select(col("doc_id"), split(col("t"), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        expr("""CASE WHEN size(ws) >= 3 THEN
+               |  array_distinct(transform(sequence(1, size(ws) - 2),
+               |    i -> concat_ws(' ', slice(ws, i, 3))))
+               |ELSE array() END""".stripMargin).as("grams"))
+    cand
+      .join(g.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("bigint").as("inter"),
+        size(col("ga")).cast("bigint").as("na"),
+        size(col("gb")).cast("bigint").as("nb"))
+      .select(col("id_a"), col("id_b"),
+        expr("(inter * 1000000) div least(na, nb)").as("containment_micro"),
+        expr("(inter * 1000000) div (na + nb - inter)").as("jaccard_micro"))
+      .where(col("containment_micro") >= 900000L &&
+        col("jaccard_micro") < 500000L)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Rolling-hash document fingerprinting (winnowing) near-dup, EXACTLY
     * oracled on natural data — unlike MinHash/SimHash (probabilistic →
     * planted-corpus oracles), winnowing is deterministic arithmetic both
@@ -3282,7 +3403,7 @@ object LlmQueries {
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
-    containmentDedup, curriculumOrder, embeddingDimStats,
+    containmentDedup, containmentSampled, curriculumOrder, embeddingDimStats,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
