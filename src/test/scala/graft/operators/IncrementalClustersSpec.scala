@@ -23,9 +23,23 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSuite 
     IncrementalClusters.labels(spark, path).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  // Scratch roots this suite created, deleted in afterAll — the tmpfs
+  // lives for the machine's uptime, so leaked spec dirs accumulate
+  // across runs (136 observed before this cleanup existed).
+  private val scratchRoots = scala.collection.mutable.ArrayBuffer.empty[String]
+
   private def scratch(tag: String): String = {
     val d = graft.Scratch.dir(s"graft_incc_spec_$tag")
+    scratchRoots += d
     s"$d/labels"
+  }
+
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    scratchRoots.foreach(d => rm(new java.io.File(d)))
+    super.afterAll()
   }
 
   test("cross-batch merge relabels every member of both clusters") {
