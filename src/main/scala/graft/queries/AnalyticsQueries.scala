@@ -2230,34 +2230,7 @@ object AnalyticsQueries {
         datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
           .cast("long").as("d"),
         col("user_id").as("u"))
-      .distinct()
-    // island merge per (k, u): intervals [d, d+6] union (the o20 walk)
-    val wKU = Window.partitionBy("k", "u").orderBy("d")
-    val wPrev = wKU.rowsBetween(Window.unboundedPreceding, -1)
-    val islands = sight
-      .withColumn("brk",
-        when(col("d") > coalesce(max(col("d") + 6).over(wPrev),
-          lit(Long.MinValue)), 1).otherwise(0))
-      .withColumn("isl", sum("brk").over(
-        wKU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("k", "u", "isl")
-      .agg(min("d").as("a"), (max("d") + 6).as("b"))
-    val deltas = islands.select(col("k"), col("a").as("day"), lit(1L).as("delta"))
-      .unionByName(islands.select(col("k"), (col("b") + 1).as("day"),
-        lit(-1L).as("delta")))
-      .groupBy("k", "day").agg(sum("delta").as("delta"))
-      .select(col("k"), col("day"), col("delta"), lit(0).as("probe"),
-        lit(null).cast("long").as("t"))
-    val probes = sight.select("k", "d").distinct()
-      .select(col("k"), col("d").as("day"), lit(0L).as("delta"),
-        lit(1).as("probe"), col("d").as("t"))
-    // deltas sort before probes at equal day: a +1 at day t is inside t's
-    // own trailing window; a −1 at b+1 stops counting from day b+1 on
-    val wRun = Window.partitionBy("k").orderBy("day", "probe")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas.unionByName(probes)
-      .withColumn("cnt", sum("delta").over(wRun))
-      .where(col("probe") === 1)
+    graft.operators.SlidingDistinct.exact(sight, windowDays = 7)
       .select(col("k"), col("t"), col("cnt").as("active_users_7d"))
       .orderBy("k", "t")
   }
