@@ -1,7 +1,8 @@
 package graft.mutation
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max => fmax, min => fmin}
 
 /** Log-structured versioned table — the transaction-log core of
   * Delta/Iceberg reproduced on plain parquet, upgrading the in-place
@@ -14,12 +15,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `seg_<uuid>/` — IMMUTABLE parquet segments; never rewritten,
   *    never deleted except by [[expireSnapshots]];
   *  - `_log/v<N>.manifest` — version N's segment list, one relative
-  *    segment name per line. The manifest RENAME is the commit point:
-  *    content is staged to a hidden sibling and moved in with the
-  *    filesystem's atomic rename, so a manifest either exists complete or
-  *    not at all (readers can never resolve a torn version), and
-  *    create-exclusive semantics make two racing writers of the same
-  *    version fail cleanly rather than both "win".
+  *    segment name per line, each optionally followed by TAB-separated
+  *    per-segment column stats (`col=min:max`, doubles widened one ulp
+  *    outward so they are always conservative). The manifest RENAME is
+  *    the commit point: content is staged to a hidden sibling and moved
+  *    in with `FileContext.rename(..., Rename.NONE)` — atomic AND
+  *    create-exclusive, so a manifest either exists complete or not at
+  *    all (readers can never resolve a torn version) and two racing
+  *    writers of the same version cannot both "win" even on local
+  *    filesystems whose plain `rename` overwrites (POSIX renameTo).
+  *
+  * DATA SKIPPING: commits may declare `statCols`; min/max of each is
+  * computed from the freshly-written segment and recorded on its
+  * manifest line. [[resolveSegments]] / [[readPruned]] then skip whole
+  * segments whose recorded range is disjoint from a query interval —
+  * the Iceberg manifest-stats substance the reference's query contract
+  * leans on (`documents/wifi_measurement_s3_table_schema.md:70,196-207`:
+  * every production query prunes on time/partition before touching
+  * data). Segments without a stat for the probed column are kept
+  * (conservative). [[mergeWhere]] composes the same stats into
+  * copy-on-write MERGE: only segments intersecting the merge interval
+  * are rewritten; disjoint segments carry forward BY REFERENCE with
+  * their stats — at 100 TB a one-day correction rewrites one day's
+  * files and one manifest, never the table.
+  *
+  * The streaming-sink idempotence fence (`#fence=<id>` header) rides
+  * the committed manifest itself and CARRIES FORWARD through unfenced
+  * commits (effective fence = max of previous and provided), so an
+  * interleaved compaction/merge can never erase replay protection.
   *
   * The reference targets Iceberg merge-on-read
   * (`documents/wifi_measurement_s3_table_schema.md:69-76`); no format jar
@@ -29,6 +52,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * commits that reference replacement segments. Underscore/dot prefixes
   * keep every metadata artifact invisible to direct parquet reads. */
 object VersionedTable {
+
+  /** One manifest entry: a segment name plus its recorded column stats
+    * (numeric min/max, conservative). */
+  final case class Segment(name: String, stats: Map[String, (Double, Double)]) {
+    /** Could this segment contain a row with `c` in [lo, hi]? Missing
+      * stats ⇒ true (never prune on absent information). */
+    def mayIntersect(c: String, lo: Double, hi: Double): Boolean =
+      stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+  }
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -64,69 +96,130 @@ object VersionedTable {
     finally in.close()
   }
 
-  private def readManifest(
-      spark: SparkSession, root: String, v: Long): Seq[String] =
-    manifestLines(spark, root, v).filterNot(_.startsWith("#"))
+  private def parseSegment(line: String): Segment = {
+    val parts = line.split('\t')
+    val stats = parts.tail.iterator.map { kv =>
+      val Array(c, range) = kv.split('=')
+      val Array(mn, mx) = range.split(':')
+      c -> (mn.toDouble, mx.toDouble)
+    }.toMap
+    Segment(parts.head, stats)
+  }
+
+  private def renderSegment(s: Segment): String =
+    (s.name +: s.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s"$c=$mn:$mx"
+    }).mkString("\t")
+
+  /** Version `v`'s manifest as parsed segment entries. */
+  def segmentsOf(spark: SparkSession, root: String, v: Long): Seq[Segment] =
+    manifestLines(spark, root, v).filterNot(_.startsWith("#")).map(parseSegment)
 
   /** The streaming-sink idempotence fence of the CURRENT version (the
     * `#fence=<id>` manifest header — the same txnVersion idiom as
     * MergeOps.mergeByKey's `_fence`, here riding the commit itself).
-    * None when the table is empty or the last commit was unfenced. */
+    * Fences carry forward through unfenced commits, so this is the max
+    * fenced batch id ever committed. None when never fenced. */
   def currentFence(spark: SparkSession, root: String): Option[Long] =
-    currentVersion(spark, root).flatMap { v =>
-      manifestLines(spark, root, v)
-        .find(_.startsWith("#fence="))
-        .map(_.stripPrefix("#fence=").toLong)
-    }
+    currentVersion(spark, root).flatMap(fenceOf(spark, root, _))
 
-  /** Commit `segments` (relative names) as the next version; returns it.
-    * The staged-write + atomic-rename makes the manifest the commit point;
-    * rename-over-existing fails, so racing writers cannot both commit.
-    * A `fence` id is recorded in the manifest header — atomically with
-    * the segment list, since it IS the committed file. */
+  private def fenceOf(spark: SparkSession, root: String, v: Long): Option[Long] =
+    manifestLines(spark, root, v)
+      .find(_.startsWith("#fence="))
+      .map(_.stripPrefix("#fence=").toLong)
+
+  /** Commit `segments` as the next version; returns it. The staged-write
+    * + create-exclusive atomic rename makes the manifest the commit
+    * point. The effective fence is max(previous fence, provided fence):
+    * an unfenced commit after a fenced one PRESERVES replay protection
+    * rather than silently erasing it. */
   private def commit(
-      spark: SparkSession, root: String, segments: Seq[String],
+      spark: SparkSession, root: String, segments: Seq[Segment],
       fence: Option[Long] = None): Long = {
     val f = fs(spark, root)
     val dir = logDir(root)
     if (!f.exists(dir) && !f.mkdirs(dir))
       throw new java.io.IOException(s"cannot create $dir")
-    val v = currentVersion(spark, root).fold(0L)(_ + 1)
-    val tmp = new Path(dir, s".v$v.manifest.tmp")
-    val out = f.create(tmp, true)
-    val header = fence.map(id => s"#fence=$id\n").getOrElse("")
-    try out.write((header + segments.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    val target = manifest(root, v)
-    if (f.exists(target) || !f.rename(tmp, target)) {
-      f.delete(tmp, false)
-      throw new java.io.IOException(
-        s"commit of version $v lost the race (manifest exists)")
-    }
+    val prev = currentVersion(spark, root)
+    val carried = prev.flatMap(fenceOf(spark, root, _))
+    val eff = (carried ++ fence).reduceOption(_ max _)
+    val v = prev.fold(0L)(_ + 1)
+    val header = eff.map(id => s"#fence=$id\n").getOrElse("")
+    publishManifest(spark, root, v,
+      header + segments.map(renderSegment).mkString("\n") + "\n")
     v
   }
 
-  /** Write `df` as a fresh immutable segment; returns its relative name. */
+  /** The commit point itself: stage the manifest content to a hidden
+    * sibling, then move it in with `Rename.NONE` — atomic AND
+    * create-exclusive, failing when the destination exists, even on
+    * LocalFileSystem whose plain `rename` (POSIX renameTo) silently
+    * overwrites. Two writers racing for the same version: exactly one
+    * wins; the loser's staging file is cleaned and the winner's manifest
+    * is untouched. */
+  private[mutation] def publishManifest(
+      spark: SparkSession, root: String, v: Long, content: String): Unit = {
+    val f = fs(spark, root)
+    val tmp = new Path(logDir(root), s".v$v.manifest.tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val target = manifest(root, v)
+    try {
+      FileContext.getFileContext(target.toUri,
+        spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, target, Options.Rename.NONE)
+    } catch {
+      case e: Exception =>
+        f.delete(tmp, false)
+        throw new java.io.IOException(
+          s"commit of version $v lost the race (manifest exists)", e)
+    }
+  }
+
+  /** Write `df` as a fresh immutable segment and record min/max of each
+    * `statCols` column from the written files (one segment-sized scan at
+    * commit time — the Iceberg write-side stats cost). Bounds are
+    * widened one ulp outward so double rounding of wide integer types
+    * can never prune a segment that holds a qualifying row. */
   private def writeSegment(
-      spark: SparkSession, root: String, df: DataFrame): String = {
+      spark: SparkSession, root: String, df: DataFrame,
+      statCols: Seq[String]): Segment = {
     val name = "seg_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    df.write.parquet(new Path(root, name).toString)
-    name
+    val path = new Path(root, name).toString
+    df.write.parquet(path)
+    val stats =
+      if (statCols.isEmpty) Map.empty[String, (Double, Double)]
+      else {
+        val written = spark.read.parquet(path)
+        val aggs = statCols.flatMap { c =>
+          Seq(fmin(col(c).cast("double")).as(s"__mn_$c"),
+            fmax(col(c).cast("double")).as(s"__mx_$c"))
+        }
+        val r = written.agg(aggs.head, aggs.tail: _*).head()
+        statCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
+          else Some(c -> (Math.nextDown(r.getDouble(2 * i)),
+            Math.nextUp(r.getDouble(2 * i + 1))))
+        }.toMap
+      }
+    Segment(name, stats)
   }
 
   /** Create the table at version 0 with `df`'s rows. */
-  def create(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      statCols: Seq[String] = Nil): Long = {
     require(currentVersion(spark, root).isEmpty, s"$root already versioned")
-    commit(spark, root, Seq(writeSegment(spark, root, df)))
+    commit(spark, root, Seq(writeSegment(spark, root, df, statCols)))
   }
 
   /** APPEND commit: previous segments plus one new one — O(new data)
     * writes, O(1) metadata, exactly the log-structured insert path. */
-  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      statCols: Seq[String] = Nil): Long = {
     val prev = currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
     commit(spark, root,
-      readManifest(spark, root, prev) :+ writeSegment(spark, root, df))
+      segmentsOf(spark, root, prev) :+ writeSegment(spark, root, df, statCols))
   }
 
   /** Replay-safe streaming-sink append: creates the table on the first
@@ -138,23 +231,39 @@ object VersionedTable {
     * (Structured Streaming's contract) are assumed. */
   def appendFenced(
       spark: SparkSession, root: String, df: DataFrame,
-      batchId: Long): Option[Long] = {
+      batchId: Long, statCols: Seq[String] = Nil): Option[Long] = {
     if (currentFence(spark, root).exists(_ >= batchId)) return None
     val prevSegs = currentVersion(spark, root)
-      .map(readManifest(spark, root, _)).getOrElse(Seq.empty)
+      .map(segmentsOf(spark, root, _)).getOrElse(Seq.empty)
     Some(commit(spark, root,
-      prevSegs :+ writeSegment(spark, root, df), fence = Some(batchId)))
+      prevSegs :+ writeSegment(spark, root, df, statCols),
+      fence = Some(batchId)))
   }
 
   /** REPLACE commit (the copy-on-write UPDATE/DELETE shape): the new
     * version references ONLY the replacement segment; prior versions keep
     * referencing the old segments untouched — that is what makes them
-    * still readable. At 100 TB replace only the affected partition's
-    * segments (compose with the MergeOps partition discipline). */
-  def replace(spark: SparkSession, root: String, df: DataFrame): Long = {
+    * still readable. At 100 TB prefer [[mergeWhere]], which replaces only
+    * the affected interval's segments. */
+  def replace(spark: SparkSession, root: String, df: DataFrame,
+      statCols: Seq[String] = Nil): Long = {
     currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
-    commit(spark, root, Seq(writeSegment(spark, root, df)))
+    commit(spark, root, Seq(writeSegment(spark, root, df, statCols)))
+  }
+
+  /** The segment paths a pruned read of `version` actually touches: every
+    * segment whose recorded `c` range intersects [lo, hi], plus any with
+    * no recorded stat for `c`. This is the files-read gate — specs and
+    * queries assert on its length. */
+  def resolveSegments(
+      spark: SparkSession, root: String, c: String, lo: Double, hi: Double,
+      version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"$root has no versions"))
+    segmentsOf(spark, root, v)
+      .filter(_.mayIntersect(c, lo, hi))
+      .map(s => new Path(root, s.name).toString)
   }
 
   /** Snapshot read: resolve `version` (default: latest) to its manifest's
@@ -165,17 +274,58 @@ object VersionedTable {
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"$root has no versions"))
-    val segs = readManifest(spark, root, v)
-      .map(n => new Path(root, n).toString)
+    val segs = segmentsOf(spark, root, v)
+      .map(s => new Path(root, s.name).toString)
     spark.read.parquet(segs: _*)
   }
 
+  /** Stats-pruned snapshot read of rows with `c` in [lo, hi]: whole
+    * segments disjoint from the interval are never opened (manifest-level
+    * data skipping); the residual predicate still applies because a
+    * surviving segment may carry out-of-range rows. */
+  def readPruned(
+      spark: SparkSession, root: String, c: String, lo: Double, hi: Double,
+      version: Option[Long] = None): DataFrame = {
+    val segs = resolveSegments(spark, root, c, lo, hi, version)
+    if (segs.isEmpty) read(spark, root, version).where(lit(false))
+    else spark.read.parquet(segs: _*)
+      .where(col(c).cast("double") >= lo && col(c).cast("double") <= hi)
+  }
+
+  /** Copy-on-write MERGE scoped by manifest stats: segments whose `c`
+    * range intersects [lo, hi] are read, passed through `transform`
+    * (label UPDATE, purge DELETE, upsert — any row-set rewrite), and
+    * rewritten as ONE new segment; every disjoint segment carries forward
+    * BY REFERENCE with its stats. The prior version stays readable — the
+    * Iceberg v2 audit property the in-place MergeOps swap cannot give.
+    * Returns (new version, segments rewritten, segments carried). */
+  def mergeWhere(
+      spark: SparkSession, root: String, c: String, lo: Double, hi: Double,
+      transform: DataFrame => DataFrame,
+      statCols: Seq[String] = Nil): (Long, Int, Int) = {
+    val v = currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
+    val all = segmentsOf(spark, root, v)
+    val (touched, carried) = all.partition(_.mayIntersect(c, lo, hi))
+    if (touched.isEmpty) return (v, 0, carried.length)
+    val touchedDf = spark.read.parquet(
+      touched.map(s => new Path(root, s.name).toString): _*)
+    val rewritten = writeSegment(spark, root, transform(touchedDf), statCols)
+    val nv = commit(spark, root, carried :+ rewritten)
+    (nv, touched.length, carried.length)
+  }
+
   /** Expire snapshots older than the newest `keep` versions: drop their
-    * manifests, then delete any segment no retained manifest references —
-    * the VACUUM/expire-snapshots maintenance op. Returns
-    * (versions dropped, segments deleted). */
+    * manifests, then delete segments that are BOTH unreferenced by every
+    * retained manifest AND older than `segmentRetainMs` — the Iceberg
+    * expire-snapshots age discipline, so a vacuum racing a concurrent
+    * writer never deletes its staged-but-uncommitted segment (writeSegment
+    * runs before its commit). `segmentRetainMs = 0` deletes immediately
+    * and is safe only under single-writer maintenance (the test default).
+    * Returns (versions dropped, segments deleted). */
   def expireSnapshots(
-      spark: SparkSession, root: String, keep: Int): (Int, Int) = {
+      spark: SparkSession, root: String, keep: Int,
+      segmentRetainMs: Long = 0L): (Int, Int) = {
     require(keep >= 1, "must keep at least the current version")
     val f = fs(spark, root)
     val dir = logDir(root)
@@ -186,10 +336,14 @@ object VersionedTable {
       }.sorted
     val dropped = vs.dropRight(keep)
     val kept = vs.takeRight(keep)
-    val liveSegs = kept.flatMap(readManifest(spark, root, _)).toSet
+    val liveSegs = kept.flatMap(segmentsOf(spark, root, _).map(_.name)).toSet
     dropped.foreach(v => f.delete(manifest(root, v), false))
-    val deadSegs = f.listStatus(new Path(root)).map(_.getPath)
-      .filter(p => p.getName.startsWith("seg_") && !liveSegs(p.getName))
+    val cutoff = System.currentTimeMillis() - segmentRetainMs
+    val deadSegs = f.listStatus(new Path(root))
+      .filter(st => st.getPath.getName.startsWith("seg_") &&
+        !liveSegs(st.getPath.getName) &&
+        st.getModificationTime <= cutoff)
+      .map(_.getPath)
     deadSegs.foreach(f.delete(_, true))
     (dropped.length, deadSegs.length)
   }

@@ -31,8 +31,10 @@ object SlidingDistinct {
 
   def exact(sightings: DataFrame, windowDays: Int): DataFrame = {
     require(windowDays >= 1, s"window must be >= 1 day, got $windowDays")
+    // COUNT(DISTINCT u) semantics ignore NULL users: drop them here, or a
+    // (k, NULL) group would form its own island and count as one user.
     val sight = sightings.select(col("k"), col("d").cast("long").as("d"),
-      col("u")).distinct()
+      col("u")).where(col("u").isNotNull).distinct()
     val wKU = Window.partitionBy("k", "u").orderBy("d")
     val wPrev = wKU.rowsBetween(Window.unboundedPreceding, -1)
     val islands = sight

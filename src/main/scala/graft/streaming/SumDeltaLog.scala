@@ -13,7 +13,9 @@ import graft.mutation.MergeOps
   * crash-safe compactor.
   *
   * Layout: `root/seg/d<batchId>` delta segments (one per micro-batch,
-  * deterministic name → a replayed batch OVERWRITES, never re-appends)
+  * deterministic name → a replayed batch OVERWRITES, never re-appends;
+  * after compaction, the base's `c<batchId>` name doubles as a watermark
+  * making replays of already-folded batches a NO-OP — see [[append]])
   * plus at most one `root/seg/c<batchId>` compacted base. The read side
   * collapses all segments with one `groupBy(keys).sum(cnt)` — equal to
   * the eagerly-merged store because SUM is a commutative monoid over
@@ -57,11 +59,30 @@ object SumDeltaLog {
     else f.listStatus(p).filter(_.isDirectory).map(_.getPath.toString).toSeq.sorted
   }
 
+  /** Highest batch id already folded into a compacted base (the id in the
+    * `c<id>` segment name), or -1 when no compaction has run. Every batch
+    * at or below this watermark is ALREADY COUNTED in the base. */
+  def compactionWatermark(spark: SparkSession, root: String): Long =
+    segments(spark, root)
+      .map(p => new Path(p).getName)
+      .collect { case n if n.startsWith("c") => n.stripPrefix("c").toLong }
+      .foldLeft(-1L)(_ max _)
+
   /** Fold one micro-batch's counts in: O(batch) bytes, deterministic
     * segment name (replays overwrite). `batch` must already be the
     * per-(keys..., value) partial counts of THIS batch. Segments land
-    * sorted on the group columns so parquet row-group stats stay tight. */
+    * sorted on the group columns so parquet row-group stats stay tight.
+    *
+    * Replay safety has TWO fences. Pre-compaction, the deterministic
+    * `d<id>` name makes a replay overwrite, never re-append. But once
+    * `maybeCompact` folds d<id> into a base c<id'>, id ≤ id', the delta
+    * file is GONE — a crash between compaction and the streaming
+    * checkpoint commit would replay the batch and recreate d<id>
+    * ALONGSIDE the base that already contains it, double-counting under
+    * the sum monoid. So append is a no-op for any id at or below the
+    * compaction watermark (the id is right there in the base's name). */
   def append(batch: DataFrame, root: String, id: Long, sortCols: Seq[String]): Unit = {
+    if (id <= compactionWatermark(batch.sparkSession, root)) return
     batch.sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(s"${segRoot(root)}/d$id")
   }

@@ -87,9 +87,98 @@ class VersionedTableSpec extends AnyFunSuite with Matchers with SparkSuite {
     VersionedTable.currentFence(spark, root) shouldBe Some(1L)
     // the fence header never leaks into the segment list
     idsAt(root, 1) shouldBe Set(1L, 2L, 3L)
-    // an unfenced commit afterwards clears the fence
+    // an unfenced commit afterwards CARRIES the fence forward — an
+    // interleaved compaction/merge must not erase replay protection
     VersionedTable.append(spark, root, df(4))
-    VersionedTable.currentFence(spark, root) shouldBe None
+    VersionedTable.currentFence(spark, root) shouldBe Some(1L)
+    // ...so a replay of batch 1 after the unfenced commit is still skipped
+    VersionedTable.appendFenced(spark, root, df(3), 1L) shouldBe None
+    VersionedTable.read(spark, root).count() shouldBe 4L
+  }
+
+  test("stats pruning: reads open only segments intersecting the interval") {
+    val root = freshRoot()
+    import spark.implicits._
+    def seg(lo: Long, hi: Long) = (lo to hi).toDF("id")
+    VersionedTable.create(spark, root, seg(0, 9), statCols = Seq("id"))
+    VersionedTable.append(spark, root, seg(10, 19), statCols = Seq("id"))
+    VersionedTable.append(spark, root, seg(20, 29), statCols = Seq("id"))
+    // the files-read gate: a probe inside one segment's range resolves ONE
+    VersionedTable.resolveSegments(spark, root, "id", 12, 15)
+      .length shouldBe 1
+    VersionedTable.resolveSegments(spark, root, "id", 8, 21)
+      .length shouldBe 3
+    VersionedTable.resolveSegments(spark, root, "id", 100, 200)
+      .length shouldBe 0
+    // pruned read ≡ full read + predicate
+    VersionedTable.readPruned(spark, root, "id", 12, 15)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(12L, 13L, 14L, 15L)
+    VersionedTable.readPruned(spark, root, "id", 100, 200).count() shouldBe 0L
+    // a segment committed WITHOUT stats is conservatively kept
+    VersionedTable.append(spark, root, seg(50, 59))
+    VersionedTable.resolveSegments(spark, root, "id", 12, 15)
+      .length shouldBe 2
+    VersionedTable.readPruned(spark, root, "id", 12, 15).count() shouldBe 4L
+  }
+
+  test("mergeWhere rewrites only intersecting segments; prior snapshot intact") {
+    val root = freshRoot()
+    import spark.implicits._
+    def seg(lo: Long, hi: Long) = (lo to hi).toDF("id")
+    VersionedTable.create(spark, root, seg(0, 9), statCols = Seq("id"))
+    VersionedTable.append(spark, root, seg(10, 19), statCols = Seq("id"))
+    VersionedTable.append(spark, root, seg(20, 29), statCols = Seq("id"))
+    // COW DELETE of ids 10..14: one segment rewritten, two carried
+    val (nv, rewritten, carried) = VersionedTable.mergeWhere(
+      spark, root, "id", 10, 19,
+      _.where(F.col("id") >= 15), statCols = Seq("id"))
+    nv shouldBe 3L
+    rewritten shouldBe 1
+    carried shouldBe 2
+    idsAt(root, 3) shouldBe ((0L to 9L) ++ (15L to 29L)).toSet
+    // the pre-merge snapshot is STILL readable — the audit property
+    idsAt(root, 2) shouldBe (0L to 29L).toSet
+    // carried segments kept their stats: pruning still works at head
+    VersionedTable.resolveSegments(spark, root, "id", 0, 5).length shouldBe 1
+    // disjoint merge interval: no-op commit-wise
+    val (nv2, rw2, _) = VersionedTable.mergeWhere(
+      spark, root, "id", 500, 600, identity(_))
+    nv2 shouldBe 3L
+    rw2 shouldBe 0
+  }
+
+  test("vacuum age-gate: young unreferenced segments survive a retention window") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))
+    VersionedTable.replace(spark, root, df(9)) // segment A now unreferenced @head
+    // with a 1h retention window the just-written segment A must survive
+    // (it could be a concurrent writer's staged-but-uncommitted segment)
+    val (dropped, deleted) =
+      VersionedTable.expireSnapshots(spark, root, 1, segmentRetainMs = 3600000L)
+    dropped shouldBe 1
+    deleted shouldBe 0
+    new java.io.File(root).listFiles()
+      .count(_.getName.startsWith("seg_")) shouldBe 2
+    // retention 0 (single-writer maintenance) collects it
+    VersionedTable.expireSnapshots(spark, root, 1)._2 shouldBe 1
+  }
+
+  test("commit is create-exclusive: a racing manifest makes the commit fail") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1))
+    // two writers race for v1: the first publish wins; the second — which
+    // resolved the same next version before the first landed — must FAIL,
+    // not silently overwrite (LocalFileSystem's plain rename would)
+    val racing = java.nio.file.Paths.get(root, "_log", "v000001.manifest")
+    java.nio.file.Files.writeString(racing, "seg_other\n")
+    val e = intercept[java.io.IOException] {
+      VersionedTable.publishManifest(spark, root, 1L, "seg_mine\n")
+    }
+    e.getMessage should include("lost the race")
+    // the winning writer's manifest was NOT overwritten, loser's staging gone
+    java.nio.file.Files.readString(racing) shouldBe "seg_other\n"
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_log", ".v1.manifest.tmp")) shouldBe false
   }
 
   test("append after expiry keeps numbering monotone and content correct") {

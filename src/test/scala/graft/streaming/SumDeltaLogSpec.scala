@@ -74,6 +74,27 @@ class SumDeltaLogSpec extends AnyFunSuite with Matchers with SparkSuite {
       Map(("a", 1L) -> 12L)
   }
 
+  test("replay AFTER compaction is a no-op — the base's watermark fences it") {
+    val root = tmpRoot()
+    // three batches, then compaction folds all of them into base c2
+    (0 until 3).foreach { id =>
+      SumDeltaLog.append(batchDf(Seq(("a", 1L, 10L))), root, id, keys)
+    }
+    SumDeltaLog.maybeCompact(spark, root, 2, keys, "c", maxDeltas = 1) shouldBe true
+    SumDeltaLog.compactionWatermark(spark, root) shouldBe 2L
+    // crash before the streaming checkpoint committed batch 2: the replayed
+    // foreachBatch re-appends d2 — which c2 ALREADY contains. The watermark
+    // makes the append a no-op instead of a double-count.
+    SumDeltaLog.append(batchDf(Seq(("a", 1L, 10L))), root, 2, keys)
+    SumDeltaLog.segments(spark, root).length shouldBe 1
+    asMap(SumDeltaLog.collapsed(spark, root, keys, "c").get) shouldBe
+      Map(("a", 1L) -> 30L)
+    // a genuinely NEW batch above the watermark still lands
+    SumDeltaLog.append(batchDf(Seq(("a", 1L, 4L))), root, 3, keys)
+    asMap(SumDeltaLog.collapsed(spark, root, keys, "c").get) shouldBe
+      Map(("a", 1L) -> 34L)
+  }
+
   test("crash between the two renames: store lives at .tmp_old, reads recover it") {
     val root = tmpRoot()
     (0 until 4).foreach { id =>
