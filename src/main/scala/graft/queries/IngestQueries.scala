@@ -1411,13 +1411,24 @@ object IngestQueries {
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            id: Long) =>
-            VersionedTable.appendFenced(batch.sparkSession, root, batch.toDF(), id)
+            // each commit records the batch's residue-class range in the
+            // manifest (the Iceberg write-side stats), so snapshot reads
+            // can data-skip whole micro-batch segments
+            VersionedTable.appendFenced(batch.sparkSession, root,
+              batch.toDF().withColumn("m", col("event_id") % 3),
+              id, statCols = Seq("m"))
             ()
         }
         .option("checkpointLocation", work + "/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+
+      // files-read gate: the three stream-built segments carry disjoint
+      // m-stats, so a pruned read of m=2 at head opens exactly ONE of them
+      val prunedSegs = VersionedTable.resolveSegments(s, root, "m", 2, 2)
+      require(prunedSegs.length == 1,
+        s"stream-built stats pruning failed: ${prunedSegs.length} of 3 resolved")
 
       import s.implicits._
       val rows = (0L to 2L).map { v =>

@@ -747,7 +747,9 @@ object MutationQueries {
       |       FROM o WHERE k % 4 IN (0, 1)),
       |v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
       |       FROM o WHERE k % 4 IN (0, 1) AND c % 10 <> 3)
-      |SELECT 'v0' AS snapshot, n AS rows_n, s AS custkey_sum FROM v0
+      |SELECT 'prune' AS snapshot, n AS rows_n, CAST(1 AS BIGINT) AS custkey_sum
+      |  FROM v0
+      |UNION ALL SELECT 'v0', n, s FROM v0
       |UNION ALL SELECT 'v1', n, s FROM v1
       |UNION ALL SELECT 'v2', n, s FROM v2
       |UNION ALL SELECT 'v2_after_vacuum', n, s FROM v2
@@ -757,10 +759,16 @@ object MutationQueries {
     val work = graft.Scratch.dir("graft_vtab")
     val root = s"$work/t"
     try {
+      // `m` is the residue class each commit carries — the stat column the
+      // manifest records, standing in for the reference's ingestion-day
+      // partition pruning (wifi_measurement_s3_table_schema.md:196-207)
       val o = Tables.orders(s, dir)
-        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
-      VersionedTable.create(s, root, o.where(col("k") % 4 === 0))
-      VersionedTable.append(s, root, o.where(col("k") % 4 === 1))
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          (col("o_orderkey") % 4).as("m"))
+      VersionedTable.create(s, root, o.where(col("m") === 0),
+        statCols = Seq("m"))
+      VersionedTable.append(s, root, o.where(col("m") === 1),
+        statCols = Seq("m"))
       // copy-on-write DELETE: v2 references only the replacement segment
       VersionedTable.replace(s, root,
         VersionedTable.read(s, root).where(!(col("c") % 10 === 3)))
@@ -771,10 +779,20 @@ object MutationQueries {
       }
       // all three snapshots read AFTER every commit landed: time travel
       val (n0, s0) = stat(0); val (n1, s1) = stat(1); val (n2, s2) = stat(2)
+      // DATA SKIPPING, files-read-count gated: at v1 the table holds two
+      // segments with disjoint recorded m-ranges; a pruned read of m=0
+      // must open exactly ONE of them and still return v0's row count
+      val prunedSegs = VersionedTable.resolveSegments(
+        s, root, "m", 0, 0, version = Some(1L))
+      require(prunedSegs.length == 1,
+        s"stats pruning failed: ${prunedSegs.length} of 2 segments resolved")
+      val prunedN = VersionedTable.readPruned(
+        s, root, "m", 0, 0, version = Some(1L)).count()
       val (droppedV, deletedSegs) = VersionedTable.expireSnapshots(s, root, 1)
       val (n2b, s2b) = stat(2) // the survivor is untouched by the vacuum
       import s.implicits._
       Seq(
+        ("prune", prunedN, prunedSegs.length.toLong),
         ("v0", n0, s0), ("v1", n1, s1), ("v2", n2, s2),
         ("v2_after_vacuum", n2b, s2b),
         ("vacuum", droppedV.toLong, deletedSegs.toLong))
@@ -783,7 +801,130 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A36 — the A6/A7 outlier MERGE as VERSIONED copy-on-write commits
+    * (the Iceberg v2 audit property `wifi_measurement_s3_table_schema
+    * .md:73-75,111-135` that the in-place MergeOps swap cannot give):
+    * the fact table accretes one stats-carrying segment per ingestion
+    * day (v0..v7), detection reads the day-3 window through MANIFEST
+    * PRUNING (1 of 8 segments opened — gated), the label UPDATE and the
+    * purge DELETE land as [[graft.mutation.VersionedTable.mergeWhere]]
+    * commits that rewrite ONLY the intersecting segment and carry the
+    * other seven forward by reference — and after everything, the
+    * pre-merge snapshot (v7) and the labeled-but-unpurged snapshot (v8)
+    * are both still readable. Head counts are identical to
+    * `a6_merge_label_purge`'s by construction; the extra columns are
+    * the time-travel and files-read gates stated as oracle constants.
+    *
+    * Scale: a one-day correction writes one day's replacement segment
+    * plus one manifest — never the table. Detection cost is the pruned
+    * window, not the corpus. */
+  val versionedMerge: Reg = Reg.sql(
+    "a36_versioned_merge",
+    """WITH fact AS (
+      |  SELECT l_partkey AS bssid, l_suppkey % 8 AS day, l_extendedprice AS value
+      |  FROM lineitem
+      |), win AS (
+      |  SELECT * FROM fact WHERE day = 3
+      |), med AS (
+      |  SELECT bssid, MEDIAN(value) AS med FROM win GROUP BY bssid
+      |), dev AS (
+      |  SELECT f.bssid, f.day, ABS(f.value - m.med) AS adev
+      |  FROM win f JOIN med m ON f.bssid = m.bssid
+      |), mad AS (
+      |  SELECT bssid, MEDIAN(adev) AS mad FROM dev GROUP BY bssid
+      |), outliers AS (
+      |  SELECT d.bssid, d.day FROM dev d JOIN mad t ON d.bssid = t.bssid
+      |  WHERE d.adev > 3 * t.mad
+      |)
+      |SELECT (SELECT COUNT(*) FROM fact) AS rows_before,
+      |       (SELECT COUNT(*) FROM outliers) AS outliers_detected,
+      |       (SELECT COUNT(*) FROM outliers) AS rows_labeled,
+      |       CAST(1 AS BIGINT) AS segments_rewritten,
+      |       CAST(7 AS BIGINT) AS segments_carried,
+      |       (SELECT COUNT(*) FROM fact) - (SELECT COUNT(*) FROM outliers)
+      |         AS rows_after_purge,
+      |       (SELECT COUNT(*) FROM fact) AS premerge_snapshot_rows,
+      |       (SELECT COUNT(*) FROM outliers) AS labeled_snapshot_rows,
+      |       CAST(1 AS BIGINT) AS day3_segments_opened""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_vmerge")
+    val root = s"$work/t"
+    try {
+      val fact = Tables.lineitem(s, dir)
+        .select(
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"),
+            col("l_suppkey"), col("l_partkey")).as("event_id"),
+          col("l_partkey").as("bssid"),
+          (col("l_suppkey") % 8).as("day"),
+          col("l_extendedprice").as("value"),
+          lit(null).cast("boolean").as("is_global_outlier"))
+        // consumed once per day-commit below — materialize the projection
+        .localCheckpoint()
+      // one commit per ingestion day, each manifest line carrying the
+      // day's min/max — the production accretion pattern
+      VersionedTable.create(s, root, fact.where(col("day") === 0),
+        statCols = Seq("day"))
+      (1 to 7).foreach { d =>
+        VersionedTable.append(s, root, fact.where(col("day") === d),
+          statCols = Seq("day"))
+      }
+      // A9 detection over the day-3 window via MANIFEST PRUNING: the
+      // files-read gate asserts 1 of 8 segments is opened
+      val day3Segs = VersionedTable.resolveSegments(s, root, "day", 3, 3)
+      require(day3Segs.length == 1,
+        s"day-3 prune opened ${day3Segs.length} of 8 segments")
+      val win = VersionedTable.readPruned(s, root, "day", 3, 3)
+      val med = win.groupBy("bssid")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = win.join(med, "bssid")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("bssid")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      val outliers = dev.join(mad, "bssid")
+        .where(col("adev") > lit(3) * col("mad"))
+        .select(col("event_id"))
+        // consumed by both merges and the counts — materialize once
+        .localCheckpoint()
+      val nOut = outliers.count()
+      val rowsBefore = VersionedTable.read(s, root).count()
+
+      // label UPDATE as a COW MERGE commit (v8): only the day-3 segment
+      // is rewritten; the other seven carry forward by reference
+      val hits = broadcast(outliers.withColumn("__hit", lit(true)))
+      val (v8, rw1, ca1) = VersionedTable.mergeWhere(
+        s, root, "day", 3, 3,
+        _.join(hits, Seq("event_id"), "left")
+          .withColumn("is_global_outlier",
+            when(col("__hit"), lit(true)).otherwise(lit(null).cast("boolean")))
+          .drop("__hit"),
+        statCols = Seq("day"))
+      // purge DELETE as a second COW MERGE commit (v9)
+      val (_, rw2, ca2) = VersionedTable.mergeWhere(
+        s, root, "day", 3, 3,
+        _.join(hits.select("event_id"), Seq("event_id"), "left_anti"),
+        statCols = Seq("day"))
+      require(rw1 == 1 && rw2 == 1 && ca1 == 7 && ca2 == 7,
+        s"COW merge rewrote ($rw1,$rw2) carried ($ca1,$ca2) — expected 1/7")
+
+      val rowsAfter = VersionedTable.read(s, root).count()
+      // TIME TRAVEL after both merges: the pre-merge snapshot is intact
+      // and the labeled-but-unpurged snapshot still shows its labels
+      val preMergeRows = VersionedTable.read(s, root, Some(7L)).count()
+      val labeledRows = VersionedTable
+        .readPruned(s, root, "day", 3, 3, version = Some(v8))
+        .where(col("is_global_outlier") === true).count()
+
+      import s.implicits._
+      Seq((rowsBefore, nOut, nOut, rw1.toLong, ca1.toLong, rowsAfter,
+        preMergeRows, labeledRows, day3Segs.length.toLong))
+        .toDF("rows_before", "outliers_detected", "rows_labeled",
+          "segments_rewritten", "segments_carried", "rows_after_purge",
+          "premerge_snapshot_rows", "labeled_snapshot_rows",
+          "day3_segments_opened")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
-    writeAuditPublish, forgetUser, ivmJoin, timeTravel)
+    writeAuditPublish, forgetUser, ivmJoin, timeTravel, versionedMerge)
 }
