@@ -724,6 +724,107 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A37 — join IVM with RETRACTIONS: the signed-multiset (z-set) delta
+    * algebra ΔV = ΔA⋈(B∪ΔB) ∪ A⋈ΔB where deltas carry mult ∈ {+1,−1}
+    * and a view row's multiplicity is the PRODUCT of its inputs' — the
+    * DBSP/differential-dataflow generalization of a34's insert-only
+    * protocol. Three batches hit both sides; batch 1 DELETES a slice of
+    * batch 0's orders, batch 2 DELETES a slice of earlier lineitems (the
+    * a31 GDPR-purge shape, now repairing a JOIN view instead of
+    * aggregates). Signed products make every case fall out with no
+    * special-casing: a delete joining a same-batch insert nets 0, a
+    * delete joining an already-deleted partner's ± pair nets 0, and a
+    * late insert against a retracted accumulation row nets 0.
+    *
+    * The oracle states the per-batch NET change per priority from first
+    * principles: net_b(pair) = visible_after(b) − visible_after(b−1),
+    * where visibility is pure arrival/deletion arithmetic over the plain
+    * full join — so a missed retraction, a double one, or a wrong delta
+    * term breaks the hash at the exact batch it happens.
+    *
+    * Scale: per-batch cost is two delta-sized keyed joins against the
+    * accumulated segments (deletes are just negative rows — same join,
+    * no tombstone scan); consolidation (sum of mult per pair) is deferred
+    * to readers, the LSM discipline. */
+  val ivmRetract: Reg = Reg.sql(
+    "a37_ivm_retract",
+    """WITH pairs AS (
+      |  SELECT o.o_orderpriority, l.l_quantity AS qty,
+      |         GREATEST(o.o_custkey % 3, l.l_partkey % 3) AS bi,
+      |         (o.o_custkey % 3 = 0 AND o.o_orderkey % 7 = 0) AS del_o,
+      |         (l.l_partkey % 3 IN (0, 1) AND l.l_suppkey % 5 = 0) AS del_l
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |b(batch_id) AS (VALUES (0), (1), (2)),
+      |vis AS (
+      |  SELECT batch_id, o_orderpriority, qty,
+      |    (CASE WHEN bi <= batch_id AND NOT (del_o AND batch_id >= 1)
+      |               AND NOT (del_l AND batch_id >= 2) THEN 1 ELSE 0 END) -
+      |    (CASE WHEN bi <= batch_id - 1 AND NOT (del_o AND batch_id >= 2)
+      |               THEN 1 ELSE 0 END) AS net
+      |  FROM pairs CROSS JOIN b)
+      |SELECT CAST(batch_id AS BIGINT) AS batch_id, o_orderpriority,
+      |       CAST(SUM(net) AS BIGINT) AS net_pairs,
+      |       CAST(SUM(net * qty) AS BIGINT) AS net_qty
+      |FROM vis GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val work = graft.Scratch.dir("graft_ivm_ret")
+    try {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+      val oDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val lDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+      (0 until 3).foreach { i =>
+        // batch i's SIGNED deltas: inserts are this residue class at +1;
+        // batch 1 retracts a slice of batch 0's orders, batch 2 retracts
+        // a slice of batches 0/1's lineitems, each at −1
+        var dOw = o.where(col("o_custkey") % 3 === i)
+          .withColumn("mult", lit(1L))
+        if (i == 1) dOw = dOw.unionByName(
+          o.where(col("o_custkey") % 3 === 0 && col("o_orderkey") % 7 === 0)
+            .withColumn("mult", lit(-1L)))
+        var dLw = l.where(col("l_partkey") % 3 === i)
+          .withColumn("mult", lit(1L))
+        if (i == 2) dLw = dLw.unionByName(
+          l.where((col("l_partkey") % 3).isin(0, 1) &&
+              col("l_suppkey") % 5 === 0)
+            .withColumn("mult", lit(-1L)))
+        val oDir = s"$work/o/b$i"
+        val lDir = s"$work/l/b$i"
+        dOw.write.parquet(oDir)
+        dLw.write.parquet(lDir)
+        // join inputs are the STORED signed segments
+        val dO = s.read.parquet(oDir)
+        val dL = s.read.parquet(lDir)
+        val lAccNew = s.read.parquet((lDirs :+ lDir).toSeq: _*)
+        val fromNewO = dO.join(lAccNew.withColumnRenamed("mult", "multL"),
+          col("o_orderkey") === col("l_orderkey"))
+          .withColumn("m", col("mult") * col("multL"))
+        val appended =
+          if (oDirs.isEmpty) fromNewO
+          else fromNewO.unionByName(
+            s.read.parquet(oDirs.toSeq: _*)
+              .join(dL.withColumnRenamed("mult", "multL"),
+                col("o_orderkey") === col("l_orderkey"))
+              .withColumn("m", col("mult") * col("multL")))
+        appended
+          .select(lit(i.toLong).as("batch_id"), col("o_orderpriority"),
+            col("l_quantity"), col("m"))
+          .write.parquet(s"$work/view/b$i")
+        oDirs += oDir
+        lDirs += lDir
+      }
+      val out = s.read.parquet((0 until 3).map(i => s"$work/view/b$i"): _*)
+        .groupBy("batch_id", "o_orderpriority")
+        .agg(sum("m").as("net_pairs"),
+          sum(col("m") * col("l_quantity")).cast("bigint").as("net_qty"))
+        .orderBy("batch_id", "o_orderpriority")
+      // 15-row rollup: materialize so the scratch dir can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   /** A35 — TIME TRAVEL over the log-structured versioned table
     * ([[graft.mutation.VersionedTable]]): create (v0) → append (v1) →
     * copy-on-write DELETE (v2, a replace commit), then read EVERY version
@@ -926,5 +1027,6 @@ object MutationQueries {
 
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
-    writeAuditPublish, forgetUser, ivmJoin, timeTravel, versionedMerge)
+    writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
+    versionedMerge)
 }
