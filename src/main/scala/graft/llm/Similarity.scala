@@ -686,37 +686,8 @@ object Similarity {
       .groupBy("vec_id")
       .agg(min(struct(col("d"), col("seed"))).as("best"))
       .select(col("vec_id"), col("best.seed").as("cell"))
-    // query probes: nprobe nearest cells each
-    val wProbe = Window.partitionBy("q_id").orderBy(col("d"), col("seed"))
-    val probes = q.where(queryIds(col("vec_id")))
-      .select(col("vec_id").as("q_id"), col("qv").as("qq"))
-      .crossJoin(broadcast(seeds))
-      .select(col("q_id"), col("seed"), l2sq(col("qq"), col("sv")).as("d"))
-      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nprobe)
-      .select(col("q_id"), col("seed").as("cell"))
-    // candidate set: vectors living in a probed cell — optionally minus
-    // the query's own label class (`excludeLabelCol`: the hard-negative-
-    // mining composition — the shortlist is then the k nearest
-    // OPPOSITE-label vectors by ADC, exactly re-ranked below). The label
-    // filter lands BEFORE any distance work, alongside the coarse prune.
-    val cand0 = assign.join(broadcast(probes), "cell")
-      .select(col("q_id"), col("vec_id"))
-    val cand = excludeLabelCol match {
-      case Some(lc) =>
-        val lb = quantized.select(col(idCol).as("vec_id"), col(lc).as("lbl"))
-        cand0.join(lb, "vec_id")
-          .join(broadcast(lb.where(queryIds(col("vec_id")))
-            .select(col("vec_id").as("q_id"), col("lbl").as("p_lbl"))), "q_id")
-          .where(col("lbl") =!= col("p_lbl"))
-          .select(col("q_id"), col("vec_id"))
-      case None => cand0
-    }
-    // PQ codes + per-query LUTs (the pqAdcTopK devices)
-    val dim = s"size($qvCol) DIV $m"
-    val sub = q.select(col("vec_id"), explode(expr(
-      s"""transform(sequence(0, ${m - 1}),
-         |          mm -> struct(mm AS m, slice(qv, ($dim) * mm + 1, $dim) AS sq))""".stripMargin)).as("t"))
-      .select(col("vec_id"), col("t.m").as("m"), col("t.sq").as("sq"))
+    // PQ codes from the same subvector device the search stage uses
+    val sub = subvectors(q, m)
     val cb = trainedCbs match {
       case Some(cbs) => codebookFrame(quantized.sparkSession, cbs(1))
       case None => sub.where(col("vec_id") < ksub)
@@ -727,7 +698,58 @@ object Similarity {
       .groupBy("vec_id", "m")
       .agg(min(struct(col("d"), col("code"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.code").as("code"))
-    val lut = sub.where(queryIds(col("vec_id")))
+    val labels = excludeLabelCol.map(lc =>
+      quantized.select(col(idCol).as("vec_id"), col(lc).as("lbl")))
+    ivfPqSearchStage(q, seeds, cb, assign, codes, labels,
+      queryIds, k, nprobe, m, shortlist)
+  }
+
+  /** One row per (vec_id, m, sq): the m-way subvector split. */
+  private def subvectors(q: DataFrame, m: Int): DataFrame =
+    q.select(col("vec_id"), explode(expr(
+      s"""transform(sequence(0, ${m - 1}),
+         |          mm -> struct(mm AS m, slice(qv, (size(qv) DIV $m) * mm + 1,
+         |                                       size(qv) DIV $m) AS sq))""".stripMargin)).as("t"))
+      .select(col("vec_id"), col("t.m").as("m"), col("t.sq").as("sq"))
+
+  /** The IVF+PQ SEARCH stage over an already-built index: probe nprobe
+    * nearest cells per query, prune candidates to probed cells (and,
+    * optionally, the opposite label class) BEFORE any distance work,
+    * ADC-score via per-query LUTs, exact-re-rank the shortlist. Shared by
+    * [[ivfPqTopK]] (which builds the index inline) and
+    * [[ivfPqTopKFromIndex]] (which serves a stream-maintained one) — one
+    * search, two index provenances, so their results can be compared
+    * hash-for-hash. */
+  private[graft] def ivfPqSearchStage(
+      q: DataFrame, seeds: DataFrame, cb: DataFrame,
+      assign: DataFrame, codes: DataFrame, labels: Option[DataFrame],
+      queryIds: Column => Column, k: Int, nprobe: Int, m: Int,
+      shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // query probes: nprobe nearest cells each
+    val wProbe = Window.partitionBy("q_id").orderBy(col("d"), col("seed"))
+    val probes = q.where(queryIds(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"))
+      .crossJoin(broadcast(seeds))
+      .select(col("q_id"), col("seed"), l2sq(col("qq"), col("sv")).as("d"))
+      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nprobe)
+      .select(col("q_id"), col("seed").as("cell"))
+    // candidate set: vectors living in a probed cell — optionally minus
+    // the query's own label class (the hard-negative-mining composition).
+    // The label filter lands BEFORE any distance work, with the prune.
+    val cand0 = assign.join(broadcast(probes), "cell")
+      .select(col("q_id"), col("vec_id"))
+    val cand = labels match {
+      case Some(lb) =>
+        cand0.join(lb, "vec_id")
+          .join(broadcast(lb.where(queryIds(col("vec_id")))
+            .select(col("vec_id").as("q_id"), col("lbl").as("p_lbl"))), "q_id")
+          .where(col("lbl") =!= col("p_lbl"))
+          .select(col("q_id"), col("vec_id"))
+      case None => cand0
+    }
+    // per-query LUTs (the pqAdcTopK device)
+    val lut = subvectors(q, m).where(queryIds(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("m"), col("sq").as("qs"))
       .join(broadcast(cb), "m")
       .select(col("q_id"), col("m"), col("code"), l2sq(col("qs"), col("cv")).as("ld"))
@@ -749,6 +771,31 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("adc_dist"),
         col("exact_dist"))
+  }
+
+  /** IVF+PQ search served from a PRE-BUILT index frame
+    * `(vec_id, cell, codes: array<bigint>)` — the stream-maintained
+    * snapshot path: assignments and PQ codes were computed at ingest
+    * against the trained codebooks `cbs` (coarse first, PQ second — the
+    * [[trainCodebooksExact]] output), so queries never touch raw corpus
+    * vectors except for the bounded query set and the shortlist re-rank.
+    * Identical search semantics to [[ivfPqTopK]] by construction. */
+  def ivfPqTopKFromIndex(
+      quantized: DataFrame, index: DataFrame,
+      cbs: Seq[Array[Array[Array[Long]]]],
+      queryIds: Column => Column, k: Int, nprobe: Int, m: Int,
+      shortlist: Int,
+      idCol: String = "vec_id", qvCol: String = "qv"): DataFrame = {
+    val q = quantized.select(col(idCol).as("vec_id"), col(qvCol).as("qv"))
+    val spark = quantized.sparkSession
+    val seeds = codebookFrame(spark, cbs.head)
+      .select(col("code").as("seed"), col("cv").as("sv"))
+    val cb = codebookFrame(spark, cbs(1))
+    val assign = index.select(col("vec_id"), col("cell"))
+    val codes = index.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("m", "code")))
+    ivfPqSearchStage(q, seeds, cb, assign, codes, labels = None,
+      queryIds, k, nprobe, m, shortlist)
   }
 
   /** Exact squared L2 via the native codegen'd expression. */

@@ -421,8 +421,12 @@ object CorpusModelQueries {
     * centroids, cell assignments, probe sets, ADC sums, shortlist
     * boundaries, and the re-rank all sit under one hash — the full
     * trained two-level index, exactly oracled. */
-  val annIvfPq: Reg = Reg.sql(
-    "llm_ann_ivfpq",
+  /** Oracle restatement of the trained two-level IVF+PQ build + search,
+    * shared by `llm_ann_ivfpq` (index built inline) and
+    * `s27_stream_pq_index` (index built by streaming commits): both must
+    * hash to THIS exact result — the stream-built index is only done when
+    * it serves the same answers as the batch-built one. */
+  private lazy val ivfPqOracleSql: String =
     """WITH q AS (SELECT vec_id,
       |             list_transform(embedding,
       |               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
@@ -479,7 +483,9 @@ object CorpusModelQueries {
       |SELECT q_id, CAST(rnk AS BIGINT) AS rank, vec_id, adc_dist, exact_dist
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
       |              ORDER BY exact_dist, vec_id) AS rnk FROM ex)
-      |WHERE rnk <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      |WHERE rnk <= 3 ORDER BY q_id, rank""".stripMargin
+
+  val annIvfPq: Reg = Reg.sql("llm_ann_ivfpq", ivfPqOracleSql) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     // nlist scales with the corpus so CELL OCCUPANCY stays ~250 constant
     // (the FAISS sizing rule): the probed candidate set per query is then
@@ -1151,10 +1157,94 @@ object CorpusModelQueries {
     }
   }
 
+  /** S27 — STREAMING PQ INDEX MAINTENANCE, closing the s23 loop: each
+    * micro-batch is assigned its coarse cell AND its m=8 PQ codes as
+    * pure map-side work (both trained quantizers ride along as broadcast
+    * literals — zero shuffle, zero state), and the (vec_id, cell, codes)
+    * rows land as FENCED commits into a [[graft.mutation.VersionedTable]]
+    * — replay-safe, snapshot-isolated, time-travelable: "search the index
+    * as of version N" is a manifest read. After the stream drains,
+    * `llm_ann_ivfpq`-style queries are served FROM the stream-built head
+    * snapshot ([[graft.llm.Similarity.ivfPqTopKFromIndex]]) — and the
+    * oracle is the SAME statement as the batch-built index's, so the
+    * stream-built index is correct exactly when its search results
+    * hash-match the batch path's.
+    *
+    * 100 TB shape: ingest cost is O(batch · (nlist + m·ksub)) flat map
+    * arithmetic; a query touches the index snapshot (codes, not raw
+    * vectors) plus nprobe cells' worth of ADC lookups; retraining is an
+    * offline decision that commits a new index root. */
+  val streamPqIndex: Reg = Reg.sql(
+    "s27_stream_pq_index", ivfPqOracleSql) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_stream_pq")
+    val root = s"$work/idx"
+    try {
+      val quantized = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(quantize).as("qv"))
+      val nSeeds = math.ceil(quantized.count() / 250.0).toInt
+      val cbs = graft.llm.Similarity.trainCodebooksExact(
+        quantized, Seq((1, nSeeds), (8, 16)), iters = 2)
+      // both trained quantizers as literal columns (the s23 device):
+      // KBs of driver state broadcast into every ingest task
+      val coarseArr = array(cbs.head(0).zipWithIndex.map { case (cv, cell) =>
+        struct(array(cv.map(lit(_)): _*).as("cv"), lit(cell.toLong).as("cell"))
+      }: _*)
+      val m = 8
+      val sd = cbs(1)(0)(0).length // per-subspace dims from the codebook
+      val codesExpr = array((0 until m).map { mm =>
+        val sub = expr(s"slice(qv, ${sd * mm + 1}, $sd)")
+        array_min(array(cbs(1)(mm).zipWithIndex.map { case (cv, code) =>
+          struct(l2sq(sub, array(cv.map(lit(_)): _*)).as("d"),
+            lit(code.toLong).as("code"))
+        }: _*)).getField("code")
+      }: _*)
+
+      val src = work + "/in"
+      quantized.repartition(3).write.parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val q = stream.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            VersionedTable.appendFenced(batch.sparkSession, root,
+              batch.toDF()
+                .withColumn("best", array_min(transform(coarseArr,
+                  c => struct(
+                    l2sq(col("qv"), c.getField("cv")).as("d"),
+                    c.getField("cell").as("cell")))))
+                .select(col("vec_id"),
+                  col("best").getField("cell").as("cell"),
+                  codesExpr.as("codes")),
+              id)
+            ()
+        }
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      // serve the batch query FROM the stream-built head snapshot
+      graft.llm.Similarity.ivfPqTopKFromIndex(
+        quantized.localCheckpoint(), // scratch dies below; freeze lineage
+        VersionedTable.read(s, root).localCheckpoint(),
+        cbs, queryIds = _ % 250 === 0, k = 3, nprobe = 2, m = m,
+        shortlist = 10)
+        .orderBy("q_id", "rank")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
       bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty,
       bpeK, bpeK64, bpeEncode, perplexityFilter, randProj, pmiCooccur,
       annPqAdc, annIvfPq, hardNegativesAnn, silhouette, streamIvfAssign,
-      tokenizerFertility)
+      streamPqIndex, tokenizerFertility)
 }
