@@ -26,29 +26,56 @@ object Bench {
     val wanted = args.headOption.map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => wanted.forall(_.contains(n)))
-    val timed = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      def once(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
+
+    def timeAll(list: Seq[String]): Seq[(String, Double, Double, Boolean)] =
+      list.map { name =>
+        val fn = SparkEntry.queries(name)
+        def once(): (Double, Boolean) = {
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                false
+            }
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        val (coldSec, coldOk) = once()
+        val (warmSec, warmOk) = if (coldOk) once() else (-1.0, false)
+        // Several queries localCheckpoint multi-consumer intermediates; the
+        // blocks are only released when the driver GCs the RDD handles
+        // (ContextCleaner), so without this, query N pays query N-1's
+        // executor-memory pressure and late-run timings drift run-to-run.
+        System.gc()
+        val ok = coldOk && warmOk
+        (name, if (ok) warmSec else -1.0, if (coldOk) coldSec else -1.0, ok)
       }
-      val (coldSec, coldOk) = once()
-      val (warmSec, warmOk) = if (coldOk) once() else (-1.0, false)
-      // Several queries localCheckpoint multi-consumer intermediates; the
-      // blocks are only released when the driver GCs the RDD handles
-      // (ContextCleaner), so without this, query N pays query N-1's
-      // executor-memory pressure and late-run timings drift run-to-run.
-      System.gc()
-      val ok = coldOk && warmOk
-      (name, if (ok) warmSec else -1.0, if (coldOk) coldSec else -1.0, ok)
-    }
+
+    // CANARY PROTOCOL: a FIXED 30-query subset timed FIRST, in the fresh
+    // JVM, before the full-surface sweep builds up co-residency pressure
+    // (code cache, old-gen, shuffle scratch). Round 12 showed the shared
+    // run inflating ~1.13x uniformly on code that got FASTER in exclusive
+    // re-measurement; the canary pins round-over-round comparison to
+    // equivalent-pressure conditions. The list is frozen — do not edit it
+    // when queries get faster/slower, or the baseline breaks.
+    val canaryNames = Seq(
+      "q1_pricing_summary", "q18_large_orders", "f_ingest_chain",
+      "a1_candidate_selection", "a6_merge_label_purge", "a9_lof_local",
+      "a10_hotspot_full", "a11_dbscan_relocation", "a34_ivm_join",
+      "j1_broadcast_join", "j4_pair_self_join", "j8_salted_join",
+      "o26_count_min", "r7_batch_localize", "r7_refine_loop",
+      "c1_haversine_distance", "c7_geodesic_ops",
+      "llm_exact_dedup", "llm_minhash_neardup", "llm_dup_clusters",
+      "llm_incremental_clusters", "llm_containment_sampled",
+      "llm_ann_ivfpq", "llm_bpe_k", "llm_drift_chi2", "llm_stream_neardup",
+      "s10_stream_dedup", "s13_stream_join", "s21_stream_median",
+      "s25_stream_scd2")
+    val canary =
+      if (wanted.isDefined) Seq.empty // filtered local runs skip the canary
+      else timeAll(canaryNames.filter(SparkEntry.queries.contains))
+
+    val timed = timeAll(names)
     val qs = timed.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val cold = timed.map { case (k, _, v, _) => "\"" + k + "\":" + f"$v%.2f" }
@@ -63,8 +90,11 @@ object Bench {
     // stdout, truncating this line from the FRONT — cold map first
     // (sacrificial), warm per-query map next, headline scalars last so the
     // totals always survive the cut.
+    val cq = canary.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val canaryTotal = canary.filter(_._4).map(_._2).sum
     val line =
-      s"""{"cold_queries":$cold,"queries":$qs,"errors":$errors,"sf":"$sfDir","unit":"sec","metric":"total_warm","total_cold":$totalCold,"value":$total}"""
+      s"""{"cold_queries":$cold,"canary_queries":$cq,"queries":$qs,"errors":$errors,"sf":"$sfDir","unit":"sec","metric":"total_warm","total_cold":$totalCold,"canary_total":${f"$canaryTotal%.1f"},"value":$total}"""
     println(line)
     // Full machine-readable artifact: stdout gets truncated to ~2KB by the
     // harness, losing most of the per-query map; write the whole JSON to a

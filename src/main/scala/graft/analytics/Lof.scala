@@ -122,37 +122,89 @@ object Lof {
       .repartition(col("bssid"), col("cx"), col("cy"))
       .localCheckpoint(false) // lazy: compute-once on first action, no extra job
 
-    val offsets = array(
-      (for (dx <- -1 to 1; dy <- -1 to 1)
-        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
-    val probe = usable.select(
-      col("bssid"), col("point_id").as("p_id"),
-      col("latitude").as("p_lat"), col("longitude").as("p_lon"),
-      col("cx"), col("cy"))
-      .withColumn("o", explode(offsets))
-      .select(col("bssid"), col("p_id"), col("p_lat"), col("p_lon"),
-        (col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"))
     val cand = usable.select(
       col("bssid"), col("cx"), col("cy"), col("point_id").as("q_id"),
       col("latitude").as("q_lat"), col("longitude").as("q_lon"))
+    val topk = udaf(new TopKEdges(cfg.k))
 
-    val pairs = probe.join(cand, Seq("bssid", "cx", "cy"))
+    // TWO-PHASE candidate generation with a rigorous geometric prune.
+    // Phase 1 ranks each point against its OWN cell only (1/9 of the old
+    // candidate volume). Phase 2 probes a neighbor cell ONLY when it could
+    // still contribute a top-k edge: every q in cell B satisfies
+    //   d(p,q) >= 2R*asin(sqrt(sin^2(dPhiMin/2)
+    //                          + cos(pLat)*minCos(B)*sin^2(dLamMin/2)))
+    // (each haversine term lower-bounded over B's lat/lon box; cos is
+    // unimodal on [-90,90], so min over the box's lat range sits at an
+    // endpoint), so when a point already holds k own-cell edges tighter
+    // than that bound, B is skipped WHOLE. Interior points of dense cells
+    // — exactly the Sigma|cell|^2 term that grows 3.2x/decade — prune all
+    // 8 neighbors; edge-hugging and sparse points keep them, so the
+    // result is bit-identical (the 1e-6 m margin dwarfs the few-ulp
+    // rounding of either side while being ~1e4x below any real
+    // coordinate resolution).
+    val p0 = usable.select(
+      col("bssid"), col("point_id").as("p_id"),
+      col("latitude").as("p_lat"), col("longitude").as("p_lon"),
+      col("cx"), col("cy"))
+    val ownPairs = p0.join(cand, Seq("bssid", "cx", "cy"))
       .where(col("p_id") =!= col("q_id"))
       .select(col("bssid"), col("p_id"), col("q_id"),
         Geo.haversineMeters(col("p_lat"), col("p_lon"), col("q_lat"), col("q_lon"))
           .as("d"))
+      .where(col("d").isNotNull)
+    val ownTop = ownPairs
+      .groupBy("bssid", "p_id")
+      .agg(topk(col("d"), col("q_id").cast("long")).as("__own"))
+      // consumed twice (probe gate + edge union): never re-run the
+      // own-cell pair scan
+      .localCheckpoint(false)
+
+    val withKth = p0.join(ownTop, Seq("bssid", "p_id"), "left")
+      .withColumn("own_n", coalesce(size(col("__own")), lit(0)))
+      .withColumn("kth_d",
+        when(col("own_n") >= cfg.k,
+          element_at(col("__own"), cfg.k).getField("_1")))
+
+    val offsets8 = array(
+      (for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0)
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    val cdeg = cfg.cellDegrees
+    val bLo = (col("cx") + col("o.dx")) * cdeg
+    val bHi = (col("cx") + col("o.dx") + 1) * cdeg
+    val lLo = (col("cy") + col("o.dy")) * cdeg
+    val lHi = (col("cy") + col("o.dy") + 1) * cdeg
+    val dPhiMin = greatest(lit(0.0), bLo - col("p_lat"), col("p_lat") - bHi)
+    val dLamMin = greatest(lit(0.0), lLo - col("p_lon"), col("p_lon") - lHi)
+    val minCosB = greatest(lit(0.0), least(cos(radians(bLo)), cos(radians(bHi))))
+    val bound = lit(2.0 * graft.functions.Geo.EarthRadiusMeters) * asin(sqrt(
+      pow(sin(radians(dPhiMin) / 2), 2) +
+        cos(radians(col("p_lat"))) * minCosB * pow(sin(radians(dLamMin) / 2), 2)))
+    val pairs2 = withKth
+      .withColumn("o", explode(offsets8))
+      .withColumn("__bound", bound)
+      .where(col("own_n") < cfg.k || col("kth_d") >= col("__bound") - lit(1e-6))
+      .select(col("bssid"), col("p_id"), col("p_lat"), col("p_lon"),
+        (col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"))
+      .join(cand, Seq("bssid", "cx", "cy"))
+      .select(col("bssid"), col("p_id"), col("q_id").cast("long").as("q_id"),
+        Geo.haversineMeters(col("p_lat"), col("p_lon"), col("q_lat"), col("q_lon"))
+          .as("d"))
+      .where(col("d").isNotNull)
 
     // kNN per point through the bounded TopKEdges aggregator (exact same
     // (d, q_id) order a window row_number would give, but with map-side
-    // combine — see the class doc). knn is consumed three times
-    // (k-distance, reachability, LOF numerator); without materialization
-    // each consumer would re-run the full 9-cell candidate join — the
-    // dominant cost of the whole operator.
-    val topk = udaf(new TopKEdges(cfg.k))
-    val knn = pairs
-      .where(col("d").isNotNull) // a null distance is no candidate
+    // combine — see the class doc). Phase-1 edges re-enter as plain
+    // (d, q_id) rows; cells are disjoint, so no edge appears twice. knn is
+    // consumed three times (k-distance, reachability, LOF numerator);
+    // without materialization each consumer would re-run the candidate
+    // joins — the dominant cost of the whole operator.
+    val edges1 = withKth
+      .select(col("bssid"), col("p_id"), explode(col("__own")).as("__e"))
+      .select(col("bssid"), col("p_id"),
+        col("__e._2").as("q_id"), col("__e._1").as("d"))
+    val knn = edges1.unionByName(pairs2)
       .groupBy("bssid", "p_id")
-      .agg(topk(col("d"), col("q_id").cast("long")).as("__top"))
+      .agg(topk(col("d"), col("q_id")).as("__top"))
       .select(col("bssid"), col("p_id"), explode(col("__top")).as("__e"))
       .select(col("bssid"), col("p_id"),
         col("__e._2").as("q_id"), col("__e._1").as("d"))

@@ -803,6 +803,169 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** WORKLOAD-ADAPTIVE containment index — the chooser the two fixed
+    * forms above call for (their SCALING entries show the full rare-gram
+    * index winning on uniform-density corpora and the winnow-SAMPLED
+    * index winning where duplication is dense): a measured PRE-FLIGHT
+    * probe — rare-gram pair pressure Σ df·(df−1)/2 over the df ≤ 4
+    * posting lists, per corpus doc — decides the candidate index. The
+    * probe is nearly free (one aggregate over the gram index the full
+    * branch needs anyway and the verify stage needs regardless), and the
+    * decision is integer arithmetic the oracle RESTATES: DuckDB computes
+    * the same probe, takes the same pp ≥ 3·n branch, and states that
+    * branch's full result — so the chooser is oracle-green WHICHEVER way
+    * it goes. On the shipped corpora it actually goes BOTH ways:
+    * duplication-dense sf0.01 (pp/n ≈ 29) picks the sampled index,
+    * uniform sf0.1 (pp/n ≈ 0.65) picks the full index, so both branches
+    * sit under a live gate. Output rows carry the chosen path.
+    *
+    * Honest caveat the probe also surfaces: at sf0.1 the full rare-gram
+    * index's df ≤ 4 posting cap EXHAUSTS on the template-heavy corpus
+    * (every shared word-3-gram is common), so that branch's recall there
+    * is zero while the sampled char-fingerprint branch still catches 40
+    * planted pairs — a production chooser would probe recall on planted
+    * canaries alongside cost, not cost alone. */
+  val containmentAdaptive: Reg = Reg.sql(
+    "llm_containment_adaptive",
+    """WITH aug AS (
+      |  SELECT doc_id, lower(text) AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 40000000,
+      |         lower(text) || ' ' || array_to_string(
+      |           list_transform(range(1, 2 * len(string_split_regex(text, '\s+')) + 1),
+      |             j -> 'zzq' || doc_id || 'x' || j), ' ')
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |w AS (SELECT doc_id, string_split_regex(t, '\s+') AS ws FROM aug),
+      |g AS (SELECT doc_id,
+      |             CASE WHEN len(ws) >= 3 THEN
+      |               list_distinct(list_transform(range(1, len(ws) - 1),
+      |                 i -> array_to_string(ws[i:i+2], ' ')))
+      |             ELSE [] END AS grams
+      |      FROM w),
+      |ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |df AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM ex GROUP BY gram),
+      |probe AS (SELECT COALESCE(SUM(nd * (nd - 1) // 2), 0) AS pp
+      |          FROM df WHERE nd <= 4),
+      |n0 AS (SELECT COUNT(*) AS n FROM aug),
+      |choice AS (SELECT CASE WHEN pp >= 3 * n THEN 'sampled' ELSE 'full' END
+      |             AS path FROM probe, n0),
+      |fx AS (SELECT ex.doc_id, ex.gram FROM ex
+      |       JOIN (SELECT gram FROM df WHERE nd <= 4) rare USING (gram)),
+      |cand_f AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM fx a JOIN fx b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |cgrams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(t) >= 8 THEN
+      |      list_transform(range(1, length(t) - 8 + 2), i ->
+      |        list_reduce(list_prepend(0::BIGINT,
+      |          list_transform(range(i, i + 8), p -> ord(substr(t, p, 1))::BIGINT)),
+      |          (a, b) -> (a * 31 + b) % 1000000007))
+      |    ELSE [] END AS cg
+      |  FROM aug),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(cg) >= 4 THEN
+      |      list_sort(list_distinct(
+      |        list_transform(range(1, len(cg) - 4 + 2), j -> list_min(cg[j:j+3]))))
+      |    ELSE [] END AS fps
+      |  FROM cgrams),
+      |ex2 AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+      |rare2 AS (SELECT fp FROM ex2 GROUP BY fp
+      |          HAVING COUNT(DISTINCT doc_id) <= 8),
+      |fx2 AS (SELECT ex2.doc_id, ex2.fp FROM ex2 JOIN rare2 USING (fp)),
+      |cand_s AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM fx2 a JOIN fx2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |cand AS (
+      |  SELECT id_a, id_b FROM cand_f WHERE (SELECT path FROM choice) = 'full'
+      |  UNION ALL
+      |  SELECT id_a, id_b FROM cand_s WHERE (SELECT path FROM choice) = 'sampled'),
+      |ver AS (
+      |  SELECT c.id_a, c.id_b,
+      |         len(list_intersect(ga.grams, gb.grams)) AS inter,
+      |         len(ga.grams) AS na, len(gb.grams) AS nb
+      |  FROM cand c
+      |  JOIN g ga ON ga.doc_id = c.id_a
+      |  JOIN g gb ON gb.doc_id = c.id_b)
+      |SELECT (SELECT path FROM choice) AS path, id_a, id_b,
+      |       (inter * 1000000) // LEAST(na, nb) AS containment_micro,
+      |       (inter * 1000000) // (na + nb - inter) AS jaccard_micro
+      |FROM ver
+      |WHERE (inter * 1000000) // LEAST(na, nb) >= 900000
+      |  AND (inter * 1000000) // (na + nb - inter) < 500000
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val aug = docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .unionByName(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 40000000L).as("doc_id"),
+          concat(lower(col("text")), lit(" "),
+            array_join(expr(
+              "transform(sequence(1, 2 * size(split(text, '\\\\s+'))), " +
+                "j -> concat('zzq', doc_id, 'x', j))"), " ")).as("t")))
+      // feeds the gram index, the probe, and (sampled branch) winnowing
+      .localCheckpoint(false)
+    val g = aug
+      .select(col("doc_id"), split(col("t"), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        expr("""CASE WHEN size(ws) >= 3 THEN
+               |  array_distinct(transform(sequence(1, size(ws) - 2),
+               |    i -> concat_ws(' ', slice(ws, i, 3))))
+               |ELSE array() END""".stripMargin).as("grams"))
+      .localCheckpoint(false)
+    val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val df = ex.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
+      // probe + (full branch) rare-gram filter both read it
+      .localCheckpoint(false)
+    // THE PROBE: two scalar aggregates, then a driver-side branch — the
+    // a33-style pre-flight measured on the actual workload
+    val pp = df.where(col("nd") <= 4)
+      .agg(coalesce(sum(expr("nd * (nd - 1) div 2")), lit(0L))).head().getLong(0)
+    val n = aug.count()
+    val sampled = pp >= 3 * n
+    val cand =
+      if (!sampled) {
+        val fx = ex.join(df.where(col("nd") <= 4).select("gram"), "gram")
+        fx.select(col("gram"), col("doc_id").as("id_a"))
+          .join(fx.select(col("gram"), col("doc_id").as("id_b")), "gram")
+          .where(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("shared"))
+          .where(col("shared") >= 5)
+          .select("id_a", "id_b")
+      } else {
+        val fps = aug.select(col("doc_id"),
+          explode(TextAnalysis.winnow(col("t"), k = 8, w = 4)).as("fp"))
+        val rare = fps.groupBy("fp")
+          .agg(countDistinct("doc_id").as("nd")).where(col("nd") <= 8)
+          .select("fp")
+        val fx = fps.join(rare, "fp")
+        fx.select(col("fp"), col("doc_id").as("id_a"))
+          .join(fx.select(col("fp"), col("doc_id").as("id_b")), "fp")
+          .where(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("shared"))
+          .where(col("shared") >= 3)
+          .select("id_a", "id_b")
+      }
+    cand
+      .join(g.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("bigint").as("inter"),
+        size(col("ga")).cast("bigint").as("na"),
+        size(col("gb")).cast("bigint").as("nb"))
+      .select(lit(if (sampled) "sampled" else "full").as("path"),
+        col("id_a"), col("id_b"),
+        expr("(inter * 1000000) div least(na, nb)").as("containment_micro"),
+        expr("(inter * 1000000) div (na + nb - inter)").as("jaccard_micro"))
+      .where(col("containment_micro") >= 900000L &&
+        col("jaccard_micro") < 500000L)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Rolling-hash document fingerprinting (winnowing) near-dup, EXACTLY
     * oracled on natural data — unlike MinHash/SimHash (probabilistic →
     * planted-corpus oracles), winnowing is deterministic arithmetic both
@@ -3403,7 +3566,8 @@ object LlmQueries {
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
     annBrute, minhashNearDup, simhashNearDup, annLsh, annIvf, embedNearDup,
     multimodal, tokenEstimate, ngramJaccard, winnowNearDup, repetitionFilter,
-    containmentDedup, containmentSampled, curriculumOrder, embeddingDimStats,
+    containmentDedup, containmentSampled, containmentAdaptive,
+    curriculumOrder, embeddingDimStats,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,

@@ -159,7 +159,8 @@ class OracleLintSpec extends AnyFunSuite with Matchers {
       "o17_hll_merge", "q6_forecast_revenue", "q14_promo_effect",
       "q19_discounted_revenue", "r7_refine_loop", "s3_batched_sink",
       "f14_row_id_contract", "o27_kmv_distinct", "llm_drift_chi2",
-      "c8_circle_filter", "llm_drift_psi", "a31_forget_user")
+      "c8_circle_filter", "llm_drift_psi", "a31_forget_user",
+      "a36_versioned_merge")
     val unordered = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
       case (name, sql)
           if !sql.toUpperCase.contains("ORDER BY") && !singleRow(name) =>
