@@ -39,7 +39,18 @@ object Lof {
   final case class Config(
       k: Int = 5,
       cellDegrees: Double = 0.0015,
-      maxCellPoints: Int = 2000)
+      maxCellPoints: Int = 2000,
+      /** Mean usable-cell occupancy at or above which the two-phase
+        * geometrically-pruned kNN runs instead of the single-pass 9-cell
+        * join. MEASURED trade (SCALING.md round 13): pruning wins exactly
+        * where the Σ|cell|² pair term dominates (dense cells — interior
+        * points skip all 8 neighbors), but on sparse corpora (mean
+        * occupancy ≲ k) phase 1 rarely reaches k own-cell edges, every
+        * point probes all 8 neighbors anyway, and the second aggregation
+        * is pure loss (22.1 vs 16.4 s at sf1-distinct). 2k+2 is the
+        * crossover shape: below it a typical point cannot even fill its
+        * top-k from its own cell. */
+      minMeanCellForPrune: Double = 12.0)
 
   /** Bounded kNN aggregator: keeps the k smallest (distance, neighbor id)
     * edges per point, ordered exactly like the former
@@ -127,21 +138,107 @@ object Lof {
       col("latitude").as("q_lat"), col("longitude").as("q_lon"))
     val topk = udaf(new TopKEdges(cfg.k))
 
-    // TWO-PHASE candidate generation with a rigorous geometric prune.
-    // Phase 1 ranks each point against its OWN cell only (1/9 of the old
-    // candidate volume). Phase 2 probes a neighbor cell ONLY when it could
-    // still contribute a top-k edge: every q in cell B satisfies
-    //   d(p,q) >= 2R*asin(sqrt(sin^2(dPhiMin/2)
-    //                          + cos(pLat)*minCos(B)*sin^2(dLamMin/2)))
-    // (each haversine term lower-bounded over B's lat/lon box; cos is
-    // unimodal on [-90,90], so min over the box's lat range sits at an
-    // endpoint), so when a point already holds k own-cell edges tighter
-    // than that bound, B is skipped WHOLE. Interior points of dense cells
-    // — exactly the Sigma|cell|^2 term that grows 3.2x/decade — prune all
-    // 8 neighbors; edge-hugging and sparse points keep them, so the
-    // result is bit-identical (the 1e-6 m margin dwarfs the few-ulp
-    // rounding of either side while being ~1e4x below any real
-    // coordinate resolution).
+    // STRATEGY PROBE: one tiny aggregate over the guardrail frame (already
+    // computed) picks the kNN plan. Mean usable-cell occupancy below the
+    // crossover → the single-pass 9-cell join (sparse cells: phase 1
+    // cannot fill top-k, everything probes anyway); above it → the
+    // two-phase geometric prune below (dense cells: interior points skip
+    // all 8 neighbors and the Σ|cell|² term collapses). Both plans select
+    // identical kNN sets (scores equal to ~1 ulp, under the oracle's
+    // 4-decimal round); LofSpec pins the equality on both sides of the
+    // threshold.
+    val occ = cellSizes.where(col("__cell_n") <= cfg.maxCellPoints)
+      .agg(coalesce(sum("__cell_n"), lit(0L)).as("s"),
+        count(lit(1)).as("c")).head()
+    val meanOcc =
+      if (occ.getLong(1) == 0L) 0.0
+      else occ.getLong(0).toDouble / occ.getLong(1)
+
+    val knnEdges: DataFrame = if (meanOcc < cfg.minMeanCellForPrune) {
+      // single-pass: each point probes its full 3×3 block
+      val offsets9 = array(
+        (for (dx <- -1 to 1; dy <- -1 to 1)
+          yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+      usable.select(
+        col("bssid"), col("point_id").as("p_id"),
+        col("latitude").as("p_lat"), col("longitude").as("p_lon"),
+        col("cx"), col("cy"))
+        .withColumn("o", explode(offsets9))
+        .select(col("bssid"), col("p_id"), col("p_lat"), col("p_lon"),
+          (col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"))
+        .join(cand, Seq("bssid", "cx", "cy"))
+        .where(col("p_id") =!= col("q_id"))
+        .select(col("bssid"), col("p_id"), col("q_id").cast("long").as("q_id"),
+          Geo.haversineMeters(col("p_lat"), col("p_lon"),
+            col("q_lat"), col("q_lon")).as("d"))
+        .where(col("d").isNotNull)
+    } else twoPhaseEdges(usable, cand, topk, cfg)
+
+    // kNN per point through the bounded TopKEdges aggregator (exact same
+    // (d, q_id) order a window row_number would give, but with map-side
+    // combine — see the class doc). knn is consumed three times
+    // (k-distance, reachability, LOF numerator); without materialization
+    // each consumer would re-run the candidate joins — the dominant cost
+    // of the whole operator.
+    val knn = knnEdges
+      .groupBy("bssid", "p_id")
+      .agg(topk(col("d"), col("q_id")).as("__top"))
+      .select(col("bssid"), col("p_id"), explode(col("__top")).as("__e"))
+      .select(col("bssid"), col("p_id"),
+        col("__e._2").as("q_id"), col("__e._1").as("d"))
+      .localCheckpoint(false)
+    val kdist = knn.groupBy("bssid", "p_id")
+      .agg(max("d").as("kdist"), count(lit(1)).as("k_used"))
+
+    // reach(p←q) = max(kdist(q), d(p,q)); lrd(p) = k_used / Σ reach.
+    val reach = knn.join(
+      kdist.select(col("bssid"), col("p_id").as("q_id"), col("kdist").as("q_kdist")),
+      Seq("bssid", "q_id"))
+      .select(col("bssid"), col("p_id"), col("q_id"),
+        greatest(col("q_kdist"), col("d")).as("reach_d"))
+    val lrd = reach.groupBy("bssid", "p_id")
+      .agg((count(lit(1)).cast("double") /
+        greatest(sum("reach_d"), lit(1e-12))).as("lrd"))
+
+    val lof = knn.join(
+      lrd.select(col("bssid"), col("p_id").as("q_id"), col("lrd").as("q_lrd")),
+      Seq("bssid", "q_id"))
+      .groupBy("bssid", "p_id")
+      .agg(avg("q_lrd").as("__mean_q_lrd"))
+      .join(lrd, Seq("bssid", "p_id"))
+      .select(col("bssid"), col("p_id"), (col("__mean_q_lrd") / col("lrd")).as("lof"))
+
+    usable
+      .join(kdist.select("bssid", "p_id", "k_used")
+        .withColumnRenamed("p_id", "point_id"), Seq("bssid", "point_id"), "left")
+      .join(lof.withColumnRenamed("p_id", "point_id"), Seq("bssid", "point_id"), "left")
+      .select(col("bssid"), col("point_id"), col("latitude"), col("longitude"),
+        coalesce(col("k_used"), lit(0L)).as("k_used"), col("lof"))
+  }
+
+  /** TWO-PHASE candidate edges with a rigorous geometric prune — the
+    * dense-cell kNN plan. Phase 1 ranks each point against its OWN cell
+    * only (1/9 of the single-pass candidate volume). Phase 2 probes a
+    * neighbor cell ONLY when it could still contribute a top-k edge:
+    * every q in cell B satisfies
+    *   d(p,q) >= 2R*asin(sqrt(sin^2(dPhiMin/2)
+    *                          + cos(pLat)*minCos(B)*sin^2(dLamMin/2)))
+    * (each haversine term lower-bounded over B's lat/lon box; cos is
+    * unimodal on [-90,90], so min over the box's lat range sits at an
+    * endpoint), so when a point already holds k own-cell edges tighter
+    * than that bound, B is skipped WHOLE. Interior points of dense cells
+    * — exactly the Σ|cell|² term that grows 3.2x/decade — prune all
+    * 8 neighbors; edge-hugging and sparse points keep them, so the
+    * selected kNN SETS are identical to the single-pass plan's (the
+    * 1e-6 m margin dwarfs the few-ulp rounding of either side while
+    * being ~1e4x below any real coordinate resolution). The LOF float
+    * can still differ by ~1 ulp — the two plans feed the lrd/avg sums
+    * in different row orders — which the oracle's 4-decimal round
+    * absorbs; LofSpec pins the bound at 1e-12 relative. */
+  private def twoPhaseEdges(
+      usable: DataFrame, cand: DataFrame,
+      topk: org.apache.spark.sql.expressions.UserDefinedFunction,
+      cfg: Config): DataFrame = {
     val p0 = usable.select(
       col("bssid"), col("point_id").as("p_id"),
       col("latitude").as("p_lat"), col("longitude").as("p_lon"),
@@ -191,51 +288,12 @@ object Lof {
           .as("d"))
       .where(col("d").isNotNull)
 
-    // kNN per point through the bounded TopKEdges aggregator (exact same
-    // (d, q_id) order a window row_number would give, but with map-side
-    // combine — see the class doc). Phase-1 edges re-enter as plain
-    // (d, q_id) rows; cells are disjoint, so no edge appears twice. knn is
-    // consumed three times (k-distance, reachability, LOF numerator);
-    // without materialization each consumer would re-run the candidate
-    // joins — the dominant cost of the whole operator.
+    // Phase-1 edges re-enter as plain (d, q_id) rows; cells are disjoint,
+    // so no edge appears twice in the union the caller aggregates.
     val edges1 = withKth
       .select(col("bssid"), col("p_id"), explode(col("__own")).as("__e"))
       .select(col("bssid"), col("p_id"),
         col("__e._2").as("q_id"), col("__e._1").as("d"))
-    val knn = edges1.unionByName(pairs2)
-      .groupBy("bssid", "p_id")
-      .agg(topk(col("d"), col("q_id")).as("__top"))
-      .select(col("bssid"), col("p_id"), explode(col("__top")).as("__e"))
-      .select(col("bssid"), col("p_id"),
-        col("__e._2").as("q_id"), col("__e._1").as("d"))
-      .localCheckpoint(false)
-
-    val kdist = knn.groupBy("bssid", "p_id")
-      .agg(max("d").as("kdist"), count(lit(1)).as("k_used"))
-
-    // reach(p←q) = max(kdist(q), d(p,q)); lrd(p) = k_used / Σ reach.
-    val reach = knn.join(
-      kdist.select(col("bssid"), col("p_id").as("q_id"), col("kdist").as("q_kdist")),
-      Seq("bssid", "q_id"))
-      .select(col("bssid"), col("p_id"), col("q_id"),
-        greatest(col("q_kdist"), col("d")).as("reach_d"))
-    val lrd = reach.groupBy("bssid", "p_id")
-      .agg((count(lit(1)).cast("double") /
-        greatest(sum("reach_d"), lit(1e-12))).as("lrd"))
-
-    val lof = knn.join(
-      lrd.select(col("bssid"), col("p_id").as("q_id"), col("lrd").as("q_lrd")),
-      Seq("bssid", "q_id"))
-      .groupBy("bssid", "p_id")
-      .agg(avg("q_lrd").as("__mean_q_lrd"))
-      .join(lrd, Seq("bssid", "p_id"))
-      .select(col("bssid"), col("p_id"), (col("__mean_q_lrd") / col("lrd")).as("lof"))
-
-    usable
-      .join(kdist.select("bssid", "p_id", "k_used")
-        .withColumnRenamed("p_id", "point_id"), Seq("bssid", "point_id"), "left")
-      .join(lof.withColumnRenamed("p_id", "point_id"), Seq("bssid", "point_id"), "left")
-      .select(col("bssid"), col("point_id"), col("latitude"), col("longitude"),
-        coalesce(col("k_used"), lit(0L)).as("k_used"), col("lof"))
+    edges1.unionByName(pairs2)
   }
 }

@@ -57,4 +57,43 @@ class LofSpec extends AnyFunSuite with Matchers with SparkSuite {
     out.where("bssid = 'ap3'").count() shouldBe 0 // dropped, not mis-scored
     out.where("bssid = 'ap1'").count() shouldBe grid.size.toLong
   }
+
+  test("single-pass and two-phase-pruned kNN plans score bit-identically") {
+    // mixed shape: a dense blob (interior points prune all 8 neighbors),
+    // a sparse ring (own-cell < k, probes everything), cell-edge hoverers
+    // (the prune's boundary case), a planted outlier, and a second AP
+    val pts = grid ++
+      (0 until 40).map(n => // dense blob inside one cell
+        ("ap1", (2000 + n).toLong,
+          40.00300 + (n % 7) * 1e-5, -75.00300 + (n / 7) * 1e-5)) ++
+      (0 until 12).map(n => // points hugging a cell boundary
+        ("ap1", (3000 + n).toLong,
+          40.0015 + (n % 2) * 2e-6 - 1e-6, -75.0 + n * 3e-4)) :+
+      ("ap1", 900L, 40.0 + 6 * 0.00027 + 0.0012, -75.0 + 3 * 0.00027) :+
+      ("ap2", 902L, 40.0001, -75.0001) :+
+      ("ap2", 903L, 40.0002, -75.0002)
+    import spark.implicits._
+    val df = pts.toDF("bssid", "point_id", "latitude", "longitude")
+    def rows(minMean: Double) =
+      Lof.score(df, Lof.Config(minMeanCellForPrune = minMean))
+        .orderBy("bssid", "point_id").collect().toSeq
+    // threshold 0 forces the two-phase prune; MaxValue forces single-pass
+    val pruned = rows(0.0)
+    val single = rows(Double.MaxValue)
+    pruned.length shouldBe single.length
+    pruned.zip(single).foreach { case (a, b) =>
+      // identical points, identical kNN sets (k_used exact); the LOF float
+      // itself may differ by ~1 ulp because the two plans feed the lrd/avg
+      // sums in different row orders — the oracle's 4-decimal round
+      // absorbs it, and this gate pins it to strictly tighter than that
+      (a.getString(0), a.getLong(1), a.getLong(4)) shouldBe
+        (b.getString(0), b.getLong(1), b.getLong(4))
+      (a.isNullAt(5), b.isNullAt(5)) match {
+        case (false, false) =>
+          math.abs(a.getDouble(5) - b.getDouble(5)) should be <=
+            1e-12 * math.max(1.0, math.abs(b.getDouble(5)))
+        case (na, nb) => na shouldBe nb
+      }
+    }
+  }
 }
