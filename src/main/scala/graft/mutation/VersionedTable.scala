@@ -315,6 +315,55 @@ object VersionedTable {
     (nv, touched.length, carried.length)
   }
 
+  /** Data bytes of each live segment at head — the sizing input callers
+    * use to pick [[compactSmall]]'s threshold corpus-relatively. */
+  def segmentBytes(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val v = currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"$root has no versions"))
+    val f = fs(spark, root)
+    segmentsOf(spark, root, v).map(s =>
+      s.name -> f.getContentSummary(new Path(root, s.name)).getLength)
+  }
+
+  /** COMPACTION as a COMMIT (Iceberg's rewrite_data_files): live segments
+    * whose data size is at or below `smallBytes` are read once and
+    * rewritten as ONE segment; larger segments carry forward BY REFERENCE.
+    * The merged segment's stats come from the carried manifests' stats
+    * (interval union per column — no rescan; a column missing a stat on
+    * ANY merged segment stays statless, the conservative join). Content is
+    * unchanged at head, every prior version stays readable, and the old
+    * small segments become vacuum candidates only when their snapshots
+    * expire — compaction never deletes. Streaming appends are the natural
+    * producer of the small-segment tail this folds (one segment per
+    * micro-batch); at 100 TB this runs out-of-band per partition.
+    * Returns (new version, segments merged, segments carried); no commit
+    * happens when fewer than 2 segments qualify. */
+  def compactSmall(
+      spark: SparkSession, root: String,
+      smallBytes: Long): (Long, Int, Int) = {
+    val v = currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
+    val f = fs(spark, root)
+    val all = segmentsOf(spark, root, v)
+    val (small, big) = all.partition { s =>
+      f.getContentSummary(new Path(root, s.name)).getLength <= smallBytes
+    }
+    if (small.length < 2) return (v, 0, all.length)
+    val merged = spark.read.parquet(
+      small.map(s => new Path(root, s.name).toString): _*)
+    val name = "seg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    merged.coalesce(1).write.parquet(new Path(root, name).toString)
+    // stats union straight from the manifest — the merged interval per
+    // column, defined only when EVERY merged segment carried that stat
+    val statKeys = small.map(_.stats.keySet).reduce(_ intersect _)
+    val stats = statKeys.map { c =>
+      val (mns, mxs) = small.map(_.stats(c)).unzip
+      c -> (mns.min, mxs.max)
+    }.toMap
+    val nv = commit(spark, root, big :+ Segment(name, stats))
+    (nv, small.length, big.length)
+  }
+
   /** Expire snapshots older than the newest `keep` versions: drop their
     * manifests, then delete segments that are BOTH unreferenced by every
     * retained manifest AND older than `segmentRetainMs` — the Iceberg

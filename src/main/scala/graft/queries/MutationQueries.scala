@@ -1025,8 +1025,92 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A38 — COMPACTION AS A SNAPSHOT over the versioned table (Iceberg's
+    * rewrite_data_files, the versioned sibling of a19's in-place
+    * small-file compaction): a large base segment plus six micro-batch-
+    * sized appends (the small-segment tail streaming ingest accretes),
+    * then one [[graft.mutation.VersionedTable.compactSmall]] commit that
+    * folds exactly the six smalls into ONE segment — threshold picked
+    * corpus-relatively (half the largest segment) so the shape holds at
+    * any SF — carrying the base by reference and UNIONING the smalls'
+    * manifest stats without rescanning them. Content at head is
+    * byte-for-byte the pre-compaction content, the pre-compaction
+    * version stays readable, and pruning through the merged segment's
+    * unioned stats still works (files-read gates on both sides).
+    * Compaction never deletes: the smalls become vacuum candidates only
+    * when their snapshots expire. */
+  val versionedCompact: Reg = Reg.sql(
+    "a38_versioned_compact",
+    """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderkey % 6 AS m
+      |           FROM orders),
+      |base AS (SELECT * FROM o WHERE k % 13 <> 0),
+      |small AS (SELECT * FROM o WHERE k % 13 = 0),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |               CAST(SUM(c) AS BIGINT) AS s FROM o),
+      |sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |              CAST(SUM(c) AS BIGINT) AS s FROM small
+      |       WHERE m IN (2, 3))
+      |SELECT CAST(7 AS BIGINT) AS segments_before,
+      |       CAST(6 AS BIGINT) AS segments_merged,
+      |       CAST(1 AS BIGINT) AS segments_carried,
+      |       CAST(2 AS BIGINT) AS segments_after,
+      |       tot.n AS rows_head, tot.s AS custkey_sum_head,
+      |       tot.n AS rows_precompact_snapshot,
+      |       CAST(1 AS BIGINT) AS m23_segments_opened,
+      |       sm.n AS m23_rows, sm.s AS m23_custkey_sum
+      |FROM tot, sm""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_vcompact")
+    val root = s"$work/t"
+    try {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          (col("o_orderkey") % 6).as("m"))
+      VersionedTable.create(s, root, o.where(col("k") % 13 =!= 0)) // big base
+      (0 to 5).foreach { i => // the streaming small-segment tail
+        VersionedTable.append(s, root,
+          o.where(col("k") % 13 === 0 && col("m") === i),
+          statCols = Seq("m"))
+      }
+      val before = VersionedTable.segmentBytes(s, root)
+      val threshold = before.map(_._2).max / 2
+      val (nv, merged, carried) =
+        VersionedTable.compactSmall(s, root, smallBytes = threshold)
+      require(nv == 7L && merged == 6 && carried == 1,
+        s"compaction folded $merged/carried $carried at v$nv — expected 6/1")
+      val after = VersionedTable.segmentBytes(s, root)
+      // head content unchanged, pre-compaction snapshot intact
+      val h = VersionedTable.read(s, root)
+        .agg(count(lit(1)), sum("c").cast("bigint")).head()
+      val p = VersionedTable.read(s, root, Some(6L))
+        .agg(count(lit(1))).head()
+      // files-read gates on both sides of the compaction. At v6 the six
+      // smalls carry disjoint m-stats, so an m∈[2,3] probe opens exactly
+      // 2 of them (the statless base is always conservatively kept —
+      // subtract it). At head the merged segment's UNIONED stats [0,5]
+      // legitimately intersect every m probe, so it reads 1 stat segment.
+      val m23segs = VersionedTable.resolveSegments(
+        s, root, "m", 2, 3, version = Some(6L))
+        .length - 1 // minus the statless base, which is always kept
+      require(m23segs == 2,
+        s"pre-compaction m∈[2,3] prune opened $m23segs stat segments, want 2")
+      val m23 = VersionedTable.readPruned(s, root, "m", 2, 3)
+        .where(col("k") % 13 === 0)
+        .agg(count(lit(1)), sum("c").cast("bigint")).head()
+      import s.implicits._
+      Seq((before.length.toLong, merged.toLong, carried.toLong,
+        after.length.toLong, h.getLong(0), h.getLong(1), p.getLong(0),
+        (VersionedTable.resolveSegments(s, root, "m", 2, 3).length - 1).toLong,
+        m23.getLong(0), m23.getLong(1)))
+        .toDF("segments_before", "segments_merged", "segments_carried",
+          "segments_after", "rows_head", "custkey_sum_head",
+          "rows_precompact_snapshot", "m23_segments_opened",
+          "m23_rows", "m23_custkey_sum")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
-    versionedMerge)
+    versionedMerge, versionedCompact)
 }

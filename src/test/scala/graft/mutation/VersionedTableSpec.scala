@@ -163,6 +163,43 @@ class VersionedTableSpec extends AnyFunSuite with Matchers with SparkSuite {
     VersionedTable.expireSnapshots(spark, root, 1)._2 shouldBe 1
   }
 
+  test("compactSmall folds only small segments, unions their stats, keeps history") {
+    val root = freshRoot()
+    import spark.implicits._
+    def seg(lo: Long, hi: Long) = (lo to hi).toDF("id")
+    // three small stat-carrying segments + one big statless one
+    VersionedTable.create(spark, root, seg(0, 4), statCols = Seq("id"))
+    VersionedTable.append(spark, root, seg(5, 9), statCols = Seq("id"))
+    VersionedTable.append(spark, root, seg(10, 14), statCols = Seq("id"))
+    VersionedTable.append(spark, root, seg(100, 5099), statCols = Seq("id"))
+    // size through the same Hadoop lens compactSmall uses (the local
+    // java.io view also counts .crc shadows and skews the threshold)
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigBytes = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("seg_"))
+      .map(d => hfs.getContentSummary(
+        new org.apache.hadoop.fs.Path(d.toString)).getLength).max
+    val (nv, merged, carried) =
+      VersionedTable.compactSmall(spark, root, smallBytes = bigBytes - 1)
+    nv shouldBe 4L
+    merged shouldBe 3
+    carried shouldBe 1
+    // head content unchanged; prior version intact
+    VersionedTable.read(spark, root).count() shouldBe 5015L
+    idsAt(root, 2) shouldBe (0L to 14L).toSet
+    // merged stats are the manifest-union: pruning on id resolves exactly
+    // the merged segment for an in-range probe, exactly the carried big
+    // one for an out-of-union probe
+    VersionedTable.resolveSegments(spark, root, "id", 3, 12).length shouldBe 1
+    VersionedTable.resolveSegments(spark, root, "id", 3000, 3001)
+      .length shouldBe 1
+    VersionedTable.readPruned(spark, root, "id", 3, 12).count() shouldBe 10L
+    // fewer than 2 qualifying segments: no commit
+    VersionedTable.compactSmall(spark, root, smallBytes = 1L)._2 shouldBe 0
+    VersionedTable.currentVersion(spark, root) shouldBe Some(4L)
+  }
+
   test("commit is create-exclusive: a racing manifest makes the commit fail") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
