@@ -1443,10 +1443,104 @@ object IngestQueries {
     }
   }
 
+  /** S28 — the FULL LSM loop on the versioned table: fenced streaming
+    * appends interleaved with UNFENCED compaction commits
+    * ([[graft.mutation.VersionedTable.compactSmall]] inside the same
+    * foreachBatch, threshold sized so each compaction folds the
+    * accumulated small tail). This is the composition the fence
+    * CARRY-FORWARD exists for: a compaction commit between two batches
+    * must not erase replay protection, so after the stream drains, a
+    * deliberate replay of the LAST batch (same batch id, the
+    * at-least-once crash window) must be skipped whole even though the
+    * latest commit is the unfenced compaction. The oracle states
+    * per-version content arithmetic plus the segment-count telemetry:
+    * head has exactly 2 segments (compacted tail + last append... the
+    * final compaction folds everything), the replay adds NOTHING, and
+    * every pre-compaction version still reads its exact prefix. */
+  val streamCompactedLog: Reg = Reg.sql(
+    "s28_stream_compacted_log",
+    """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 30000),
+      |v(version) AS (VALUES (0), (1), (2))
+      |SELECT CAST(version AS BIGINT) AS version,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+      |       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS head_rows,
+      |       CAST(1 AS BIGINT) AS head_segments,
+      |       CAST(0 AS BIGINT) AS replay_appended
+      |FROM v JOIN e ON e.event_id % 3 <= version
+      |GROUP BY version ORDER BY version""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_slsm")
+    val root = s"$work/t"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 30000L)
+        .select("event_id", "user_id")
+      val src = new java.io.File(work + "/in"); src.mkdirs()
+      val t0 = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val tmp = new java.io.File(work + s"/tmp$i")
+        e.where(col("event_id") % 3 === i).coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + i * 2000L)
+        ()
+      }
+      val schema = s.read.parquet(src.toString).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            val sp = batch.sparkSession
+            VersionedTable.appendFenced(sp, root, batch.toDF(), id)
+            // the LSM maintenance step, UNFENCED, in the same trigger:
+            // fold every small segment (they all are) into one — the
+            // carry-forward keeps the fence alive through this commit
+            VersionedTable.compactSmall(sp, root, smallBytes = Long.MaxValue)
+            ()
+        }
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      // the at-least-once crash window: the checkpoint missed batch 2's
+      // commit and the batch replays — the fence (carried through the
+      // compaction commits) must skip it whole
+      val headBefore = VersionedTable.read(s, root).count()
+      val replayed = VersionedTable.appendFenced(
+        s, root, e.where(col("event_id") % 3 === 2), batchId = 2L)
+      require(replayed.isEmpty, "replay after compaction was NOT fenced")
+      val headAfter = VersionedTable.read(s, root).count()
+      val headSegs = VersionedTable.segmentsOf(
+        s, root, VersionedTable.currentVersion(s, root).get).length
+      // versions: 0=append b0, 1=compact(=b0), 2=append b1, 3=compact,
+      // 4=append b2, 5=compact. Batch-prefix snapshots are the APPEND
+      // versions 0, 2, 4 — read each AFTER everything committed.
+      import s.implicits._
+      val rows = (0L to 2L).map { v =>
+        val r = VersionedTable.read(s, root, Some(v * 2))
+          .agg(count(lit(1)), sum("user_id").cast("bigint")).head()
+        (v, r.getLong(0), r.getLong(1), headBefore, headSegs.toLong,
+          headAfter - headBefore)
+      }
+      rows.toDF("version", "n_rows", "uid_sum", "head_rows",
+        "head_segments", "replay_appended").orderBy("version")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
       batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals, streamTimers,
       foreachBatchUpsert, streamMedian, streamQuantiles, streamDrift,
-      streamScd2, streamVersionLog)
+      streamScd2, streamVersionLog, streamCompactedLog)
 }
