@@ -1198,6 +1198,104 @@ object LlmQueries {
       .orderBy("cluster_rep")
   }
 
+  /** SPLIT-LEAKAGE detection — the eval-integrity check every training
+    * pipeline needs and the one the split assigner alone cannot give:
+    * content-hash split assignment (`llm_split_assign`'s md5 rule) is
+    * leak-proof against EXACT duplicates by construction (same text →
+    * same hash → same split; the planted +20M copies land with their
+    * originals every time), but NEAR-duplicates hash independently —
+    * every planted near-copy re-rolls its split, so ~2/3 of near-dup
+    * clusters straddle train/val/test. This query joins the near-dup
+    * CLUSTERS (same planted corpus and CC as `llm_dup_clusters`, whose
+    * pair list the minhash oracle proves exact) against each member's
+    * OWN split and reports every cluster spanning >1 split with its
+    * per-split member counts — the rows an eval-decontamination purge
+    * acts on. DuckDB restates text reconstruction, md5 splits, recursive-
+    * CTE components, and the spanning filter, so both the leak mechanism
+    * and the detector are value-hashed.
+    *
+    * Scale: one CC over the pair list (O(log n) star rounds), one
+    * broadcast-shaped split projection, one keyed aggregate — leakage
+    * detection costs no more than clustering itself. */
+  val splitLeakage: Reg = Reg.sql(
+    "llm_split_leakage",
+    """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+      |pairs AS (
+      |  SELECT doc_id AS id_a, doc_id + 10000000 AS id_b FROM ids WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 20000000 FROM ids WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id + 20000000 FROM ids WHERE doc_id % 21 = 0),
+      |undirected AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(n, m) AS (
+      |  SELECT a, b FROM undirected
+      |  UNION
+      |  SELECT r.n, u.b FROM reach r JOIN undirected u ON r.m = u.a),
+      |comp AS (
+      |  SELECT n AS node, LEAST(n, MIN(m)) AS comp FROM reach GROUP BY n),
+      |txt AS (
+      |  SELECT doc_id AS node,
+      |         array_to_string(list_transform(range(0, 20),
+      |           k -> printf('w%d_%d', doc_id, k)), ' ') AS t
+      |  FROM ids
+      |  UNION ALL
+      |  SELECT doc_id + 10000000,
+      |         array_to_string(list_transform(range(0, 20),
+      |           k -> printf('w%d_%d', doc_id, k)), ' ') || printf(' x%d', doc_id)
+      |  FROM ids WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000,
+      |         array_to_string(list_transform(range(0, 20),
+      |           k -> printf('w%d_%d', doc_id, k)), ' ')
+      |  FROM ids WHERE doc_id % 7 = 0),
+      |sp AS (
+      |  SELECT node,
+      |         CASE WHEN substr(md5(t), 1, 1) <= 'b' THEN 'train'
+      |              WHEN substr(md5(t), 1, 1) <= 'd' THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM txt),
+      |agg AS (
+      |  SELECT c.comp AS cluster_rep,
+      |         COUNT(*) AS cluster_size,
+      |         COUNT(DISTINCT split) AS n_splits,
+      |         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+      |         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+      |         SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+      |  FROM comp c JOIN sp USING (node) GROUP BY 1)
+      |SELECT cluster_rep, CAST(cluster_size AS BIGINT) AS cluster_size,
+      |       CAST(n_splits AS BIGINT) AS n_splits,
+      |       CAST(n_train AS BIGINT) AS n_train,
+      |       CAST(n_val AS BIGINT) AS n_val,
+      |       CAST(n_test AS BIGINT) AS n_test
+      |FROM agg WHERE n_splits > 1 ORDER BY cluster_rep""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir).select(col("doc_id"), plantedWords.as("text"))
+    val near = base.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), format_string(" x%d", col("doc_id"))).as("text"))
+    val exact = base.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val corpus = base.unionByName(near).unionByName(exact)
+    val pairs = MinHash.nearDuplicates(corpus, "doc_id", "text")
+    val comp = graft.operators.ConnectedComponents.runStar(pairs, "id_a", "id_b")
+    val nibble = substring(md5(col("text")), 1, 1)
+    val sp = corpus.select(col("doc_id").as("node"),
+      when(nibble <= "b", "train").when(nibble <= "d", "val")
+        .otherwise("test").as("split"))
+    comp.join(sp, "node")
+      .groupBy(col("comp").as("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"),
+        countDistinct("split").cast("bigint").as("n_splits"),
+        sum(when(col("split") === "train", 1).otherwise(0)).cast("bigint")
+          .as("n_train"),
+        sum(when(col("split") === "val", 1).otherwise(0)).cast("bigint")
+          .as("n_val"),
+        sum(when(col("split") === "test", 1).otherwise(0)).cast("bigint")
+          .as("n_test"))
+      .where(col("n_splits") > 1)
+      .orderBy("cluster_rep")
+  }
+
   /** Cluster-representative selection — the retention HALF of near-dedup:
     * real pipelines don't drop an arbitrary member of each duplicate
     * cluster, they keep the BEST one (highest quality score) and purge the
@@ -3569,6 +3667,7 @@ object LlmQueries {
     containmentDedup, containmentSampled, containmentAdaptive,
     curriculumOrder, embeddingDimStats,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
+    splitLeakage,
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,
