@@ -138,18 +138,19 @@ object Lof {
       col("latitude").as("q_lat"), col("longitude").as("q_lon"))
     val topk = udaf(new TopKEdges(cfg.k))
 
-    // STRATEGY PROBE: one tiny aggregate over the guardrail frame (already
-    // computed) picks the kNN plan. Mean usable-cell occupancy below the
-    // crossover → the single-pass 9-cell join (sparse cells: phase 1
-    // cannot fill top-k, everything probes anyway); above it → the
-    // two-phase geometric prune below (dense cells: interior points skip
-    // all 8 neighbors and the Σ|cell|² term collapses). Both plans select
-    // identical kNN sets (scores equal to ~1 ulp, under the oracle's
-    // 4-decimal round); LofSpec pins the equality on both sides of the
-    // threshold.
-    val occ = cellSizes.where(col("__cell_n") <= cfg.maxCellPoints)
-      .agg(coalesce(sum("__cell_n"), lit(0L)).as("s"),
-        count(lit(1)).as("c")).head()
+    // STRATEGY PROBE: one aggregate over the USABLE frame (this is also
+    // the action that materializes its checkpoint, so the probe costs no
+    // extra input scan — aggregating cellSizes instead would re-scan the
+    // raw points). Mean usable-cell occupancy below the crossover → the
+    // single-pass 9-cell join (sparse cells: phase 1 cannot fill top-k,
+    // everything probes anyway); above it → the two-phase geometric prune
+    // below (dense cells: interior points skip all 8 neighbors and the
+    // Σ|cell|² term collapses). Both plans select identical kNN sets
+    // (scores equal to ~1 ulp, under the oracle's 4-decimal round);
+    // LofSpec pins the equality on both sides of the threshold.
+    val occ = usable
+      .agg(count(lit(1)).as("s"),
+        count_distinct(col("bssid"), col("cx"), col("cy")).as("c")).head()
     val meanOcc =
       if (occ.getLong(1) == 0L) 0.0
       else occ.getLong(0).toDouble / occ.getLong(1)

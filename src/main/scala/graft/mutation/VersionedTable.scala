@@ -212,6 +212,40 @@ object VersionedTable {
     commit(spark, root, Seq(writeSegment(spark, root, df, statCols)))
   }
 
+  /** One-pass PARTITIONED create: write `df` partitioned by numeric
+    * `partCol` in a SINGLE write job, then register each partition
+    * directory as its own segment whose `partCol` stat IS the partition
+    * value — the Iceberg partition-field shape: per-segment stats with NO
+    * stats scan (the value is in the directory name), exact pruning on
+    * `partCol`, and one job instead of one-write-plus-one-stats-scan per
+    * partition. The data files keep the column (it is duplicated into a
+    * synthetic `__p` for the directory layout, which partitionBy then
+    * strips), so segment reads return the full schema. Returns
+    * (version 0, segments created). */
+  def createPartitioned(
+      spark: SparkSession, root: String, df: DataFrame,
+      partCol: String): (Long, Int) = {
+    require(currentVersion(spark, root).isEmpty, s"$root already versioned")
+    val f = fs(spark, root)
+    val staging = new Path(root,
+      ".stage_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    df.withColumn("__p", col(partCol))
+      .write.partitionBy("__p").parquet(staging.toString)
+    val segs = f.listStatus(staging)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__p="))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val v = st.getPath.getName.stripPrefix("__p=").toDouble
+        val name = "seg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        if (!f.rename(st.getPath, new Path(root, name)))
+          throw new java.io.IOException(s"cannot place segment for ${st.getPath}")
+        Segment(name, Map(partCol -> (v, v)))
+      }.toSeq
+    require(segs.nonEmpty, s"createPartitioned: $partCol produced no partitions")
+    f.delete(staging, true)
+    (commit(spark, root, segs), segs.length)
+  }
+
   /** APPEND commit: previous segments plus one new one — O(new data)
     * writes, O(1) metadata, exactly the log-structured insert path. */
   def append(spark: SparkSession, root: String, df: DataFrame,

@@ -905,13 +905,15 @@ object MutationQueries {
   /** A36 — the A6/A7 outlier MERGE as VERSIONED copy-on-write commits
     * (the Iceberg v2 audit property `wifi_measurement_s3_table_schema
     * .md:73-75,111-135` that the in-place MergeOps swap cannot give):
-    * the fact table accretes one stats-carrying segment per ingestion
-    * day (v0..v7), detection reads the day-3 window through MANIFEST
+    * the fact table lands as ONE partitioned write whose 8 per-day
+    * directories register as stat-carrying segments (v0 — the Iceberg
+    * partition-field shape: the stat IS the directory's value, no stats
+    * scan), detection reads the day-3 window through MANIFEST
     * PRUNING (1 of 8 segments opened — gated), the label UPDATE and the
     * purge DELETE land as [[graft.mutation.VersionedTable.mergeWhere]]
     * commits that rewrite ONLY the intersecting segment and carry the
     * other seven forward by reference — and after everything, the
-    * pre-merge snapshot (v7) and the labeled-but-unpurged snapshot (v8)
+    * pre-merge snapshot (v0) and the labeled-but-unpurged snapshot (v1)
     * are both still readable. Head counts are identical to
     * `a6_merge_label_purge`'s by construction; the extra columns are
     * the time-travel and files-read gates stated as oracle constants.
@@ -959,16 +961,11 @@ object MutationQueries {
           (col("l_suppkey") % 8).as("day"),
           col("l_extendedprice").as("value"),
           lit(null).cast("boolean").as("is_global_outlier"))
-        // consumed once per day-commit below — materialize the projection
-        .localCheckpoint()
-      // one commit per ingestion day, each manifest line carrying the
-      // day's min/max — the production accretion pattern
-      VersionedTable.create(s, root, fact.where(col("day") === 0),
-        statCols = Seq("day"))
-      (1 to 7).foreach { d =>
-        VersionedTable.append(s, root, fact.where(col("day") === d),
-          statCols = Seq("day"))
-      }
+      // ONE partitioned write registers all 8 per-day segments, each
+      // manifest line carrying day=[d,d] from the directory name — the
+      // Iceberg partition-field shape, no per-day scan, no stats scan
+      val (v0, nSegs) = VersionedTable.createPartitioned(s, root, fact, "day")
+      require(v0 == 0L && nSegs == 8, s"expected 8 day segments, got $nSegs")
       // A9 detection over the day-3 window via MANIFEST PRUNING: the
       // files-read gate asserts 1 of 8 segments is opened
       val day3Segs = VersionedTable.resolveSegments(s, root, "day", 3, 3)
@@ -989,17 +986,17 @@ object MutationQueries {
       val nOut = outliers.count()
       val rowsBefore = VersionedTable.read(s, root).count()
 
-      // label UPDATE as a COW MERGE commit (v8): only the day-3 segment
+      // label UPDATE as a COW MERGE commit (v1): only the day-3 segment
       // is rewritten; the other seven carry forward by reference
       val hits = broadcast(outliers.withColumn("__hit", lit(true)))
-      val (v8, rw1, ca1) = VersionedTable.mergeWhere(
+      val (v1, rw1, ca1) = VersionedTable.mergeWhere(
         s, root, "day", 3, 3,
         _.join(hits, Seq("event_id"), "left")
           .withColumn("is_global_outlier",
             when(col("__hit"), lit(true)).otherwise(lit(null).cast("boolean")))
           .drop("__hit"),
         statCols = Seq("day"))
-      // purge DELETE as a second COW MERGE commit (v9)
+      // purge DELETE as a second COW MERGE commit (v2)
       val (_, rw2, ca2) = VersionedTable.mergeWhere(
         s, root, "day", 3, 3,
         _.join(hits.select("event_id"), Seq("event_id"), "left_anti"),
@@ -1010,9 +1007,9 @@ object MutationQueries {
       val rowsAfter = VersionedTable.read(s, root).count()
       // TIME TRAVEL after both merges: the pre-merge snapshot is intact
       // and the labeled-but-unpurged snapshot still shows its labels
-      val preMergeRows = VersionedTable.read(s, root, Some(7L)).count()
+      val preMergeRows = VersionedTable.read(s, root, Some(0L)).count()
       val labeledRows = VersionedTable
-        .readPruned(s, root, "day", 3, 3, version = Some(v8))
+        .readPruned(s, root, "day", 3, 3, version = Some(v1))
         .where(col("is_global_outlier") === true).count()
 
       import s.implicits._

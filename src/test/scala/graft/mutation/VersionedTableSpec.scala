@@ -163,6 +163,26 @@ class VersionedTableSpec extends AnyFunSuite with Matchers with SparkSuite {
     VersionedTable.expireSnapshots(spark, root, 1)._2 shouldBe 1
   }
 
+  test("createPartitioned: one write, per-partition segments with exact stats") {
+    val root = freshRoot()
+    import spark.implicits._
+    val df = (0L until 40L).map(i => (i, i % 4)).toDF("id", "day")
+    val (v0, n) = VersionedTable.createPartitioned(spark, root, df, "day")
+    v0 shouldBe 0L
+    n shouldBe 4
+    // full schema survives (partition column duplicated, not stripped)
+    VersionedTable.read(spark, root).columns.toSet shouldBe Set("id", "day")
+    VersionedTable.read(spark, root).count() shouldBe 40L
+    // the partition value IS the stat: exact pruning, one segment per value
+    VersionedTable.resolveSegments(spark, root, "day", 2, 2).length shouldBe 1
+    VersionedTable.readPruned(spark, root, "day", 2, 2)
+      .collect().map(_.getLong(0)).toSet shouldBe
+      (0L until 40L).filter(_ % 4 == 2).toSet
+    // no staging residue
+    new java.io.File(root).listFiles()
+      .count(_.getName.startsWith(".stage_")) shouldBe 0
+  }
+
   test("compactSmall folds only small segments, unions their stats, keeps history") {
     val root = freshRoot()
     import spark.implicits._
