@@ -1259,9 +1259,12 @@ object LlmQueries {
       |  SELECT c.comp AS cluster_rep,
       |         COUNT(*) AS cluster_size,
       |         COUNT(DISTINCT split) AS n_splits,
-      |         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
-      |         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
-      |         SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+      |         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_train,
+      |         CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_val,
+      |         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_test
       |  FROM comp c JOIN sp USING (node) GROUP BY 1)
       |SELECT cluster_rep, CAST(cluster_size AS BIGINT) AS cluster_size,
       |       CAST(n_splits AS BIGINT) AS n_splits,

@@ -1106,8 +1106,87 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A39 — GDPR erasure through the VERSIONED table, resolving the
+    * tension a31 leaves open: time travel is the feature, but
+    * right-to-be-forgotten requires the erased rows to be UNRECOVERABLE —
+    * including from history. The production answer (Iceberg's) is
+    * layout + protocol: the table is BUCKETED BY USER
+    * ([[graft.mutation.VersionedTable.createPartitioned]] on
+    * user_id % 8 — GDPR locality, so an erasure touches one bucket, not
+    * the corpus), the purge is a [[graft.mutation.VersionedTable
+    * .mergeWhere]] copy-on-write commit pruned to that bucket's segment
+    * (1 rewritten, 7 carried by reference), and then
+    * [[graft.mutation.VersionedTable.expireSnapshots]] drops the
+    * pre-erasure version and vacuums exactly its now-unreferenced
+    * segment — after which the old snapshot is PROVABLY unreadable (the
+    * query reads it under Try and reports the outcome as an oracle
+    * constant) and the erased bytes are off disk. Other users in the
+    * same bucket survive the rewrite untouched.
+    *
+    * Scale: erasure cost = one bucket's rewrite + one manifest + one
+    * vacuum of one dead segment, at ANY corpus size. */
+  val versionedForget: Reg = Reg.sql(
+    "a39_versioned_forget",
+    """WITH e AS (SELECT event_id, user_id, user_id % 8 AS ub
+      |           FROM events WHERE event_id < 60000),
+      |victim AS (SELECT MIN(user_id) AS u FROM e WHERE user_id >= 97),
+      |purged AS (SELECT e.* FROM e, victim WHERE e.user_id = victim.u)
+      |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS rows_before,
+      |       (SELECT u FROM victim) AS victim_user,
+      |       CAST((SELECT COUNT(*) FROM purged) AS BIGINT) AS rows_purged,
+      |       CAST(1 AS BIGINT) AS segments_rewritten,
+      |       CAST(7 AS BIGINT) AS segments_carried,
+      |       CAST((SELECT COUNT(*) FROM e) -
+      |            (SELECT COUNT(*) FROM purged) AS BIGINT) AS rows_after,
+      |       CAST((SELECT SUM(user_id) FROM e) -
+      |            (SELECT COALESCE(SUM(user_id), 0) FROM purged)
+      |            AS BIGINT) AS uid_sum_after,
+      |       CAST(1 AS BIGINT) AS versions_dropped,
+      |       CAST(1 AS BIGINT) AS dead_segments_deleted,
+      |       CAST(0 AS BIGINT) AS old_snapshot_readable""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_vforget")
+    val root = s"$work/t"
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 60000L)
+        .select(col("event_id"), col("user_id"),
+          (col("user_id") % 8).as("ub"))
+      val (_, nSegs) = VersionedTable.createPartitioned(s, root, e, "ub")
+      require(nSegs == 8, s"expected 8 user buckets, got $nSegs")
+      val rowsBefore = VersionedTable.read(s, root).count()
+      // the erasure request: one user (deterministically the smallest id
+      // at or above 97). The user-bucketed layout localizes every one of
+      // their rows to ONE segment — GDPR locality.
+      val victim = e.where(col("user_id") >= 97L)
+        .agg(min("user_id")).head().getLong(0)
+      val bucket = (victim % 8).toDouble
+      val (_, rw, ca) = VersionedTable.mergeWhere(
+        s, root, "ub", bucket, bucket,
+        _.where(col("user_id") =!= victim), statCols = Seq("ub"))
+      require(rw == 1 && ca == 7,
+        s"erasure rewrote $rw / carried $ca segments — expected 1/7")
+      val after = VersionedTable.read(s, root)
+        .agg(count(lit(1)), sum("user_id").cast("bigint")).head()
+      // history truncation: the pre-erasure snapshot must die for the
+      // erasure to be real — drop it and vacuum its orphaned segment,
+      // then PROVE the old snapshot is gone (read under Try)
+      val (droppedV, deadSegs) = VersionedTable.expireSnapshots(s, root, 1)
+      val oldReadable =
+        scala.util.Try(VersionedTable.read(s, root, Some(0L)).count())
+          .map(_ => 1L).getOrElse(0L)
+      import s.implicits._
+      Seq((rowsBefore, victim, rowsBefore - after.getLong(0),
+        rw.toLong, ca.toLong, after.getLong(0), after.getLong(1),
+        droppedV.toLong, deadSegs.toLong, oldReadable))
+        .toDF("rows_before", "victim_user", "rows_purged",
+          "segments_rewritten", "segments_carried", "rows_after",
+          "uid_sum_after", "versions_dropped", "dead_segments_deleted",
+          "old_snapshot_readable")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
-    versionedMerge, versionedCompact)
+    versionedMerge, versionedCompact, versionedForget)
 }
