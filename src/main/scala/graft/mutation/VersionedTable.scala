@@ -349,6 +349,35 @@ object VersionedTable {
     (nv, touched.length, carried.length)
   }
 
+  /** INCREMENTAL READ (Iceberg's incremental scan / changelog-consumption
+    * substance): the rows ADDED between two snapshots, resolved entirely
+    * from manifest set-difference — segments referenced by `toV` but not
+    * by `fromV`. For append-only tables this is exactly the appended
+    * batches; the downstream-ETL pattern "process what's new since
+    * checkpoint version N" costs the NEW segments only, never a diff scan
+    * of the table. COW commits (replace/merge/compact) rewrite segments,
+    * so their output segments appear as "added" — callers consuming a
+    * changelog across rewrites should checkpoint around maintenance
+    * commits (the Iceberg restriction, documented here rather than
+    * hidden). Returns None when no segments were added. */
+  def incrementalRead(
+      spark: SparkSession, root: String, fromV: Long,
+      toV: Long): Option[DataFrame] = {
+    val added = addedSegments(spark, root, fromV, toV)
+    if (added.isEmpty) None
+    else Some(spark.read.parquet(
+      added.map(n => new Path(root, n).toString): _*))
+  }
+
+  /** Segment names referenced by `toV` but not `fromV` — the files an
+    * incremental read opens; exposed for files-read gates. */
+  def addedSegments(
+      spark: SparkSession, root: String, fromV: Long, toV: Long): Seq[String] = {
+    require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
+    val old = segmentsOf(spark, root, fromV).map(_.name).toSet
+    segmentsOf(spark, root, toV).map(_.name).filterNot(old)
+  }
+
   /** Data bytes of each live segment at head — the sizing input callers
     * use to pick [[compactSmall]]'s threshold corpus-relatively. */
   def segmentBytes(spark: SparkSession, root: String): Seq[(String, Long)] = {

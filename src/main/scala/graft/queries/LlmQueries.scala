@@ -1299,6 +1299,111 @@ object LlmQueries {
       .orderBy("cluster_rep")
   }
 
+  /** The PURGE PLAN — detection made actionable, closing the loop that
+    * `llm_split_leakage` (find spanning clusters) and `llm_cluster_reps`
+    * (pick keepers) open: one row per document the curation job DROPS,
+    * with the reason. Policy, the standard eval-protecting direction:
+    * a cluster containing ANY val/test member drops ALL its train
+    * members (`leak` — eval stays fixed, training must not see its
+    * near-dups); a train-only cluster keeps its (quality, id)-argmax and
+    * drops the rest (`dup` — ordinary dedup retention); eval-side
+    * members are never dropped here (eval curation is a separate,
+    * human-reviewed pass). Same planted corpus, CC, md5 splits, and
+    * synthetic quality as the sibling queries, so DuckDB restates the
+    * whole decision table and every dropped id is value-hashed. */
+  val dedupPurgePlan: Reg = Reg.sql(
+    "llm_dedup_purge_plan",
+    """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+      |pairs AS (
+      |  SELECT doc_id AS id_a, doc_id + 10000000 AS id_b FROM ids WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 20000000 FROM ids WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id + 20000000 FROM ids WHERE doc_id % 21 = 0),
+      |undirected AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(n, m) AS (
+      |  SELECT a, b FROM undirected
+      |  UNION
+      |  SELECT r.n, u.b FROM reach r JOIN undirected u ON r.m = u.a),
+      |comp AS (
+      |  SELECT n AS node, LEAST(n, MIN(m)) AS comp FROM reach GROUP BY n),
+      |txt AS (
+      |  SELECT doc_id AS node,
+      |         array_to_string(list_transform(range(0, 20),
+      |           k -> printf('w%d_%d', doc_id, k)), ' ') AS t
+      |  FROM ids
+      |  UNION ALL
+      |  SELECT doc_id + 10000000,
+      |         array_to_string(list_transform(range(0, 20),
+      |           k -> printf('w%d_%d', doc_id, k)), ' ') || printf(' x%d', doc_id)
+      |  FROM ids WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000,
+      |         array_to_string(list_transform(range(0, 20),
+      |           k -> printf('w%d_%d', doc_id, k)), ' ')
+      |  FROM ids WHERE doc_id % 7 = 0),
+      |sp AS (
+      |  SELECT node,
+      |         CASE WHEN substr(md5(t), 1, 1) <= 'b' THEN 'train'
+      |              WHEN substr(md5(t), 1, 1) <= 'd' THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM txt),
+      |m AS (SELECT c.comp, c.node, sp.split
+      |      FROM comp c JOIN sp ON sp.node = c.node),
+      |flag AS (
+      |  SELECT comp, MAX(CASE WHEN split IN ('val', 'test') THEN 1 ELSE 0 END)
+      |           AS has_eval
+      |  FROM m GROUP BY comp),
+      |leakdrops AS (
+      |  SELECT m.node, m.comp, 'leak' AS reason
+      |  FROM m JOIN flag USING (comp)
+      |  WHERE flag.has_eval = 1 AND m.split = 'train'),
+      |trainonly AS (
+      |  SELECT m.comp, m.node, (m.node * 37) % 1000 AS quality
+      |  FROM m JOIN flag USING (comp) WHERE flag.has_eval = 0),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY comp
+      |              ORDER BY quality DESC, node DESC) AS rn
+      |  FROM trainonly),
+      |dupdrops AS (SELECT node, comp, 'dup' AS reason FROM ranked WHERE rn > 1)
+      |SELECT node AS dropped_doc, comp AS cluster_rep, reason
+      |FROM (SELECT * FROM leakdrops UNION ALL SELECT * FROM dupdrops)
+      |ORDER BY dropped_doc""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir).select(col("doc_id"), plantedWords.as("text"))
+    val near = base.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), format_string(" x%d", col("doc_id"))).as("text"))
+    val exact = base.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val corpus = base.unionByName(near).unionByName(exact)
+    val pairs = MinHash.nearDuplicates(corpus, "doc_id", "text")
+    val comp = graft.operators.ConnectedComponents.runStar(pairs, "id_a", "id_b")
+    val nibble = substring(md5(col("text")), 1, 1)
+    val sp = corpus.select(col("doc_id").as("node"),
+      when(nibble <= "b", "train").when(nibble <= "d", "val")
+        .otherwise("test").as("split"))
+    val members = comp.join(sp, "node")
+    val flag = members.groupBy("comp")
+      .agg(max(when(col("split").isin("val", "test"), 1).otherwise(0))
+        .as("has_eval"))
+    val withFlag = members.join(flag, "comp")
+    val leakDrops = withFlag
+      .where(col("has_eval") === 1 && col("split") === "train")
+      .select(col("node"), col("comp"), lit("leak").as("reason"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(desc("quality"), desc("node"))
+    val dupDrops = withFlag.where(col("has_eval") === 0)
+      .withColumn("quality", (col("node") * 37) % 1000)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") > 1)
+      .select(col("node"), col("comp"), lit("dup").as("reason"))
+    leakDrops.unionByName(dupDrops)
+      .select(col("node").as("dropped_doc"), col("comp").as("cluster_rep"),
+        col("reason"))
+      .orderBy("dropped_doc")
+  }
+
   /** Cluster-representative selection — the retention HALF of near-dedup:
     * real pipelines don't drop an arbitrary member of each duplicate
     * cluster, they keep the BEST one (highest quality score) and purge the
@@ -3670,7 +3775,7 @@ object LlmQueries {
     containmentDedup, containmentSampled, containmentAdaptive,
     curriculumOrder, embeddingDimStats,
     sourceMix, semanticDedup, prefixDedup, decontaminate, splitAssign,
-    splitLeakage,
+    splitLeakage, dedupPurgePlan,
     dupClusters, dupChainClusters, charTerms, stratifiedSample, ngramCounts,
     segmentDedup, gopherRules, seqPacking, contextChunks, piiScrub,
     linkRank, incrementalDedup, boilerplateStrip, importanceResample,

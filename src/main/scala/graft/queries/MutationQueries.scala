@@ -1185,8 +1185,61 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A40 — INCREMENTAL READ between snapshots (Iceberg's incremental
+    * scan, the CDC-consumption substance): a downstream consumer
+    * checkpoints "I have processed through version 1" and later asks for
+    * exactly what arrived since — which
+    * [[graft.mutation.VersionedTable.incrementalRead]] answers from
+    * MANIFEST SET-DIFFERENCE alone: the segments v3 references that v1
+    * does not. No diff scan, no row comparison, no read of the already-
+    * consumed prefix; the files-read gate asserts exactly 2 of the 4
+    * batch segments open. The oracle states both the consumed-prefix and
+    * the incremental-slice aggregates from residue arithmetic, plus the
+    * gate constants. */
+  val incrementalRead: Reg = Reg.sql(
+    "a40_incremental_read",
+    """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 60000)
+      |SELECT CAST((SELECT COUNT(*) FROM e WHERE event_id % 4 <= 1) AS BIGINT)
+      |         AS consumed_through_v1,
+      |       CAST((SELECT COUNT(*) FROM e WHERE event_id % 4 >= 2) AS BIGINT)
+      |         AS incremental_rows,
+      |       CAST((SELECT SUM(user_id) FROM e WHERE event_id % 4 >= 2)
+      |            AS BIGINT) AS incremental_uid_sum,
+      |       CAST(2 AS BIGINT) AS segments_opened,
+      |       CAST(4 AS BIGINT) AS segments_at_head,
+      |       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS head_rows""".stripMargin) {
+    (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_vincr")
+    val root = s"$work/t"
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 60000L)
+        .select("event_id", "user_id")
+      VersionedTable.create(s, root, e.where(col("event_id") % 4 === 0))
+      (1 to 3).foreach { i =>
+        VersionedTable.append(s, root, e.where(col("event_id") % 4 === i))
+      }
+      // consumer checkpointed at v1; what arrived through v3?
+      val added = VersionedTable.addedSegments(s, root, 1L, 3L)
+      require(added.length == 2,
+        s"incremental read opened ${added.length} of 4 segments — want 2")
+      val inc = VersionedTable.incrementalRead(s, root, 1L, 3L).get
+        .agg(count(lit(1)), sum("user_id").cast("bigint")).head()
+      val consumed = VersionedTable.read(s, root, Some(1L)).count()
+      val headSegs = VersionedTable.segmentsOf(
+        s, root, VersionedTable.currentVersion(s, root).get).length
+      val headRows = VersionedTable.read(s, root).count()
+      import s.implicits._
+      Seq((consumed, inc.getLong(0), inc.getLong(1), added.length.toLong,
+        headSegs.toLong, headRows))
+        .toDF("consumed_through_v1", "incremental_rows",
+          "incremental_uid_sum", "segments_opened", "segments_at_head",
+          "head_rows")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
-    versionedMerge, versionedCompact, versionedForget)
+    versionedMerge, versionedCompact, versionedForget, incrementalRead)
 }
