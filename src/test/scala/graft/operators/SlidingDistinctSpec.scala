@@ -56,4 +56,20 @@ class SlidingDistinctSpec extends AnyFunSuite with Matchers with SparkSuite {
     val dup = Seq(("k", 5L, 9L), ("k", 5L, 9L), ("k", 6L, 9L))
     run(dup, 7) shouldBe Map(("k", 5L) -> 1L, ("k", 6L) -> 1L)
   }
+
+  test("NULL users are ignored, matching COUNT(DISTINCT) semantics") {
+    import spark.implicits._
+    // a (k, NULL) sighting neither counts as a user nor marks its day
+    // active: null rows vanish entirely before islanding (the round-13
+    // fix — previously each NULL formed its own island and counted as 1)
+    val rows = Seq(
+      ("k", 1L, Some(7L)), ("k", 1L, None), ("k", 2L, None),
+      ("k", 3L, Some(8L)))
+    val df = rows.toDF("k", "d", "u")
+    val got = SlidingDistinct.exact(df, 7)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // day 2 had ONLY a null sighting: no output row for it (no non-null
+    // activity), and nulls never inflate the counts on days 1 and 3
+    got shouldBe Map(("k", 1L) -> 1L, ("k", 3L) -> 2L)
+  }
 }
