@@ -39,27 +39,49 @@ import org.apache.spark.sql.functions.{col, lit, max => fmax, min => fmin}
   * their stats — at 100 TB a one-day correction rewrites one day's
   * files and one manifest, never the table.
   *
-  * The streaming-sink idempotence fence (`#fence=<id>` header) rides
-  * the committed manifest itself and CARRIES FORWARD through unfenced
-  * commits (effective fence = max of previous and provided), so an
-  * interleaved compaction/merge can never erase replay protection.
+  * The streaming-sink idempotence fence (`#fence=[appId:]<id>` header)
+  * rides the committed manifest itself and CARRIES FORWARD through
+  * unfenced commits (effective fence = max of previous and provided,
+  * PER writer lineage), so an interleaved compaction/merge can never
+  * erase replay protection. Fences are scoped by an `appId` — the
+  * Delta-txn (appId, version) idempotence idiom — because Structured
+  * Streaming batch ids restart at 0 under a fresh checkpoint: an
+  * unscoped global max would silently drop every batch of a restarted
+  * lineage as a replay. The empty appId is the default single-lineage
+  * scope and renders in the legacy `#fence=<id>` form.
   *
-  * The reference targets Iceberg merge-on-read
+  * MERGE-ON-READ: the reference targets Iceberg v2 merge-on-read
   * (`documents/wifi_measurement_s3_table_schema.md:69-76`); no format jar
   * ships here, so this is the documented emulation of the format's
   * LOG-STRUCTURED substance: immutable data files + an append-only
-  * metadata log + O(1) commits, with UPDATE/DELETE as copy-on-write
-  * commits that reference replacement segments. Underscore/dot prefixes
-  * keep every metadata artifact invisible to direct parquet reads. */
+  * metadata log + O(1) commits. UPDATE/DELETE come in BOTH shapes:
+  * copy-on-write ([[mergeWhere]] — rewrite the touched interval) and
+  * merge-on-read ([[morDelete]]/[[morUpsert]] — commit an EQUALITY
+  * DELETE segment of key tuples, O(changed rows) written, applied at
+  * scan time as an anti-join against strictly-older data segments; seq
+  * numbers on manifest lines scope each delete so re-inserted keys
+  * survive). [[morMaterialize]] converts read debt back into clean data
+  * segments out-of-band. Underscore/dot prefixes keep every metadata
+  * artifact invisible to direct parquet reads. */
 object VersionedTable {
 
   /** One manifest entry: a segment name plus its recorded column stats
-    * (numeric min/max, conservative). */
-  final case class Segment(name: String, stats: Map[String, (Double, Double)]) {
+    * (numeric min/max, conservative), its commit SEQUENCE (the version
+    * at which the segment entered the table — seq < 0 means "assign at
+    * commit"; legacy manifests without the attribute parse as 0), and —
+    * for equality-DELETE segments (`del_` names, the Iceberg v2
+    * merge-on-read substance) — the key columns its rows delete on. A
+    * delete applies exactly to data segments with LOWER seq, so a row
+    * re-inserted after a delete is never swallowed by it. */
+  final case class Segment(
+      name: String, stats: Map[String, (Double, Double)],
+      seq: Long = -1L, keys: Seq[String] = Nil) {
     /** Could this segment contain a row with `c` in [lo, hi]? Missing
       * stats ⇒ true (never prune on absent information). */
     def mayIntersect(c: String, lo: Double, hi: Double): Boolean =
       stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    /** Equality-delete segment (key tuples), not a data segment. */
+    def isDelete: Boolean = name.startsWith("del_")
   }
 
   private def fs(spark: SparkSession, root: String) =
@@ -96,57 +118,109 @@ object VersionedTable {
     finally in.close()
   }
 
+  /** Manifest line grammar: `name[\t@attr=v]*[\tcol=min:max]*`.
+    * '@'-prefixed entries are attributes (`@seq=<long>`,
+    * `@keys=<k1,k2>`); everything else is a column stat. Legacy lines
+    * (no attributes) parse as seq 0 data segments — old manifests stay
+    * readable forever. */
   private def parseSegment(line: String): Segment = {
     val parts = line.split('\t')
-    val stats = parts.tail.iterator.map { kv =>
+    val (attrParts, statParts) = parts.tail.partition(_.startsWith("@"))
+    val attrs = attrParts.iterator.map { a =>
+      val Array(k, v) = a.stripPrefix("@").split("=", 2)
+      k -> v
+    }.toMap
+    val stats = statParts.iterator.map { kv =>
       val Array(c, range) = kv.split('=')
       val Array(mn, mx) = range.split(':')
       c -> (mn.toDouble, mx.toDouble)
     }.toMap
-    Segment(parts.head, stats)
+    Segment(parts.head, stats,
+      seq = attrs.get("seq").fold(0L)(_.toLong),
+      keys = attrs.get("keys").fold(Seq.empty[String])(_.split(',').toSeq))
   }
 
-  private def renderSegment(s: Segment): String =
-    (s.name +: s.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+  private def renderSegment(s: Segment): String = {
+    val attrs =
+      Seq(s"@seq=${s.seq}") ++
+        (if (s.keys.nonEmpty) Seq(s"@keys=${s.keys.mkString(",")}") else Nil)
+    (s.name +: attrs ++: s.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
       s"$c=$mn:$mx"
     }).mkString("\t")
+  }
 
   /** Version `v`'s manifest as parsed segment entries. */
   def segmentsOf(spark: SparkSession, root: String, v: Long): Seq[Segment] =
     manifestLines(spark, root, v).filterNot(_.startsWith("#")).map(parseSegment)
 
-  /** The streaming-sink idempotence fence of the CURRENT version (the
-    * `#fence=<id>` manifest header — the same txnVersion idiom as
-    * MergeOps.mergeByKey's `_fence`, here riding the commit itself).
+  /** The streaming-sink idempotence fence of the CURRENT version for one
+    * writer lineage (the `#fence=[appId:]<id>` manifest header — the
+    * Delta-txn (appId, version) idiom, here riding the commit itself).
     * Fences carry forward through unfenced commits, so this is the max
-    * fenced batch id ever committed. None when never fenced. */
-  def currentFence(spark: SparkSession, root: String): Option[Long] =
-    currentVersion(spark, root).flatMap(fenceOf(spark, root, _))
+    * fenced batch id ever committed BY `appId`. None when that lineage
+    * never fenced a commit. */
+  def currentFence(
+      spark: SparkSession, root: String, appId: String = ""): Option[Long] =
+    currentVersion(spark, root).flatMap(fenceAt(spark, root, _, appId))
 
-  private def fenceOf(spark: SparkSession, root: String, v: Long): Option[Long] =
+  /** The fence `appId` carried at a SPECIFIC version — lets callers
+    * recover which versions a given micro-batch landed at (the first
+    * version whose fence equals the batch id is its append commit). */
+  def fenceAt(
+      spark: SparkSession, root: String, v: Long,
+      appId: String = ""): Option[Long] =
+    fencesOf(spark, root, v).get(appId)
+
+  /** All lineage fences at version `v`. Legacy `#fence=<id>` headers
+    * parse as the empty appId; appIds themselves may not contain ':'. */
+  private def fencesOf(
+      spark: SparkSession, root: String, v: Long): Map[String, Long] =
     manifestLines(spark, root, v)
-      .find(_.startsWith("#fence="))
-      .map(_.stripPrefix("#fence=").toLong)
+      .filter(_.startsWith("#fence="))
+      .map { line =>
+        val body = line.stripPrefix("#fence=")
+        val i = body.lastIndexOf(':')
+        if (i < 0) "" -> body.toLong
+        else body.substring(0, i) -> body.substring(i + 1).toLong
+      }.toMap
 
   /** Commit `segments` as the next version; returns it. The staged-write
     * + create-exclusive atomic rename makes the manifest the commit
-    * point. The effective fence is max(previous fence, provided fence):
+    * point. The effective fence per lineage is max(previous, provided):
     * an unfenced commit after a fenced one PRESERVES replay protection
-    * rather than silently erasing it. */
+    * rather than silently erasing it, and one lineage's fence never
+    * moves another's. */
   private def commit(
       spark: SparkSession, root: String, segments: Seq[Segment],
-      fence: Option[Long] = None): Long = {
+      fence: Option[(String, Long)] = None): Long = {
     val f = fs(spark, root)
     val dir = logDir(root)
     if (!f.exists(dir) && !f.mkdirs(dir))
       throw new java.io.IOException(s"cannot create $dir")
     val prev = currentVersion(spark, root)
-    val carried = prev.flatMap(fenceOf(spark, root, _))
-    val eff = (carried ++ fence).reduceOption(_ max _)
+    val carried = prev.map(fencesOf(spark, root, _)).getOrElse(Map.empty)
+    val eff = fence.fold(carried) { case (app, id) =>
+      carried.updated(app, carried.get(app).fold(id)(_ max id))
+    }
     val v = prev.fold(0L)(_ + 1)
-    val header = eff.map(id => s"#fence=$id\n").getOrElse("")
+    val header = eff.toSeq.sortBy(_._1).map {
+      case ("", id)  => s"#fence=$id\n"
+      case (app, id) => s"#fence=$app:$id\n"
+    }.mkString
+    // segments entering the table THIS commit (seq < 0) get stamped with
+    // the committed version; carried segments keep their original seq —
+    // that ordering is what scopes equality deletes to older data only
+    val stamped = segments.map(s => if (s.seq < 0) s.copy(seq = v) else s)
+    // DANGLING-DELETE cleanup (Iceberg's rewrite leaves the same debt): a
+    // delete applying to NO referenced data segment (every data seq >=
+    // its own) can never remove a row from this or any derived version —
+    // drop it so compaction/materialization naturally retires del files
+    val minDataSeq =
+      stamped.collect { case s if !s.isDelete => s.seq }.minOption
+    val live =
+      stamped.filter(s => !s.isDelete || minDataSeq.exists(_ < s.seq))
     publishManifest(spark, root, v,
-      header + segments.map(renderSegment).mkString("\n") + "\n")
+      header + live.map(renderSegment).mkString("\n") + "\n")
     v
   }
 
@@ -169,10 +243,20 @@ object VersionedTable {
         spark.sparkContext.hadoopConfiguration)
         .rename(tmp, target, Options.Rename.NONE)
     } catch {
-      case e: Exception =>
+      // only a LOSING RACE (the create-exclusive destination already
+      // exists) gets the benign commit-conflict label; a genuine IO
+      // failure (disk full, permissions, missing _log) keeps its own
+      // identity so operators never chase a phantom concurrent writer
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
         f.delete(tmp, false)
         throw new java.io.IOException(
           s"commit of version $v lost the race (manifest exists)", e)
+      case e: Exception =>
+        f.delete(tmp, false)
+        if (f.exists(target))
+          throw new java.io.IOException(
+            s"commit of version $v lost the race (manifest exists)", e)
+        throw e
     }
   }
 
@@ -183,8 +267,9 @@ object VersionedTable {
     * can never prune a segment that holds a qualifying row. */
   private def writeSegment(
       spark: SparkSession, root: String, df: DataFrame,
-      statCols: Seq[String]): Segment = {
-    val name = "seg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      statCols: Seq[String], prefix: String = "seg_",
+      keys: Seq[String] = Nil): Segment = {
+    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val path = new Path(root, name).toString
     df.write.parquet(path)
     val stats =
@@ -198,11 +283,19 @@ object VersionedTable {
         val r = written.agg(aggs.head, aggs.tail: _*).head()
         statCols.zipWithIndex.flatMap { case (c, i) =>
           if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
-          else Some(c -> (Math.nextDown(r.getDouble(2 * i)),
-            Math.nextUp(r.getDouble(2 * i + 1))))
+          else {
+            val mn = r.getDouble(2 * i)
+            val mx = r.getDouble(2 * i + 1)
+            // Spark orders NaN ABOVE +Inf, so any NaN row poisons max to
+            // NaN — and `NaN >= lo` is false, which would silently PRUNE
+            // a segment that holds qualifying rows. Same treatment as
+            // all-null: record no stat, keep the segment conservatively.
+            if (mn.isNaN || mx.isNaN) None
+            else Some(c -> (Math.nextDown(mn), Math.nextUp(mx)))
+          }
         }.toMap
       }
-    Segment(name, stats)
+    Segment(name, stats, keys = keys)
   }
 
   /** Create the table at version 0 with `df`'s rows. */
@@ -229,21 +322,47 @@ object VersionedTable {
     val f = fs(spark, root)
     val staging = new Path(root,
       ".stage_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    df.withColumn("__p", col(partCol))
-      .write.partitionBy("__p").parquet(staging.toString)
-    val segs = f.listStatus(staging)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__p="))
-      .sortBy(_.getPath.getName)
-      .map { st =>
-        val v = st.getPath.getName.stripPrefix("__p=").toDouble
-        val name = "seg_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        if (!f.rename(st.getPath, new Path(root, name)))
-          throw new java.io.IOException(s"cannot place segment for ${st.getPath}")
-        Segment(name, Map(partCol -> (v, v)))
-      }.toSeq
-    require(segs.nonEmpty, s"createPartitioned: $partCol produced no partitions")
-    f.delete(staging, true)
-    (commit(spark, root, segs), segs.length)
+    val placed = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      df.withColumn("__p", col(partCol))
+        .write.partitionBy("__p").parquet(staging.toString)
+      val segs = f.listStatus(staging)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__p="))
+        .sortBy(_.getPath.getName)
+        .map { st =>
+          val raw = st.getPath.getName.stripPrefix("__p=")
+          // null part values land in Hive's default-partition directory
+          // and NaN would poison the stat into never-intersecting; both
+          // fail LOUDLY here rather than crash obscurely or prune rows
+          if (raw == "__HIVE_DEFAULT_PARTITION__")
+            throw new IllegalArgumentException(
+              s"createPartitioned: $partCol contains nulls; " +
+                "filter or fill them before partitioning")
+          val v = raw.toDouble
+          if (v.isNaN)
+            throw new IllegalArgumentException(
+              s"createPartitioned: $partCol contains NaN; " +
+                "filter or fill it before partitioning")
+          val name =
+            "seg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+          if (!f.rename(st.getPath, new Path(root, name)))
+            throw new java.io.IOException(
+              s"cannot place segment for ${st.getPath}")
+          placed += name
+          Segment(name, Map(partCol -> (v, v)))
+        }.toSeq
+      require(segs.nonEmpty, s"createPartitioned: $partCol produced no partitions")
+      (commit(spark, root, segs), segs.length)
+    } catch {
+      case e: Throwable =>
+        // undo partially-placed segments so a failed create leaves the
+        // root empty (staging itself dies in the finally below)
+        placed.foreach(n => f.delete(new Path(root, n), true))
+        throw e
+    } finally {
+      f.delete(staging, true)
+      ()
+    }
   }
 
   /** APPEND commit: previous segments plus one new one — O(new data)
@@ -257,21 +376,145 @@ object VersionedTable {
   }
 
   /** Replay-safe streaming-sink append: creates the table on the first
-    * batch, appends on later ones, and SKIPS whole when the current
-    * fence says `batchId` already committed (returns None) — at-least-
-    * once `foreachBatch` delivery lands each micro-batch exactly once,
+    * batch, appends on later ones, and SKIPS whole when `appId`'s fence
+    * says `batchId` already committed (returns None) — at-least-once
+    * `foreachBatch` delivery lands each micro-batch exactly once,
     * because the fence is a header OF the committed manifest, not a
     * separate artifact that could tear away from it. Monotone batch ids
-    * (Structured Streaming's contract) are assumed. */
+    * (Structured Streaming's contract) are assumed PER appId: scope the
+    * fence with the sink's query/checkpoint identity so a restarted
+    * lineage (fresh checkpoint, batch ids back at 0) writes under a new
+    * appId instead of being silently swallowed by an old fence. The
+    * default empty appId keeps the one-writer-lineage behavior. */
   def appendFenced(
       spark: SparkSession, root: String, df: DataFrame,
-      batchId: Long, statCols: Seq[String] = Nil): Option[Long] = {
-    if (currentFence(spark, root).exists(_ >= batchId)) return None
+      batchId: Long, statCols: Seq[String] = Nil,
+      appId: String = ""): Option[Long] = {
+    require(!appId.contains(':') && !appId.contains('\n'),
+      s"appId may not contain ':' or newlines: $appId")
+    if (currentFence(spark, root, appId).exists(_ >= batchId)) return None
     val prevSegs = currentVersion(spark, root)
       .map(segmentsOf(spark, root, _)).getOrElse(Seq.empty)
     Some(commit(spark, root,
       prevSegs :+ writeSegment(spark, root, df, statCols),
-      fence = Some(batchId)))
+      fence = Some(appId -> batchId)))
+  }
+
+  private def requireKeyConsistency(
+      dels: Seq[Segment], keyCols: Seq[String]): Unit =
+    require(dels.forall(_.keys == keyCols),
+      s"table already carries equality deletes keyed on " +
+        s"${dels.headOption.fold("?")(_.keys.mkString(","))}; " +
+        s"all MOR operations must use the same key columns")
+
+  /** Merge-on-read equality DELETE (the Iceberg v2 substance the
+    * reference's table contract mandates,
+    * `documents/wifi_measurement_s3_table_schema.md:69-76`): write the
+    * KEY tuples of the rows `victims` selects as a `del_` segment and
+    * commit — O(matched keys) written, ZERO data segments rewritten. At
+    * read time the delete anti-joins against data segments with lower
+    * seq only, so rows re-inserted after the delete stay visible.
+    * `victims` sees the current deletes-applied table (optionally
+    * stats-pruned to `prune`'s interval so the victim scan skips
+    * disjoint segments). Null-keyed rows are dropped (they can never
+    * equality-match). Returns (new version, keys deleted); no commit
+    * when nothing matches. */
+  def morDelete(
+      spark: SparkSession, root: String, keyCols: Seq[String],
+      victims: DataFrame => DataFrame,
+      prune: Option[(String, Double, Double)] = None): (Long, Long) = {
+    require(keyCols.nonEmpty, "morDelete needs at least one key column")
+    val v = currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
+    val all = segmentsOf(spark, root, v)
+    requireKeyConsistency(all.filter(_.isDelete), keyCols)
+    val visible = prune match {
+      case Some((c, lo, hi)) => readPruned(spark, root, c, lo, hi, Some(v))
+      case None              => read(spark, root, Some(v))
+    }
+    val keysDf = victims(visible)
+      .select(keyCols.map(col): _*).na.drop("any").distinct()
+    val n = keysDf.count()
+    if (n == 0L) return (v, 0L)
+    val del = writeSegment(spark, root, keysDf,
+      statCols = keyCols, prefix = "del_", keys = keyCols)
+    (commit(spark, root, all :+ del), n)
+  }
+
+  /** Merge-on-read UPSERT (MERGE WHEN MATCHED UPDATE / NOT MATCHED
+    * INSERT): ONE commit carrying an equality-delete of `updates`' keys
+    * plus a data segment of `updates`' rows — O(changed rows) written,
+    * no table rewrite. Both segments get the SAME seq, and deletes apply
+    * only to strictly older data, so the delete retires prior versions
+    * of the keys while the fresh rows survive. The write side is
+    * delta-sized regardless of table size — the CDC-apply shape that
+    * keeps a 100 TB dimension maintainable per micro-batch. */
+  def morUpsert(
+      spark: SparkSession, root: String, updates: DataFrame,
+      keyCols: Seq[String], statCols: Seq[String] = Nil): Long = {
+    require(keyCols.nonEmpty, "morUpsert needs at least one key column")
+    val v = currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
+    val all = segmentsOf(spark, root, v)
+    requireKeyConsistency(all.filter(_.isDelete), keyCols)
+    require(updates.where(
+      keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
+      "morUpsert: updates carry null keys")
+    val del = writeSegment(spark, root,
+      updates.select(keyCols.map(col): _*).distinct(),
+      statCols = keyCols, prefix = "del_", keys = keyCols)
+    val data = writeSegment(spark, root, updates, statCols)
+    commit(spark, root, all :+ del :+ data)
+  }
+
+  /** Replay-safe streaming MOR upsert: [[morUpsert]] fenced per writer
+    * lineage exactly like [[appendFenced]] — the CDC-apply sink. The
+    * first batch of a fresh table commits as a plain create. */
+  def morUpsertFenced(
+      spark: SparkSession, root: String, updates: DataFrame,
+      keyCols: Seq[String], batchId: Long, appId: String = "",
+      statCols: Seq[String] = Nil): Option[Long] = {
+    require(!appId.contains(':') && !appId.contains('\n'),
+      s"appId may not contain ':' or newlines: $appId")
+    if (currentFence(spark, root, appId).exists(_ >= batchId)) return None
+    if (currentVersion(spark, root).isEmpty)
+      return Some(commit(spark, root,
+        Seq(writeSegment(spark, root, updates, statCols)),
+        fence = Some(appId -> batchId)))
+    val all = segmentsOf(spark, root, currentVersion(spark, root).get)
+    requireKeyConsistency(all.filter(_.isDelete), keyCols)
+    val del = writeSegment(spark, root,
+      updates.select(keyCols.map(col): _*).distinct(),
+      statCols = keyCols, prefix = "del_", keys = keyCols)
+    val data = writeSegment(spark, root, updates, statCols)
+    Some(commit(spark, root, all :+ del :+ data,
+      fence = Some(appId -> batchId)))
+  }
+
+  /** MATERIALIZE deletes (Iceberg's rewrite-with-deletes maintenance):
+    * every data segment with at least one applicable delete is rewritten
+    * individually with those deletes applied (stats recomputed on
+    * `statCols`, pruning granularity preserved); untouched data segments
+    * carry forward by reference; delete segments drop from the new
+    * manifest. Content at head is IDENTICAL — this trades read-side
+    * anti-join debt for a one-time write, out-of-band. Returns
+    * (version, data segments rewritten, delete segments dropped); no
+    * commit when the table carries no deletes. */
+  def morMaterialize(
+      spark: SparkSession, root: String,
+      statCols: Seq[String] = Nil): (Long, Int, Int) = {
+    val v = currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
+    val (dels, datas) = segmentsOf(spark, root, v).partition(_.isDelete)
+    if (dels.isEmpty) return (v, 0, 0)
+    val (affected, clean) =
+      datas.partition(d => dels.exists(_.seq > d.seq))
+    val rewritten = affected.map { d =>
+      writeSegment(spark, root,
+        applyDeletes(spark, root, Seq(d), dels), statCols)
+    }
+    val nv = commit(spark, root, clean ++ rewritten)
+    (nv, affected.length, dels.length)
   }
 
   /** REPLACE commit (the copy-on-write UPDATE/DELETE shape): the new
@@ -286,43 +529,85 @@ object VersionedTable {
     commit(spark, root, Seq(writeSegment(spark, root, df, statCols)))
   }
 
-  /** The segment paths a pruned read of `version` actually touches: every
-    * segment whose recorded `c` range intersects [lo, hi], plus any with
-    * no recorded stat for `c`. This is the files-read gate — specs and
-    * queries assert on its length. */
+  /** The DATA segment paths a pruned read of `version` actually touches:
+    * every data segment whose recorded `c` range intersects [lo, hi],
+    * plus any with no recorded stat for `c`. This is the files-read
+    * gate — specs and queries assert on its length. */
   def resolveSegments(
       spark: SparkSession, root: String, c: String, lo: Double, hi: Double,
       version: Option[Long] = None): Seq[String] = {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"$root has no versions"))
     segmentsOf(spark, root, v)
+      .filterNot(_.isDelete)
       .filter(_.mayIntersect(c, lo, hi))
       .map(s => new Path(root, s.name).toString)
   }
 
+  /** Apply equality-delete segments to data segments — the merge-on-read
+    * scan. Data segments are GROUPED by the set of deletes that apply to
+    * them (delete seq strictly greater than data seq), each group
+    * anti-joined against the union of exactly its applicable delete
+    * files on the recorded key columns, groups unioned back. A table
+    * with no deletes short-circuits to the plain multi-path parquet scan
+    * — zero overhead on the common path. Distinct delete-seq values are
+    * few (one per MOR commit until materialization), so the plan stays
+    * lean; delete files are small, so Spark broadcasts the anti-join's
+    * build side. Keys are matched with SQL equality: delete rows never
+    * carry null keys ([[morDelete]]/[[morUpsert]] drop/reject them). */
+  private def applyDeletes(
+      spark: SparkSession, root: String,
+      datas: Seq[Segment], dels: Seq[Segment]): DataFrame = {
+    require(datas.nonEmpty, s"$root: no data segments to read")
+    def p(n: String) = new Path(root, n).toString
+    if (dels.isEmpty) spark.read.parquet(datas.map(s => p(s.name)): _*)
+    else {
+      val keys = dels.head.keys
+      require(keys.nonEmpty && dels.forall(_.keys == keys),
+        s"$root: equality-delete segments disagree on key columns")
+      datas.groupBy(d => dels.filter(_.seq > d.seq).map(_.name).sorted)
+        .toSeq.sortBy(_._1.mkString(","))
+        .map { case (applicable, group) =>
+          val df = spark.read.parquet(group.map(s => p(s.name)): _*)
+          if (applicable.isEmpty) df
+          else df.join(
+            spark.read.parquet(applicable.map(p): _*)
+              .select(keys.map(col): _*),
+            keys, "left_anti")
+        }.reduce(_ unionByName _)
+    }
+  }
+
   /** Snapshot read: resolve `version` (default: latest) to its manifest's
     * segment list — immutable files, so the read is stable no matter what
-    * commits land afterwards. */
+    * commits land afterwards. Equality deletes (merge-on-read) are
+    * applied scan-side; tables without them read as a plain parquet
+    * scan. */
   def read(
       spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"$root has no versions"))
-    val segs = segmentsOf(spark, root, v)
-      .map(s => new Path(root, s.name).toString)
-    spark.read.parquet(segs: _*)
+    val (dels, datas) = segmentsOf(spark, root, v).partition(_.isDelete)
+    applyDeletes(spark, root, datas, dels)
   }
 
   /** Stats-pruned snapshot read of rows with `c` in [lo, hi]: whole
     * segments disjoint from the interval are never opened (manifest-level
     * data skipping); the residual predicate still applies because a
-    * surviving segment may carry out-of-range rows. */
+    * surviving segment may carry out-of-range rows. Delete segments
+    * prune the same way on their KEY stats — sound because a delete row
+    * with `c` (a key) outside the interval cannot key-match any surviving
+    * output row; deletes without a stat on `c` are conservatively kept. */
   def readPruned(
       spark: SparkSession, root: String, c: String, lo: Double, hi: Double,
       version: Option[Long] = None): DataFrame = {
-    val segs = resolveSegments(spark, root, c, lo, hi, version)
-    if (segs.isEmpty) read(spark, root, version).where(lit(false))
-    else spark.read.parquet(segs: _*)
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"$root has no versions"))
+    val (dels0, datas0) = segmentsOf(spark, root, v).partition(_.isDelete)
+    val datas = datas0.filter(_.mayIntersect(c, lo, hi))
+    if (datas.isEmpty) read(spark, root, Some(v)).where(lit(false))
+    else applyDeletes(spark, root, datas, dels0.filter(_.mayIntersect(c, lo, hi)))
       .where(col(c).cast("double") >= lo && col(c).cast("double") <= hi)
   }
 
@@ -339,13 +624,16 @@ object VersionedTable {
       statCols: Seq[String] = Nil): (Long, Int, Int) = {
     val v = currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
-    val all = segmentsOf(spark, root, v)
-    val (touched, carried) = all.partition(_.mayIntersect(c, lo, hi))
+    val (dels, datas) = segmentsOf(spark, root, v).partition(_.isDelete)
+    val (touched, carried) = datas.partition(_.mayIntersect(c, lo, hi))
     if (touched.isEmpty) return (v, 0, carried.length)
-    val touchedDf = spark.read.parquet(
-      touched.map(s => new Path(root, s.name).toString): _*)
+    // pending equality deletes MUST be applied to the touched slice
+    // before the rewrite: the rewritten segment gets a NEW seq, so older
+    // deletes stop applying to it — materializing them here is what
+    // keeps deleted rows from resurrecting (the Iceberg rewrite rule)
+    val touchedDf = applyDeletes(spark, root, touched, dels)
     val rewritten = writeSegment(spark, root, transform(touchedDf), statCols)
-    val nv = commit(spark, root, carried :+ rewritten)
+    val nv = commit(spark, root, (carried ++ dels) :+ rewritten)
     (nv, touched.length, carried.length)
   }
 
@@ -363,7 +651,11 @@ object VersionedTable {
   def incrementalRead(
       spark: SparkSession, root: String, fromV: Long,
       toV: Long): Option[DataFrame] = {
+    // DATA segments only: an added `del_` segment is a retraction, not
+    // an insert (and has the key schema) — changelog consumers read
+    // deletions via the manifest's delete entries instead
     val added = addedSegments(spark, root, fromV, toV)
+      .filter(_.startsWith("seg_"))
     if (added.isEmpty) None
     else Some(spark.read.parquet(
       added.map(n => new Path(root, n).toString): _*))
@@ -407,13 +699,15 @@ object VersionedTable {
     val v = currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
     val f = fs(spark, root)
-    val all = segmentsOf(spark, root, v)
-    val (small, big) = all.partition { s =>
+    val (dels, datas) = segmentsOf(spark, root, v).partition(_.isDelete)
+    val (small, big0) = datas.partition { s =>
       f.getContentSummary(new Path(root, s.name)).getLength <= smallBytes
     }
-    if (small.length < 2) return (v, 0, all.length)
-    val merged = spark.read.parquet(
-      small.map(s => new Path(root, s.name).toString): _*)
+    val big = big0 ++ dels // delete segments never fold into data
+    if (small.length < 2) return (v, 0, datas.length)
+    // applicable deletes materialize into the merged segment (its new
+    // seq puts it beyond their reach), exactly as in mergeWhere
+    val merged = applyDeletes(spark, root, small, dels)
     val name = "seg_" + java.util.UUID.randomUUID().toString.replace("-", "")
     merged.coalesce(1).write.parquet(new Path(root, name).toString)
     // stats union straight from the manifest — the merged interval per
@@ -452,9 +746,11 @@ object VersionedTable {
     dropped.foreach(v => f.delete(manifest(root, v), false))
     val cutoff = System.currentTimeMillis() - segmentRetainMs
     val deadSegs = f.listStatus(new Path(root))
-      .filter(st => st.getPath.getName.startsWith("seg_") &&
-        !liveSegs(st.getPath.getName) &&
-        st.getModificationTime <= cutoff)
+      .filter { st =>
+        val n = st.getPath.getName
+        (n.startsWith("seg_") || n.startsWith("del_")) &&
+          !liveSegs(n) && st.getModificationTime <= cutoff
+      }
       .map(_.getPath)
     deadSegs.foreach(f.delete(_, true))
     (dropped.length, deadSegs.length)

@@ -1517,14 +1517,19 @@ object IngestQueries {
         s, root, e.where(col("event_id") % 3 === 2), batchId = 2L)
       require(replayed.isEmpty, "replay after compaction was NOT fenced")
       val headAfter = VersionedTable.read(s, root).count()
-      val headSegs = VersionedTable.segmentsOf(
-        s, root, VersionedTable.currentVersion(s, root).get).length
-      // versions: 0=append b0, 1=compact(=b0), 2=append b1, 3=compact,
-      // 4=append b2, 5=compact. Batch-prefix snapshots are the APPEND
-      // versions 0, 2, 4 — read each AFTER everything committed.
+      val head = VersionedTable.currentVersion(s, root).get
+      val headSegs = VersionedTable.segmentsOf(s, root, head).length
+      // Batch-prefix snapshots are the APPEND commits, recovered from the
+      // fence headers themselves (batch b's append is the FIRST version
+      // fenced at b; the carried fence repeats on later compactions) —
+      // never hardcoded version arithmetic, which silently depended on
+      // compactSmall's <2-segment no-op guard.
+      val appendV: Map[Long, Long] = (0L to head)
+        .flatMap(v => VersionedTable.fenceAt(s, root, v).map(_ -> v))
+        .groupMapReduce(_._1)(_._2)(_ min _)
       import s.implicits._
       val rows = (0L to 2L).map { v =>
-        val r = VersionedTable.read(s, root, Some(v * 2))
+        val r = VersionedTable.read(s, root, Some(appendV(v)))
           .agg(count(lit(1)), sum("user_id").cast("bigint")).head()
         (v, r.getLong(0), r.getLong(1), headBefore, headSegs.toLong,
           headAfter - headBefore)

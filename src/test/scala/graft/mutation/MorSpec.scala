@@ -1,0 +1,189 @@
+package graft.mutation
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuite
+
+/** Merge-on-read contract: equality deletes are O(changed rows) on the
+  * write side, scoped by sequence number so re-inserts survive, applied
+  * exactly once at scan time, and erasable by materialization — with
+  * every prior snapshot intact throughout. */
+class MorSpec extends AnyFunSuite with Matchers with SparkSuite {
+
+  private def freshRoot(): String =
+    graft.Scratch.dir("graft_mor_spec") + "/t"
+
+  private def kv(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "v")
+  }
+
+  private def at(root: String, v: Long): Set[(Long, String)] =
+    VersionedTable.read(spark, root, Some(v))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def segNames(root: String): (Int, Int) = {
+    val segs = VersionedTable.segmentsOf(
+      spark, root, VersionedTable.currentVersion(spark, root).get)
+    (segs.count(!_.isDelete), segs.count(_.isDelete))
+  }
+
+  test("morDelete writes one delete segment; data segments untouched; history intact") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      kv(1L -> "a", 2L -> "b", 3L -> "c"), statCols = Seq("id"))
+    VersionedTable.append(spark, root, kv(4L -> "d"), statCols = Seq("id"))
+    val dataDirsBefore = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("seg_")).map(_.getName).toSet
+    val (nv, n) = VersionedTable.morDelete(
+      spark, root, Seq("id"), _.where(F.col("id") % 2 === 0))
+    nv shouldBe 2L
+    n shouldBe 2L
+    // O(delta) writes: every pre-existing data directory is byte-for-byte
+    // untouched; exactly one del_ directory appeared
+    new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("seg_")).map(_.getName).toSet shouldBe
+      dataDirsBefore
+    segNames(root) shouldBe ((2, 1))
+    at(root, 2) shouldBe Set(1L -> "a", 3L -> "c")
+    // the pre-delete snapshot still reads whole
+    at(root, 1) shouldBe Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+    // deleting nothing commits nothing
+    VersionedTable.morDelete(
+      spark, root, Seq("id"), _.where(F.col("id") === 999))._2 shouldBe 0L
+    VersionedTable.currentVersion(spark, root) shouldBe Some(2L)
+  }
+
+  test("seq scoping: a re-inserted key is NOT swallowed by an older delete") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, kv(1L -> "a", 2L -> "b"))
+    VersionedTable.morDelete(spark, root, Seq("id"),
+      _.where(F.col("id") === 2))
+    // key 2 returns with new content — the delete (seq 1) must not touch
+    // the new segment (seq 2)
+    VersionedTable.append(spark, root, kv(2L -> "b2"))
+    at(root, 2) shouldBe Set(1L -> "a", 2L -> "b2")
+    // and the interim snapshot still shows the deleted state
+    at(root, 1) shouldBe Set(1L -> "a")
+  }
+
+  test("morUpsert retires old key versions and inserts new ones in one commit") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, kv(1L -> "a", 2L -> "b", 3L -> "c"))
+    val nv = VersionedTable.morUpsert(
+      spark, root, kv(2L -> "B", 9L -> "i"), Seq("id"))
+    nv shouldBe 1L
+    at(root, 1) shouldBe Set(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "i")
+    at(root, 0) shouldBe Set(1L -> "a", 2L -> "b", 3L -> "c")
+    // a second upsert over the SAME key: only the latest value survives
+    VersionedTable.morUpsert(spark, root, kv(2L -> "BB"), Seq("id"))
+    at(root, 2) shouldBe Set(1L -> "a", 2L -> "BB", 3L -> "c", 9L -> "i")
+    // null keys are rejected loudly
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      VersionedTable.morUpsert(spark, root,
+        Seq((Option.empty[Long], "x")).toDF("id", "v"), Seq("id"))
+    }
+    ()
+  }
+
+  test("morMaterialize erases delete debt without changing content; history intact") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, kv(1L -> "a", 2L -> "b"),
+      statCols = Seq("id"))
+    VersionedTable.append(spark, root, kv(3L -> "c"), statCols = Seq("id"))
+    VersionedTable.morUpsert(spark, root, kv(2L -> "B"), Seq("id"),
+      statCols = Seq("id"))
+    val before = at(root, 2)
+    val (nv, rewritten, dropped) =
+      VersionedTable.morMaterialize(spark, root, statCols = Seq("id"))
+    nv shouldBe 3L
+    // only the segments the delete could touch (seq < delSeq) rewrite:
+    // the two original data segments, not the upsert's own data segment
+    rewritten shouldBe 2
+    dropped shouldBe 1
+    segNames(root) shouldBe ((3, 0))
+    at(root, 3) shouldBe before
+    at(root, 2) shouldBe before // MOR snapshot still readable
+    // stats survive materialization: pruning still resolves narrowly
+    VersionedTable.resolveSegments(spark, root, "id", 3, 3)
+      .length shouldBe 1
+    // idempotent: nothing to do on a clean table
+    VersionedTable.morMaterialize(spark, root)._3 shouldBe 0
+  }
+
+  test("mergeWhere and compactSmall materialize applicable deletes, never resurrect") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, kv(1L -> "a", 2L -> "b"),
+      statCols = Seq("id"))
+    VersionedTable.append(spark, root, kv(10L -> "x", 11L -> "y"),
+      statCols = Seq("id"))
+    VersionedTable.morDelete(spark, root, Seq("id"),
+      _.where(F.col("id") === 2 || F.col("id") === 11))
+    // COW merge over [0,5]: touched slice must come out deletes-applied
+    val (_, rw, _) = VersionedTable.mergeWhere(
+      spark, root, "id", 0, 5,
+      _.withColumn("v", F.upper(F.col("v"))), statCols = Seq("id"))
+    rw shouldBe 1
+    at(root, 3) shouldBe Set(1L -> "A", 10L -> "x")
+    // the delete segment was carried (still applies to the carried data)
+    segNames(root)._2 shouldBe 1
+    // compaction folds data segments only and applies the delete
+    val (_, merged, _) =
+      VersionedTable.compactSmall(spark, root, smallBytes = Long.MaxValue)
+    merged shouldBe 2
+    at(root, 4) shouldBe Set(1L -> "A", 10L -> "x")
+    // after expiry of old snapshots the del segment becomes dead and is vacuumed
+    VersionedTable.expireSnapshots(spark, root, 1)
+    new java.io.File(root).listFiles()
+      .count(_.getName.startsWith("del_")) shouldBe 0
+    at(root, 4) shouldBe Set(1L -> "A", 10L -> "x")
+  }
+
+  test("readPruned on a MOR table prunes data AND delete segments soundly") {
+    val root = freshRoot()
+    import spark.implicits._
+    def seg(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"v$i")).toDF("id", "v")
+    VersionedTable.create(spark, root, seg(0, 9), statCols = Seq("id"))
+    VersionedTable.append(spark, root, seg(10, 19), statCols = Seq("id"))
+    VersionedTable.morDelete(spark, root, Seq("id"),
+      _.where(F.col("id").isin(3L, 12L)))
+    VersionedTable.readPruned(spark, root, "id", 0, 9)
+      .collect().map(_.getLong(0)).toSet shouldBe
+      (0L to 9L).toSet - 3L
+    VersionedTable.readPruned(spark, root, "id", 10, 19)
+      .collect().map(_.getLong(0)).toSet shouldBe
+      (10L to 19L).toSet - 12L
+    // disjoint probe: zero rows, and the files-read gate stays data-only
+    VersionedTable.readPruned(spark, root, "id", 100, 200).count() shouldBe 0L
+    VersionedTable.resolveSegments(spark, root, "id", 0, 9).length shouldBe 1
+  }
+
+  test("morUpsertFenced: replay-fenced CDC apply, creates on first batch") {
+    val root = freshRoot()
+    VersionedTable.morUpsertFenced(
+      spark, root, kv(1L -> "a", 2L -> "b"), Seq("id"), 0L, appId = "cdc")
+      .isDefined shouldBe true
+    VersionedTable.morUpsertFenced(
+      spark, root, kv(2L -> "B", 3L -> "c"), Seq("id"), 1L, appId = "cdc")
+      .isDefined shouldBe true
+    // replay of batch 1 is skipped whole
+    VersionedTable.morUpsertFenced(
+      spark, root, kv(2L -> "ZZZ"), Seq("id"), 1L, appId = "cdc") shouldBe None
+    at(root, VersionedTable.currentVersion(spark, root).get) shouldBe
+      Set(1L -> "a", 2L -> "B", 3L -> "c")
+  }
+
+  test("mixed delete key sets are rejected") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, kv(1L -> "a"))
+    VersionedTable.morDelete(spark, root, Seq("id"), identity(_))
+    intercept[IllegalArgumentException] {
+      VersionedTable.morUpsert(spark, root, kv(2L -> "b"), Seq("id", "v"))
+    }
+    ()
+  }
+}

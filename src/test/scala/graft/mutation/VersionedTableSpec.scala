@@ -238,6 +238,81 @@ class VersionedTableSpec extends AnyFunSuite with Matchers with SparkSuite {
       java.nio.file.Paths.get(root, "_log", ".v1.manifest.tmp")) shouldBe false
   }
 
+  test("NaN rows drop the stat instead of poisoning pruning") {
+    val root = freshRoot()
+    import spark.implicits._
+    // Spark's max orders NaN above +Inf: a poisoned stat (mx=NaN) would
+    // make mayIntersect false and silently prune rows that qualify
+    VersionedTable.create(spark, root,
+      Seq(1.0, 2.0, Double.NaN).toDF("x"), statCols = Seq("x"))
+    VersionedTable.append(spark, root,
+      Seq(100.0, 200.0).toDF("x"), statCols = Seq("x"))
+    // the NaN segment carries NO stat → conservatively kept everywhere
+    VersionedTable.segmentsOf(spark, root, 1L)
+      .count(_.stats.isEmpty) shouldBe 1
+    // the statless NaN segment is kept; the disjoint [100,200] one prunes
+    VersionedTable.resolveSegments(spark, root, "x", 1, 2).length shouldBe 1
+    VersionedTable.readPruned(spark, root, "x", 1, 2)
+      .collect().map(_.getDouble(0)).toSet shouldBe Set(1.0, 2.0)
+    // and mergeWhere still sees it as touchable
+    val (_, rewritten, _) = VersionedTable.mergeWhere(
+      spark, root, "x", 1, 2, _.where(!F.col("x").isNaN))
+    rewritten shouldBe 1
+    VersionedTable.read(spark, root).count() shouldBe 4L
+  }
+
+  test("createPartitioned rejects null/NaN part values and leaves no residue") {
+    val root = freshRoot()
+    import spark.implicits._
+    val withNull = Seq((1L, Some(0.0)), (2L, None: Option[Double]))
+      .toDF("id", "day")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.createPartitioned(spark, root, withNull, "day")
+    }
+    e.getMessage should include("nulls")
+    // failed create leaves the root EMPTY: no staging, no orphan
+    // segments, no manifest — the table can be created cleanly after
+    val residue = Option(new java.io.File(root).listFiles())
+      .map(_.filterNot(_.getName == "_log").toSeq).getOrElse(Seq.empty)
+    residue shouldBe Seq.empty
+    VersionedTable.currentVersion(spark, root) shouldBe None
+    val nan = Seq((1L, 0.0), (2L, Double.NaN)).toDF("id", "day")
+    intercept[IllegalArgumentException] {
+      VersionedTable.createPartitioned(spark, root, nan, "day")
+    }.getMessage should include("NaN")
+    VersionedTable.createPartitioned(
+      spark, root, withNull.where(F.col("day").isNotNull), "day")
+      ._2 shouldBe 1
+  }
+
+  test("fences are scoped per appId: a restarted lineage is not swallowed") {
+    val root = freshRoot()
+    // lineage A commits batches 0..1
+    VersionedTable.appendFenced(spark, root, df(1), 0L, appId = "A")
+    VersionedTable.appendFenced(spark, root, df(2), 1L, appId = "A")
+    // a NEW lineage (fresh checkpoint, ids restart at 0) must land, not
+    // be silently dropped as a replay of A's history
+    VersionedTable.appendFenced(spark, root, df(3), 0L, appId = "B")
+      .isDefined shouldBe true
+    VersionedTable.read(spark, root).count() shouldBe 3L
+    // replays stay fenced WITHIN each lineage
+    VersionedTable.appendFenced(spark, root, df(9), 1L, appId = "A") shouldBe None
+    VersionedTable.appendFenced(spark, root, df(9), 0L, appId = "B") shouldBe None
+    VersionedTable.currentFence(spark, root, "A") shouldBe Some(1L)
+    VersionedTable.currentFence(spark, root, "B") shouldBe Some(0L)
+    // both fences carry forward through an unfenced commit
+    VersionedTable.append(spark, root, df(4))
+    VersionedTable.currentFence(spark, root, "A") shouldBe Some(1L)
+    VersionedTable.currentFence(spark, root, "B") shouldBe Some(0L)
+    // fenceAt recovers WHERE each batch landed
+    VersionedTable.fenceAt(spark, root, 0L, "A") shouldBe Some(0L)
+    VersionedTable.fenceAt(spark, root, 2L, "B") shouldBe Some(0L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.appendFenced(spark, root, df(9), 5L, appId = "a:b")
+    }
+    ()
+  }
+
   test("append after expiry keeps numbering monotone and content correct") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
