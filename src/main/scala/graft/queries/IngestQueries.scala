@@ -1542,10 +1542,109 @@ object IngestQueries {
     }
   }
 
+  /** S29 — STREAMING CDC APPLY through merge-on-read: each micro-batch
+    * aggregates to one per-key update row and lands via
+    * [[graft.mutation.VersionedTable.morUpsertFenced]] — ONE commit per
+    * batch carrying an equality-delete of the batch's keys plus the
+    * fresh rows, O(batch) written no matter how large the dimension has
+    * grown (the write side of a 100 TB CDC sink). Sequence scoping makes
+    * the head LAST-WRITER-WINS per key across batches with zero read-
+    * modify-write; the appId-scoped fence makes the at-least-once replay
+    * of the final batch a whole-batch no-op (gated in the oracle as
+    * `replay_appended = 0`). Every per-batch snapshot stays readable. */
+  val streamMorCdc: Reg = Reg.sql(
+    "s29_stream_mor_cdc",
+    """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 30000),
+      |b AS (SELECT user_id, event_id % 3 AS last_batch,
+      |             COUNT(*) AS n_events, SUM(event_id) AS eid_sum
+      |      FROM e GROUP BY user_id, event_id % 3),
+      |last AS (SELECT user_id, MAX(last_batch) AS mb FROM b GROUP BY user_id)
+      |SELECT CAST(b.user_id AS BIGINT) AS user_id,
+      |       CAST(b.last_batch AS BIGINT) AS last_batch,
+      |       CAST(b.n_events AS BIGINT) AS n_events,
+      |       CAST(b.eid_sum AS BIGINT) AS eid_sum,
+      |       CAST(0 AS BIGINT) AS replay_appended
+      |FROM b JOIN last l ON b.user_id = l.user_id AND b.last_batch = l.mb
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_smor")
+    val root = s"$work/t"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 30000L)
+        .select("event_id", "user_id")
+      val src = new java.io.File(work + "/in"); src.mkdirs()
+      val t0 = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val tmp = new java.io.File(work + s"/tmp$i")
+        e.where(col("event_id") % 3 === i).coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + i * 2000L)
+        ()
+      }
+      val schema = s.read.parquet(src.toString).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            // the CDC record: one update row per key in this batch
+            val upd = batch.groupBy("user_id").agg(
+              count(lit(1)).as("n_events"),
+              sum("event_id").cast("bigint").as("eid_sum"))
+              .withColumn("last_batch", lit(id))
+              .select("user_id", "last_batch", "n_events", "eid_sum")
+            VersionedTable.morUpsertFenced(
+              batch.sparkSession, root, upd, Seq("user_id"), id,
+              appId = "cdc")
+            ()
+        }
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      // at-least-once crash window: a replay of the final batch must be
+      // fenced out whole — same keys, same batch id, zero effect
+      val headBefore = VersionedTable.read(s, root).count()
+      val replayUpd = e.where(col("event_id") % 3 === 2)
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          sum("event_id").cast("bigint").as("eid_sum"))
+        .withColumn("last_batch", lit(2L))
+        .select("user_id", "last_batch", "n_events", "eid_sum")
+      val replayed = VersionedTable.morUpsertFenced(
+        s, root, replayUpd, Seq("user_id"), 2L, appId = "cdc")
+      require(replayed.isEmpty, "replayed CDC batch was NOT fenced")
+      val replayAppended = VersionedTable.read(s, root).count() - headBefore
+
+      val out = VersionedTable.read(s, root)
+        .select(
+          col("user_id").cast("bigint").as("user_id"),
+          col("last_batch").cast("bigint").as("last_batch"),
+          col("n_events").cast("bigint").as("n_events"),
+          col("eid_sum").cast("bigint").as("eid_sum"),
+          lit(replayAppended).cast("bigint").as("replay_appended"))
+        .orderBy("user_id")
+      // |users|-sized CDC state — materialize so the scratch table can
+      // be deleted eagerly in the finally below
+      s.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
       batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals, streamTimers,
       foreachBatchUpsert, streamMedian, streamQuantiles, streamDrift,
-      streamScd2, streamVersionLog, streamCompactedLog)
+      streamScd2, streamVersionLog, streamCompactedLog, streamMorCdc)
 }

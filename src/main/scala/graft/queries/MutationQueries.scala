@@ -1238,8 +1238,187 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A41 — MERGE-ON-READ DELETE (the Iceberg v2 shape the reference's
+    * table contract mandates, `wifi_measurement_s3_table_schema.md:69-76`
+    * `'write.delete.mode'='merge-on-read'`): instead of rewriting the
+    * touched segments (a36's COW), [[graft.mutation.VersionedTable
+    * .morDelete]] commits ONE equality-delete segment of key tuples —
+    * O(matched keys) written, ZERO data files rewritten (gated: the
+    * pre-existing data directory set is byte-identical afterwards). The
+    * delete applies at scan time as an anti-join scoped BY SEQUENCE to
+    * strictly-older data, which the query proves the hard way: it
+    * re-inserts half the deleted keys afterwards and they are visible at
+    * head, NOT swallowed by the older delete. The pre-delete snapshot
+    * stays readable (time travel across a MOR commit).
+    *
+    * Scale: a GDPR-sized delete on a 100 TB table writes kilobytes (the
+    * keys) and one manifest; the read-side anti-join build side is those
+    * same kilobytes — broadcast. COW (a36/a39) pays the rewrite up
+    * front; MOR defers it to [[a42 materialization|morMaterialize]],
+    * which is the actual production trade. */
+  val morDelete: Reg = Reg.sql(
+    "a41_mor_delete",
+    """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 60000),
+      |base AS (SELECT * FROM e WHERE event_id % 3 <= 1),
+      |victims AS (SELECT event_id FROM base WHERE user_id % 5 = 0),
+      |reins AS (SELECT event_id, user_id FROM base
+      |          WHERE user_id % 5 = 0 AND event_id % 2 = 0),
+      |head AS (SELECT event_id, user_id FROM base WHERE user_id % 5 <> 0
+      |         UNION ALL SELECT event_id, user_id FROM reins)
+      |SELECT CAST((SELECT COUNT(*) FROM head) AS BIGINT) AS head_rows,
+      |       CAST((SELECT SUM(user_id) FROM head) AS BIGINT) AS head_uid_sum,
+      |       CAST((SELECT COUNT(*) FROM victims) AS BIGINT) AS deleted_keys,
+      |       CAST((SELECT COUNT(*) FROM reins) AS BIGINT) AS reinserted_rows,
+      |       CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS predelete_rows,
+      |       CAST(1 AS BIGINT) AS delete_segments,
+      |       CAST(0 AS BIGINT) AS data_segments_rewritten""".stripMargin) {
+    (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_mordel")
+    val root = s"$work/t"
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 60000L)
+        .select("event_id", "user_id")
+      VersionedTable.create(s, root, e.where(col("event_id") % 3 === 0),
+        statCols = Seq("event_id"))
+      VersionedTable.append(s, root, e.where(col("event_id") % 3 === 1),
+        statCols = Seq("event_id"))
+      val preRows = VersionedTable.read(s, root).count()
+      val dataDirsBefore = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("seg_")).map(f =>
+          f.getName -> f.lastModified()).toSet
+
+      // the MOR DELETE: one del_ segment of keys, no data rewrite
+      val (v2, nDeleted) = VersionedTable.morDelete(
+        s, root, Seq("event_id"), _.where(col("user_id") % 5 === 0))
+      require(v2 == 2L, s"delete commit expected v2, got $v2")
+      val dataDirsAfter = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("seg_")).map(f =>
+          f.getName -> f.lastModified()).toSet
+      require(dataDirsAfter == dataDirsBefore,
+        "MOR delete touched a data segment — must be O(keys) only")
+      val delSegs = VersionedTable.segmentsOf(s, root, v2)
+        .count(_.isDelete)
+
+      // the seq-scoping proof: re-insert HALF the deleted keys; the
+      // older delete must not swallow the fresh rows
+      VersionedTable.append(s, root,
+        e.where(col("event_id") % 3 <= 1)
+          .where(col("user_id") % 5 === 0 && col("event_id") % 2 === 0),
+        statCols = Seq("event_id"))
+      val head = VersionedTable.read(s, root)
+        .agg(count(lit(1)), sum("user_id").cast("bigint")).head()
+      val reins = VersionedTable.read(s, root).count() -
+        VersionedTable.read(s, root, Some(2L)).count()
+      // time travel across the MOR commit: pre-delete snapshot intact
+      val v1Rows = VersionedTable.read(s, root, Some(1L)).count()
+      require(v1Rows == preRows, "pre-delete snapshot changed under MOR")
+
+      import s.implicits._
+      Seq((head.getLong(0), head.getLong(1), nDeleted, reins, v1Rows,
+        delSegs.toLong, 0L))
+        .toDF("head_rows", "head_uid_sum", "deleted_keys",
+          "reinserted_rows", "predelete_rows", "delete_segments",
+          "data_segments_rewritten")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
+  /** A42 — MERGE-ON-READ UPSERT + MATERIALIZATION (the full Iceberg v2
+    * `'write.update.mode'='merge-on-read'` loop): two CDC waves land via
+    * [[graft.mutation.VersionedTable.morUpsert]] — each ONE commit
+    * carrying an equality-delete of the wave's keys plus a data segment
+    * of its rows, O(changed rows) written, last-writer-wins per key by
+    * sequence scoping. Then [[graft.mutation.VersionedTable
+    * .morMaterialize]] converts the accumulated read debt into clean
+    * data segments out-of-band: content PROVABLY identical (stated in
+    * the oracle), delete segments gone, and only the data segments the
+    * deletes could reach rewritten (base + wave-1's data; wave-2's own
+    * segment is already beyond every delete — the gate asserts 2/2/1).
+    * Every MOR snapshot stays time-travel readable afterwards.
+    *
+    * Scale: the upsert write side is delta-sized at any table size; the
+    * materialize cost is proportional to AFFECTED segments only, and a
+    * stats-partitioned table localizes that to the touched partitions. */
+  val morUpsert: Reg = Reg.sql(
+    "a42_mor_upsert",
+    """WITH c AS (SELECT c_custkey AS k,
+      |                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      |           FROM customer WHERE c_custkey <= 1500),
+      |base AS (SELECT k, cents FROM c WHERE k <= 1000),
+      |u1 AS (SELECT k, cents + 10000 AS cents FROM c
+      |       WHERE k <= 1000 AND k % 10 = 0
+      |       UNION ALL SELECT k, cents FROM c WHERE k > 1000 AND k <= 1100),
+      |u2 AS (SELECT k, cents - 5000 AS cents FROM c
+      |       WHERE k <= 1200 AND k % 7 = 0),
+      |after1 AS (SELECT k, cents FROM u1
+      |           UNION ALL SELECT k, cents FROM base
+      |           WHERE k NOT IN (SELECT k FROM u1)),
+      |after2 AS (SELECT k, cents FROM u2
+      |           UNION ALL SELECT k, cents FROM after1
+      |           WHERE k NOT IN (SELECT k FROM u2))
+      |SELECT CAST((SELECT COUNT(*) FROM after1) AS BIGINT) AS v1_rows,
+      |       CAST((SELECT SUM(cents) FROM after1) AS BIGINT) AS v1_cents,
+      |       CAST((SELECT COUNT(*) FROM after2) AS BIGINT) AS head_rows,
+      |       CAST((SELECT SUM(cents) FROM after2) AS BIGINT) AS head_cents,
+      |       CAST((SELECT COUNT(*) FROM after2) AS BIGINT) AS mat_rows,
+      |       CAST((SELECT SUM(cents) FROM after2) AS BIGINT) AS mat_cents,
+      |       CAST(2 AS BIGINT) AS segments_rewritten,
+      |       CAST(2 AS BIGINT) AS deletes_dropped,
+      |       CAST(0 AS BIGINT) AS delete_segments_after""".stripMargin) {
+    (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_morups")
+    val root = s"$work/t"
+    try {
+      val c = Tables.customer(s, dir).where(col("c_custkey") <= 1500L)
+        .select(col("c_custkey").as("k"),
+          round(col("c_acctbal") * 100).cast("bigint").as("cents"))
+      VersionedTable.create(s, root, c.where(col("k") <= 1000L),
+        statCols = Seq("k"))
+      // CDC wave 1: updates to every 10th key + 100 fresh inserts
+      val u1 = c.where(col("k") <= 1000L && col("k") % 10 === 0)
+        .withColumn("cents", col("cents") + 10000L)
+        .unionByName(c.where(col("k") > 1000L && col("k") <= 1100L))
+      val v1 = VersionedTable.morUpsert(s, root, u1, Seq("k"),
+        statCols = Seq("k"))
+      val r1 = VersionedTable.read(s, root, Some(v1))
+        .agg(count(lit(1)), sum("cents").cast("bigint")).head()
+      // CDC wave 2 overlaps wave 1 (k % 70 == 0 hits both): the LATEST
+      // writer must win per key
+      val u2 = c.where(col("k") <= 1200L && col("k") % 7 === 0)
+        .withColumn("cents", col("cents") - 5000L)
+      val v2 = VersionedTable.morUpsert(s, root, u2, Seq("k"),
+        statCols = Seq("k"))
+      val r2 = VersionedTable.read(s, root, Some(v2))
+        .agg(count(lit(1)), sum("cents").cast("bigint")).head()
+
+      // MATERIALIZE: read debt → clean segments, content identical;
+      // only the delete-reachable data segments rewrite (base, u1-data)
+      val (v3, rewritten, dropped) =
+        VersionedTable.morMaterialize(s, root, statCols = Seq("k"))
+      require(rewritten == 2 && dropped == 2,
+        s"materialize rewrote $rewritten dropped $dropped — expected 2/2")
+      val r3 = VersionedTable.read(s, root, Some(v3))
+        .agg(count(lit(1)), sum("cents").cast("bigint")).head()
+      val delsAfter = VersionedTable.segmentsOf(s, root, v3)
+        .count(_.isDelete)
+      // the MOR snapshots stay readable after materialization
+      require(VersionedTable.read(s, root, Some(v1)).count() == r1.getLong(0),
+        "MOR snapshot v1 broke after materialization")
+
+      import s.implicits._
+      Seq((r1.getLong(0), r1.getLong(1), r2.getLong(0), r2.getLong(1),
+        r3.getLong(0), r3.getLong(1), rewritten.toLong, dropped.toLong,
+        delsAfter.toLong))
+        .toDF("v1_rows", "v1_cents", "head_rows", "head_cents",
+          "mat_rows", "mat_cents", "segments_rewritten",
+          "deletes_dropped", "delete_segments_after")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
-    versionedMerge, versionedCompact, versionedForget, incrementalRead)
+    versionedMerge, versionedCompact, versionedForget, incrementalRead,
+    morDelete, morUpsert)
 }
