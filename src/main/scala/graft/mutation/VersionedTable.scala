@@ -509,10 +509,23 @@ object VersionedTable {
     if (dels.isEmpty) return (v, 0, 0)
     val (affected, clean) =
       datas.partition(d => dels.exists(_.seq > d.seq))
-    val rewritten = affected.map { d =>
-      writeSegment(spark, root,
-        applyDeletes(spark, root, Seq(d), dels), statCols)
-    }
+    // per-segment rewrites are independent (distinct target dirs) — submit
+    // them as CONCURRENT Spark jobs so the wall clock is bounded by the
+    // largest segment, not the per-job scheduling overhead times N
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, affected.length))
+    val rewritten =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(affected.map { d =>
+            scala.concurrent.Future {
+              writeSegment(spark, root,
+                applyDeletes(spark, root, Seq(d), dels), statCols)
+            }
+          }), scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     val nv = commit(spark, root, clean ++ rewritten)
     (nv, affected.length, dels.length)
   }
