@@ -674,6 +674,56 @@ object VersionedTable {
       added.map(n => new Path(root, n).toString): _*))
   }
 
+  /** One commit's worth of CDC output: the rows its data segments added
+    * and the key tuples its delete segments retracted. Apply in version
+    * order: first anti-join `deletedKeys` on `keyCols`, then union
+    * `inserted` — a MOR upsert (delete+insert in one commit) then
+    * reproduces last-writer-wins exactly. */
+  final case class ChangeSet(
+      version: Long, inserted: Option[DataFrame],
+      deletedKeys: Option[DataFrame], keyCols: Seq[String])
+
+  /** CHANGELOG scan (Iceberg's changelog / Delta CDF substance): the
+    * ordered per-commit change sets between two snapshots, derived
+    * purely from consecutive MANIFEST DIFFS — segments present at v but
+    * not v-1. Inserts cost exactly the new data segments; retractions
+    * cost exactly the new delete segments (key tuples — equality deletes
+    * don't know the full deleted rows, and don't need to: downstream
+    * applies them as anti-joins). Folding every change set over the
+    * `fromV` snapshot reproduces the `toV` snapshot bit-for-bit (gated
+    * by a43's oracle). Maintenance commits (compaction/materialization)
+    * rewrite segments, so their output shows as inserts — consume
+    * changelogs around maintenance, the same restriction as
+    * [[incrementalRead]]. Requires the intermediate manifests to still
+    * exist (not expired). */
+  def changelog(
+      spark: SparkSession, root: String, fromV: Long,
+      toV: Long): Seq[ChangeSet] = {
+    require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
+    (fromV + 1 to toV).flatMap { v =>
+      val prev = segmentsOf(spark, root, v - 1).map(_.name).toSet
+      val added = segmentsOf(spark, root, v).filterNot(s => prev(s.name))
+      val (dels, datas) = added.partition(_.isDelete)
+      if (added.isEmpty) None
+      else Some(ChangeSet(
+        v,
+        if (datas.nonEmpty) Some(spark.read.parquet(
+          datas.map(s => new Path(root, s.name).toString): _*)) else None,
+        if (dels.nonEmpty) Some(spark.read.parquet(
+          dels.map(s => new Path(root, s.name).toString): _*)) else None,
+        dels.headOption.map(_.keys).getOrElse(Nil)))
+    }
+  }
+
+  /** Fold a [[changelog]] onto a base frame (the `fromV` snapshot or a
+    * downstream replica): per change set, retract then insert. */
+  def applyChangelog(base: DataFrame, changes: Seq[ChangeSet]): DataFrame =
+    changes.foldLeft(base) { (df, cs) =>
+      val retracted = cs.deletedKeys.fold(df)(ks =>
+        df.join(ks, cs.keyCols, "left_anti"))
+      cs.inserted.fold(retracted)(ins => retracted.unionByName(ins))
+    }
+
   /** Segment names referenced by `toV` but not `fromV` — the files an
     * incremental read opens; exposed for files-read gates. */
   def addedSegments(

@@ -1416,9 +1416,90 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A43 — CHANGELOG CONSUMPTION (Iceberg changelog scan / Delta CDF):
+    * a downstream replica checkpointed at v1 asks for everything that
+    * changed through head and applies it WITHOUT rereading the table:
+    * [[graft.mutation.VersionedTable.changelog]] derives ordered
+    * per-commit change sets from consecutive manifest diffs alone —
+    * inserts cost the new data segments, retractions cost the new
+    * delete-key segments — and [[graft.mutation.VersionedTable
+    * .applyChangelog]] folds them (anti-join retractions, union inserts,
+    * in version order) onto the stale replica. The oracle gate is the
+    * strong one: the folded replica's row count AND content sum equal
+    * the head snapshot's exactly, across an upsert (delete+insert in one
+    * commit) and a pure delete.
+    *
+    * Scale: the replica pays O(changed rows) per sync, never a table
+    * diff — the only way a 100 TB table keeps downstream copies fresh. */
+  val changelogApply: Reg = Reg.sql(
+    "a43_changelog_apply",
+    """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 60000),
+      |s0 AS (SELECT * FROM e WHERE event_id % 4 = 0),
+      |s1 AS (SELECT * FROM e WHERE event_id % 4 = 1),
+      |v1 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+      |u AS (SELECT event_id, user_id + 1000000 AS user_id FROM s0
+      |      WHERE user_id % 3 = 0),
+      |v2 AS (SELECT event_id, user_id FROM u
+      |       UNION ALL SELECT * FROM v1
+      |       WHERE event_id NOT IN (SELECT event_id FROM u)),
+      |vict AS (SELECT event_id FROM v2 WHERE user_id % 5 = 0),
+      |v3 AS (SELECT * FROM v2 WHERE user_id % 5 <> 0)
+      |SELECT CAST((SELECT COUNT(*) FROM v1) AS BIGINT) AS replica_start_rows,
+      |       CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS cs2_inserted,
+      |       CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS cs2_retracted,
+      |       CAST((SELECT COUNT(*) FROM vict) AS BIGINT) AS cs3_retracted,
+      |       CAST((SELECT COUNT(*) FROM v3) AS BIGINT) AS head_rows,
+      |       CAST((SELECT SUM(user_id) FROM v3) AS BIGINT) AS head_uid_sum,
+      |       CAST((SELECT COUNT(*) FROM v3) AS BIGINT) AS replica_rows,
+      |       CAST((SELECT SUM(user_id) FROM v3) AS BIGINT)
+      |         AS replica_uid_sum""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_chlog")
+    val root = s"$work/t"
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 60000L)
+        .select("event_id", "user_id")
+      VersionedTable.create(s, root, e.where(col("event_id") % 4 === 0))
+      VersionedTable.append(s, root, e.where(col("event_id") % 4 === 1))
+      // the replica checkpoints HERE (v1), then the table keeps moving:
+      // an upsert rewriting every user_id%3==0 row of the v0 slice...
+      val u = e.where(col("event_id") % 4 === 0 && col("user_id") % 3 === 0)
+        .withColumn("user_id", col("user_id") + 1000000L)
+      VersionedTable.morUpsert(s, root, u, Seq("event_id"))
+      // ...and a MOR delete of every user_id%5==0 row still visible
+      VersionedTable.morDelete(s, root, Seq("event_id"),
+        _.where(col("user_id") % 5 === 0))
+
+      val cs = VersionedTable.changelog(s, root, 1L, 3L)
+      require(cs.map(_.version) == Seq(2L, 3L),
+        s"changelog versions ${cs.map(_.version)} — expected 2,3")
+      val cs2Ins = cs(0).inserted.get.count()
+      val cs2Del = cs(0).deletedKeys.get.count()
+      val cs3Del = cs(1).deletedKeys.get.count()
+      require(cs(1).inserted.isEmpty, "pure delete commit emitted inserts")
+
+      val replicaStart = VersionedTable.read(s, root, Some(1L))
+      val startRows = replicaStart.count()
+      val replica = VersionedTable.applyChangelog(replicaStart, cs)
+        .agg(count(lit(1)), sum("user_id").cast("bigint")).head()
+      val head = VersionedTable.read(s, root)
+        .agg(count(lit(1)), sum("user_id").cast("bigint")).head()
+      require(replica == head,
+        s"changelog replica diverged from head: $replica vs $head")
+
+      import s.implicits._
+      Seq((startRows, cs2Ins, cs2Del, cs3Del,
+        head.getLong(0), head.getLong(1),
+        replica.getLong(0), replica.getLong(1)))
+        .toDF("replica_start_rows", "cs2_inserted", "cs2_retracted",
+          "cs3_retracted", "head_rows", "head_uid_sum",
+          "replica_rows", "replica_uid_sum")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
     versionedMerge, versionedCompact, versionedForget, incrementalRead,
-    morDelete, morUpsert)
+    morDelete, morUpsert, changelogApply)
 }

@@ -177,6 +177,29 @@ class MorSpec extends AnyFunSuite with Matchers with SparkSuite {
       Set(1L -> "a", 2L -> "B", 3L -> "c")
   }
 
+  test("changelog folds the fromV snapshot into the toV snapshot exactly") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, kv(1L -> "a", 2L -> "b"))
+    VersionedTable.append(spark, root, kv(3L -> "c"))
+    VersionedTable.morUpsert(spark, root, kv(2L -> "B", 4L -> "d"), Seq("id"))
+    VersionedTable.morDelete(spark, root, Seq("id"),
+      _.where(F.col("id") === 1))
+    val cs = VersionedTable.changelog(spark, root, 0L, 3L)
+    cs.map(_.version) shouldBe Seq(1L, 2L, 3L)
+    cs(0).inserted.get.count() shouldBe 1L    // the append
+    cs(0).deletedKeys shouldBe None
+    cs(1).inserted.get.count() shouldBe 2L    // upsert rows
+    cs(1).deletedKeys.get.count() shouldBe 2L // upsert retractions
+    cs(2).inserted shouldBe None
+    cs(2).deletedKeys.get.count() shouldBe 1L // the delete
+    val replica = VersionedTable.applyChangelog(
+      VersionedTable.read(spark, root, Some(0L)), cs)
+    replica.collect().map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      at(root, 3L)
+    // empty window: no change sets
+    VersionedTable.changelog(spark, root, 3L, 3L) shouldBe Seq.empty
+  }
+
   test("mixed delete key sets are rejected") {
     val root = freshRoot()
     VersionedTable.create(spark, root, kv(1L -> "a"))
