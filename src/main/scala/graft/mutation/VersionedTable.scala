@@ -733,6 +733,92 @@ object VersionedTable {
     segmentsOf(spark, root, toV).map(_.name).filterNot(old)
   }
 
+  private def bloomPath(root: String, seg: String, c: String) =
+    new Path(root, s"_blooms/$seg.$c.bloom")
+
+  /** Build per-segment BLOOM FILTER sidecars on integer key column `c`
+    * for every live data segment lacking one (the Iceberg puffin-blob
+    * substance): min/max stats cannot prune point lookups when key
+    * ranges overlap across segments (round-robin/bucketed layouts —
+    * exactly the reference's S8 `mac_addr` lookup shape), but a bloom
+    * answers "definitely not here" per segment in O(1). Sidecars are
+    * DERIVED data: staged + renamed (atomic), consulted opportunistically
+    * at lookup, never part of the commit protocol — a missing bloom
+    * degrades to reading the segment, a dead segment's bloom is vacuumed
+    * with it. Builds run as concurrent Spark jobs. Returns sidecars
+    * built. */
+  def buildBlooms(
+      spark: SparkSession, root: String, c: String,
+      fpp: Double = 0.01): Int = {
+    val v = currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"$root has no versions"))
+    val f = fs(spark, root)
+    val missing = segmentsOf(spark, root, v).filterNot(_.isDelete)
+      .filterNot(s => f.exists(bloomPath(root, s.name, c)))
+    if (missing.isEmpty) return 0
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, missing.length))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(missing.map { s =>
+          scala.concurrent.Future {
+            val df = spark.read.parquet(new Path(root, s.name).toString)
+            val bf = df.stat.bloomFilter(c, math.max(df.count(), 1L), fpp)
+            val tmp = new Path(root, s"_blooms/.${s.name}.$c.tmp")
+            val out = f.create(tmp, true)
+            try bf.writeTo(out) finally out.close()
+            if (!f.rename(tmp, bloomPath(root, s.name, c)))
+              throw new java.io.IOException(
+                s"cannot place bloom for ${s.name}.$c")
+          }
+        }), scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    missing.length
+  }
+
+  /** The data segments a POINT LOOKUP `c = value` must open: min/max
+    * stats first, then each surviving segment's bloom sidecar (segments
+    * without one are conservatively kept). This is the files-read gate
+    * point lookups assert on. */
+  def resolvePointLookup(
+      spark: SparkSession, root: String, c: String, value: Long,
+      version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"$root has no versions"))
+    val f = fs(spark, root)
+    segmentsOf(spark, root, v).filterNot(_.isDelete)
+      .filter(_.mayIntersect(c, value.toDouble, value.toDouble))
+      .filter { s =>
+        val bp = bloomPath(root, s.name, c)
+        if (!f.exists(bp)) true
+        else {
+          val in = f.open(bp)
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+            .mightContainLong(value)
+          finally in.close()
+        }
+      }
+      .map(_.name)
+  }
+
+  /** Bloom-and-stats-pruned point lookup `c = value`, merge-on-read
+    * deletes applied. Opens only [[resolvePointLookup]]'s segments. */
+  def readPoint(
+      spark: SparkSession, root: String, c: String, value: Long,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"$root has no versions"))
+    val names = resolvePointLookup(spark, root, c, value, Some(v)).toSet
+    val (dels, datas0) = segmentsOf(spark, root, v).partition(_.isDelete)
+    val datas = datas0.filter(s => names(s.name))
+    if (datas.isEmpty) read(spark, root, Some(v)).where(lit(false))
+    else applyDeletes(spark, root, datas,
+      dels.filter(_.mayIntersect(c, value.toDouble, value.toDouble)))
+      .where(col(c) === value)
+  }
+
   /** Data bytes of each live segment at head — the sizing input callers
     * use to pick [[compactSmall]]'s threshold corpus-relatively. */
   def segmentBytes(spark: SparkSession, root: String): Seq[(String, Long)] = {
@@ -816,6 +902,14 @@ object VersionedTable {
       }
       .map(_.getPath)
     deadSegs.foreach(f.delete(_, true))
+    // derived bloom sidecars die with their segments
+    val bloomDir = new Path(root, "_blooms")
+    if (f.exists(bloomDir)) {
+      val deadNames = deadSegs.map(_.getName).toSet
+      f.listStatus(bloomDir)
+        .filter(st => deadNames.exists(d => st.getPath.getName.startsWith(d + ".")))
+        .foreach(st => f.delete(st.getPath, false))
+    }
     (dropped.length, deadSegs.length)
   }
 }

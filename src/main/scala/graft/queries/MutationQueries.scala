@@ -1497,9 +1497,70 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A44 — POINT LOOKUP through per-segment BLOOM SIDECARS (the
+    * reference's S8 `mac_addr` point-get,
+    * `wifi-positioning-service/.../WifiAccessPointRepository` shape, at
+    * file-skipping scale): the fact table lands ROUND-ROBIN across 8
+    * segments, so every segment spans the full key range and min/max
+    * stats prune NOTHING — the gate asserts stats keep 8/8. After
+    * [[graft.mutation.VersionedTable.buildBlooms]], each lookup consults
+    * the sidecars and opens ~1 segment (gated: total opened across all
+    * lookups ≤ 2× the lookup count, vs 8× without blooms). Results are
+    * the looked-up rows themselves — the oracle recomputes them from the
+    * key schedule.
+    *
+    * Scale: a golden-record get on a 100 TB un-sorted table costs one
+    * bloom probe per file (metadata-sized, cacheable) plus ONE data file
+    * read — without requiring the table to be key-partitioned first. */
+  val pointSkipBloom: Reg = Reg.sql(
+    "a44_point_skip_bloom",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+      |       CAST(user_id AS BIGINT) AS user_id
+      |FROM events
+      |WHERE event_id < 60000 AND event_id % 6000 = 0
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_bloom")
+    val root = s"$work/t"
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 60000L)
+        .select("event_id", "user_id")
+      // round-robin layout: stats are useless for points, blooms are not
+      VersionedTable.create(s, root, e.where(col("event_id") % 8 === 0),
+        statCols = Seq("event_id"))
+      (1 to 7).foreach(i => VersionedTable.append(s, root,
+        e.where(col("event_id") % 8 === i), statCols = Seq("event_id")))
+      VersionedTable.buildBlooms(s, root, "event_id")
+      val keys = e.where(col("event_id") % 6000 === 0)
+        .select("event_id").orderBy("event_id")
+        .collect().map(_.getLong(0))
+      require(keys.nonEmpty, "no lookup keys in slice")
+      // stats alone cannot prune this layout (probe a mid-range key —
+      // extreme keys sit at segment min/max boundaries where stats do
+      // clip a few segments)
+      val mid = keys(keys.length / 2)
+      require(VersionedTable.resolveSegments(
+        s, root, "event_id", mid.toDouble, mid.toDouble)
+        .length == 8, "round-robin layout unexpectedly stats-prunable")
+      var openedTotal = 0
+      val rows = keys.flatMap { k =>
+        openedTotal +=
+          VersionedTable.resolvePointLookup(s, root, "event_id", k).length
+        VersionedTable.readPoint(s, root, "event_id", k)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      // the files-read gate: blooms collapse 8 candidate segments per
+      // lookup to ~1 (2x allows rare false positives)
+      require(openedTotal <= 2 * keys.length && openedTotal >= keys.length,
+        s"bloom skip opened $openedTotal segments for ${keys.length} lookups")
+      import s.implicits._
+      rows.toSeq.toDF("event_id", "user_id").orderBy("event_id")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
     versionedMerge, versionedCompact, versionedForget, incrementalRead,
-    morDelete, morUpsert, changelogApply)
+    morDelete, morUpsert, changelogApply, pointSkipBloom)
 }

@@ -200,6 +200,44 @@ class MorSpec extends AnyFunSuite with Matchers with SparkSuite {
     VersionedTable.changelog(spark, root, 3L, 3L) shouldBe Seq.empty
   }
 
+  test("bloom sidecars skip segments stats cannot, degrade safely, die with vacuum") {
+    val root = freshRoot()
+    import spark.implicits._
+    // round-robin layout: every segment spans the FULL id range, so
+    // min/max stats prune nothing — the bloom's reason to exist
+    def slice(m: Long) =
+      (0L until 400L).filter(_ % 4 == m).map(i => (i, s"v$i")).toDF("id", "v")
+    VersionedTable.create(spark, root, slice(0), statCols = Seq("id"))
+    (1L to 3L).foreach(m =>
+      VersionedTable.append(spark, root, slice(m), statCols = Seq("id")))
+    // stats keep all 4 segments for any in-range point
+    VersionedTable.resolveSegments(spark, root, "id", 17, 17).length shouldBe 4
+    // before blooms exist, lookups conservatively open all 4
+    VersionedTable.resolvePointLookup(spark, root, "id", 17L).length shouldBe 4
+    VersionedTable.buildBlooms(spark, root, "id") shouldBe 4
+    // with blooms: id=17 lives in exactly one segment (fpp may rarely
+    // add one more — assert the prune happened, not perfection)
+    val opened = VersionedTable.resolvePointLookup(spark, root, "id", 17L)
+    opened.length should be <= 2
+    VersionedTable.readPoint(spark, root, "id", 17L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq(17L -> "v17")
+    // absent key: zero rows regardless of bloom false positives
+    VersionedTable.readPoint(spark, root, "id", 5000L).count() shouldBe 0L
+    // rebuild is idempotent
+    VersionedTable.buildBlooms(spark, root, "id") shouldBe 0
+    // MOR delete of the key: the point lookup must see it gone
+    VersionedTable.morDelete(spark, root, Seq("id"),
+      _.where(F.col("id") === 17))
+    VersionedTable.readPoint(spark, root, "id", 17L).count() shouldBe 0L
+    // vacuum after a replace retires the dead segments' sidecars too
+    VersionedTable.replace(spark, root,
+      VersionedTable.read(spark, root), statCols = Seq("id"))
+    VersionedTable.expireSnapshots(spark, root, 1)
+    new java.io.File(root, "_blooms").listFiles()
+      .count(_.getName.endsWith(".bloom")) shouldBe 0
+  }
+
   test("mixed delete key sets are rejected") {
     val root = freshRoot()
     VersionedTable.create(spark, root, kv(1L -> "a"))
