@@ -2404,7 +2404,70 @@ object AnalyticsQueries {
       .orderBy("rnk")
   }
 
+  /** O38 — HIERARCHY SUBTREE ROLLUP via distributed TRANSITIVE CLOSURE
+    * (the recursive-query family: org charts, category trees, BOM
+    * explosion — the one SQL shape Spark has no native operator for).
+    * The parent relation is treated as an OPAQUE edge table (here the
+    * deterministic binary tree `parent(u) = u div 2` so the DuckDB
+    * recursive CTE can state the oracle) and closed by REPEATED
+    * SQUARING: after k rounds the relation holds every ancestor path of
+    * length ≤ 2^k, so SIX self-join+distinct rounds cover any hierarchy
+    * to depth 64 — log-depth in the longest chain, each round a plain
+    * shuffled equi-join, `localCheckpoint` cutting the lineage so plans
+    * stay flat. Events then roll up per ancestor through one join +
+    * aggregate.
+    *
+    * Scale: the naive alternative (iterate depth times) is O(depth)
+    * sequential shuffles; squaring is O(log depth). Closure size is
+    * nodes × avg-depth pairs — for the 100 TB case, cap depth or use
+    * the closed form when the parent function is arithmetic. */
+  val o38HierarchyRollup: Reg = Reg.sql(
+    "o38_hierarchy_rollup",
+    """WITH e AS (SELECT event_id, user_id FROM events
+      |           WHERE user_id >= 1 AND event_id < 60000),
+      |users AS (SELECT DISTINCT user_id AS u FROM e),
+      |anc AS (
+      |  WITH RECURSIVE chain AS (
+      |    SELECT u AS node, u AS anc FROM users
+      |    UNION ALL
+      |    SELECT node, anc // 2 FROM chain WHERE anc > 1
+      |  ) SELECT node, anc FROM chain
+      |)
+      |SELECT CAST(a.anc AS BIGINT) AS node,
+      |       CAST(COUNT(DISTINCT a.node) AS BIGINT) AS subtree_users,
+      |       CAST(COUNT(*) AS BIGINT) AS subtree_events,
+      |       CAST(SUM(e.event_id) AS BIGINT) AS subtree_eid_sum
+      |FROM e JOIN anc a ON e.user_id = a.node
+      |GROUP BY a.anc ORDER BY node""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .where(col("user_id") >= 1L && col("event_id") < 60000L)
+      .select("event_id", "user_id")
+    val users = e.select(col("user_id").as("u")).distinct()
+    // level-1 edges: the opaque parent relation (node -> parent)
+    val edges = users.select(col("u").as("node"),
+      expr("u div 2").as("anc")).where(col("anc") >= 1L)
+    // transitive closure by repeated squaring: 6 rounds reach depth 64
+    var closure = edges.localCheckpoint()
+    (1 to 6).foreach { _ =>
+      val next = closure.as("a")
+        .join(closure.as("b"), col("a.anc") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.anc").as("anc"))
+      closure = closure.unionByName(next).distinct().localCheckpoint()
+    }
+    // ancestor-or-self pairs, then one join + rollup
+    val pairs = closure.unionByName(
+      users.select(col("u").as("node"), col("u").as("anc")))
+    e.join(pairs, e("user_id") === pairs("node"))
+      .groupBy(col("anc").as("node"))
+      .agg(
+        countDistinct("node").as("subtree_users"),
+        count(lit(1)).as("subtree_events"),
+        sum("event_id").cast("bigint").as("subtree_eid_sum"))
+      .orderBy("node")
+  }
+
   val all: Seq[Reg] = Seq(
+    o38HierarchyRollup,
     a33SkewReport, c9PointInPolygon, c10PolygonArea, o37SlidingDistinct,
     o31ExactMedian, o32ExactMedianDouble, o33GroupMedian, o34GroupQuantiles,
     o35GroupMode, o36WeightedMedian,
