@@ -570,10 +570,15 @@ object VersionedTable {
     * carry null keys ([[morDelete]]/[[morUpsert]] drop/reject them). */
   private def applyDeletes(
       spark: SparkSession, root: String,
-      datas: Seq[Segment], dels: Seq[Segment]): DataFrame = {
+      datas: Seq[Segment], dels: Seq[Segment],
+      mergeSchema: Boolean = false): DataFrame = {
     require(datas.nonEmpty, s"$root: no data segments to read")
     def p(n: String) = new Path(root, n).toString
-    if (dels.isEmpty) spark.read.parquet(datas.map(s => p(s.name)): _*)
+    def scan(names: Seq[String]) =
+      if (mergeSchema)
+        spark.read.option("mergeSchema", "true").parquet(names.map(p): _*)
+      else spark.read.parquet(names.map(p): _*)
+    if (dels.isEmpty) scan(datas.map(_.name))
     else {
       val keys = dels.head.keys
       require(keys.nonEmpty && dels.forall(_.keys == keys),
@@ -581,13 +586,13 @@ object VersionedTable {
       datas.groupBy(d => dels.filter(_.seq > d.seq).map(_.name).sorted)
         .toSeq.sortBy(_._1.mkString(","))
         .map { case (applicable, group) =>
-          val df = spark.read.parquet(group.map(s => p(s.name)): _*)
+          val df = scan(group.map(_.name))
           if (applicable.isEmpty) df
           else df.join(
             spark.read.parquet(applicable.map(p): _*)
               .select(keys.map(col): _*),
             keys, "left_anti")
-        }.reduce(_ unionByName _)
+        }.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
     }
   }
 
@@ -595,14 +600,20 @@ object VersionedTable {
     * segment list — immutable files, so the read is stable no matter what
     * commits land afterwards. Equality deletes (merge-on-read) are
     * applied scan-side; tables without them read as a plain parquet
-    * scan. */
+    * scan. `mergeSchema = true` turns on SCHEMA EVOLUTION: the snapshot's
+    * schema is the union of its segments' schemas (columns absent in
+    * older segments read as null) — and because each version resolves
+    * only ITS segments, an old snapshot keeps reading with exactly the
+    * schema it was written under, the Iceberg snapshot-scoped-schema
+    * behavior. Costs one footer read per file; default off. */
   def read(
       spark: SparkSession, root: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"$root has no versions"))
     val (dels, datas) = segmentsOf(spark, root, v).partition(_.isDelete)
-    applyDeletes(spark, root, datas, dels)
+    applyDeletes(spark, root, datas, dels, mergeSchema)
   }
 
   /** Stats-pruned snapshot read of rows with `c` in [lo, hi]: whole

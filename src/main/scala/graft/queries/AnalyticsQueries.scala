@@ -2466,8 +2466,54 @@ object AnalyticsQueries {
       .orderBy("node")
   }
 
+  /** O39 — GROUPED LINEAR REGRESSION, closed form (the per-AP path-loss
+    * fit the reference's log-distance calibration implies, generalized):
+    * OLS over each group is ONE aggregate — n, Σx, Σy, Σxy, Σx² — all
+    * map-side-combinable, so the whole fit is a single shuffle at any
+    * scale; slope and intercept come out of the normal equations with NO
+    * iteration. Stated on the exact integer lattice (x, y < 100 keeps
+    * every product inside BIGINT): the oracle and the engine emit the
+    * IDENTICAL numerators/denominator, slope = slope_num/den,
+    * intercept = icept_num/den — no float division to drift.
+    *
+    * Scale: this is the pattern every "fit millions of tiny models"
+    * job should compile to — a groupBy.agg, never a per-group solver
+    * loop; 100 TB of measurements fit one model per key in one pass. */
+  val o39GroupOls: Reg = Reg.sql(
+    "o39_group_ols",
+    """WITH e AS (SELECT event_type, event_id % 100 AS x, user_id % 100 AS y
+      |           FROM events WHERE event_id < 60000),
+      |m AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |             SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      |      FROM e GROUP BY event_type)
+      |SELECT event_type,
+      |       CAST(n AS BIGINT) AS n,
+      |       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+      |       CAST(n * sxx - sx * sx AS BIGINT) AS den,
+      |       CAST(sy * sxx - sx * sxy AS BIGINT) AS icept_num
+      |FROM m ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir).where(col("event_id") < 60000L)
+      .select(col("event_type"),
+        (col("event_id") % 100).as("x"), (col("user_id") % 100).as("y"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"),
+        col("n").cast("bigint").as("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("bigint").as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("bigint").as("den"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy"))
+          .cast("bigint").as("icept_num"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Reg] = Seq(
-    o38HierarchyRollup,
+    o38HierarchyRollup, o39GroupOls,
     a33SkewReport, c9PointInPolygon, c10PolygonArea, o37SlidingDistinct,
     o31ExactMedian, o32ExactMedianDouble, o33GroupMedian, o34GroupQuantiles,
     o35GroupMode, o36WeightedMedian,

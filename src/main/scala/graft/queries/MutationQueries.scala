@@ -1558,9 +1558,72 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A45 — SCHEMA EVOLUTION on the versioned table (Iceberg add-column,
+    * snapshot-scoped): a later era of segments carries a NEW column; the
+    * head snapshot reads the UNION schema (old rows surface null for the
+    * added column — no rewrite of history, the entire point), while the
+    * pre-evolution snapshot still reads with EXACTLY the schema it was
+    * written under (gated: v0 has 2 columns). A MOR delete then lands
+    * across both eras in one equality-delete segment, proving row-level
+    * operations compose with schema drift.
+    *
+    * Scale: adding a column to a 100 TB table costs zero data writes —
+    * only new segments carry it; the union-schema read is a per-file
+    * footer merge, no scan. */
+  val versionedSchemaEvolution: Reg = Reg.sql(
+    "a45_versioned_schema_evolution",
+    """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 60000),
+      |old AS (SELECT event_id, user_id FROM e WHERE event_id % 2 = 0),
+      |nw AS (SELECT event_id, user_id, user_id % 7 AS score FROM e
+      |       WHERE event_id % 2 = 1),
+      |head AS (SELECT event_id, user_id, NULL AS score FROM old
+      |         UNION ALL SELECT event_id, user_id, score FROM nw),
+      |kept AS (SELECT * FROM head WHERE user_id % 11 <> 0)
+      |SELECT CAST((SELECT COUNT(*) FROM head) AS BIGINT) AS head_rows,
+      |       CAST((SELECT COUNT(*) FROM old) AS BIGINT) AS null_score_rows,
+      |       CAST((SELECT SUM(score) FROM nw) AS BIGINT) AS score_sum,
+      |       CAST(2 AS BIGINT) AS v0_columns,
+      |       CAST(3 AS BIGINT) AS head_columns,
+      |       CAST((SELECT COUNT(*) FROM head) -
+      |            (SELECT COUNT(*) FROM kept) AS BIGINT) AS deleted_rows,
+      |       CAST((SELECT COUNT(*) FROM kept) AS BIGINT)
+      |         AS after_delete_rows""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_schevo")
+    val root = s"$work/t"
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 60000L)
+        .select("event_id", "user_id")
+      VersionedTable.create(s, root, e.where(col("event_id") % 2 === 0))
+      // the evolution: a new era of segments carries `score`
+      VersionedTable.append(s, root,
+        e.where(col("event_id") % 2 === 1)
+          .withColumn("score", col("user_id") % 7))
+      val head = VersionedTable.read(s, root, mergeSchema = true)
+      val agg = head.agg(
+        count(lit(1)),
+        count(when(col("score").isNull, 1)),
+        sum("score").cast("bigint")).head()
+      val v0Cols = VersionedTable.read(s, root, Some(0L), mergeSchema = true)
+        .columns.length
+      require(v0Cols == 2, s"v0 schema leaked the evolved column: $v0Cols")
+      // row-level ops compose with the drifted schema: one MOR delete
+      // whose keys span BOTH eras
+      val (_, nDel) = VersionedTable.morDelete(s, root, Seq("event_id"),
+        _.where(col("user_id") % 11 === 0))
+      val after = VersionedTable.read(s, root, mergeSchema = true).count()
+      import s.implicits._
+      Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), v0Cols.toLong,
+        head.columns.length.toLong, nDel, after))
+        .toDF("head_rows", "null_score_rows", "score_sum", "v0_columns",
+          "head_columns", "deleted_rows", "after_delete_rows")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
     versionedMerge, versionedCompact, versionedForget, incrementalRead,
-    morDelete, morUpsert, changelogApply, pointSkipBloom)
+    morDelete, morUpsert, changelogApply, pointSkipBloom,
+    versionedSchemaEvolution)
 }

@@ -313,6 +313,27 @@ class VersionedTableSpec extends AnyFunSuite with Matchers with SparkSuite {
     ()
   }
 
+  test("schema evolution: head reads the union schema, old snapshots keep theirs") {
+    val root = freshRoot()
+    import spark.implicits._
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    // a later segment adds a column — the Iceberg add-column evolution
+    VersionedTable.append(spark, root,
+      Seq((2L, "b", 9.5)).toDF("id", "v", "score"))
+    val head = VersionedTable.read(spark, root, mergeSchema = true)
+    head.columns.toSet shouldBe Set("id", "v", "score")
+    head.where(F.col("score").isNull).count() shouldBe 1L // the old row
+    head.agg(F.sum("score")).head().getDouble(0) shouldBe 9.5
+    // snapshot-scoped schema: v0 still reads with its original 2 columns
+    VersionedTable.read(spark, root, Some(0L), mergeSchema = true)
+      .columns.toSet shouldBe Set("id", "v")
+    // MOR delete still applies across the evolved schema
+    VersionedTable.morDelete(spark, root, Seq("id"),
+      _.where(F.col("id") === 1))
+    VersionedTable.read(spark, root, mergeSchema = true)
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+  }
+
   test("append after expiry keeps numbering monotone and content correct") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
