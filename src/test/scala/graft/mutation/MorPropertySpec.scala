@@ -1,0 +1,106 @@
+package graft.mutation
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuite
+
+/** MODEL-BASED invariant for the merge-on-read machinery: an arbitrary
+  * interleaving of appends, MOR upserts, MOR deletes, materializations
+  * and compactions must read back exactly like a driver-side
+  * Map[key -> value] executing the same operations — i.e. equality
+  * deletes, sequence scoping, dangling-delete cleanup, delete-aware
+  * compaction and materialization are all pure REPRESENTATION, never
+  * semantics. Every historical snapshot must also replay its recorded
+  * model state (time travel commutes with MOR). Seeded RNG: failures
+  * reproduce. */
+class MorPropertySpec extends AnyFunSuite with Matchers with SparkSuite {
+
+  private def freshRoot(): String =
+    graft.Scratch.dir("graft_mor_prop") + "/t"
+
+  test("random op sequences: table state == map model, at head and in history") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20814)
+    for (trial <- 1 to 3) {
+      val root = freshRoot()
+      val keySpace = 30
+      def kv(pairs: Seq[(Long, Long)]) = pairs.toDF("id", "v")
+      def randomBatch(): Seq[(Long, Long)] = {
+        val n = 1 + rnd.nextInt(6)
+        Seq.fill(n)(rnd.nextInt(keySpace).toLong)
+          .distinct.map(k => k -> rnd.nextLong(1000000L))
+      }
+      var model = Map.empty[Long, Long]
+      // snapshots of the model keyed by committed version, for history checks
+      var history = Map.empty[Long, Map[Long, Long]]
+      val ops = scala.collection.mutable.ArrayBuffer[String]()
+
+      // version 0: create
+      val b0 = randomBatch()
+      VersionedTable.create(spark, root, kv(b0), statCols = Seq("id"))
+      model = b0.toMap // batch keys are distinct by construction
+      history += 0L -> model
+      ops += "create"
+
+      for (_ <- 1 to 12) {
+        val v = rnd.nextInt(100) match {
+          case r if r < 35 => // MOR upsert
+            val b = randomBatch()
+            val nv = VersionedTable.morUpsert(spark, root, kv(b), Seq("id"))
+            model = model ++ b.toMap
+            ops += s"upsert(${b.map(_._1).mkString(",")})"
+            Some(nv)
+          case r if r < 60 => // MOR delete of a random residue class
+            val mod = 2 + rnd.nextInt(4)
+            val res = rnd.nextInt(mod)
+            val (nv, n) = VersionedTable.morDelete(spark, root, Seq("id"),
+              _.where(F.col("id") % mod === res))
+            val victims = model.keySet.filter(_ % mod == res)
+            n shouldBe victims.size.toLong
+            model = model -- victims
+            ops += s"delete(%$mod==$res)"
+            if (n > 0) Some(nv) else None
+          case r if r < 75 => // append fresh rows for keys NOT live (re-insert!)
+            val dead = (0L until keySpace.toLong).filterNot(model.contains)
+            if (dead.isEmpty) None
+            else {
+              val b = rnd.shuffle(dead).take(1 + rnd.nextInt(3))
+                .map(k => k -> rnd.nextLong(1000000L))
+              val nv = VersionedTable.append(spark, root, kv(b),
+                statCols = Seq("id"))
+              model = model ++ b.toMap
+              ops += s"append(${b.map(_._1).mkString(",")})"
+              Some(nv)
+            }
+          case r if r < 88 => // materialize the read debt
+            val (nv, rw, dr) = VersionedTable.morMaterialize(
+              spark, root, statCols = Seq("id"))
+            ops += s"materialize($rw/$dr)"
+            if (dr > 0) Some(nv) else None
+          case _ => // compact everything small (here: everything)
+            val (nv, merged, _) = VersionedTable.compactSmall(
+              spark, root, smallBytes = Long.MaxValue)
+            ops += s"compact($merged)"
+            if (merged > 0) Some(nv) else None
+        }
+        v.foreach(ver => history += ver -> model)
+        // head must equal the model after EVERY op
+        val head = VersionedTable.read(spark, root)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"trial=$trial after ${ops.mkString(" -> ")}: ") {
+          head shouldBe model
+        }
+      }
+      // time travel: every recorded snapshot still replays its model state
+      history.foreach { case (ver, m) =>
+        val snap = VersionedTable.read(spark, root, Some(ver))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"trial=$trial snapshot v$ver of ${ops.mkString(" -> ")}: ") {
+          snap shouldBe m
+        }
+      }
+    }
+  }
+}
