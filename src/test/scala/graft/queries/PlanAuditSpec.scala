@@ -661,6 +661,29 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     p should not include "SortMergeJoin" // no join at all — pure windows
   }
 
+  test("MOR read: delete anti-join broadcasts the key tuples, never nested-loops") {
+    import spark.implicits._
+    val root = graft.Scratch.dir("graft_plan_mor") + "/t"
+    import graft.mutation.VersionedTable
+    VersionedTable.create(spark, root,
+      (0L to 2000L).map(i => (i, i * 7)).toDF("id", "v"))
+    VersionedTable.morDelete(spark, root, Seq("id"),
+      _.where(org.apache.spark.sql.functions.col("id") % 3 === 0))
+    val p = VersionedTable.read(spark, root)
+      .queryExecution.executedPlan.toString
+    // equality deletes are key-tuple-sized — the anti-join build side
+    // must broadcast, and the probe side must stay a plain parquet scan
+    p should include("BroadcastHashJoin")
+    p should include("LeftAnti")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "SortMergeJoin"
+    // a clean table's read plan carries NO join at all
+    val root2 = graft.Scratch.dir("graft_plan_mor2") + "/t"
+    VersionedTable.create(spark, root2, (0L to 10L).toDF("id"))
+    VersionedTable.read(spark, root2)
+      .queryExecution.executedPlan.toString should not include "Join"
+  }
+
   test("no query plan contains a CartesianProduct or driver collect") {
     SparkEntryPlans.all.foreach { case (name, p) =>
       withClue(name)(p should not include "CartesianProduct")
