@@ -881,6 +881,68 @@ object VersionedTable {
     (nv, small.length, big.length)
   }
 
+  /** BIN-PACKED compaction (Iceberg rewrite_data_files' binpack
+    * strategy): data segments at or below `smallBytes` greedily pack
+    * into bins of ~`targetBytes` (first-fit descending); each
+    * multi-segment bin rewrites as ONE segment — bins concurrently,
+    * applicable deletes materialized, stats unioned from the folded
+    * manifest lines (no rescan) — while single-segment bins and large
+    * segments carry forward by reference. Unlike [[compactSmall]]'s
+    * whole-tail fold, outputs stay BOUNDED: at 100 TB one mega-segment
+    * would undo file-level parallelism, pruning granularity, and
+    * per-segment rewrite locality. Returns (version, bins written,
+    * segments folded); no commit when nothing folds. */
+  def compactBinpack(
+      spark: SparkSession, root: String, smallBytes: Long,
+      targetBytes: Long): (Long, Int, Int) = {
+    val v = currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
+    val f = fs(spark, root)
+    val (dels, datas) = segmentsOf(spark, root, v).partition(_.isDelete)
+    val sized = datas.map(s =>
+      s -> f.getContentSummary(new Path(root, s.name)).getLength)
+    val (small, big) = sized.partition(_._2 <= smallBytes)
+    // first-fit DESCENDING: sort big-to-small, drop each into the first
+    // bin with room — the classic near-optimal greedy
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[Segment], Long)]
+    small.sortBy(-_._2).foreach { case (s, bytes) =>
+      bins.indexWhere(_._2 + bytes <= targetBytes) match {
+        case -1 =>
+          bins += ((scala.collection.mutable.ArrayBuffer(s), bytes))
+        case i =>
+          bins(i) = (bins(i)._1 += s, bins(i)._2 + bytes)
+      }
+    }
+    val (foldable, singles) = bins.map(_._1.toSeq).partition(_.length >= 2)
+    if (foldable.isEmpty) return (v, 0, 0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, foldable.length))
+    val written =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(foldable.map { bin =>
+            scala.concurrent.Future {
+              val merged = applyDeletes(spark, root, bin, dels)
+              val name =
+                "seg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+              merged.coalesce(1).write.parquet(new Path(root, name).toString)
+              val statKeys = bin.map(_.stats.keySet).reduce(_ intersect _)
+              val stats = statKeys.map { c =>
+                val (mns, mxs) = bin.map(_.stats(c)).unzip
+                c -> (mns.min, mxs.max)
+              }.toMap
+              Segment(name, stats)
+            }
+          }), scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    val carried = big.map(_._1) ++ singles.flatten ++ dels
+    val nv = commit(spark, root, carried ++ written)
+    (nv, written.length, foldable.map(_.length).sum)
+  }
+
   /** Expire snapshots older than the newest `keep` versions: drop their
     * manifests, then delete segments that are BOTH unreferenced by every
     * retained manifest AND older than `segmentRetainMs` — the Iceberg

@@ -1620,10 +1620,61 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A46 — BIN-PACKED COMPACTION (Iceberg rewrite_data_files binpack):
+    * six equal micro-batch segments plus a pending MOR delete fold into
+    * THREE target-sized bins (first-fit descending, two sources each,
+    * rewritten concurrently with the delete materialized in) — never
+    * into one mega-segment, which at 100 TB would undo file-level
+    * parallelism and pruning granularity. Content is identical at head
+    * AND at the pre-compaction version (representation change, zero
+    * content change — both stated by the oracle); the now-dangling
+    * delete segment retires at the commit. */
+  val binpackCompact: Reg = Reg.sql(
+    "a46_binpack_compact",
+    """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 60000),
+      |kept AS (SELECT * FROM e WHERE user_id % 9 <> 0)
+      |SELECT CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS head_rows,
+      |       CAST((SELECT SUM(user_id) FROM kept) AS BIGINT) AS head_uid_sum,
+      |       CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS prev_rows,
+      |       CAST(3 AS BIGINT) AS bins_written,
+      |       CAST(6 AS BIGINT) AS segments_folded,
+      |       CAST(0 AS BIGINT) AS delete_segments_after""".stripMargin) {
+    (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_binpack")
+    val root = s"$work/t"
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 60000L)
+        .select("event_id", "user_id")
+      VersionedTable.create(s, root, e.where(col("event_id") % 6 === 0),
+        statCols = Seq("event_id"))
+      (1 to 5).foreach(i => VersionedTable.append(s, root,
+        e.where(col("event_id") % 6 === i), statCols = Seq("event_id")))
+      VersionedTable.morDelete(s, root, Seq("event_id"),
+        _.where(col("user_id") % 9 === 0))
+      val maxBytes = VersionedTable.segmentBytes(s, root)
+        .filter(_._1.startsWith("seg_")).map(_._2).max
+      val (nv, bins, folded) = VersionedTable.compactBinpack(
+        s, root, smallBytes = maxBytes, targetBytes = 2 * maxBytes + 16)
+      require(bins == 3 && folded == 6,
+        s"binpack wrote $bins bins from $folded segments — expected 3/6")
+      val delsAfter = VersionedTable.segmentsOf(s, root, nv)
+        .count(_.isDelete)
+      val head = VersionedTable.read(s, root)
+        .agg(count(lit(1)), sum("user_id").cast("bigint")).head()
+      val prevRows = VersionedTable.read(s, root, Some(nv - 1)).count()
+      import s.implicits._
+      Seq((head.getLong(0), head.getLong(1), prevRows,
+        bins.toLong, folded.toLong, delsAfter.toLong))
+        .toDF("head_rows", "head_uid_sum", "prev_rows", "bins_written",
+          "segments_folded", "delete_segments_after")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
     versionedMerge, versionedCompact, versionedForget, incrementalRead,
     morDelete, morUpsert, changelogApply, pointSkipBloom,
-    versionedSchemaEvolution)
+    versionedSchemaEvolution, binpackCompact)
 }

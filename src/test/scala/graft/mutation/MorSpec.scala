@@ -238,6 +238,44 @@ class MorSpec extends AnyFunSuite with Matchers with SparkSuite {
       .count(_.getName.endsWith(".bloom")) shouldBe 0
   }
 
+  test("compactBinpack folds into bounded bins, applies deletes, keeps history") {
+    val root = freshRoot()
+    import spark.implicits._
+    def seg(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"v$i")).toDF("id", "v")
+    // four similar-sized small segments + a MOR delete over them
+    VersionedTable.create(spark, root, seg(0, 99), statCols = Seq("id"))
+    VersionedTable.append(spark, root, seg(100, 199), statCols = Seq("id"))
+    VersionedTable.append(spark, root, seg(200, 299), statCols = Seq("id"))
+    VersionedTable.append(spark, root, seg(300, 399), statCols = Seq("id"))
+    VersionedTable.morDelete(spark, root, Seq("id"),
+      _.where(F.col("id") % 10 === 0))
+    val before = VersionedTable.read(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    val segBytes = VersionedTable.segmentBytes(spark, root)
+      .filter(_._1.startsWith("seg_")).map(_._2)
+    // target fits exactly two source segments per bin -> 2 bins of 2
+    val target = segBytes.max * 2 + 16
+    val (nv, binsWritten, folded) = VersionedTable.compactBinpack(
+      spark, root, smallBytes = segBytes.max, targetBytes = target)
+    binsWritten shouldBe 2
+    folded shouldBe 4
+    // content identical, deletes materialized into the bins
+    VersionedTable.read(spark, root, Some(nv))
+      .collect().map(_.getLong(0)).toSet shouldBe before
+    VersionedTable.segmentsOf(spark, root, nv)
+      .count(_.isDelete) shouldBe 0 // dangling delete retired at commit
+    // stat union survives: a probe inside one bin's range opens 1 segment
+    VersionedTable.resolveSegments(spark, root, "id", 1, 1)
+      .length should be <= 2
+    // prior version (with its delete) still reads correctly
+    VersionedTable.read(spark, root, Some(nv - 1))
+      .collect().map(_.getLong(0)).toSet shouldBe before
+    // nothing foldable under a tiny target: no commit
+    VersionedTable.compactBinpack(spark, root,
+      smallBytes = Long.MaxValue, targetBytes = 1L)._2 shouldBe 0
+  }
+
   test("mixed delete key sets are rejected") {
     val root = freshRoot()
     VersionedTable.create(spark, root, kv(1L -> "a"))

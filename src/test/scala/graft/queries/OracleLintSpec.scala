@@ -162,7 +162,8 @@ class OracleLintSpec extends AnyFunSuite with Matchers {
       "c8_circle_filter", "llm_drift_psi", "a31_forget_user",
       "a36_versioned_merge", "a38_versioned_compact", "a39_versioned_forget",
       "a40_incremental_read", "a41_mor_delete", "a42_mor_upsert",
-      "a43_changelog_apply", "a45_versioned_schema_evolution")
+      "a43_changelog_apply", "a45_versioned_schema_evolution",
+      "a46_binpack_compact")
     val unordered = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
       case (name, sql)
           if !sql.toUpperCase.contains("ORDER BY") && !singleRow(name) =>
