@@ -1556,7 +1556,8 @@ object IngestQueries {
     "s29_stream_mor_cdc",
     """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 30000),
       |b AS (SELECT user_id, event_id % 3 AS last_batch,
-      |             COUNT(*) AS n_events, SUM(event_id) AS eid_sum
+      |             COUNT(*) AS n_events,
+      |             CAST(SUM(event_id) AS BIGINT) AS eid_sum
       |      FROM e GROUP BY user_id, event_id % 3),
       |last AS (SELECT user_id, MAX(last_batch) AS mb FROM b GROUP BY user_id)
       |SELECT CAST(b.user_id AS BIGINT) AS user_id,

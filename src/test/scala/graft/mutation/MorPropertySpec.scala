@@ -36,6 +36,8 @@ class MorPropertySpec extends AnyFunSuite with Matchers with SparkSuite {
       // snapshots of the model keyed by committed version, for history checks
       var history = Map.empty[Long, Map[Long, Long]]
       val ops = scala.collection.mutable.ArrayBuffer[String]()
+      // (op label, committed version) — only ops that actually committed
+      val commits = scala.collection.mutable.ArrayBuffer[(String, Long)]()
 
       // version 0: create
       val b0 = randomBatch()
@@ -43,6 +45,7 @@ class MorPropertySpec extends AnyFunSuite with Matchers with SparkSuite {
       model = b0.toMap // batch keys are distinct by construction
       history += 0L -> model
       ops += "create"
+      commits += (("create", 0L))
 
       for (_ <- 1 to 12) {
         val v = rnd.nextInt(100) match {
@@ -85,7 +88,10 @@ class MorPropertySpec extends AnyFunSuite with Matchers with SparkSuite {
             ops += s"compact($merged)"
             if (merged > 0) Some(nv) else None
         }
-        v.foreach(ver => history += ver -> model)
+        v.foreach { ver =>
+          history += ver -> model
+          commits += ((ops.last, ver))
+        }
         // head must equal the model after EVERY op
         val head = VersionedTable.read(spark, root)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -99,6 +105,33 @@ class MorPropertySpec extends AnyFunSuite with Matchers with SparkSuite {
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         withClue(s"trial=$trial snapshot v$ver of ${ops.mkString(" -> ")}: ") {
           snap shouldBe m
+        }
+      }
+      // changelog replay: for every window whose interior commits are all
+      // DATA commits (the documented restriction — maintenance commits
+      // rewrite segments and are not changelog-consumable), folding the
+      // changelog onto the window's start snapshot must reproduce the
+      // window's end snapshot exactly
+      def isMaint(op: String) =
+        op.startsWith("materialize") || op.startsWith("compact")
+      // maximal maintenance-free runs of consecutive commits
+      val runs = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(commits.head))
+      commits.toSeq.sliding(2).foreach {
+        case Seq(_, c2) =>
+          if (isMaint(c2._1))
+            runs += scala.collection.mutable.ArrayBuffer(c2)
+          else runs.last += c2
+        case _ => ()
+      }
+      runs.map(_.toSeq).filter(_.length >= 2).foreach { run =>
+        val (v1, v2) = (run.head._2, run.last._2)
+        val cs = VersionedTable.changelog(spark, root, v1, v2)
+        val folded = VersionedTable.applyChangelog(
+          VersionedTable.read(spark, root, Some(v1)), cs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"trial=$trial changelog [$v1,$v2] of ${ops.mkString(" -> ")}: ") {
+          folded shouldBe history(v2)
         }
       }
     }
