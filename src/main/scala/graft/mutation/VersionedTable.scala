@@ -735,6 +735,31 @@ object VersionedTable {
       cs.inserted.fold(retracted)(ins => retracted.unionByName(ins))
     }
 
+  /** One commit's changes with retractions enriched to FULL ROWS. */
+  final case class RowChangeSet(
+      version: Long, inserted: Option[DataFrame],
+      deletedRows: Option[DataFrame])
+
+  /** [[changelog]] with each change set's deleted KEYS resolved to the
+    * full rows they removed, by semi-joining the PRE-COMMIT snapshot
+    * (version − 1) on the recorded key columns — the Iceberg
+    * changelog-scan behavior of emitting whole deleted rows, which is
+    * what downstream INCREMENTAL VIEW MAINTENANCE needs (an aggregate
+    * can only retract a row it can see). Keys are delta-sized and
+    * broadcast; the snapshot probe is one stats-prunable scan per
+    * delete-carrying commit. Upsert commits (delete+insert at the same
+    * version) enrich correctly: keys absent at v−1 resolve to no
+    * retraction, exactly the pure-insert case. */
+  def changelogRows(
+      spark: SparkSession, root: String, fromV: Long,
+      toV: Long): Seq[RowChangeSet] =
+    changelog(spark, root, fromV, toV).map { cs =>
+      RowChangeSet(cs.version, cs.inserted,
+        cs.deletedKeys.map(ks =>
+          read(spark, root, Some(cs.version - 1))
+            .join(ks, cs.keyCols, "left_semi")))
+    }
+
   /** Segment names referenced by `toV` but not `fromV` — the files an
     * incremental read opens; exposed for files-read gates. */
   def addedSegments(

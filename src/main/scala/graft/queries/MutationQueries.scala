@@ -1671,10 +1671,85 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A47 — INCREMENTAL VIEW MAINTENANCE fed by the MOR CHANGELOG (the
+    * composition a34/a37's IVM and a43's changelog exist for): a grouped
+    * aggregate view materializes once at v1, then stays fresh through an
+    * upsert and a delete WITHOUT recomputation —
+    * [[graft.mutation.VersionedTable.changelogRows]] enriches each
+    * commit's deleted keys to the FULL rows they removed (semi-join
+    * against the pre-commit snapshot — an aggregate can only retract a
+    * row it can see), and each change set folds in as signed partial
+    * aggregates: view ⊎ agg(inserts) ⊎ −agg(deletedRows). The oracle is
+    * the direct aggregate of the final table — maintained ≡ recomputed,
+    * per group, exactly.
+    *
+    * Scale: per commit the maintenance cost is delta-sized aggregates
+    * plus one view-sized merge — never a rescan of the fact table. */
+  val changelogIvm: Reg = Reg.sql(
+    "a47_changelog_ivm",
+    """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 60000),
+      |s0 AS (SELECT * FROM e WHERE event_id % 4 = 0),
+      |s1 AS (SELECT * FROM e WHERE event_id % 4 = 1),
+      |v1 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+      |u AS (SELECT event_id, user_id + 1000003 AS user_id FROM s0
+      |      WHERE user_id % 3 = 0),
+      |v2 AS (SELECT event_id, user_id FROM u
+      |       UNION ALL SELECT * FROM v1
+      |       WHERE event_id NOT IN (SELECT event_id FROM u)),
+      |head AS (SELECT * FROM v2 WHERE user_id % 5 <> 0)
+      |SELECT CAST(user_id % 50 AS BIGINT) AS bucket,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(event_id) AS BIGINT) AS eid_sum
+      |FROM head GROUP BY user_id % 50 ORDER BY bucket""".stripMargin) {
+    (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_chivm")
+    val root = s"$work/t"
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 60000L)
+        .select("event_id", "user_id")
+      VersionedTable.create(s, root, e.where(col("event_id") % 4 === 0))
+      VersionedTable.append(s, root, e.where(col("event_id") % 4 === 1))
+      def aggOf(df: org.apache.spark.sql.DataFrame, sign: Int) =
+        df.groupBy((col("user_id") % 50).as("bucket"))
+          .agg((count(lit(1)) * sign).as("n_rows"),
+            (sum("event_id") * sign).cast("bigint").as("eid_sum"))
+      // the view materializes ONCE, at v1
+      var view = aggOf(VersionedTable.read(s, root), 1).localCheckpoint()
+
+      // the table keeps moving: an upsert wave and a delete wave
+      VersionedTable.morUpsert(s, root,
+        e.where(col("event_id") % 4 === 0 && col("user_id") % 3 === 0)
+          .withColumn("user_id", col("user_id") + 1000003L),
+        Seq("event_id"))
+      VersionedTable.morDelete(s, root, Seq("event_id"),
+        _.where(col("user_id") % 5 === 0))
+
+      // per-commit maintenance: signed partial aggregates, view-sized merge
+      VersionedTable.changelogRows(s, root, 1L, 3L).foreach { cs =>
+        val parts = Seq(Some(view),
+          cs.inserted.map(aggOf(_, 1)),
+          cs.deletedRows.map(aggOf(_, -1))).flatten
+        view = parts.reduce(_ unionByName _)
+          .groupBy("bucket")
+          .agg(sum("n_rows").as("n_rows"),
+            sum("eid_sum").cast("bigint").as("eid_sum"))
+          .where(col("n_rows") > 0)
+          .localCheckpoint()
+      }
+      // maintained ≡ recomputed, stated by comparing against the oracle's
+      // direct aggregate of the final table
+      view.select(col("bucket").cast("bigint").as("bucket"),
+        col("n_rows").cast("bigint").as("n_rows"),
+        col("eid_sum").cast("bigint").as("eid_sum"))
+        .orderBy("bucket")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
     versionedMerge, versionedCompact, versionedForget, incrementalRead,
     morDelete, morUpsert, changelogApply, pointSkipBloom,
-    versionedSchemaEvolution, binpackCompact)
+    versionedSchemaEvolution, binpackCompact, changelogIvm)
 }
