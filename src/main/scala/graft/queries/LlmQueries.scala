@@ -3766,7 +3766,66 @@ object LlmQueries {
   // lazy: driftChi2 and streamNearDup are declared around this list; lazy
   // avoids capturing null at object-init time (registry lint walks every
   // entry)
+  /** CONTENT-DEFINED CHUNKING (the FastCDC/Rabin substance, re-expressed
+    * hash-gated: a word opens a new chunk when its content hash lands in
+    * 1/16 of the space — `substr(md5(word),1,1)='0'`). Because cut
+    * points depend on CONTENT, not position, an insertion early in a
+    * document perturbs only its own chunk and every later chunk
+    * boundary RE-SYNCHRONIZES — the property fixed-width segmentation
+    * (llm_segment_dedup's 10-word grid) fundamentally lacks, and the
+    * reason CDC is how dedup survives edits at storage scale. Chunks
+    * then dedup EXACTLY across the corpus (identical chunk text
+    * co-locates by definition — one content-keyed aggregate, no pairs).
+    * Per doc: chunk count, chunks shared with ≥1 other doc, and the md5
+    * of the in-order chunking itself (pins cut points bit-exactly).
+    * Plan: one explode, one per-doc window (uniform keys), one
+    * content-keyed aggregate, one group-back — corpus-linear. */
+  val cdcChunks: Reg = Reg.sql(
+    "llm_cdc_chunks",
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[CAST(i AS INT)] AS word
+      |        FROM ws, UNNEST(range(1, len(w)+1)) AS t(i)),
+      |c AS (SELECT doc_id, pos, word,
+      |             SUM(CASE WHEN substr(md5(word),1,1)='0' THEN 1 ELSE 0 END)
+      |               OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+      |      FROM tok),
+      |ch AS (SELECT doc_id, chunk_id,
+      |              string_agg(word, ' ' ORDER BY pos) AS chunk
+      |       FROM c GROUP BY doc_id, chunk_id),
+      |freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk)
+      |SELECT ch.doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |       CAST(COUNT(*) FILTER (f.nd >= 2) AS BIGINT) AS dup_chunks,
+      |       md5(string_agg(ch.chunk, '|' ORDER BY ch.chunk_id)) AS chunks_md5
+      |FROM ch JOIN freq f ON ch.chunk = f.chunk
+      |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ", -1)).as(Seq("pos0", "word")))
+      .withColumn("pos", col("pos0") + 1).drop("pos0")
+    val ch = tok
+      .withColumn("cut",
+        when(substring(md5(col("word")), 1, 1) === "0", 1).otherwise(0))
+      .withColumn("chunk_id", sum("cut").over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "chunk_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(pos, word))), x -> x.word), ' ')").as("chunk"))
+    val freq = ch.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("nd"))
+    ch.join(freq, "chunk")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("nd") >= 2, 1)).as("dup_chunks"),
+        md5(expr("array_join(transform(array_sort(collect_list(" +
+          "struct(chunk_id, chunk))), x -> x.chunk), '|')")).as("chunks_md5"))
+      .orderBy("doc_id")
+  }
+
   lazy val all: Seq[Reg] = Seq(
+    cdcChunks,
     streamNearDup, incrementalClusters, datasetCard, shardAssign, dupSpanStrip,
     curationFunnel, communityLpa, dupSpanCoverage,
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,
