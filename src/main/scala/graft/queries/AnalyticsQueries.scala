@@ -2512,8 +2512,86 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** J17 — temporal INTERVAL ALIGNMENT (the SQL:2011 / temporal-database
+    * primitive behind temporal aggregation and bitemporal joins, which
+    * Spark has no operator for): two interval tables per key decompose
+    * into the MAXIMAL sub-intervals on which coverage is constant —
+    * boundaries are the union of all endpoints per key, adjacent
+    * boundary pairs form the aligned sub-intervals (one per-key window
+    * LEAD), and each side's coverage count attaches with an equi-join on
+    * the key plus a containment residual. No interval ever splits
+    * against another interval directly (the O(n²) trap); everything is
+    * per-key and the keys partition uniformly.
+    *
+    * Scale: boundary count is 2(|L|+|R|) rows, the window is per-key,
+    * and the coverage joins are key-equi with bounded per-key fan-out —
+    * the alignment of two 100 TB interval tables shuffles each ONCE. */
+  val j17IntervalAlign: Reg = Reg.sql(
+    "j17_interval_align",
+    """WITH L AS (SELECT o_custkey % 50 AS k, o_orderkey % 100 AS s,
+      |                  o_orderkey % 100 + 1 + o_orderkey % 20 AS e
+      |           FROM orders WHERE o_orderkey < 2000),
+      |R AS (SELECT o_custkey % 50 AS k, o_orderkey % 100 AS s,
+      |             o_orderkey % 100 + 1 + o_orderkey % 20 AS e
+      |      FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000),
+      |b AS (SELECT k, s AS p FROM L UNION SELECT k, e FROM L
+      |      UNION SELECT k, s FROM R UNION SELECT k, e FROM R),
+      |iv AS (SELECT k, p AS lo,
+      |              LEAD(p) OVER (PARTITION BY k ORDER BY p) AS hi
+      |       FROM b),
+      |iv2 AS (SELECT k, lo, hi FROM iv WHERE hi IS NOT NULL),
+      |cl AS (SELECT i.k, i.lo, i.hi, COUNT(l.s) AS n_left
+      |       FROM iv2 i LEFT JOIN L l
+      |         ON l.k = i.k AND l.s <= i.lo AND i.hi <= l.e
+      |       GROUP BY i.k, i.lo, i.hi),
+      |cr AS (SELECT i.k, i.lo, i.hi, COUNT(r.s) AS n_right
+      |       FROM iv2 i LEFT JOIN R r
+      |         ON r.k = i.k AND r.s <= i.lo AND i.hi <= r.e
+      |       GROUP BY i.k, i.lo, i.hi)
+      |SELECT CAST(cl.k AS BIGINT) AS k, CAST(cl.lo AS BIGINT) AS lo,
+      |       CAST(cl.hi AS BIGINT) AS hi,
+      |       CAST(cl.n_left AS BIGINT) AS n_left,
+      |       CAST(cr.n_right AS BIGINT) AS n_right
+      |FROM cl JOIN cr ON cl.k = cr.k AND cl.lo = cr.lo AND cl.hi = cr.hi
+      |WHERE cl.n_left + cr.n_right > 0
+      |ORDER BY k, lo""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    def side(cond: org.apache.spark.sql.Column) = o.where(cond)
+      .select((col("o_custkey") % 50).as("k"),
+        (col("o_orderkey") % 100).as("s"),
+        (col("o_orderkey") % 100 + 1 + col("o_orderkey") % 20).as("e"))
+    val l = side(col("o_orderkey") < 2000)
+    val r = side(col("o_orderkey") >= 2000 && col("o_orderkey") < 4000)
+    val b = l.select(col("k"), col("s").as("p"))
+      .unionByName(l.select(col("k"), col("e").as("p")))
+      .unionByName(r.select(col("k"), col("s").as("p")))
+      .unionByName(r.select(col("k"), col("e").as("p")))
+      .distinct()
+    val iv = b.withColumn("hi",
+      lead("p", 1).over(Window.partitionBy("k").orderBy("p")))
+      .where(col("hi").isNotNull)
+      .select(col("k"), col("p").as("lo"), col("hi"))
+    def cover(side: org.apache.spark.sql.DataFrame, n: String) =
+      iv.as("i").join(side.as("x"),
+        col("x.k") === col("i.k") &&
+          col("x.s") <= col("i.lo") && col("i.hi") <= col("x.e"),
+        "left")
+        .groupBy(col("i.k").as("k"), col("i.lo").as("lo"),
+          col("i.hi").as("hi"))
+        .agg(count(col("x.s")).as(n))
+    cover(l, "n_left").join(cover(r, "n_right"), Seq("k", "lo", "hi"))
+      .where(col("n_left") + col("n_right") > 0)
+      .select(col("k").cast("bigint").as("k"),
+        col("lo").cast("bigint").as("lo"),
+        col("hi").cast("bigint").as("hi"),
+        col("n_left").cast("bigint").as("n_left"),
+        col("n_right").cast("bigint").as("n_right"))
+      .orderBy("k", "lo")
+  }
+
   val all: Seq[Reg] = Seq(
-    o38HierarchyRollup, o39GroupOls,
+    o38HierarchyRollup, o39GroupOls, j17IntervalAlign,
     a33SkewReport, c9PointInPolygon, c10PolygonArea, o37SlidingDistinct,
     o31ExactMedian, o32ExactMedianDouble, o33GroupMedian, o34GroupQuantiles,
     o35GroupMode, o36WeightedMedian,
