@@ -2590,8 +2590,55 @@ object AnalyticsQueries {
       .orderBy("k", "lo")
   }
 
+  /** O40 — per-group WINSORIZATION (the standard numeric-cleaning pass
+    * before any statistic that outliers can poison): group percentile
+    * bounds (p05/p95, a14's FLOOR-cents discipline) broadcast back onto
+    * the fact rows, values clip via LEAST/GREATEST on the exact integer
+    * cents lattice — counts and the winsorized sum are integer-exact in
+    * both engines, no float summation order anywhere. Two passes total:
+    * one percentile aggregate (group-sized output, broadcast), one
+    * clipped re-aggregate. */
+  val o40Winsorize: Reg = Reg.sql(
+    "o40_winsorize",
+    """WITH b AS (SELECT event_type,
+      |            CAST(FLOOR(quantile_cont(value, 0.05)*100) AS BIGINT) AS p05c,
+      |            CAST(FLOOR(quantile_cont(value, 0.95)*100) AS BIGINT) AS p95c
+      |           FROM events GROUP BY event_type),
+      |v AS (SELECT e.event_type,
+      |             CAST(FLOOR(e.value*100) AS BIGINT) AS cents, b.p05c, b.p95c
+      |      FROM events e JOIN b USING (event_type))
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, p05c, p95c,
+      |       CAST(COUNT(*) FILTER (cents < p05c) AS BIGINT) AS n_clip_low,
+      |       CAST(COUNT(*) FILTER (cents > p95c) AS BIGINT) AS n_clip_high,
+      |       CAST(SUM(LEAST(GREATEST(cents, p05c), p95c)) AS BIGINT)
+      |         AS winsorized_cents
+      |FROM v GROUP BY event_type, p05c, p95c
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val b = e.groupBy("event_type").agg(
+      floor(expr("percentile(value, 0.05D)") * 100)
+        .cast("bigint").as("p05c"),
+      floor(expr("percentile(value, 0.95D)") * 100)
+        .cast("bigint").as("p95c"))
+    e.join(broadcast(b), "event_type")
+      .withColumn("cents", floor(col("value") * 100).cast("bigint"))
+      .groupBy("event_type", "p05c", "p95c")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("cents") < col("p05c"), 1)).as("n_clip_low"),
+        count(when(col("cents") > col("p95c"), 1)).as("n_clip_high"),
+        sum(least(greatest(col("cents"), col("p05c")), col("p95c")))
+          .cast("bigint").as("winsorized_cents"))
+      .select(col("event_type"), col("n").cast("bigint").as("n"),
+        col("p05c"), col("p95c"),
+        col("n_clip_low").cast("bigint").as("n_clip_low"),
+        col("n_clip_high").cast("bigint").as("n_clip_high"),
+        col("winsorized_cents"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Reg] = Seq(
-    o38HierarchyRollup, o39GroupOls, j17IntervalAlign,
+    o38HierarchyRollup, o39GroupOls, j17IntervalAlign, o40Winsorize,
     a33SkewReport, c9PointInPolygon, c10PolygonArea, o37SlidingDistinct,
     o31ExactMedian, o32ExactMedianDouble, o33GroupMedian, o34GroupQuantiles,
     o35GroupMode, o36WeightedMedian,
