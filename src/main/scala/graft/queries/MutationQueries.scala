@@ -396,6 +396,61 @@ object MutationQueries {
     }
   }
 
+  /** J18 — CO-LOCATED FACT-FACT JOIN on the bucketed layout (the other
+    * half of a20's shuffle-elimination story, and the one that matters
+    * most at 100 TB: orders ⋈ lineitem is the canonical big-big join
+    * that CANNOT broadcast): both facts are written ONCE bucketed+sorted
+    * by the join key (8 buckets each side), and the join then reads
+    * bucket-aligned files with ZERO Exchange — the builder counts
+    * hashpartitioning exchanges in the JOIN's own executed plan and
+    * emits it as an oracle column, with broadcast disabled for the probe
+    * so the gate can't pass by broadcasting. Result identity against the
+    * plain-join aggregate is the other half of the gate. */
+  val j18BucketedJoin: Reg = Reg.sql(
+    "j18_bucketed_join",
+    """SELECT o_orderpriority,
+      |       CAST(COUNT(*) AS BIGINT) AS n_items,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+      |            AS DOUBLE) AS revenue,
+      |       CAST(0 AS BIGINT) AS join_exchanges
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+    (s, dir) =>
+    val root = java.nio.file.Paths.get(graft.Scratch.dir("graft_j18"))
+    val (to, tl) = ("graft_j18_orders", "graft_j18_lineitem")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.sql(s"DROP TABLE IF EXISTS $to"); s.sql(s"DROP TABLE IF EXISTS $tl")
+      graft.sources.BucketedLayout.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        to, root.toString + "/o", "o_orderkey", numBuckets = 8)
+      graft.sources.BucketedLayout.writeBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice"),
+        tl, root.toString + "/l", "l_orderkey", numBuckets = 8)
+      // broadcast off: the gate must prove BUCKET co-location, not a
+      // broadcast that would hide a missing alignment
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = graft.sources.BucketedLayout.table(s, to)
+        .join(graft.sources.BucketedLayout.table(s, tl),
+          col("o_orderkey") === col("l_orderkey"))
+      val exchanges = "hashpartitioning".r
+        .findAllIn(joined.queryExecution.executedPlan.toString).size
+      require(exchanges == 0,
+        s"bucketed join still exchanges ($exchanges) — layout broken")
+      val out = joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("revenue"))
+        .withColumn("join_exchanges", lit(exchanges.toLong))
+        .orderBy("o_orderpriority")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      s.sql(s"DROP TABLE IF EXISTS $to"); s.sql(s"DROP TABLE IF EXISTS $tl")
+      deleteRecursively(root.toFile)
+    }
+  }
+
   /** A21 — snapshot DIFF (the CDC reconciliation read): given two versions
     * of a keyed table, classify every key as added / removed / changed /
     * unchanged — the audit step after any MERGE (A6/A8) and the input to
@@ -1751,5 +1806,5 @@ object MutationQueries {
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
     versionedMerge, versionedCompact, versionedForget, incrementalRead,
     morDelete, morUpsert, changelogApply, pointSkipBloom,
-    versionedSchemaEvolution, binpackCompact, changelogIvm)
+    versionedSchemaEvolution, binpackCompact, changelogIvm, j18BucketedJoin)
 }
