@@ -2637,8 +2637,67 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** O41 — BFS LEVELS by frontier iteration (single-source shortest path
+    * in an unweighted graph — the OTHER recursive-query primitive next
+    * to o38's closure-by-squaring: squaring materializes ALL ancestor
+    * pairs, a frontier walk touches only the reachable wave per round,
+    * which is the right shape when you need distances from ONE source,
+    * not the whole closure). The graph is data-driven (edges u→u+1 and
+    * u→2u over the users present in events); each round is one
+    * frontier⋈edges equi-join plus an anti-join against the visited set,
+    * `localCheckpoint` keeping plans flat; the loop stops when the
+    * frontier drains — ≤ ~25 rounds for this graph's diameter.
+    * The DuckDB oracle walks the same graph with a recursive CTE and
+    * takes MIN(level) per node. */
+  val o41BfsLevels: Reg = Reg.sql(
+    "o41_bfs_levels",
+    """WITH RECURSIVE users AS (
+      |  SELECT DISTINCT user_id AS u FROM events
+      |  WHERE user_id >= 1 AND event_id < 60000),
+      |edges AS (
+      |  SELECT a.u AS src, b.u AS dst FROM users a JOIN users b ON b.u = a.u + 1
+      |  UNION ALL
+      |  SELECT a.u, b.u FROM users a JOIN users b ON b.u = 2 * a.u),
+      |bfs(node, lvl) AS (
+      |  SELECT CAST(1 AS BIGINT), 0
+      |  UNION
+      |  SELECT e.dst, b.lvl + 1 FROM bfs b JOIN edges e ON e.src = b.node
+      |  WHERE b.lvl < 40)
+      |SELECT CAST(node AS BIGINT) AS node,
+      |       CAST(MIN(lvl) AS BIGINT) AS level
+      |FROM bfs GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+    val users = Tables.events(s, dir)
+      .where(col("user_id") >= 1L && col("event_id") < 60000L)
+      .select(col("user_id").as("u")).distinct().localCheckpoint()
+    val edges = users.as("a")
+      .join(users.as("b"), col("b.u") === col("a.u") + 1)
+      .select(col("a.u").as("src"), col("b.u").as("dst"))
+      .unionByName(users.as("a")
+        .join(users.as("b"), col("b.u") === col("a.u") * 2)
+        .select(col("a.u").as("src"), col("b.u").as("dst")))
+      .localCheckpoint()
+    import s.implicits._
+    var visited = Seq((1L, 0L)).toDF("node", "level").localCheckpoint()
+    var frontier = visited
+    var lvl = 0L
+    while (frontier.limit(1).count() > 0 && lvl < 40) {
+      lvl += 1
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("level", lit(lvl))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    visited.select(col("node").cast("bigint").as("node"),
+      col("level").cast("bigint").as("level"))
+      .orderBy("node")
+  }
+
   val all: Seq[Reg] = Seq(
     o38HierarchyRollup, o39GroupOls, j17IntervalAlign, o40Winsorize,
+    o41BfsLevels,
     a33SkewReport, c9PointInPolygon, c10PolygonArea, o37SlidingDistinct,
     o31ExactMedian, o32ExactMedianDouble, o33GroupMedian, o34GroupQuantiles,
     o35GroupMode, o36WeightedMedian,
