@@ -2596,8 +2596,8 @@ object AnalyticsQueries {
     * the fact rows, values clip via LEAST/GREATEST on the exact integer
     * cents lattice — counts and the winsorized sum are integer-exact in
     * both engines, no float summation order anywhere. Two passes total:
-    * one percentile aggregate (group-sized output, broadcast), one
-    * clipped re-aggregate. */
+    * one percentile aggregate (group-sized output, AQE-broadcast from
+    * measured size), one clipped re-aggregate. */
   val o40Winsorize: Reg = Reg.sql(
     "o40_winsorize",
     """WITH b AS (SELECT event_type,
@@ -2620,7 +2620,10 @@ object AnalyticsQueries {
         .cast("bigint").as("p05c"),
       floor(expr("percentile(value, 0.95D)") * 100)
         .cast("bigint").as("p95c"))
-    e.join(broadcast(b), "event_type")
+    // unhinted: event_type cardinality is data-dependent, so AQE promotes
+    // the percentile-bounds join to broadcast from MEASURED size; a
+    // hand-placed hint here would be a driver OOM if the domain blew up.
+    e.join(b, "event_type")
       .withColumn("cents", floor(col("value") * 100).cast("bigint"))
       .groupBy("event_type", "p05c", "p95c")
       .agg(
@@ -2695,9 +2698,110 @@ object AnalyticsQueries {
       .orderBy("node")
   }
 
+  /** O42 — THEIL–SEN robust slope per key (the median-of-pairwise-slopes
+    * trend estimator — outlier-immune where OLS (o39) is not, the right
+    * tool for drifting sensor baselines and per-user engagement trends).
+    * Pairwise work is bounded by construction: each key contributes only
+    * its FIRST 64 events (row_number over (ts, event_id) — deterministic,
+    * both engines), so a key with a million rows costs the same 2,016
+    * pairs as one with 64 — the documented-cap discipline of a9's LOF.
+    * The pair stage is a key-co-located self equi-join (never all-pairs
+    * across keys); slopes divide the IEEE double value delta by the exact
+    * integer µs delta (same-instant pairs excluded in both engines), so
+    * every slope is bit-identical; the per-key lower median selects a
+    * STORED element of that slope multiset via row_number — no averaging,
+    * no order-dependent float math anywhere. */
+  val o42TheilSen: Reg = Reg.sql(
+    "o42_theil_sen",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value AS v,
+      |             ROW_NUMBER() OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS rn
+      |           FROM events),
+      |k AS (SELECT user_id, t, v, rn FROM e WHERE rn <= 64),
+      |sl AS (SELECT a.user_id,
+      |              (b.v - a.v) / CAST(b.t - a.t AS DOUBLE) AS slope
+      |       FROM k a JOIN k b
+      |         ON a.user_id = b.user_id AND a.rn < b.rn AND a.t <> b.t),
+      |n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |      FROM sl GROUP BY user_id),
+      |r AS (SELECT user_id, slope,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slope) AS rn
+      |      FROM sl)
+      |SELECT r.user_id, n.n_pairs, r.slope AS sen_slope_per_us
+      |FROM r JOIN n USING (user_id)
+      |WHERE r.rn = (n.n_pairs + 1) // 2
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("value").as("v"),
+        row_number().over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")).as("rn"))
+      .where(col("rn") <= 64)
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.rn") < col("b.rn") && col("a.t") =!= col("b.t"))
+      .select(col("a.user_id").as("user_id"),
+        ((col("b.v") - col("a.v")) /
+          (col("b.t") - col("a.t")).cast("double")).as("slope"))
+    val n = pairs.groupBy("user_id")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+    pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("slope")))
+      .join(n, "user_id")
+      // non-negative operands: truncating DIV == DuckDB's floor //
+      .where(col("rn") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("user_id"), col("n_pairs"),
+        col("slope").as("sen_slope_per_us"))
+      .orderBy("user_id")
+  }
+
+  /** O43 — TIME-WEIGHTED AVERAGE per key (TWAP — the irregular-sampling
+    * aggregate behind billing meters, uptime SLAs and market data: a
+    * value held for an hour must weigh 3600× one held a second, which
+    * plain AVG gets wrong). Each observation holds until the key's next
+    * event (one per-key LEAD — key-partitioned window, no global sort);
+    * the integral runs ENTIRELY on the exact integer lattice:
+    * cents × µs-duration products summed as BIGINT, so no float
+    * summation order exists in the plan and the quotient is exact floor
+    * division (non-negative both sides). Keys whose events all share one
+    * instant have zero span and drop identically in both engines. */
+  val o43TimeWeightedAvg: Reg = Reg.sql(
+    "o43_time_weighted_avg",
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+      |             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |d AS (SELECT user_id, cents,
+      |        LEAD(t) OVER (PARTITION BY user_id
+      |                      ORDER BY t, event_id) - t AS dur
+      |      FROM e),
+      |g AS (SELECT user_id,
+      |        CAST(SUM(dur) AS BIGINT) AS span_us,
+      |        CAST(SUM(cents * dur) AS BIGINT) AS cents_us
+      |      FROM d WHERE dur IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, span_us, cents_us,
+      |       CAST(cents_us // span_us AS BIGINT) AS twap_cents
+      |FROM g WHERE span_us > 0 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        floor(col("value") * 100).cast("bigint").as("cents"))
+    e.withColumn("dur",
+        lead(col("t"), 1).over(
+          Window.partitionBy("user_id").orderBy("t", "event_id")) - col("t"))
+      .where(col("dur").isNotNull)
+      .groupBy("user_id")
+      .agg(sum("dur").cast("bigint").as("span_us"),
+        sum(col("cents") * col("dur")).cast("bigint").as("cents_us"))
+      .where(col("span_us") > 0)
+      // non-negative operands: truncating DIV == DuckDB's floor //
+      .withColumn("twap_cents",
+        expr("CAST(cents_us DIV span_us AS BIGINT)"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Reg] = Seq(
     o38HierarchyRollup, o39GroupOls, j17IntervalAlign, o40Winsorize,
-    o41BfsLevels,
+    o41BfsLevels, o42TheilSen, o43TimeWeightedAvg,
     a33SkewReport, c9PointInPolygon, c10PolygonArea, o37SlidingDistinct,
     o31ExactMedian, o32ExactMedianDouble, o33GroupMedian, o34GroupQuantiles,
     o35GroupMode, o36WeightedMedian,

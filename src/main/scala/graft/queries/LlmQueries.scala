@@ -3786,8 +3786,10 @@ object LlmQueries {
       |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[CAST(i AS INT)] AS word
       |        FROM ws, UNNEST(range(1, len(w)+1)) AS t(i)),
       |c AS (SELECT doc_id, pos, word,
-      |             SUM(CASE WHEN substr(md5(word),1,1)='0' THEN 1 ELSE 0 END)
-      |               OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+      |             CAST(SUM(CASE WHEN substr(md5(word),1,1)='0'
+      |                           THEN 1 ELSE 0 END)
+      |               OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+      |               AS chunk_id
       |      FROM tok),
       |ch AS (SELECT doc_id, chunk_id,
       |              string_agg(word, ' ' ORDER BY pos) AS chunk
@@ -3824,8 +3826,99 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Blocked EXACT edit-distance near-dup pairs — the verification tier
+    * of fuzzy dedup where Jaccard/minhash is too coarse (OCR noise,
+    * typo-level in-place edits preserve token sets but not strings).
+    * Candidates come from an equi-join on the (lang, 12-char prefix)
+    * block key with a ±24 length gate — blocking is part of the declared
+    * semantics (the oracle replicates it), so the result is exact over
+    * the blocked candidate space and the join is a plain shuffled
+    * equi-join, never an all-pairs compare. Verification uses the
+    * codegen'd threshold `levenshtein` (banded DP — O(n·k), returns −1
+    * past the threshold, so non-dup candidates exit early instead of
+    * filling the full DP matrix). The document-scale sibling of j12's
+    * rare-bigram name matcher. */
+  val editDistanceDedup: Reg = Reg.sql(
+    "llm_edit_distance_dedup",
+    """WITH p AS (SELECT doc_id, lang, text, n_chars,
+      |             substr(text, 1, 12) AS pfx
+      |           FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+      |FROM p a JOIN p b
+      |  ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+      | AND abs(a.n_chars - b.n_chars) <= 24
+      |WHERE levenshtein(a.text, b.text) <= 24
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val p = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"), col("text"), col("n_chars"),
+      substring(col("text"), 1, 12).as("pfx"))
+    p.as("a").join(p.as("b"),
+        col("a.lang") === col("b.lang") && col("a.pfx") === col("b.pfx") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.n_chars") - col("b.n_chars")) <= 24)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.text"), col("b.text"), 24).cast("bigint")
+          .as("dist"))
+      .where(col("dist") >= 0)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-source word-distribution KL divergence against the corpus — the
+    * source-mix drift monitor (a crawl snapshot whose vocabulary usage
+    * departs from the pool is the first sign of template spam or a
+    * scraper regression; KS/chi²/PSI (llm_drift_*) watch a NUMERIC
+    * column, this watches the text itself). Every term
+    * k·ln(k·N / (n·K_w)) floor-quantizes to the 1e-6 grid BEFORE the
+    * per-source sum (the charEntropy micro-nat discipline), so the
+    * aggregate is an order-free integer in both engines. Plan: one
+    * explode → (source, word) counts; word totals reduce FROM those
+    * counts (vocab-sized, never a second corpus pass); the only
+    * data-sized shuffle is the first count. The source-totals join is
+    * left UNHINTED — source cardinality is data-dependent, so AQE
+    * promotes it to broadcast from MEASURED size rather than a
+    * hand-placed hint that would OOM the driver if the domain blew up
+    * (the grand-total crossJoin stays hinted: a global aggregate is one
+    * row by construction). */
+  val wordKlBySource: Reg = Reg.sql(
+    "llm_word_kl_by_source",
+    """WITH w AS (SELECT source, UNNEST(string_split(text, ' ')) AS w
+      |           FROM documents),
+      |sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS k
+      |       FROM w GROUP BY source, w),
+      |sn AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n FROM sw GROUP BY source),
+      |cw AS (SELECT w, CAST(SUM(k) AS BIGINT) AS kw FROM sw GROUP BY w),
+      |tot AS (SELECT CAST(SUM(k) AS BIGINT) AS nn FROM sw)
+      |SELECT sw.source, sn.n AS n_words,
+      |       CAST(SUM(sw.k * CAST(FLOOR(LN(
+      |              (CAST(sw.k AS DOUBLE) * CAST(tot.nn AS DOUBLE)) /
+      |              (CAST(sn.n AS DOUBLE) * CAST(cw.kw AS DOUBLE))) * 1e6)
+      |            AS BIGINT)) AS BIGINT) AS kl_micro
+      |FROM sw JOIN sn USING (source) JOIN cw USING (w), tot
+      |GROUP BY sw.source, sn.n ORDER BY sw.source""".stripMargin) { (s, dir) =>
+    // localCheckpoint: sw fans out to three downstream aggregates — without
+    // it Spark re-derives the subtree per reference and the corpus explode
+    // runs FOUR times; the checkpointed frame is vocab×source-sized.
+    val sw = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).cast("bigint").as("k"))
+      .localCheckpoint()
+    val sn = sw.groupBy("source").agg(sum("k").cast("bigint").as("n"))
+    val cw = sw.groupBy("w").agg(sum("k").cast("bigint").as("kw"))
+    val tot = sw.agg(sum("k").cast("bigint").as("nn"))
+    sw.join(sn, "source").join(cw, "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", col("k") * floor(log(
+          (col("k").cast("double") * col("nn").cast("double")) /
+          (col("n").cast("double") * col("kw").cast("double"))) * lit(1e6))
+        .cast("bigint"))
+      .groupBy(col("source"), col("n").as("n_words"))
+      .agg(sum("term").cast("bigint").as("kl_micro"))
+      .orderBy("source")
+  }
+
   lazy val all: Seq[Reg] = Seq(
-    cdcChunks,
+    cdcChunks, editDistanceDedup, wordKlBySource,
     streamNearDup, incrementalClusters, datasetCard, shardAssign, dupSpanStrip,
     curationFunnel, communityLpa, dupSpanCoverage,
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,

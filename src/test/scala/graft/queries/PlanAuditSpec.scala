@@ -684,6 +684,36 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
       .queryExecution.executedPlan.toString should not include "Join"
   }
 
+  test("o42/o43/llm_edit_distance: pair stages are key-co-located equi-joins; TWAP never joins") {
+    // Theil–Sen's pairwise stage must ride the user_id equi-join (the rn<=64
+    // cap bounds the blowup) — never a nested-loop over the fact table
+    val p42 = plan(AnalyticsQueries.o42TheilSen)
+    p42 should not include "BroadcastNestedLoopJoin"
+    p42 should not include "CartesianProduct"
+    (p42.contains("SortMergeJoin") || p42.contains("ShuffledHashJoin") ||
+      p42.contains("BroadcastHashJoin")) shouldBe true
+    // TWAP is windows + one aggregate — no join of any kind
+    val p43 = plan(AnalyticsQueries.o43TimeWeightedAvg)
+    p43 should not include "Join"
+    // edit-distance candidates come from the (lang, pfx) block equi-join;
+    // the levenshtein verify must run as a post-join filter, not a join
+    // condition that forces a nested loop
+    val pEd = plan(LlmQueries.editDistanceDedup)
+    pEd should not include "BroadcastNestedLoopJoin"
+    pEd should not include "CartesianProduct"
+    pEd should include("pfx")
+  }
+
+  test("llm_word_kl_by_source: one corpus explode; totals reduce from counts") {
+    val p = plan(LlmQueries.wordKlBySource)
+    // the (source, word) count frame is localCheckpoint-ed: the corpus
+    // explode runs ONCE at checkpoint time and the downstream plan (word
+    // totals, source totals, the KL join) must contain NO Generate at all —
+    // re-deriving the explode per reference would scan the corpus 4×
+    p should not include "Generate"
+    p should not include "CartesianProduct"
+  }
+
   test("no query plan contains a CartesianProduct or driver collect") {
     SparkEntryPlans.all.foreach { case (name, p) =>
       withClue(name)(p should not include "CartesianProduct")
