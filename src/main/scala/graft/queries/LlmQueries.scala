@@ -3853,12 +3853,23 @@ object LlmQueries {
     val p = Tables.documents(s, dir).select(
       col("doc_id"), col("lang"), col("text"), col("n_chars"),
       substring(col("text"), 1, 12).as("pfx"))
-    p.as("a").join(p.as("b"),
+    // localCheckpoint fences the DP away from the join: without it Catalyst
+    // pushes `dist >= 0` into the join residual and, residual order being
+    // expression order, runs the levenshtein DP for EVERY block-bucket pair
+    // BEFORE the cheap id/length gates — measured 42 s vs ~2 s at the
+    // extent decade. The checkpointed frame is the gate-surviving candidate
+    // set, bounded by the blocking contract (Σ|block|² with 12-char-prefix
+    // blocks), so the materialization is small by construction.
+    val cand = p.as("a").join(p.as("b"),
         col("a.lang") === col("b.lang") && col("a.pfx") === col("b.pfx") &&
         col("a.doc_id") < col("b.doc_id") &&
         abs(col("a.n_chars") - col("b.n_chars")) <= 24)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.text"), col("b.text"), 24).cast("bigint")
+        col("a.text").as("text_a"), col("b.text").as("text_b"))
+      .localCheckpoint()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b"), 24).cast("bigint")
           .as("dist"))
       .where(col("dist") >= 0)
       .orderBy("doc_a", "doc_b")
