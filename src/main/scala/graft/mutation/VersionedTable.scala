@@ -184,15 +184,47 @@ object VersionedTable {
         else body.substring(0, i) -> body.substring(i + 1).toLong
       }.toMap
 
+  /** The column-RENAME chain recorded at version `v`, in commit order:
+    * `(renameVersion, physicalFrom, currentTo)` triples from `#rename=`
+    * manifest headers. A rename applies to segments whose seq is LOWER
+    * than its version (they were written under the old physical name);
+    * segments written at or after it already carry the new name. The
+    * chain is cumulative — every commit re-carries it — so one manifest
+    * read resolves the whole mapping history (the Iceberg name-mapping
+    * substance without parquet field-id plumbing). */
+  def renamesOf(
+      spark: SparkSession, root: String, v: Long): Seq[(Long, String, String)] =
+    manifestLines(spark, root, v)
+      .filter(_.startsWith("#rename="))
+      .map { line =>
+        val Array(rv, from, to) = line.stripPrefix("#rename=").split(":", 3)
+        (rv.toLong, from, to)
+      }
+
+  /** The physical→current renames a segment written at `seq` needs. */
+  private def renameFor(
+      chain: Seq[(Long, String, String)],
+      seq: Long): Seq[(String, String)] =
+    chain.filter(_._1 > seq).map(t => (t._2, t._3))
+
+  /** Apply a rename list in chain order; columns absent in this segment's
+    * era (e.g. added later under mergeSchema) pass through untouched. */
+  private def applyRenames(
+      df: DataFrame, rs: Seq[(String, String)]): DataFrame =
+    rs.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+
   /** Commit `segments` as the next version; returns it. The staged-write
     * + create-exclusive atomic rename makes the manifest the commit
     * point. The effective fence per lineage is max(previous, provided):
     * an unfenced commit after a fenced one PRESERVES replay protection
     * rather than silently erasing it, and one lineage's fence never
-    * moves another's. */
+    * moves another's. The rename chain re-carries the same way. */
   private def commit(
       spark: SparkSession, root: String, segments: Seq[Segment],
-      fence: Option[(String, Long)] = None): Long = {
+      fence: Option[(String, Long)] = None,
+      newRename: Option[(String, String)] = None): Long = {
     val f = fs(spark, root)
     val dir = logDir(root)
     if (!f.exists(dir) && !f.mkdirs(dir))
@@ -203,9 +235,13 @@ object VersionedTable {
       carried.updated(app, carried.get(app).fold(id)(_ max id))
     }
     val v = prev.fold(0L)(_ + 1)
+    val prevRenames = prev.map(renamesOf(spark, root, _)).getOrElse(Nil)
+    val renames = prevRenames ++ newRename.map(r => (v, r._1, r._2))
     val header = eff.toSeq.sortBy(_._1).map {
       case ("", id)  => s"#fence=$id\n"
       case (app, id) => s"#fence=$app:$id\n"
+    }.mkString + renames.map {
+      case (rv, from, to) => s"#rename=$rv:$from:$to\n"
     }.mkString
     // segments entering the table THIS commit (seq < 0) get stamped with
     // the committed version; carried segments keep their original seq —
@@ -507,6 +543,7 @@ object VersionedTable {
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
     val (dels, datas) = segmentsOf(spark, root, v).partition(_.isDelete)
     if (dels.isEmpty) return (v, 0, 0)
+    val chain = renamesOf(spark, root, v)
     val (affected, clean) =
       datas.partition(d => dels.exists(_.seq > d.seq))
     // per-segment rewrites are independent (distinct target dirs) — submit
@@ -522,7 +559,8 @@ object VersionedTable {
           scala.concurrent.Future.sequence(affected.map { d =>
             scala.concurrent.Future {
               writeSegment(spark, root,
-                applyDeletes(spark, root, Seq(d), dels), statCols)
+                applyDeletes(spark, root, Seq(d), dels, renames = chain),
+                statCols)
             }
           }), scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
@@ -540,6 +578,43 @@ object VersionedTable {
     currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
     commit(spark, root, Seq(writeSegment(spark, root, df, statCols)))
+  }
+
+  /** RENAME a column — a METADATA-ONLY commit (the Iceberg
+    * rename-without-rewrite substance): zero data files are touched; the
+    * new manifest carries the same segment list with the column's stat
+    * keys and delete-key names remapped, plus a `#rename=<v>:<from>:<to>`
+    * chain entry that tells every future scan to map the old PHYSICAL
+    * parquet name to the new logical one for segments written before
+    * this version. Time travel is exact: a pre-rename snapshot resolves
+    * through ITS manifest (no chain entry), so it reads under the old
+    * name — the snapshot-scoped-schema behavior. Segments written after
+    * the rename carry the new physical name; compaction/materialization
+    * naturally migrate old segments' physical names forward. Renaming to
+    * a previously-retired name is rejected while any live segment's era
+    * still maps through it (the chain is a list, not a DAG). */
+  def renameColumn(
+      spark: SparkSession, root: String, from: String, to: String): Long = {
+    val v = currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
+    require(from != to, "rename to the same name is a no-op")
+    require(to.nonEmpty && !Seq('\t', '\n', ':', '=').exists(to.contains(_)) &&
+      !Seq('\t', '\n', ':', '=').exists(from.contains(_)),
+      s"column names in a rename may not contain tab/newline/':'/'=': " +
+        s"'$from' -> '$to'")
+    val chain = renamesOf(spark, root, v)
+    require(!chain.exists(_._2 == to),
+      s"'$to' is a retired physical name in this table's rename chain; " +
+        "reusing it would make the physical->logical mapping ambiguous")
+    val cols = read(spark, root, Some(v)).columns
+    require(cols.contains(from), s"$root has no column '$from'")
+    require(!cols.contains(to), s"$root already has a column '$to'")
+    val remapped = segmentsOf(spark, root, v).map { s =>
+      s.copy(
+        stats = s.stats.map { case (c, r) => (if (c == from) to else c) -> r },
+        keys = s.keys.map(k => if (k == from) to else k))
+    }
+    commit(spark, root, remapped, newRename = Some((from, to)))
   }
 
   /** The DATA segment paths a pruned read of `version` actually touches:
@@ -571,26 +646,37 @@ object VersionedTable {
   private def applyDeletes(
       spark: SparkSession, root: String,
       datas: Seq[Segment], dels: Seq[Segment],
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false,
+      renames: Seq[(Long, String, String)] = Nil): DataFrame = {
     require(datas.nonEmpty, s"$root: no data segments to read")
     def p(n: String) = new Path(root, n).toString
-    def scan(names: Seq[String]) =
-      if (mergeSchema)
-        spark.read.option("mergeSchema", "true").parquet(names.map(p): _*)
-      else spark.read.parquet(names.map(p): _*)
-    if (dels.isEmpty) scan(datas.map(_.name))
+    // segments sharing a physical schema era (same applicable renames)
+    // scan together; eras with old physical names map to current logical
+    // names BEFORE any join/union, so keys and schemas always line up
+    def scan(segs: Seq[Segment]) =
+      segs.groupBy(s => renameFor(renames, s.seq)).toSeq
+        .sortBy(_._2.map(_.name).min)
+        .map { case (rs, group) =>
+          val raw =
+            if (mergeSchema)
+              spark.read.option("mergeSchema", "true")
+                .parquet(group.map(s => p(s.name)): _*)
+            else spark.read.parquet(group.map(s => p(s.name)): _*)
+          applyRenames(raw, rs)
+        }
+        .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+    if (dels.isEmpty) scan(datas)
     else {
       val keys = dels.head.keys
       require(keys.nonEmpty && dels.forall(_.keys == keys),
         s"$root: equality-delete segments disagree on key columns")
-      datas.groupBy(d => dels.filter(_.seq > d.seq).map(_.name).sorted)
-        .toSeq.sortBy(_._1.mkString(","))
+      datas.groupBy(d => dels.filter(_.seq > d.seq))
+        .toSeq.sortBy(_._1.map(_.name).sorted.mkString(","))
         .map { case (applicable, group) =>
-          val df = scan(group.map(_.name))
+          val df = scan(group)
           if (applicable.isEmpty) df
           else df.join(
-            spark.read.parquet(applicable.map(p): _*)
-              .select(keys.map(col): _*),
+            scan(applicable).select(keys.map(col): _*),
             keys, "left_anti")
         }.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
     }
@@ -613,7 +699,8 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"$root has no versions"))
     val (dels, datas) = segmentsOf(spark, root, v).partition(_.isDelete)
-    applyDeletes(spark, root, datas, dels, mergeSchema)
+    applyDeletes(spark, root, datas, dels, mergeSchema,
+      renamesOf(spark, root, v))
   }
 
   /** Stats-pruned snapshot read of rows with `c` in [lo, hi]: whole
@@ -631,7 +718,9 @@ object VersionedTable {
     val (dels0, datas0) = segmentsOf(spark, root, v).partition(_.isDelete)
     val datas = datas0.filter(_.mayIntersect(c, lo, hi))
     if (datas.isEmpty) read(spark, root, Some(v)).where(lit(false))
-    else applyDeletes(spark, root, datas, dels0.filter(_.mayIntersect(c, lo, hi)))
+    else applyDeletes(spark, root, datas,
+      dels0.filter(_.mayIntersect(c, lo, hi)),
+      renames = renamesOf(spark, root, v))
       .where(col(c).cast("double") >= lo && col(c).cast("double") <= hi)
   }
 
@@ -655,7 +744,8 @@ object VersionedTable {
     // before the rewrite: the rewritten segment gets a NEW seq, so older
     // deletes stop applying to it — materializing them here is what
     // keeps deleted rows from resurrecting (the Iceberg rewrite rule)
-    val touchedDf = applyDeletes(spark, root, touched, dels)
+    val touchedDf = applyDeletes(spark, root, touched, dels,
+      renames = renamesOf(spark, root, v))
     val rewritten = writeSegment(spark, root, transform(touchedDf), statCols)
     val nv = commit(spark, root, (carried ++ dels) :+ rewritten)
     (nv, touched.length, carried.length)
@@ -678,11 +768,22 @@ object VersionedTable {
     // DATA segments only: an added `del_` segment is a retraction, not
     // an insert (and has the key schema) — changelog consumers read
     // deletions via the manifest's delete entries instead
-    val added = addedSegments(spark, root, fromV, toV)
-      .filter(_.startsWith("seg_"))
+    val addedNames = addedSegments(spark, root, fromV, toV)
+      .filter(_.startsWith("seg_")).toSet
+    val added = segmentsOf(spark, root, toV)
+      .filter(s => addedNames(s.name))
     if (added.isEmpty) None
-    else Some(spark.read.parquet(
-      added.map(n => new Path(root, n).toString): _*))
+    else {
+      // rows surface under toV's CURRENT names: a segment added before a
+      // later in-window rename still carries the old physical name
+      val chain = renamesOf(spark, root, toV)
+      Some(added.groupBy(s => renameFor(chain, s.seq)).toSeq
+        .sortBy(_._2.map(_.name).min)
+        .map { case (rs, group) =>
+          applyRenames(spark.read.parquet(
+            group.map(s => new Path(root, s.name).toString): _*), rs)
+        }.reduce(_.unionByName(_)))
+    }
   }
 
   /** One commit's worth of CDC output: the rows its data segments added
@@ -705,7 +806,10 @@ object VersionedTable {
     * by a43's oracle). Maintenance commits (compaction/materialization)
     * rewrite segments, so their output shows as inserts — consume
     * changelogs around maintenance, the same restriction as
-    * [[incrementalRead]]. Requires the intermediate manifests to still
+    * [[incrementalRead]]. A [[renameColumn]] commit likewise adds no
+    * segments (empty change set) but changes the logical names later
+    * change sets surface under — checkpoint changelog consumption around
+    * schema commits too. Requires the intermediate manifests to still
     * exist (not expired). */
   def changelog(
       spark: SparkSession, root: String, fromV: Long,
@@ -851,7 +955,8 @@ object VersionedTable {
     val datas = datas0.filter(s => names(s.name))
     if (datas.isEmpty) read(spark, root, Some(v)).where(lit(false))
     else applyDeletes(spark, root, datas,
-      dels.filter(_.mayIntersect(c, value.toDouble, value.toDouble)))
+      dels.filter(_.mayIntersect(c, value.toDouble, value.toDouble)),
+      renames = renamesOf(spark, root, v))
       .where(col(c) === value)
   }
 
@@ -892,7 +997,8 @@ object VersionedTable {
     if (small.length < 2) return (v, 0, datas.length)
     // applicable deletes materialize into the merged segment (its new
     // seq puts it beyond their reach), exactly as in mergeWhere
-    val merged = applyDeletes(spark, root, small, dels)
+    val merged = applyDeletes(spark, root, small, dels,
+      renames = renamesOf(spark, root, v))
     val name = "seg_" + java.util.UUID.randomUUID().toString.replace("-", "")
     merged.coalesce(1).write.parquet(new Path(root, name).toString)
     // stats union straight from the manifest — the merged interval per
@@ -924,6 +1030,7 @@ object VersionedTable {
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
     val f = fs(spark, root)
     val (dels, datas) = segmentsOf(spark, root, v).partition(_.isDelete)
+    val chain = renamesOf(spark, root, v)
     val sized = datas.map(s =>
       s -> f.getContentSummary(new Path(root, s.name)).getLength)
     val (small, big) = sized.partition(_._2 <= smallBytes)
@@ -950,7 +1057,8 @@ object VersionedTable {
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(foldable.map { bin =>
             scala.concurrent.Future {
-              val merged = applyDeletes(spark, root, bin, dels)
+              val merged = applyDeletes(spark, root, bin, dels,
+                renames = chain)
               val name =
                 "seg_" + java.util.UUID.randomUUID().toString.replace("-", "")
               merged.coalesce(1).write.parquet(new Path(root, name).toString)

@@ -1801,7 +1801,83 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A48 — COLUMN RENAME as a metadata-only commit (the Iceberg
+    * rename-without-rewrite substance, emulated via a manifest-carried
+    * physical→logical name chain instead of parquet field ids): renaming
+    * a column on a populated table writes ZERO data files (gated: the
+    * rename commit references byte-identical segment names), the head
+    * snapshot surfaces EVERY era — segments physically written under the
+    * old name included — under the new name, the pre-rename snapshot
+    * still reads under its own schema (snapshot-scoped, the time-travel
+    * contract), and row-level MOR deletes plus stats-pruned reads keyed
+    * on the RENAMED column keep working across physical eras because the
+    * manifest's stat keys and delete-key names travel with the rename.
+    *
+    * Scale: renaming a column on a 100 TB table is one manifest write;
+    * the per-era mapping costs a `withColumnRenamed` projection at scan
+    * time and disappears entirely as compaction migrates physical names
+    * forward. */
+  val versionedRename: Reg = Reg.sql(
+    "a48_versioned_rename",
+    """WITH e AS (SELECT event_id, user_id,
+      |             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |           FROM events WHERE event_id < 60000),
+      |kept AS (SELECT * FROM e WHERE user_id % 13 <> 0),
+      |pre AS (SELECT * FROM e WHERE event_id % 3 <> 2)
+      |SELECT CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS head_rows,
+      |       CAST((SELECT SUM(cents) FROM kept) AS BIGINT) AS head_cents_sum,
+      |       CAST((SELECT COUNT(*) FROM pre) AS BIGINT) AS pre_rename_rows,
+      |       CAST((SELECT SUM(cents) FROM pre) AS BIGINT)
+      |         AS pre_rename_amount_sum,
+      |       CAST((SELECT COUNT(*) FROM kept
+      |             WHERE cents BETWEEN 10000 AND 20000) AS BIGINT)
+      |         AS pruned_range_rows""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_rename")
+    val root = s"$work/t"
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 60000L)
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100).cast("bigint").as("amount"))
+      VersionedTable.create(s, root, e.where(col("event_id") % 3 === 0),
+        statCols = Seq("amount"))
+      VersionedTable.append(s, root, e.where(col("event_id") % 3 === 1),
+        statCols = Seq("amount"))
+      val segsBefore =
+        VersionedTable.segmentsOf(s, root, 1L).map(_.name).toSet
+      val rv = VersionedTable.renameColumn(s, root, "amount", "cents")
+      // metadata-only gate: the rename commit references the SAME files
+      require(VersionedTable.segmentsOf(s, root, rv).map(_.name).toSet
+        == segsBefore, "rename moved data")
+      // the post-rename era appends under the new name
+      VersionedTable.append(s, root,
+        e.where(col("event_id") % 3 === 2).withColumnRenamed("amount", "cents"),
+        statCols = Seq("cents"))
+      // a MOR delete keyed across ALL physical eras
+      VersionedTable.morDelete(s, root, Seq("event_id"),
+        _.where(col("user_id") % 13 === 0))
+      val head = VersionedTable.read(s, root)
+      require(head.columns.contains("cents") && !head.columns.contains("amount"),
+        "head schema must carry only the new name")
+      val hAgg = head.agg(count(lit(1)), sum("cents").cast("bigint")).head()
+      // time travel: the pre-rename snapshot keeps its OWN schema
+      val pre = VersionedTable.read(s, root, Some(rv - 1))
+      require(pre.columns.contains("amount") && !pre.columns.contains("cents"),
+        "pre-rename snapshot schema must keep the old name")
+      val pAgg = pre.agg(count(lit(1)), sum("amount").cast("bigint")).head()
+      // stats-pruned read on the RENAMED column (stat keys were remapped)
+      val pruned = VersionedTable
+        .readPruned(s, root, "cents", 10000.0, 20000.0).count()
+      import s.implicits._
+      Seq((hAgg.getLong(0), hAgg.getLong(1), pAgg.getLong(0), pAgg.getLong(1),
+        pruned))
+        .toDF("head_rows", "head_cents_sum", "pre_rename_rows",
+          "pre_rename_amount_sum", "pruned_range_rows")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
+    versionedRename,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
     versionedMerge, versionedCompact, versionedForget, incrementalRead,
