@@ -355,6 +355,30 @@ object VersionedTable {
       spark: SparkSession, root: String, df: DataFrame,
       partCol: String): (Long, Int) = {
     require(currentVersion(spark, root).isEmpty, s"$root already versioned")
+    val segs = layoutPartitions(spark, root, df, partCol)
+    (commit(spark, root, segs), segs.length)
+  }
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's evolve-spec substance): append
+    * `df` laid out by a (possibly DIFFERENT) partition column — one write
+    * job, one segment per partition value, the partition value recorded
+    * as that segment's exact stat. Existing segments keep their original
+    * layout and stats untouched: queries pruning on the OLD partition
+    * column skip old-era segments exactly and keep new-era segments
+    * conservatively (absent stat = never prune), and vice versa — no
+    * table rewrite when the partitioning strategy changes. */
+  def appendPartitioned(
+      spark: SparkSession, root: String, df: DataFrame,
+      partCol: String): (Long, Int) = {
+    val prev = currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
+    val segs = layoutPartitions(spark, root, df, partCol)
+    (commit(spark, root, segmentsOf(spark, root, prev) ++ segs), segs.length)
+  }
+
+  private def layoutPartitions(
+      spark: SparkSession, root: String, df: DataFrame,
+      partCol: String): Seq[Segment] = {
     val f = fs(spark, root)
     val staging = new Path(root,
       ".stage_" + java.util.UUID.randomUUID().toString.replace("-", ""))
@@ -372,12 +396,12 @@ object VersionedTable {
           // fail LOUDLY here rather than crash obscurely or prune rows
           if (raw == "__HIVE_DEFAULT_PARTITION__")
             throw new IllegalArgumentException(
-              s"createPartitioned: $partCol contains nulls; " +
+              s"partitioned layout: $partCol contains nulls; " +
                 "filter or fill them before partitioning")
           val v = raw.toDouble
           if (v.isNaN)
             throw new IllegalArgumentException(
-              s"createPartitioned: $partCol contains NaN; " +
+              s"partitioned layout: $partCol contains NaN; " +
                 "filter or fill it before partitioning")
           val name =
             "seg_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -387,8 +411,8 @@ object VersionedTable {
           placed += name
           Segment(name, Map(partCol -> (v, v)))
         }.toSeq
-      require(segs.nonEmpty, s"createPartitioned: $partCol produced no partitions")
-      (commit(spark, root, segs), segs.length)
+      require(segs.nonEmpty, s"partitioned layout: $partCol produced no partitions")
+      segs
     } catch {
       case e: Throwable =>
         // undo partially-placed segments so a failed create leaves the

@@ -1642,10 +1642,119 @@ object IngestQueries {
     }
   }
 
+  /** S30 — STREAMING SCHEMA DRIFT into the versioned table: a fenced
+    * `foreachBatch` sink whose upstream evolves mid-stream — batch 2
+    * arrives with the value column RENAMED (user_id → uid) and a NEW
+    * column added (score). The sink commits the rename as a
+    * metadata-only schema commit IN-STREAM (guarded idempotent for
+    * replays), then appends under the new shape; the head snapshot
+    * surfaces every era under the current names with nulls for the
+    * late-added column, while the pre-drift snapshot (recovered from the
+    * fence headers, never version arithmetic) still reads under the old
+    * schema. The at-least-once replay of the final batch is fenced to a
+    * whole-batch no-op. This is the CDC-sink reality the a45/a48 batch
+    * operators exist for: upstream teams rename and add columns without
+    * coordinating a table rewrite, and the 100 TB sink absorbs it with
+    * one manifest write per schema change. */
+  val streamSchemaDrift: Reg = Reg.sql(
+    "s30_stream_schema_drift",
+    """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 30000),
+      |b01 AS (SELECT * FROM e WHERE event_id % 3 <= 1),
+      |b2 AS (SELECT event_id, user_id AS uid, user_id % 7 AS score
+      |       FROM e WHERE event_id % 3 = 2)
+      |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS head_rows,
+      |       CAST((SELECT SUM(user_id) FROM e) AS BIGINT) AS uid_sum,
+      |       CAST((SELECT COUNT(*) FROM b01) AS BIGINT) AS null_score_rows,
+      |       CAST((SELECT SUM(score) FROM b2) AS BIGINT) AS score_sum,
+      |       CAST(2 AS BIGINT) AS pre_drift_columns,
+      |       CAST(3 AS BIGINT) AS head_columns,
+      |       CAST(0 AS BIGINT) AS replay_appended""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_sdrift")
+    val root = s"$work/t"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 30000L)
+        .select("event_id", "user_id")
+      val src = new java.io.File(work + "/in"); src.mkdirs()
+      val t0 = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val tmp = new java.io.File(work + s"/tmp$i")
+        e.where(col("event_id") % 3 === i).coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + i * 2000L)
+        ()
+      }
+      val schema = s.read.parquet(src.toString).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            val sp = batch.sparkSession
+            if (id < 2)
+              VersionedTable.appendFenced(sp, root, batch.toDF(), id)
+            else {
+              // upstream drift lands at batch 2: rename FIRST (guarded so
+              // a replayed trigger cannot re-rename), then append the new
+              // shape
+              if (VersionedTable.read(sp, root)
+                  .columns.contains("user_id"))
+                VersionedTable.renameColumn(sp, root, "user_id", "uid")
+              VersionedTable.appendFenced(sp, root,
+                batch.toDF().withColumnRenamed("user_id", "uid")
+                  .withColumn("score", col("uid") % 7), id)
+            }
+            ()
+        }
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      // at-least-once replay of the final (drifted) batch: fenced whole
+      val headBefore = VersionedTable.read(s, root, mergeSchema = true).count()
+      val replayed = VersionedTable.appendFenced(s, root,
+        e.where(col("event_id") % 3 === 2)
+          .withColumnRenamed("user_id", "uid")
+          .withColumn("score", col("uid") % 7), batchId = 2L)
+      require(replayed.isEmpty, "drifted-batch replay was NOT fenced")
+      val headAfter = VersionedTable.read(s, root, mergeSchema = true).count()
+      val head = VersionedTable.currentVersion(s, root).get
+      val appendV: Map[Long, Long] = (0L to head)
+        .flatMap(v => VersionedTable.fenceAt(s, root, v).map(_ -> v))
+        .groupMapReduce(_._1)(_._2)(_ min _)
+      val preDrift = VersionedTable.read(s, root, Some(appendV(1L)))
+      require(preDrift.columns.sameElements(Array("event_id", "user_id")),
+        s"pre-drift snapshot schema leaked: ${preDrift.columns.mkString(",")}")
+      val hd = VersionedTable.read(s, root, mergeSchema = true)
+      require(hd.columns.contains("uid") && !hd.columns.contains("user_id"),
+        s"head schema must carry drifted names: ${hd.columns.mkString(",")}")
+      val agg = hd.agg(sum("uid").cast("bigint"),
+        count(when(col("score").isNull, 1)),
+        sum("score").cast("bigint")).head()
+      import s.implicits._
+      Seq((headBefore, agg.getLong(0), agg.getLong(1), agg.getLong(2),
+        preDrift.columns.length.toLong, hd.columns.length.toLong,
+        headAfter - headBefore))
+        .toDF("head_rows", "uid_sum", "null_score_rows", "score_sum",
+          "pre_drift_columns", "head_columns", "replay_appended")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
       batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals, streamTimers,
       foreachBatchUpsert, streamMedian, streamQuantiles, streamDrift,
-      streamScd2, streamVersionLog, streamCompactedLog, streamMorCdc)
+      streamScd2, streamVersionLog, streamCompactedLog, streamMorCdc,
+      streamSchemaDrift)
 }

@@ -1876,8 +1876,77 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A49 — PARTITION-SPEC EVOLUTION (Iceberg evolve-spec): the table
+    * starts laid out by one partition column (event-id decile buckets)
+    * and LATER batches land under a different spec (user-id residues) —
+    * no rewrite of existing data, ever. Each partition value is its
+    * segment's exact manifest stat, so pruning on the OLD column skips
+    * old-era segments exactly while keeping new-era segments
+    * conservatively (absent stat ≠ prune), and symmetrically for the new
+    * column — both gated by files-read counts, with row-level content
+    * identical to the direct computation in both engines.
+    *
+    * Scale: changing how a 100 TB table partitions costs one manifest
+    * write per subsequent commit; historical layout keeps serving the
+    * queries it was built for. */
+  val partitionEvolution: Reg = Reg.sql(
+    "a49_partition_evolution",
+    """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 60000),
+      |old AS (SELECT * FROM e WHERE event_id % 2 = 0),
+      |nw AS (SELECT * FROM e WHERE event_id % 2 = 1),
+      |oldq AS (SELECT * FROM old WHERE event_id // 6000 = 1),
+      |nwq AS (SELECT * FROM nw WHERE user_id % 8 = 5)
+      |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS head_rows,
+      |       CAST((SELECT COUNT(*) FROM oldq) +
+      |            (SELECT COUNT(*) FROM nw WHERE event_id // 6000 = 1)
+      |            AS BIGINT) AS old_col_rows,
+      |       CAST((SELECT COUNT(*) FROM nwq) +
+      |            (SELECT COUNT(*) FROM old WHERE user_id % 8 = 5)
+      |            AS BIGINT) AS new_col_rows,
+      |       CAST((SELECT SUM(user_id) FROM oldq) +
+      |            (SELECT SUM(user_id) FROM nw WHERE event_id // 6000 = 1)
+      |            AS BIGINT) AS old_col_uid_sum""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_pevo")
+    val root = s"$work/t"
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 60000L)
+        .select(col("event_id"), col("user_id"),
+          (col("event_id") / 6000).cast("bigint").as("eid_bucket"),
+          (col("user_id") % 8).as("uid_bucket"))
+      // era 1: partitioned by event-id decile buckets (10 segments)
+      val (_, nOld) = VersionedTable.createPartitioned(s, root,
+        e.where(col("event_id") % 2 === 0), "eid_bucket")
+      // era 2 — the SPEC CHANGE: same table, new batches lay out by
+      // user-id residue (8 segments); old segments untouched
+      val (_, nNew) = VersionedTable.appendPartitioned(s, root,
+        e.where(col("event_id") % 2 === 1), "uid_bucket")
+      // segment counts follow the data's bucket domains (sf-dependent for
+      // the event-id deciles; user residues always cover 0..7)
+      require(nOld >= 2 && nNew == 8,
+        s"unexpected layout: $nOld old-spec + $nNew new-spec segments")
+      // pruning on the OLD spec column: exactly 1 old-era segment + all
+      // 8 new-era segments (conservative — they carry no eid_bucket stat)
+      val oldQ = VersionedTable.resolveSegments(s, root, "eid_bucket", 1.0, 1.0)
+      require(oldQ.length == 1 + nNew,
+        s"old-spec prune opened ${oldQ.length} segments, expected ${1 + nNew}")
+      // and symmetrically on the NEW spec column
+      val newQ = VersionedTable.resolveSegments(s, root, "uid_bucket", 5.0, 5.0)
+      require(newQ.length == nOld + 1,
+        s"new-spec prune opened ${newQ.length} segments, expected ${nOld + 1}")
+      val headRows = VersionedTable.read(s, root).count()
+      val oldRead = VersionedTable.readPruned(s, root, "eid_bucket", 1.0, 1.0)
+      val oAgg = oldRead.agg(count(lit(1)), sum("user_id").cast("bigint")).head()
+      val newRows = VersionedTable.readPruned(s, root, "uid_bucket", 5.0, 5.0)
+        .count()
+      import s.implicits._
+      Seq((headRows, oAgg.getLong(0), newRows, oAgg.getLong(1)))
+        .toDF("head_rows", "old_col_rows", "new_col_rows", "old_col_uid_sum")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
-    versionedRename,
+    versionedRename, partitionEvolution,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
     versionedMerge, versionedCompact, versionedForget, incrementalRead,
