@@ -163,7 +163,8 @@ class OracleLintSpec extends AnyFunSuite with Matchers {
       "a36_versioned_merge", "a38_versioned_compact", "a39_versioned_forget",
       "a40_incremental_read", "a41_mor_delete", "a42_mor_upsert",
       "a43_changelog_apply", "a45_versioned_schema_evolution",
-      "a46_binpack_compact")
+      "a46_binpack_compact", "a48_versioned_rename",
+      "a49_partition_evolution", "s30_stream_schema_drift")
     val unordered = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
       case (name, sql)
           if !sql.toUpperCase.contains("ORDER BY") && !singleRow(name) =>
