@@ -2799,9 +2799,52 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** O44 — EQUI-DEPTH HISTOGRAM (the optimizer-statistics / data-profile
+    * primitive a18's equi-WIDTH histogram cannot replace when the
+    * distribution is skewed: equal ROW mass per bucket, not equal value
+    * span). Bucket edges are the exact order statistics at ranks
+    * ⌊k·n/8⌋, found by [[graft.operators.ExactQuantile]]'s distributed
+    * bit-histogram descent over the IEEE-754 order map — never a global
+    * sort; the oracle IS the naive ROW_NUMBER selection, proving the
+    * descent exact. Bucketing is then one scan pass (7 literal
+    * comparisons per row) + one 8-group aggregate; per-bucket lo/hi are
+    * stored parquet elements, so every output value hashes
+    * bit-identically in both engines. */
+  val o44EquiDepthHistogram: Reg = Reg.sql(
+    "o44_equi_depth_histogram",
+    """WITH v AS (SELECT l_extendedprice AS v FROM lineitem
+      |           WHERE l_extendedprice IS NOT NULL),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+      |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v),
+      |e AS (SELECT k, (SELECT r.v FROM r, n WHERE r.rn = (k * n.n) // 8)
+      |               AS edge
+      |      FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) AS t(k)),
+      |b AS (SELECT v.v,
+      |        (SELECT COUNT(*) FROM e WHERE v.v > e.edge) AS bucket
+      |      FROM v)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       MIN(v) AS lo, MAX(v) AS hi
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val base = Tables.lineitem(s, dir)
+      .where(col("l_extendedprice").isNotNull)
+      .select(col("l_extendedprice").as("v"))
+    val n = base.count()
+    val edges = graft.operators.ExactQuantile.valueAtRanksDouble(
+      base, "v", (1L to 7L).map(k => (k * n) / 8))
+    val bucket = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col("v") > lit(e), 1).otherwise(0)
+    }
+    base.withColumn("bucket", bucket.cast("bigint"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("bigint").as("cnt"),
+        min("v").as("lo"), max("v").as("hi"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Reg] = Seq(
     o38HierarchyRollup, o39GroupOls, j17IntervalAlign, o40Winsorize,
-    o41BfsLevels, o42TheilSen, o43TimeWeightedAvg,
+    o41BfsLevels, o42TheilSen, o43TimeWeightedAvg, o44EquiDepthHistogram,
     a33SkewReport, c9PointInPolygon, c10PolygonArea, o37SlidingDistinct,
     o31ExactMedian, o32ExactMedianDouble, o33GroupMedian, o34GroupQuantiles,
     o35GroupMode, o36WeightedMedian,
