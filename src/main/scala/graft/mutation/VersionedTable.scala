@@ -334,6 +334,81 @@ object VersionedTable {
     Segment(name, stats, keys = keys)
   }
 
+  /** RESTORE (Delta's `RESTORE TABLE ... VERSION AS OF` substance): commit
+    * a NEW version whose read equals `toVersion`'s exactly — the target's
+    * segment entries carried verbatim (seqs intact, so equality-delete
+    * scoping replays identically) under the target's rename chain (so
+    * every segment resolves to the schema names that snapshot served) —
+    * while the HEAD's idempotence fences carry forward: rolling back data
+    * must never roll back replay protection, or the next streaming batch
+    * would double-apply. Rollback is one manifest write that touches no
+    * data file, and the bad intermediate versions stay time-travel-
+    * readable for audit until expired. */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val head = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no version 0"))
+    require(toVersion <= head,
+      s"cannot restore $root to unborn version $toVersion (head $head)")
+    val segs = segmentsOf(spark, root, toVersion) // throws if expired
+    val fences = fencesOf(spark, root, head)
+    val renames = renamesOf(spark, root, toVersion)
+    val v = head + 1
+    val header = fences.toSeq.sortBy(_._1).map {
+      case ("", id)  => s"#fence=$id\n"
+      case (app, id) => s"#fence=$app:$id\n"
+    }.mkString + renames.map {
+      case (rv, from, to) => s"#rename=$rv:$from:$to\n"
+    }.mkString
+    publishManifest(spark, root, v,
+      header + segs.map(renderSegment).mkString("\n") + "\n")
+    v
+  }
+
+  /** ORPHAN-FILE cleanup (Iceberg's `remove_orphan_files` substance):
+    * delete everything under `root` that no manifest of ANY retained
+    * version references. Crashed writers leave `.stage_*` directories and
+    * written-but-never-committed `seg_`/`del_` segments behind (a losing
+    * commit race leaves the same debt), and derived bloom sidecars can
+    * outlive their segment. Distinct from [[expireSnapshots]], which
+    * retires SNAPSHOTS — this never touches a manifest or anything one
+    * references. Only entries older than `olderThanMs` are deleted, so a
+    * cleanup racing a live writer never removes its about-to-commit
+    * segment. Returns the deleted names, sorted. */
+  def removeOrphans(
+      spark: SparkSession, root: String, olderThanMs: Long = 0L): Seq[String] = {
+    val f = fs(spark, root)
+    val dir = logDir(root)
+    if (!f.exists(dir)) return Nil // not a versioned table: refuse to guess
+    val vs = f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong
+      }
+    val live = vs.flatMap(segmentsOf(spark, root, _).map(_.name)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val dead = f.listStatus(new Path(root))
+      .filter { st =>
+        val n = st.getPath.getName
+        val orphan =
+          ((n.startsWith("seg_") || n.startsWith("del_")) && !live(n)) ||
+            n.startsWith(".stage_")
+        orphan && st.getModificationTime <= cutoff
+      }
+      .map(_.getPath)
+    dead.foreach(f.delete(_, true))
+    val bloomDir = new Path(root, "_blooms")
+    val deadBlooms =
+      if (!f.exists(bloomDir)) Array.empty[Path]
+      else f.listStatus(bloomDir).filter { st =>
+        // sidecar name grammar: <segment>.<col>.bloom; segment names hold
+        // no dots, so the first dot splits exactly
+        val seg = st.getPath.getName.takeWhile(_ != '.')
+        !live(seg) && st.getModificationTime <= cutoff
+      }.map(_.getPath)
+    deadBlooms.foreach(f.delete(_, false))
+    (dead.map(_.getName) ++ deadBlooms.map(p => s"_blooms/${p.getName}"))
+      .toSeq.sorted
+  }
+
   /** Create the table at version 0 with `df`'s rows. */
   def create(spark: SparkSession, root: String, df: DataFrame,
       statCols: Seq[String] = Nil): Long = {

@@ -1945,7 +1945,149 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A50 — RESTORE: rollback-as-a-new-commit (Delta's `RESTORE TABLE`,
+    * Iceberg's rollback). A bad copy-on-write job (v2 over-deletes with a
+    * wrong predicate) is undone by [[graft.mutation.VersionedTable.restore]]
+    * committing v3 = v1's segment list verbatim — one manifest write, zero
+    * data files touched (the query `require`s the restored manifest's
+    * segment names+seqs equal the target's exactly), the bad v2 stays
+    * time-travel-readable for audit, and the table keeps accepting appends
+    * on top of the restored lineage (v4). Every emitted count is a closed
+    * form over orders, so the oracle pins each snapshot's exact content.
+    *
+    * Scale: rollback of a 100 TB table costs one manifest write; the
+    * mistake's blast radius is audit history, not a rewrite. */
+  val versionedRestore: Reg = Reg.sql(
+    "a50_restore",
+    """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderkey % 4 AS m
+      |           FROM orders),
+      |v0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o WHERE m IN (0, 1)),
+      |v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o WHERE m IN (0, 1, 2)),
+      |v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o WHERE m IN (0, 1, 2) AND c % 7 <> 2),
+      |v4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o)
+      |SELECT 'v0' AS snapshot, n AS rows_n, s AS custkey_sum FROM v0
+      |UNION ALL SELECT 'v1', n, s FROM v1
+      |UNION ALL SELECT 'v2_bad', n, s FROM v2
+      |UNION ALL SELECT 'v3_restored', n, s FROM v1
+      |UNION ALL SELECT 'v4_appended', n, s FROM v4
+      |ORDER BY snapshot""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_restore")
+    val root = s"$work/t"
+    try {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          (col("o_orderkey") % 4).as("m"))
+      VersionedTable.create(s, root, o.where(col("m").isin(0, 1)),
+        statCols = Seq("m"))
+      VersionedTable.append(s, root, o.where(col("m") === 2),
+        statCols = Seq("m"))
+      // the incident: a correction job ships the WRONG predicate and
+      // copy-on-writes away every c%7==2 row (v2)
+      VersionedTable.replace(s, root,
+        VersionedTable.read(s, root).where(!(col("c") % 7 === 2)))
+      val v3 = VersionedTable.restore(s, root, 1L)
+      require(v3 == 3L, s"restore committed v$v3, expected v3")
+      // rollback must be METADATA-ONLY: the restored manifest carries the
+      // target's segment entries verbatim (names AND seqs — delete scoping
+      // must replay identically)
+      val want = VersionedTable.segmentsOf(s, root, 1L).map(g => (g.name, g.seq))
+      val got = VersionedTable.segmentsOf(s, root, 3L).map(g => (g.name, g.seq))
+      require(got == want, s"restore rewrote the manifest: $got != $want")
+      // the restored lineage keeps accepting appends
+      VersionedTable.append(s, root, o.where(col("m") === 3),
+        statCols = Seq("m"))
+      def stat(v: Long): (Long, Long) = {
+        val r = VersionedTable.read(s, root, Some(v))
+          .agg(count(lit(1)), sum("c").cast("bigint")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (n0, s0) = stat(0); val (n1, s1) = stat(1); val (n2, s2) = stat(2)
+      val (n3, s3) = stat(3); val (n4, s4) = stat(4)
+      import s.implicits._
+      Seq(("v0", n0, s0), ("v1", n1, s1), ("v2_bad", n2, s2),
+        ("v3_restored", n3, s3), ("v4_appended", n4, s4))
+        .toDF("snapshot", "rows_n", "custkey_sum")
+        .orderBy("snapshot")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
+  /** A51 — ORPHAN-FILE vacuum (Iceberg's `remove_orphan_files`): crashed
+    * writers leave segments written but never committed, `.stage_*`
+    * directories from killed partitioned layouts, and bloom sidecars
+    * without a segment — debt that NO snapshot references, so
+    * expire-snapshots can never collect it. The query plants exactly one
+    * of each (plus a sidecar for a LIVE segment that must survive),
+    * proves the age guard refuses young files (a cleanup racing a live
+    * writer must not eat its about-to-commit segment), then vacuums and
+    * `require`s the deleted set is exactly the planted one, byte-count
+    * gates that both snapshots still read identically. All emitted
+    * numbers are closed forms / stated constants for the oracle.
+    *
+    * Scale: the scan is one directory listing + manifest union — metadata-
+    * sized; deletes are O(orphans). */
+  val orphanVacuum: Reg = Reg.sql(
+    "a51_orphan_vacuum",
+    """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderkey % 4 AS m
+      |           FROM orders),
+      |v0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o WHERE m = 0),
+      |v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o WHERE m IN (0, 1))
+      |SELECT 'age_guarded' AS step, CAST(0 AS BIGINT) AS rows_n,
+      |       CAST(3 AS BIGINT) AS aux
+      |UNION ALL SELECT 'v0_after', n, s FROM v0
+      |UNION ALL SELECT 'v1_after', n, s FROM v1
+      |UNION ALL SELECT 'vacuumed', CAST(3 AS BIGINT), CAST(1 AS BIGINT)
+      |ORDER BY step""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_orphan")
+    val root = s"$work/t"
+    try {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          (col("o_orderkey") % 4).as("m"))
+      VersionedTable.create(s, root, o.where(col("m") === 0), statCols = Seq("m"))
+      VersionedTable.append(s, root, o.where(col("m") === 1), statCols = Seq("m"))
+      val liveSeg = VersionedTable.segmentsOf(s, root, 1L).head.name
+      // plant the three orphan classes a real incident leaves behind
+      val orphanSeg = "seg_orphan" + java.util.UUID.randomUUID().toString.replace("-", "")
+      o.where(col("m") === 2).write.parquet(s"$root/$orphanSeg")
+      o.limit(1).write.parquet(s"$root/.stage_crashed/__p=0")
+      val blooms = new java.io.File(s"$root/_blooms")
+      blooms.mkdirs()
+      Files.writeString(blooms.toPath.resolve(s"$orphanSeg.k.bloom"), "x")
+      Files.writeString(blooms.toPath.resolve(s"$liveSeg.k.bloom"), "x")
+      // age guard: everything just planted is YOUNG — a retention window
+      // must protect it (the concurrent-writer race)
+      val guarded = VersionedTable.removeOrphans(s, root, olderThanMs = 3600000L)
+      require(guarded.isEmpty, s"age guard failed, deleted: $guarded")
+      val deleted = VersionedTable.removeOrphans(s, root)
+      val want = Seq(".stage_crashed", s"_blooms/$orphanSeg.k.bloom", orphanSeg).sorted
+      require(deleted == want, s"vacuum deleted $deleted, wanted $want")
+      require(new java.io.File(blooms, s"$liveSeg.k.bloom").exists(),
+        "vacuum ate the live segment's sidecar")
+      def stat(v: Long): (Long, Long) = {
+        val r = VersionedTable.read(s, root, Some(v))
+          .agg(count(lit(1)), sum("c").cast("bigint")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (n0, s0) = stat(0); val (n1, s1) = stat(1)
+      import s.implicits._
+      Seq(("age_guarded", guarded.length.toLong, 3L),
+        ("v0_after", n0, s0), ("v1_after", n1, s1),
+        ("vacuumed", deleted.length.toLong, 1L))
+        .toDF("step", "rows_n", "aux")
+        .orderBy("step")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
+    versionedRestore, orphanVacuum,
     versionedRename, partitionEvolution,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,

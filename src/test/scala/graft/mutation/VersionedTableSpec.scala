@@ -342,4 +342,59 @@ class VersionedTableSpec extends AnyFunSuite with Matchers with SparkSuite {
     VersionedTable.append(spark, root, df(3)) shouldBe 2L
     idsAt(root, 2) shouldBe Set(1L, 2L, 3L)
   }
+
+  test("restore rolls back data but NEVER replay protection (fences carry)") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1))
+    VersionedTable.appendFenced(spark, root, df(2), batchId = 7L) shouldBe Some(1L)
+    // the incident: a bad replace wipes everything but id=1
+    VersionedTable.replace(spark, root,
+      VersionedTable.read(spark, root).where(F.col("id") === 1))
+    VersionedTable.restore(spark, root, 1L) shouldBe 3L
+    idsAt(root, 3) shouldBe Set(1L, 2L)
+    // fence survived the rollback: batch 7's replay is still dropped
+    VersionedTable.currentFence(spark, root) shouldBe Some(7L)
+    VersionedTable.appendFenced(spark, root, df(9), batchId = 7L) shouldBe None
+    VersionedTable.appendFenced(spark, root, df(9), batchId = 8L) shouldBe Some(4L)
+    idsAt(root, 4) shouldBe Set(1L, 2L, 9L)
+  }
+
+  test("restore to a pre-rename snapshot serves that snapshot's schema") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))
+    VersionedTable.renameColumn(spark, root, "id", "uid") shouldBe 1L
+    VersionedTable.append(spark, root, {
+      import spark.implicits._
+      Seq(3L).toDF("uid")
+    }) shouldBe 2L
+    VersionedTable.restore(spark, root, 0L) shouldBe 3L
+    // the restored head reads under the names v0 was committed with
+    VersionedTable.read(spark, root).columns.toSeq shouldBe Seq("id")
+    idsAt(root, 3) shouldBe Set(1L, 2L)
+    // and the renamed intermediate stays readable under ITS names
+    VersionedTable.read(spark, root, Some(2L)).columns.toSeq shouldBe Seq("uid")
+  }
+
+  test("removeOrphans deletes exactly the unreferenced debt, never live data") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))
+    VersionedTable.append(spark, root, df(3))
+    // orphan: a segment written by a writer that died before committing
+    df(99).write.parquet(s"$root/seg_orphandead")
+    // young-file age guard protects a concurrent writer's staged segment
+    VersionedTable.removeOrphans(spark, root, olderThanMs = 3600000L) shouldBe Nil
+    VersionedTable.removeOrphans(spark, root) shouldBe Seq("seg_orphandead")
+    // every snapshot still reads exactly
+    idsAt(root, 0) shouldBe Set(1L, 2L)
+    idsAt(root, 1) shouldBe Set(1L, 2L, 3L)
+    // idempotent: nothing left to collect
+    VersionedTable.removeOrphans(spark, root) shouldBe Nil
+  }
+
+  test("removeOrphans refuses to guess on a non-versioned directory") {
+    val dir = graft.Scratch.dir("graft_orphan_spec") + "/plain"
+    df(1).write.parquet(s"$dir/seg_lookslikeone")
+    VersionedTable.removeOrphans(spark, dir) shouldBe Nil
+    spark.read.parquet(s"$dir/seg_lookslikeone").count() shouldBe 1L
+  }
 }
