@@ -15,12 +15,11 @@ import graft.Tables
   *    (floor division everywhere) so the fixpoint math is order-free and
   *    bit-identical in both engines — the same discipline that made the
   *    kmeans/PQ codebooks oracle-able.
-  *  - O46 triangle counting — compact-forward with DEGREE-ORDERED edge
-  *    orientation (each edge points low-(deg,id) → high-(deg,id)), which
-  *    bounds per-node wedge generation by out-degree ≤ O(√m) instead of the
-  *    raw degree: the hub that makes id-oriented counting blow up at scale
-  *    generates no wedges at all. The count is orientation-invariant, so the
-  *    DuckDB oracle uses the simple id-ordered join.
+  *  - O46 bounded-hop weighted shortest paths — k-round Bellman–Ford, the
+  *    min-plus counterpart of o41's BFS (whose frontier trick no longer
+  *    applies once weights make already-settled distances improvable).
+  *    Triangle counting is deliberately absent: `llm_link_triangles`
+  *    already carries the degree-oriented compact-forward form.
   *  - O47 correlation matrix — all pairwise Pearson correlations in ONE
   *    aggregate pass: per-row products on the exact cents lattice, sums in
   *    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so the co-moments are exact
@@ -101,75 +100,64 @@ object GraphStatsQueries {
       .orderBy("node")
   }
 
-  /** O46 — triangle counting by compact-forward over a DEGREE-ORDERED
-    * orientation. Undirected edges come from the o45/o41 generator plus the
-    * u—2u+1 arc (which closes the {u, 2u, 2u+1} triangle for every u, so the
-    * graph has a linearly-scaling triangle population while staying sparse).
-    * Each edge is oriented from its low-(deg,id) endpoint to its
-    * high-(deg,id) endpoint; wedges enumerate only out-neighbor pairs of the
-    * ORIENTED adjacency (per-node work min(deg)², never hub-degree²) and
-    * close against the oriented edge set — one self-join plus one equi-join,
-    * all shuffles on node keys. The count is orientation-invariant, so the
-    * oracle recounts with the plain id-ordered 3-way join. Wedge and
-    * clustering numbers are pure integer forms over the degree frame. */
-  val o46TriangleCount: Reg = Reg.sql(
-    "o46_triangle_count",
-    """WITH users AS (SELECT DISTINCT user_id AS u FROM events WHERE user_id >= 1),
-      |e AS (
-      |  SELECT a.u AS x, b.u AS y FROM users a JOIN users b ON b.u = a.u + 1
-      |  UNION SELECT a.u, b.u FROM users a JOIN users b ON b.u = 2 * a.u
-      |  UNION SELECT a.u, b.u FROM users a JOIN users b ON b.u = 2 * a.u + 1),
-      |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d
-      |        FROM (SELECT x AS n FROM e UNION ALL SELECT y FROM e) GROUP BY n),
-      |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
-      |        FROM e e1 JOIN e e2 ON e2.x = e1.y
-      |                  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
-      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-      |               CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
-      |               CAST(MAX(d) AS BIGINT) AS max_degree
-      |        FROM deg)
-      |SELECT a.n_nodes,
-      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
-      |       a.n_wedges, t.t AS n_triangles, a.max_degree,
-      |       CAST((3 * t.t * 1000000) // a.n_wedges AS BIGINT) AS cc_micro
-      |FROM agg a, tri t""".stripMargin) { (s, dir) =>
+  /** O46 — bounded-hop WEIGHTED shortest paths (k-round Bellman–Ford):
+    * the min-plus counterpart of o41's unweighted BFS, and the primitive
+    * routing/attribution queries need when hops carry costs. (Triangle
+    * counting is deliberately NOT here — `llm_link_triangles` already
+    * carries the degree-oriented compact-forward implementation.) Each of
+    * the 24 rounds relaxes the FULL distance table through the edge list
+    * — one dist⋈edges equi-join plus a min-aggregate, the classic
+    * iterate-shuffle pair — so after round k the table holds the exact
+    * minimum cost over paths of ≤ k edges; 24 rounds IS the declared
+    * semantics (both engines state the same hop bound; nodes beyond it
+    * are absent from both). Weights `1 + src % 5` are integers, so every
+    * distance is exact. The oracle explores the same ≤24-hop path space
+    * with a recursive CTE whose UNION dedups (node, dist, hops) states —
+    * bounded because hop and weight domains are. At 100 TB the per-round
+    * cost is one edge-sized shuffle and the hop bound caps total work —
+    * the frontier trick (o41) does not apply once weights make old
+    * distances improvable. */
+  val o46BoundedSssp: Reg = Reg.sql(
+    "o46_bounded_sssp",
+    """WITH RECURSIVE users AS (
+      |  SELECT DISTINCT user_id AS u FROM events WHERE user_id >= 1),
+      |edges AS (
+      |  SELECT a.u AS src, b.u AS dst, 1 + a.u % 5 AS w
+      |  FROM users a JOIN users b ON b.u = a.u + 1
+      |  UNION ALL
+      |  SELECT a.u, b.u, 1 + a.u % 5 FROM users a JOIN users b ON b.u = 2 * a.u),
+      |walk(node, dist, hops) AS (
+      |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+      |  UNION
+      |  SELECT e.dst, wk.dist + e.w, wk.hops + 1
+      |  FROM walk wk JOIN edges e ON e.src = wk.node
+      |  WHERE wk.hops < 24)
+      |SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS BIGINT) AS dist
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
     val users = Tables.events(s, dir)
       .where(col("user_id") >= 1L)
       .select(col("user_id").as("u")).distinct().localCheckpoint()
-    def gen(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-      users.as("a").join(users.as("b"), col("b.u") === f(col("a.u")))
-        .select(col("a.u").as("x"), col("b.u").as("y"))
-    // u >= 1 makes every generated partner strictly larger, so (x, y) is
-    // already the canonical low-id/high-id undirected form
-    val und = gen(_ + 1).unionByName(gen(_ * 2)).unionByName(gen(c => c * 2 + 1))
-      .distinct().localCheckpoint()
-    val deg = und.select(col("x").as("n")).unionByName(und.select(col("y").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-    val withDeg = und
-      .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
-      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
-    val srcIsX = col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y"))
-    val oriented = withDeg.select(
-      when(srcIsX, col("x")).otherwise(col("y")).as("s"),
-      when(srcIsX, col("y")).otherwise(col("x")).as("t"),
-      when(srcIsX, col("dy")).otherwise(col("dx")).as("dt"))
+    val edges = users.as("a")
+      .join(users.as("b"), col("b.u") === col("a.u") + 1)
+      .select(col("a.u").as("src"), col("b.u").as("dst"),
+        (lit(1L) + col("a.u") % 5).as("w"))
+      .unionByName(users.as("a")
+        .join(users.as("b"), col("b.u") === col("a.u") * 2)
+        .select(col("a.u").as("src"), col("b.u").as("dst"),
+          (lit(1L) + col("a.u") % 5).as("w")))
       .localCheckpoint()
-    val p = oriented.select(col("s"), col("t").as("t1"), col("dt").as("d1"))
-    val q = oriented.select(col("s"), col("t").as("t2"), col("dt").as("d2"))
-    val wedgeCand = p.join(q, Seq("s"))
-      .where(col("d1") < col("d2") || (col("d1") === col("d2") && col("t1") < col("t2")))
-    val triangles = wedgeCand
-      .join(oriented.select(col("s").as("t1"), col("t").as("t2")), Seq("t1", "t2"))
-      .agg(count(lit(1)).as("t"))
-    val degAgg = deg.agg(
-      count(lit(1)).cast("bigint").as("n_nodes"),
-      sum(expr("d * (d - 1) div 2")).cast("bigint").as("n_wedges"),
-      max("d").cast("bigint").as("max_degree"))
-    val edgeCnt = und.agg(count(lit(1)).cast("bigint").as("n_edges"))
-    degAgg.crossJoin(edgeCnt).crossJoin(triangles)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("t").cast("bigint").as("n_triangles"), col("max_degree"),
-        expr("cast((3 * t * 1000000) div n_wedges as bigint)").as("cc_micro"))
+    import s.implicits._
+    var dist = Seq((1L, 0L)).toDF("node", "dist").localCheckpoint()
+    for (_ <- 1 to 24) {
+      val relaxed = dist.join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.select(col("node").cast("bigint").as("node"),
+      col("dist").cast("bigint").as("dist"))
+      .orderBy("node")
   }
 
   /** O47 — the full pairwise Pearson correlation matrix of lineitem's four
@@ -313,5 +301,5 @@ object GraphStatsQueries {
       .orderBy("ta", "tb")
   }
 
-  val all: Seq[Reg] = Seq(o45Pagerank, o46TriangleCount, o47CorrMatrix, o48MannWhitney)
+  val all: Seq[Reg] = Seq(o45Pagerank, o46BoundedSssp, o47CorrMatrix, o48MannWhitney)
 }

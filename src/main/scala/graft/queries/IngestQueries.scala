@@ -1750,11 +1750,84 @@ object IngestQueries {
     }
   }
 
+  /** S31 — streaming TOP-K maintenance (the live leaderboard / trending
+    * shape): per-event-type top-3 users by lifetime event count, exact
+    * across micro-batches. Each trigger folds only ITS batch's
+    * (type, user) partial counts into versioned count state — a
+    * fresh-directory write per batch, never an in-place overwrite (the
+    * MergeOps crash-safety rule) — and the ranking is evaluated ONCE at
+    * read time from the merged state, so per-batch cost is
+    * O(batch + state), never a re-rank of history. State is bounded by
+    * the (type, user) ENTITY domain, not the row count — a billion events
+    * over a million users is a million state rows; when even that is too
+    * big, the batch CMS/heavy-hitter sketches (o11/o26) are the
+    * documented fallback, traded exactness and all. Tie-break is total
+    * (count DESC, user ASC), so the oracle's ROW_NUMBER reproduces the
+    * ranking bit-for-bit. */
+  val streamTopk: Reg = Reg.sql(
+    "s31_stream_topk",
+    """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      |           FROM events WHERE event_id < 50000 GROUP BY 1, 2),
+      |r AS (SELECT event_type, user_id, cnt,
+      |             ROW_NUMBER() OVER (PARTITION BY event_type
+      |                                ORDER BY cnt DESC, user_id) AS rnk
+      |      FROM c)
+      |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id, cnt
+      |FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin) { (s, dir) =>
+    val work = graft.Scratch.dir("graft_stopk")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val src = work + "/in"
+      Tables.events(s, dir).where(col("event_id") < 50000L)
+        .select("event_type", "user_id")
+        .repartition(2).write.parquet(src)
+      @volatile var version = -1L
+      val stateDir = (v: Long) => s"$work/state_v$v"
+      val schema = s.read.parquet(src).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            val part = batch.groupBy("event_type", "user_id")
+              .agg(count(lit(1)).as("cnt"))
+            val merged =
+              if (version < 0) part
+              else batch.sparkSession.read.parquet(stateDir(version))
+                .unionByName(part)
+                .groupBy("event_type", "user_id")
+                .agg(sum("cnt").as("cnt"))
+            merged.write.parquet(stateDir(id))
+            version = id
+            ()
+        }
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("cnt").desc, col("user_id"))
+      val out = s.read.parquet(stateDir(version))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .where(col("rnk") <= 3)
+        .select(col("event_type"), col("rnk"), col("user_id"),
+          col("cnt").cast("bigint").as("cnt"))
+        .orderBy("event_type", "rnk")
+      // 15-row leaderboard: materialize so the scratch dir can go now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
       batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals, streamTimers,
       foreachBatchUpsert, streamMedian, streamQuantiles, streamDrift,
       streamScd2, streamVersionLog, streamCompactedLog, streamMorCdc,
-      streamSchemaDrift)
+      streamSchemaDrift, streamTopk)
 }

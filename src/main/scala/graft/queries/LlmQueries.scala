@@ -3928,7 +3928,90 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** ROUGE n-gram recall between candidate/reference pairs — the EVAL
+    * metric of summarization/distillation pipelines (and the "is the
+    * model parroting its source" memorization probe), absent from the
+    * dedup family because ROUGE counts are CLIPPED MULTISET overlaps
+    * (Σ min(count_cand, count_ref)), not the set intersections Jaccard
+    * and containment use. Grams collapse to per-doc (gram, count) frames
+    * first, so the pair stage is a grouped equi-join on (pair, gram) —
+    * any candidate generator plugs in where the adjacency pairing stands
+    * (the llm_token_jaccard gate-pair discipline); reference-side totals
+    * are per-doc aggregates computed once, never per pair. ROUGE-1 and
+    * ROUGE-2 recalls are integer micros ((match·1e6) div ref_total);
+    * references too short to have bigrams drop from BOTH engines by the
+    * same inner join. */
+  val rougeOverlap: Reg = Reg.sql(
+    "llm_rouge_overlap",
+    """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      |              FROM documents),
+      |uni AS (SELECT doc_id, u.g AS g, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM toks, UNNEST(t) AS u(g) GROUP BY 1, 2),
+      |big AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g,
+      |               CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+      |        GROUP BY 1, 2),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+      |m1 AS (SELECT p.id_a, SUM(LEAST(ua.c, ub.c)) AS m FROM p
+      |       JOIN uni ua ON ua.doc_id = p.id_a
+      |       JOIN uni ub ON ub.doc_id = p.id_b AND ub.g = ua.g
+      |       GROUP BY 1),
+      |m2 AS (SELECT p.id_a, SUM(LEAST(ba.c, bb.c)) AS m FROM p
+      |       JOIN big ba ON ba.doc_id = p.id_a
+      |       JOIN big bb ON bb.doc_id = p.id_b AND bb.g = ba.g
+      |       GROUP BY 1),
+      |t1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot FROM uni GROUP BY 1),
+      |t2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot FROM big GROUP BY 1)
+      |SELECT p.id_a, p.id_b,
+      |       CAST(COALESCE(m1.m, 0) AS BIGINT) AS r1_match, t1.tot AS r1_total,
+      |       CAST((COALESCE(m1.m, 0) * 1000000) // t1.tot AS BIGINT) AS rouge1_micro,
+      |       CAST(COALESCE(m2.m, 0) AS BIGINT) AS r2_match, t2.tot AS r2_total,
+      |       CAST((COALESCE(m2.m, 0) * 1000000) // t2.tot AS BIGINT) AS rouge2_micro
+      |FROM p JOIN t1 ON t1.doc_id = p.id_b
+      |       JOIN t2 ON t2.doc_id = p.id_b
+      |       LEFT JOIN m1 ON m1.id_a = p.id_a
+      |       LEFT JOIN m2 ON m2.id_a = p.id_a
+      |ORDER BY p.id_a""".stripMargin) { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+      .localCheckpoint()
+    val uni = toks.select(col("doc_id"), explode(col("t")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val big = toks.select(col("doc_id"), explode(expr(
+      "CASE WHEN size(t) >= 2 THEN " +
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i - 1], ' ', t[i])) " +
+        "ELSE array() END")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val p = ids.select(col("doc_id").as("id_a"))
+      .join(ids.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 1)
+    def matches(grams: org.apache.spark.sql.DataFrame, name: String) =
+      p.join(grams.select(col("doc_id").as("id_a"), col("g"), col("c").as("ca")), "id_a")
+        .join(grams.select(col("doc_id").as("id_b"), col("g"), col("c").as("cb")),
+          Seq("id_b", "g"))
+        .groupBy("id_a").agg(sum(least(col("ca"), col("cb"))).as(name))
+    def totals(grams: org.apache.spark.sql.DataFrame, name: String) =
+      grams.groupBy(col("doc_id").as("id_b"))
+        .agg(sum("c").cast("bigint").as(name))
+    p.join(totals(uni, "r1_total"), "id_b")
+      .join(totals(big, "r2_total"), "id_b")
+      .join(matches(uni, "m1"), Seq("id_a"), "left")
+      .join(matches(big, "m2"), Seq("id_a"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("m1"), lit(0L)).cast("bigint").as("r1_match"),
+        col("r1_total"),
+        expr("cast((coalesce(m1, cast(0 as bigint)) * 1000000) div r1_total as bigint)")
+          .as("rouge1_micro"),
+        coalesce(col("m2"), lit(0L)).cast("bigint").as("r2_match"),
+        col("r2_total"),
+        expr("cast((coalesce(m2, cast(0 as bigint)) * 1000000) div r2_total as bigint)")
+          .as("rouge2_micro"))
+      .orderBy("id_a")
+  }
+
   lazy val all: Seq[Reg] = Seq(
+    rougeOverlap,
     cdcChunks, editDistanceDedup, wordKlBySource,
     streamNearDup, incrementalClusters, datasetCard, shardAssign, dupSpanStrip,
     curationFunnel, communityLpa, dupSpanCoverage,
