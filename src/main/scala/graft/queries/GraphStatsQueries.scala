@@ -10,11 +10,12 @@ import graft.Tables
   * statistics — the remaining classic distributed-engine primitives next to
   * o38's closure and o41's BFS.
   *
-  *  - O45 PageRank — THE iterative shuffle benchmark: k rounds of
-  *    (ranks ⋈ edges → groupBy dst). Ranks live on an integer micro-lattice
-  *    (floor division everywhere) so the fixpoint math is order-free and
-  *    bit-identical in both engines — the same discipline that made the
-  *    kmeans/PQ codebooks oracle-able.
+  *  - O45 multi-touch attribution — linear credit assignment of conversion
+  *    value across the preceding touchpoint window, exact on the integer
+  *    cents lattice (div + remainder-to-last-touch, so credits sum to the
+  *    conversion value); the touch⋈conversion stage is a user-co-located
+  *    band join. PageRank is deliberately absent: `llm_linkrank` already
+  *    carries the integer-lattice power iteration.
   *  - O46 bounded-hop weighted shortest paths — k-round Bellman–Ford, the
   *    min-plus counterpart of o41's BFS (whose frontier trick no longer
   *    applies once weights make already-settled distances improvable).
@@ -35,69 +36,75 @@ import graft.Tables
   */
 object GraphStatsQueries {
 
-  /** O45 — PageRank by power iteration on an integer micro-lattice.
-    * Node set is data-driven (distinct event users); the edge overlay is the
-    * deterministic u→u+1 / u→2u generator shared with o41 so both engines
-    * build the identical graph. Each of the 4 rounds is one ranks⋈edges
-    * equi-join plus a groupBy(dst) sum — the canonical iterate-shuffle shape;
-    * `localCheckpoint` keeps the plan flat across rounds. Contributions are
-    * `rank div outdeg` and damping is `150000 + (85·Σ) div 100`, all integer
-    * floor ops on positive values, so the result is independent of both
-    * summation order and float rounding — dangling nodes simply leak mass,
-    * identically in both engines. At 100 TB the per-round cost is one
-    * edge-sized shuffle; AQE handles the hub skew the generator lacks. */
-  val o45Pagerank: Reg = Reg.sql(
-    "o45_pagerank",
-    """WITH users AS (SELECT DISTINCT user_id AS u FROM events WHERE user_id >= 1),
-      |edges AS (
-      |  SELECT a.u AS src, b.u AS dst FROM users a JOIN users b ON b.u = a.u + 1
-      |  UNION ALL
-      |  SELECT a.u, b.u FROM users a JOIN users b ON b.u = 2 * a.u),
-      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM edges GROUP BY src),
-      |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM users),
-      |c1 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS s FROM r0 r
-      |       JOIN edges e ON e.src = r.node JOIN deg d ON d.src = e.src GROUP BY e.dst),
-      |r1 AS (SELECT u.u AS node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
-      |       FROM users u LEFT JOIN c1 c ON c.node = u.u),
-      |c2 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS s FROM r1 r
-      |       JOIN edges e ON e.src = r.node JOIN deg d ON d.src = e.src GROUP BY e.dst),
-      |r2 AS (SELECT u.u AS node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
-      |       FROM users u LEFT JOIN c2 c ON c.node = u.u),
-      |c3 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS s FROM r2 r
-      |       JOIN edges e ON e.src = r.node JOIN deg d ON d.src = e.src GROUP BY e.dst),
-      |r3 AS (SELECT u.u AS node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
-      |       FROM users u LEFT JOIN c3 c ON c.node = u.u),
-      |c4 AS (SELECT e.dst AS node, SUM(r.r // d.od) AS s FROM r3 r
-      |       JOIN edges e ON e.src = r.node JOIN deg d ON d.src = e.src GROUP BY e.dst),
-      |r4 AS (SELECT u.u AS node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
-      |       FROM users u LEFT JOIN c4 c ON c.node = u.u)
-      |SELECT CAST(node AS BIGINT) AS node, r AS pr
-      |FROM r4 ORDER BY node""".stripMargin) { (s, dir) =>
-    val users = Tables.events(s, dir)
-      .where(col("user_id") >= 1L)
-      .select(col("user_id").as("node")).distinct().localCheckpoint()
-    val u2 = users.select(col("node").as("u"))
-    val rawEdges = u2.as("a")
-      .join(u2.as("b"), col("b.u") === col("a.u") + 1)
-      .select(col("a.u").as("src"), col("b.u").as("dst"))
-      .unionByName(u2.as("a")
-        .join(u2.as("b"), col("b.u") === col("a.u") * 2)
-        .select(col("a.u").as("src"), col("b.u").as("dst")))
-    val deg = rawEdges.groupBy("src").agg(count(lit(1)).as("od"))
-    val edges = rawEdges.join(deg, "src").localCheckpoint()
-    var ranks = users.withColumn("r", lit(1000000L))
-    for (_ <- 1 to 4) {
-      val contrib = ranks.join(edges, ranks("node") === edges("src"))
-        .select(col("dst").as("node"), expr("r div od").as("c"))
-        .groupBy("node").agg(sum("c").as("s"))
-      ranks = users.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          expr("cast(150000 + (85 * coalesce(s, cast(0 as bigint))) div 100 as bigint)")
-            .as("r"))
-        .localCheckpoint()
-    }
-    ranks.select(col("node").cast("bigint").as("node"), col("r").as("pr"))
-      .orderBy("node")
+  /** O45 — MULTI-TOUCH ATTRIBUTION (linear model): every purchase's value
+    * is split across the user's view/click touchpoints in the 7-day
+    * lookback window before it, each touch credited `cents div k` with the
+    * integer remainder going to the LAST touch (closest to conversion) —
+    * the credit ledger sums exactly to the attributed conversion value,
+    * no float leakage, both engines bit-identical. (PageRank is
+    * deliberately NOT here: `llm_linkrank` already carries the
+    * integer-lattice power iteration.) The touch⋈conversion stage is a
+    * user-key equi-join with a time-band predicate — the j7 band-join
+    * shape, co-located per user, fan-out bounded by a user's touches per
+    * week, never a cross join; last-touch selection is a max over the
+    * total (ts, event_id) order inside the per-purchase aggregate.
+    * Conversions with an empty window land in the `unattributed` bucket
+    * via one anti-join, so the output is a complete partition of the
+    * purchase value. */
+  val o45Attribution: Reg = Reg.sql(
+    "o45_attribution",
+    """WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pt,
+      |                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |           FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT event_id AS tid, user_id, event_type, epoch_us(ts) AS tt
+      |      FROM events WHERE event_type IN ('view', 'click')),
+      |j AS (SELECT p.pid, p.cents, t.tid, t.event_type, t.tt
+      |      FROM p JOIN t ON t.user_id = p.user_id
+      |                    AND t.tt < p.pt AND t.tt >= p.pt - 604800000000),
+      |k AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS k,
+      |             MAX(ROW(tt, tid)) AS last_t
+      |      FROM j GROUP BY pid),
+      |credit AS (
+      |  SELECT j.event_type,
+      |         j.cents // k.k +
+      |           CASE WHEN ROW(j.tt, j.tid) = k.last_t
+      |                THEN j.cents % k.k ELSE 0 END AS c
+      |  FROM j JOIN k ON k.pid = j.pid),
+      |touch AS (SELECT event_type AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |                 CAST(SUM(c) AS BIGINT) AS attributed_cents
+      |          FROM credit GROUP BY 1),
+      |un AS (SELECT 'unattributed' AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |              CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS attributed_cents
+      |       FROM p WHERE pid NOT IN (SELECT pid FROM k))
+      |SELECT * FROM touch UNION ALL SELECT * FROM un
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        unix_micros(col("ts")).as("pt"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+    val t = e.where(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("tid"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("tt"))
+    val j = p.join(t, Seq("user_id"))
+      .where(col("tt") < col("pt") && col("tt") >= col("pt") - 604800000000L)
+      .select(col("pid"), col("cents"), col("tid"), col("event_type"), col("tt"))
+      .localCheckpoint()
+    val k = j.groupBy("pid").agg(count(lit(1)).as("k"),
+      max(struct(col("tt"), col("tid"))).as("last_t"))
+    val credit = j.join(k, "pid")
+      .select(col("event_type"),
+        (expr("cents div k") +
+          when(struct(col("tt"), col("tid")) === col("last_t"),
+            col("cents") % col("k")).otherwise(lit(0L))).as("c"))
+    val touch = credit.groupBy(col("event_type").as("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum("c").cast("bigint").as("attributed_cents"))
+    val un = p.join(k.select(col("pid")), Seq("pid"), "left_anti")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        coalesce(sum("cents"), lit(0L)).cast("bigint").as("attributed_cents"))
+      .select(lit("unattributed").as("bucket"), col("n"), col("attributed_cents"))
+    touch.unionByName(un).orderBy("bucket")
   }
 
   /** O46 — bounded-hop WEIGHTED shortest paths (k-round Bellman–Ford):
@@ -301,5 +308,5 @@ object GraphStatsQueries {
       .orderBy("ta", "tb")
   }
 
-  val all: Seq[Reg] = Seq(o45Pagerank, o46BoundedSssp, o47CorrMatrix, o48MannWhitney)
+  val all: Seq[Reg] = Seq(o45Attribution, o46BoundedSssp, o47CorrMatrix, o48MannWhitney)
 }
