@@ -4010,8 +4010,86 @@ object LlmQueries {
       .orderBy("id_a")
   }
 
+  /** MMR diversity re-ranking (maximal marginal relevance) — the retrieval
+    * post-processor between ANN search and the context window: greedily
+    * pick the candidate maximizing λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s),
+    * so near-duplicate hits don't crowd out coverage. Five unrolled greedy
+    * rounds over a RERANK-SIZED candidate set (vec_id < 200 — MMR runs
+    * after retrieval truncates the corpus, which is what makes the
+    * quadratic max-sim term affordable; the corpus-sized stage stays ANN's
+    * problem). Every similarity is [[graft.llm.Similarity.cosine]], bit-
+    * compatible with DuckDB's list_cosine_similarity, and λ-blending uses
+    * identical literals, so the per-round argmax (score DESC, vec_id ASC)
+    * selects the identical element in both engines; the oracle replays the
+    * same five rounds as chained CTEs. Per round: one broadcast of the ≤4
+    * selected vectors, one max-aggregate over candidates — no corpus
+    * shuffle anywhere. */
+  val mmrRerank: Reg = {
+    def duckRound(i: Int): String = {
+      val prev = s"u${i - 1}"
+      s"""m$i AS (SELECT c.vec_id, MAX(list_cosine_similarity(c.e, s.e)) AS ms
+         |        FROM c, $prev s
+         |        WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |        GROUP BY c.vec_id),
+         |s$i AS (SELECT c.vec_id, c.e, 0.7 * c.rel - 0.3 * m$i.ms AS score
+         |        FROM c JOIN m$i ON m$i.vec_id = c.vec_id
+         |        ORDER BY score DESC, c.vec_id LIMIT 1),
+         |u$i AS (SELECT * FROM $prev UNION ALL SELECT vec_id, e, score FROM s$i)""".stripMargin
+    }
+    Reg.sql(
+      "llm_mmr_rerank",
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |             list_cosine_similarity(embedding::DOUBLE[], qe) AS rel
+         |      FROM embeddings, q WHERE vec_id >= 1 AND vec_id < 200),
+         |s1 AS (SELECT vec_id, e, 0.7 * rel AS score
+         |       FROM c ORDER BY score DESC, vec_id LIMIT 1),
+         |u1 AS (SELECT vec_id, e, score FROM s1),
+         |${duckRound(2)},
+         |${duckRound(3)},
+         |${duckRound(4)},
+         |${duckRound(5)}
+         |SELECT CAST(1 AS BIGINT) AS rnk, vec_id, ROUND(score, 6) AS score FROM s1
+         |UNION ALL SELECT 2, vec_id, ROUND(score, 6) FROM s2
+         |UNION ALL SELECT 3, vec_id, ROUND(score, 6) FROM s3
+         |UNION ALL SELECT 4, vec_id, ROUND(score, 6) FROM s4
+         |UNION ALL SELECT 5, vec_id, ROUND(score, 6) FROM s5
+         |ORDER BY rnk""".stripMargin) { (s, dir) =>
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val cand = emb.where(col("vec_id") >= 1 && col("vec_id") < 200)
+        .crossJoin(broadcast(q)) // 1-row query frame
+        .select(col("vec_id"), col("embedding").as("e"),
+          Similarity.cosine(col("embedding"), col("q_emb")).as("rel"))
+        .localCheckpoint()
+      var picks = cand
+        .select(lit(1L).as("rnk"), col("vec_id"), col("e"),
+          (lit(0.7) * col("rel")).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .localCheckpoint()
+      for (i <- 2 to 5) {
+        val sel = broadcast(
+          picks.select(col("vec_id").as("s_id"), col("e").as("s_e")))
+        val next = cand
+          .join(picks.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .crossJoin(sel) // ≤4-row selected frame, broadcast by construction
+          .groupBy("vec_id", "rel", "e")
+          .agg(max(Similarity.cosine(col("e"), col("s_e"))).as("ms"))
+          .select(lit(i.toLong).as("rnk"), col("vec_id"), col("e"),
+            (lit(0.7) * col("rel") - lit(0.3) * col("ms")).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(1)
+        picks = picks.unionByName(next).localCheckpoint()
+      }
+      picks.select(col("rnk"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+        .orderBy("rnk")
+    }
+  }
+
   lazy val all: Seq[Reg] = Seq(
-    rougeOverlap,
+    rougeOverlap, mmrRerank,
     cdcChunks, editDistanceDedup, wordKlBySource,
     streamNearDup, incrementalClusters, datasetCard, shardAssign, dupSpanStrip,
     curationFunnel, communityLpa, dupSpanCoverage,

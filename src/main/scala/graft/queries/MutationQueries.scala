@@ -2086,8 +2086,67 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** J19 — RUNTIME-FILTER segment pruning (the dynamic-partition-pruning
+    * substance on the versioned table): the fact side lands as one
+    * day-partitioned layout (each day's value IS its segment's exact
+    * manifest stat), the dim side's qualifying day range is NOT knowable
+    * at plan time — it is a one-row aggregate over the dim table computed
+    * at RUN time — and the fact scan then opens only the segments whose
+    * stats intersect that measured [lo, hi] (`resolveSegments` +
+    * `readPruned`, files-read gated: exactly 3 of 32 here). This is the
+    * join-sided pruning Iceberg/Delta get from DPP and Spark from
+    * runtime filters; on a 100 TB fact table the scan cost becomes the
+    * dim's day span, not the corpus. The oracle restates the whole join
+    * in closed form, so the pruned plan must also be CORRECT, not just
+    * small. */
+  val runtimePruneJoin: Reg = Reg.sql(
+    "j19_runtime_prune_join",
+    """WITH fact AS (
+      |  SELECT l_suppkey % 32 AS day, l_partkey AS bssid,
+      |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |dim AS (
+      |  SELECT 8 + s_suppkey % 3 AS day, s_suppkey
+      |  FROM supplier WHERE s_suppkey % 11 = 0),
+      |d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dim_n FROM dim GROUP BY day)
+      |SELECT f.day, CAST(COUNT(*) AS BIGINT) AS fact_rows,
+      |       CAST(SUM(f.cents) AS BIGINT) AS cents_sum, d.dim_n
+      |FROM fact f JOIN d ON d.day = f.day
+      |GROUP BY f.day, d.dim_n ORDER BY f.day""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_dpp")
+    val root = s"$work/t"
+    try {
+      val fact = Tables.lineitem(s, dir).select(
+        (col("l_suppkey") % 32).as("day"), col("l_partkey").as("bssid"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
+      val (_, nSegs) = VersionedTable.createPartitioned(s, root, fact, "day")
+      require(nSegs == 32, s"expected 32 day segments, got $nSegs")
+      val dim = Tables.supplier(s, dir)
+        .where(col("s_suppkey") % 11 === 0)
+        .select((lit(8) + col("s_suppkey") % 3).as("day"))
+      // the RUNTIME filter: dim bounds exist only after this aggregate runs
+      val b = dim.agg(min("day").cast("double"), max("day").cast("double")).head()
+      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      val opened = VersionedTable.resolveSegments(s, root, "day", lo, hi)
+      require(opened.length == 3,
+        s"runtime pruning failed: opened ${opened.length} of 32 segments")
+      val dimCnt = dim.groupBy("day").agg(count(lit(1)).as("dim_n"))
+      val out = VersionedTable.readPruned(s, root, "day", lo, hi)
+        .join(dimCnt, "day")
+        .groupBy("day", "dim_n")
+        .agg(count(lit(1)).cast("bigint").as("fact_rows"),
+          sum("cents").cast("bigint").as("cents_sum"))
+        .select(col("day"), col("fact_rows"), col("cents_sum"),
+          col("dim_n").cast("bigint").as("dim_n"))
+        .orderBy("day")
+      // 3-row rollup: materialize so the scratch dir can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
-    versionedRestore, orphanVacuum,
+    versionedRestore, orphanVacuum, runtimePruneJoin,
     versionedRename, partitionEvolution,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
