@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, BehaviorQueries, CoreQueries, CorpusModelQueries, GraphStatsQueries, HistoryQueries, IngestQueries, LlmQueries, LocalizeQueries, MutationQueries, Reg, ServeQueries, StarQueries, TokenizerQueries}
+import graft.queries.{AnalyticsQueries, BehaviorQueries, CoreQueries, CorpusModelQueries, GraphStatsQueries, HistoryQueries, IngestQueries, LlmQueries, LocalizeQueries, MutationQueries, Reg, RobustStatsQueries, ServeQueries, StarQueries, TokenizerQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
     CoreQueries.all ++ LlmQueries.all ++ LocalizeQueries.all ++ IngestQueries.all ++
       MutationQueries.all ++ ServeQueries.all ++ AnalyticsQueries.all ++
       StarQueries.all ++ BehaviorQueries.all ++ CorpusModelQueries.all ++
-      HistoryQueries.all ++ TokenizerQueries.all ++ GraphStatsQueries.all
+      HistoryQueries.all ++ TokenizerQueries.all ++ GraphStatsQueries.all ++
+      RobustStatsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY §7.3 minimum slice generalized: per-key sufficiency gate

@@ -80,9 +80,21 @@ object VersionedTable {
       * stats ⇒ true (never prune on absent information). */
     def mayIntersect(c: String, lo: Double, hi: Double): Boolean =
       stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
-    /** Equality-delete segment (key tuples), not a data segment. */
-    def isDelete: Boolean = name.startsWith("del_")
+    /** Equality-delete segment (key tuples), not a data segment. The
+      * check is on the BASENAME so external (absolute-path) references
+      * created by [[shallowClone]] keep their delete-ness. */
+    def isDelete: Boolean = VersionedTable.baseName(name).startsWith("del_")
   }
+
+  /** Last path component of a manifest entry — external references carry
+    * a full absolute path, local ones are already bare names. */
+  private[mutation] def baseName(n: String): String =
+    n.substring(n.lastIndexOf('/') + 1)
+
+  /** External manifest entry: resolved as-is, not relative to the table
+    * root (the [[shallowClone]] zero-copy reference form). */
+  private[mutation] def isExternal(n: String): Boolean =
+    n.startsWith("/") || n.contains(":/")
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -407,6 +419,51 @@ object VersionedTable {
     deadBlooms.foreach(f.delete(_, false))
     (dead.map(_.getName) ++ deadBlooms.map(p => s"_blooms/${p.getName}"))
       .toSeq.sorted
+  }
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` / Iceberg
+    * snapshot-ref substance): materialize the SOURCE snapshot's manifest
+    * into a brand-new table root BY REFERENCE — every source segment is
+    * recorded as an absolute external path, no data file is copied, and
+    * the clone costs ONE manifest write regardless of table size (a
+    * 100 TB table clones in milliseconds). The clone then evolves
+    * independently: appends/MERGE/MOR-deletes land under the clone's own
+    * root and never touch the source; equality deletes committed on the
+    * clone anti-join external segments exactly like local ones.
+    *
+    * The clone's FIRST version number is the cloned source version, so
+    * carried segment `seq` stamps (source commit versions) stay strictly
+    * below every future clone commit — delete/rename scoping stays sound
+    * without rewriting history. Fences are deliberately NOT carried (a
+    * clone is a fresh writer lineage); the rename chain IS (cloned
+    * segments keep their physical-era schemas).
+    *
+    * Caveat shared with Delta shallow clones: the source does not know
+    * its segments are referenced elsewhere, so [[expireSnapshots]] /
+    * [[removeOrphans]] on the SOURCE can invalidate clones. The clone's
+    * own vacuum is safe — it only ever deletes files under its root. */
+  def shallowClone(
+      spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Long] = None): Long = {
+    require(currentVersion(spark, dstRoot).isEmpty,
+      s"$dstRoot already versioned")
+    val v = version.orElse(currentVersion(spark, srcRoot))
+      .getOrElse(throw new IllegalStateException(s"$srcRoot has no versions"))
+    val srcAbs = fs(spark, srcRoot).makeQualified(new Path(srcRoot))
+    val segs = segmentsOf(spark, srcRoot, v).map { sg =>
+      if (isExternal(sg.name)) sg
+      else sg.copy(name = new Path(srcAbs, sg.name).toString)
+    }
+    val header = renamesOf(spark, srcRoot, v).map {
+      case (rv, from, to) => s"#rename=$rv:$from:$to\n"
+    }.mkString
+    val f = fs(spark, dstRoot)
+    val dir = logDir(dstRoot)
+    if (!f.exists(dir) && !f.mkdirs(dir))
+      throw new java.io.IOException(s"cannot create $dir")
+    publishManifest(spark, dstRoot, v,
+      header + segs.map(renderSegment).mkString("\n") + "\n")
+    v
   }
 
   /** Create the table at version 0 with `df`'s rows. */
@@ -868,7 +925,7 @@ object VersionedTable {
     // an insert (and has the key schema) — changelog consumers read
     // deletions via the manifest's delete entries instead
     val addedNames = addedSegments(spark, root, fromV, toV)
-      .filter(_.startsWith("seg_")).toSet
+      .filter(baseName(_).startsWith("seg_")).toSet
     val added = segmentsOf(spark, root, toV)
       .filter(s => addedNames(s.name))
     if (added.isEmpty) None
@@ -992,7 +1049,11 @@ object VersionedTable {
     val v = currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"$root has no versions"))
     val f = fs(spark, root)
+    // external (shallow-clone) references are skipped: sidecar names
+    // embed the bare segment name, and a bloom belongs to the table that
+    // OWNS the file — lookups degrade to conservatively reading them
     val missing = segmentsOf(spark, root, v).filterNot(_.isDelete)
+      .filterNot(s => isExternal(s.name))
       .filterNot(s => f.exists(bloomPath(root, s.name, c)))
     if (missing.isEmpty) return 0
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -1030,6 +1091,10 @@ object VersionedTable {
     segmentsOf(spark, root, v).filterNot(_.isDelete)
       .filter(_.mayIntersect(c, value.toDouble, value.toDouble))
       .filter { s =>
+        // external (shallow-clone) refs never have local sidecars; their
+        // name would not even form a valid sidecar path — keep them
+        if (isExternal(s.name)) true
+        else {
         val bp = bloomPath(root, s.name, c)
         if (!f.exists(bp)) true
         else {
@@ -1037,6 +1102,7 @@ object VersionedTable {
           try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
             .mightContainLong(value)
           finally in.close()
+        }
         }
       }
       .map(_.name)

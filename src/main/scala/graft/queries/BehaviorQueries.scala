@@ -276,6 +276,69 @@ object BehaviorQueries {
       .orderBy("supp_a", "supp_b")
   }
 
+  /** J20 — kNN JOIN (radius-bounded): each AP's 3 nearest neighbors
+    * within 500 m, exact. Same grid equi-join as j11 (left keeps its own
+    * cell, right explodes to the 3×3 neighborhood — one shuffle, output
+    * bounded by local density), but DIRECTED (a ≠ b, both orientations)
+    * and finished with a per-probe ROW_NUMBER over the total
+    * (distance, neighbor-key) order — never a global sort, never an
+    * all-pairs distance pass. The radius bound is what makes grid-exact
+    * kNN possible: a 500 m disk fits inside the 3×3 cell block at every
+    * latitude in the frame, so the window ranks a complete candidate set
+    * (the oracle's brute-force restatement proves it per run). Distances
+    * are ranked on raw IEEE doubles (bit-identical haversine in both
+    * engines — the j11 contract) and rounded only in the projection. */
+  val j20KnnJoin: Reg = Reg.sql(
+    "j20_knn_join",
+    """WITH ap AS (
+      |  SELECT s_suppkey,
+      |         ((s_suppkey % 20) * 4987 % 100000 + (s_suppkey // 20) * 3 % 1000)
+      |           * 1e-3 - 50.0 AS lat,
+      |         ((s_suppkey % 20) * 9203 % 200000) * 1e-3 - 100.0 AS lon
+      |  FROM supplier),
+      |d AS (
+      |  SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+      |         2 * 6371000 * ASIN(SQRT(
+      |           POW(SIN(RADIANS(b.lat - a.lat) / 2), 2) +
+      |           COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) *
+      |           POW(SIN(RADIANS(b.lon - a.lon) / 2), 2))) AS dm
+      |  FROM ap a JOIN ap b ON a.s_suppkey <> b.s_suppkey),
+      |r AS (
+      |  SELECT supp_a, supp_b, dm,
+      |         ROW_NUMBER() OVER (PARTITION BY supp_a
+      |                            ORDER BY dm, supp_b) AS rnk
+      |  FROM d WHERE dm <= 500.0)
+      |SELECT supp_a, CAST(rnk AS BIGINT) AS rnk, supp_b,
+      |       ROUND(dm, 3) AS dist_m
+      |FROM r WHERE rnk <= 3 ORDER BY supp_a, rnk""".stripMargin) { (s, dir) =>
+    val aps = apFrame(s, dir)
+    val left = aps.select(
+      col("s_suppkey").as("supp_a"), col("lat").as("lat_a"), col("lon").as("lon_a"),
+      expr("lat_u div 10").as("cell_lat"),
+      expr("lon_u div 10").as("cell_lon"))
+    val offsets = array((-1 to 1).flatMap(dy => (-1 to 1).map(dx =>
+      struct(lit(dy.toLong).as("dy"), lit(dx.toLong).as("dx")))): _*)
+    val right = aps.select(
+      col("s_suppkey").as("supp_b"), col("lat").as("lat_b"), col("lon").as("lon_b"),
+      expr("lat_u div 10").as("bcell_lat"),
+      expr("lon_u div 10").as("bcell_lon"),
+      explode(offsets).as("o"))
+      .select(col("supp_b"), col("lat_b"), col("lon_b"),
+        (col("bcell_lat") + col("o.dy")).as("cell_lat"),
+        (col("bcell_lon") + col("o.dx")).as("cell_lon"))
+    val dist = Geo.haversineMeters(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("supp_a").orderBy(col("dm"), col("supp_b"))
+    left.join(right, Seq("cell_lat", "cell_lon"))
+      .where(col("supp_a") =!= col("supp_b") && dist <= 500.0)
+      .select(col("supp_a"), col("supp_b"), dist.as("dm"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= 3)
+      .select(col("supp_a"), col("rnk"), col("supp_b"),
+        round(col("dm"), 3).as("dist_m"))
+      .orderBy("supp_a", "rnk")
+  }
+
   /** J12 — fuzzy string join (edit distance ≤ 1) via q-gram prefix
     * filtering, the ed-join/ppjoin family (Gravano et al. q-gram count
     * bound; Chaudhuri/Xiao prefix principle): a single edit destroys at
@@ -548,5 +611,6 @@ object BehaviorQueries {
 
   val all: Seq[Reg] = Seq(
     o18WindowFunnel, o19RetentionCohorts, a23IncrementalAgg, j11GridNeighbors,
-    j12FuzzyJoin, o23TransitionMatrix, o29Auc, o30SlicedAuc, j16PolygonJoin)
+    j12FuzzyJoin, j20KnnJoin, o23TransitionMatrix, o29Auc, o30SlicedAuc,
+    j16PolygonJoin)
 }

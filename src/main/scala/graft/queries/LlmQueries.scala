@@ -3941,6 +3941,61 @@ object LlmQueries {
     * ROUGE-2 recalls are integer micros ((match·1e6) div ref_total);
     * references too short to have bigrams drop from BOTH engines by the
     * same inner join. */
+  /** TF-IDF keyword extraction per source — the "what characterizes this
+    * slice of the corpus" primitive next to llm_word_kl_by_source's
+    * divergence view. One explode into per-doc (term, count) partials;
+    * tf (per source) and df (per term) both fold from that SAME grouped
+    * frame, so Catalyst reuses the first exchange instead of scanning the
+    * corpus twice. idf is floor-quantized to integer micros
+    * (FLOOR(ln(N/df)·1e6)) before the tf multiply, so scores live on an
+    * exact integer lattice and the per-source top-5 ranking
+    * (score DESC, term ASC) is a total order both engines replicate
+    * bit-for-bit. At 100 TB: explode + two term-keyed shuffles + a
+    * per-source top-k window over vocabulary-sized frames — never a
+    * corpus-wide sort; N arrives by broadcast of a one-row aggregate. */
+  val tfidfTerms: Reg = Reg.sql(
+    "llm_tfidf_terms",
+    """WITH toks AS (SELECT doc_id, source,
+      |                     string_split_regex(lower(text), '\s+') AS t
+      |              FROM documents),
+      |dt AS (SELECT doc_id, source, u.g AS term, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM toks, UNNEST(t) AS u(g) WHERE u.g <> '' GROUP BY 1, 2, 3),
+      |tf AS (SELECT source, term, CAST(SUM(c) AS BIGINT) AS tf
+      |       FROM dt GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |sc AS (SELECT tf.source, tf.term, tf.tf, dfreq.df,
+      |              tf.tf * CAST(FLOOR(LN(CAST(n.n AS DOUBLE) /
+      |                CAST(dfreq.df AS DOUBLE)) * 1e6) AS BIGINT) AS score
+      |       FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |r AS (SELECT source, term, tf, df, score,
+      |             ROW_NUMBER() OVER (PARTITION BY source
+      |                                ORDER BY score DESC, term) AS rnk
+      |      FROM sc)
+      |SELECT source, CAST(rnk AS BIGINT) AS rnk, term, tf, df, score
+      |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val dt = docs.select(col("doc_id"), col("source"),
+      explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("doc_id", "source", "term")
+      .agg(count(lit(1)).as("c"))
+    val tf = dt.groupBy("source", "term").agg(sum("c").cast("bigint").as("tf"))
+    val dfreq = dt.groupBy("term").agg(count(lit(1)).cast("bigint").as("df"))
+    val nFrame = docs.agg(count(lit(1)).cast("bigint").as("n"))
+    val sc = tf.join(dfreq, "term").crossJoin(broadcast(nFrame))
+      .withColumn("score", col("tf") *
+        floor(log(col("n").cast("double") / col("df").cast("double")) * 1e6)
+          .cast("bigint"))
+    sc.withColumn("rnk", row_number().over(
+      Window.partitionBy("source").orderBy(col("score").desc, col("term")))
+      .cast("bigint"))
+      .where(col("rnk") <= 5)
+      .select("source", "rnk", "term", "tf", "df", "score")
+      .orderBy("source", "rnk")
+  }
+
   val rougeOverlap: Reg = Reg.sql(
     "llm_rouge_overlap",
     """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
@@ -4089,7 +4144,7 @@ object LlmQueries {
   }
 
   lazy val all: Seq[Reg] = Seq(
-    rougeOverlap, mmrRerank,
+    rougeOverlap, mmrRerank, tfidfTerms,
     cdcChunks, editDistanceDedup, wordKlBySource,
     streamNearDup, incrementalClusters, datasetCard, shardAssign, dupSpanStrip,
     curationFunnel, communityLpa, dupSpanCoverage,

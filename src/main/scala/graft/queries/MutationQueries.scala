@@ -2145,8 +2145,94 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A52 — SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`): a
+    * zero-copy fork of a versioned table. The clone's first commit is ONE
+    * manifest whose entries reference the source's segments by absolute
+    * path — `require`d to be all-external and data-file-free — after
+    * which the two tables evolve independently: the clone takes an append
+    * and a merge-on-read DELETE (the delete's anti-join spans external
+    * and local segments alike) while the source's head, version count and
+    * bytes stay untouched, and the clone's pre-mutation snapshot stays
+    * time-travel-readable. Every emitted count is a closed form over
+    * orders; the zero-copy facts (2 external refs, 1 local data segment)
+    * are structural constants of the scenario, `require`-gated before
+    * they are emitted.
+    *
+    * Scale: cloning a 100 TB table is one manifest write — the
+    * dev/test-fork and what-if-experiment primitive; clone-side writes
+    * cost only their own deltas. */
+  val shallowClone: Reg = Reg.sql(
+    "a52_shallow_clone",
+    """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderkey % 4 AS m
+      |           FROM orders),
+      |v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o WHERE m IN (0, 1, 2)),
+      |v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o),
+      |v3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o WHERE c % 7 <> 3)
+      |SELECT 'clone_v1' AS snapshot, n AS rows_n, s AS custkey_sum FROM v1
+      |UNION ALL SELECT 'clone_v2_appended', n, s FROM v2
+      |UNION ALL SELECT 'clone_v3_mor_delete', n, s FROM v3
+      |UNION ALL SELECT 'src_after', n, s FROM v1
+      |UNION ALL SELECT 'zero_copy', CAST(2 AS BIGINT), CAST(1 AS BIGINT)
+      |ORDER BY snapshot""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_clone")
+    val src = s"$work/src"
+    val dst = s"$work/dst"
+    try {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          (col("o_orderkey") % 4).as("m"))
+      VersionedTable.create(s, src, o.where(col("m").isin(0, 1)),
+        statCols = Seq("m"))
+      VersionedTable.append(s, src, o.where(col("m") === 2),
+        statCols = Seq("m"))
+      val cv = VersionedTable.shallowClone(s, src, dst)
+      // the clone's first version IS the cloned source version (keeps the
+      // carried seq clock strictly below future clone commits)
+      require(cv == 1L, s"clone landed at v$cv, expected v1")
+      val refs = VersionedTable.segmentsOf(s, dst, cv)
+      require(refs.length == 2 && refs.forall(g => g.name.contains(":/")),
+        s"clone manifest must carry 2 external refs: $refs")
+      // the clone diverges: an append and a merge-on-read delete
+      VersionedTable.append(s, dst, o.where(col("m") === 3),
+        statCols = Seq("m"))
+      val (v3, _) = VersionedTable.morDelete(s, dst, Seq("k"),
+        _.where(col("c") % 7 === 3))
+      require(v3 == 3L, s"clone mutations landed at v$v3, expected v3")
+      // the source is untouched: same head version, same content
+      require(VersionedTable.currentVersion(s, src).contains(1L),
+        "source grew a version from clone-side writes")
+      // zero-copy: the only files under the clone root are its OWN deltas
+      val fsys = new java.io.File(dst)
+      val localData = fsys.listFiles().count(_.getName.startsWith("seg_"))
+      val localDel = fsys.listFiles().count(_.getName.startsWith("del_"))
+      require(localData == 1 && localDel == 1,
+        s"clone copied data: $localData seg / $localDel del dirs under $dst")
+      def stat(root: String, v: Option[Long]): (Long, Long) = {
+        val r = VersionedTable.read(s, root, v)
+          .agg(count(lit(1)), sum("c").cast("bigint")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (n1, s1) = stat(dst, Some(1L))
+      val (n2, s2) = stat(dst, Some(2L))
+      val (n3, s3) = stat(dst, None)
+      val (ns, ss) = stat(src, None)
+      require((n1, s1) == (ns, ss),
+        "clone v1 must read identically to the source head")
+      import s.implicits._
+      Seq(("clone_v1", n1, s1), ("clone_v2_appended", n2, s2),
+        ("clone_v3_mor_delete", n3, s3), ("src_after", ns, ss),
+        ("zero_copy", 2L, 1L))
+        .toDF("snapshot", "rows_n", "custkey_sum")
+        .orderBy("snapshot")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
-    versionedRestore, orphanVacuum, runtimePruneJoin,
+    versionedRestore, orphanVacuum, runtimePruneJoin, shallowClone,
     versionedRename, partitionEvolution,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
