@@ -1823,11 +1823,121 @@ object IngestQueries {
     }
   }
 
+  /** S32 — WATERMARK LATE-DATA AUDIT: the engine's real event-time
+    * watermark over a daily-window APPEND-mode aggregation, with all
+    * three behaviors pinned in one run. Batch 0 delivers the first
+    * fortnight minus a deterministic straggler subset; batch 1 delivers a
+    * straggler-free mid-month week (so the old windows get EVICTED and
+    * emitted before the stragglers show up); batch 2 delivers the rest of
+    * the month PLUS the stragglers. Outcomes: (a) stragglers for windows
+    * already emitted are DROPPED (their windows keep batch-0-only
+    * counts — append emits each window exactly once, `require`-gated);
+    * (b) stragglers still inside the allowance merge and count; (c)
+    * windows still open when the stream drains never emit.
+    *
+    * The oracle restates the engine's exact arithmetic, measured and
+    * pinned against Spark's microbatch protocol: watermarks live on the
+    * ms lattice (FLOOR(max_us/1000) − 259 200 000), EVICTION in batch N
+    * uses the watermark through batch N−1, while the LATE-INPUT filter
+    * lags one more batch (batch 2's filter is the post-batch-0
+    * watermark) — so the drop boundary is wm(b0) and the final emission
+    * boundary is wm(all). State is bounded by windows-in-flight × types —
+    * the watermark is precisely what lets a 100 TB/day stream expire
+    * buckets instead of holding the calendar in memory. */
+  val streamLateData: Reg = Reg.sql(
+    "s32_stream_late_data",
+    """WITH e AS (SELECT event_id, event_type,
+      |                  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |                  epoch_us(ts) AS us
+      |           FROM events WHERE event_id % 5 = 0),
+      |b0 AS (SELECT * FROM e
+      |       WHERE day <= 19737 AND NOT (event_id % 3 = 0 AND day <= 19741)),
+      |b2 AS (SELECT * FROM e
+      |       WHERE day >= 19745 OR (event_id % 3 = 0 AND day <= 19741)),
+      |wm1 AS (SELECT CAST(FLOOR(MAX(us) / 1000) AS BIGINT) - 259200000 AS v
+      |        FROM b0),
+      |wm3 AS (SELECT CAST(FLOOR(MAX(us) / 1000) AS BIGINT) - 259200000 AS v
+      |        FROM e),
+      |kept AS (
+      |  SELECT day, event_type FROM e
+      |  WHERE day <= 19744 AND NOT (event_id % 3 = 0 AND day <= 19741)
+      |  UNION ALL
+      |  SELECT day, event_type FROM b2, wm1
+      |  WHERE (day + 1) * 86400000 > wm1.v)
+      |SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM kept, wm3 WHERE (day + 1) * 86400000 <= wm3.v
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val work = graft.Scratch.dir("graft_slate")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") % 5 === 0)
+        .select(col("event_id"), col("event_type"), col("ts"))
+        .withColumn("day",
+          datediff(col("ts").cast("date"), lit("1970-01-01")).cast("bigint"))
+      val isL = col("event_id") % 3 === 0 && col("day") <= 19741L
+      val slices = Seq(
+        e.where(col("day") <= 19737L && !isL),
+        e.where(col("day").between(19738L, 19744L) && !isL),
+        e.where(col("day") >= 19745L || isL))
+      val src = new java.io.File(work + "/in"); src.mkdirs()
+      val t0 = System.currentTimeMillis()
+      slices.zipWithIndex.foreach { case (b, i) =>
+        val tmp = new java.io.File(work + s"/tmp$i")
+        b.drop("day").coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + i * 2000L)
+        ()
+      }
+      val schema = s.read.parquet(src.toString).schema
+      val stateDir = (v: Long) => s"$work/state_v$v"
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+        .withWatermark("ts", "3 days")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            batch.select(col("window.start").as("wstart"), col("event_type"),
+              col("cnt")).write.parquet(stateDir(id))
+            ()
+        }
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // append mode: each window emits at most once across batches — a
+      // duplicate key would mean a late row resurrected evicted state
+      val dirs = new java.io.File(work).listFiles()
+        .filter(_.getName.startsWith("state_v")).map(_.toString).sorted
+      val merged = dirs.map(s.read.parquet(_)).reduce(_ unionByName _)
+      require(merged.groupBy("wstart", "event_type")
+        .count().where(col("count") > 1).isEmpty,
+        "append-mode emission produced a duplicate window")
+      val out = merged
+        .select(
+          datediff(col("wstart").cast("date"), lit("1970-01-01"))
+            .cast("bigint").as("day"),
+          col("event_type"), col("cnt").cast("bigint").as("cnt"))
+        .orderBy("day", "event_type")
+      // calendar-bounded frame: materialize so the scratch dir can go now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
       batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals, streamTimers,
       foreachBatchUpsert, streamMedian, streamQuantiles, streamDrift,
       streamScd2, streamVersionLog, streamCompactedLog, streamMorCdc,
-      streamSchemaDrift, streamTopk)
+      streamSchemaDrift, streamTopk, streamLateData)
 }
