@@ -382,5 +382,84 @@ object HistoryQueries {
     ()
   }
 
-  val all: Seq[Reg] = Seq(scd2History, intervalIslands, scd2Lookup, scd2Upsert)
+  /** A54 — BITEMPORAL query: VALID time (when a fact is true in the
+    * world — the SCD2 [valid_from, valid_to) interval) crossed with
+    * TRANSACTION time (when the warehouse learned it — the
+    * VersionedTable commit). Three transaction versions of a customer
+    * dimension (create, then two copy-on-write SCD2 corrections taking
+    * effect at valid days 100 and 200); each bitemporal read is plain
+    * time travel + an interval predicate, and the probe grid pins the
+    * two assertions that make bitemporality worth its storage: a later
+    * transaction does NOT rewrite the past (T=1or2 at V=50 ≡ T=0: the
+    * v1 change exists in the log but is valid only from day 100), and
+    * an earlier transaction does not know the future (T=1 at V=150
+    * misses the v2 change entirely). Every expected aggregate is a
+    * closed form over customer. At 100 TB: transaction time costs one
+    * manifest per commit (a35's machinery), valid time one interval
+    * filter — neither axis scans history. */
+  val bitemporal: Reg = Reg.sql(
+    "a54_bitemporal",
+    """WITH c AS (SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS addr
+      |           FROM customer),
+      |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(addr) AS BIGINT) AS s
+      |         FROM c),
+      |u1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c WHERE k % 3 = 0),
+      |u2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c WHERE k % 5 = 0)
+      |SELECT 't0_v150' AS probe, base.n AS rows_n, base.s AS addr_sum
+      |  FROM base
+      |UNION ALL SELECT 't1_v050', base.n, base.s FROM base
+      |UNION ALL SELECT 't1_v150', base.n, base.s + 100 * u1.n FROM base, u1
+      |UNION ALL SELECT 't2_v150', base.n, base.s + 100 * u1.n FROM base, u1
+      |UNION ALL SELECT 't2_v250', base.n, base.s + 100 * u1.n + 1000 * u2.n
+      |  FROM base, u1, u2
+      |ORDER BY probe""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_bitemp")
+    val root = s"$work/t"
+    try {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"),
+          col("c_nationkey").cast("bigint").as("addr"))
+      val dim0 = c.withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(99999L))
+      VersionedTable.create(s, root, dim0)
+      // tx v1: customers k%3=0 move (addr+100) effective valid day 100
+      def scd2(cur: DataFrame, pred: org.apache.spark.sql.Column,
+          delta: Long, day: Long): DataFrame = {
+        val open = col("valid_to") === 99999L
+        val affected = cur.where(pred && open)
+        cur.where(!(pred && open))
+          .unionByName(affected.withColumn("valid_to", lit(day)))
+          .unionByName(affected
+            .withColumn("addr", col("addr") + delta)
+            .withColumn("valid_from", lit(day)))
+      }
+      VersionedTable.replace(s, root,
+        scd2(VersionedTable.read(s, root), col("k") % 3 === 0, 100L, 100L))
+      VersionedTable.replace(s, root,
+        scd2(VersionedTable.read(s, root), col("k") % 5 === 0, 1000L, 200L))
+      def probe(t: Long, v: Long): (Long, Long) = {
+        val r = VersionedTable.read(s, root, Some(t))
+          .where(col("valid_from") <= v && col("valid_to") > v)
+          .agg(count(lit(1)), sum("addr").cast("bigint")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val grid = Seq(("t0_v150", 0L, 150L), ("t1_v050", 1L, 50L),
+        ("t1_v150", 1L, 150L), ("t2_v150", 2L, 150L), ("t2_v250", 2L, 250L))
+      import s.implicits._
+      grid.map { case (name, t, v) =>
+        val (n, sum) = probe(t, v); (name, n, sum)
+      }.toDF("probe", "rows_n", "addr_sum")
+        .orderBy("probe")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
+
+  val all: Seq[Reg] =
+    Seq(scd2History, intervalIslands, scd2Lookup, scd2Upsert, bitemporal)
 }

@@ -2231,8 +2231,72 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A53 — CLUSTERING METRICS (Delta OPTIMIZE-report / Iceberg
+    * partition-stats observability): how well a table's physical layout
+    * supports data skipping, measured ENTIRELY from manifest metadata.
+    * Eight appends with deliberately overlapping key ranges (each spans
+    * three 1k-buckets) give a point lookup an overlap depth of up to 3 —
+    * `resolveSegments` must open every range covering the probe; the
+    * same rows re-clustered into disjoint partition segments
+    * (createPartitioned) bring every probe to exactly 1 file. The four
+    * probes sit 500 away from any planted range endpoint, so realized
+    * min/max stats cannot flip a count. Layout quality is THE 100 TB
+    * lever: the overlapped layout reads 3× the bytes for identical
+    * results, and this report is how an operator sees that without
+    * scanning data — the scan is |segments| manifest lines. */
+  val clusterMetrics: Reg = Reg.sql(
+    "a53_cluster_metrics",
+    """WITH o AS (SELECT o_orderkey % 10000 AS kk FROM orders),
+      |dup AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM o, range(0, 8) t(i)
+      |        WHERE kk BETWEEN i * 1000 AND i * 1000 + 2999),
+      |plain AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o)
+      |SELECT 'probe_0500' AS metric, CAST(1 AS BIGINT) AS overlapped,
+      |       CAST(1 AS BIGINT) AS clustered
+      |UNION ALL SELECT 'probe_2500', 3, 1
+      |UNION ALL SELECT 'probe_7500', 3, 1
+      |UNION ALL SELECT 'probe_9500', 1, 1
+      |UNION ALL SELECT 'rows', dup.n, plain.n FROM dup, plain
+      |UNION ALL SELECT 'segments', 8, 10
+      |ORDER BY metric""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_cluster")
+    val (t1, t2) = (s"$work/t1", s"$work/t2")
+    try {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") % 10000).as("kk"))
+      def slice(i: Int) =
+        o.where(col("kk").between(i * 1000, i * 1000 + 2999))
+      VersionedTable.create(s, t1, slice(0), statCols = Seq("kk"))
+      (1 to 7).foreach(i =>
+        VersionedTable.append(s, t1, slice(i), statCols = Seq("kk")))
+      val (_, nSeg2) = VersionedTable.createPartitioned(s, t2,
+        o.withColumn("bucket", expr("kk div 1000")), "bucket")
+      require(nSeg2 == 10, s"clustered layout landed $nSeg2 segments")
+      val probes = Seq(500L, 2500L, 7500L, 9500L)
+      val depth1 = probes.map(p => p -> VersionedTable
+        .resolveSegments(s, t1, "kk", p.toDouble, p.toDouble).length.toLong)
+      val depth2 = probes.map(p => p -> VersionedTable
+        .resolveSegments(s, t2, "bucket", (p / 1000).toDouble,
+          (p / 1000).toDouble).length.toLong)
+      val rows1 = VersionedTable.read(s, t1).count()
+      val rows2 = VersionedTable.read(s, t2).count()
+      val nSeg1 =
+        VersionedTable.segmentsOf(s, t1,
+          VersionedTable.currentVersion(s, t1).get).length.toLong
+      import s.implicits._
+      (probes.indices.map { i =>
+        (f"probe_${probes(i)}%04d", depth1(i)._2, depth2(i)._2)
+      } ++ Seq(("rows", rows1, rows2), ("segments", nSeg1, nSeg2.toLong)))
+        .toDF("metric", "overlapped", "clustered")
+        .orderBy("metric")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     versionedRestore, orphanVacuum, runtimePruneJoin, shallowClone,
+    clusterMetrics,
     versionedRename, partitionEvolution,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,

@@ -241,5 +241,263 @@ object RobustStatsQueries {
       .orderBy("event_type")
   }
 
-  val all: Seq[Reg] = Seq(o49KendallTau, o50SeasonalDecompose, o51BootstrapCi)
+  /** O52 — WELCH'S t-TEST between every event-type pair's value
+    * distribution — the unequal-variance complement of the MWU/KS/chi²
+    * family. One corpus pass collapses everything to a 5-row exact
+    * moment frame (n, Σc, Σc² per type, sums in DECIMAL(38,0)/HUGEINT);
+    * the t statistic and Welch–Satterthwaite df evaluate from those
+    * integers on the driver (the o47 pattern: BigInteger→double is
+    * correctly rounded, bit-matching DuckDB's HUGEINT cast), with the
+    * identical IEEE expression shape in both engines, floor-quantized to
+    * micros. At 100 TB: one aggregate with map-side partials; the pair
+    * stage is |types|²-sized, data-free. */
+  val o52WelchTtest: Reg = Reg.sql(
+    "o52_welch_ttest",
+    """WITH v AS (SELECT event_type AS ty,
+      |                  CAST(ROUND(value * 100) AS BIGINT) AS c
+      |           FROM events),
+      |m AS (SELECT ty, CAST(COUNT(*) AS BIGINT) AS n,
+      |             SUM(CAST(c AS HUGEINT)) AS s1,
+      |             SUM(CAST(c AS HUGEINT) * c) AS s2
+      |      FROM v GROUP BY ty),
+      |p AS (SELECT a.ty AS ta, b.ty AS tb,
+      |             a.n AS na, b.n AS nb,
+      |             CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+      |             CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+      |             CAST(a.n * a.s2 - a.s1 * a.s1 AS DOUBLE) /
+      |               CAST(a.n * (a.n - 1) AS DOUBLE) AS va,
+      |             CAST(b.n * b.s2 - b.s1 * b.s1 AS DOUBLE) /
+      |               CAST(b.n * (b.n - 1) AS DOUBLE) AS vb
+      |      FROM m a JOIN m b ON a.ty < b.ty),
+      |r AS (SELECT ta, tb, na, nb, ma, mb,
+      |             va / CAST(na AS DOUBLE) AS ra,
+      |             vb / CAST(nb AS DOUBLE) AS rb
+      |      FROM p)
+      |SELECT ta, tb, na AS n_a, nb AS n_b,
+      |       CAST(FLOOR(1000000.0 * (ma - mb) / SQRT(ra + rb)) AS BIGINT)
+      |         AS t_micro,
+      |       CAST(FLOOR(1000000.0 * (ra + rb) * (ra + rb) /
+      |            (ra * ra / CAST(na - 1 AS DOUBLE) +
+      |             rb * rb / CAST(nb - 1 AS DOUBLE))) AS BIGINT) AS df_micro
+      |FROM r ORDER BY ta, tb""".stripMargin) { (s, dir) =>
+    def dec(e: Column) = e.cast("decimal(38,0)")
+    val m = Tables.events(s, dir)
+      .select(col("event_type").as("ty"),
+        round(col("value") * 100).cast("bigint").as("c"))
+      .groupBy("ty")
+      .agg(count(lit(1)).as("n"), sum(dec(col("c"))).as("s1"),
+        sum(dec(col("c") * col("c"))).as("s2"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger), BigInt(r.getDecimal(3).toBigInteger)))
+      .sortBy(_._1)
+    val rows = for {
+      (ta, na, s1a, s2a) <- m.toSeq
+      (tb, nb, s1b, s2b) <- m.toSeq if ta < tb
+    } yield {
+      val ma = s1a.bigInteger.doubleValue / na.toDouble
+      val mb = s1b.bigInteger.doubleValue / nb.toDouble
+      val va = (BigInt(na) * s2a - s1a * s1a).bigInteger.doubleValue /
+        (na * (na - 1)).toDouble
+      val vb = (BigInt(nb) * s2b - s1b * s1b).bigInteger.doubleValue /
+        (nb * (nb - 1)).toDouble
+      val ra = va / na.toDouble
+      val rb = vb / nb.toDouble
+      val t = math.floor(1000000.0 * (ma - mb) / math.sqrt(ra + rb)).toLong
+      val df = math.floor(1000000.0 * (ra + rb) * (ra + rb) /
+        (ra * ra / (na - 1).toDouble + rb * rb / (nb - 1).toDouble)).toLong
+      (ta, tb, na, nb, t, df)
+    }
+    import s.implicits._
+    rows.toDF("ta", "tb", "n_a", "n_b", "t_micro", "df_micro")
+      .orderBy("ta", "tb")
+  }
+
+  /** O53 — KMV DISTINCT-SKETCH SET ALGEBRA: union and intersection
+    * cardinality ESTIMATES for every event-type pair from k=64 minimum
+    * hash values per type, next to o27's single-set KMV. RNG-free (the
+    * Knuth-hash uniform on user_id — the same hash across types is what
+    * makes intersection estimable) and mergeable: sketches union by
+    * keeping the k smallest of the combined values, θ = the k-th, so
+    * û = (k−1)·2³¹/θ and î = (matched/k)·û — the Beyer et al. KMV
+    * estimator. Sketch build is a salted two-phase min-k (16-way
+    * parallel per type, exact — the llm_tfidf_terms lesson); after it,
+    * every pair stage runs on ≤ 2k-row frames. Exact counterparts ride
+    * along so the output is its own error report. At 100 TB the sketch
+    * IS the point: per-type state is k values regardless of cardinality. */
+  val o53KmvSetOps: Reg = Reg.sql(
+    "o53_kmv_set_ops",
+    """WITH du AS (SELECT DISTINCT event_type AS ty, user_id AS u FROM events),
+      |h AS (SELECT ty, u,
+      |             ((u % 2147483648) * 2654435761) % 2147483648 AS hv
+      |      FROM du),
+      |sk AS (SELECT ty, hv,
+      |              ROW_NUMBER() OVER (PARTITION BY ty ORDER BY hv) AS r
+      |       FROM h),
+      |s64 AS (SELECT ty, hv FROM sk WHERE r <= 64),
+      |types AS (SELECT DISTINCT ty FROM du),
+      |pairs AS (SELECT a.ty AS ta, b.ty AS tb
+      |          FROM types a JOIN types b ON a.ty < b.ty),
+      |comb AS (
+      |  SELECT p.ta, p.tb, s.hv,
+      |         MAX(CASE WHEN s.ty = p.ta THEN 1 ELSE 0 END) AS in_a,
+      |         MAX(CASE WHEN s.ty = p.tb THEN 1 ELSE 0 END) AS in_b
+      |  FROM pairs p JOIN s64 s ON s.ty = p.ta OR s.ty = p.tb
+      |  GROUP BY 1, 2, 3),
+      |rk AS (SELECT ta, tb, hv, in_a, in_b,
+      |              ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv) AS r
+      |       FROM comb),
+      |est AS (
+      |  SELECT ta, tb,
+      |         MAX(CASE WHEN r = 64 THEN hv END) AS theta,
+      |         CAST(SUM(CASE WHEN r <= 64 AND in_a = 1 AND in_b = 1
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS matched
+      |  FROM rk GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT p.ta, p.tb,
+      |         CAST(COUNT(DISTINCT d.u) AS BIGINT) AS exact_u,
+      |         CAST(SUM(CASE WHEN d.both = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS exact_i
+      |  FROM pairs p JOIN (
+      |    SELECT ta2, tb2, u, COUNT(DISTINCT ty) AS both FROM (
+      |      SELECT p2.ta AS ta2, p2.tb AS tb2, d2.u, d2.ty
+      |      FROM pairs p2 JOIN du d2 ON d2.ty = p2.ta OR d2.ty = p2.tb)
+      |    GROUP BY 1, 2, 3) d
+      |    ON d.ta2 = p.ta AND d.tb2 = p.tb
+      |  GROUP BY 1, 2)
+      |SELECT e.ta, e.tb, x.exact_u, x.exact_i,
+      |       CAST(FLOOR(63.0 * 2147483648.0 / CAST(e.theta AS DOUBLE))
+      |         AS BIGINT) AS union_est,
+      |       CAST(FLOOR(CAST(e.matched AS DOUBLE) / 64.0 *
+      |            (63.0 * 2147483648.0 / CAST(e.theta AS DOUBLE)))
+      |         AS BIGINT) AS inter_est
+      |FROM est e JOIN ex x ON e.ta = x.ta AND e.tb = x.tb
+      |ORDER BY e.ta, e.tb""".stripMargin) { (s, dir) =>
+    val du = Tables.events(s, dir)
+      .select(col("event_type").as("ty"), col("user_id").as("u")).distinct()
+      .localCheckpoint() // entity-domain frame, reused by sketch + exact
+    val h = du.withColumn("hv",
+      (col("u") % 2147483648L) * 2654435761L % 2147483648L)
+    // salted two-phase min-k: per-(type, salt) top-64 first, exact
+    val pre = h.withColumn("salt", pmod(col("u"), lit(16)))
+      .withColumn("r0", row_number().over(Window.partitionBy("ty", "salt")
+        .orderBy("hv")))
+      .where(col("r0") <= 64)
+    val s64 = pre.withColumn("r", row_number().over(
+      Window.partitionBy("ty").orderBy("hv")))
+      .where(col("r") <= 64)
+      .select("ty", "hv")
+    val types = du.select(col("ty")).distinct()
+    val pairs = types.as("a").join(types.as("b"), col("a.ty") < col("b.ty"))
+      .select(col("a.ty").as("ta"), col("b.ty").as("tb"))
+    val comb = pairs.join(s64, col("ty") === col("ta") || col("ty") === col("tb"))
+      .groupBy("ta", "tb", "hv")
+      .agg(max(when(col("ty") === col("ta"), 1).otherwise(0)).as("in_a"),
+        max(when(col("ty") === col("tb"), 1).otherwise(0)).as("in_b"))
+    val rk = comb.withColumn("r", row_number().over(
+      Window.partitionBy("ta", "tb").orderBy("hv")))
+    val est = rk.groupBy("ta", "tb")
+      .agg(max(when(col("r") === 64, col("hv"))).as("theta"),
+        sum(when(col("r") <= 64 && col("in_a") === 1 && col("in_b") === 1, 1)
+          .otherwise(0)).cast("bigint").as("matched"))
+    val perUser = pairs.join(du, col("ty") === col("ta") || col("ty") === col("tb"))
+      .groupBy("ta", "tb", "u")
+      .agg(countDistinct("ty").as("both"))
+    val ex = perUser.groupBy("ta", "tb")
+      .agg(countDistinct("u").cast("bigint").as("exact_u"),
+        sum(when(col("both") === 2, 1).otherwise(0)).cast("bigint")
+          .as("exact_i"))
+    val uEst = lit(63.0) * 2147483648.0 / col("theta").cast("double")
+    est.join(ex, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("exact_u"), col("exact_i"),
+        floor(uEst).cast("bigint").as("union_est"),
+        floor(col("matched").cast("double") / 64.0 * uEst).cast("bigint")
+          .as("inter_est"))
+      .orderBy("ta", "tb")
+  }
+
+  /** O54 — TIME-SERIES RESAMPLING with linear interpolation: each
+    * event type's irregular (ts, cents) series resampled onto the
+    * hourly grid strictly inside its observed span, every grid value
+    * interpolated between the nearest events on each side — the
+    * align-sensors-to-a-grid primitive next to o14's forward-fill.
+    * The anchors come from ONE union + two windows (events and grid
+    * rows interleaved per type in (us, is_grid) order; last/first with
+    * ignoreNulls — never a per-grid-point join), so cost is
+    * O((events + grid)·log) per type partition. The lerp numerator
+    * stays in exact integers (≤ 2⁵³, cents × µs-gap), one double
+    * division at the end, floor-quantized to micros. */
+  val o54ResampleInterp: Reg = Reg.sql(
+    "o54_resample_interp",
+    """WITH pt AS (SELECT event_type AS ty, epoch_us(ts) AS us,
+      |                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |                     AS c
+      |            FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT ty, MIN(us) AS lo, MAX(us) AS hi FROM pt GROUP BY ty),
+      |grid AS (
+      |  SELECT ty, unnest(generate_series(lo // 3600000000 + 1,
+      |                                    (hi - 1) // 3600000000)) AS hh
+      |  FROM bounds),
+      |uni AS (
+      |  SELECT ty, us, c, 0 AS is_grid, CAST(NULL AS BIGINT) AS hh FROM pt
+      |  UNION ALL
+      |  SELECT ty, hh * 3600000000 AS us, CAST(NULL AS BIGINT) AS c,
+      |         1 AS is_grid, hh
+      |  FROM grid),
+      |w AS (
+      |  SELECT ty, us, is_grid, hh,
+      |         LAST_VALUE(c IGNORE NULLS) OVER
+      |           (PARTITION BY ty ORDER BY us, is_grid
+      |            ROWS UNBOUNDED PRECEDING) AS vp,
+      |         LAST_VALUE(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS) OVER
+      |           (PARTITION BY ty ORDER BY us, is_grid
+      |            ROWS UNBOUNDED PRECEDING) AS up,
+      |         FIRST_VALUE(c IGNORE NULLS) OVER
+      |           (PARTITION BY ty ORDER BY us, is_grid
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+      |         FIRST_VALUE(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS) OVER
+      |           (PARTITION BY ty ORDER BY us, is_grid
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS un
+      |  FROM uni)
+      |SELECT ty, hh,
+      |       CAST(FLOOR(1000000.0 *
+      |         CAST(vp * (un - us) + vn * (us - up) AS DOUBLE) /
+      |         CAST(un - up AS DOUBLE)) AS BIGINT) AS v_micro
+      |FROM w WHERE is_grid = 1
+      |ORDER BY ty, hh""".stripMargin) { (s, dir) =>
+    val pt = Tables.events(s, dir)
+      .groupBy(col("event_type").as("ty"),
+        unix_micros(col("ts")).as("us"))
+      .agg(sum(round(col("value") * 100).cast("bigint")).cast("bigint").as("c"))
+    val bounds = pt.groupBy("ty").agg(min("us").as("lo"), max("us").as("hi"))
+    val grid = bounds.select(col("ty"),
+      explode(sequence(expr("lo div 3600000000") + 1,
+        expr("(hi - 1) div 3600000000"))).as("hh"))
+    val uni = pt.select(col("ty"), col("us"), col("c"),
+      lit(0).as("is_grid"), lit(null).cast("bigint").as("hh"))
+      .unionByName(grid.select(col("ty"),
+        (col("hh") * 3600000000L).as("us"),
+        lit(null).cast("bigint").as("c"), lit(1).as("is_grid"), col("hh")))
+    val back = Window.partitionBy("ty").orderBy("us", "is_grid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("ty").orderBy("us", "is_grid")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val w = uni
+      .withColumn("vp", last(col("c"), ignoreNulls = true).over(back))
+      .withColumn("up", last(when(col("is_grid") === 0, col("us")),
+        ignoreNulls = true).over(back))
+      .withColumn("vn", first(col("c"), ignoreNulls = true).over(fwd))
+      .withColumn("un", first(when(col("is_grid") === 0, col("us")),
+        ignoreNulls = true).over(fwd))
+    w.where(col("is_grid") === 1)
+      .select(col("ty"), col("hh"),
+        floor(lit(1000000.0) *
+          (col("vp") * (col("un") - col("us")) +
+            col("vn") * (col("us") - col("up"))).cast("double") /
+          (col("un") - col("up")).cast("double")).cast("bigint").as("v_micro"))
+      .orderBy("ty", "hh")
+  }
+
+  val all: Seq[Reg] = Seq(o49KendallTau, o50SeasonalDecompose, o51BootstrapCi,
+    o52WelchTtest, o53KmvSetOps, o54ResampleInterp)
 }
