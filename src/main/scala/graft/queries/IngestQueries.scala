@@ -1933,11 +1933,123 @@ object IngestQueries {
     }
   }
 
+  /** S33 — WATERMARKED STREAM-STREAM INTERVAL JOIN: the engine's real
+    * two-source join with bounded state, driven through three aligned
+    * micro-batches per side. Clicks join purchases on user within a
+    * 6-hour attribution window; both sides carry 2-day watermarks, so
+    * the join state is BOUNDED — a click is held only until the global
+    * watermark (min across sources) clears its match interval, which is
+    * exactly what makes a 100 TB/day two-stream join feasible at all.
+    * The straggler purchases (days 1–6, withheld until the third batch)
+    * arrive after their candidate clicks' state is provably evicted —
+    * the margin is DAYS wide on BOTH candidate semantics (the engine's
+    * late-input filter lags one batch, to the post-batch-0 watermark
+    * ≈ day 8.9, measured the same way s32 measured the aggregation
+    * lattice; state eviction uses the current ≈ day 18.9), so the
+    * outcome pins eviction without ms-boundary sensitivity: straggler
+    * pairs are DROPPED, cross-batch pairs inside the allowance are
+    * kept, and append-mode uniqueness is `require`-gated. The oracle is
+    * the closed-form inner join over exactly the non-straggler
+    * purchases. */
+  val streamIntervalJoin: Reg = Reg.sql(
+    "s33_stream_interval_join",
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS cus
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pus,
+      |             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS pday
+      |      FROM events WHERE event_type = 'purchase'
+      |        AND NOT (event_id % 3 = 0 AND
+      |                 CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |                   <= 19728)),
+      |j AS (SELECT p.pday, p.pid FROM p JOIN c ON c.user_id = p.user_id
+      |      AND p.pus BETWEEN c.cus AND c.cus + 21600000000)
+      |SELECT pday, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |       CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val work = graft.Scratch.dir("graft_ssjoin")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val e = Tables.events(s, dir)
+        .withColumn("day",
+          datediff(col("ts").cast("date"), lit("1970-01-01")).cast("bigint"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("cts"), col("day"))
+      val purch = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("pid"),
+          col("ts").as("pts"), col("day"),
+          (col("event_id") % 3 === 0 && col("day") <= 19728L).as("lateP"))
+      def windows(df: DataFrame, straggle: Boolean): Seq[DataFrame] = Seq(
+        df.where(col("day") <= 19732L &&
+          (if (straggle) !col("lateP") else lit(true))),
+        df.where(col("day").between(19733L, 19742L)),
+        df.where(col("day") >= 19743L ||
+          (if (straggle) col("lateP") else lit(false))))
+      def layout(name: String, slices: Seq[DataFrame]): String = {
+        val src = new java.io.File(s"$work/$name"); src.mkdirs()
+        val t0 = System.currentTimeMillis()
+        slices.zipWithIndex.foreach { case (b, i) =>
+          val tmp = new java.io.File(s"$work/tmp_${name}_$i")
+          b.drop("day", "lateP").coalesce(1).write.parquet(tmp.toString)
+          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(src, s"batch$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(t0 + i * 2000L)
+          ()
+        }
+        src.toString
+      }
+      val srcC = layout("clicks", windows(clicks, straggle = false))
+      val srcP = layout("purch", windows(purch, straggle = true))
+      val scm = s.read.parquet(srcC).schema
+      val spm = s.read.parquet(srcP).schema
+      val stateDir = (v: Long) => s"$work/out_v$v"
+      val left = s.readStream.schema(scm).option("maxFilesPerTrigger", 1)
+        .parquet(srcC).withWatermark("cts", "2 days")
+      val right = s.readStream.schema(spm).option("maxFilesPerTrigger", 1)
+        .parquet(srcP).withWatermark("pts", "2 days")
+      val q = left.join(right,
+        expr("c_user = p_user AND pts >= cts AND " +
+          "pts <= cts + INTERVAL 6 HOURS"))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            batch.select(col("pid"), col("cts"), col("pts"))
+              .write.parquet(stateDir(id))
+            ()
+        }
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dirs = new java.io.File(work).listFiles()
+        .filter(_.getName.startsWith("out_v")).map(_.toString).sorted
+      val pairs = dirs.map(s.read.parquet(_)).reduce(_ unionByName _)
+      // append-mode join: each (click, purchase) pair emits exactly once
+      require(pairs.groupBy("pid", "cts").count()
+        .where(col("count") > 1).isEmpty,
+        "stream-stream join re-emitted a pair")
+      val out = pairs
+        .withColumn("pday",
+          datediff(col("pts").cast("date"), lit("1970-01-01")).cast("bigint"))
+        .groupBy("pday")
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          countDistinct("pid").cast("bigint").as("n_purchases"))
+        .orderBy("pday")
+      // calendar-bounded frame: materialize so the scratch dir can go now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
       batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals, streamTimers,
       foreachBatchUpsert, streamMedian, streamQuantiles, streamDrift,
       streamScd2, streamVersionLog, streamCompactedLog, streamMorCdc,
-      streamSchemaDrift, streamTopk, streamLateData)
+      streamSchemaDrift, streamTopk, streamLateData, streamIntervalJoin)
 }

@@ -4006,6 +4006,65 @@ object LlmQueries {
       .orderBy("source", "rnk")
   }
 
+  /** T5-STYLE SPAN CORRUPTION — the denoising-objective preprocessor:
+    * ~15% of each document's tokens masked in length-3 spans whose
+    * starts come from the integer Knuth-hash of (doc_id, span-index) —
+    * RNG-free, reproducible across engines, runs and partitionings (the
+    * llm_weighted_sample discipline applied to AUGMENTATION rather than
+    * selection). Overlapping spans merge by position-set union in both
+    * engines; the corrupted text (masked tokens → `<X>`) is pinned by
+    * md5 so the oracle checks the actual byte output, not just counts.
+    * Spark side is a single `transform` over the token array (no
+    * explode, no shuffle beyond the span positions); one corpus pass. */
+  val spanCorrupt: Reg = Reg.sql(
+    "llm_span_corrupt",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |base AS (SELECT doc_id, w, len(w) AS n, LEAST(len(w) // 20, 100) AS k FROM t),
+      |spans AS (
+      |  SELECT b.doc_id,
+      |         ((b.doc_id * 131 + s.i * 31 + 7) % 2147483648) * 2654435761 %
+      |           2147483648 % (b.n - 2) AS st
+      |  FROM base b, range(0, 100) s(i) WHERE s.i < b.k),
+      |pos AS (
+      |  SELECT DISTINCT doc_id, st + o.j AS p
+      |  FROM spans, range(0, 3) o(j)),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_masked, list(p) AS ps
+      |        FROM pos GROUP BY doc_id),
+      |out AS (
+      |  SELECT b.doc_id, b.n, b.k,
+      |         COALESCE(a.n_masked, 0) AS n_masked,
+      |         md5(array_to_string(
+      |           list_transform(b.w, (tok, i) ->
+      |             CASE WHEN a.ps IS NOT NULL AND list_contains(a.ps, i - 1)
+      |                  THEN '<X>' ELSE tok END), ' ')) AS corrupted_md5
+      |  FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(k AS BIGINT) AS n_spans,
+      |       CAST(n_masked AS BIGINT) AS n_masked, corrupted_md5
+      |FROM out ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .withColumn("n", size(col("w")).cast("bigint"))
+      .withColumn("k", least(expr("n div 20"), lit(100L)))
+    val spans = base.where(col("k") > 0)
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), col("k") - 1)).as("i"))
+      .withColumn("st",
+        (col("doc_id") * 131 + col("i") * 31 + 7) % 2147483648L *
+          2654435761L % 2147483648L % (col("n") - 2))
+    val pos = spans.select(col("doc_id"),
+      explode(sequence(col("st"), col("st") + 2)).as("p")).distinct()
+    val agg = pos.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_masked"), collect_list(col("p")).as("ps"))
+    base.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"), col("k").as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).cast("bigint").as("n_masked"),
+        md5(concat_ws(" ", expr(
+          "transform(w, (tok, i) -> IF(ps IS NOT NULL AND " +
+            "array_contains(ps, CAST(i AS BIGINT)), '<X>', tok))")))
+          .as("corrupted_md5"))
+      .orderBy("doc_id")
+  }
+
   val rougeOverlap: Reg = Reg.sql(
     "llm_rouge_overlap",
     """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
@@ -4154,7 +4213,7 @@ object LlmQueries {
   }
 
   lazy val all: Seq[Reg] = Seq(
-    rougeOverlap, mmrRerank, tfidfTerms,
+    rougeOverlap, mmrRerank, tfidfTerms, spanCorrupt,
     cdcChunks, editDistanceDedup, wordKlBySource,
     streamNearDup, incrementalClusters, datasetCard, shardAssign, dupSpanStrip,
     curationFunnel, communityLpa, dupSpanCoverage,

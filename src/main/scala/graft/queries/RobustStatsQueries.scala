@@ -498,6 +498,64 @@ object RobustStatsQueries {
       .orderBy("ty", "hh")
   }
 
+  /** O55 — SEASONAL ANOMALY DETECTION: o50's decomposition turned into
+    * a detector. Each full-window day's detrended revenue (7×cents
+    * lattice) is z-tested against its OWN day-of-week population, and
+    * the z² > 4 flag is evaluated ENTIRELY in exact integers via the
+    * cross-multiplied form (n·x − Σ)²·(n−1) > 4·n·(nΣx² − Σ²) — no
+    * division, no sqrt, no float anywhere (DECIMAL(38,0)/HUGEINT), so
+    * the flag cannot flip between engines. The corpus collapses to the
+    * day domain first; everything after is calendar-sized. At 100 TB
+    * this is the daily-KPI anomaly page: one aggregate pass plus
+    * metadata-scale math. */
+  val o55SeasonalAnomaly: Reg = Reg.sql(
+    "o55_seasonal_anomaly",
+    """WITH daily AS (
+      |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |win AS (
+      |  SELECT d, cents,
+      |         SUM(cents) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+      |         COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      |  FROM daily),
+      |det AS (SELECT d, d % 7 AS dow, 7 * cents - s7 AS x FROM win WHERE c7 = 7),
+      |m AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+      |             SUM(CAST(x AS HUGEINT)) AS s1,
+      |             SUM(CAST(x AS HUGEINT) * x) AS s2
+      |      FROM det GROUP BY dow)
+      |SELECT det.d AS day, det.dow, CAST(det.x AS BIGINT) AS det7,
+      |       CAST(CASE WHEN (m.n * det.x - m.s1) * (m.n * det.x - m.s1) *
+      |                      (m.n - 1) > 4 * m.n * (m.n * m.s2 - m.s1 * m.s1)
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM det JOIN m ON det.dow = m.dow
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    def dec(e: Column) = e.cast("decimal(38,0)")
+    val daily = Tables.events(s, dir)
+      .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01"))
+        .cast("bigint").as("d"))
+      .agg(sum(round(col("value") * 100).cast("bigint")).cast("bigint")
+        .as("cents"))
+    val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("s7", sum("cents").over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .where(col("c7") === 7)
+      .select(col("d"), (col("d") % 7).as("dow"),
+        (lit(7) * col("cents") - col("s7")).as("x"))
+      .localCheckpoint() // calendar-sized; reused for moments + flags
+    val m = det.groupBy("dow")
+      .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("s1"),
+        sum(dec(col("x")) * col("x")).as("s2"))
+    val devN = dec(col("n")) * col("x") - col("s1")
+    det.join(m, "dow")
+      .select(col("d").as("day"), col("dow"), col("x").cast("bigint").as("det7"),
+        when(devN * devN * (col("n") - 1) >
+          lit(4) * col("n") * (dec(col("n")) * col("s2") - col("s1") * col("s1")),
+          1L).otherwise(0L).cast("bigint").as("is_anomaly"))
+      .orderBy("day")
+  }
+
   val all: Seq[Reg] = Seq(o49KendallTau, o50SeasonalDecompose, o51BootstrapCi,
-    o52WelchTtest, o53KmvSetOps, o54ResampleInterp)
+    o52WelchTtest, o53KmvSetOps, o54ResampleInterp, o55SeasonalAnomaly)
 }
