@@ -236,12 +236,44 @@ object VersionedTable {
   private def commit(
       spark: SparkSession, root: String, segments: Seq[Segment],
       fence: Option[(String, Long)] = None,
-      newRename: Option[(String, String)] = None): Long = {
+      newRename: Option[(String, String)] = None): Long =
+    commitFrom(spark, root, currentVersion(spark, root), segments,
+      fence, newRename)
+
+  /** OPTIMISTIC-CONCURRENCY commit (the Delta/Iceberg CAS primitive):
+    * publish `segments` as version `expectedCurrent + 1` — succeeding
+    * IFF no other writer committed after the caller read
+    * `expectedCurrent`. The create-exclusive manifest rename IS the
+    * compare-and-swap: a racing writer that already took the slot makes
+    * this throw the "lost the race" IOException, and the caller's
+    * correct response is the OCC loop — re-read the new head, re-derive
+    * the change against it, retry. Plain [[commit]]-based ops (append,
+    * MOR) re-resolve the head at commit time and are conflict-free by
+    * construction; commitIf exists for READ-MODIFY-WRITE ops (replace,
+    * compaction) where a stale base would silently drop a concurrent
+    * writer's rows — the lost-update anomaly this closes. */
+  def commitIf(
+      spark: SparkSession, root: String, segments: Seq[Segment],
+      expectedCurrent: Long): Long =
+    commitFrom(spark, root, Some(expectedCurrent), segments, None, None)
+
+  /** [[replace]] with OCC validation: the copy-on-write rewrite lands
+    * only if the table is still at `expectedCurrent`. */
+  def replaceIf(
+      spark: SparkSession, root: String, df: DataFrame,
+      expectedCurrent: Long, statCols: Seq[String] = Nil): Long =
+    commitIf(spark, root,
+      Seq(writeSegment(spark, root, df, statCols)), expectedCurrent)
+
+  private def commitFrom(
+      spark: SparkSession, root: String, prev: Option[Long],
+      segments: Seq[Segment],
+      fence: Option[(String, Long)],
+      newRename: Option[(String, String)]): Long = {
     val f = fs(spark, root)
     val dir = logDir(root)
     if (!f.exists(dir) && !f.mkdirs(dir))
       throw new java.io.IOException(s"cannot create $dir")
-    val prev = currentVersion(spark, root)
     val carried = prev.map(fencesOf(spark, root, _)).getOrElse(Map.empty)
     val eff = fence.fold(carried) { case (app, id) =>
       carried.updated(app, carried.get(app).fold(id)(_ max id))

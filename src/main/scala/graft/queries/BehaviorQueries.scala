@@ -339,6 +339,40 @@ object BehaviorQueries {
       .orderBy("supp_a", "rnk")
   }
 
+  /** O56 — CALIBRATION BINS (reliability diagram): the companion to
+    * o29's AUC on the same score/label pair — ranking quality says
+    * nothing about whether the SCORES mean what they say, which is what
+    * a filtering threshold actually consumes. Scores collapse to
+    * equal-width bins in one aggregate (bin domain, not row count);
+    * observed positive rate and mean score per bin are integer ppm/milli
+    * divisions (exact div — no float anywhere). At 100 TB: one map-side
+    * partial aggregate over ~20 bins. */
+  val o56CalibrationBins: Reg = Reg.sql(
+    "o56_calibration_bins",
+    """WITH s AS (
+      |  SELECT CAST(FLOOR(value) AS BIGINT)
+      |         + CASE WHEN event_type = 'purchase' THEN 50 ELSE 0 END AS sc,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events)
+      |SELECT sc // 50 AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(y) AS BIGINT) AS n_pos,
+      |       CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS obs_ppm,
+      |       CAST(SUM(sc) * 1000 // COUNT(*) AS BIGINT) AS mean_score_milli
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(
+        (expr("CAST(FLOOR(value) AS BIGINT)") +
+          when(col("event_type") === "purchase", 50L).otherwise(0L)).as("sc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(expr("sc div 50").as("bin"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum("y").cast("bigint").as("n_pos"),
+        expr("CAST(SUM(y) * 1000000 DIV COUNT(*) AS BIGINT)").as("obs_ppm"),
+        expr("CAST(SUM(sc) * 1000 DIV COUNT(*) AS BIGINT)")
+          .as("mean_score_milli"))
+      .orderBy("bin")
+  }
+
   /** J12 — fuzzy string join (edit distance ≤ 1) via q-gram prefix
     * filtering, the ed-join/ppjoin family (Gravano et al. q-gram count
     * bound; Chaudhuri/Xiao prefix principle): a single edit destroys at
@@ -612,5 +646,5 @@ object BehaviorQueries {
   val all: Seq[Reg] = Seq(
     o18WindowFunnel, o19RetentionCohorts, a23IncrementalAgg, j11GridNeighbors,
     j12FuzzyJoin, j20KnnJoin, o23TransitionMatrix, o29Auc, o30SlicedAuc,
-    j16PolygonJoin)
+    o56CalibrationBins, j16PolygonJoin)
 }

@@ -2294,9 +2294,76 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A55 — OPTIMISTIC CONCURRENCY CONTROL: the lost-update anomaly and
+    * the CAS loop that closes it, on real racing commits. A fast writer
+    * appends (v1) while a slow writer holds a REPLACE it derived from
+    * the stale v0 snapshot; the slow writer's `replaceIf(expect = 0)`
+    * MUST fail (the create-exclusive manifest rename is the
+    * compare-and-swap — had it been a plain last-writer-wins replace,
+    * the append's rows would silently vanish), and the OCC retry —
+    * re-read the new head, re-derive the transform, `replaceIf(expect
+    * = 1)` — lands a v2 that carries BOTH changes. `require`-gated:
+    * the stale attempt throws, the head lands at v2 with the union of
+    * effects, v1 stays time-travel-readable. Every snapshot aggregate
+    * is a closed form over orders. At 100 TB this is the difference
+    * between a compaction job racing an ingest stream and a compaction
+    * job EATING an ingest stream. */
+  val occConflict: Reg = Reg.sql(
+    "a55_occ_conflict",
+    """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderkey % 4 AS m
+      |           FROM orders),
+      |v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o WHERE m IN (0, 1)),
+      |v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o WHERE m IN (0, 1) AND c % 7 <> 2)
+      |SELECT 'conflicts' AS snapshot, CAST(1 AS BIGINT) AS rows_n,
+      |       CAST(2 AS BIGINT) AS custkey_sum
+      |UNION ALL SELECT 'v1_append', n, s FROM v1
+      |UNION ALL SELECT 'v2_retried', n, s FROM v2
+      |ORDER BY snapshot""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_occ")
+    val root = s"$work/t"
+    try {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          (col("o_orderkey") % 4).as("m"))
+      VersionedTable.create(s, root, o.where(col("m") === 0))
+      // slow writer SNAPSHOTS its base: derives a purge from v0's content
+      val staleBase = VersionedTable.currentVersion(s, root).get
+      val stalePurged = VersionedTable.read(s, root, Some(staleBase))
+        .where(!(col("c") % 7 === 2))
+      // fast writer lands first
+      VersionedTable.append(s, root, o.where(col("m") === 1))
+      // stale CAS must LOSE — a success here would silently drop the append
+      val conflicted =
+        try { VersionedTable.replaceIf(s, root, stalePurged, staleBase); 0L }
+        catch { case e: java.io.IOException
+            if e.getMessage.contains("lost the race") => 1L }
+      require(conflicted == 1L, "stale replaceIf won the race")
+      // the OCC loop: re-read the NEW head, re-derive, retry
+      val head = VersionedTable.currentVersion(s, root).get
+      val v2 = VersionedTable.replaceIf(s, root,
+        VersionedTable.read(s, root, Some(head))
+          .where(!(col("c") % 7 === 2)), head)
+      require(v2 == 2L, s"retry landed v$v2, expected v2")
+      def stat(v: Long): (Long, Long) = {
+        val r = VersionedTable.read(s, root, Some(v))
+          .agg(count(lit(1)), sum("c").cast("bigint")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (n1, s1) = stat(1L)
+      val (n2, s2) = stat(2L)
+      import s.implicits._
+      Seq(("conflicts", 1L, 2L), ("v1_append", n1, s1), ("v2_retried", n2, s2))
+        .toDF("snapshot", "rows_n", "custkey_sum")
+        .orderBy("snapshot")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     versionedRestore, orphanVacuum, runtimePruneJoin, shallowClone,
-    clusterMetrics,
+    clusterMetrics, occConflict,
     versionedRename, partitionEvolution,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
