@@ -3943,10 +3943,14 @@ object LlmQueries {
     * same inner join. */
   /** TF-IDF keyword extraction per source — the "what characterizes this
     * slice of the corpus" primitive next to llm_word_kl_by_source's
-    * divergence view. One explode into per-doc (term, count) partials;
-    * tf (per source) and df (per term) both fold from that SAME grouped
-    * frame, so Catalyst reuses the first exchange instead of scanning the
-    * corpus twice. idf is floor-quantized to integer micros
+    * divergence view. ONE corpus pass: a single (source, term) aggregate
+    * carries both tf and the per-source distinct-doc count (sources
+    * partition documents, so df(term) is the SUM of per-source distinct
+    * counts — no second scan), and that vocabulary-sized frame is
+    * checkpointed before fanning out to tf/df/join — deriving the two
+    * from one DataFrame is NOT enough, because per-branch column pruning
+    * makes the partial aggregates differ and defeats exchange reuse
+    * (measured: two full explodes). idf is floor-quantized to integer micros
     * (FLOOR(ln(N/df)·1e6)) before the tf multiply, so scores live on an
     * exact integer lattice and the per-source top-5 ranking
     * (score DESC, term ASC) is a total order both engines replicate
@@ -3980,13 +3984,17 @@ object LlmQueries {
       |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val dt = docs.select(col("doc_id"), col("source"),
+    // vocabulary-sized after the aggregate — checkpoint is the house
+    // domain-frame discipline, and the corpus explode runs exactly once
+    val st = docs.select(col("doc_id"), col("source"),
       explode(split(lower(col("text")), "\\s+")).as("term"))
       .where(col("term") =!= "")
-      .groupBy("doc_id", "source", "term")
-      .agg(count(lit(1)).as("c"))
-    val tf = dt.groupBy("source", "term").agg(sum("c").cast("bigint").as("tf"))
-    val dfreq = dt.groupBy("term").agg(count(lit(1)).cast("bigint").as("df"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).cast("bigint").as("tf"),
+        countDistinct("doc_id").as("dfs"))
+      .localCheckpoint()
+    val tf = st.select("source", "term", "tf")
+    val dfreq = st.groupBy("term").agg(sum("dfs").cast("bigint").as("df"))
     val nFrame = docs.agg(count(lit(1)).cast("bigint").as("n"))
     val sc = tf.join(dfreq, "term").crossJoin(broadcast(nFrame))
       .withColumn("score", col("tf") *

@@ -718,6 +718,50 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     p should not include "CartesianProduct"
   }
 
+  test("j20: grid kNN is an equi-join plus per-probe window — no nested loop") {
+    val p = plan(BehaviorQueries.j20KnnJoin)
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    p should include("row_number")
+  }
+
+  test("llm_tfidf_terms: ONE corpus explode (checkpointed vocab frame); two-phase top-k") {
+    val p = plan(LlmQueries.tfidfTerms)
+    // tf and df both fan out from the checkpointed (source, term)
+    // aggregate: the explode ran ONCE at checkpoint time, so the
+    // downstream plan must contain NO Generate at all — a Generate here
+    // would mean a branch re-derived the corpus explode
+    p should not include "Generate"
+    // two ranking phases: per-(source, salt) then per-source survivors
+    "row_number".r.findAllIn(p).size should be >= 2
+  }
+
+  test("o49: concordance runs on the broadcast value-domain frame") {
+    val p = plan(RobustStatsQueries.o49KendallTau)
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("o51: the x32 replica explode partial-aggregates map-side") {
+    val p = plan(RobustStatsQueries.o51BootstrapCi)
+    p should include("Generate") // the sequence explode
+    p should include("partial_sum")
+    p should not include "CartesianProduct"
+  }
+
+  test("o53: sketch build is windowed min-k; pair stages never pair-expand") {
+    val p = plan(RobustStatsQueries.o53KmvSetOps)
+    "row_number".r.findAllIn(p).size should be >= 2 // salted + final phase
+    p should not include "CartesianProduct"
+  }
+
+  test("o54: resampling is union + two windows — no per-grid-point join") {
+    val p = plan(RobustStatsQueries.o54ResampleInterp)
+    p should include("Union")
+    p should not include "SortMergeJoin"
+    p should not include "BroadcastHashJoin"
+  }
+
   test("no query plan contains a CartesianProduct or driver collect") {
     SparkEntryPlans.all.foreach { case (name, p) =>
       withClue(name)(p should not include "CartesianProduct")
@@ -727,7 +771,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
   private object SparkEntryPlans {
     lazy val all: Seq[(String, String)] =
       (CoreQueries.all ++ LlmQueries.all ++ AnalyticsQueries.all ++ StarQueries.all ++
-        CorpusModelQueries.all ++ BehaviorQueries.all ++ HistoryQueries.all)
+        CorpusModelQueries.all ++ BehaviorQueries.all ++ HistoryQueries.all ++
+        RobustStatsQueries.all)
         .map(r => r.name -> plan(r))
   }
 }
