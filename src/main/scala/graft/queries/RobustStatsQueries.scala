@@ -556,6 +556,71 @@ object RobustStatsQueries {
       .orderBy("day")
   }
 
+  /** O57 — GROUP-SEQUENTIAL SPRT (Wald's sequential probability ratio
+    * test, the early-stopping engine behind industrial A/B platforms):
+    * is the purchase share above p₁ or below p₀? Row-at-a-time SPRT is
+    * inherently sequential — the scale-correct industrial form walks
+    * BATCH increments, so the corpus collapses to hourly (trials,
+    * successes) counts in one aggregate and the log-likelihood walk runs
+    * on the calendar-sized frame. Increments are the frozen integer-
+    * micro constants floor(ln(p₁/p₀)·1e6)/floor(ln(q₁/q₀)·1e6), so the
+    * cumulative LLR is an exact integer and the first crossing of the
+    * Wald bounds ln(19)=±2.944439 (α=β=0.05) is engine-exact. Two
+    * one-sided tests bracket the true ~0.20 share: the 0.17→0.19 test
+    * must accept H1, the 0.21→0.23 test must accept H0 — each at its
+    * recorded hour with its recorded sample size, the "how fast could
+    * we have stopped" number sequential testing exists for. */
+  val o57Sprt: Reg = Reg.sql(
+    "o57_sprt",
+    """WITH hourly AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h,
+      |         CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS s
+      |  FROM events GROUP BY 1),
+      |tests(test, a, b) AS (VALUES ('upper', 111225, -24392),
+      |                             ('lower', 90971, -25643)),
+      |walk AS (
+      |  SELECT t.test, h.h,
+      |         SUM(h.s * t.a + (h.n - h.s) * t.b)
+      |           OVER (PARTITION BY t.test ORDER BY h.h) AS llr,
+      |         SUM(h.n) OVER (PARTITION BY t.test ORDER BY h.h) AS n_cum
+      |  FROM tests t CROSS JOIN hourly h),
+      |crossed AS (
+      |  SELECT test, h, llr, n_cum,
+      |         ROW_NUMBER() OVER (PARTITION BY test ORDER BY h) AS rn
+      |  FROM walk WHERE llr >= 2944438 OR llr <= -2944439)
+      |SELECT test,
+      |       CASE WHEN llr >= 2944438 THEN 'accept_h1' ELSE 'accept_h0' END
+      |         AS decision,
+      |       CAST(h AS BIGINT) AS dec_hour, CAST(n_cum AS BIGINT) AS n_at_dec,
+      |       CAST(llr AS BIGINT) AS llr_micro
+      |FROM crossed WHERE rn = 1 ORDER BY test""".stripMargin) { (s, dir) =>
+    val hourly = Tables.events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("s"))
+    import s.implicits._
+    val tests = Seq(("upper", 111225L, -24392L), ("lower", 90971L, -25643L))
+      .toDF("test", "a", "b")
+    val w = Window.partitionBy("test").orderBy("h")
+    val walk = broadcast(tests).crossJoin(hourly)
+      .withColumn("llr", sum(col("s") * col("a") +
+        (col("n") - col("s")) * col("b")).over(w))
+      .withColumn("n_cum", sum("n").over(w))
+    walk.where(col("llr") >= 2944438L || col("llr") <= -2944439L)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("test"),
+        when(col("llr") >= 2944438L, "accept_h1").otherwise("accept_h0")
+          .as("decision"),
+        col("h").cast("bigint").as("dec_hour"),
+        col("n_cum").cast("bigint").as("n_at_dec"),
+        col("llr").cast("bigint").as("llr_micro"))
+      .orderBy("test")
+  }
+
   val all: Seq[Reg] = Seq(o49KendallTau, o50SeasonalDecompose, o51BootstrapCi,
-    o52WelchTtest, o53KmvSetOps, o54ResampleInterp, o55SeasonalAnomaly)
+    o52WelchTtest, o53KmvSetOps, o54ResampleInterp, o55SeasonalAnomaly,
+    o57Sprt)
 }
