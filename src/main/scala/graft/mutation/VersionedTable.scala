@@ -498,6 +498,33 @@ object VersionedTable {
     v
   }
 
+  /** TIMESTAMP time travel (Delta's `AS OF TIMESTAMP` substance, which
+    * resolves against commit-file modification times): the latest
+    * version whose manifest mtime is <= `tsMillis`. Commit mtimes are
+    * wall-clock — callers wanting reproducible probes bracket BETWEEN
+    * observed commit times rather than pinning absolutes. Throws when
+    * `tsMillis` predates the first commit (same contract as Delta). */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val f = fs(spark, root)
+    val dir = logDir(root)
+    if (!f.exists(dir))
+      throw new IllegalStateException(s"$root has no versions")
+    val vs = f.listStatus(dir)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("v") && n.endsWith(".manifest")
+      }
+      .map(st => (st.getPath.getName.stripPrefix("v")
+        .stripSuffix(".manifest").toLong, st.getModificationTime))
+      .sortBy(_._1)
+    val at = vs.filter(_._2 <= tsMillis)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"$root: no commit at or before $tsMillis " +
+          s"(first commit at ${vs.headOption.map(_._2).getOrElse(-1L)})")
+    at.map(_._1).max
+  }
+
   /** Create the table at version 0 with `df`'s rows. */
   def create(spark: SparkSession, root: String, df: DataFrame,
       statCols: Seq[String] = Nil): Long = {

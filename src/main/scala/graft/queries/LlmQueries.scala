@@ -4073,6 +4073,45 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** TEMPERATURE-SCALED SOURCE MIXING (the mT5/XLM-R multinomial
+    * sampling weights): w_s ∝ tokens_s^τ with τ=0.7 — upweights small
+    * sources, tempers the head. One aggregate to the source domain; the
+    * single float (pow) is floor-quantized to integer micros PER SOURCE
+    * before any summation, so the normalizing denominator is an exact
+    * integer sum (never an order-dependent float reduction) and the ppm
+    * weights and boost factors are exact integer divisions. The boost
+    * column (weight vs natural share) is the sampling-multiplier a
+    * training loader consumes. */
+  val mixTemperature: Reg = Reg.sql(
+    "llm_mix_temperature",
+    """WITH t AS (SELECT source, CAST(SUM(n_chars // 4) AS BIGINT) AS toks
+      |           FROM documents GROUP BY source),
+      |p AS (SELECT source, toks,
+      |             CAST(FLOOR(POWER(CAST(toks AS DOUBLE), 0.7) * 1e6) AS BIGINT)
+      |               AS pw
+      |      FROM t),
+      |z AS (SELECT CAST(SUM(pw) AS BIGINT) AS zp, CAST(SUM(toks) AS BIGINT) AS zt
+      |      FROM p)
+      |SELECT p.source, p.toks,
+      |       CAST(p.pw * 1000000 // z.zp AS BIGINT) AS w_ppm,
+      |       CAST((p.pw * 1000000 // z.zp) * z.zt // (p.toks * 1000) AS BIGINT)
+      |         AS boost_milli
+      |FROM p, z ORDER BY p.source""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(sum(expr("n_chars div 4")).cast("bigint").as("toks"))
+    val p = t.withColumn("pw",
+      floor(pow(col("toks").cast("double"), 0.7) * 1e6).cast("bigint"))
+    val z = p.agg(sum("pw").cast("bigint").as("zp"),
+      sum("toks").cast("bigint").as("zt"))
+    p.crossJoin(broadcast(z))
+      .select(col("source"), col("toks"),
+        expr("CAST(pw * 1000000 DIV zp AS BIGINT)").as("w_ppm"),
+        expr("CAST((pw * 1000000 DIV zp) * zt DIV (toks * 1000) AS BIGINT)")
+          .as("boost_milli"))
+      .orderBy("source")
+  }
+
   val rougeOverlap: Reg = Reg.sql(
     "llm_rouge_overlap",
     """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
@@ -4221,7 +4260,7 @@ object LlmQueries {
   }
 
   lazy val all: Seq[Reg] = Seq(
-    rougeOverlap, mmrRerank, tfidfTerms, spanCorrupt,
+    rougeOverlap, mmrRerank, tfidfTerms, spanCorrupt, mixTemperature,
     cdcChunks, editDistanceDedup, wordKlBySource,
     streamNearDup, incrementalClusters, datasetCard, shardAssign, dupSpanStrip,
     curationFunnel, communityLpa, dupSpanCoverage,

@@ -2361,9 +2361,75 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A56 — AS OF TIMESTAMP time travel: Delta's timestamp resolution
+    * (latest commit whose manifest mtime <= the probe) on the versioned
+    * table. Wall-clock commit times are inherently non-reproducible, so
+    * the query does what a correct CLIENT does: spaces the three commit
+    * mtimes deterministically and probes BETWEEN them — mid-gap resolves
+    * the earlier version, an exact commit time resolves that commit
+    * (<= semantics), far-future resolves head, and a pre-creation probe
+    * throws (caught and emitted as its own row). Resolution is one
+    * directory listing; content checks are the closed-form snapshot
+    * aggregates. */
+  val timeTravelTs: Reg = Reg.sql(
+    "a56_time_travel_ts",
+    """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderkey % 4 AS m
+      |           FROM orders),
+      |v0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o WHERE m = 0),
+      |v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o WHERE m IN (0, 1)),
+      |v2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM o WHERE m IN (0, 1, 2))
+      |SELECT 'at_v1_commit' AS probe, n AS rows_n, s AS custkey_sum FROM v1
+      |UNION ALL SELECT 'far_future', n, s FROM v2
+      |UNION ALL SELECT 'mid_gap_01', n, s FROM v0
+      |UNION ALL SELECT 'pre_creation', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+      |ORDER BY probe""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_ttts")
+    val root = s"$work/t"
+    try {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          (col("o_orderkey") % 4).as("m"))
+      VersionedTable.create(s, root, o.where(col("m") === 0))
+      VersionedTable.append(s, root, o.where(col("m") === 1))
+      VersionedTable.append(s, root, o.where(col("m") === 2))
+      // space the commit mtimes deterministically (the client-side move
+      // Delta docs recommend when commits land within one clock tick)
+      val logDir = new java.io.File(s"$root/_log")
+      val manifests = logDir.listFiles()
+        .filter(_.getName.endsWith(".manifest")).sortBy(_.getName)
+      val t0 = ((System.currentTimeMillis() / 10000L) * 10000L) - 600000L
+      manifests.zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(t0 + i * 60000L)); ()
+      }
+      def probe(ts: Long): (Long, Long, Long) = {
+        val v = VersionedTable.versionAsOf(s, root, ts)
+        val r = VersionedTable.read(s, root, Some(v))
+          .agg(count(lit(1)), sum("c").cast("bigint")).head()
+        (v, r.getLong(0), r.getLong(1))
+      }
+      val (rv1, n1, s1) = probe(t0 + 60000L)        // exactly v1's mtime
+      val (rv2, n2, s2) = probe(t0 + 3600000L)      // far future -> head
+      val (rv0, n0, s0) = probe(t0 + 30000L)        // mid-gap -> v0
+      require(rv0 == 0L && rv1 == 1L && rv2 == 2L,
+        s"AS OF resolution drifted: $rv0/$rv1/$rv2")
+      val pre =
+        try { probe(t0 - 60000L); (0L, 0L) }
+        catch { case _: IllegalArgumentException => (-1L, -1L) }
+      import s.implicits._
+      Seq(("at_v1_commit", n1, s1), ("far_future", n2, s2),
+        ("mid_gap_01", n0, s0), ("pre_creation", pre._1, pre._2))
+        .toDF("probe", "rows_n", "custkey_sum")
+        .orderBy("probe")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     versionedRestore, orphanVacuum, runtimePruneJoin, shallowClone,
-    clusterMetrics, occConflict,
+    clusterMetrics, occConflict, timeTravelTs,
     versionedRename, partitionEvolution,
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
