@@ -247,11 +247,16 @@ object VersionedTable {
     * compare-and-swap: a racing writer that already took the slot makes
     * this throw the "lost the race" IOException, and the caller's
     * correct response is the OCC loop — re-read the new head, re-derive
-    * the change against it, retry. Plain [[commit]]-based ops (append,
-    * MOR) re-resolve the head at commit time and are conflict-free by
-    * construction; commitIf exists for READ-MODIFY-WRITE ops (replace,
-    * compaction) where a stale base would silently drop a concurrent
-    * writer's rows — the lost-update anomaly this closes. */
+    * the change against it, retry. EVERY built-in read-modify-write
+    * commit (append, MOR, compaction, materialize, rename, mergeWhere)
+    * rides this same CAS internally, pinned to the version its segment
+    * list was read from — two appends racing through the old
+    * resolve-at-commit path would have had the second silently publish a
+    * list missing the first's segment (the lost-update anomaly); now the
+    * loser fails loudly and retries. Only [[create]] (fresh v0) and
+    * [[replace]] (deliberate truncate-and-load, last writer wins by
+    * contract) resolve at commit time. commitIf is the public entry for
+    * caller-side read-modify-write (a55). */
   def commitIf(
       spark: SparkSession, root: String, segments: Seq[Segment],
       expectedCurrent: Long): Long =
@@ -564,7 +569,8 @@ object VersionedTable {
     val prev = currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
     val segs = layoutPartitions(spark, root, df, partCol)
-    (commit(spark, root, segmentsOf(spark, root, prev) ++ segs), segs.length)
+    (commitFrom(spark, root, Some(prev),
+      segmentsOf(spark, root, prev) ++ segs, None, None), segs.length)
   }
 
   private def layoutPartitions(
@@ -622,8 +628,9 @@ object VersionedTable {
       statCols: Seq[String] = Nil): Long = {
     val prev = currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
-    commit(spark, root,
-      segmentsOf(spark, root, prev) :+ writeSegment(spark, root, df, statCols))
+    commitFrom(spark, root, Some(prev),
+      segmentsOf(spark, root, prev) :+ writeSegment(spark, root, df, statCols),
+      None, None)
   }
 
   /** Replay-safe streaming-sink append: creates the table on the first
@@ -644,11 +651,11 @@ object VersionedTable {
     require(!appId.contains(':') && !appId.contains('\n'),
       s"appId may not contain ':' or newlines: $appId")
     if (currentFence(spark, root, appId).exists(_ >= batchId)) return None
-    val prevSegs = currentVersion(spark, root)
-      .map(segmentsOf(spark, root, _)).getOrElse(Seq.empty)
-    Some(commit(spark, root,
+    val prevV = currentVersion(spark, root)
+    val prevSegs = prevV.map(segmentsOf(spark, root, _)).getOrElse(Seq.empty)
+    Some(commitFrom(spark, root, prevV,
       prevSegs :+ writeSegment(spark, root, df, statCols),
-      fence = Some(appId -> batchId)))
+      Some(appId -> batchId), None))
   }
 
   private def requireKeyConsistency(
@@ -689,7 +696,7 @@ object VersionedTable {
     if (n == 0L) return (v, 0L)
     val del = writeSegment(spark, root, keysDf,
       statCols = keyCols, prefix = "del_", keys = keyCols)
-    (commit(spark, root, all :+ del), n)
+    (commitFrom(spark, root, Some(v), all :+ del, None, None), n)
   }
 
   /** Merge-on-read UPSERT (MERGE WHEN MATCHED UPDATE / NOT MATCHED
@@ -715,7 +722,7 @@ object VersionedTable {
       updates.select(keyCols.map(col): _*).distinct(),
       statCols = keyCols, prefix = "del_", keys = keyCols)
     val data = writeSegment(spark, root, updates, statCols)
-    commit(spark, root, all :+ del :+ data)
+    commitFrom(spark, root, Some(v), all :+ del :+ data, None, None)
   }
 
   /** Replay-safe streaming MOR upsert: [[morUpsert]] fenced per writer
@@ -728,18 +735,19 @@ object VersionedTable {
     require(!appId.contains(':') && !appId.contains('\n'),
       s"appId may not contain ':' or newlines: $appId")
     if (currentFence(spark, root, appId).exists(_ >= batchId)) return None
-    if (currentVersion(spark, root).isEmpty)
-      return Some(commit(spark, root,
+    val head = currentVersion(spark, root)
+    if (head.isEmpty)
+      return Some(commitFrom(spark, root, None,
         Seq(writeSegment(spark, root, updates, statCols)),
-        fence = Some(appId -> batchId)))
-    val all = segmentsOf(spark, root, currentVersion(spark, root).get)
+        Some(appId -> batchId), None))
+    val all = segmentsOf(spark, root, head.get)
     requireKeyConsistency(all.filter(_.isDelete), keyCols)
     val del = writeSegment(spark, root,
       updates.select(keyCols.map(col): _*).distinct(),
       statCols = keyCols, prefix = "del_", keys = keyCols)
     val data = writeSegment(spark, root, updates, statCols)
-    Some(commit(spark, root, all :+ del :+ data,
-      fence = Some(appId -> batchId)))
+    Some(commitFrom(spark, root, head, all :+ del :+ data,
+      Some(appId -> batchId), None))
   }
 
   /** MATERIALIZE deletes (Iceberg's rewrite-with-deletes maintenance):
@@ -779,7 +787,7 @@ object VersionedTable {
             }
           }), scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
-    val nv = commit(spark, root, clean ++ rewritten)
+    val nv = commitFrom(spark, root, Some(v), clean ++ rewritten, None, None)
     (nv, affected.length, dels.length)
   }
 
@@ -829,7 +837,7 @@ object VersionedTable {
         stats = s.stats.map { case (c, r) => (if (c == from) to else c) -> r },
         keys = s.keys.map(k => if (k == from) to else k))
     }
-    commit(spark, root, remapped, newRename = Some((from, to)))
+    commitFrom(spark, root, Some(v), remapped, None, Some((from, to)))
   }
 
   /** The DATA segment paths a pruned read of `version` actually touches:
@@ -962,7 +970,8 @@ object VersionedTable {
     val touchedDf = applyDeletes(spark, root, touched, dels,
       renames = renamesOf(spark, root, v))
     val rewritten = writeSegment(spark, root, transform(touchedDf), statCols)
-    val nv = commit(spark, root, (carried ++ dels) :+ rewritten)
+    val nv = commitFrom(spark, root, Some(v), (carried ++ dels) :+ rewritten,
+      None, None)
     (nv, touched.length, carried.length)
   }
 
@@ -1232,7 +1241,8 @@ object VersionedTable {
       val (mns, mxs) = small.map(_.stats(c)).unzip
       c -> (mns.min, mxs.max)
     }.toMap
-    val nv = commit(spark, root, big :+ Segment(name, stats))
+    val nv = commitFrom(spark, root, Some(v), big :+ Segment(name, stats),
+      None, None)
     (nv, small.length, big.length)
   }
 
@@ -1296,7 +1306,7 @@ object VersionedTable {
           }), scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
     val carried = big.map(_._1) ++ singles.flatten ++ dels
-    val nv = commit(spark, root, carried ++ written)
+    val nv = commitFrom(spark, root, Some(v), carried ++ written, None, None)
     (nv, written.length, foldable.map(_.length).sum)
   }
 
