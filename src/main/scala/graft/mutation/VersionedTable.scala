@@ -319,20 +319,42 @@ object VersionedTable {
   private[mutation] def publishManifest(
       spark: SparkSession, root: String, v: Long, content: String): Unit = {
     val f = fs(spark, root)
-    val tmp = new Path(logDir(root), s".v$v.manifest.tmp")
+    // staging name is WRITER-unique, not version-unique: two racers for
+    // the same version sharing one tmp path corrupt each other before
+    // the rename ever arbitrates (one renames the tmp away mid-write of
+    // the other — caught by ConcurrentCommitSpec)
+    val tmp = new Path(logDir(root), s".v$v.manifest." +
+      java.util.UUID.randomUUID().toString.replace("-", "") + ".tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     val target = manifest(root, v)
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
     try {
-      FileContext.getFileContext(target.toUri,
-        spark.sparkContext.hadoopConfiguration)
-        .rename(tmp, target, Options.Rename.NONE)
+      if (scheme == "file") {
+        // LOCAL fs: Hadoop's Rename.NONE is CHECK-THEN-ACT over POSIX
+        // rename (which silently replaces), so two same-version racers
+        // can both "win" and one manifest vanishes — observed once in
+        // ~10 ConcurrentCommitSpec runs. The POSIX atomic no-replace
+        // primitive is hard-LINK creation (EEXIST on conflict): link the
+        // staged content in, then drop the staging name.
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        ()
+      } else {
+        // HDFS-like stores arbitrate no-overwrite renames server-side
+        FileContext.getFileContext(target.toUri,
+          spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, target, Options.Rename.NONE)
+      }
     } catch {
       // only a LOSING RACE (the create-exclusive destination already
       // exists) gets the benign commit-conflict label; a genuine IO
       // failure (disk full, permissions, missing _log) keeps its own
       // identity so operators never chase a phantom concurrent writer
-      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
         f.delete(tmp, false)
         throw new java.io.IOException(
           s"commit of version $v lost the race (manifest exists)", e)
@@ -444,6 +466,15 @@ object VersionedTable {
       }
       .map(_.getPath)
     dead.foreach(f.delete(_, true))
+    // crashed writers can also leave manifest STAGING files behind (a
+    // losing racer that died between create and its cleanup)
+    val deadTmp = f.listStatus(dir)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith(".v") && n.endsWith(".tmp") &&
+          st.getModificationTime <= cutoff
+      }.map(_.getPath)
+    deadTmp.foreach(f.delete(_, false))
     val bloomDir = new Path(root, "_blooms")
     val deadBlooms =
       if (!f.exists(bloomDir)) Array.empty[Path]
@@ -454,7 +485,8 @@ object VersionedTable {
         !live(seg) && st.getModificationTime <= cutoff
       }.map(_.getPath)
     deadBlooms.foreach(f.delete(_, false))
-    (dead.map(_.getName) ++ deadBlooms.map(p => s"_blooms/${p.getName}"))
+    (dead.map(_.getName) ++ deadTmp.map(p => s"_log/${p.getName}") ++
+      deadBlooms.map(p => s"_blooms/${p.getName}"))
       .toSeq.sorted
   }
 
