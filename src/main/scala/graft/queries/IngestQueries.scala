@@ -2045,11 +2045,113 @@ object IngestQueries {
     }
   }
 
+  /** S34 — STREAMING INGEST UNDER LIVE MAINTENANCE: the fenced
+    * streaming sink and a concurrent compactor race each other through
+    * the commit CAS, and the table stays exactly right. A background
+    * thread loops compactSmall (threshold = everything) against the
+    * same root the foreachBatch sink appends to; every loser of the
+    * create-exclusive manifest CAS retries — the a55 OCC loop running
+    * for real, concurrently, inside a streaming pipeline. The final
+    * CONTENT is fully deterministic (exactly the three batches' rows,
+    * whatever interleaving happened; a lost update would show as
+    * missing rows, a double-apply as extra), while version counts and
+    * compaction wins deliberately are not — the oracle checks the
+    * invariant, not the schedule. This is the production shape the CAS
+    * hardening exists for: a compaction job racing an ingest stream
+    * without eating it. */
+  val streamOccMaintenance: Reg = Reg.sql(
+    "s34_stream_occ_maintenance",
+    """WITH e AS (SELECT event_id, user_id FROM events
+      |           WHERE event_id % 7 = 0)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS rows_n,
+      |       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS distinct_ids,
+      |       CAST(SUM(user_id) AS BIGINT) AS uid_sum
+      |FROM e""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_soccm")
+    val root = s"$work/t"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") % 7 === 0)
+        .select("event_id", "user_id")
+      val src = new java.io.File(work + "/in"); src.mkdirs()
+      val t0 = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val tmp = new java.io.File(work + s"/tmp$i")
+        e.where(col("event_id") % 3 === i).coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"batch$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + i * 2000L)
+        ()
+      }
+      @volatile var stop = false
+      @volatile var compactions = 0
+      val maintenance = new Thread(() => {
+        while (!stop) {
+          try {
+            val (_, merged, _) =
+              VersionedTable.compactSmall(s, root, smallBytes = Long.MaxValue)
+            if (merged > 0) compactions += 1
+          } catch {
+            case e: java.io.IOException
+                if e.getMessage.contains("lost the race") => // OCC loser: retry
+            case _: IllegalStateException => // table not created yet
+          }
+          Thread.sleep(25)
+        }
+      })
+      maintenance.setDaemon(true)
+      maintenance.start()
+      def retrying[A](op: => A): A = {
+        var i = 0
+        while (true) {
+          try return op
+          catch {
+            case e: java.io.IOException
+                if e.getMessage.contains("lost the race") && i < 200 => i += 1
+          }
+        }
+        sys.error("unreachable")
+      }
+      val schema = s.read.parquet(src.toString).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            retrying { VersionedTable.appendFenced(s, root, batch.toDF(), id) }
+            ()
+        }
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      stop = true
+      maintenance.join(10000)
+      // the fence must survive whatever maintenance interleaved
+      require(VersionedTable.currentFence(s, root).contains(2L),
+        "fence lost through concurrent compaction")
+      val out = VersionedTable.read(s, root)
+        .agg(count(lit(1)).cast("bigint").as("rows_n"),
+          countDistinct("event_id").cast("bigint").as("distinct_ids"),
+          sum("user_id").cast("bigint").as("uid_sum"))
+      // one-row invariant frame: materialize so the scratch dir can go
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
       batchedSinkGate, rowIdGate, multiFormatIo, statefulTotals, streamTimers,
       foreachBatchUpsert, streamMedian, streamQuantiles, streamDrift,
       streamScd2, streamVersionLog, streamCompactedLog, streamMorCdc,
-      streamSchemaDrift, streamTopk, streamLateData, streamIntervalJoin)
+      streamSchemaDrift, streamTopk, streamLateData, streamIntervalJoin,
+      streamOccMaintenance)
 }
