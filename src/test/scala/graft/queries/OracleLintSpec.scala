@@ -164,7 +164,8 @@ class OracleLintSpec extends AnyFunSuite with Matchers {
       "a40_incremental_read", "a41_mor_delete", "a42_mor_upsert",
       "a43_changelog_apply", "a45_versioned_schema_evolution",
       "a46_binpack_compact", "a48_versioned_rename",
-      "a49_partition_evolution", "s30_stream_schema_drift")
+      "a49_partition_evolution", "s30_stream_schema_drift",
+      "s34_stream_occ_maintenance")
     val unordered = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
       case (name, sql)
           if !sql.toUpperCase.contains("ORDER BY") && !singleRow(name) =>
