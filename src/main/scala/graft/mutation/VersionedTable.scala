@@ -304,9 +304,46 @@ object VersionedTable {
       stamped.collect { case s if !s.isDelete => s.seq }.minOption
     val live =
       stamped.filter(s => !s.isDelete || minDataSeq.exists(_ < s.seq))
+    // a v0 commit is a table INITIALIZATION: arbitrate against every
+    // other initializer (incl. shallowClone, whose first slot differs)
+    if (prev.isEmpty) claimInit(spark, root)
     publishManifest(spark, root, v,
       header + live.map(renderSegment).mkString("\n") + "\n")
     v
+  }
+
+  /** Exclusive TABLE-INITIALIZATION claim: the first writer of a root —
+    * [[create]]'s v0 commit or a [[shallowClone]] (whose first version is
+    * the SOURCE version, so two initializers need not collide on a
+    * version slot at all) — must create `_log/.init` create-exclusively
+    * before publishing anything. The per-version manifest CAS cannot
+    * arbitrate initializers targeting DIFFERENT slots (v0 create vs. vN
+    * clone would both publish, leaving unrelated content in one version
+    * history); this marker makes every initializer of a root collide on
+    * the same atomic primitive. A claim that crashed before its first
+    * manifest is swept by [[removeOrphans]] (age-floored, and only while
+    * the root has no manifests). */
+  private def claimInit(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val dir = logDir(root)
+    if (!f.exists(dir) && !f.mkdirs(dir))
+      throw new java.io.IOException(s"cannot create $dir")
+    val p = new Path(dir, ".init")
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    try {
+      if (scheme == "file")
+        // ChecksumFileSystem's create(overwrite=false) is check-then-act;
+        // the POSIX atomic no-replace primitive is O_EXCL file creation
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+      else f.create(p, false).close()
+    } catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
+        throw new java.io.IOException(
+          s"initialization of $root lost the race (.init already claimed)", e)
+    }
+    ()
   }
 
   /** The commit point itself: stage the manifest content to a hidden
@@ -467,14 +504,51 @@ object VersionedTable {
       .map(_.getPath)
     dead.foreach(f.delete(_, true))
     // crashed writers can also leave manifest STAGING files behind (a
-    // losing racer that died between create and its cleanup)
+    // losing racer that died between create and its cleanup), and on
+    // checksummed local filesystems each staging file gets a
+    // '..vN.….tmp.crc' sidecar that survives even when the .tmp itself
+    // was consumed (createLink moves content, not the sidecar). The tmp
+    // sweep gets a MINIMUM AGE FLOOR independent of `olderThanMs`: a
+    // maintenance call with cutoff 0 racing a live committer must never
+    // delete a just-created staging file between create and rename —
+    // segments are safe at cutoff 0 (they become live atomically with
+    // the manifest) but staging files are by definition pre-commit.
+    val tmpCutoff =
+      System.currentTimeMillis() - math.max(olderThanMs, 600000L)
     val deadTmp = f.listStatus(dir)
       .filter { st =>
         val n = st.getPath.getName
         n.startsWith(".v") && n.endsWith(".tmp") &&
-          st.getModificationTime <= cutoff
+          st.getModificationTime <= tmpCutoff
       }.map(_.getPath)
     deadTmp.foreach(f.delete(_, false))
+    // ChecksumFileSystem HIDES .crc entries from listStatus, so orphaned
+    // sidecars need a raw directory listing; deleting a .tmp through the
+    // checksummed fs drops its sidecar, but a sidecar whose data file is
+    // already gone (e.g. consumed by the commit hard-link) never gets
+    // another chance — exactly the accumulate-forever debt swept here
+    val deadCrc: Seq[Path] =
+      if (Option(f.getUri.getScheme).forall(_ == "file")) {
+        val raw = new java.io.File(dir.toUri.getPath)
+        Option(raw.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+          .filter { jf =>
+            val n = jf.getName
+            n.startsWith("..v") && n.endsWith(".tmp.crc") &&
+              jf.lastModified() <= tmpCutoff && jf.exists()
+          }
+          .flatMap { jf =>
+            if (jf.delete()) Some(new Path(dir, jf.getName)) else None
+          }
+      } else Nil
+    // a claimed-but-never-published init marker (initializer crashed
+    // between claim and its first manifest) would block the root forever;
+    // sweep it ONLY when the table still has no manifests at all
+    val initP = new Path(dir, ".init")
+    val deadInit =
+      if (vs.isEmpty && f.exists(initP) &&
+          f.getFileStatus(initP).getModificationTime <= tmpCutoff) {
+        f.delete(initP, false); Seq(initP)
+      } else Nil
     val bloomDir = new Path(root, "_blooms")
     val deadBlooms =
       if (!f.exists(bloomDir)) Array.empty[Path]
@@ -486,6 +560,8 @@ object VersionedTable {
       }.map(_.getPath)
     deadBlooms.foreach(f.delete(_, false))
     (dead.map(_.getName) ++ deadTmp.map(p => s"_log/${p.getName}") ++
+      deadCrc.map(p => s"_log/${p.getName}") ++
+      deadInit.map(p => s"_log/${p.getName}") ++
       deadBlooms.map(p => s"_blooms/${p.getName}"))
       .toSeq.sorted
   }
@@ -526,10 +602,11 @@ object VersionedTable {
     val header = renamesOf(spark, srcRoot, v).map {
       case (rv, from, to) => s"#rename=$rv:$from:$to\n"
     }.mkString
-    val f = fs(spark, dstRoot)
-    val dir = logDir(dstRoot)
-    if (!f.exists(dir) && !f.mkdirs(dir))
-      throw new java.io.IOException(s"cannot create $dir")
+    // initializer arbitration: the empty-destination require above is
+    // check-then-act; the .init claim is the atomic primitive that makes
+    // a racing create(dst) and this clone collide even though they
+    // target DIFFERENT version slots (v0 vs. the source version)
+    claimInit(spark, dstRoot)
     publishManifest(spark, dstRoot, v,
       header + segs.map(renderSegment).mkString("\n") + "\n")
     v

@@ -1,39 +1,126 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.mutation.MergeOps
-
-/** Incremental connected-component LABEL maintenance over a persisted
-  * (node, label) store — the device behind `llm_incremental_clusters`.
+/** Incremental connected-component LABEL maintenance over persisted state —
+  * the device behind `llm_incremental_clusters` — with per-batch WRITE
+  * volume proportional to the batch (plus the merged redirect chain),
+  * never to the accumulated corpus.
   *
-  * Each batch of new undirected edges costs O(batch + affected rows),
-  * never O(corpus): endpoints look up their current labels (default
-  * self), components run on the LABEL GRAPH only (O(batch) nodes — a
-  * merge of two million-row clusters is ONE label-to-label edge), and the
-  * resulting (old label → merged min label) map relabels exactly the
-  * affected store rows through the MergeOps keyed-merge protocol.
+  * State is two tables under one root (the IncrementalNearDup LSM
+  * discipline):
+  *
+  *  - `nodes/b<seq>/` — append-only (node, label0): a node's label AT
+  *    INSERTION TIME (its component min at that moment). A node's row is
+  *    written exactly once and never rewritten — later merges are
+  *    expressed through the redirect table, so inserting a batch costs
+  *    O(new nodes) bytes.
+  *  - `redirect/{d,c}<seq>/` — an LSM delta log of (label, root, seq)
+  *    upserts, collapsed on read by last-writer-wins (max seq per label).
+  *    The collapsed map is kept DEPTH-1 by construction: when roots merge,
+  *    the batch writes both the new (merged-away root → min) entries AND
+  *    repairs every existing entry that pointed at a merged-away root.
+  *    Resolution is therefore a single join, and per-batch write volume is
+  *    O(batch + |repaired chain|) — the chain is labels (component ids),
+  *    of which there are at most one per ever-created cluster, not nodes.
+  *
+  * Each batch of new undirected edges: endpoints look up their current
+  * labels (node store + one redirect hop, default self), components run on
+  * the LABEL GRAPH only (O(batch) nodes — a merge of two million-row
+  * clusters is ONE label-to-label edge), and the resulting
+  * (old root → merged min) map lands as one redirect delta segment.
   * Labels are component MINIMA at every step: the label graph's nodes are
   * current labels (themselves component minima-so-far), so the merged
-  * component's new label is the global min — the same invariant a
-  * one-shot large-star/small-star run produces, which is what makes
-  * batching invisible to the final cluster list. */
+  * component's new label is the global min — the same invariant a one-shot
+  * large-star/small-star run produces, which is what makes batching
+  * invisible to the final cluster list.
+  *
+  * Read amplification is bounded by threshold-gated COMPACTION: when
+  * either table exceeds `maxDeltas` segments it is collapsed into one base
+  * directory — an O(store) job amortized over the threshold's worth of
+  * batches (the standard LSM cost model). Segments are staged as
+  * `<name>.tmp` and renamed into place; readers skip `.tmp`, so a crashed
+  * writer never leaves a half-readable segment, and a replayed batch
+  * converges because folding the same edges twice is a semantic no-op
+  * (union-find is idempotent).
+  *
+  * Reference shape: the reference's ingestion keeps consumer state in an
+  * external keyed store and never rewrites history per message
+  * (wifi-scan-ingestion pipeline); this reproduces that steady-state cost
+  * profile on files alone. */
 object IncrementalClusters {
 
-  /** Create an empty (node, label) store at `path`. */
-  def init(spark: SparkSession, path: String): Unit = {
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed segment dirs under `dir` (staging `.tmp` dirs excluded). */
+  private def listDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.toString).filterNot(_.endsWith(".tmp")).sorted
+  }
+
+  private def seqOf(dir: String): Long = {
+    val name = dir.substring(dir.lastIndexOf('/') + 1)
+    name.drop(1).toLong
+  }
+
+  private def nextSeq(spark: SparkSession, path: String): Long = {
+    val all = listDirs(spark, s"$path/nodes") ++ listDirs(spark, s"$path/redirect")
+    if (all.isEmpty) 0L else all.map(seqOf).max + 1L
+  }
+
+  /** Stage-and-rename segment write: never exposes a partial directory. */
+  private def writeSegment(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val tmp = new Path(dir + ".tmp")
+    val dst = new Path(dir)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (f.exists(dst)) f.delete(dst, true)
+    f.rename(tmp, dst)
+    ()
+  }
+
+  private def emptyLongPair(spark: SparkSession, c1: String, c2: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField("node", LongType),
-        StructField("label", LongType))))
-      .write.parquet(path)
+      StructType(Seq(StructField(c1, LongType), StructField(c2, LongType))))
+  }
+
+  /** Union view of the append-only node store: (node, label0). */
+  private def nodeStore(spark: SparkSession, path: String): DataFrame = {
+    val dirs = listDirs(spark, s"$path/nodes")
+    if (dirs.isEmpty) emptyLongPair(spark, "node", "label0")
+    else spark.read.parquet(dirs: _*).toDF("node", "label0")
+  }
+
+  /** Collapsed depth-1 (label, root) view of the redirect delta log —
+    * last-writer-wins by seq, identical to the eagerly-merged map. */
+  private def redirectMap(spark: SparkSession, path: String): DataFrame = {
+    val dirs = listDirs(spark, s"$path/redirect")
+    if (dirs.isEmpty) emptyLongPair(spark, "label", "root")
+    else spark.read.parquet(dirs: _*)
+      .groupBy("label")
+      .agg(max(struct(col("seq"), col("root"))).as("m"))
+      .select(col("label"), col("m.root").as("root"))
+  }
+
+  /** Create an empty store at `path`. */
+  def init(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path, "nodes"))
+    f.mkdirs(new Path(path, "redirect"))
+    ()
   }
 
   /** Fold one batch of undirected edges (`a`, `b` long columns) into the
-    * label store. No-op on an empty edge frame.
+    * store. No-op on an empty edge frame.
     *
     * The label graph has O(batch) nodes BY CONSTRUCTION, so when it fits
     * under `maxDriverEdges` the component fold runs as in-memory
@@ -42,20 +129,29 @@ object IncrementalClusters {
     * the distributed large-star/small-star loop. Both produce component
     * MINIMA, so the choice is invisible to the store. */
   def applyBatch(spark: SparkSession, path: String, edges: DataFrame,
-      maxDriverEdges: Int = 2000000): Unit = {
+      maxDriverEdges: Int = 2000000, maxDeltas: Int = 16): Unit = {
     val pairs = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
-      .localCheckpoint(false) // consumed by the lookup, CC, and upsert
-    MergeOps.recoverIfNeeded(spark, path)
-    val labels = spark.read.parquet(path)
-    // current labels of the new edges' endpoints (default: self)
+      .localCheckpoint(false) // consumed by the lookup, CC, and insert path
+    val nodes = nodeStore(spark, path)
+    val redirect = redirectMap(spark, path)
+    // current labels of the batch endpoints: node store hop (default self)
+    // then ONE redirect hop (the depth-1 invariant). Endpoints are
+    // batch-sized; the store-side joins prune via parquet stats + runtime
+    // filters rather than decoding history.
+    val endpoints = pairs.select(col("a").as("node"))
+      .unionByName(pairs.select(col("b").as("node"))).distinct()
+    val epCur = endpoints
+      .join(nodes, Seq("node"), "left")
+      .withColumn("l0", coalesce(col("label0"), col("node")))
+      .join(redirect.select(col("label").as("l0"), col("root")), Seq("l0"), "left")
+      .select(col("node"), col("label0").isNull.as("fresh"),
+        coalesce(col("root"), col("l0")).as("cur"))
+      .localCheckpoint(false) // reused by the label graph and the insert path
     val labelEdges = pairs
-      .join(labels.select(col("node").as("a"), col("label").as("la")),
-        Seq("a"), "left")
-      .join(labels.select(col("node").as("b"), col("label").as("lb")),
-        Seq("b"), "left")
-      .select(coalesce(col("la"), col("a")).as("id_a"),
-        coalesce(col("lb"), col("b")).as("id_b"))
+      .join(epCur.select(col("node").as("a"), col("cur").as("id_a")), Seq("a"))
+      .join(epCur.select(col("node").as("b"), col("cur").as("id_b")), Seq("b"))
+      .select(col("id_a"), col("id_b"))
     // size probe and driver fetch in ONE incremental job (CollectLimit
     // stops scanning once the bound is passed)
     val probe = labelEdges.limit(maxDriverEdges + 1).collect()
@@ -82,31 +178,88 @@ object IncrementalClusters {
             parent(root) = root
           }
         }
-        val nodes = probe.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+        val ns = probe.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
         import spark.implicits._
-        nodes.map(n => (n, find(n))).toSeq.toDF("node", "comp")
+        ns.map(n => (n, find(n))).toSeq.toDF("node", "comp")
       } else
         // CC over LABELS only — O(batch) nodes regardless of cluster sizes
         ConnectedComponents.runStar(labelEdges, "id_a", "id_b")
           .localCheckpoint(false)
-    val updatedOld = labels
-      .join(lmap.select(col("node").as("label"), col("comp")), Seq("label"))
-      .select(col("node"), col("comp").as("label"))
-    val endpoints = pairs.select(col("a").as("node"))
-      .unionByName(pairs.select(col("b").as("node"))).distinct()
-    val upserts = endpoints
-      .join(labels, Seq("node"), "left")
-      .select(col("node"), coalesce(col("label"), col("node")).as("cur"))
+    val seq = nextSeq(spark, path)
+    // 1. APPEND new nodes, written once with their post-batch component min
+    //    as label0 — O(new nodes) bytes, history untouched.
+    val inserts = epCur.where(col("fresh"))
       .join(lmap.select(col("node").as("cur"), col("comp")), Seq("cur"))
-      .select(col("node"), col("comp").as("label"))
-    MergeOps.mergeByKey(spark, path,
-      updatedOld.unionByName(upserts).distinct(), "node",
-      insertUnmatched = true)
+      .select(col("node"), col("comp").as("label0"))
+    if (inserts.limit(1).count() > 0)
+      writeSegment(inserts.sortWithinPartitions("node"),
+        f"$path/nodes/b$seq%06d")
+    // 2. ONE redirect delta: merged-away roots point at the new min, and
+    //    every existing entry whose root merged away is repaired in the
+    //    same segment — the depth-1 invariant. The two sets are disjoint
+    //    (new entries' labels were terminal roots; repaired labels were
+    //    not), so last-writer-wins within the segment is unambiguous.
+    val nontrivial = lmap.where(col("node") =!= col("comp"))
+      .localCheckpoint(false) // consumed by new-entry and repair branches
+    // A merged-away root needs its own (root → min) entry only if some
+    // PRE-EXISTING row's label0 resolves through it — i.e. it was the cur
+    // of a non-fresh endpoint. A fresh endpoint's id can never be a stored
+    // label0 (fresh inserts land with the post-batch min directly), so
+    // emitting entries for those would only bloat future chain repairs.
+    val liveRoots = epCur.where(!col("fresh"))
+      .select(col("cur").as("node")).distinct()
+    val newEntries = nontrivial.join(liveRoots, Seq("node"), "left_semi")
+      .select(col("node").as("label"), col("comp").as("root"))
+    val repaired = redirect
+      .join(nontrivial.select(col("node").as("root"), col("comp")), Seq("root"))
+      .select(col("label"), col("comp").as("root"))
+    val delta = newEntries.unionByName(repaired).withColumn("seq", lit(seq))
+    if (delta.limit(1).count() > 0)
+      writeSegment(delta.sortWithinPartitions("label"),
+        f"$path/redirect/d$seq%06d")
+    maybeCompact(spark, path, maxDeltas)
   }
 
-  /** Current (node, label) store contents. */
+  /** Collapse either table into one base segment when it exceeds
+    * `maxDeltas` directories. O(store) once per `maxDeltas` batches —
+    * amortized O(store/maxDeltas) per batch; at warehouse scale this runs
+    * out-of-band (the a19 partition-compaction discipline). */
+  def maybeCompact(spark: SparkSession, path: String, maxDeltas: Int = 16): Boolean = {
+    var ran = false
+    val seq = nextSeq(spark, path)
+    val rDirs = listDirs(spark, s"$path/redirect")
+    if (rDirs.length > maxDeltas) {
+      writeSegment(redirectMap(spark, path).withColumn("seq", lit(seq))
+        .sortWithinPartitions("label"), f"$path/redirect/c$seq%06d")
+      val f = fs(spark, path)
+      rDirs.foreach(d => f.delete(new Path(d), true))
+      ran = true
+    }
+    val nDirs = listDirs(spark, s"$path/nodes")
+    if (nDirs.length > maxDeltas) {
+      writeSegment(spark.read.parquet(nDirs: _*).toDF("node", "label0")
+        .sortWithinPartitions("node"), f"$path/nodes/c${seq + 1}%06d")
+      val f = fs(spark, path)
+      nDirs.foreach(d => f.delete(new Path(d), true))
+      ran = true
+    }
+    ran
+  }
+
+  /** Current (node, label) view: node store resolved through the single
+    * redirect hop. */
   def labels(spark: SparkSession, path: String): DataFrame = {
-    MergeOps.recoverIfNeeded(spark, path)
-    spark.read.parquet(path)
+    nodeStore(spark, path)
+      .join(redirectMap(spark, path)
+        .select(col("label").as("label0"), col("root")), Seq("label0"), "left")
+      .select(col("node"), coalesce(col("root"), col("label0")).as("label"))
+  }
+
+  /** Total bytes currently under the store — spec hook for the per-batch
+    * write-volume gate. */
+  def bytesUnder(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
   }
 }

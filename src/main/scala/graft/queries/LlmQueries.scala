@@ -3547,10 +3547,12 @@ object LlmQueries {
     *     connected components runs on the LABEL GRAPH ONLY — O(batch)
     *     nodes, never the corpus: merging two existing clusters is a
     *     label-to-label edge, whatever their sizes;
-    *  3. the (old label → merged min label) map relabels exactly the
-    *     affected rows through the MergeOps keyed-merge protocol
-    *     (atomic-swap; untouched clusters' rows pass through the
-    *     anti-join unchanged).
+    *  3. the (old root → merged min label) map lands as ONE redirect
+    *     delta segment in the store's LSM log — the node store itself is
+    *     append-only (a node's row is written once, at insertion), so the
+    *     commit writes O(batch + repaired-chain) bytes, never O(store).
+    *     Untouched clusters aren't read, relabeled, or rewritten at all;
+    *     label resolution is a single depth-1 redirect join at read time.
     *
     * Batch order near → exact → base makes base ids arrive LAST, so the
     * %21 triangles force a real cross-batch CLUSTER MERGE (batch 2 built

@@ -350,6 +350,7 @@ object RobustStatsQueries {
       |est AS (
       |  SELECT ta, tb,
       |         MAX(CASE WHEN r = 64 THEN hv END) AS theta,
+      |         CAST(SUM(CASE WHEN r <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS kp,
       |         CAST(SUM(CASE WHEN r <= 64 AND in_a = 1 AND in_b = 1
       |                       THEN 1 ELSE 0 END) AS BIGINT) AS matched
       |  FROM rk GROUP BY 1, 2),
@@ -366,11 +367,15 @@ object RobustStatsQueries {
       |    ON d.ta2 = p.ta AND d.tb2 = p.tb
       |  GROUP BY 1, 2)
       |SELECT e.ta, e.tb, x.exact_u, x.exact_i,
-      |       CAST(FLOOR(63.0 * 2147483648.0 / CAST(e.theta AS DOUBLE))
-      |         AS BIGINT) AS union_est,
-      |       CAST(FLOOR(CAST(e.matched AS DOUBLE) / 64.0 *
-      |            (63.0 * 2147483648.0 / CAST(e.theta AS DOUBLE)))
-      |         AS BIGINT) AS inter_est
+      |       CASE WHEN e.kp >= 64 THEN
+      |         CAST(FLOOR(63.0 * 2147483648.0 / CAST(e.theta AS DOUBLE))
+      |           AS BIGINT)
+      |       ELSE e.kp END AS union_est,
+      |       CASE WHEN e.kp >= 64 THEN
+      |         CAST(FLOOR(CAST(e.matched AS DOUBLE) / 64.0 *
+      |              (63.0 * 2147483648.0 / CAST(e.theta AS DOUBLE)))
+      |           AS BIGINT)
+      |       ELSE e.matched END AS inter_est
       |FROM est e JOIN ex x ON e.ta = x.ta AND e.tb = x.tb
       |ORDER BY e.ta, e.tb""".stripMargin) { (s, dir) =>
     val du = Tables.events(s, dir)
@@ -398,6 +403,7 @@ object RobustStatsQueries {
       Window.partitionBy("ta", "tb").orderBy("hv")))
     val est = rk.groupBy("ta", "tb")
       .agg(max(when(col("r") === 64, col("hv"))).as("theta"),
+        sum(when(col("r") <= 64, 1).otherwise(0)).cast("bigint").as("kp"),
         sum(when(col("r") <= 64 && col("in_a") === 1 && col("in_b") === 1, 1)
           .otherwise(0)).cast("bigint").as("matched"))
     val perUser = pairs.join(du, col("ty") === col("ta") || col("ty") === col("tb"))
@@ -407,12 +413,17 @@ object RobustStatsQueries {
       .agg(countDistinct("u").cast("bigint").as("exact_u"),
         sum(when(col("both") === 2, 1).otherwise(0)).cast("bigint")
           .as("exact_i"))
+    // Beyer et al. fallback: a sketch that never filled (k' < k) holds the
+    // ENTIRE union, so the estimate degrades gracefully to the exact
+    // counts instead of going NULL through a missing θ.
     val uEst = lit(63.0) * 2147483648.0 / col("theta").cast("double")
     est.join(ex, Seq("ta", "tb"))
       .select(col("ta"), col("tb"), col("exact_u"), col("exact_i"),
-        floor(uEst).cast("bigint").as("union_est"),
-        floor(col("matched").cast("double") / 64.0 * uEst).cast("bigint")
-          .as("inter_est"))
+        when(col("kp") >= 64, floor(uEst).cast("bigint"))
+          .otherwise(col("kp")).as("union_est"),
+        when(col("kp") >= 64,
+          floor(col("matched").cast("double") / 64.0 * uEst).cast("bigint"))
+          .otherwise(col("matched")).as("inter_est"))
       .orderBy("ta", "tb")
   }
 
@@ -470,9 +481,15 @@ object RobustStatsQueries {
         unix_micros(col("ts")).as("us"))
       .agg(sum(round(col("value") * 100).cast("bigint")).cast("bigint").as("c"))
     val bounds = pt.groupBy("ty").agg(min("us").as("lo"), max("us").as("hi"))
-    val grid = bounds.select(col("ty"),
-      explode(sequence(expr("lo div 3600000000") + 1,
-        expr("(hi - 1) div 3600000000"))).as("hh"))
+    // Guard the grid: Spark's sequence(start, stop) DESCENDS when
+    // start > stop (DuckDB's generate_series returns empty), so a type
+    // whose span covers no interior hour boundary must drop out here
+    // rather than emit out-of-span grid rows.
+    val grid = bounds
+      .where(expr("lo div 3600000000") + 1 <= expr("(hi - 1) div 3600000000"))
+      .select(col("ty"),
+        explode(sequence(expr("lo div 3600000000") + 1,
+          expr("(hi - 1) div 3600000000"))).as("hh"))
     val uni = pt.select(col("ty"), col("us"), col("c"),
       lit(0).as("is_grid"), lit(null).cast("bigint").as("hh"))
       .unionByName(grid.select(col("ty"),

@@ -80,6 +80,33 @@ class ShallowCloneSpec extends AnyFunSuite with Matchers with SparkSuite {
       VersionedTable.shallowClone(spark, src, s"$w/dst")
   }
 
+  test("create and clone racing for one root collide on the init claim") {
+    val w = work()
+    val src = s"$w/src"
+    VersionedTable.create(spark, src, rows(10))
+    VersionedTable.append(spark, src, rows(12).where(col("k") > 10))
+    // The per-version manifest CAS cannot arbitrate this race: create
+    // publishes v0 while the clone's first version is the SOURCE version
+    // (here 1), so both would land in one history. Simulate the window —
+    // a competing initializer has claimed the root but not yet published,
+    // which is invisible to the empty-destination check alone.
+    val a = s"$w/a"
+    new java.io.File(s"$a/_log").mkdirs() shouldBe true
+    new java.io.File(s"$a/_log/.init").createNewFile() shouldBe true
+    (the[java.io.IOException] thrownBy
+      VersionedTable.shallowClone(spark, src, a))
+      .getMessage should include("lost the race")
+    (the[java.io.IOException] thrownBy
+      VersionedTable.create(spark, a, rows(3)))
+      .getMessage should include("lost the race")
+    // a successful initialization leaves its own claim behind, so even an
+    // initializer that skipped the version check cannot publish beside it
+    val b = s"$w/b"
+    VersionedTable.shallowClone(spark, src, b) shouldBe 1L
+    an[Exception] should be thrownBy VersionedTable.create(spark, b, rows(3))
+    VersionedTable.read(spark, b).count() shouldBe 12
+  }
+
   test("rename chain carries into the clone: old-era segments read renamed") {
     val w = work()
     val (src, dst) = (s"$w/src", s"$w/dst")

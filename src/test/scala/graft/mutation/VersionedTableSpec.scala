@@ -391,6 +391,59 @@ class VersionedTableSpec extends AnyFunSuite with Matchers with SparkSuite {
     VersionedTable.removeOrphans(spark, root) shouldBe Nil
   }
 
+  test("orphan sweep age-floors staging files and collects CRC sidecars") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))
+    // a live committer's freshly staged manifest (and its checksummed-fs
+    // sidecar) must survive even a cutoff-0 maintenance call — staging
+    // files are by definition pre-commit, so they get an age floor
+    val tmp = new java.io.File(s"$root/_log/.v9.manifest.deadbeef.tmp")
+    val crc = new java.io.File(s"$root/_log/..v9.manifest.deadbeef.tmp.crc")
+    // a sidecar whose data file is already gone (consumed by the commit
+    // hard-link): the accumulate-forever shape, hidden from Hadoop's
+    // checksummed listStatus
+    val lone = new java.io.File(s"$root/_log/..v8.manifest.cafe.tmp.crc")
+    tmp.createNewFile() shouldBe true
+    crc.createNewFile() shouldBe true
+    lone.createNewFile() shouldBe true
+    VersionedTable.removeOrphans(spark, root) shouldBe Nil
+    tmp.exists() shouldBe true
+    crc.exists() shouldBe true
+    lone.exists() shouldBe true
+    // backdated past the floor, all three are a crashed writer's debt
+    val old = System.currentTimeMillis() - 7200000L
+    tmp.setLastModified(old) shouldBe true
+    crc.setLastModified(old) shouldBe true
+    lone.setLastModified(old) shouldBe true
+    val swept = VersionedTable.removeOrphans(spark, root)
+    swept should contain allOf (
+      "_log/.v9.manifest.deadbeef.tmp",
+      "_log/..v8.manifest.cafe.tmp.crc")
+    tmp.exists() shouldBe false
+    crc.exists() shouldBe false // rides its data file's checksummed delete
+    lone.exists() shouldBe false
+  }
+
+  test("stale init claim on a never-published root is swept, unblocking it") {
+    val root = freshRoot()
+    new java.io.File(s"$root/_log").mkdirs() shouldBe true
+    val init = new java.io.File(s"$root/_log/.init")
+    init.createNewFile() shouldBe true
+    // claimed: every initializer loses the race (its dead segment is the
+    // same debt a lost CAS append leaves, collected below)
+    an[java.io.IOException] should be thrownBy
+      VersionedTable.create(spark, root, df(1))
+    // a FRESH claim is never swept (the claimant may be mid-publish)
+    VersionedTable.removeOrphans(spark, root, olderThanMs = 3600000L) shouldBe Nil
+    init.exists() shouldBe true
+    // a stale claim with no manifest behind it is a crashed initializer
+    init.setLastModified(System.currentTimeMillis() - 7200000L) shouldBe true
+    VersionedTable.removeOrphans(spark, root,
+      olderThanMs = 3600000L) shouldBe Seq("_log/.init")
+    VersionedTable.create(spark, root, df(1)) shouldBe 0L
+    idsAt(root, 0) shouldBe Set(1L)
+  }
+
   test("removeOrphans refuses to guess on a non-versioned directory") {
     val dir = graft.Scratch.dir("graft_orphan_spec") + "/plain"
     df(1).write.parquet(s"$dir/seg_lookslikeone")

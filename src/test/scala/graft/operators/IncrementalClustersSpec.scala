@@ -118,6 +118,51 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSuite 
     store(pFb).values.toSet shouldBe Set(1L)
   }
 
+  test("per-batch writes are O(batch): a tiny batch never rewrites the store") {
+    // Build a store with ~600 nodes, then fold in one 2-edge batch of
+    // fresh nodes: the bytes added must be a small fraction of the
+    // accumulated store, and every pre-existing segment directory must
+    // survive untouched (append-only history + delta log, not
+    // union-and-rewrite). maxDeltas is raised so compaction cannot
+    // legitimately rewrite history mid-test.
+    val path = scratch("obatch")
+    IncrementalClusters.init(spark, path)
+    for (b <- 0 until 6) {
+      val es = (0 until 100).map(i => (b * 1000L + i, b * 1000L + i + 100))
+      IncrementalClusters.applyBatch(spark, path, edges(es: _*), maxDeltas = 100)
+    }
+    def segments(sub: String): Set[String] =
+      Option(new java.io.File(s"$path/$sub").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.isDirectory).map(d => s"$sub/${d.getName}").toSet
+    val before = IncrementalClusters.bytesUnder(spark, path)
+    val segsBefore = segments("nodes") ++ segments("redirect")
+    IncrementalClusters.applyBatch(spark, path,
+      edges(90001L -> 90002L, 90003L -> 90004L), maxDeltas = 100)
+    val after = IncrementalClusters.bytesUnder(spark, path)
+    val segsAfter = segments("nodes") ++ segments("redirect")
+    // history preserved: every old segment still present
+    assert(segsBefore.subsetOf(segsAfter))
+    // batch-sized delta: far below the store size (an O(store) rewrite
+    // would at least double the footprint)
+    (after - before).toDouble should be < before.toDouble * 0.25
+  }
+
+  test("compaction collapses the log without changing labels") {
+    val path = scratch("compact")
+    IncrementalClusters.init(spark, path)
+    // chain merges force redirect traffic every batch; maxDeltas=2 forces
+    // repeated compactions interleaved with the folds
+    val batches = (0 until 10).map(i => Seq(i.toLong -> (i + 1).toLong))
+    batches.foreach(b =>
+      IncrementalClusters.applyBatch(spark, path, edges(b: _*), maxDeltas = 2))
+    val oneShot = ConnectedComponents
+      .runStar(edges(batches.flatten: _*), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    store(path) shouldBe oneShot
+    store(path).values.toSet shouldBe Set(0L)
+  }
+
   test("adversarial arrival order equals one-shot CC on the edge union") {
     // chain 1-2-3-4-5 delivered as (4,5), (1,2), (3,4), (2,3): the last
     // batch merges THREE existing clusters transitively
