@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.orderBitsFunction)
     ext.injectFunction(GraftExtensions.orderBitsInvFunction)
     ext.injectFunction(GraftExtensions.l2SqFunction)
+    ext.injectFunction(GraftExtensions.jaroWinklerFunction)
     ext.injectOptimizerRule(_ => OutlierIdiomRule)
     ext.injectOptimizerRule(_ => CircleFilterRule)
   }
@@ -91,13 +92,26 @@ object GraftExtensions {
     new ExpressionInfo(classOf[L2SqExpression].getName, "l2_sq"),
     l2SqBuilder)
 
+  private val jaroWinklerBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"jaro_winkler expects 2 arguments, got ${children.length}")
+    val Seq(a, b) = children.map(c =>
+      Cast(c, org.apache.spark.sql.types.StringType): Expression)
+    JaroWinklerExpression(a, b)
+  }
+
+  val jaroWinklerFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinklerExpression].getName, "jaro_winkler"),
+    jaroWinklerBuilder)
+
   /** Register on an EXISTING session (getOrCreate ignores extensions when a
     * session already exists — e.g. shared test fixtures, spark-shell).
     * Functions go to the registry; optimizer rules ride the experimental
     * hook (the only post-construction injection point Spark exposes). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(haversineFunction, cosineFunction, orderBitsFunction,
-      orderBitsInvFunction, l2SqFunction).foreach { f =>
+      orderBitsInvFunction, l2SqFunction, jaroWinklerFunction).foreach { f =>
       spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
     }
     Seq(OutlierIdiomRule, CircleFilterRule).foreach { r =>

@@ -3877,6 +3877,48 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Blocked RECORD-LINKAGE pairs under Jaro–Winkler — the short-string
+    * fuzzy matcher (names, titles, keys) where edit distance over-penalizes
+    * transpositions and Jaccard ignores order entirely; together with
+    * llm_edit_distance_dedup this completes the classic linkage-verifier
+    * pair. Candidates come from an equi-join on the (lang, length-band)
+    * block key — blocking is declared semantics (the oracle replicates
+    * it), so the join is a plain shuffled equi-join, never all-pairs.
+    * Verification runs the native [[graft.plans.JaroWinklerExpression]]
+    * (codegen'd, byte-level, numerics pinned against DuckDB's
+    * jaro_winkler_similarity: integer-halved transpositions, 0.7 boost
+    * threshold, exact IEEE operation order — see the expression Scaladoc)
+    * on the 24-char key prefix; the emitted score is ROUND(·,4) in BOTH
+    * engines and the threshold applies to the rounded value, so a
+    * sub-1e-4 ulp divergence can never flip row membership. */
+  val jwLinkage: Reg = Reg.sql(
+    "llm_jw_linkage",
+    """WITH t AS (SELECT doc_id, lang, n_chars // 40 AS band,
+      |             substr(text, 1, 24) AS key
+      |           FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       ROUND(jaro_winkler_similarity(a.key, b.key), 4) AS jw
+      |FROM t a JOIN t b
+      |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      |WHERE ROUND(jaro_winkler_similarity(a.key, b.key), 4) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def jw(a: Column, b: Column): Column =
+      ColumnBridge.column(graft.plans.JaroWinklerExpression(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    val t = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"), expr("n_chars div 40").as("band"),
+      substring(col("text"), 1, 24).as("key"))
+    t.as("a").join(t.as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(jw(col("a.key"), col("b.key")), 4).as("jw"))
+      .where(col("jw") >= 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Per-source word-distribution KL divergence against the corpus — the
     * source-mix drift monitor (a crawl snapshot whose vocabulary usage
     * departs from the pool is the first sign of template spam or a
@@ -4263,7 +4305,7 @@ object LlmQueries {
 
   lazy val all: Seq[Reg] = Seq(
     rougeOverlap, mmrRerank, tfidfTerms, spanCorrupt, mixTemperature,
-    cdcChunks, editDistanceDedup, wordKlBySource,
+    cdcChunks, editDistanceDedup, jwLinkage, wordKlBySource,
     streamNearDup, incrementalClusters, datasetCard, shardAssign, dupSpanStrip,
     curationFunnel, communityLpa, dupSpanCoverage,
     exactDedup, textStats, qualityScore, langIdHeuristic, fingerprint,

@@ -637,7 +637,120 @@ object RobustStatsQueries {
       .orderBy("test")
   }
 
+  /** O58 — HODGES–LEHMANN location estimator per event type: the median
+    * of all Walsh averages (pairwise means, i ≤ j) of the DAILY totals —
+    * the robust location companion to o52's Welch mean (30% breakdown,
+    * ~95% efficiency at the normal). The corpus collapses to the DAY
+    * domain first (calendar-bounded — same o50 argument: 3 650 rows for a
+    * decade, independent of row volume), so the within-type pair join is
+    * over day counts, never row counts. Walsh sums stay 2× exact cents
+    * (no division before the median); the median itself is the exact
+    * interpolated order statistic, a dyadic rational both engines
+    * represent identically, scaled by 50 into centi-cents with FLOOR. */
+  val o58HodgesLehmann: Reg = Reg.sql(
+    "o58_hodges_lehmann",
+    """WITH daily AS (
+      |  SELECT event_type AS ty, CAST(ts AS DATE) AS d,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |walsh AS (
+      |  SELECT a.ty AS ty, a.c + b.c AS w2
+      |  FROM daily a JOIN daily b ON a.ty = b.ty AND a.d <= b.d)
+      |SELECT ty, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |       CAST(FLOOR(MEDIAN(w2) * 50.0) AS BIGINT) AS hl_e2
+      |FROM walsh GROUP BY ty ORDER BY ty""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type").as("ty"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("bigint")).cast("bigint").as("c"))
+    val walsh = daily.as("a")
+      .join(daily.as("b"),
+        col("a.ty") === col("b.ty") && col("a.d") <= col("b.d"))
+      .select(col("a.ty").as("ty"), (col("a.c") + col("b.c")).as("w2"))
+    walsh.groupBy("ty")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        floor(expr("percentile(w2, 0.5)") * 50.0).cast("bigint").as("hl_e2"))
+      .orderBy("ty")
+  }
+
+  /** O59 — EWMA with half-life decay over a FIXED 20-day horizon per
+    * event type, entirely in exact integers: weights 2^(20−r) for recency
+    * rank r ≤ 20 are exact BIGINT shifts, the weighted numerator stays
+    * under 2⁵³·10⁴ by construction (cents × ≤2²⁰ × 10⁴), and the final
+    * smoothed value is one integer floor-division — bit-equal across
+    * engines with no IEEE summation-order exposure at all (the
+    * BASELINE.md float discipline taken to its limit). The fixed horizon
+    * is also what makes it scale-safe: the window never grows with
+    * history, so state is 20 days per type forever. Truncation at 20
+    * days loses < 2⁻²⁰ of the weight mass of the untruncated EWMA. */
+  val o59EwmaHalflife: Reg = Reg.sql(
+    "o59_ewma_halflife",
+    """WITH daily AS (
+      |  SELECT event_type AS ty, CAST(ts AS DATE) AS d,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT ty, c,
+      |         ROW_NUMBER() OVER (PARTITION BY ty ORDER BY d DESC) AS r
+      |  FROM daily),
+      |win AS (SELECT ty, c, r FROM rk WHERE r <= 20)
+      |SELECT ty, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |       CAST(SUM(c * (CAST(1 AS BIGINT) << (20 - r))) * 10000
+      |              // SUM(CAST(1 AS BIGINT) << (20 - r)) AS BIGINT)
+      |         AS ewma_e4
+      |FROM win GROUP BY ty ORDER BY ty""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type").as("ty"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("bigint")).cast("bigint").as("c"))
+    val rk = daily.withColumn("r", row_number().over(
+      Window.partitionBy("ty").orderBy(col("d").desc)))
+      .where(col("r") <= 20)
+      .withColumn("w", expr("shiftleft(cast(1 as bigint), 20 - cast(r as int))"))
+    rk.groupBy("ty")
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+        expr("(sum(c * w) * 10000) div sum(w)").cast("bigint").as("ewma_e4"))
+      .orderBy("ty")
+  }
+
+  /** O60 — GRAM MATRIX of the embedding corpus (XᵀX upper triangle):
+    * the one-pass sufficient statistic behind PCA / whitening / linear
+    * probes. Exact lattice discipline: each coordinate is floor-quantized
+    * to integer thousandths (float→double cast is exact, ×1000 is the
+    * same IEEE op in both engines), so every product and sum is BIGINT.
+    * The pair expansion is ROW-LOCAL (nested transform → one explode —
+    * no self-join, no shuffle of the corpus), and map-side partial
+    * aggregation collapses each partition to ≤ d(d+1)/2 = 2 080 rows
+    * before the only shuffle: at 100 TB the reduce side still sees
+    * 2 080 × partitions rows, the textbook outer-product accumulation. */
+  val o60GramMatrix: Reg = Reg.sql(
+    "o60_gram_matrix",
+    """WITH q AS (
+      |  SELECT vec_id, i,
+      |         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+      |           AS qv
+      |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)),
+      |pairs AS (
+      |  SELECT a.i AS i, b.i AS j, a.qv * b.qv AS p
+      |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i)
+      |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+      |       CAST(SUM(p) AS BIGINT) AS dot,
+      |       CAST(COUNT(*) AS BIGINT) AS n_vecs
+      |FROM pairs GROUP BY i, j ORDER BY i, j""".stripMargin) { (s, dir) =>
+    val q = Tables.embeddings(s, dir).select(
+      expr("transform(embedding, e -> cast(floor(cast(e as double) * 1000) as bigint))")
+        .as("q"))
+    q.select(explode(expr(
+      """flatten(transform(sequence(1, 64), i ->
+        |  transform(sequence(i, 64), j ->
+        |    struct(i, j, element_at(q, i) * element_at(q, j) as p))))"""
+        .stripMargin)).as("s"))
+      .groupBy(col("s.i").cast("bigint").as("i"),
+        col("s.j").cast("bigint").as("j"))
+      .agg(sum("s.p").cast("bigint").as("dot"),
+        count(lit(1)).cast("bigint").as("n_vecs"))
+      .orderBy("i", "j")
+  }
+
   val all: Seq[Reg] = Seq(o49KendallTau, o50SeasonalDecompose, o51BootstrapCi,
     o52WelchTtest, o53KmvSetOps, o54ResampleInterp, o55SeasonalAnomaly,
-    o57Sprt)
+    o57Sprt, o58HodgesLehmann, o59EwmaHalflife, o60GramMatrix)
 }
