@@ -84,6 +84,23 @@ object VersionedTable {
       * check is on the BASENAME so external (absolute-path) references
       * created by [[shallowClone]] keep their delete-ness. */
     def isDelete: Boolean = VersionedTable.baseName(name).startsWith("del_")
+    /** POSITION-delete segment (Delta deletion-vector / Iceberg v2
+      * position-delete substance): (`__pd_file`, `__pd_pos`) tuples that
+      * retire specific row positions of specific physical files. Unlike
+      * equality deletes these need no key columns and no seq scoping —
+      * file paths are unique forever (uuid segment names), so a position
+      * tuple can never resurrect onto a re-inserted row. */
+    def isPosDelete: Boolean =
+      VersionedTable.baseName(name).startsWith("pdel_")
+  }
+
+  /** Three-way manifest split: (data, equality deletes, position
+    * deletes). */
+  private def splitSegments(
+      segs: Seq[Segment]): (Seq[Segment], Seq[Segment], Seq[Segment]) = {
+    val (pdels, rest) = segs.partition(_.isPosDelete)
+    val (dels, datas) = rest.partition(_.isDelete)
+    (datas, dels, pdels)
   }
 
   /** Last path component of a manifest entry — external references carry
@@ -301,7 +318,9 @@ object VersionedTable {
     // its own) can never remove a row from this or any derived version —
     // drop it so compaction/materialization naturally retires del files
     val minDataSeq =
-      stamped.collect { case s if !s.isDelete => s.seq }.minOption
+      stamped.collect {
+        case s if !s.isDelete && !s.isPosDelete => s.seq
+      }.minOption
     val live =
       stamped.filter(s => !s.isDelete || minDataSeq.exists(_ < s.seq))
     // a v0 commit is a table INITIALIZATION: arbitrate against every
@@ -497,7 +516,8 @@ object VersionedTable {
       .filter { st =>
         val n = st.getPath.getName
         val orphan =
-          ((n.startsWith("seg_") || n.startsWith("del_")) && !live(n)) ||
+          ((n.startsWith("seg_") || n.startsWith("del_") ||
+            n.startsWith("pdel_")) && !live(n)) ||
             n.startsWith(".stage_")
         orphan && st.getModificationTime <= cutoff
       }
@@ -859,6 +879,50 @@ object VersionedTable {
       Some(appId -> batchId), None))
   }
 
+  /** Snapshot read with file provenance: the current rows (all deletes
+    * of both kinds applied) plus `__pd_file`/`__pd_pos` — the physical
+    * file each row lives in and its row index there. The substrate for
+    * [[posDelete]] and [[changelogRows]]' position-retraction
+    * enrichment. */
+  private def readWithPos(
+      spark: SparkSession, root: String, v: Long): DataFrame = {
+    val (datas, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
+    applyDeletes(spark, root, datas, dels,
+      renames = renamesOf(spark, root, v), pdels = pdels, keepPos = true)
+  }
+
+  /** POSITION DELETE (the Delta deletion-vector / Iceberg v2
+    * position-delete substance): retire the LIVE rows matching `cond` by
+    * recording their (file, row-index) tuples as a `pdel_` segment — ONE
+    * delta-sized write, zero data segments rewritten, no key columns
+    * required (the mechanism equality deletes cannot give a keyless or
+    * duplicate-keyed table). Position tuples bind to physical files
+    * (recorded exactly as Spark's `_metadata.file_path` renders them —
+    * absolute URIs, so shallow-cloned external segments keep matching),
+    * and files are immutable with forever-unique names, so a position
+    * can never resurrect onto re-inserted data: no seq scoping needed.
+    * Rewrites (mergeWhere/compaction/materialize) apply pending position
+    * deletes before producing fresh files, exactly the Iceberg rewrite
+    * rule. Scan-side cost is one broadcast anti-join on (file, pos) only
+    * while deletion vectors exist; [[morMaterialize]] retires them.
+    * `cond` evaluates against the deletes-applied snapshot, so an
+    * already-deleted row is never recorded twice. Returns (new version,
+    * positions deleted); no commit when nothing matches. */
+  def posDelete(
+      spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column): (Long, Long) = {
+    val v = currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
+    val victims = readWithPos(spark, root, v).where(cond)
+      .select(col("__pd_file"), col("__pd_pos")).distinct()
+      .localCheckpoint() // count + segment write share one evaluation
+    val n = victims.count()
+    if (n == 0L) return (v, 0L)
+    val pdel = writeSegment(spark, root, victims, Nil, prefix = "pdel_")
+    (commitFrom(spark, root, Some(v),
+      segmentsOf(spark, root, v) :+ pdel, None, None), n)
+  }
+
   /** MATERIALIZE deletes (Iceberg's rewrite-with-deletes maintenance):
     * every data segment with at least one applicable delete is rewritten
     * individually with those deletes applied (stats recomputed on
@@ -873,11 +937,27 @@ object VersionedTable {
       statCols: Seq[String] = Nil): (Long, Int, Int) = {
     val v = currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
-    val (dels, datas) = segmentsOf(spark, root, v).partition(_.isDelete)
-    if (dels.isEmpty) return (v, 0, 0)
+    val (datas, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
+    if (dels.isEmpty && pdels.isEmpty) return (v, 0, 0)
     val chain = renamesOf(spark, root, v)
+    // a segment is affected by a position delete iff the delete names one
+    // of its files — the pdel content is delta-sized, so resolving the
+    // named segment set is one small scan, not a table read
+    val pdelSegs: Set[String] =
+      if (pdels.isEmpty) Set.empty
+      else spark.read.parquet(
+        pdels.map(s => new Path(root, s.name).toString): _*)
+        .select("__pd_file").distinct().collect()
+        .map(r => baseName(new Path(r.getString(0)).getParent.toString))
+        .toSet
     val (affected, clean) =
-      datas.partition(d => dels.exists(_.seq > d.seq))
+      datas.partition(d =>
+        dels.exists(_.seq > d.seq) || pdelSegs(baseName(d.name)))
+    // all remaining deletes dangling (reference no live segment): retire
+    // them with a metadata-only commit, nothing to rewrite
+    if (affected.isEmpty)
+      return (commitFrom(spark, root, Some(v), clean, None, None),
+        0, dels.length + pdels.length)
     // per-segment rewrites are independent (distinct target dirs) — submit
     // them as CONCURRENT Spark jobs so the wall clock is bounded by the
     // largest segment, not the per-job scheduling overhead times N
@@ -891,13 +971,16 @@ object VersionedTable {
           scala.concurrent.Future.sequence(affected.map { d =>
             scala.concurrent.Future {
               writeSegment(spark, root,
-                applyDeletes(spark, root, Seq(d), dels, renames = chain),
+                applyDeletes(spark, root, Seq(d), dels, renames = chain,
+                  pdels = pdels),
                 statCols)
             }
           }), scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
+    // every pdel-named segment was rewritten above, so ALL position
+    // deletes retire with the equality deletes
     val nv = commitFrom(spark, root, Some(v), clean ++ rewritten, None, None)
-    (nv, affected.length, dels.length)
+    (nv, affected.length, dels.length + pdels.length)
   }
 
   /** REPLACE commit (the copy-on-write UPDATE/DELETE shape): the new
@@ -959,7 +1042,7 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"$root has no versions"))
     segmentsOf(spark, root, v)
-      .filterNot(_.isDelete)
+      .filterNot(s => s.isDelete || s.isPosDelete)
       .filter(_.mayIntersect(c, lo, hi))
       .map(s => new Path(root, s.name).toString)
   }
@@ -979,9 +1062,23 @@ object VersionedTable {
       spark: SparkSession, root: String,
       datas: Seq[Segment], dels: Seq[Segment],
       mergeSchema: Boolean = false,
-      renames: Seq[(Long, String, String)] = Nil): DataFrame = {
+      renames: Seq[(Long, String, String)] = Nil,
+      pdels: Seq[Segment] = Nil,
+      keepPos: Boolean = false): DataFrame = {
     require(datas.nonEmpty, s"$root: no data segments to read")
     def p(n: String) = new Path(root, n).toString
+    // POSITION deletes ((file, pos) tuples — Delta deletion vectors)
+    // anti-join at the innermost scan on file provenance: `_metadata` is
+    // only addressable on the direct file-source relation, and position
+    // tuples bind to physical files, not logical rows, so they must
+    // apply before renames/unions rearrange anything. Tables without
+    // them (pdels empty, keepPos false) skip provenance entirely — zero
+    // overhead on the common path. Position-delete files are tiny
+    // relative to data, so AQE broadcasts the anti-join's build side.
+    val posKill: Option[DataFrame] =
+      if (pdels.isEmpty) None
+      else Some(spark.read.parquet(pdels.map(s => p(s.name)): _*)
+        .select(col("__pd_file"), col("__pd_pos")).distinct())
     // segments sharing a physical schema era (same applicable renames)
     // scan together; eras with old physical names map to current logical
     // names BEFORE any join/union, so keys and schemas always line up
@@ -989,11 +1086,23 @@ object VersionedTable {
       segs.groupBy(s => renameFor(renames, s.seq)).toSeq
         .sortBy(_._2.map(_.name).min)
         .map { case (rs, group) =>
-          val raw =
+          val raw0 =
             if (mergeSchema)
               spark.read.option("mergeSchema", "true")
                 .parquet(group.map(s => p(s.name)): _*)
             else spark.read.parquet(group.map(s => p(s.name)): _*)
+          val raw =
+            if (posKill.isEmpty && !keepPos) raw0
+            else {
+              val dataCols = raw0.columns.toSeq
+              val withPos = raw0
+                .withColumn("__pd_file", col("_metadata.file_path"))
+                .withColumn("__pd_pos", col("_metadata.row_index"))
+              val alive = posKill.fold(withPos)(k =>
+                withPos.join(k, Seq("__pd_file", "__pd_pos"), "left_anti"))
+              if (keepPos) alive
+              else alive.select(dataCols.map(col): _*)
+            }
           applyRenames(raw, rs)
         }
         .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
@@ -1030,9 +1139,9 @@ object VersionedTable {
       mergeSchema: Boolean = false): DataFrame = {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"$root has no versions"))
-    val (dels, datas) = segmentsOf(spark, root, v).partition(_.isDelete)
+    val (datas, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
     applyDeletes(spark, root, datas, dels, mergeSchema,
-      renamesOf(spark, root, v))
+      renamesOf(spark, root, v), pdels)
   }
 
   /** Stats-pruned snapshot read of rows with `c` in [lo, hi]: whole
@@ -1047,12 +1156,14 @@ object VersionedTable {
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"$root has no versions"))
-    val (dels0, datas0) = segmentsOf(spark, root, v).partition(_.isDelete)
+    val (datas0, dels0, pdels) = splitSegments(segmentsOf(spark, root, v))
     val datas = datas0.filter(_.mayIntersect(c, lo, hi))
     if (datas.isEmpty) read(spark, root, Some(v)).where(lit(false))
+    // position deletes are NEVER pruned: they bind to files, not value
+    // ranges, and dropping one would resurrect its deleted rows
     else applyDeletes(spark, root, datas,
       dels0.filter(_.mayIntersect(c, lo, hi)),
-      renames = renamesOf(spark, root, v))
+      renames = renamesOf(spark, root, v), pdels = pdels)
       .where(col(c).cast("double") >= lo && col(c).cast("double") <= hi)
   }
 
@@ -1069,18 +1180,21 @@ object VersionedTable {
       statCols: Seq[String] = Nil): (Long, Int, Int) = {
     val v = currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
-    val (dels, datas) = segmentsOf(spark, root, v).partition(_.isDelete)
+    val (datas, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
     val (touched, carried) = datas.partition(_.mayIntersect(c, lo, hi))
     if (touched.isEmpty) return (v, 0, carried.length)
-    // pending equality deletes MUST be applied to the touched slice
-    // before the rewrite: the rewritten segment gets a NEW seq, so older
-    // deletes stop applying to it — materializing them here is what
-    // keeps deleted rows from resurrecting (the Iceberg rewrite rule)
+    // pending deletes of BOTH kinds MUST be applied to the touched slice
+    // before the rewrite: the rewritten segment gets a NEW seq (and new
+    // file paths), so older deletes stop applying to it — materializing
+    // them here is what keeps deleted rows from resurrecting (the
+    // Iceberg rewrite rule). Position deletes still carry forward for
+    // the carried segments' files; entries naming rewritten-away files
+    // match nothing and retire at the next materialization.
     val touchedDf = applyDeletes(spark, root, touched, dels,
-      renames = renamesOf(spark, root, v))
+      renames = renamesOf(spark, root, v), pdels = pdels)
     val rewritten = writeSegment(spark, root, transform(touchedDf), statCols)
-    val nv = commitFrom(spark, root, Some(v), (carried ++ dels) :+ rewritten,
-      None, None)
+    val nv = commitFrom(spark, root, Some(v),
+      (carried ++ dels ++ pdels) :+ rewritten, None, None)
     (nv, touched.length, carried.length)
   }
 
@@ -1126,7 +1240,13 @@ object VersionedTable {
     * reproduces last-writer-wins exactly. */
   final case class ChangeSet(
       version: Long, inserted: Option[DataFrame],
-      deletedKeys: Option[DataFrame], keyCols: Seq[String])
+      deletedKeys: Option[DataFrame], keyCols: Seq[String],
+      /** Retractions from a POSITION-delete commit, as (`__pd_file`,
+        * `__pd_pos`) tuples. A plain [[applyChangelog]] fold cannot apply
+        * these (a downstream base carries no file provenance) — consume
+        * them through [[changelogRows]], which resolves the positions to
+        * full rows against the pre-commit snapshot. */
+      posDeleted: Option[DataFrame] = None)
 
   /** CHANGELOG scan (Iceberg's changelog / Delta CDF substance): the
     * ordered per-commit change sets between two snapshots, derived
@@ -1151,7 +1271,7 @@ object VersionedTable {
     (fromV + 1 to toV).flatMap { v =>
       val prev = segmentsOf(spark, root, v - 1).map(_.name).toSet
       val added = segmentsOf(spark, root, v).filterNot(s => prev(s.name))
-      val (dels, datas) = added.partition(_.isDelete)
+      val (datas, dels, pdels) = splitSegments(added)
       if (added.isEmpty) None
       else Some(ChangeSet(
         v,
@@ -1159,18 +1279,25 @@ object VersionedTable {
           datas.map(s => new Path(root, s.name).toString): _*)) else None,
         if (dels.nonEmpty) Some(spark.read.parquet(
           dels.map(s => new Path(root, s.name).toString): _*)) else None,
-        dels.headOption.map(_.keys).getOrElse(Nil)))
+        dels.headOption.map(_.keys).getOrElse(Nil),
+        if (pdels.nonEmpty) Some(spark.read.parquet(
+          pdels.map(s => new Path(root, s.name).toString): _*)
+          .select(col("__pd_file"), col("__pd_pos"))) else None))
     }
   }
 
   /** Fold a [[changelog]] onto a base frame (the `fromV` snapshot or a
     * downstream replica): per change set, retract then insert. */
-  def applyChangelog(base: DataFrame, changes: Seq[ChangeSet]): DataFrame =
+  def applyChangelog(base: DataFrame, changes: Seq[ChangeSet]): DataFrame = {
+    require(changes.forall(_.posDeleted.isEmpty),
+      "changelog contains position-delete commits; a plain base has no " +
+        "file provenance to apply them against — consume via changelogRows")
     changes.foldLeft(base) { (df, cs) =>
       val retracted = cs.deletedKeys.fold(df)(ks =>
         df.join(ks, cs.keyCols, "left_anti"))
       cs.inserted.fold(retracted)(ins => retracted.unionByName(ins))
     }
+  }
 
   /** One commit's changes with retractions enriched to FULL ROWS. */
   final case class RowChangeSet(
@@ -1191,10 +1318,21 @@ object VersionedTable {
       spark: SparkSession, root: String, fromV: Long,
       toV: Long): Seq[RowChangeSet] =
     changelog(spark, root, fromV, toV).map { cs =>
+      val byKey = cs.deletedKeys.map(ks =>
+        read(spark, root, Some(cs.version - 1))
+          .join(ks, cs.keyCols, "left_semi"))
+      // position retractions resolve against the pre-commit snapshot read
+      // WITH provenance: semi-join on (file, pos) surfaces exactly the
+      // rows the deletion vector removed, as full rows
+      val byPos = cs.posDeleted.map(ps =>
+        readWithPos(spark, root, cs.version - 1)
+          .join(ps, Seq("__pd_file", "__pd_pos"), "left_semi")
+          .drop("__pd_file", "__pd_pos"))
       RowChangeSet(cs.version, cs.inserted,
-        cs.deletedKeys.map(ks =>
-          read(spark, root, Some(cs.version - 1))
-            .join(ks, cs.keyCols, "left_semi")))
+        (byKey, byPos) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b)             => a.orElse(b)
+        })
     }
 
   /** Segment names referenced by `toV` but not `fromV` — the files an
@@ -1229,7 +1367,8 @@ object VersionedTable {
     // external (shallow-clone) references are skipped: sidecar names
     // embed the bare segment name, and a bloom belongs to the table that
     // OWNS the file — lookups degrade to conservatively reading them
-    val missing = segmentsOf(spark, root, v).filterNot(_.isDelete)
+    val missing = segmentsOf(spark, root, v)
+      .filterNot(s => s.isDelete || s.isPosDelete)
       .filterNot(s => isExternal(s.name))
       .filterNot(s => f.exists(bloomPath(root, s.name, c)))
     if (missing.isEmpty) return 0
@@ -1265,7 +1404,8 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"$root has no versions"))
     val f = fs(spark, root)
-    segmentsOf(spark, root, v).filterNot(_.isDelete)
+    segmentsOf(spark, root, v)
+      .filterNot(s => s.isDelete || s.isPosDelete)
       .filter(_.mayIntersect(c, value.toDouble, value.toDouble))
       .filter { s =>
         // external (shallow-clone) refs never have local sidecars; their
@@ -1293,11 +1433,12 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalStateException(s"$root has no versions"))
     val names = resolvePointLookup(spark, root, c, value, Some(v)).toSet
-    val (dels, datas0) = segmentsOf(spark, root, v).partition(_.isDelete)
+    val (datas0, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
     val datas = datas0.filter(s => names(s.name))
     if (datas.isEmpty) read(spark, root, Some(v)).where(lit(false))
     else applyDeletes(spark, root, datas,
       dels.filter(_.mayIntersect(c, value.toDouble, value.toDouble)),
+      pdels = pdels,
       renames = renamesOf(spark, root, v))
       .where(col(c) === value)
   }
@@ -1331,16 +1472,17 @@ object VersionedTable {
     val v = currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
     val f = fs(spark, root)
-    val (dels, datas) = segmentsOf(spark, root, v).partition(_.isDelete)
+    val (datas, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
     val (small, big0) = datas.partition { s =>
       f.getContentSummary(new Path(root, s.name)).getLength <= smallBytes
     }
-    val big = big0 ++ dels // delete segments never fold into data
+    val big = big0 ++ dels ++ pdels // delete segments never fold into data
     if (small.length < 2) return (v, 0, datas.length)
-    // applicable deletes materialize into the merged segment (its new
-    // seq puts it beyond their reach), exactly as in mergeWhere
+    // applicable deletes (both kinds) materialize into the merged segment
+    // (its new seq and fresh files put it beyond their reach), exactly as
+    // in mergeWhere
     val merged = applyDeletes(spark, root, small, dels,
-      renames = renamesOf(spark, root, v))
+      renames = renamesOf(spark, root, v), pdels = pdels)
     val name = "seg_" + java.util.UUID.randomUUID().toString.replace("-", "")
     merged.coalesce(1).write.parquet(new Path(root, name).toString)
     // stats union straight from the manifest — the merged interval per
@@ -1372,7 +1514,7 @@ object VersionedTable {
     val v = currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
     val f = fs(spark, root)
-    val (dels, datas) = segmentsOf(spark, root, v).partition(_.isDelete)
+    val (datas, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
     val chain = renamesOf(spark, root, v)
     val sized = datas.map(s =>
       s -> f.getContentSummary(new Path(root, s.name)).getLength)
@@ -1401,7 +1543,7 @@ object VersionedTable {
           scala.concurrent.Future.sequence(foldable.map { bin =>
             scala.concurrent.Future {
               val merged = applyDeletes(spark, root, bin, dels,
-                renames = chain)
+                renames = chain, pdels = pdels)
               val name =
                 "seg_" + java.util.UUID.randomUUID().toString.replace("-", "")
               merged.coalesce(1).write.parquet(new Path(root, name).toString)
@@ -1414,7 +1556,7 @@ object VersionedTable {
             }
           }), scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
-    val carried = big.map(_._1) ++ singles.flatten ++ dels
+    val carried = big.map(_._1) ++ singles.flatten ++ dels ++ pdels
     val nv = commitFrom(spark, root, Some(v), carried ++ written, None, None)
     (nv, written.length, foldable.map(_.length).sum)
   }

@@ -2427,6 +2427,100 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A57 — POSITION DELETES (Delta deletion vectors / Iceberg v2
+    * position-delete files): [[graft.mutation.VersionedTable.posDelete]]
+    * retires the rows matching a predicate by committing ONE `pdel_`
+    * segment of (file, row-index) tuples — O(matched rows) written, ZERO
+    * data files rewritten (gated: the pre-existing data directory set is
+    * byte-identical afterwards), and NO key columns required — the
+    * delete mechanism equality deletes cannot give a keyless or
+    * duplicate-keyed table. Binding to physical files is what makes
+    * resurrection impossible BY CONSTRUCTION: the query re-inserts half
+    * the deleted rows and they are visible at head because fresh files
+    * have fresh names — no seq scoping logic involved at all. The gate
+    * then runs [[graft.mutation.VersionedTable.morMaterialize]] and
+    * proves the vectors retire with head content unchanged.
+    *
+    * Scale: the scan-side cost while vectors exist is one broadcast
+    * anti-join on (file, pos) — the build side is the vector itself,
+    * kilobytes for a GDPR-sized delete on a 100 TB table. This is
+    * exactly Delta's deletion-vector read path; materialization is the
+    * same out-of-band trade as a42. */
+  val positionDeletes: Reg = Reg.sql(
+    "a57_position_deletes",
+    """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 60000),
+      |base AS (SELECT * FROM e WHERE event_id % 3 <= 1),
+      |victims AS (SELECT event_id, user_id FROM base WHERE user_id % 5 = 0),
+      |reins AS (SELECT event_id, user_id FROM victims WHERE event_id % 2 = 0),
+      |head AS (SELECT event_id, user_id FROM base WHERE user_id % 5 <> 0
+      |         UNION ALL SELECT event_id, user_id FROM reins)
+      |SELECT CAST((SELECT COUNT(*) FROM head) AS BIGINT) AS head_rows,
+      |       CAST((SELECT SUM(user_id) FROM head) AS BIGINT) AS head_uid_sum,
+      |       CAST((SELECT COUNT(*) FROM victims) AS BIGINT) AS deleted_positions,
+      |       CAST((SELECT COUNT(*) FROM reins) AS BIGINT) AS reinserted_rows,
+      |       CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS predelete_rows,
+      |       CAST(1 AS BIGINT) AS deletion_vectors,
+      |       CAST(0 AS BIGINT) AS data_segments_rewritten,
+      |       CAST(0 AS BIGINT) AS vectors_after_materialize""".stripMargin) {
+    (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_pdelq")
+    val root = s"$work/t"
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 60000L)
+        .select("event_id", "user_id")
+      VersionedTable.create(s, root, e.where(col("event_id") % 3 === 0),
+        statCols = Seq("event_id"))
+      VersionedTable.append(s, root, e.where(col("event_id") % 3 === 1),
+        statCols = Seq("event_id"))
+      val preRows = VersionedTable.read(s, root).count()
+      val dataDirsBefore = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("seg_")).map(f =>
+          f.getName -> f.lastModified()).toSet
+
+      // the deletion vector: one pdel_ segment, no data rewrite
+      val (v2, nDeleted) = VersionedTable.posDelete(
+        s, root, col("user_id") % 5 === 0)
+      require(v2 == 2L, s"posDelete commit expected v2, got $v2")
+      val dataDirsAfter = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("seg_")).map(f =>
+          f.getName -> f.lastModified()).toSet
+      require(dataDirsAfter == dataDirsBefore,
+        "position delete touched a data segment — must be O(rows) only")
+      val pdelSegs = VersionedTable.segmentsOf(s, root, v2)
+        .count(_.isPosDelete)
+
+      // non-resurrection BY FILE IDENTITY: re-insert half the victims;
+      // the vector binds to the OLD files and cannot swallow the new
+      VersionedTable.append(s, root,
+        e.where(col("event_id") % 3 <= 1)
+          .where(col("user_id") % 5 === 0 && col("event_id") % 2 === 0),
+        statCols = Seq("event_id"))
+      val head = VersionedTable.read(s, root)
+        .agg(count(lit(1)), sum("user_id").cast("bigint")).head()
+      val reins = VersionedTable.read(s, root).count() -
+        VersionedTable.read(s, root, Some(2L)).count()
+      val v1Rows = VersionedTable.read(s, root, Some(1L)).count()
+      require(v1Rows == preRows, "pre-delete snapshot changed")
+
+      // maintenance retires the vectors with head content unchanged
+      val headBefore = head.getLong(0)
+      VersionedTable.morMaterialize(s, root, statCols = Seq("event_id"))
+      val vHead = VersionedTable.currentVersion(s, root).get
+      require(VersionedTable.read(s, root).count() == headBefore,
+        "materialization changed head content")
+      val pdelAfter = VersionedTable.segmentsOf(s, root, vHead)
+        .count(_.isPosDelete)
+
+      import s.implicits._
+      Seq((head.getLong(0), head.getLong(1), nDeleted, reins, v1Rows,
+        pdelSegs.toLong, 0L, pdelAfter.toLong))
+        .toDF("head_rows", "head_uid_sum", "deleted_positions",
+          "reinserted_rows", "predelete_rows", "deletion_vectors",
+          "data_segments_rewritten", "vectors_after_materialize")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     versionedRestore, orphanVacuum, runtimePruneJoin, shallowClone,
     clusterMetrics, occConflict, timeTravelTs,
@@ -2434,6 +2528,6 @@ object MutationQueries {
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
     versionedMerge, versionedCompact, versionedForget, incrementalRead,
-    morDelete, morUpsert, changelogApply, pointSkipBloom,
+    morDelete, morUpsert, positionDeletes, changelogApply, pointSkipBloom,
     versionedSchemaEvolution, binpackCompact, changelogIvm, j18BucketedJoin)
 }
