@@ -3881,9 +3881,13 @@ object LlmQueries {
     * fuzzy matcher (names, titles, keys) where edit distance over-penalizes
     * transpositions and Jaccard ignores order entirely; together with
     * llm_edit_distance_dedup this completes the classic linkage-verifier
-    * pair. Candidates come from an equi-join on the (lang, length-band)
-    * block key — blocking is declared semantics (the oracle replicates
-    * it), so the join is a plain shuffled equi-join, never all-pairs.
+    * pair. Candidates come from an equi-join on the (lang, length-band,
+    * 2-char-prefix) block key — blocking is declared semantics (the
+    * oracle replicates it), so the join is a plain shuffled equi-join,
+    * never all-pairs; the prefix block is the natural one for THIS
+    * measure, since Winkler's boost already privileges shared prefixes
+    * (the measured extent decade without it: block occupancy grows with
+    * corpus, candidates quadratically — 25× more pairs at 10× data).
     * Verification runs the native [[graft.plans.JaroWinklerExpression]]
     * (codegen'd, byte-level, numerics pinned against DuckDB's
     * jaro_winkler_similarity: integer-halved transpositions, 0.7 boost
@@ -3894,12 +3898,14 @@ object LlmQueries {
   val jwLinkage: Reg = Reg.sql(
     "llm_jw_linkage",
     """WITH t AS (SELECT doc_id, lang, n_chars // 40 AS band,
+      |             substr(text, 1, 2) AS pfx,
       |             substr(text, 1, 24) AS key
       |           FROM documents)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |       ROUND(jaro_winkler_similarity(a.key, b.key), 4) AS jw
       |FROM t a JOIN t b
-      |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      |  ON a.lang = b.lang AND a.band = b.band AND a.pfx = b.pfx
+      | AND a.doc_id < b.doc_id
       |WHERE ROUND(jaro_winkler_similarity(a.key, b.key), 4) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.Column
@@ -3909,9 +3915,11 @@ object LlmQueries {
         ColumnBridge.expression(a), ColumnBridge.expression(b)))
     val t = Tables.documents(s, dir).select(
       col("doc_id"), col("lang"), expr("n_chars div 40").as("band"),
+      substring(col("text"), 1, 2).as("pfx"),
       substring(col("text"), 1, 24).as("key"))
     t.as("a").join(t.as("b"),
         col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+        col("a.pfx") === col("b.pfx") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         round(jw(col("a.key"), col("b.key")), 4).as("jw"))
