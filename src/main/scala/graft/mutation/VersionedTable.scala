@@ -75,11 +75,26 @@ object VersionedTable {
     * re-inserted after a delete is never swallowed by it. */
   final case class Segment(
       name: String, stats: Map[String, (Double, Double)],
-      seq: Long = -1L, keys: Seq[String] = Nil) {
+      seq: Long = -1L, keys: Seq[String] = Nil,
+      /** TRUNCATED STRING bounds (the Iceberg truncate-transform
+        * substance): per column a (lower, upper) pair where lower is the
+        * min value truncated (truncation only shrinks, so it stays ≤
+        * every value) and upper is the max value truncated with its last
+        * kept char incremented (so it stays ≥ every value). Recorded
+        * only for pure-ASCII bounds — Java and UTF-8-byte orderings
+        * agree there, so pruning stays sound; anything else records no
+        * stat and reads conservatively. */
+      sstats: Map[String, (String, String)] = Map.empty) {
     /** Could this segment contain a row with `c` in [lo, hi]? Missing
       * stats ⇒ true (never prune on absent information). */
     def mayIntersect(c: String, lo: Double, hi: Double): Boolean =
       stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    /** String-interval variant of [[mayIntersect]] over the truncated
+      * string bounds; missing stats ⇒ true. */
+    def mayIntersectStr(c: String, lo: String, hi: String): Boolean =
+      sstats.get(c).forall { case (mn, mx) =>
+        mx.compareTo(lo) >= 0 && mn.compareTo(hi) <= 0
+      }
     /** Equality-delete segment (key tuples), not a data segment. The
       * check is on the BASENAME so external (absolute-path) references
       * created by [[shallowClone]] keep their delete-ness. */
@@ -159,23 +174,43 @@ object VersionedTable {
       val Array(k, v) = a.stripPrefix("@").split("=", 2)
       k -> v
     }.toMap
-    val stats = statParts.iterator.map { kv =>
-      val Array(c, range) = kv.split('=')
+    // numeric stat: `col=<min>:<max>`; string stat: `col=s:<b64lo>:<b64hi>`
+    // (unpadded base64 keeps arbitrary bound bytes clear of the
+    // tab/colon/equals grammar)
+    val (strParts, numParts) =
+      statParts.partition(_.split("=", 2)(1).startsWith("s:"))
+    val stats = numParts.iterator.map { kv =>
+      val Array(c, range) = kv.split("=", 2)
       val Array(mn, mx) = range.split(':')
       c -> (mn.toDouble, mx.toDouble)
     }.toMap
+    val dec = java.util.Base64.getDecoder
+    def b64d(x: String) = new String(dec.decode(x), "UTF-8")
+    val sstats = strParts.iterator.map { kv =>
+      val Array(c, range) = kv.split("=", 2)
+      // limit -1: an empty-string bound encodes to an empty field, which
+      // a default split would silently drop
+      val Array(_, lo, hi) = range.split(":", -1)
+      c -> (b64d(lo), b64d(hi))
+    }.toMap
     Segment(parts.head, stats,
       seq = attrs.get("seq").fold(0L)(_.toLong),
-      keys = attrs.get("keys").fold(Seq.empty[String])(_.split(',').toSeq))
+      keys = attrs.get("keys").fold(Seq.empty[String])(_.split(',').toSeq),
+      sstats = sstats)
   }
 
   private def renderSegment(s: Segment): String = {
+    val enc = java.util.Base64.getEncoder.withoutPadding()
+    def b64e(x: String) = enc.encodeToString(x.getBytes("UTF-8"))
     val attrs =
       Seq(s"@seq=${s.seq}") ++
         (if (s.keys.nonEmpty) Seq(s"@keys=${s.keys.mkString(",")}") else Nil)
-    (s.name +: attrs ++: s.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-      s"$c=$mn:$mx"
-    }).mkString("\t")
+    (s.name +: attrs ++:
+      (s.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"$c=$mn:$mx"
+      } ++ s.sstats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"$c=s:${b64e(lo)}:${b64e(hi)}"
+      })).mkString("\t")
   }
 
   /** Version `v`'s manifest as parsed segment entries. */
@@ -435,30 +470,79 @@ object VersionedTable {
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val path = new Path(root, name).toString
     df.write.parquet(path)
-    val stats =
-      if (statCols.isEmpty) Map.empty[String, (Double, Double)]
+    // statCols split by written dtype: string columns get TRUNCATED
+    // string bounds, everything else the numeric min/max
+    val (stats, sstats) =
+      if (statCols.isEmpty)
+        (Map.empty[String, (Double, Double)],
+          Map.empty[String, (String, String)])
       else {
         val written = spark.read.parquet(path)
-        val aggs = statCols.flatMap { c =>
-          Seq(fmin(col(c).cast("double")).as(s"__mn_$c"),
-            fmax(col(c).cast("double")).as(s"__mx_$c"))
-        }
-        val r = written.agg(aggs.head, aggs.tail: _*).head()
-        statCols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
+        val strCols = statCols.filter(c =>
+          written.schema.find(_.name == c)
+            .exists(_.dataType == org.apache.spark.sql.types.StringType))
+        val numCols = statCols.filterNot(strCols.contains)
+        val num =
+          if (numCols.isEmpty) Map.empty[String, (Double, Double)]
           else {
-            val mn = r.getDouble(2 * i)
-            val mx = r.getDouble(2 * i + 1)
-            // Spark orders NaN ABOVE +Inf, so any NaN row poisons max to
-            // NaN — and `NaN >= lo` is false, which would silently PRUNE
-            // a segment that holds qualifying rows. Same treatment as
-            // all-null: record no stat, keep the segment conservatively.
-            if (mn.isNaN || mx.isNaN) None
-            else Some(c -> (Math.nextDown(mn), Math.nextUp(mx)))
+            val aggs = numCols.flatMap { c =>
+              Seq(fmin(col(c).cast("double")).as(s"__mn_$c"),
+                fmax(col(c).cast("double")).as(s"__mx_$c"))
+            }
+            val r = written.agg(aggs.head, aggs.tail: _*).head()
+            numCols.zipWithIndex.flatMap { case (c, i) =>
+              if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
+              else {
+                val mn = r.getDouble(2 * i)
+                val mx = r.getDouble(2 * i + 1)
+                // Spark orders NaN ABOVE +Inf, so any NaN row poisons max
+                // to NaN — and `NaN >= lo` is false, which would silently
+                // PRUNE a segment that holds qualifying rows. Same as
+                // all-null: record no stat, keep conservatively.
+                if (mn.isNaN || mx.isNaN) None
+                else Some(c -> (Math.nextDown(mn), Math.nextUp(mx)))
+              }
+            }.toMap
           }
-        }.toMap
+        val str =
+          if (strCols.isEmpty) Map.empty[String, (String, String)]
+          else {
+            val aggs = strCols.flatMap { c =>
+              Seq(fmin(col(c)).as(s"__mn_$c"), fmax(col(c)).as(s"__mx_$c"))
+            }
+            val r = written.agg(aggs.head, aggs.tail: _*).head()
+            strCols.zipWithIndex.flatMap { case (c, i) =>
+              if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
+              else truncStrBounds(r.getString(2 * i), r.getString(2 * i + 1))
+                .map(c -> _)
+            }.toMap
+          }
+        (num, str)
       }
-    Segment(name, stats, keys = keys)
+    Segment(name, stats, keys = keys, sstats = sstats)
+  }
+
+  /** Iceberg truncate-transform bounds: lower = min truncated (shrinking
+    * only — stays ≤ every value); upper = max truncated with the last
+    * kept char incremented (stays ≥ every value). Both bounds must be
+    * pure ASCII, where Java's UTF-16 ordering and Spark's UTF-8-byte
+    * ordering agree — anything else records no stat (conservative). */
+  private[mutation] def truncStrBounds(
+      mn: String, mx: String, width: Int = 16): Option[(String, String)] = {
+    def ascii(s: String) = s.forall(_ < 128)
+    if (!ascii(mn.take(width + 1)) || !ascii(mx.take(width + 1))) None
+    else {
+      val lo = mn.take(width)
+      val hi =
+        if (mx.length <= width) mx
+        else {
+          val t = mx.take(width).toCharArray
+          // ASCII-guarded above, so the last char can always increment
+          t(t.length - 1) = (t(t.length - 1) + 1).toChar
+          new String(t)
+        }
+      Some((lo, hi))
+    }
   }
 
   /** RESTORE (Delta's `RESTORE TABLE ... VERSION AS OF` substance): commit
@@ -1027,7 +1111,10 @@ object VersionedTable {
     val remapped = segmentsOf(spark, root, v).map { s =>
       s.copy(
         stats = s.stats.map { case (c, r) => (if (c == from) to else c) -> r },
-        keys = s.keys.map(k => if (k == from) to else k))
+        keys = s.keys.map(k => if (k == from) to else k),
+        sstats = s.sstats.map { case (c, r) =>
+          (if (c == from) to else c) -> r
+        })
     }
     commitFrom(spark, root, Some(v), remapped, None, Some((from, to)))
   }
@@ -1165,6 +1252,41 @@ object VersionedTable {
       dels0.filter(_.mayIntersect(c, lo, hi)),
       renames = renamesOf(spark, root, v), pdels = pdels)
       .where(col(c).cast("double") >= lo && col(c).cast("double") <= hi)
+  }
+
+  /** STRING-interval pruned snapshot read — [[readPruned]] over the
+    * truncated string bounds (the Iceberg truncate-transform pruning a
+    * dimension like `source`/`lang`/tenant needs, where the partition
+    * value is text): whole segments whose recorded [lower, upper]
+    * misses [lo, hi] are never opened; the residual predicate still
+    * applies (truncated bounds are conservative by construction).
+    * Equality lookups pass `lo = hi = value`. Deletes of either kind
+    * are never pruned here (equality-delete key stats are numeric;
+    * position deletes bind to files). */
+  def readPrunedStr(
+      spark: SparkSession, root: String, c: String, lo: String, hi: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"$root has no versions"))
+    val (datas0, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
+    val datas = datas0.filter(_.mayIntersectStr(c, lo, hi))
+    if (datas.isEmpty) read(spark, root, Some(v)).where(lit(false))
+    else applyDeletes(spark, root, datas, dels,
+      renames = renamesOf(spark, root, v), pdels = pdels)
+      .where(col(c) >= lo && col(c) <= hi)
+  }
+
+  /** The data segment paths [[readPrunedStr]] opens — the files-read
+    * gate for string-bound pruning. */
+  def resolveSegmentsStr(
+      spark: SparkSession, root: String, c: String, lo: String, hi: String,
+      version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"$root has no versions"))
+    segmentsOf(spark, root, v)
+      .filterNot(s => s.isDelete || s.isPosDelete)
+      .filter(_.mayIntersectStr(c, lo, hi))
+      .map(s => new Path(root, s.name).toString)
   }
 
   /** Copy-on-write MERGE scoped by manifest stats: segments whose `c`
@@ -1492,8 +1614,16 @@ object VersionedTable {
       val (mns, mxs) = small.map(_.stats(c)).unzip
       c -> (mns.min, mxs.max)
     }.toMap
-    val nv = commitFrom(spark, root, Some(v), big :+ Segment(name, stats),
-      None, None)
+    // string-bound union: defined only when EVERY folded segment carries
+    // the stat; lo = min of lowers, hi = max of uppers — truncated-and-
+    // incremented uppers stay valid upper bounds under max
+    val sstatKeys = small.map(_.sstats.keySet).reduce(_ intersect _)
+    val sstats = sstatKeys.map { c =>
+      val (los, his) = small.map(_.sstats(c)).unzip
+      c -> (los.min, his.max)
+    }.toMap
+    val nv = commitFrom(spark, root, Some(v),
+      big :+ Segment(name, stats, sstats = sstats), None, None)
     (nv, small.length, big.length)
   }
 
@@ -1552,7 +1682,12 @@ object VersionedTable {
                 val (mns, mxs) = bin.map(_.stats(c)).unzip
                 c -> (mns.min, mxs.max)
               }.toMap
-              Segment(name, stats)
+              val sstatKeys = bin.map(_.sstats.keySet).reduce(_ intersect _)
+              val sstats = sstatKeys.map { c =>
+                val (los, his) = bin.map(_.sstats(c)).unzip
+                c -> (los.min, his.max)
+              }.toMap
+              Segment(name, stats, sstats = sstats)
             }
           }), scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()

@@ -2146,6 +2146,107 @@ object IngestQueries {
     }
   }
 
+  /** S35 — STREAMING RIGHT-TO-BE-FORGOTTEN via deletion vectors: a
+    * stream of forget requests applied per micro-batch as
+    * [[graft.mutation.VersionedTable.posDelete]] commits — each batch
+    * writes ONE (file, row-index) vector sized by ITS matches, never
+    * rewriting a data file (gated: the data directory set is
+    * byte-identical after the whole stream). This is the production
+    * GDPR-stream shape on a 100 TB table: request batches are tiny by
+    * nature (the per-batch `collect` of request keys is bounded by the
+    * arrival rate, not the table), the scan-side cost is one broadcast
+    * anti-join while vectors accumulate, and maintenance retires them
+    * out-of-band (a57's materialize gate). Deletes COMMUTE, so the file
+    * stream's arbitrary batch order is invisible to the final state —
+    * the oracle sees only the set union of requests. */
+  val streamForget: Reg = Reg.sql(
+    "s35_stream_forget",
+    """WITH e AS (SELECT event_id, user_id, value FROM events
+      |           WHERE event_id < 60000),
+      |f AS (SELECT DISTINCT user_id FROM e WHERE user_id % 10 = 3),
+      |head AS (SELECT * FROM e WHERE user_id % 10 <> 3)
+      |SELECT CAST((SELECT COUNT(*) FROM head) AS BIGINT) AS head_rows,
+      |       CAST((SELECT SUM(CAST(ROUND(value * 100) AS BIGINT)) FROM head)
+      |         AS BIGINT) AS head_cents,
+      |       CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS forgotten_users,
+      |       CAST((SELECT COUNT(DISTINCT user_id % 3) FROM f) AS BIGINT)
+      |         AS deletion_vectors,
+      |       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS prestream_rows,
+      |       CAST(0 AS BIGINT) AS data_segments_rewritten""".stripMargin) {
+    (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_sforget")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val root = s"$work/t"
+      val e = Tables.events(s, dir).where(col("event_id") < 60000L)
+        .select("event_id", "user_id", "value")
+      VersionedTable.create(s, root, e.where(col("event_id") % 3 === 0),
+        statCols = Seq("user_id"))
+      VersionedTable.append(s, root, e.where(col("event_id") % 3 =!= 0),
+        statCols = Seq("user_id"))
+      val preRows = VersionedTable.read(s, root).count()
+      val dataDirsBefore = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("seg_")).map(f =>
+          f.getName -> f.lastModified()).toSet
+
+      // three request files = three micro-batches of forget requests
+      val src = s"$work/req"
+      val reqs = e.select("user_id").where(col("user_id") % 10 === 3)
+        .distinct().localCheckpoint()
+      for (b <- 0 to 2)
+        reqs.where(col("user_id") % 3 === b).coalesce(1)
+          .write.mode("append").parquet(src)
+
+      val schema = s.read.parquet(src).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+          // GDPR request batches are arrival-rate-sized: the driver-side
+          // key collect is bounded by the batch, never the table
+          val users = batch.select("user_id").distinct()
+            .collect().map(_.getLong(0))
+          if (users.nonEmpty)
+            VersionedTable.posDelete(s, root,
+              col("user_id").isin(users.toIndexedSeq: _*))
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val dataDirsAfter = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("seg_")).map(f =>
+          f.getName -> f.lastModified()).toSet
+      require(dataDirsAfter == dataDirsBefore,
+        "stream forget touched a data segment — must be vector-only")
+      val head = VersionedTable.currentVersion(s, root).get
+      val vectors = VersionedTable.segmentsOf(s, root, head)
+        .count(_.isPosDelete)
+      val agg = VersionedTable.read(s, root)
+        .agg(count(lit(1)),
+          sum(round(col("value") * 100).cast("bigint")).cast("bigint"))
+        .head()
+      val forgotten = reqs.count()
+
+      import s.implicits._
+      val out = Seq((agg.getLong(0), agg.getLong(1), forgotten,
+        vectors.toLong, preRows, 0L))
+        .toDF("head_rows", "head_cents", "forgotten_users",
+          "deletion_vectors", "prestream_rows", "data_segments_rewritten")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
@@ -2153,5 +2254,5 @@ object IngestQueries {
       foreachBatchUpsert, streamMedian, streamQuantiles, streamDrift,
       streamScd2, streamVersionLog, streamCompactedLog, streamMorCdc,
       streamSchemaDrift, streamTopk, streamLateData, streamIntervalJoin,
-      streamOccMaintenance)
+      streamOccMaintenance, streamForget)
 }

@@ -2521,6 +2521,59 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A58 — STRING-BOUND SEGMENT PRUNING (the Iceberg truncate-transform
+    * substance): manifests carry ASCII-guarded TRUNCATED string bounds
+    * (lower = min truncated — shrinking keeps it a lower bound; upper =
+    * max truncated with last kept char incremented — stays an upper
+    * bound), so a text-dimension probe (`lang = 'en'` here; tenant/
+    * source/region in production) opens ONLY the intersecting segments —
+    * gated: `resolveSegmentsStr` returns exactly 1 of the 5 per-lang
+    * segments, the same files-read discipline as the numeric gates (s8,
+    * a19). At 100 TB text dimensions are the partition values; pruning
+    * them from the manifest is the difference between one segment and a
+    * full scan. Bounds are grammar-safe (unpadded base64 in the manifest
+    * line) and conservative by construction, so the residual predicate
+    * always re-applies. */
+  val stringStatsPruning: Reg = Reg.sql(
+    "a58_string_stats",
+    """SELECT CAST((SELECT COUNT(DISTINCT lang) FROM documents) AS BIGINT)
+      |         AS segments,
+      |       CAST(1 AS BIGINT) AS files_opened,
+      |       CAST((SELECT COUNT(*) FROM documents WHERE lang = 'en')
+      |         AS BIGINT) AS en_docs,
+      |       CAST((SELECT SUM(n_chars) FROM documents WHERE lang = 'en')
+      |         AS BIGINT) AS en_nchars,
+      |       CAST((SELECT COUNT(DISTINCT source) FROM documents
+      |             WHERE lang = 'en') AS BIGINT) AS en_sources""".stripMargin) {
+    (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_sstatq")
+    val root = s"$work/t"
+    try {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      val langs = docs.select("lang").distinct()
+        .collect().map(_.getString(0)).sorted
+      langs.zipWithIndex.foreach { case (l, i) =>
+        val slice = docs.where(col("lang") === l)
+        if (i == 0) VersionedTable.create(s, root, slice, statCols = Seq("lang"))
+        else VersionedTable.append(s, root, slice, statCols = Seq("lang"))
+      }
+      val opened = VersionedTable.resolveSegmentsStr(s, root, "lang", "en", "en")
+      require(opened.length == 1,
+        s"string-bound pruning opened ${opened.length} of ${langs.length} " +
+          "segments for a single-lang probe")
+      val en = VersionedTable.readPrunedStr(s, root, "lang", "en", "en")
+        .agg(count(lit(1)), sum("n_chars").cast("bigint"),
+          countDistinct("source")).head()
+      import s.implicits._
+      Seq((langs.length.toLong, opened.length.toLong, en.getLong(0),
+        en.getLong(1), en.getLong(2)))
+        .toDF("segments", "files_opened", "en_docs", "en_nchars",
+          "en_sources")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     versionedRestore, orphanVacuum, runtimePruneJoin, shallowClone,
     clusterMetrics, occConflict, timeTravelTs,
@@ -2528,6 +2581,7 @@ object MutationQueries {
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
     versionedMerge, versionedCompact, versionedForget, incrementalRead,
-    morDelete, morUpsert, positionDeletes, changelogApply, pointSkipBloom,
+    morDelete, morUpsert, positionDeletes, stringStatsPruning,
+    changelogApply, pointSkipBloom,
     versionedSchemaEvolution, binpackCompact, changelogIvm, j18BucketedJoin)
 }
