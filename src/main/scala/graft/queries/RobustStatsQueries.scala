@@ -750,7 +750,204 @@ object RobustStatsQueries {
       .orderBy("i", "j")
   }
 
+  /** O61 — HOLT LINEAR TREND (double exponential smoothing) in the o59
+    * exact-integer rendering: level = half-life EWMA of the last 20 daily
+    * values, trend = the same EWMA of the last 20 day-over-day DIFFS,
+    * 7-day forecast = level + 7·trend — every weight an exact BIGINT
+    * shift, both smoothers one floor-division each, zero IEEE exposure.
+    * The fixed horizon bounds state per type forever (the o59 scale
+    * argument); the classical recursive Holt update is deliberately
+    * traded for the windowed form BECAUSE the recursion's running floats
+    * can never hash-match across engines while this can, and under
+    * half-life decay the truncation loses < 2⁻²⁰ of weight mass. */
+  val o61HoltLinear: Reg = Reg.sql(
+    "o61_holt_linear",
+    """WITH daily AS (
+      |  SELECT event_type AS ty, CAST(ts AS DATE) AS d,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (
+      |  SELECT ty, d, c,
+      |         c - LAG(c) OVER (PARTITION BY ty ORDER BY d) AS dc,
+      |         ROW_NUMBER() OVER (PARTITION BY ty ORDER BY d DESC) AS r
+      |  FROM daily),
+      |lvl AS (
+      |  SELECT ty,
+      |         CAST(SUM(c * (CAST(1 AS BIGINT) << (20 - r))) * 10000
+      |                // SUM(CAST(1 AS BIGINT) << (20 - r)) AS BIGINT)
+      |           AS level_e4
+      |  FROM dd WHERE r <= 20 GROUP BY ty),
+      |trd AS (
+      |  SELECT ty,
+      |         CAST(SUM(dc * (CAST(1 AS BIGINT) << (20 - r))) * 10000
+      |                // SUM(CAST(1 AS BIGINT) << (20 - r)) AS BIGINT)
+      |           AS trend_e4
+      |  FROM dd WHERE r <= 20 AND dc IS NOT NULL GROUP BY ty)
+      |SELECT l.ty, l.level_e4, t.trend_e4,
+      |       l.level_e4 + 7 * t.trend_e4 AS forecast7_e4
+      |FROM lvl l JOIN trd t ON l.ty = t.ty ORDER BY l.ty""".stripMargin) {
+    (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type").as("ty"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("bigint")).cast("bigint").as("c"))
+    val wOrd = Window.partitionBy("ty").orderBy("d")
+    val dd = daily
+      .withColumn("dc", col("c") - lag("c", 1).over(wOrd))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("ty").orderBy(col("d").desc)))
+      .where(col("r") <= 20)
+      .withColumn("w", expr("shiftleft(cast(1 as bigint), 20 - cast(r as int))"))
+      .localCheckpoint() // level and trend aggregate the same slice
+    val lvl = dd.groupBy("ty")
+      .agg(expr("(sum(c * w) * 10000) div sum(w)").cast("bigint").as("level_e4"))
+    val trd = dd.where(col("dc").isNotNull).groupBy("ty")
+      .agg(expr("(sum(dc * w) * 10000) div sum(w)").cast("bigint").as("trend_e4"))
+    lvl.join(trd, "ty")
+      .select(col("ty"), col("level_e4"), col("trend_e4"),
+        (col("level_e4") + lit(7L) * col("trend_e4")).as("forecast7_e4"))
+      .orderBy("ty")
+  }
+
+  /** Benford first-digit probabilities log10(1+1/d), d = 1..9, as 18-digit
+    * DECIMAL LITERALS shared verbatim with the oracle SQL: both engines
+    * parse the same literal to the same double, so `n·p` is the same IEEE
+    * product — no libm log10 in the hot path at all (cross-engine log10
+    * ulps were the only hash risk in this query). */
+  private val benfordP: Seq[(Int, String)] = Seq(
+    1 -> "0.301029995663981195", 2 -> "0.176091259055681242",
+    3 -> "0.124938736608299953", 4 -> "0.096910013008056414",
+    5 -> "0.079181246047624827", 6 -> "0.066946789630613199",
+    7 -> "0.057991946977686754", 8 -> "0.051152522447381288",
+    9 -> "0.045757490560675125")
+
+  /** O62 — BENFORD'S LAW conformance per event type: first-significant-
+    * digit counts of the integer cents against log10(1+1/d), χ² in the
+    * micro-quantized FLOOR discipline (each term floored to 1e-6 BEFORE
+    * the 9-term sum, so the aggregate is an order-free integer). The
+    * fraud/synthetic-data screen next to the drift family: fabricated
+    * numeric columns flunk Benford long before their moments drift. One
+    * corpus pass to (ty, digit) counts — 9 cells per type regardless of
+    * volume. First digit comes from the DECIMAL STRING of a positive
+    * BIGINT (no logs, no floats, engine-identical by construction). */
+  val o62Benford: Reg = {
+    Reg.sql(
+      "o62_benford",
+      s"""WITH c AS (
+        |  SELECT event_type AS ty,
+        |         CAST(SUBSTR(CAST(CAST(ROUND(value * 100) AS BIGINT)
+        |           AS VARCHAR), 1, 1) AS INT) AS dg
+        |  FROM events WHERE value > 0),
+        |o AS (SELECT ty, dg, CAST(COUNT(*) AS BIGINT) AS k
+        |      FROM c GROUP BY 1, 2),
+        |n AS (SELECT ty, CAST(SUM(k) AS BIGINT) AS n FROM o GROUP BY ty),
+        |grid AS (
+        |  SELECT n.ty, n.n, d.dg AS dg, COALESCE(o.k, 0) AS k,
+        |         CAST(n.n AS DOUBLE) * (CASE d.dg ${benfordP.map {
+          case (dd, p) => s"WHEN $dd THEN $p" }.mkString(" ")} END) AS e
+        |  FROM n CROSS JOIN (SELECT UNNEST(generate_series(1, 9)) AS dg) d
+        |  LEFT JOIN o ON o.ty = n.ty AND o.dg = d.dg)
+        |SELECT ty, MAX(n) AS n,
+        |       CAST(SUM(CAST(FLOOR(
+        |         (CAST(k AS DOUBLE) - e) * (CAST(k AS DOUBLE) - e) / e * 1e6)
+        |         AS BIGINT)) AS BIGINT) AS chi2_micro
+        |FROM grid GROUP BY ty ORDER BY ty""".stripMargin) { (s, dir) =>
+      val c = Tables.events(s, dir).where(col("value") > 0)
+        .select(col("event_type").as("ty"),
+          substring(round(col("value") * 100).cast("bigint").cast("string"),
+            1, 1).cast("int").as("dg"))
+      val o = c.groupBy("ty", "dg").agg(count(lit(1)).cast("bigint").as("k"))
+        .localCheckpoint() // reused for totals and the 9-cell grid
+      val n = o.groupBy("ty").agg(sum("k").cast("bigint").as("n"))
+      val digits = s.range(1, 10).select(col("id").cast("int").as("dg"))
+      val pExpr = expr(s"case dg ${benfordP.map { case (d, p) =>
+        s"when $d then cast($p as double)" }.mkString(" ")} end")
+      val grid = n.crossJoin(broadcast(digits))
+        .join(o, Seq("ty", "dg"), "left")
+        .withColumn("k", coalesce(col("k"), lit(0L)))
+        .withColumn("e", col("n").cast("double") * pExpr)
+      grid.groupBy("ty")
+        .agg(max("n").as("n"),
+          sum(floor((col("k").cast("double") - col("e")) *
+            (col("k").cast("double") - col("e")) / col("e") * lit(1e6))
+            .cast("bigint")).cast("bigint").as("chi2_micro"))
+        .orderBy("ty")
+    }
+  }
+
+  /** O63 — PETTITT CHANGEPOINT test per event type over the daily series:
+    * U_t = Σ_{i≤t<j} sgn(x_j − x_i), the split statistic of the rank
+    * test, computed WITHOUT the O(n³) split-join via the telescoping
+    * identity U_t = Σ_{s≤t} (A_s − B_s) where A_s/B_s are each
+    * endpoint's forward/backward sign sums — one O(n²) pair aggregate on
+    * the calendar-bounded day domain, one window cumsum. K = max |U_t|
+    * locates the most probable changepoint; the approximate-significance
+    * EXPONENT 6K²/(n³+n²) is emitted as an exact integer ratio (micro-
+    * scaled floor division) instead of the exp(−·) p-value — no libm in
+    * the output. Everything is sign counts: pure BIGINT end to end. */
+  val o63Pettitt: Reg = Reg.sql(
+    "o63_pettitt",
+    """WITH daily AS (
+      |  SELECT event_type AS ty, CAST(ts AS DATE) AS d,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.ty, a.d AS di, b.d AS dj,
+      |         CASE WHEN b.c > a.c THEN 1
+      |              WHEN b.c < a.c THEN -1 ELSE 0 END AS s
+      |  FROM daily a JOIN daily b ON a.ty = b.ty AND a.d < b.d),
+      |ab AS (
+      |  SELECT ty, d, SUM(a) AS ab FROM (
+      |    SELECT ty, di AS d, s AS a FROM pairs
+      |    UNION ALL
+      |    SELECT ty, dj AS d, -s AS a FROM pairs)
+      |  GROUP BY ty, d),
+      |u AS (
+      |  SELECT ty, d,
+      |         SUM(ab) OVER (PARTITION BY ty ORDER BY d
+      |                       ROWS UNBOUNDED PRECEDING) AS u_t,
+      |         COUNT(*) OVER (PARTITION BY ty) AS n
+      |  FROM ab),
+      |best AS (
+      |  SELECT ty, d, u_t, n,
+      |         ROW_NUMBER() OVER (PARTITION BY ty
+      |                            ORDER BY ABS(u_t) DESC, d) AS rk
+      |  FROM u)
+      |SELECT ty, CAST(n AS BIGINT) AS n_days,
+      |       CAST(ABS(u_t) AS BIGINT) AS k_stat, d AS cp_day,
+      |       CAST((6 * u_t * u_t * 1000000)
+      |              // (n * n * n + n * n) AS BIGINT) AS exponent_micro
+      |FROM best WHERE rk = 1 ORDER BY ty""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type").as("ty"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("bigint")).cast("bigint").as("c"))
+      .localCheckpoint() // both sides of the pair join
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.ty") === col("b.ty") && col("a.d") < col("b.d"))
+      .select(col("a.ty").as("ty"), col("a.d").as("di"), col("b.d").as("dj"),
+        when(col("b.c") > col("a.c"), 1L)
+          .when(col("b.c") < col("a.c"), -1L).otherwise(0L).as("s"))
+    val ab = pairs.select(col("ty"), col("di").as("d"), col("s").as("a"))
+      .unionByName(pairs.select(col("ty"), col("dj").as("d"),
+        (-col("s")).as("a")))
+      .groupBy("ty", "d").agg(sum("a").as("ab"))
+    val wCum = Window.partitionBy("ty").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = ab
+      .withColumn("u_t", sum("ab").over(wCum))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("ty")))
+    u.withColumn("rk", row_number().over(
+        Window.partitionBy("ty").orderBy(abs(col("u_t")).desc, col("d"))))
+      .where(col("rk") === 1)
+      .select(col("ty"), col("n").cast("bigint").as("n_days"),
+        abs(col("u_t")).cast("bigint").as("k_stat"), col("d").as("cp_day"),
+        expr("(6 * u_t * u_t * 1000000) div (n * n * n + n * n)")
+          .cast("bigint").as("exponent_micro"))
+      .orderBy("ty")
+  }
+
   val all: Seq[Reg] = Seq(o49KendallTau, o50SeasonalDecompose, o51BootstrapCi,
     o52WelchTtest, o53KmvSetOps, o54ResampleInterp, o55SeasonalAnomaly,
-    o57Sprt, o58HodgesLehmann, o59EwmaHalflife, o60GramMatrix)
+    o57Sprt, o58HodgesLehmann, o59EwmaHalflife, o60GramMatrix,
+    o61HoltLinear, o62Benford, o63Pettitt)
 }
