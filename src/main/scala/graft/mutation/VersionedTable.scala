@@ -470,56 +470,91 @@ object VersionedTable {
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val path = new Path(root, name).toString
     df.write.parquet(path)
-    // statCols split by written dtype: string columns get TRUNCATED
-    // string bounds, everything else the numeric min/max
-    val (stats, sstats) =
-      if (statCols.isEmpty)
-        (Map.empty[String, (Double, Double)],
-          Map.empty[String, (String, String)])
-      else {
-        val written = spark.read.parquet(path)
-        val strCols = statCols.filter(c =>
-          written.schema.find(_.name == c)
-            .exists(_.dataType == org.apache.spark.sql.types.StringType))
-        val numCols = statCols.filterNot(strCols.contains)
-        val num =
-          if (numCols.isEmpty) Map.empty[String, (Double, Double)]
-          else {
-            val aggs = numCols.flatMap { c =>
-              Seq(fmin(col(c).cast("double")).as(s"__mn_$c"),
-                fmax(col(c).cast("double")).as(s"__mx_$c"))
-            }
-            val r = written.agg(aggs.head, aggs.tail: _*).head()
-            numCols.zipWithIndex.flatMap { case (c, i) =>
-              if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
-              else {
-                val mn = r.getDouble(2 * i)
-                val mx = r.getDouble(2 * i + 1)
-                // Spark orders NaN ABOVE +Inf, so any NaN row poisons max
-                // to NaN — and `NaN >= lo` is false, which would silently
-                // PRUNE a segment that holds qualifying rows. Same as
-                // all-null: record no stat, keep conservatively.
-                if (mn.isNaN || mx.isNaN) None
-                else Some(c -> (Math.nextDown(mn), Math.nextUp(mx)))
-              }
-            }.toMap
-          }
-        val str =
-          if (strCols.isEmpty) Map.empty[String, (String, String)]
-          else {
-            val aggs = strCols.flatMap { c =>
-              Seq(fmin(col(c)).as(s"__mn_$c"), fmax(col(c)).as(s"__mx_$c"))
-            }
-            val r = written.agg(aggs.head, aggs.tail: _*).head()
-            strCols.zipWithIndex.flatMap { case (c, i) =>
-              if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
-              else truncStrBounds(r.getString(2 * i), r.getString(2 * i + 1))
-                .map(c -> _)
-            }.toMap
-          }
-        (num, str)
-      }
+    val (stats, sstats) = statsOfPath(spark, path, statCols)
     Segment(name, stats, keys = keys, sstats = sstats)
+  }
+
+  /** One stats scan over a written parquet path: statCols split by dtype
+    * — string columns get TRUNCATED string bounds, everything else the
+    * numeric min/max. Shared by [[writeSegment]] and [[importDir]]. */
+  private def statsOfPath(
+      spark: SparkSession, path: String, statCols: Seq[String])
+      : (Map[String, (Double, Double)], Map[String, (String, String)]) = {
+    if (statCols.isEmpty)
+      return (Map.empty, Map.empty)
+    val written = spark.read.parquet(path)
+    val strCols = statCols.filter(c =>
+      written.schema.find(_.name == c)
+        .exists(_.dataType == org.apache.spark.sql.types.StringType))
+    val numCols = statCols.filterNot(strCols.contains)
+    val num =
+      if (numCols.isEmpty) Map.empty[String, (Double, Double)]
+      else {
+        val aggs = numCols.flatMap { c =>
+          Seq(fmin(col(c).cast("double")).as(s"__mn_$c"),
+            fmax(col(c).cast("double")).as(s"__mx_$c"))
+        }
+        val r = written.agg(aggs.head, aggs.tail: _*).head()
+        numCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
+          else {
+            val mn = r.getDouble(2 * i)
+            val mx = r.getDouble(2 * i + 1)
+            // Spark orders NaN ABOVE +Inf, so any NaN row poisons max
+            // to NaN — and `NaN >= lo` is false, which would silently
+            // PRUNE a segment that holds qualifying rows. Same as
+            // all-null: record no stat, keep conservatively.
+            if (mn.isNaN || mx.isNaN) None
+            else Some(c -> (Math.nextDown(mn), Math.nextUp(mx)))
+          }
+        }.toMap
+      }
+    val str =
+      if (strCols.isEmpty) Map.empty[String, (String, String)]
+      else {
+        val aggs = strCols.flatMap { c =>
+          Seq(fmin(col(c)).as(s"__mn_$c"), fmax(col(c)).as(s"__mx_$c"))
+        }
+        val r = written.agg(aggs.head, aggs.tail: _*).head()
+        strCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
+          else truncStrBounds(r.getString(2 * i), r.getString(2 * i + 1))
+            .map(c -> _)
+        }.toMap
+      }
+    (num, str)
+  }
+
+  /** IMPORT an existing parquet directory as a segment BY REFERENCE (the
+    * Iceberg `add_files` / Delta CONVERT substance): one commit adds an
+    * EXTERNAL absolute-path manifest entry — zero bytes of data copied
+    * regardless of directory size; the only scan is the optional stats
+    * pass over `statCols` (manifest min/max + truncated string bounds,
+    * so imported data prunes exactly like native segments). The imported
+    * entry gets the commit's seq, so equality deletes committed EARLIER
+    * never apply to it (it is new data to this table) and later ones do
+    * — the same scoping as a native append. Caveat shared with
+    * shallowClone sources: the table does not own the imported files;
+    * vacuum/expiry never touch external paths, and deleting the source
+    * directory out from under the table breaks the snapshots that
+    * reference it. */
+  def importDir(
+      spark: SparkSession, root: String, dir: String,
+      statCols: Seq[String] = Nil): Long = {
+    val v = currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
+    val qualified = fs(spark, dir).makeQualified(new Path(dir)).toString
+    require(isExternal(qualified), s"cannot qualify $dir to an absolute path")
+    // segment KIND is carried by the basename prefix; an import whose
+    // directory happens to be named like a delete would misparse forever
+    require(!baseName(qualified).startsWith("del_") &&
+      !baseName(qualified).startsWith("pdel_"),
+      s"cannot import a directory named like a delete segment: $qualified")
+    val (stats, sstats) = statsOfPath(spark, qualified, statCols)
+    commitFrom(spark, root, Some(v),
+      segmentsOf(spark, root, v) :+
+        Segment(qualified, stats, sstats = sstats),
+      None, None)
   }
 
   /** Iceberg truncate-transform bounds: lower = min truncated (shrinking
@@ -1334,13 +1369,14 @@ object VersionedTable {
   def incrementalRead(
       spark: SparkSession, root: String, fromV: Long,
       toV: Long): Option[DataFrame] = {
-    // DATA segments only: an added `del_` segment is a retraction, not
-    // an insert (and has the key schema) — changelog consumers read
-    // deletions via the manifest's delete entries instead
-    val addedNames = addedSegments(spark, root, fromV, toV)
-      .filter(baseName(_).startsWith("seg_")).toSet
+    // DATA segments only: an added `del_`/`pdel_` segment is a
+    // retraction, not an insert (and has the key/position schema) —
+    // changelog consumers read deletions via the manifest's delete
+    // entries instead. Kind, not name prefix: an importDir entry's
+    // basename is arbitrary but it IS new data.
+    val addedNames = addedSegments(spark, root, fromV, toV).toSet
     val added = segmentsOf(spark, root, toV)
-      .filter(s => addedNames(s.name))
+      .filter(s => addedNames(s.name) && !s.isDelete && !s.isPosDelete)
     if (added.isEmpty) None
     else {
       // rows surface under toV's CURRENT names: a segment added before a
@@ -1723,7 +1759,8 @@ object VersionedTable {
     val deadSegs = f.listStatus(new Path(root))
       .filter { st =>
         val n = st.getPath.getName
-        (n.startsWith("seg_") || n.startsWith("del_")) &&
+        (n.startsWith("seg_") || n.startsWith("del_") ||
+          n.startsWith("pdel_")) &&
           !liveSegs(n) && st.getModificationTime <= cutoff
       }
       .map(_.getPath)

@@ -2574,6 +2574,74 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A59 — IMPORT EXISTING FILES by reference (Iceberg `add_files` /
+    * Delta `CONVERT TO DELTA` substance): a parquet directory written by
+    * some other system joins the table as ONE external manifest entry —
+    * zero data bytes copied at any directory size (gated: the table
+    * root's directory set is unchanged and the source files' mtimes are
+    * untouched), with an optional stats pass so imported data prunes
+    * exactly like native segments. Delete scoping is append-like: the
+    * import gets the commit's seq, so a later MOR delete reaches the
+    * imported rows (proved here), while earlier deletes never do
+    * (ImportDirSpec pins that direction). The 100 TB onboarding story:
+    * converting a warehouse into the table costs manifests, not a
+    * rewrite. */
+  val importFiles: Reg = Reg.sql(
+    "a59_import_files",
+    """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 60000),
+      |imp AS (SELECT * FROM e WHERE event_id % 3 = 2),
+      |pre AS (SELECT * FROM e WHERE event_id % 3 <= 1)
+      |SELECT CAST((SELECT COUNT(*) FROM pre) AS BIGINT) AS pre_import_rows,
+      |       CAST((SELECT COUNT(*) FROM imp) AS BIGINT) AS imported_rows,
+      |       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS head_rows,
+      |       CAST(0 AS BIGINT) AS files_copied,
+      |       CAST((SELECT COUNT(*) FROM e WHERE user_id % 4 <> 1) AS BIGINT)
+      |         AS postdelete_rows,
+      |       CAST((SELECT COUNT(DISTINCT event_id) FROM e
+      |             WHERE user_id % 4 = 1) AS BIGINT) AS deleted_keys"""
+      .stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_importq")
+    val root = s"$work/t"
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 60000L)
+        .select("event_id", "user_id")
+      // the "foreign warehouse": a directory nobody copied
+      val ext = s"$work/warehouse_drop"
+      e.where(col("event_id") % 3 === 2).write.parquet(ext)
+      val extFiles = new java.io.File(ext).listFiles()
+        .map(f => f.getName -> f.lastModified()).toSet
+
+      VersionedTable.create(s, root, e.where(col("event_id") % 3 === 0),
+        statCols = Seq("event_id"))
+      VersionedTable.append(s, root, e.where(col("event_id") % 3 === 1),
+        statCols = Seq("event_id"))
+      val preRows = VersionedTable.read(s, root).count()
+      val rootDirs = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("seg_")).map(_.getName).toSet
+
+      VersionedTable.importDir(s, root, ext, statCols = Seq("event_id"))
+      require(new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("seg_")).map(_.getName).toSet == rootDirs,
+        "import copied data into the table root — must be by reference")
+      require(new java.io.File(ext).listFiles()
+        .map(f => f.getName -> f.lastModified()).toSet == extFiles,
+        "import modified the source directory")
+      val headRows = VersionedTable.read(s, root).count()
+      val imported = headRows - preRows
+
+      // a delete AFTER the import reaches imported rows like any data
+      val (_, nDel) = VersionedTable.morDelete(s, root, Seq("event_id"),
+        v => v.where(col("user_id") % 4 === 1))
+      val postRows = VersionedTable.read(s, root).count()
+
+      import s.implicits._
+      Seq((preRows, imported, headRows, 0L, postRows, nDel))
+        .toDF("pre_import_rows", "imported_rows", "head_rows",
+          "files_copied", "postdelete_rows", "deleted_keys")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     versionedRestore, orphanVacuum, runtimePruneJoin, shallowClone,
     clusterMetrics, occConflict, timeTravelTs,
@@ -2581,7 +2649,7 @@ object MutationQueries {
     schemaEvolution, bucketedAgg, snapshotDiff, schemaWidening, zorderLayout,
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
     versionedMerge, versionedCompact, versionedForget, incrementalRead,
-    morDelete, morUpsert, positionDeletes, stringStatsPruning,
+    morDelete, morUpsert, positionDeletes, stringStatsPruning, importFiles,
     changelogApply, pointSkipBloom,
     versionedSchemaEvolution, binpackCompact, changelogIvm, j18BucketedJoin)
 }

@@ -165,7 +165,8 @@ class OracleLintSpec extends AnyFunSuite with Matchers {
       "a43_changelog_apply", "a45_versioned_schema_evolution",
       "a46_binpack_compact", "a48_versioned_rename",
       "a49_partition_evolution", "s30_stream_schema_drift",
-      "s34_stream_occ_maintenance")
+      "s34_stream_occ_maintenance", "a57_position_deletes",
+      "a58_string_stats", "a59_import_files", "s35_stream_forget")
     val unordered = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
       case (name, sql)
           if !sql.toUpperCase.contains("ORDER BY") && !singleRow(name) =>
