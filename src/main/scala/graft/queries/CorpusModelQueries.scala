@@ -1241,10 +1241,103 @@ object CorpusModelQueries {
     }
   }
 
+  /** SELF-BLEU within (lang, source) blocks — the corpus DIVERSITY
+    * monitor (Zhu et al.'s Texygen metric): each document scored against
+    * its successor in the block with clipped n-gram matches for
+    * n = 1..4; a templated/boilerplate source shows near-total overlap
+    * long before exact dedup fires. Emitted as the EXACT INTEGER
+    * sufficient statistics (clipped matches + totals + lengths) rather
+    * than the geometric-mean BLEU — the ln/exp would be the only float
+    * in the pipeline, and the counts are what a monitor thresholds
+    * anyway. One grams pass per side with multiplicity (COUNT, not
+    * DISTINCT — clipping needs true counts), n unrolled 1..4 by a tiny
+    * broadcast; the only corpus-sized shuffles are the two gram-count
+    * aggregates. Pairing is LEAD over (lang, source) — no self-join
+    * explosion at any block size. */
+  val selfBleu: Reg = Reg.sql(
+    "llm_self_bleu",
+    """WITH d AS (SELECT doc_id, lang, source,
+      |                  string_split(text, ' ') AS w FROM documents),
+      |p AS (SELECT doc_id, w,
+      |             LEAD(doc_id) OVER (PARTITION BY lang, source
+      |                                ORDER BY doc_id) AS ref_id
+      |      FROM d),
+      |pr AS (SELECT p.doc_id, p.ref_id, p.w AS cw, d2.w AS rw
+      |       FROM p JOIN d d2 ON d2.doc_id = p.ref_id),
+      |ns AS (SELECT UNNEST(generate_series(1, 4)) AS n),
+      |cg AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |         SELECT pr.doc_id, ns.n AS n,
+      |                UNNEST(list_transform(
+      |                  generate_series(1, len(cw) - ns.n + 1),
+      |                  i -> array_to_string(cw[i:i+ns.n-1], ' '))) AS gram
+      |         FROM pr, ns WHERE len(cw) >= ns.n)
+      |       GROUP BY 1, 2, 3),
+      |rg AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |         SELECT pr.doc_id, ns.n AS n,
+      |                UNNEST(list_transform(
+      |                  generate_series(1, len(rw) - ns.n + 1),
+      |                  i -> array_to_string(rw[i:i+ns.n-1], ' '))) AS gram
+      |         FROM pr, ns WHERE len(rw) >= ns.n)
+      |       GROUP BY 1, 2, 3),
+      |m AS (SELECT cg.doc_id, cg.n,
+      |             CAST(SUM(LEAST(cg.c, rg.c)) AS BIGINT) AS matches
+      |      FROM cg JOIN rg ON rg.doc_id = cg.doc_id AND rg.n = cg.n
+      |                     AND rg.gram = cg.gram
+      |      GROUP BY 1, 2),
+      |tot AS (SELECT pr.doc_id, pr.ref_id, ns.n AS n,
+      |               CAST(GREATEST(len(cw) - ns.n + 1, 0) AS BIGINT)
+      |                 AS total_grams,
+      |               CAST(len(cw) AS BIGINT) AS cand_len,
+      |               CAST(len(rw) AS BIGINT) AS ref_len
+      |        FROM pr, ns)
+      |SELECT t.doc_id, t.ref_id, CAST(t.n AS BIGINT) AS n,
+      |       COALESCE(m.matches, 0) AS matches, t.total_grams,
+      |       t.cand_len, t.ref_len
+      |FROM tot t LEFT JOIN m ON m.doc_id = t.doc_id AND m.n = t.n
+      |ORDER BY t.doc_id, n""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ", -1).as("w"))
+    val p = d.withColumn("ref_id", lead("doc_id", 1).over(
+      Window.partitionBy("lang", "source").orderBy("doc_id")))
+    val pr = p.where(col("ref_id").isNotNull)
+      .select(col("doc_id"), col("ref_id"), col("w").as("cw"))
+      .join(d.select(col("doc_id").as("ref_id"), col("w").as("rw")),
+        Seq("ref_id"))
+      .localCheckpoint() // feeds both gram passes and the totals
+    val ns = s.range(1, 5).select(col("id").cast("int").as("n"))
+    def grams(side: String) = pr.crossJoin(broadcast(ns))
+      .where(size(col(side)) >= col("n"))
+      .select(col("doc_id"), col("n"), explode(expr(
+        s"""transform(sequence(1, size($side) - n + 1),
+           |  i -> array_join(slice($side, i, n), ' '))""".stripMargin))
+        .as("gram"))
+      .groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    val m = grams("cw").as("cg")
+      .join(grams("rw").as("rg"),
+        col("cg.doc_id") === col("rg.doc_id") && col("cg.n") === col("rg.n")
+          && col("cg.gram") === col("rg.gram"))
+      .groupBy(col("cg.doc_id").as("doc_id"), col("cg.n").as("n"))
+      .agg(sum(least(col("cg.c"), col("rg.c"))).cast("bigint").as("matches"))
+    val tot = pr.crossJoin(broadcast(ns))
+      .select(col("doc_id"), col("ref_id"), col("n"),
+        greatest(size(col("cw")) - col("n") + 1, lit(0)).cast("bigint")
+          .as("total_grams"),
+        size(col("cw")).cast("bigint").as("cand_len"),
+        size(col("rw")).cast("bigint").as("ref_len"))
+    tot.join(m, Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("ref_id"), col("n").cast("bigint").as("n"),
+        coalesce(col("matches"), lit(0L)).as("matches"), col("total_grams"),
+        col("cand_len"), col("ref_len"))
+      .orderBy("doc_id", "n")
+  }
+
   val all: Seq[Reg] =
     Seq(bigramLm, vocabCoverage, bpePairs, kmeansAssign, pqCodes,
       bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty,
       bpeK, bpeK64, bpeEncode, perplexityFilter, randProj, pmiCooccur,
       annPqAdc, annIvfPq, hardNegativesAnn, silhouette, streamIvfAssign,
-      streamPqIndex, tokenizerFertility)
+      streamPqIndex, tokenizerFertility, selfBleu)
 }

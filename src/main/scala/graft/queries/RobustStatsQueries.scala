@@ -946,8 +946,69 @@ object RobustStatsQueries {
       .orderBy("ty")
   }
 
+  /** O64 — RANK AUTOCORRELATION at lags 1..7 of the daily series per
+    * event type: Spearman's rho over the lag-k overlap pairs, with
+    * MIN-rank ties declared as part of the statistic so every quantity
+    * is a small exact integer (ranks ≤ days, d² ≤ days²). The
+    * seasonality detector next to o50's decomposition — a weekly cycle
+    * shows as a rho spike at lag 7. The floor of 1e6·(1 − 6Σd²/(m³−m))
+    * is taken WITHOUT any float: floor(A − p/q) = A − ceil(p/q) =
+    * A − (p + q − 1) div q on positive integers, identical in both
+    * engines by construction. Day domain only — calendar-bounded at any
+    * corpus size (the o50 argument). */
+  val o64RankAcf: Reg = Reg.sql(
+    "o64_rank_acf",
+    """WITH daily AS (
+      |  SELECT event_type AS ty, CAST(ts AS DATE) AS d,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT a.ty, k.k, a.d, a.c AS x, b.c AS y
+      |  FROM daily a
+      |  JOIN (SELECT UNNEST(generate_series(1, 7)) AS k) k ON TRUE
+      |  JOIN daily b ON b.ty = a.ty AND b.d = a.d + CAST(k.k AS INT)),
+      |rk AS (
+      |  SELECT ty, k,
+      |         RANK() OVER (PARTITION BY ty, k ORDER BY x) AS rx,
+      |         RANK() OVER (PARTITION BY ty, k ORDER BY y) AS ry
+      |  FROM lagged),
+      |agg AS (
+      |  SELECT ty, k, CAST(COUNT(*) AS BIGINT) AS m,
+      |         CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+      |  FROM rk GROUP BY 1, 2)
+      |SELECT ty, CAST(k AS BIGINT) AS lag, m,
+      |       1000000 - (6000000 * sd2 + (m * m * m - m) - 1)
+      |         // (m * m * m - m) AS rho_micro
+      |FROM agg WHERE m >= 2 ORDER BY ty, lag""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type").as("ty"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("bigint")).cast("bigint").as("c"))
+      .localCheckpoint() // both sides of the lag join
+    val ks = s.range(1, 8).select(col("id").cast("int").as("k"))
+    val lagged = daily.as("a").crossJoin(broadcast(ks))
+      .join(daily.as("b"),
+        col("b.ty") === col("a.ty") &&
+        col("b.d") === date_add(col("a.d"), col("k")))
+      .select(col("a.ty").as("ty"), col("k"),
+        col("a.c").as("x"), col("b.c").as("y"))
+    val w = (c: String) => Window.partitionBy("ty", "k").orderBy(c)
+    val rk = lagged
+      .withColumn("rx", rank().over(w("x")))
+      .withColumn("ry", rank().over(w("y")))
+    rk.groupBy("ty", "k")
+      .agg(count(lit(1)).cast("bigint").as("m"),
+        sum((col("rx") - col("ry")) * (col("rx") - col("ry")))
+          .cast("bigint").as("sd2"))
+      .where(col("m") >= 2)
+      .select(col("ty"), col("k").cast("bigint").as("lag"), col("m"),
+        (lit(1000000L) - expr(
+          "(6000000 * sd2 + (m * m * m - m) - 1) div (m * m * m - m)"))
+          .as("rho_micro"))
+      .orderBy("ty", "lag")
+  }
+
   val all: Seq[Reg] = Seq(o49KendallTau, o50SeasonalDecompose, o51BootstrapCi,
     o52WelchTtest, o53KmvSetOps, o54ResampleInterp, o55SeasonalAnomaly,
     o57Sprt, o58HodgesLehmann, o59EwmaHalflife, o60GramMatrix,
-    o61HoltLinear, o62Benford, o63Pettitt)
+    o61HoltLinear, o62Benford, o63Pettitt, o64RankAcf)
 }
