@@ -762,6 +762,29 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     p should not include "BroadcastHashJoin"
   }
 
+  test("o60: the gram expansion is ROW-LOCAL — no join anywhere in the plan") {
+    val p = plan(RobustStatsQueries.o60GramMatrix)
+    p should include("Generate") // the single explode of the pair products
+    p should not include "Join"  // any join would mean a corpus self-join
+    // map-side partial aggregation collapses each partition to <= 2080
+    // rows before the only shuffle
+    p should include("HashAggregate")
+  }
+
+  test("llm_jw_linkage: blocked candidates via equi-join, never nested-loop") {
+    val p = plan(LlmQueries.jwLinkage)
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // the native expression runs inside the joined projection
+    p.toLowerCase should include("jaro_winkler")
+  }
+
+  test("o63: Pettitt runs one pair equi-join — the O(n^3) split join never appears") {
+    val p = plan(RobustStatsQueries.o63Pettitt)
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("no query plan contains a CartesianProduct or driver collect") {
     SparkEntryPlans.all.foreach { case (name, p) =>
       withClue(name)(p should not include "CartesianProduct")
