@@ -2642,6 +2642,66 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A60 — INVERTED TEXT INDEX as a derived VersionedTable, range-
+    * sharded on TERM with the a58 truncated-string bounds as the shard
+    * pruner: postings (term, doc_id) land in 8 term-range segments
+    * (ranges from an ntile over the vocabulary — a vocab-sized sort,
+    * index-build cost, never corpus-sized), so a term lookup opens
+    * EXACTLY ONE posting segment (gated via resolveSegmentsStr) instead
+    * of scanning the posting corpus. This is the text sibling of the
+    * bloom point-lookup gate (a44) and the PQ vector index (s27): the
+    * manifest IS the index directory. Incremental story: new batches
+    * append posting segments whose term bounds are wide, lookups open
+    * base+deltas, and compaction re-ranges — the standard LSM trade
+    * already measured for the cluster store. */
+  val textIndex: Reg = Reg.sql(
+    "a60_text_index",
+    """WITH t AS (SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |probes AS (SELECT MIN(term) AS term FROM t
+      |           UNION ALL SELECT MAX(term) FROM t)
+      |SELECT p.term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(MIN(t.doc_id) AS BIGINT) AS min_doc,
+      |       CAST(MAX(t.doc_id) AS BIGINT) AS max_doc
+      |FROM probes p JOIN t ON t.term = p.term
+      |GROUP BY p.term ORDER BY p.term""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    import org.apache.spark.sql.expressions.Window
+    val work = graft.Scratch.dir("graft_tindexq")
+    val root = s"$work/idx"
+    try {
+      val postings = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " ", -1))).as("term"))
+        .localCheckpoint() // vocab ranging + 8 segment writes share it
+      // range-shard the vocabulary: ntile(8) over term order — the
+      // vocab-sized global sort is the index BUILD cost (vocabulary,
+      // not corpus, sized), the standard B-tree/SSTable trade
+      val ranges = postings.select("term").distinct()
+        .withColumn("b", ntile(8).over(Window.orderBy("term")))
+      val sharded = postings.join(ranges, "term").localCheckpoint()
+      (1 to 8).foreach { b =>
+        val slice = sharded.where(col("b") === b).select("term", "doc_id")
+          .sortWithinPartitions("term")
+        if (b == 1) VersionedTable.create(s, root, slice, statCols = Seq("term"))
+        else VersionedTable.append(s, root, slice, statCols = Seq("term"))
+      }
+      // probes: lexicographic vocabulary extremes (engine-identical)
+      val mm = postings.agg(min("term"), max("term")).head()
+      val out = Seq(mm.getString(0), mm.getString(1)).sorted.map { term =>
+        val opened = VersionedTable.resolveSegmentsStr(s, root, "term", term, term)
+        require(opened.length == 1,
+          s"index lookup for '$term' opened ${opened.length} of 8 shards")
+        val r = VersionedTable.readPrunedStr(s, root, "term", term, term)
+          .where(col("term") === term)
+          .agg(count(lit(1)), min("doc_id"), max("doc_id")).head()
+        (term, r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      import s.implicits._
+      out.toDF("term", "n_docs", "min_doc", "max_doc").orderBy("term")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     versionedRestore, orphanVacuum, runtimePruneJoin, shallowClone,
     clusterMetrics, occConflict, timeTravelTs,
@@ -2650,6 +2710,6 @@ object MutationQueries {
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
     versionedMerge, versionedCompact, versionedForget, incrementalRead,
     morDelete, morUpsert, positionDeletes, stringStatsPruning, importFiles,
-    changelogApply, pointSkipBloom,
+    textIndex, changelogApply, pointSkipBloom,
     versionedSchemaEvolution, binpackCompact, changelogIvm, j18BucketedJoin)
 }
