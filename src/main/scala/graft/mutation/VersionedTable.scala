@@ -1732,6 +1732,68 @@ object VersionedTable {
     (nv, written.length, foldable.map(_.length).sum)
   }
 
+  /** TAG a snapshot (the Iceberg named-reference substance): an
+    * IMMUTABLE name → version binding, created create-exclusively in the
+    * log (`_log/tag.<name>` — two racers for one name: exactly one wins,
+    * the same primitive as the manifest CAS) and honored by
+    * [[expireSnapshots]]: a tagged version's manifest and segments are
+    * RETAINED regardless of the keep-window — the audit/repro pin
+    * ("gold", "q3-release") that survives routine expiry. Tags never
+    * move; [[deleteTag]] is the only way to release one. */
+  def tag(spark: SparkSession, root: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"tag names are [A-Za-z0-9._-]+: '$name'")
+    val f = fs(spark, root)
+    // binding a tag to a missing version is an error NOW, not at read time
+    manifestLines(spark, root, version)
+    val p = new Path(logDir(root), s"tag.$name")
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    try {
+      if (scheme == "file") {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          version.toString.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        ()
+      } else {
+        val out = f.create(p, false)
+        try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      }
+    } catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
+        throw new java.io.IOException(
+          s"tag '$name' already exists (tags are immutable; deleteTag first)", e)
+    }
+  }
+
+  /** All tags of `root`: name → version. */
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val f = fs(spark, root)
+    val dir = logDir(root)
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).map(_.getPath).toSeq
+      .filter(_.getName.startsWith("tag."))
+      .map { p =>
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(f.open(p), "UTF-8"))
+        try p.getName.stripPrefix("tag.") -> in.readLine().trim.toLong
+        finally in.close()
+      }.toMap
+  }
+
+  /** Release a tag; its version becomes expirable again. */
+  def deleteTag(spark: SparkSession, root: String, name: String): Boolean =
+    fs(spark, root).delete(new Path(logDir(root), s"tag.$name"), false)
+
+  /** Snapshot read by tag name. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val v = tags(spark, root).getOrElse(name,
+      throw new IllegalArgumentException(s"$root has no tag '$name'"))
+    read(spark, root, Some(v))
+  }
+
   /** Expire snapshots older than the newest `keep` versions: drop their
     * manifests, then delete segments that are BOTH unreferenced by every
     * retained manifest AND older than `segmentRetainMs` — the Iceberg
@@ -1739,7 +1801,9 @@ object VersionedTable {
     * writer never deletes its staged-but-uncommitted segment (writeSegment
     * runs before its commit). `segmentRetainMs = 0` deletes immediately
     * and is safe only under single-writer maintenance (the test default).
-    * Returns (versions dropped, segments deleted). */
+    * TAGGED versions are retained regardless of the keep-window, with
+    * everything they reference. Returns (versions dropped, segments
+    * deleted). */
   def expireSnapshots(
       spark: SparkSession, root: String, keep: Int,
       segmentRetainMs: Long = 0L): (Int, Int) = {
@@ -1751,8 +1815,9 @@ object VersionedTable {
       .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest").toLong
       }.sorted
-    val dropped = vs.dropRight(keep)
-    val kept = vs.takeRight(keep)
+    val pinned = tags(spark, root).values.toSet
+    val dropped = vs.dropRight(keep).filterNot(pinned)
+    val kept = vs.takeRight(keep) ++ vs.dropRight(keep).filter(pinned)
     val liveSegs = kept.flatMap(segmentsOf(spark, root, _).map(_.name)).toSet
     dropped.foreach(v => f.delete(manifest(root, v), false))
     val cutoff = System.currentTimeMillis() - segmentRetainMs

@@ -2702,6 +2702,59 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A61 — SNAPSHOT TAGS (Iceberg named references): an immutable
+    * name→version pin created with the same create-exclusive primitive
+    * as the commit CAS, honored by expiry — the tagged snapshot and its
+    * whole segment closure survive an expire that drops every other
+    * out-of-window version. This is the audit/repro workflow on a
+    * 100 TB table: tag "gold" before a risky rewrite, expire routinely,
+    * and the pinned snapshot stays bit-readable for the cost of its
+    * segments alone. The query drives create → tag → replace → expire →
+    * read-by-tag and emits the closed-form row counts; the
+    * tagged-survives / untagged-expired outcomes are require-gated. */
+  val snapshotTags: Reg = Reg.sql(
+    "a61_snapshot_tags",
+    """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 60000),
+      |v0 AS (SELECT * FROM e WHERE event_id % 3 = 0),
+      |v1 AS (SELECT * FROM e),
+      |v2 AS (SELECT * FROM e WHERE user_id % 2 = 0)
+      |SELECT CAST((SELECT COUNT(*) FROM v1) AS BIGINT) AS tagged_rows,
+      |       CAST((SELECT SUM(user_id) FROM v1) AS BIGINT) AS tagged_uid_sum,
+      |       CAST((SELECT COUNT(*) FROM v2) AS BIGINT) AS head_rows,
+      |       CAST(2 AS BIGINT) AS versions_dropped,
+      |       CAST(1 AS BIGINT) AS tags_after""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_tagq")
+    val root = s"$work/t"
+    try {
+      val e = Tables.events(s, dir).where(col("event_id") < 60000L)
+        .select("event_id", "user_id")
+      VersionedTable.create(s, root, e.where(col("event_id") % 3 === 0)) // v0
+      VersionedTable.append(s, root, e.where(col("event_id") % 3 =!= 0)) // v1
+      VersionedTable.tag(s, root, "gold", 1L)
+      VersionedTable.replace(s, root,
+        VersionedTable.read(s, root).where(col("user_id") % 2 === 0)) // v2
+      VersionedTable.append(s, root,
+        e.where(col("user_id") % 2 === 0).limit(0)) // v3 (empty append)
+      val (droppedN, _) = VersionedTable.expireSnapshots(s, root, keep = 1)
+      require(droppedN == 2, s"expected v0+v2 dropped, got $droppedN")
+      // the pinned snapshot survives with its whole closure...
+      val tagged = VersionedTable.readTag(s, root, "gold")
+        .agg(count(lit(1)), sum("user_id").cast("bigint")).head()
+      // ...and the untagged out-of-window versions are really gone
+      require(
+        try { VersionedTable.read(s, root, Some(0L)).count(); false }
+        catch { case _: Throwable => true },
+        "untagged v0 still readable after expiry")
+      val headRows = VersionedTable.read(s, root).count()
+      import s.implicits._
+      Seq((tagged.getLong(0), tagged.getLong(1), headRows, droppedN.toLong,
+        VersionedTable.tags(s, root).size.toLong))
+        .toDF("tagged_rows", "tagged_uid_sum", "head_rows",
+          "versions_dropped", "tags_after")
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     versionedRestore, orphanVacuum, runtimePruneJoin, shallowClone,
     clusterMetrics, occConflict, timeTravelTs,
@@ -2710,6 +2763,6 @@ object MutationQueries {
     writeAuditPublish, forgetUser, ivmJoin, ivmRetract, timeTravel,
     versionedMerge, versionedCompact, versionedForget, incrementalRead,
     morDelete, morUpsert, positionDeletes, stringStatsPruning, importFiles,
-    textIndex, changelogApply, pointSkipBloom,
+    textIndex, snapshotTags, changelogApply, pointSkipBloom,
     versionedSchemaEvolution, binpackCompact, changelogIvm, j18BucketedJoin)
 }

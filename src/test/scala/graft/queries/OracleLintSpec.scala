@@ -166,7 +166,8 @@ class OracleLintSpec extends AnyFunSuite with Matchers {
       "a46_binpack_compact", "a48_versioned_rename",
       "a49_partition_evolution", "s30_stream_schema_drift",
       "s34_stream_occ_maintenance", "a57_position_deletes",
-      "a58_string_stats", "a59_import_files", "s35_stream_forget")
+      "a58_string_stats", "a59_import_files", "s35_stream_forget",
+      "a61_snapshot_tags")
     val unordered = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
       case (name, sql)
           if !sql.toUpperCase.contains("ORDER BY") && !singleRow(name) =>
