@@ -7,11 +7,12 @@ import org.scalatest.matchers.should.Matchers
 import graft.SparkSuite
 
 /** MODEL-BASED invariant for the merge-on-read machinery: an arbitrary
-  * interleaving of appends, MOR upserts, MOR deletes, materializations,
-  * compactions AND COLUMN RENAMES must read back exactly like a
-  * driver-side Map[key -> value] executing the same operations — i.e.
-  * equality deletes, sequence scoping, dangling-delete cleanup,
-  * delete-aware compaction, materialization and the physical→logical
+  * interleaving of appends, MOR upserts, MOR deletes, POSITION DELETES
+  * (deletion vectors), materializations, compactions AND COLUMN RENAMES
+  * must read back exactly like a driver-side Map[key -> value] executing
+  * the same operations — i.e. equality deletes, sequence scoping,
+  * file-bound position tuples, dangling-delete cleanup, delete-aware
+  * compaction, materialization and the physical→logical
   * rename chain are all pure REPRESENTATION, never semantics. Every
   * historical snapshot must also replay its recorded model state UNDER
   * THE COLUMN NAMES IT WAS COMMITTED WITH (time travel commutes with MOR
@@ -64,7 +65,7 @@ class MorPropertySpec extends AnyFunSuite with Matchers with SparkSuite {
             model = model ++ b.toMap
             ops += s"upsert(${b.map(_._1).mkString(",")})"
             Some(nv)
-          case r if r < 52 => // MOR delete of a random residue class
+          case r if r < 46 => // MOR delete of a random residue class
             val mod = 2 + rnd.nextInt(4)
             val res = rnd.nextInt(mod)
             val (nv, n) = VersionedTable.morDelete(spark, root, Seq(keyCol),
@@ -73,6 +74,18 @@ class MorPropertySpec extends AnyFunSuite with Matchers with SparkSuite {
             n shouldBe victims.size.toLong
             model = model -- victims
             ops += s"delete(%$mod==$res)"
+            if (n > 0) Some(nv) else None
+          case r if r < 58 => // POSITION delete (deletion vector) of a class
+            val mod = 2 + rnd.nextInt(4)
+            val res = rnd.nextInt(mod)
+            val (nv, n) = VersionedTable.posDelete(spark, root,
+              F.col(keyCol) % mod === res)
+            // the live table carries exactly one row per model key, so
+            // positions deleted == keys deleted
+            val victims = model.keySet.filter(_ % mod == res)
+            n shouldBe victims.size.toLong
+            model = model -- victims
+            ops += s"posdel(%$mod==$res)"
             if (n > 0) Some(nv) else None
           case r if r < 66 => // append fresh rows for keys NOT live (re-insert!)
             val dead = (0L until keySpace.toLong).filterNot(model.contains)
@@ -130,7 +143,10 @@ class MorPropertySpec extends AnyFunSuite with Matchers with SparkSuite {
       // start snapshot must reproduce the window's end snapshot exactly
       def isBoundary(op: String) =
         op.startsWith("materialize") || op.startsWith("compact") ||
-          op.startsWith("rename")
+          op.startsWith("rename") ||
+          // a position-delete commit is changelog-visible only through
+          // changelogRows (a plain fold has no file provenance)
+          op.startsWith("posdel")
       // maximal boundary-free runs of consecutive commits
       val runs = scala.collection.mutable.ArrayBuffer(
         scala.collection.mutable.ArrayBuffer(commits.head))
