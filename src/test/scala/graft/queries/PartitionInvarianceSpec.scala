@@ -30,7 +30,17 @@ class PartitionInvarianceSpec extends AnyFunSuite with Matchers with SparkSuite 
     // j20_knn_join excluded: the sf0.001 supplier corpus has no pair
     // within the 500 m radius, so the empty-result guard cannot hold
     // (its determinism is carried by the sf0.01/sf0.1 oracle instead)
-    BehaviorQueries.o56CalibrationBins)
+    BehaviorQueries.o56CalibrationBins,
+    // round-15 wave
+    RobustStatsQueries.o58HodgesLehmann,
+    RobustStatsQueries.o59EwmaHalflife,
+    RobustStatsQueries.o60GramMatrix,
+    RobustStatsQueries.o61HoltLinear,
+    RobustStatsQueries.o62Benford,
+    RobustStatsQueries.o63Pettitt,
+    RobustStatsQueries.o64RankAcf,
+    LlmQueries.jwLinkage,
+    CorpusModelQueries.selfBleu)
 
   private def collectAt(r: Reg, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
