@@ -543,6 +543,13 @@ object VersionedTable {
       statCols: Seq[String] = Nil): Long = {
     val v = currentVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
+    commitFrom(spark, root, Some(v),
+      segmentsOf(spark, root, v) :+ externalSegment(spark, dir, statCols),
+      None, None)
+  }
+
+  private def externalSegment(
+      spark: SparkSession, dir: String, statCols: Seq[String]): Segment = {
     val qualified = fs(spark, dir).makeQualified(new Path(dir)).toString
     require(isExternal(qualified), s"cannot qualify $dir to an absolute path")
     // segment KIND is carried by the basename prefix; an import whose
@@ -551,10 +558,30 @@ object VersionedTable {
       !baseName(qualified).startsWith("pdel_"),
       s"cannot import a directory named like a delete segment: $qualified")
     val (stats, sstats) = statsOfPath(spark, qualified, statCols)
-    commitFrom(spark, root, Some(v),
-      segmentsOf(spark, root, v) :+
-        Segment(qualified, stats, sstats = sstats),
-      None, None)
+    Segment(qualified, stats, sstats = sstats)
+  }
+
+  /** Replay-safe STREAMING import — the auto-loader shape: a discovery
+    * stream notices newly landed directories and registers each batch's
+    * paths BY REFERENCE, fenced per writer lineage exactly like
+    * [[appendFenced]] (an at-least-once `foreachBatch` replay re-imports
+    * only if the original commit never landed — without the fence a
+    * replay would double-register the same files). All of one batch's
+    * directories ride ONE commit, so a crash mid-batch never publishes a
+    * partial batch. The first batch of a fresh table commits as the
+    * create (initializer-arbitrated via the `.init` claim). */
+  def importDirsFenced(
+      spark: SparkSession, root: String, dirs: Seq[String], batchId: Long,
+      appId: String = "", statCols: Seq[String] = Nil): Option[Long] = {
+    require(!appId.contains(':') && !appId.contains('\n'),
+      s"appId may not contain ':' or newlines: $appId")
+    if (dirs.isEmpty) return None
+    if (currentFence(spark, root, appId).exists(_ >= batchId)) return None
+    val segs = dirs.map(externalSegment(spark, _, statCols))
+    val prevV = currentVersion(spark, root)
+    val prevSegs = prevV.map(segmentsOf(spark, root, _)).getOrElse(Seq.empty)
+    Some(commitFrom(spark, root, prevV, prevSegs ++ segs,
+      Some(appId -> batchId), None))
   }
 
   /** Iceberg truncate-transform bounds: lower = min truncated (shrinking

@@ -2247,6 +2247,98 @@ object IngestQueries {
     }
   }
 
+  /** S36 — STREAMING AUTO-LOADER by reference: a discovery stream
+    * notices directories landing in an external zone and registers each
+    * micro-batch's paths through
+    * [[graft.mutation.VersionedTable.importDirsFenced]] — one fenced
+    * commit per batch, ZERO data bytes copied ever (gated: the table
+    * root contains no local data segment at the end; the landing zone's
+    * file mtimes are untouched), and an at-least-once replay of a
+    * committed batch is skipped whole by the fence (gated: re-running
+    * batch 0's import returns None and the version head is unchanged).
+    * This is the Databricks Auto Loader / Iceberg add_files-from-a-
+    * notification-queue shape: onboarding a firehose of foreign parquet
+    * at manifest cost, with the imported stats making every landed
+    * directory prunable immediately. */
+  val streamImport: Reg = Reg.sql(
+    "s36_stream_import",
+    """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 60000)
+      |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS head_rows,
+      |       CAST((SELECT SUM(user_id) FROM e) AS BIGINT) AS head_uid_sum,
+      |       CAST(3 AS BIGINT) AS batches_committed,
+      |       CAST(0 AS BIGINT) AS local_data_segments,
+      |       CAST(0 AS BIGINT) AS bytes_copied""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_simport")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val root = s"$work/t"
+      val e = Tables.events(s, dir).where(col("event_id") < 60000L)
+        .select("event_id", "user_id")
+      // the landing zone: three foreign directories, written by "someone
+      // else" before the loader ever runs
+      val zones = (0 to 2).map { i =>
+        val p = s"$work/landing/drop_$i"
+        e.where(col("event_id") % 3 === i).write.parquet(p)
+        p
+      }
+      val zoneState = zones.flatMap(z => new java.io.File(z).listFiles()
+        .map(f => f.getPath -> f.lastModified())).toSet
+
+      // the arrival log: one path per file = one per micro-batch
+      val src = s"$work/arrivals"
+      zones.foreach { z =>
+        import s.implicits._
+        Seq(z).toDF("path").coalesce(1).write.mode("append").parquet(src)
+      }
+      val schema = s.read.parquet(src).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+          // arrival batches are notification-sized: the path collect is
+          // bounded by the queue, never the data
+          val paths = batch.select("path").collect().map(_.getString(0))
+          VersionedTable.importDirsFenced(s, root, paths.toIndexedSeq, id,
+            appId = "loader", statCols = Seq("event_id"))
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      // zero copy: no local data segment ever materialized, zone untouched
+      val localSegs = new java.io.File(root).listFiles()
+        .count(f => f.getName.startsWith("seg_"))
+      require(localSegs == 0, s"auto-loader copied data: $localSegs local segments")
+      require(zones.flatMap(z => new java.io.File(z).listFiles()
+        .map(f => f.getPath -> f.lastModified())).toSet == zoneState,
+        "auto-loader modified the landing zone")
+      val headV = VersionedTable.currentVersion(s, root).get
+      require(headV == 2L, s"expected 3 fenced commits (v0..v2), head=$headV")
+      // at-least-once replay: batch 0 re-imports nothing
+      val replay = VersionedTable.importDirsFenced(s, root, Seq(zones.head),
+        0L, appId = "loader")
+      require(replay.isEmpty && VersionedTable.currentVersion(s, root).get == 2L,
+        "fence failed to swallow a replayed import batch")
+      val agg = VersionedTable.read(s, root)
+        .agg(count(lit(1)), sum("user_id").cast("bigint")).head()
+      import s.implicits._
+      val out = Seq((agg.getLong(0), agg.getLong(1), headV + 1, 0L, 0L))
+        .toDF("head_rows", "head_uid_sum", "batches_committed",
+          "local_data_segments", "bytes_copied")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteRecursively(new java.io.File(work))
+    }
+  }
+
   val all: Seq[Reg] =
     Seq(ingestChain, windowedStats, streamDedup, streamRelocation, streamJoin,
       streamSessions, eventRouting, rejectIsolation, streamEnrich, pointLookup,
@@ -2254,5 +2346,5 @@ object IngestQueries {
       foreachBatchUpsert, streamMedian, streamQuantiles, streamDrift,
       streamScd2, streamVersionLog, streamCompactedLog, streamMorCdc,
       streamSchemaDrift, streamTopk, streamLateData, streamIntervalJoin,
-      streamOccMaintenance, streamForget)
+      streamOccMaintenance, streamForget, streamImport)
 }
