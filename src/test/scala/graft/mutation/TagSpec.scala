@@ -59,6 +59,33 @@ class TagSpec extends AnyFunSuite with Matchers with SparkSuite {
       VersionedTable.readTag(spark, root, "absent")
   }
 
+  test("8 racing taggers for one name: exactly one wins, binding is consistent") {
+    // the tag claim rides the same create-exclusive primitive as the
+    // commit CAS; a real thread race is the only honest test of that
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L))          // v0
+    (1 to 8).foreach(i => VersionedTable.append(spark, root, df(i + 1L)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val results = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence((1 to 8).map { i =>
+          scala.concurrent.Future {
+            barrier.await()
+            try { VersionedTable.tag(spark, root, "release", i.toLong); Some(i) }
+            catch { case _: java.io.IOException => None }
+          }
+        }), scala.concurrent.duration.Duration.Inf)
+      val winners = results.flatten
+      winners should have length 1
+      // the binding is the winner's version, not a torn mix
+      VersionedTable.tags(spark, root) shouldBe
+        Map("release" -> winners.head.toLong)
+    } finally pool.shutdown()
+  }
+
   test("a tag pins exactly its closure: shared segments survive, others go") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1L))          // v0: seg A
