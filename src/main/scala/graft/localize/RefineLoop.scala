@@ -157,14 +157,23 @@ object RefineLoop {
       }
   }
 
-  /** Read the persisted state table (empty frame when absent). */
+  /** Read the persisted state table (empty frame when absent). The state
+    * lives as a [[graft.mutation.VersionedTable]] — per-key merge-on-read
+    * upserts, never table rewrites (the reference golden-record
+    * discipline, `WifiAccessPointLocationRepositoryImpl.java`). */
   def readState(spark: SparkSession, statePath: String): Dataset[StateRow] = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(statePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.mutation.MergeOps.recoverIfNeeded(spark, statePath)
-    if (fs.exists(p)) spark.read.parquet(statePath).as[StateRow]
+    if (graft.mutation.VersionedTable.currentVersion(spark, statePath).isDefined)
+      graft.mutation.VersionedTable.read(spark, statePath).as[StateRow]
     else spark.emptyDataset[StateRow]
+  }
+
+  /** Seed the state table (version 0) with prior rows — for priming a
+    * dimension before the first [[run]]. */
+  def initState(spark: SparkSession, statePath: String,
+      prior: org.apache.spark.sql.DataFrame): Unit = {
+    graft.mutation.VersionedTable.create(spark, statePath, prior)
+    ()
   }
 
   /** Full loop against a persisted state table: read prior → refine → merge
@@ -189,11 +198,13 @@ object RefineLoop {
         col("var_lat_m2"), col("var_lon_m2"), col("cov_m2"),
         col("state_n").as("n"), col("relocations"),
         col("sig").as("last_sig"))
-    val p = new org.apache.hadoop.fs.Path(statePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) stateUpdate.write.parquet(statePath)
-    else graft.mutation.MergeOps.mergeByKey(
-      spark, statePath, stateUpdate, "bssid", insertUnmatched = true)
+    // MERGE-ON-READ upsert: one equality-delete + one data segment per
+    // loop, O(changed keys) bytes written — a 100 TB AP dimension never
+    // gets rewritten by a refine batch (the r15 mergeByKey swap did)
+    if (graft.mutation.VersionedTable.currentVersion(spark, statePath).isEmpty)
+      graft.mutation.VersionedTable.create(spark, statePath, stateUpdate)
+    else graft.mutation.VersionedTable.morUpsert(
+      spark, statePath, stateUpdate, Seq("bssid"))
     refined
   }
 }

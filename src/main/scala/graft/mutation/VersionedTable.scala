@@ -474,14 +474,147 @@ object VersionedTable {
     Segment(name, stats, keys = keys, sstats = sstats)
   }
 
-  /** One stats scan over a written parquet path: statCols split by dtype
+  /** Manifest stats for a written parquet path: statCols split by dtype
     * — string columns get TRUNCATED string bounds, everything else the
-    * numeric min/max. Shared by [[writeSegment]] and [[importDir]]. */
-  private def statsOfPath(
+    * numeric min/max. Shared by [[writeSegment]] and [[importDir]].
+    *
+    * Served from the PARQUET FOOTERS when possible (driver-side metadata
+    * reads — zero Spark jobs; the files already carry chunk min/max, and
+    * re-scanning data to recompute them doubled every statted commit's
+    * job count). Falls back to the one-pass scan for anything the footer
+    * path cannot vouch for: non-primitive or annotated types (dates,
+    * decimals, timestamps), chunks with rows but no usable statistics,
+    * or non-UTF-8 binary bounds. */
+  private[mutation] def statsOfPath(
       spark: SparkSession, path: String, statCols: Seq[String])
       : (Map[String, (Double, Double)], Map[String, (String, String)]) = {
     if (statCols.isEmpty)
       return (Map.empty, Map.empty)
+    footerStats(spark, path, statCols)
+      .getOrElse(scanStats(spark, path, statCols))
+  }
+
+  /** Footer-derived stats, or None when any footer cannot be trusted for
+    * any requested column (caller re-derives by scanning). Soundness
+    * contract matches [[scanStats]]: integer bounds padded one ulp
+    * outward (the double cast of an int64 rounds to nearest, error
+    * ≤ 0.5 ulp, so the padded bound still encloses the true value);
+    * float/double columns always bail — parquet-mr computes their
+    * footer stats IGNORING NaN rows (PARQUET-1222), so only the scan
+    * can honor the any-NaN ⇒ no-stat conservatism; truncated binary
+    * bounds from parquet-mr remain valid inputs to [[truncStrBounds]]
+    * because truncation only widens the interval. */
+  private[mutation] def footerStats(
+      spark: SparkSession, path: String, statCols: Seq[String])
+      : Option[(Map[String, (Double, Double)], Map[String, (String, String)])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    object Fallback extends scala.util.control.ControlThrowable
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    try {
+      val f = p.getFileSystem(conf)
+      if (!f.exists(p)) return None
+      val files = f.listStatus(p).map(_.getPath).filter { q =>
+        val n = q.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (files.isEmpty) return None
+      val wanted = statCols.toSet
+      // (isString, numMin, numMax, strMin, strMax, seen) per column
+      val numMn = scala.collection.mutable.Map.empty[String, Double]
+      val numMx = scala.collection.mutable.Map.empty[String, Double]
+      val strMn = scala.collection.mutable.Map.empty[String, String]
+      val strMx = scala.collection.mutable.Map.empty[String, String]
+      def utf8(b: org.apache.parquet.io.api.Binary): String = {
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        try dec.decode(b.toByteBuffer).toString
+        catch { case _: java.nio.charset.CharacterCodingException => throw Fallback }
+      }
+      files.foreach { fp =>
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(fp, conf))
+        val footer = try rd.getFooter finally rd.close()
+        val schema = footer.getFileMetaData.getSchema
+        val isStr = statCols.map { c =>
+          if (!schema.containsField(c)) throw Fallback
+          val t = schema.getType(Seq(c): _*)
+          if (!t.isPrimitive) throw Fallback
+          val pt = t.asPrimitiveType()
+          val ann = pt.getLogicalTypeAnnotation
+          pt.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32 =>
+              ann match {
+                case null => // plain integer
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                    if i.isSigned => // int/long/short/byte
+                case _ => throw Fallback // date/time/decimal/unsigned
+              }
+              c -> false
+            case PrimitiveTypeName.DOUBLE | PrimitiveTypeName.FLOAT =>
+              // parquet-mr computes float stats IGNORING NaN rows
+              // (PARQUET-1222), so a footer cannot reproduce the scan's
+              // NaN-conservatism (any NaN ⇒ record no stat) — bail
+              throw Fallback
+            case PrimitiveTypeName.BINARY =>
+              ann match {
+                case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+                  c -> true
+                case _ => throw Fallback
+              }
+            case _ => throw Fallback
+          }
+        }.toMap
+        footer.getBlocks.forEach { blk =>
+          blk.getColumns.forEach { cc =>
+            val name = cc.getPath.toDotString
+            if (wanted(name) && cc.getValueCount > 0) {
+              val st = cc.getStatistics
+              // rows present but no trustworthy bounds → scan decides
+              if (st == null || st.isEmpty) throw Fallback
+              if (st.hasNonNullValue) {
+                if (isStr(name)) {
+                  val mn = utf8(st.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary])
+                  val mx = utf8(st.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary])
+                  strMn.updateWith(name)(o =>
+                    Some(o.fold(mn)(v => if (mn < v) mn else v)))
+                  strMx.updateWith(name)(o =>
+                    Some(o.fold(mx)(v => if (mx > v) mx else v)))
+                } else {
+                  val mn = st.genericGetMin.asInstanceOf[Number].doubleValue()
+                  val mx = st.genericGetMax.asInstanceOf[Number].doubleValue()
+                  numMn.updateWith(name)(o => Some(o.fold(mn)(math.min(_, mn))))
+                  numMx.updateWith(name)(o => Some(o.fold(mx)(math.max(_, mx))))
+                }
+              }
+            }
+          }
+        }
+      }
+      val num = numMn.keys.flatMap { c =>
+        val (mn, mx) = (numMn(c), numMx(c))
+        if (mn.isNaN || mx.isNaN) None // unordered — never prune on it
+        else Some(c -> (Math.nextDown(mn), Math.nextUp(mx)))
+      }.toMap
+      val str = strMn.keys.flatMap { c =>
+        truncStrBounds(strMn(c), strMx(c)).map(c -> _)
+      }.toMap
+      Some((num, str))
+    } catch {
+      case Fallback => None
+      case _: java.io.IOException => None // unreadable footer → scan decides
+    }
+  }
+
+  /** The one-pass Spark scan behind [[statsOfPath]]'s fallback. */
+  private[mutation] def scanStats(
+      spark: SparkSession, path: String, statCols: Seq[String])
+      : (Map[String, (Double, Double)], Map[String, (String, String)]) = {
     val written = spark.read.parquet(path)
     val strCols = statCols.filter(c =>
       written.schema.find(_.name == c)
@@ -990,14 +1123,26 @@ object VersionedTable {
       .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
     val all = segmentsOf(spark, root, v)
     requireKeyConsistency(all.filter(_.isDelete), keyCols)
-    require(updates.where(
-      keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
-      "morUpsert: updates carry null keys")
-    val del = writeSegment(spark, root,
-      updates.select(keyCols.map(col): _*).distinct(),
-      statCols = keyCols, prefix = "del_", keys = keyCols)
+    val del = writeDeleteSegment(spark, root, updates, keyCols)
     val data = writeSegment(spark, root, updates, statCols)
     commitFrom(spark, root, Some(v), all :+ del :+ data, None, None)
+  }
+
+  /** The equality-delete segment of an upsert: the distinct key tuples,
+    * materialized ONCE (key-cardinality) so the null-key soundness check
+    * rides the same evaluation as the write instead of re-scanning
+    * `updates` — a null key can never equality-match, so letting one
+    * into a delete would silently leave the matched row alive. */
+  private def writeDeleteSegment(
+      spark: SparkSession, root: String, updates: DataFrame,
+      keyCols: Seq[String]): Segment = {
+    val keysDf = updates.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint()
+    require(keysDf.where(
+      keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
+      "morUpsert: updates carry null keys")
+    writeSegment(spark, root, keysDf,
+      statCols = keyCols, prefix = "del_", keys = keyCols)
   }
 
   /** Replay-safe streaming MOR upsert: [[morUpsert]] fenced per writer
@@ -1017,9 +1162,7 @@ object VersionedTable {
         Some(appId -> batchId), None))
     val all = segmentsOf(spark, root, head.get)
     requireKeyConsistency(all.filter(_.isDelete), keyCols)
-    val del = writeSegment(spark, root,
-      updates.select(keyCols.map(col): _*).distinct(),
-      statCols = keyCols, prefix = "del_", keys = keyCols)
+    val del = writeDeleteSegment(spark, root, updates, keyCols)
     val data = writeSegment(spark, root, updates, statCols)
     Some(commitFrom(spark, root, head, all :+ del :+ data,
       Some(appId -> batchId), None))
@@ -1776,22 +1919,41 @@ object VersionedTable {
     manifestLines(spark, root, version)
     val p = new Path(logDir(root), s"tag.$name")
     val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    // The tag is STAGED fully written, then published with the same
+    // create-exclusive primitive as publishManifest — a concurrent
+    // tags()/expireSnapshots() can never observe a created-but-empty tag
+    // file (readLine() → null → NPE, the pre-fix race): the name appears
+    // only once its content is durable. Staging name is writer-unique so
+    // two racers for the same tag never corrupt each other's bytes; the
+    // exclusive publish then arbitrates.
+    val tmp = new Path(logDir(root), s".tag.$name." +
+      java.util.UUID.randomUUID().toString.replace("-", "") + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
     try {
       if (scheme == "file") {
-        java.nio.file.Files.write(
+        // POSIX atomic no-replace = hard-link creation (EEXIST on
+        // conflict); Rename.NONE is only check-then-act locally
+        java.nio.file.Files.createLink(
           java.nio.file.Paths.get(p.toUri.getPath),
-          version.toString.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
         ()
       } else {
-        val out = f.create(p, false)
-        try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+        // HDFS-like stores arbitrate no-overwrite renames server-side
+        FileContext.getFileContext(p.toUri,
+          spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, p, Options.Rename.NONE)
       }
     } catch {
       case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
                 _: java.nio.file.FileAlreadyExistsException) =>
+        f.delete(tmp, false)
         throw new java.io.IOException(
           s"tag '$name' already exists (tags are immutable; deleteTag first)", e)
+      case e: Exception =>
+        f.delete(tmp, false)
+        throw e
     }
   }
 

@@ -69,6 +69,23 @@ object IncrementalClusters {
     name.drop(1).toLong
   }
 
+  /** Committed segment dirs that are LIVE at read time: a compaction base
+    * (`c<seq>`) supersedes every segment with a LOWER seq — by
+    * construction it collapsed exactly the segments that existed when it
+    * was allocated, all of which have lower seqs (seq allocation is
+    * monotone across both tables). Compaction is therefore crash-atomic
+    * at the READER: the base directory appears in one rename, and stale
+    * survivors of a delete pass that crashed midway are invisible here
+    * (then reaped by [[maybeCompact]]'s sweep) instead of duplicating
+    * every surviving node row in labels() output. */
+  private def liveDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val all = listDirs(spark, dir)
+    val base = all
+      .filter(d => d.substring(d.lastIndexOf('/') + 1).startsWith("c"))
+      .map(seqOf).sorted.lastOption
+    base.fold(all)(b => all.filter(seqOf(_) >= b))
+  }
+
   private def nextSeq(spark: SparkSession, path: String): Long = {
     val all = listDirs(spark, s"$path/nodes") ++ listDirs(spark, s"$path/redirect")
     if (all.isEmpty) 0L else all.map(seqOf).max + 1L
@@ -95,7 +112,7 @@ object IncrementalClusters {
 
   /** Union view of the append-only node store: (node, label0). */
   private def nodeStore(spark: SparkSession, path: String): DataFrame = {
-    val dirs = listDirs(spark, s"$path/nodes")
+    val dirs = liveDirs(spark, s"$path/nodes")
     if (dirs.isEmpty) emptyLongPair(spark, "node", "label0")
     else spark.read.parquet(dirs: _*).toDF("node", "label0")
   }
@@ -103,7 +120,7 @@ object IncrementalClusters {
   /** Collapsed depth-1 (label, root) view of the redirect delta log —
     * last-writer-wins by seq, identical to the eagerly-merged map. */
   private def redirectMap(spark: SparkSession, path: String): DataFrame = {
-    val dirs = listDirs(spark, s"$path/redirect")
+    val dirs = liveDirs(spark, s"$path/redirect")
     if (dirs.isEmpty) emptyLongPair(spark, "label", "root")
     else spark.read.parquet(dirs: _*)
       .groupBy("label")
@@ -226,25 +243,41 @@ object IncrementalClusters {
     * out-of-band (the a19 partition-compaction discipline). */
   def maybeCompact(spark: SparkSession, path: String, maxDeltas: Int = 16): Boolean = {
     var ran = false
+    val f = fs(spark, path)
+    // self-heal: reap survivors of a compaction that crashed mid-delete.
+    // Readers already ignore them (liveDirs' base-supersedes rule), so
+    // this only reclaims bytes — commit order is write-base THEN delete,
+    // and the base rename is the commit point.
+    Seq("nodes", "redirect").foreach { sub =>
+      val live = liveDirs(spark, s"$path/$sub").toSet
+      listDirs(spark, s"$path/$sub").filterNot(live)
+        .foreach(d => f.delete(new Path(d), true))
+    }
     val seq = nextSeq(spark, path)
-    val rDirs = listDirs(spark, s"$path/redirect")
+    val rDirs = liveDirs(spark, s"$path/redirect")
     if (rDirs.length > maxDeltas) {
       writeSegment(redirectMap(spark, path).withColumn("seq", lit(seq))
         .sortWithinPartitions("label"), f"$path/redirect/c$seq%06d")
-      val f = fs(spark, path)
       rDirs.foreach(d => f.delete(new Path(d), true))
       ran = true
     }
-    val nDirs = listDirs(spark, s"$path/nodes")
+    val nDirs = liveDirs(spark, s"$path/nodes")
     if (nDirs.length > maxDeltas) {
       writeSegment(spark.read.parquet(nDirs: _*).toDF("node", "label0")
         .sortWithinPartitions("node"), f"$path/nodes/c${seq + 1}%06d")
-      val f = fs(spark, path)
       nDirs.foreach(d => f.delete(new Path(d), true))
       ran = true
     }
     ran
   }
+
+  /** Live segment-directory count per table — the READ-amplification
+    * surface of one applyBatch (each lookup opens every live segment of
+    * both tables, bounded by `maxDeltas` + 1 between compactions). Spec
+    * hook for the read-side gate. */
+  def liveSegments(spark: SparkSession, path: String): (Int, Int) =
+    (liveDirs(spark, s"$path/nodes").length,
+      liveDirs(spark, s"$path/redirect").length)
 
   /** Current (node, label) view: node store resolved through the single
     * redirect hop. */

@@ -227,20 +227,20 @@ object HistoryQueries {
 
   /** A32 — INCREMENTAL SCD2 upsert: the a24 fold run as a real pipeline
     * runs it — per day-monotone batch, close-the-open-row + insert-new-
-    * versions for CHANGED KEYS ONLY, through the MergeOps keyed-merge
-    * protocol (atomic-swap rewrite; unchanged keys' rows pass through the
-    * anti-join untouched). The fold seed is the stored OPEN row (its
+    * versions for CHANGED KEYS ONLY, through the VersionedTable
+    * merge-on-read upsert (one equality-delete segment + one data segment
+    * per batch; unchanged keys carry forward by reference in the
+    * manifest). The fold seed is the stored OPEN row (its
     * status stands in for lag() across the batch boundary; its version
     * numbers the continuation), so batching is invisible: the final table
     * is row-identical to the one-shot a24 rebuild, which IS the oracle.
     *
-    * Per-batch cost is O(changed keys): the batch's keys semi-join out
-    * their stored chains, one keyed window folds those chains together
-    * with the batch's events, and the merge replaces exactly those keys'
-    * rows (the physical rewrite
-    * is the documented copy-on-write trade — partition the dimension by
-    * key bucket at warehouse scale, as mergeByKeyPartitioned does for the
-    * fact table). Late (out-of-order) arrivals are the standard SCD2
+    * Per-batch cost is O(changed keys) in COMPUTE AND I/O: the batch's
+    * keys semi-join out their stored chains, one keyed window folds those
+    * chains together with the batch's events, and the upsert commits only
+    * the delta — the delete retires the changed keys' prior rows at read
+    * time, never by rewriting data files (bytes-written gated in
+    * HistorySpec). Late (out-of-order) arrivals are the standard SCD2
     * batch contract: they require a refold of the affected keys, not this
     * fast path. */
   val scd2Upsert: Reg = Reg.sql(
@@ -268,7 +268,6 @@ object HistoryQueries {
       |       CAST(day AS BIGINT) AS from_day,
       |       CAST(to_day AS BIGINT) AS to_day
       |FROM v ORDER BY custkey, version""".stripMargin) { (s, dir) =>
-    import graft.mutation.MergeOps
     val work = graft.Scratch.dir("graft_scd2u")
     val path = s"$work/scd2"
     try {
@@ -290,17 +289,10 @@ object HistoryQueries {
         e.where(col("day") > cut2))
       // empty dimension with the SCD2 schema; every batch then runs the
       // SAME merge path (batch 1 simply finds no open rows)
-      e.select(col("custkey"), col("status"),
-        lit(0L).as("version"), col("day").as("from_day"),
-        lit(null).cast("bigint").as("to_day"))
-        .where(lit(false))
-        .write.parquet(path)
+      initScd2Dim(s, path, e)
 
       batches.foreach(applyScd2Batch(s, path, _))
-      val out = s.read.parquet(path)
-        .select(col("custkey"), col("status"), col("version"),
-          col("from_day"), col("to_day"))
-        .orderBy("custkey", "version")
+      val out = readScd2Dim(s, path).orderBy("custkey", "version")
       // dimension-sized result: materialize so scratch can be deleted now
       s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
     } finally {
@@ -340,17 +332,53 @@ object HistoryQueries {
     * sinks: the fold itself is not idempotent (a replayed event at a day
     * that produced several same-day versions would compare against the
     * LAST same-day version, not its own), so a re-delivered batch must be
-    * fenced out, not re-folded. The fence is written atomically with the
-    * merged rows (MergeOps.mergeByKey) and the whole apply is skipped when
-    * the stored fence says the batch already committed. */
+    * fenced out, not re-folded. The fence is a header OF the committed
+    * manifest (VersionedTable.morUpsertFenced, the s29 CDC-sink shape),
+    * so it can never tear away from the rows, and the whole apply is
+    * skipped when the stored fence says the batch already committed.
+    *
+    * COMMIT PATH — merge-on-read, O(changed rows) per batch: the refolded
+    * chains land as ONE equality-delete segment (the changed custkeys)
+    * plus ONE data segment (their new chains); unchanged keys' rows are
+    * carried forward BY REFERENCE in the manifest, never rewritten. This
+    * is the reference's golden-record discipline (per-key upserts, never
+    * table rewrites — `WifiAccessPointLocationRepositoryImpl.java`): at a
+    * 100 TB dimension each micro-batch writes only its delta, and the
+    * read-side anti-join debt is retired out-of-band by
+    * [[graft.mutation.VersionedTable.morMaterialize]]. Bytes-written
+    * gated in HistorySpec ("scd2 upsert commits O(changed keys)"). */
   private[graft] def applyScd2Batch(
       s: SparkSession, path: String, batch: DataFrame,
       fenceId: Option[Long] = None): Unit = {
-    import graft.mutation.MergeOps
-    MergeOps.recoverIfNeeded(s, path)
-    if (fenceId.exists(id => MergeOps.readFence(s, path).exists(_ >= id)))
+    import graft.mutation.VersionedTable
+    if (fenceId.exists(id =>
+        VersionedTable.currentFence(s, path, scd2App).exists(_ >= id)))
       return
-    val existing = s.read.parquet(path)
+    val updates = scd2Fold(VersionedTable.read(s, path), batch)
+      // one materialization: the upsert writes the delete segment and the
+      // data segment from the same frame — don't re-run the fold per write
+      .localCheckpoint()
+    // an empty batch folds to an empty delta: skip the commit whole (a
+    // replayed empty batch re-folds to another no-op, so the fence is
+    // not needed for idempotence)
+    if (updates.isEmpty) return
+    fenceId match {
+      case Some(id) =>
+        VersionedTable.morUpsertFenced(
+          s, path, updates, Seq("custkey"), id, scd2App)
+      case None =>
+        VersionedTable.morUpsert(s, path, updates, Seq("custkey"))
+    }
+    ()
+  }
+
+  /** The pure SCD2 fold: the changed keys' stored chains (`existing`)
+    * refolded with the batch's events into their complete new chains —
+    * O(changed keys) rows out, one keyed window pass. Shared by
+    * [[applyScd2Batch]] and the COW-vs-MOR profile harness
+    * ([[graft.ProfileScd2]]), so both arms measure the identical fold. */
+  private[graft] def scd2Fold(
+      existing: DataFrame, batch: DataFrame): DataFrame = {
     val changedKeys = batch.select("custkey").distinct()
     val exU = existing.join(changedKeys, Seq("custkey"), "left_semi")
       .select(col("custkey"), col("status"), col("version"),
@@ -364,7 +392,7 @@ object HistoryQueries {
     val wAll = w.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val updates = exU.unionByName(evU)
+    exU.unionByName(evU)
       // lag over ALL events (kept or not): change = differs from the
       // previous EVENT, exactly the oracle's LAG-over-orders semantics
       .withColumn("prev_eff", lag("status", 1).over(w))
@@ -377,10 +405,32 @@ object HistoryQueries {
       .withColumn("to_day", lead("day", 1).over(w))
       .select(col("custkey"), col("status"), col("version").cast("bigint"),
         col("day").as("from_day"), col("to_day").cast("bigint"))
-    MergeOps.mergeByKey(s, path, updates, "custkey", insertUnmatched = true,
-      fenceId = fenceId)
+  }
+
+  /** Fence lineage for the SCD2 fold's commits (one writer lineage per
+    * dimension; a restarted stream with a fresh checkpoint must use a new
+    * table, exactly the appendFenced contract). */
+  private[graft] val scd2App = "scd2"
+
+  /** Create the empty SCD2 dimension (version 0) that [[applyScd2Batch]]
+    * folds into — shared by a32, s25 and HistorySpec so the store layout
+    * has exactly one owner. */
+  private[graft] def initScd2Dim(
+      s: SparkSession, path: String, like: DataFrame): Unit = {
+    graft.mutation.VersionedTable.create(s, path,
+      like.select(col("custkey"), col("status"),
+        lit(0L).as("version"), col("day").as("from_day"),
+        lit(null).cast("bigint").as("to_day"))
+        .where(lit(false)))
     ()
   }
+
+  /** The folded dimension at head — [[applyScd2Batch]]'s read side. */
+  private[graft] def readScd2Dim(
+      s: SparkSession, path: String): DataFrame =
+    graft.mutation.VersionedTable.read(s, path)
+      .select(col("custkey"), col("status"), col("version"),
+        col("from_day"), col("to_day"))
 
   /** A54 — BITEMPORAL query: VALID time (when a fact is true in the
     * world — the SCD2 [valid_from, valid_to) interval) crossed with

@@ -1260,7 +1260,9 @@ object IngestQueries {
     * changelog is staged as day-monotone files (ascending modification
     * times; `maxFilesPerTrigger 1` makes each file one micro-batch) and
     * every micro-batch folds into the persisted dimension through the
-    * MergeOps keyed-merge protocol. The final table is row-identical to
+    * VersionedTable merge-on-read upsert — one equality-delete segment +
+    * one data segment per batch, unchanged keys carried forward by
+    * reference. The final table is row-identical to
     * the one-shot a24 rebuild — batching through the streaming runtime is
     * invisible, which IS the oracle.
     *
@@ -1268,12 +1270,14 @@ object IngestQueries {
     * at a day that produced several same-day versions would compare
     * against the last same-day version, not its own), so the sink uses
     * BATCH-ID FENCING — the Delta txnVersion idiom: the micro-batch id is
-    * written inside the staged dimension directory and rides the same
-    * atomic rename as the merged rows, so a replayed `foreachBatch` call
-    * whose original committed is skipped whole, and one that never
-    * committed re-runs safely (property-tested in HistorySpec). Scale:
-    * per-batch cost is O(changed keys) exactly as in a32; state is the
-    * dimension itself, never the changelog. */
+    * a header OF the committed manifest (morUpsertFenced), so a replayed
+    * `foreachBatch` call whose original committed is skipped whole, and
+    * one that never committed re-runs safely (property-tested in
+    * HistorySpec). Scale: per-batch cost is O(changed keys) in compute
+    * AND bytes written — the r15 full-dimension rewrite is gone; at
+    * 100 TB the read-side delete debt is retired out-of-band by
+    * morMaterialize. State is the dimension itself, never the
+    * changelog. */
   val streamScd2: Reg = Reg.sql(
     "s25_stream_scd2",
     """WITH e AS (
@@ -1331,9 +1335,7 @@ object IngestQueries {
         ()
       }
       val dim = work + "/dim"
-      e.select(col("custkey"), col("status"), lit(0L).as("version"),
-        col("day").as("from_day"), lit(null).cast("bigint").as("to_day"))
-        .where(lit(false)).write.parquet(dim)
+      HistoryQueries.initScd2Dim(s, dim, e)
 
       val schema = s.read.parquet(src.toString).schema
       val q = s.readStream.schema(schema)
@@ -1352,9 +1354,7 @@ object IngestQueries {
         .start()
       q.awaitTermination()
 
-      val out = s.read.parquet(dim)
-        .select(col("custkey"), col("status"), col("version"),
-          col("from_day"), col("to_day"))
+      val out = HistoryQueries.readScd2Dim(s, dim)
         .orderBy("custkey", "version")
       // dimension-sized result: materialize so scratch can be deleted now
       s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
@@ -2023,6 +2023,22 @@ object IngestQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // PLAN GATE: the join must run as the stateful stream-stream
+      // operator with BOTH event-time watermarks bounding its state — a
+      // silent fallback (e.g. one side read as a static batch, or a
+      // watermark lost to a column rename) would still pass the oracle
+      // on a drained stream while holding unbounded state in production
+      val planStr = {
+        val bos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+          q.explain()
+        }
+        bos.toString("UTF-8")
+      }
+      require(planStr.contains("StreamingSymmetricHashJoin"),
+        "s33: stream-stream join did not plan as StreamingSymmetricHashJoin")
+      require("EventTimeWatermark".r.findAllIn(planStr).size >= 2,
+        "s33: expected a watermark on each stream side")
       val dirs = new java.io.File(work).listFiles()
         .filter(_.getName.startsWith("out_v")).map(_.toString).sorted
       val pairs = dirs.map(s.read.parquet(_)).reduce(_ unionByName _)

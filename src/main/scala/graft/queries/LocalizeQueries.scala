@@ -440,7 +440,7 @@ object LocalizeQueries {
     val statePath = graft.Scratch.dir("graft_refine") + "/ap_state"
     // Prime: every 10th AP gets a prior displaced ~5.5 km north — the loop
     // must recognize these as relocations, not fuse them.
-    ev.where(col("user_id") % 10 === 0)
+    val prior = ev.where(col("user_id") % 10 === 0)
       .select(col("user_id").cast("string").as("bssid"),
         ((col("user_id") % 120) - 60 + lit(0.05)).as("lat"),
         ((col("user_id") % 300) - 150).cast("double").as("lon"))
@@ -451,7 +451,7 @@ object LocalizeQueries {
       .withColumn("n", lit(50L))
       .withColumn("relocations", lit(0))
       .withColumn("last_sig", lit(0L))
-      .write.parquet(statePath)
+    RefineLoop.initState(s, statePath, prior)
 
     val r1 = RefineLoop.run(s, measurements, statePath)
     val r2 = RefineLoop.run(s, measurements, statePath)

@@ -2647,8 +2647,9 @@ object MutationQueries {
     * pruner: postings (term, doc_id) land in 8 term-range segments
     * (ranges from an ntile over the vocabulary — a vocab-sized sort,
     * index-build cost, never corpus-sized), so a term lookup opens
-    * EXACTLY ONE posting segment (gated via resolveSegmentsStr) instead
-    * of scanning the posting corpus. This is the text sibling of the
+    * at most the owning posting segment plus one truncated-bound-
+    * adjacent neighbor (gated via resolveSegmentsStr; exactly one on
+    * this corpus) instead of scanning the posting corpus. This is the text sibling of the
     * bloom point-lookup gate (a44) and the PQ vector index (s27): the
     * manifest IS the index directory. Incremental story: new batches
     * append posting segments whose term bounds are wide, lookups open
@@ -2688,10 +2689,25 @@ object MutationQueries {
       }
       // probes: lexicographic vocabulary extremes (engine-identical)
       val mm = postings.agg(min("term"), max("term")).head()
+      // the pruning gate is conditional on the index being PRUNABLE: a
+      // shard with non-ASCII bounds records no sstat (reads
+      // conservatively, still correct), and two adjacent shards sharing
+      // a 16-char term prefix legitimately both match (the incremented
+      // truncated upper of shard k overlaps shard k+1's lower) — so the
+      // hard claim is ≤ 2 statted shards opened, never a data-dependent
+      // crash on an unlucky vocabulary
+      val dataSegs = VersionedTable
+        .segmentsOf(s, root, VersionedTable.currentVersion(s, root).get)
+        .filterNot(sg => sg.isDelete || sg.isPosDelete)
+      val allStatted = dataSegs.forall(_.sstats.contains("term"))
       val out = Seq(mm.getString(0), mm.getString(1)).sorted.map { term =>
         val opened = VersionedTable.resolveSegmentsStr(s, root, "term", term, term)
-        require(opened.length == 1,
-          s"index lookup for '$term' opened ${opened.length} of 8 shards")
+        require(opened.nonEmpty && opened.length <= dataSegs.length,
+          s"index lookup for '$term' resolved outside the manifest")
+        if (allStatted) require(opened.length <= 2,
+          s"index lookup for '$term' opened ${opened.length} of " +
+            s"${dataSegs.length} statted shards (expected ≤ 2: the owner " +
+            "plus at most one truncated-bound-adjacent shard)")
         val r = VersionedTable.readPrunedStr(s, root, "term", term, term)
           .where(col("term") === term)
           .agg(count(lit(1)), min("doc_id"), max("doc_id")).head()
@@ -2755,6 +2771,62 @@ object MutationQueries {
     } finally deleteRecursively(new java.io.File(work))
   }
 
+  /** A62 — the reference's PRODUCTION READ PATH (candidate selection,
+    * `wifi_measurement_s3_table_schema.md:83-93` = a1) run the way it
+    * runs at 100 TB: the measurement table lives as a month-partitioned
+    * VersionedTable (the `years/months/days(ingestion_timestamp)`
+    * layout — each month's value is its segment's exact manifest stat),
+    * and the recency cutoff prunes at the MANIFEST before any file
+    * opens (`resolveSegments` + `readPruned`, files-read gated: exactly
+    * the on-or-after-cutoff months, ~30 of ~83 on this corpus). The
+    * residual predicate still applies inside surviving months. The
+    * oracle is a1's SQL verbatim — the pruned plan must return
+    * bit-identical rows to the full-scan a1, proving the stats pruning
+    * is pure I/O savings, never a semantic change. */
+  val prunedCandidates: Reg = Reg.sql(
+    "a62_pruned_candidates",
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag,
+      |       CAST(l_shipdate AS DATE) AS ship_date, l_quantity
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) > DATE '1999-06-01'
+      |  AND l_suppkey IN (1, 2, 3, 5, 8, 13, 21, 34)
+      |  AND (l_returnflag <> 'A' OR l_returnflag IS NULL)
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_returnflag,
+      |         ship_date, l_quantity""".stripMargin) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_prunedcand")
+    val root = s"$work/meas"
+    try {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_returnflag"), to_date(col("l_shipdate")).as("ship_date"),
+        col("l_quantity"),
+        (year(to_date(col("l_shipdate"))) * 12 +
+          month(to_date(col("l_shipdate"))) - 1).as("ym"))
+      val (_, nSegs) = VersionedTable.createPartitioned(s, root, li, "ym")
+      val cutoffYm = 1999 * 12 + 6 - 1 // the month containing 1999-06-01
+      val expectMonths = li.where(col("ym") >= cutoffYm)
+        .select("ym").distinct().count()
+      val opened = VersionedTable.resolveSegments(
+        s, root, "ym", cutoffYm.toDouble, Double.MaxValue)
+      require(opened.length.toLong == expectMonths && opened.length < nSegs,
+        s"manifest pruning failed: opened ${opened.length} of $nSegs " +
+          s"month segments (expected $expectMonths)")
+      val out = VersionedTable
+        .readPruned(s, root, "ym", cutoffYm.toDouble, Double.MaxValue)
+        .where(col("ship_date") > lit("1999-06-01").cast("date")
+          && col("l_suppkey").isin(1, 2, 3, 5, 8, 13, 21, 34)
+          && (col("l_returnflag") =!= "A" || col("l_returnflag").isNull))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_returnflag"), col("ship_date"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag",
+          "ship_date", "l_quantity")
+      // cutoff-sized result (the production query's own working set):
+      // materialize so the scratch store can be deleted now
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally deleteRecursively(new java.io.File(work))
+  }
+
   val all: Seq[Reg] = Seq(mergeLabelPurge, purgePartitioned, compactSmallFiles,
     versionedRestore, orphanVacuum, runtimePruneJoin, shallowClone,
     clusterMetrics, occConflict, timeTravelTs,
@@ -2764,5 +2836,6 @@ object MutationQueries {
     versionedMerge, versionedCompact, versionedForget, incrementalRead,
     morDelete, morUpsert, positionDeletes, stringStatsPruning, importFiles,
     textIndex, snapshotTags, changelogApply, pointSkipBloom,
-    versionedSchemaEvolution, binpackCompact, changelogIvm, j18BucketedJoin)
+    versionedSchemaEvolution, binpackCompact, changelogIvm, j18BucketedJoin,
+    prunedCandidates)
 }

@@ -914,13 +914,32 @@ object RobustStatsQueries {
       |  FROM u)
       |SELECT ty, CAST(n AS BIGINT) AS n_days,
       |       CAST(ABS(u_t) AS BIGINT) AS k_stat, d AS cp_day,
-      |       CAST((6 * u_t * u_t * 1000000)
-      |              // (n * n * n + n * n) AS BIGINT) AS exponent_micro
+      |       CAST(1000000 * ((6 * u_t * u_t) // (n * n * n + n * n))
+      |              + (((6 * u_t * u_t) % (n * n * n + n * n)) * 1000000)
+      |                  // (n * n * n + n * n) AS BIGINT) AS exponent_micro
       |FROM best WHERE rk = 1 ORDER BY ty""".stripMargin) { (s, dir) =>
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type").as("ty"), col("ts").cast("date").as("d"))
       .agg(sum(round(col("value") * 100).cast("bigint")).cast("bigint").as("c"))
       .localCheckpoint() // both sides of the pair join
+    pettittFrom(daily)
+  }
+
+  /** The Pettitt statistic from a (ty, d, c) daily frame — split out so
+    * the overflow spec can drive it with a planted multi-decade series.
+    *
+    * The significance exponent 6K²·1e6/(n³+n²) is emitted by SPLIT
+    * DIVISION — with A = 6·u_t² and D = n³+n²,
+    * floor(A·1e6/D) = 1e6·(A div D) + ((A mod D)·1e6) div D — because the
+    * naive A·1e6 product wraps BIGINT once |u_t| > ~1.24e6 (reachable at
+    * ~4.3 years of trending daily data; DuckDB raises out-of-range there
+    * while pre-fix Spark silently wrapped). All operands are
+    * non-negative, so Spark's truncating `div`/`%` and DuckDB's flooring
+    * `//`/`%` agree term by term. Exact while (A mod D)·1e6 < 2⁶³, i.e.
+    * n ≤ 20950 days (~57 years of daily data) — far past any calendar
+    * domain; beyond it the Spark side raises (guard below) exactly where
+    * DuckDB's native overflow check raises, instead of wrapping. */
+  private[graft] def pettittFrom(daily: DataFrame): DataFrame = {
     val pairs = daily.as("a")
       .join(daily.as("b"),
         col("a.ty") === col("b.ty") && col("a.d") < col("b.d"))
@@ -941,7 +960,13 @@ object RobustStatsQueries {
       .where(col("rk") === 1)
       .select(col("ty"), col("n").cast("bigint").as("n_days"),
         abs(col("u_t")).cast("bigint").as("k_stat"), col("d").as("cp_day"),
-        expr("(6 * u_t * u_t * 1000000) div (n * n * n + n * n)")
+        when(col("n") > 20950, expr(
+          "raise_error('o63_pettitt: n_days past the exact-BIGINT bound')")
+          .cast("bigint"))
+          .otherwise(expr(
+            "1000000 * ((6 * u_t * u_t) div (n * n * n + n * n))" +
+              " + (((6 * u_t * u_t) % (n * n * n + n * n)) * 1000000)" +
+              " div (n * n * n + n * n)"))
           .cast("bigint").as("exponent_micro"))
       .orderBy("ty")
   }

@@ -96,17 +96,25 @@ object Sources {
         status = Option(r.getAs[String]("status")).getOrElse(AccessPoint.StatusActive))
     }
 
-  /** S10 — AP state write: refined locations back to the dimension via the
-    * same keyed merge the fact table uses (idempotent on mac_addr). */
+  /** S10 — AP state write: refined locations back to the dimension as a
+    * [[graft.mutation.VersionedTable]] merge-on-read upsert keyed on
+    * mac_addr — O(changed keys) bytes per write, never a dimension
+    * rewrite (the reference golden-record store is per-key upserts,
+    * `WifiAccessPointLocationRepositoryImpl.java`). Read back with
+    * [[readApState]]; delete debt is retired out-of-band by
+    * `VersionedTable.morMaterialize`. */
   def writeApState(spark: SparkSession, path: String, updates: DataFrame): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      updates.write.parquet(path)
+    import graft.mutation.VersionedTable
+    if (VersionedTable.currentVersion(spark, path).isEmpty)
+      VersionedTable.create(spark, path, updates)
     else
-      graft.mutation.MergeOps.mergeByKey(spark, path, updates, "mac_addr",
-        insertUnmatched = true)
+      VersionedTable.morUpsert(spark, path, updates, Seq("mac_addr"))
+    ()
   }
+
+  /** Current AP state dimension at head (deletes applied). */
+  def readApState(spark: SparkSession, path: String): DataFrame =
+    graft.mutation.VersionedTable.read(spark, path)
 
   /** S3-sink parity — the Firehose limits become writer options: bound file
     * sizes via records-per-file (500-record batches,

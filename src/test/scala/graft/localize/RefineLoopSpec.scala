@@ -31,7 +31,7 @@ class RefineLoopSpec extends AnyFunSuite with Matchers with SparkSuite {
     val r2 = RefineLoop.run(spark, measurements("ap1"), statePath).collect()
     r2.head.getAs[Boolean]("applied") shouldBe false
     // state survives untouched on disk
-    val st = spark.read.parquet(statePath).collect()
+    val st = RefineLoop.readState(spark, statePath).toDF().collect()
     st should have size 1
     st.head.getAs[Long]("n") shouldBe r1.head.getAs[Long]("state_n")
   }
@@ -39,8 +39,9 @@ class RefineLoopSpec extends AnyFunSuite with Matchers with SparkSuite {
   test("nearby prior fuses (variance shrinks, no relocation)") {
     import spark.implicits._
     val statePath = Files.createTempDirectory("graft_rl").toString + "/state"
-    Seq(RefineLoop.StateRow("ap1", 40.00005, -75.00005, 400.0, 100L, 0, 0L))
-      .toDS().write.parquet(statePath)
+    RefineLoop.initState(spark, statePath,
+      Seq(RefineLoop.StateRow("ap1", 40.00005, -75.00005, 400.0, 100L, 0, 0L))
+        .toDS().toDF())
     val r = RefineLoop.run(spark, measurements("ap1"), statePath).collect().head
     r.getAs[Boolean]("relocated") shouldBe false
     r.getAs[Boolean]("applied") shouldBe true
@@ -52,8 +53,9 @@ class RefineLoopSpec extends AnyFunSuite with Matchers with SparkSuite {
   test("far prior triggers the relocation reset") {
     import spark.implicits._
     val statePath = Files.createTempDirectory("graft_rl").toString + "/state"
-    Seq(RefineLoop.StateRow("ap1", 40.05, -75.0, 100.0, 100L, 2, 0L)) // ~5.5 km away
-      .toDS().write.parquet(statePath)
+    RefineLoop.initState(spark, statePath, // ~5.5 km away
+      Seq(RefineLoop.StateRow("ap1", 40.05, -75.0, 100.0, 100L, 2, 0L))
+        .toDS().toDF())
     val r = RefineLoop.run(spark, measurements("ap1"), statePath).collect().head
     r.getAs[Boolean]("relocated") shouldBe true
     r.getAs[Int]("relocations") shouldBe 3
@@ -64,12 +66,13 @@ class RefineLoopSpec extends AnyFunSuite with Matchers with SparkSuite {
   test("below-bootstrap groups leave existing state untouched") {
     import spark.implicits._
     val statePath = Files.createTempDirectory("graft_rl").toString + "/state"
-    Seq(RefineLoop.StateRow("ap1", 40.0, -75.0, 100.0, 100L, 0, 7L))
-      .toDS().write.parquet(statePath)
+    RefineLoop.initState(spark, statePath,
+      Seq(RefineLoop.StateRow("ap1", 40.0, -75.0, 100.0, 100L, 0, 7L))
+        .toDS().toDF())
     val tiny = (0 until 5).map(k =>
       BatchLocalizer.Measurement("ap1", 40.0, -75.0, -60.0, 1.0)).toDS()
     RefineLoop.run(spark, tiny, statePath).count() shouldBe 0
-    val st = spark.read.parquet(statePath).collect().head
+    val st = RefineLoop.readState(spark, statePath).toDF().collect().head
     st.getAs[Long]("last_sig") shouldBe 7L // untouched
   }
 }

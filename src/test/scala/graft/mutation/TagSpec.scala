@@ -86,6 +86,31 @@ class TagSpec extends AnyFunSuite with Matchers with SparkSuite {
     } finally pool.shutdown()
   }
 
+  test("reference resolution is manifest-only: answers with every data byte gone") {
+    // The a56/a61 scale claim — tag/version/segment resolution costs one
+    // manifest read, never a data scan. Proof by destruction: wipe every
+    // segment directory and every resolution API must still answer
+    // identically from _log alone (a read of ROWS would now throw).
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L, 2L), statCols = Seq("id"))
+    VersionedTable.append(spark, root, df(30L), statCols = Seq("id"))
+    VersionedTable.tag(spark, root, "gold", 0L)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val wiped = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName != "_log")
+    wiped should not be empty
+    wiped.foreach(rm)
+    VersionedTable.currentVersion(spark, root) shouldBe Some(1L)
+    VersionedTable.tags(spark, root) shouldBe Map("gold" -> 0L)
+    VersionedTable.segmentsOf(spark, root, 1L) should have size 2
+    VersionedTable.versionAsOf(spark, root, System.currentTimeMillis()) shouldBe 1L
+    // stats pruning resolves from manifest stats, no file opened
+    VersionedTable.resolveSegments(spark, root, "id", 25.0, 35.0) should have size 1
+    VersionedTable.resolveSegments(spark, root, "id", 100.0, 200.0) shouldBe empty
+  }
+
   test("a tag pins exactly its closure: shared segments survive, others go") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1L))          // v0: seg A

@@ -163,6 +163,84 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSuite 
     store(path).values.toSet shouldBe Set(0L)
   }
 
+  test("compaction that crashes mid-delete never duplicates node rows") {
+    // Simulate the crash window the r15 ADVICE flagged: the collapsed
+    // base is committed (rename done) but the old-segment delete pass
+    // died partway. Readers must treat the base as superseding every
+    // lower-seq segment — labels() stays duplicate-free and identical —
+    // and the next applyBatch's sweep must reap the leftovers.
+    val path = scratch("crash")
+    IncrementalClusters.init(spark, path)
+    val batches = (0 until 6).map(i => Seq(i.toLong -> (i + 1).toLong))
+    batches.foreach(b =>
+      IncrementalClusters.applyBatch(spark, path, edges(b: _*), maxDeltas = 100))
+    val healthy = store(path)
+    // force a compaction, then resurrect one pre-compaction segment of
+    // each table from a copy taken beforehand — exactly the on-disk state
+    // of a crash that deleted some but not all old dirs
+    def dirs(sub: String): Seq[java.io.File] =
+      Option(new java.io.File(s"$path/$sub").listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory).toSeq
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .foreach(c => copyTree(c, new java.io.File(dst, c.getName)))
+      } else {
+        java.nio.file.Files.copy(src.toPath, dst.toPath)
+        ()
+      }
+    }
+    val stash = new java.io.File(s"${path}_keep")
+    val saved = (dirs("nodes") ++ dirs("redirect")).map { d =>
+      val keep = new java.io.File(
+        new java.io.File(stash, d.getParentFile.getName), d.getName)
+      copyTree(d, keep); (d, keep)
+    }
+    IncrementalClusters.maybeCompact(spark, path, maxDeltas = 2) shouldBe true
+    saved.foreach { case (orig, keep) =>
+      if (!orig.exists()) copyTree(keep, orig)
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(stash)
+    // stale survivors present on disk…
+    val nLive = IncrementalClusters.liveSegments(spark, path)
+    (dirs("nodes").length + dirs("redirect").length) should be >
+      (nLive._1 + nLive._2)
+    // …but invisible to reads: no duplicates, same labels
+    val rows = IncrementalClusters.labels(spark, path).collect()
+    rows.length shouldBe healthy.size
+    rows.map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe healthy
+    // and the next batch's sweep reaps them
+    IncrementalClusters.applyBatch(spark, path, edges(100L -> 101L),
+      maxDeltas = 100)
+    val afterSweep = dirs("nodes").length + dirs("redirect").length
+    val live2 = IncrementalClusters.liveSegments(spark, path)
+    afterSweep shouldBe (live2._1 + live2._2)
+    store(path) shouldBe healthy ++ Map(100L -> 100L, 101L -> 100L)
+  }
+
+  test("read amplification is bounded: live segments never exceed maxDeltas + 1") {
+    // Every applyBatch lookup opens every live segment of both tables;
+    // the compaction threshold is the bound that keeps that O(maxDeltas),
+    // not O(batches). 30 chain batches at maxDeltas=4: the live count per
+    // table must stay ≤ 5 at every step.
+    val path = scratch("readamp")
+    IncrementalClusters.init(spark, path)
+    (0 until 30).foreach { i =>
+      IncrementalClusters.applyBatch(spark, path,
+        edges(i.toLong -> (i + 1).toLong), maxDeltas = 4)
+      val (n, r) = IncrementalClusters.liveSegments(spark, path)
+      withClue(s"after batch $i: ") {
+        n should be <= 5
+        r should be <= 5
+      }
+    }
+    store(path).values.toSet shouldBe Set(0L)
+  }
+
   test("adversarial arrival order equals one-shot CC on the edge union") {
     // chain 1-2-3-4-5 delivered as (4,5), (1,2), (3,4), (2,3): the last
     // batch merges THREE existing clusters transitively

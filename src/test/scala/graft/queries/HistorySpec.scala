@@ -98,10 +98,7 @@ class HistorySpec extends AnyFunSuite with Matchers with SparkSuite {
       val work = graft.Scratch.dir("graft_scd2u_spec")
       val path = s"$work/scd2"
       try {
-        e.select(F.col("custkey"), F.col("status"),
-          F.lit(0L).as("version"), F.col("day").as("from_day"),
-          F.lit(null).cast("bigint").as("to_day"))
-          .where(F.lit(false)).write.parquet(path)
+        HistoryQueries.initScd2Dim(spark, path, e)
         batches.zipWithIndex.foreach { case (b, i) =>
           HistoryQueries.applyScd2Batch(spark, path, b, fenceId = Some(i.toLong))
           // at-least-once replay: a re-delivered batch whose original
@@ -111,7 +108,7 @@ class HistorySpec extends AnyFunSuite with Matchers with SparkSuite {
           if (i == 1)
             HistoryQueries.applyScd2Batch(spark, path, b, fenceId = Some(i.toLong))
         }
-        val folded = spark.read.parquet(path)
+        val folded = HistoryQueries.readScd2Dim(spark, path)
           .collect().map(_.toString).sorted
         withClue(s"cuts=$cuts: ") {
           folded should contain theSameElementsInOrderAs oneShot
@@ -122,6 +119,79 @@ class HistorySpec extends AnyFunSuite with Matchers with SparkSuite {
         }
         rm(new java.io.File(work))
       }
+    }
+  }
+
+  test("scd2 upsert commits O(changed keys): a tiny batch never rewrites the dimension") {
+    // Fold the full orders changelog into the dimension in two day-monotone
+    // halves, then apply a 5-key batch at a later day. The commit must be
+    // delta-sized (one equality-delete + one data segment for those keys)
+    // and every pre-existing file must survive untouched — the r15
+    // full-dimension rewrite (MergeOps.mergeByKey) is the regression this
+    // gate exists to catch.
+    val e = Tables.orders(spark, sfDir).select(
+      F.col("o_custkey").as("custkey"), F.col("o_orderstatus").as("status"),
+      F.datediff(F.col("o_orderdate").cast("date"),
+        F.lit("1970-01-01").cast("date")).cast("bigint").as("day"),
+      F.col("o_orderkey").as("orderkey"))
+    val (lo, hi) = {
+      val r = e.agg(F.min("day"), F.max("day")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val mid = lo + (hi - lo) / 2
+    val work = graft.Scratch.dir("graft_scd2u_bytes")
+    val path = s"$work/scd2"
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    def files(): Map[String, Long] =
+      walk(new java.io.File(path)).map(f => f.getPath -> f.length()).toMap
+    try {
+      HistoryQueries.initScd2Dim(spark, path, e)
+      HistoryQueries.applyScd2Batch(spark, path, e.where(F.col("day") <= mid))
+      HistoryQueries.applyScd2Batch(spark, path,
+        e.where(F.col("day") > mid && F.col("day") <= hi))
+      val before = files()
+      val dimBefore = HistoryQueries.readScd2Dim(spark, path)
+        .collect().map(_.toString).toSet
+      // 5 keys flip to a fresh status at day hi+1 — day-monotone by construction
+      val tiny = e.where(F.col("custkey") % 31 === 0)
+        .groupBy("custkey").agg(F.max("orderkey").as("orderkey"))
+        .limit(5)
+        .select(F.col("custkey"), F.lit("Z").as("status"),
+          F.lit(hi + 1).as("day"), F.col("orderkey"))
+      val tinyKeys = tiny.select("custkey").collect().map(_.getLong(0)).toSet
+      tinyKeys should have size 5
+      HistoryQueries.applyScd2Batch(spark, path, tiny)
+      val after = files()
+      // append-only: every pre-existing file survives byte-identical
+      before.foreach { case (p, len) =>
+        withClue(s"$p: ") { after.get(p) shouldBe Some(len) }
+      }
+      // delta-sized commit: far below the accumulated dimension (the old
+      // rewrite path would at least double the footprint)
+      val delta = after.values.sum - before.values.sum
+      delta.toDouble should be < before.values.sum.toDouble * 0.25
+      // and the fold itself is correct: untouched keys read back identical,
+      // changed keys gained exactly one open 'Z' version at day hi+1
+      val dimAfter = HistoryQueries.readScd2Dim(spark, path).cache()
+      val unchanged = dimAfter
+        .where(!F.col("custkey").isInCollection(tinyKeys))
+        .collect().map(_.toString).toSet
+      unchanged shouldBe dimBefore.filterNot { s =>
+        tinyKeys.exists(k => s.startsWith(s"[$k,"))
+      }
+      dimAfter.where(F.col("custkey").isInCollection(tinyKeys) &&
+        F.col("status") === "Z" && F.col("from_day") === (hi + 1) &&
+        F.col("to_day").isNull).count() shouldBe 5
+      dimAfter.unpersist()
+      ()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(work))
     }
   }
 }

@@ -58,8 +58,8 @@ class SourcesSpec extends AnyFunSuite with Matchers with SparkSuite {
       Seq(("aa:aa", 40.0), ("bb:bb", 41.0)).toDF("mac_addr", "latitude"))
     Sources.writeApState(spark, path,
       Seq(("bb:bb", 41.5), ("cc:cc", 42.0)).toDF("mac_addr", "latitude"))
-    val t = spark.read.parquet(path).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val t = Sources.readApState(spark, path).collect()
+      .map(r => r.getAs[String]("mac_addr") -> r.getAs[Double]("latitude")).toMap
     t shouldBe Map("aa:aa" -> 40.0, "bb:bb" -> 41.5, "cc:cc" -> 42.0)
   }
 
