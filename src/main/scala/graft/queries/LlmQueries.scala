@@ -614,8 +614,13 @@ object LlmQueries {
       |             ELSE [] END AS grams
       |      FROM w),
       |ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |-- (doc, gram) rows are unique (per-doc gram sets are distinct), so
+      |-- COUNT(*) is the document frequency; df = 1 grams are excluded
+      |-- because a gram in ONE document can never be shared by a pair —
+      |-- same candidates, and the posting index drops its unique-content
+      |-- bulk (the dominant mass on a distinct-content corpus)
       |rare AS (SELECT gram FROM ex GROUP BY gram
-      |         HAVING COUNT(DISTINCT doc_id) <= 4),
+      |         HAVING COUNT(*) BETWEEN 2 AND 4),
       |fx AS (SELECT ex.doc_id, ex.gram FROM ex JOIN rare USING (gram)),
       |cand AS (
       |  -- (doc, gram) rows are unique (per-doc gram sets are distinct), so
@@ -655,10 +660,27 @@ object LlmQueries {
       // consumed by the inverted index AND both verify sides
       .localCheckpoint(false)
     val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    // (doc, gram) unique ⇒ count(*) IS the document frequency (no
+    // distinct expansion in the aggregate); df = 1 grams are dropped —
+    // a single-document gram can never be shared by a pair, so the
+    // candidate set is unchanged while the posting index sheds the
+    // unique-content bulk that dominates a distinct decade
     val rare = ex.groupBy("gram")
-      .agg(countDistinct("doc_id").as("nd")).where(col("nd") <= 4)
+      .agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2 && col("nd") <= 4)
       .select("gram")
-    val fx = ex.join(rare, "gram")
+      .localCheckpoint(false) // size probe + postings join share the agg
+    // BROADCAST the rare set when it fits (size-probed, the a33
+    // pre-flight discipline): an unhinted plan shuffles the full 3.7M-
+    // gram exchange before AQE can see the rare side is 8.6k rows — the
+    // exchange stages launch in parallel (measured 8.7 s vs 0.2 s at the
+    // extent decade, ProfileContainment). Past the probe bound (a
+    // dup-heavy corpus where rare grams are themselves corpus-scaled)
+    // the plan falls back to the gram-keyed shuffle join.
+    val fx =
+      if (rare.count() <= 1000000L)
+        ex.join(broadcast(rare.limit(1000000)), "gram")
+      else ex.join(rare, "gram")
     val cand = fx.select(col("gram"), col("doc_id").as("id_a"))
       .join(fx.select(col("gram"), col("doc_id").as("id_b")), "gram")
       .where(col("id_a") < col("id_b"))
@@ -667,9 +689,28 @@ object LlmQueries {
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= 5)
       .select("id_a", "id_b")
-    cand
-      .join(g.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
-      .join(g.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
+    // verify reads the gram arrays of CANDIDATE docs only: the pair list
+    // is materialized once, its id set broadcast, and the semi-join
+    // prunes the corpus scan MAP-SIDE — without this the two verify
+    // joins shuffle every document's gram array against a pair list
+    // orders of magnitude smaller (measured 6.3 s -> 0.5 s at the extent
+    // decade, ProfileContainment). At warehouse scale the id set is
+    // chunked if dup density pushes it past broadcast size.
+    val candk = cand.localCheckpoint(false)
+    val ids = candk.select(col("id_a").as("doc_id"))
+      .unionByName(candk.select(col("id_b").as("doc_id"))).distinct()
+      .localCheckpoint(false)
+    // the count probe verifies the id set fits a broadcast; the limit is
+    // then a no-op that carries the HARD cardinality cap in the plan (the
+    // structural witness the broadcast-hint audit checks); past the bound
+    // the semi-join falls back to the shuffle form
+    val gc =
+      if (ids.count() <= 2000000L)
+        g.join(broadcast(ids.limit(2000000)), Seq("doc_id"), "left_semi")
+      else g.join(ids, Seq("doc_id"), "left_semi")
+    candk
+      .join(gc.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(gc.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("ga"), col("gb"))).cast("bigint").as("inter"),
         size(col("ga")).cast("bigint").as("na"),
@@ -769,10 +810,19 @@ object LlmQueries {
       .localCheckpoint(false)
     val fps = aug.select(col("doc_id"),
       explode(TextAnalysis.winnow(col("t"), k = 8, w = 4)).as("fp"))
+    // (doc, fp) unique => count(*) is the fingerprint df; df = 1
+    // fingerprints can never be shared by a pair, and the rare set is
+    // size-probed for broadcast exactly as the full branch (the fp
+    // exchange otherwise shuffles before AQE sees the small side)
     val rare = fps.groupBy("fp")
-      .agg(countDistinct("doc_id").as("nd")).where(col("nd") <= 8)
+      .agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2 && col("nd") <= 8)
       .select("fp")
-    val fx = fps.join(rare, "fp")
+      .localCheckpoint(false)
+    val fx =
+      if (rare.count() <= 1000000L)
+        fps.join(broadcast(rare.limit(1000000)), "fp")
+      else fps.join(rare, "fp")
     val cand = fx.select(col("fp"), col("doc_id").as("id_a"))
       .join(fx.select(col("fp"), col("doc_id").as("id_b")), "fp")
       .where(col("id_a") < col("id_b"))
@@ -788,9 +838,28 @@ object LlmQueries {
                |  array_distinct(transform(sequence(1, size(ws) - 2),
                |    i -> concat_ws(' ', slice(ws, i, 3))))
                |ELSE array() END""".stripMargin).as("grams"))
-    cand
-      .join(g.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
-      .join(g.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
+    // verify reads the gram arrays of CANDIDATE docs only: the pair list
+    // is materialized once, its id set broadcast, and the semi-join
+    // prunes the corpus scan MAP-SIDE — without this the two verify
+    // joins shuffle every document's gram array against a pair list
+    // orders of magnitude smaller (measured 6.3 s -> 0.5 s at the extent
+    // decade, ProfileContainment). At warehouse scale the id set is
+    // chunked if dup density pushes it past broadcast size.
+    val candk = cand.localCheckpoint(false)
+    val ids = candk.select(col("id_a").as("doc_id"))
+      .unionByName(candk.select(col("id_b").as("doc_id"))).distinct()
+      .localCheckpoint(false)
+    // the count probe verifies the id set fits a broadcast; the limit is
+    // then a no-op that carries the HARD cardinality cap in the plan (the
+    // structural witness the broadcast-hint audit checks); past the bound
+    // the semi-join falls back to the shuffle form
+    val gc =
+      if (ids.count() <= 2000000L)
+        g.join(broadcast(ids.limit(2000000)), Seq("doc_id"), "left_semi")
+      else g.join(ids, Seq("doc_id"), "left_semi")
+    candk
+      .join(gc.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(gc.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("ga"), col("gb"))).cast("bigint").as("inter"),
         size(col("ga")).cast("bigint").as("na"),
@@ -916,7 +985,8 @@ object LlmQueries {
                |ELSE array() END""".stripMargin).as("grams"))
       .localCheckpoint(false)
     val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val df = ex.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
+    // (doc, gram) unique => count(*) is the df (no distinct expansion)
+    val df = ex.groupBy("gram").agg(count(lit(1)).as("nd"))
       // probe + (full branch) rare-gram filter both read it
       .localCheckpoint(false)
     // THE PROBE: two scalar aggregates, then a driver-side branch — the
@@ -927,7 +997,12 @@ object LlmQueries {
     val sampled = pp >= 3 * n
     val cand =
       if (!sampled) {
-        val fx = ex.join(df.where(col("nd") <= 4).select("gram"), "gram")
+        val rareG = df.where(col("nd") >= 2 && col("nd") <= 4)
+          .select("gram").localCheckpoint(false)
+        val fx =
+          if (rareG.count() <= 1000000L)
+            ex.join(broadcast(rareG.limit(1000000)), "gram")
+          else ex.join(rareG, "gram")
         fx.select(col("gram"), col("doc_id").as("id_a"))
           .join(fx.select(col("gram"), col("doc_id").as("id_b")), "gram")
           .where(col("id_a") < col("id_b"))
@@ -939,9 +1014,14 @@ object LlmQueries {
         val fps = aug.select(col("doc_id"),
           explode(TextAnalysis.winnow(col("t"), k = 8, w = 4)).as("fp"))
         val rare = fps.groupBy("fp")
-          .agg(countDistinct("doc_id").as("nd")).where(col("nd") <= 8)
+          .agg(count(lit(1)).as("nd")) // (doc, fp) unique => count = df
+          .where(col("nd") >= 2 && col("nd") <= 8)
           .select("fp")
-        val fx = fps.join(rare, "fp")
+          .localCheckpoint(false)
+        val fx =
+          if (rare.count() <= 1000000L)
+            fps.join(broadcast(rare.limit(1000000)), "fp")
+          else fps.join(rare, "fp")
         fx.select(col("fp"), col("doc_id").as("id_a"))
           .join(fx.select(col("fp"), col("doc_id").as("id_b")), "fp")
           .where(col("id_a") < col("id_b"))
@@ -950,9 +1030,28 @@ object LlmQueries {
           .where(col("shared") >= 3)
           .select("id_a", "id_b")
       }
-    cand
-      .join(g.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
-      .join(g.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
+    // verify reads the gram arrays of CANDIDATE docs only: the pair list
+    // is materialized once, its id set broadcast, and the semi-join
+    // prunes the corpus scan MAP-SIDE — without this the two verify
+    // joins shuffle every document's gram array against a pair list
+    // orders of magnitude smaller (measured 6.3 s -> 0.5 s at the extent
+    // decade, ProfileContainment). At warehouse scale the id set is
+    // chunked if dup density pushes it past broadcast size.
+    val candk = cand.localCheckpoint(false)
+    val ids = candk.select(col("id_a").as("doc_id"))
+      .unionByName(candk.select(col("id_b").as("doc_id"))).distinct()
+      .localCheckpoint(false)
+    // the count probe verifies the id set fits a broadcast; the limit is
+    // then a no-op that carries the HARD cardinality cap in the plan (the
+    // structural witness the broadcast-hint audit checks); past the bound
+    // the semi-join falls back to the shuffle form
+    val gc =
+      if (ids.count() <= 2000000L)
+        g.join(broadcast(ids.limit(2000000)), Seq("doc_id"), "left_semi")
+      else g.join(ids, Seq("doc_id"), "left_semi")
+    candk
+      .join(gc.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(gc.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("ga"), col("gb"))).cast("bigint").as("inter"),
         size(col("ga")).cast("bigint").as("na"),

@@ -492,6 +492,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     def bounded(p: LogicalPlan): Boolean = p match {
       case a: Aggregate if boundedAgg(a) => true
       case f: Filter if constBoundCond(f.condition) => true
+      // a literal LIMIT is a hard cardinality cap wherever it appears —
+      // the size-probed broadcast pattern (count() the frame, then hint
+      // broadcast(frame.limit(N)) only when count <= N, else shuffle)
+      // records its runtime check as this structural witness
+      case gl: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit
+          if gl.limitExpr.foldable => true
       case l if l.children.isEmpty => leafBounded(l)
       case other => other.children.forall(bounded)
     }
