@@ -436,6 +436,33 @@ object CorpusModelQueries {
       lloydCtes("c", "q", m = 1, sd = 64,
         ksub = "SELECT CAST(CEIL(n / 250.0) AS BIGINT) FROM nq", iters = 2) +
       lloydCtes("p", "q", m = 8, sd = 8, ksub = "16", iters = 2) +
+      ivfPqSearchTailSql
+
+  /** s37's oracle: the SAME trained-index search, but over the DRIFTED
+    * corpus (base ∪ an out-of-distribution +8000 copy of every 5th
+    * vector) at occupancy-50 cells — dense enough that a cell histogram
+    * is a meaningful drift statistic even at sf0.01. */
+  private lazy val retrainOracleSql: String =
+    """WITH base AS (SELECT vec_id,
+      |             list_transform(embedding,
+      |               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS qv
+      |           FROM embeddings),
+      |q AS (SELECT vec_id, qv FROM base
+      |      UNION ALL
+      |      SELECT vec_id + 10000000,
+      |             list_transform(qv, x -> x + 8000)
+      |      FROM base WHERE vec_id % 5 = 0),
+      |""".stripMargin +
+      "nq AS (SELECT COUNT(*) AS n FROM q),\n" +
+      lloydCtes("c", "q", m = 1, sd = 64,
+        ksub = "SELECT CAST(CEIL(n / 50.0) AS BIGINT) FROM nq", iters = 2) +
+      lloydCtes("p", "q", m = 8, sd = 8, ksub = "16", iters = 2) +
+      ivfPqSearchTailSql
+
+  /** The ADC search CTE chain shared by every IVF+PQ oracle: assignment,
+    * %250 probes at nprobe 2, per-query LUT, ADC shortlist of 10, exact
+    * re-rank to top 3. */
+  private lazy val ivfPqSearchTailSql: String =
       """ad AS (SELECT s.vec_id, c.code AS seed,
       |         CAST(SUM((s.sq[c.i] - c.cve) * (s.sq[c.i] - c.cve)) AS BIGINT) AS d
       |       FROM csub s JOIN ccb2 c ON s.m = c.m GROUP BY 1, 2),
@@ -1185,20 +1212,7 @@ object CorpusModelQueries {
       val nSeeds = math.ceil(quantized.count() / 250.0).toInt
       val cbs = graft.llm.Similarity.trainCodebooksExact(
         quantized, Seq((1, nSeeds), (8, 16)), iters = 2)
-      // both trained quantizers as literal columns (the s23 device):
-      // KBs of driver state broadcast into every ingest task
-      val coarseArr = array(cbs.head(0).zipWithIndex.map { case (cv, cell) =>
-        struct(array(cv.map(lit(_)): _*).as("cv"), lit(cell.toLong).as("cell"))
-      }: _*)
       val m = 8
-      val sd = cbs(1)(0)(0).length // per-subspace dims from the codebook
-      val codesExpr = array((0 until m).map { mm =>
-        val sub = expr(s"slice(qv, ${sd * mm + 1}, $sd)")
-        array_min(array(cbs(1)(mm).zipWithIndex.map { case (cv, code) =>
-          struct(l2sq(sub, array(cv.map(lit(_)): _*)).as("d"),
-            lit(code.toLong).as("code"))
-        }: _*)).getField("code")
-      }: _*)
 
       val src = work + "/in"
       quantized.repartition(3).write.parquet(src)
@@ -1209,16 +1223,11 @@ object CorpusModelQueries {
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            id: Long) =>
+            // both trained quantizers ride inside pqAssign as literal
+            // columns (the s23 device): KBs of driver state broadcast
+            // into every ingest task — shared with the s37 retrain path
             VersionedTable.appendFenced(batch.sparkSession, root,
-              batch.toDF()
-                .withColumn("best", array_min(transform(coarseArr,
-                  c => struct(
-                    l2sq(col("qv"), c.getField("cv")).as("d"),
-                    c.getField("cell").as("cell")))))
-                .select(col("vec_id"),
-                  col("best").getField("cell").as("cell"),
-                  codesExpr.as("codes")),
-              id)
+              pqAssign(batch.toDF(), cbs, m), id)
             ()
         }
         .option("checkpointLocation", work + "/ckpt")
@@ -1231,6 +1240,113 @@ object CorpusModelQueries {
         quantized.localCheckpoint(), // scratch dies below; freeze lineage
         VersionedTable.read(s, root).localCheckpoint(),
         cbs, queryIds = _ % 250 === 0, k = 3, nprobe = 2, m = m,
+        shortlist = 10)
+        .orderBy("q_id", "rank")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(work))
+    }
+  }
+
+  /** Coarse-cell + PQ-code assignment of `df` (vec_id, qv) under trained
+    * quantizers, as pure map-side literal arithmetic — the s27 ingest
+    * expressions, shared with the s37 retrain path so both commit the
+    * byte-identical index rows for the same codebooks. */
+  private def pqAssign(
+      df: DataFrame, cbs: Seq[Array[Array[Array[Long]]]],
+      m: Int = 8): DataFrame = {
+    val coarseArr = array(cbs.head(0).zipWithIndex.map { case (cv, cell) =>
+      struct(array(cv.map(lit(_)): _*).as("cv"), lit(cell.toLong).as("cell"))
+    }: _*)
+    val sd = cbs(1)(0)(0).length
+    val codesExpr = array((0 until m).map { mm =>
+      val sub = expr(s"slice(qv, ${sd * mm + 1}, $sd)")
+      array_min(array(cbs(1)(mm).zipWithIndex.map { case (cv, code) =>
+        struct(l2sq(sub, array(cv.map(lit(_)): _*)).as("d"),
+          lit(code.toLong).as("code"))
+      }: _*)).getField("code")
+    }: _*)
+    df.withColumn("best", array_min(transform(coarseArr, c => struct(
+        l2sq(col("qv"), c.getField("cv")).as("d"),
+        c.getField("cell").as("cell")))))
+      .select(col("vec_id"),
+        col("best").getField("cell").as("cell"),
+        codesExpr.as("codes"))
+  }
+
+  /** S37 — INDEX DRIFT RETRAIN, closing s27's maintenance loop (the
+    * carried round-15 optional): the index is first committed under a
+    * STALE quantizer pair trained on ONE label's region of the corpus —
+    * the production shape where the corpus drifts after the quantizer
+    * ships — so coarse-cell occupancy skews; the occupancy-skew probe
+    * (the a33 pre-flight discipline run on the index's own cell
+    * histogram) trips the documented retrain trigger; retraining on the
+    * live corpus recommits assignments + codes as a NEW SNAPSHOT
+    * (`replace`) of the same versioned index, leaving the drifted
+    * snapshot time-travel readable for audit. The oracle is the SAME
+    * statement as llm_ann_ivfpq / s27: search served from the
+    * post-retrain head must be bit-identical to an index built from
+    * scratch on the current corpus — exactly the "retrain converged"
+    * contract. At 100 TB: the trigger is one |cells|-sized histogram
+    * off the index (never the vectors), the retrain is the offline
+    * decision s27's docstring defers, and the recommit is one snapshot
+    * swap readers pick up atomically. */
+  val indexRetrain: Reg = Reg.sql(
+    "s37_index_retrain", retrainOracleSql) { (s, dir) =>
+    import graft.mutation.VersionedTable
+    val work = graft.Scratch.dir("graft_retrain")
+    val root = s"$work/idx"
+    try {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(quantize).as("qv"))
+      // the DRIFT: a post-deployment batch far outside the trained
+      // distribution (+8000 on every quantized coordinate)
+      val drifted = base.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("qv"), x => x + lit(8000L)).as("qv"))
+      val corpus = base.unionByName(drifted)
+        .localCheckpoint() // training + 2 assignment passes + serve
+      val n = corpus.count()
+      val nSeeds = math.ceil(n / 50.0).toInt
+      // t0 quantizers: trained on the PRE-DRIFT corpus — correct for
+      // their era, exactly how a shipped index meets new data
+      val preDrift = corpus.where(col("vec_id") < 10000000L)
+      val stale = graft.llm.Similarity.trainCodebooksExact(
+        preDrift, Seq((1, nSeeds), (8, 16)), iters = 2)
+      // t0 commit: the pre-drift corpus under its own quantizers …
+      VersionedTable.create(s, root, pqAssign(preDrift, stale))
+      // … then the drifted batch ingested through the SAME stale
+      // quantizers (the s27 ingest path) — it piles into boundary cells
+      VersionedTable.append(s, root, pqAssign(drifted, stale))
+      // occupancy-skew statistic: max/mean cell occupancy over the
+      // index head — a |cells|-row histogram, never a vector read
+      def skewOf(): Double = {
+        val r = VersionedTable.read(s, root)
+          .groupBy("cell").agg(count(lit(1)).as("c"))
+          .agg(max(col("c")).cast("double"), avg(col("c"))).head()
+        r.getDouble(0) / r.getDouble(1)
+      }
+      val skewDrifted = skewOf()
+      // RETRAIN on the live corpus; recommit as a new snapshot readers
+      // pick up atomically — the drifted snapshot stays for audit
+      val cbs = graft.llm.Similarity.trainCodebooksExact(
+        corpus, Seq((1, nSeeds), (8, 16)), iters = 2)
+      VersionedTable.replace(s, root, pqAssign(corpus, cbs)) // v2
+      val skewRetrained = skewOf()
+      // the TRIGGER gate: the planted drift must be detectably worse
+      // than the retrained balance, and retraining must remove it
+      require(skewDrifted >= 1.2 * skewRetrained && skewDrifted >= 1.8,
+        f"planted drift failed to trip the retrain trigger: " +
+          f"drifted $skewDrifted%.2f vs retrained $skewRetrained%.2f")
+      // audit: the pre-retrain snapshots remain readable after the swap
+      require(VersionedTable.read(s, root, Some(1L)).count() == n,
+        "pre-retrain snapshot lost by the recommit")
+      graft.llm.Similarity.ivfPqTopKFromIndex(
+        corpus,
+        VersionedTable.read(s, root).localCheckpoint(),
+        cbs, queryIds = _ % 250 === 0, k = 3, nprobe = 2, m = 8,
         shortlist = 10)
         .orderBy("q_id", "rank")
     } finally {
@@ -1339,5 +1455,5 @@ object CorpusModelQueries {
       bpeRound2, charEntropy, filterCascade, hardNegatives, ngramNovelty,
       bpeK, bpeK64, bpeEncode, perplexityFilter, randProj, pmiCooccur,
       annPqAdc, annIvfPq, hardNegativesAnn, silhouette, streamIvfAssign,
-      streamPqIndex, tokenizerFertility, selfBleu)
+      streamPqIndex, indexRetrain, tokenizerFertility, selfBleu)
 }
