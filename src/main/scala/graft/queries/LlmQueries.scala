@@ -4410,7 +4410,97 @@ object LlmQueries {
     }
   }
 
+  /** EXACT SUBSTRING repeat detection via a DISTRIBUTED SUFFIX ARRAY —
+    * the Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better") exact-substring pass, which catches verbatim
+    * boilerplate/templates that gram-set dedup dilutes. Suffix positions
+    * are sampled on a 4-char lattice (the published implementations
+    * stride too) and ranked by PREFIX DOUBLING on the 4-char block
+    * alphabet: rank₄ = dense rank of the exact 4-char block, then three
+    * doubling rounds pair each position's rank with the rank 4/8/16
+    * characters ahead (missing = −1 sentinel), so the final rank groups
+    * positions EXACTLY when their 32-char suffixes are equal — which is
+    * what the oracle states directly as `substr(text, i, 32)` grouping.
+    * Each round is one distinct + one distributed sort + one equi-join
+    * ([[graft.operators.DistributedRank]]; never a single-partition
+    * window, never a driver collect): O(n log L) shuffle work, the
+    * textbook distributed suffix-array construction, which is the whole
+    * point — at 100 TB the direct substring groupBy would shuffle
+    * 32-byte keys for every position, while doubling shuffles 16-byte
+    * rank pairs and the rank domain SHRINKS as groups split. Output is
+    * the per-doc curation signal: how much of each document is covered
+    * by a cross-document 32-char repeat. */
+  val suffixRepeats: Reg = Reg.sql(
+    "llm_suffix_repeats",
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |pos AS (SELECT doc_id, substr(text, CAST(i AS BIGINT), 32) AS sub
+      |        FROM d, unnest(range(1, len(text) + 1, 4)) AS t(i)),
+      |g AS (SELECT sub, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY sub)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos,
+      |       CAST(COUNT(*) FILTER (WHERE g.nd >= 2) AS BIGINT) AS n_dup_pos,
+      |       CAST((COUNT(*) FILTER (WHERE g.nd >= 2)) * 1000000
+      |              // COUNT(*) AS BIGINT) AS dup_ratio_micro
+      |FROM pos JOIN g USING (sub)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.DistributedRank
+    val blocks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text), 4)")).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"),
+        expr("substring(text, i, 4)").as("blk"))
+      .localCheckpoint(false) // rank seed + the join-back share it
+    // suffix-array round 0: the 4-char block alphabet ranks through the
+    // sorted-distinct zipWithIndex device (strings have no integral
+    // packing); every later round stays in pure codegen'd DataFrame
+    // land. EVERY round's position frame is checkpointed: each is
+    // consumed twice (as the left side and as its own shifted lookup),
+    // and without the cuts the decade cost blows up multiplicatively.
+    var p = blocks
+      .join(DistributedRank.ofDistinct(blocks, Seq("blk")), "blk")
+      .select(col("doc_id"), col("i"), col("rank"))
+      .localCheckpoint(false)
+    // dense ranks are < the distinct count of the PREVIOUS round, so the
+    // (rank, rnext) pair packs injectively into one long — ranking then
+    // needs no Row conversion: dense rank of a distinct integral key ==
+    // its exact CDF position, one two-level PrefixSum.globalCumsum
+    var rankDomain = p.agg(max("rank")).head().getLong(0) + 2L
+    // prefix doubling: 4 -> 8 -> 16 -> 32 characters
+    Seq(4, 8, 16).foreach { k =>
+      val ahead = p.select(col("doc_id"), (col("i") - k).as("i"),
+        col("rank").as("rnext"))
+      val paired = p.join(ahead, Seq("doc_id", "i"), "left")
+        .na.fill(-1L, Seq("rnext")) // suffix ends inside the window
+        .withColumn("ck",
+          col("rank") * rankDomain + col("rnext") + lit(1L))
+        .localCheckpoint(false) // rank seed + the join-back share it
+      // composite order == lexicographic (rank, rnext) order; the rank
+      // domain shrinks only as groups SPLIT, so ~64 old ranks per bucket
+      // keeps the offset frame ~domain/64-sized at every round
+      val ranked = graft.operators.PrefixSum.globalCumsum(
+        paired.select("ck").distinct().withColumn("one", lit(1L)),
+        "ck", "one", bucketWidth = rankDomain * 64L)
+        .select(col("ck"), col("cum_before").as("rank2"))
+      p = paired
+        .join(ranked, "ck")
+        .select(col("doc_id"), col("i"), col("rank2").as("rank"))
+        .localCheckpoint(false)
+      rankDomain = p.agg(max("rank")).head().getLong(0) + 2L
+    }
+    val groups = p.groupBy("rank")
+      .agg(countDistinct("doc_id").as("nd"))
+    p.join(groups, "rank")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        count(when(col("nd") >= 2, 1)).as("n_dup_pos"))
+      .select(col("doc_id"), col("n_pos").cast("bigint").as("n_pos"),
+        col("n_dup_pos").cast("bigint").as("n_dup_pos"),
+        expr("(n_dup_pos * 1000000) div n_pos").as("dup_ratio_micro"))
+      .orderBy("doc_id")
+  }
+
   lazy val all: Seq[Reg] = Seq(
+    suffixRepeats,
     rougeOverlap, mmrRerank, tfidfTerms, spanCorrupt, mixTemperature,
     cdcChunks, editDistanceDedup, jwLinkage, wordKlBySource,
     streamNearDup, incrementalClusters, datasetCard, shardAssign, dupSpanStrip,

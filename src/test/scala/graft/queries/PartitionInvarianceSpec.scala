@@ -40,7 +40,12 @@ class PartitionInvarianceSpec extends AnyFunSuite with Matchers with SparkSuite 
     RobustStatsQueries.o63Pettitt,
     RobustStatsQueries.o64RankAcf,
     LlmQueries.jwLinkage,
-    CorpusModelQueries.selfBleu)
+    CorpusModelQueries.selfBleu,
+    // round-16 wave
+    MutationQueries.prunedCandidates,
+    CorpusModelQueries.indexRetrain,
+    LlmQueries.containmentDedup,
+    LlmQueries.suffixRepeats)
 
   private def collectAt(r: Reg, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
