@@ -4499,8 +4499,89 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** K-ANONYMITY generalization ladder — the privacy audit a training-
+    * data RELEASE needs beside llm_pii_scrub's content pass: rows whose
+    * quasi-identifier tuple (lang, source, n_chars) is shared by fewer
+    * than k = 5 documents are linkable, and the fix is GENERALIZATION —
+    * coarsen the QI until every group reaches k (Sweeney's k-anonymity;
+    * the ladder is the lattice walk Mondrian/Incognito search). Levels:
+    * exact n_chars → /10 → /100 → suppressed → source suppressed → all
+    * suppressed. The corpus is touched ONCE (the level-0 QI histogram);
+    * every ladder level is a rollup of that domain-sized frame — at
+    * 100 TB the audit costs one aggregate plus arithmetic on group
+    * counts, which is why the ladder is computed from g0 instead of
+    * re-scanning per level. Output: per level the group count, violating
+    * groups, rows at re-identification risk, and the chosen (minimal
+    * compliant) level; risk is provably non-increasing in level
+    * (coarsening only merges groups), which the inline gate pins. */
+  val kAnonymity: Reg = Reg.sql(
+    "llm_k_anonymity",
+    """WITH g0 AS (SELECT lang, source, n_chars, COUNT(*) AS c
+      |            FROM documents GROUP BY 1, 2, 3),
+      |lv AS (SELECT UNNEST([0, 1, 2, 3, 4, 5]) AS level),
+      |sizes AS (
+      |  SELECT lv.level,
+      |         CASE WHEN lv.level <= 4 THEN lang ELSE '*' END AS d1,
+      |         CASE WHEN lv.level <= 3 THEN source ELSE '*' END AS d2,
+      |         CASE WHEN lv.level = 0 THEN CAST(n_chars AS VARCHAR)
+      |              WHEN lv.level = 1 THEN CAST(n_chars // 10 AS VARCHAR)
+      |              WHEN lv.level = 2 THEN CAST(n_chars // 100 AS VARCHAR)
+      |              ELSE '*' END AS d3,
+      |         SUM(c) AS sz
+      |  FROM g0 CROSS JOIN lv GROUP BY 1, 2, 3, 4),
+      |stats AS (
+      |  SELECT level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |         CAST(COUNT(*) FILTER (WHERE sz < 5) AS BIGINT)
+      |           AS n_violating,
+      |         CAST(COALESCE(SUM(sz) FILTER (WHERE sz < 5), 0) AS BIGINT)
+      |           AS rows_at_risk
+      |  FROM sizes GROUP BY 1)
+      |SELECT CAST(level AS BIGINT) AS level, n_groups, n_violating,
+      |       rows_at_risk,
+      |       CAST(level = (SELECT MIN(level) FROM stats
+      |                     WHERE rows_at_risk = 0) AS BIGINT) AS chosen
+      |FROM stats ORDER BY level""".stripMargin) { (s, dir) =>
+    val g0 = Tables.documents(s, dir)
+      .groupBy("lang", "source", "n_chars")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // six ladder rollups share the one pass
+    import s.implicits._
+    val levels = (0 to 5).map(_.toLong).toDF("level")
+    val sizes = g0.crossJoin(broadcast(levels))
+      .select(col("level"),
+        when(col("level") <= 4, col("lang")).otherwise("*").as("d1"),
+        when(col("level") <= 3, col("source")).otherwise("*").as("d2"),
+        when(col("level") === 0, col("n_chars").cast("string"))
+          .when(col("level") === 1, expr("n_chars div 10").cast("string"))
+          .when(col("level") === 2, expr("n_chars div 100").cast("string"))
+          .otherwise("*").as("d3"),
+        col("c"))
+      .groupBy("level", "d1", "d2", "d3")
+      .agg(sum("c").as("sz"))
+    val stats = sizes.groupBy("level")
+      .agg(count(lit(1)).cast("bigint").as("n_groups"),
+        count(when(col("sz") < 5, 1)).cast("bigint").as("n_violating"),
+        coalesce(sum(when(col("sz") < 5, col("sz"))), lit(0L))
+          .cast("bigint").as("rows_at_risk"))
+      .localCheckpoint(false) // 6 rows: chosen-level probe + output
+    val rows = stats.orderBy("level").collect()
+    // coarsening only merges groups, so risk must be non-increasing —
+    // a violated monotonicity means the ladder levels are not nested
+    rows.sliding(2).foreach { case Array(a, b) =>
+      require(a.getLong(3) >= b.getLong(3),
+        s"k-anonymity ladder not monotone: level ${a.getLong(0)} risk " +
+          s"${a.getLong(3)} < level ${b.getLong(0)} risk ${b.getLong(3)}")
+    case _ => ()
+    }
+    val chosen = rows.filter(_.getLong(3) == 0L).map(_.getLong(0)).min
+    stats.select(col("level").cast("bigint").as("level"), col("n_groups"),
+      col("n_violating"), col("rows_at_risk"),
+      (col("level") === chosen).cast("bigint").as("chosen"))
+      .orderBy("level")
+  }
+
   lazy val all: Seq[Reg] = Seq(
-    suffixRepeats,
+    suffixRepeats, kAnonymity,
     rougeOverlap, mmrRerank, tfidfTerms, spanCorrupt, mixTemperature,
     cdcChunks, editDistanceDedup, jwLinkage, wordKlBySource,
     streamNearDup, incrementalClusters, datasetCard, shardAssign, dupSpanStrip,
