@@ -75,6 +75,39 @@ object Bench {
       if (wanted.isDefined) Seq.empty // filtered local runs skip the canary
       else timeAll(canaryNames.filter(SparkEntry.queries.contains))
 
+    // HOST-SPEED CALIBRATION (round 16): this machine's effective speed
+    // swung ±35% WITHIN one session (canary 90.6 vs 67.5 s on identical
+    // code; an idle-host q1 probe drifted 0.185→0.333 s in an hour), so
+    // cross-round wall-clock deltas conflate code and hypervisor. Two
+    // fixed workloads — a single-thread integer spin and one
+    // deterministic 32-way Spark job — pin the host's speed AT
+    // MEASUREMENT TIME into the artifact; divide query times by
+    // (calib/reference-calib) before reading cross-round deltas.
+    def calibrate(): (Double, Double) = {
+      def spin(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0L; var i = 0L
+        while (i < 400000000L) { x += i * 2654435761L; i += 1 }
+        if (x == 42L) System.err.println("") // defeat dead-code elim
+        (System.nanoTime() - t0) / 1e9
+      }
+      spin() // JIT warm
+      val oneT = spin()
+      import org.apache.spark.sql.functions.{col, pmod, lit, sum, xxhash64}
+      def job(): Double = {
+        val t0 = System.nanoTime()
+        // pmod bounds the terms so the ANSI sum cannot overflow long
+        spark.range(1500000000L)
+          .select(sum(pmod(xxhash64(col("id")), lit(1000L)))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      job() // warm
+      (oneT, job())
+    }
+    val (calib1t, calibNt) =
+      if (wanted.isDefined && !sys.env.contains("GRAFT_CALIB")) (-1.0, -1.0)
+      else calibrate()
+
     val timed = timeAll(names)
     val qs = timed.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -94,7 +127,7 @@ object Bench {
       .mkString("{", ",", "}")
     val canaryTotal = canary.filter(_._4).map(_._2).sum
     val line =
-      s"""{"cold_queries":$cold,"canary_queries":$cq,"queries":$qs,"errors":$errors,"sf":"$sfDir","unit":"sec","metric":"total_warm","total_cold":$totalCold,"canary_total":${f"$canaryTotal%.1f"},"value":$total}"""
+      s"""{"cold_queries":$cold,"canary_queries":$cq,"queries":$qs,"errors":$errors,"sf":"$sfDir","unit":"sec","metric":"total_warm","total_cold":$totalCold,"calib_1t":${f"$calib1t%.2f"},"calib_${cpus}t":${f"$calibNt%.2f"},"canary_total":${f"$canaryTotal%.1f"},"value":$total}"""
     println(line)
     // Full machine-readable artifact: stdout gets truncated to ~2KB by the
     // harness, losing most of the per-query map; write the whole JSON to a
