@@ -276,6 +276,9 @@ object HistoryQueries {
         datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
           .cast("bigint").as("day"),
         col("o_orderkey").as("orderkey"))
+        // one changelog scan: the range probe and all three batch slices
+        // read the materialized frame instead of re-scanning orders
+        .localCheckpoint()
       // three day-monotone batches (epoch thirds of the observed range)
       val (lo, hi) = {
         val r = e.agg(min("day"), max("day")).head()

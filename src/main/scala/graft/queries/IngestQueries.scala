@@ -1312,6 +1312,8 @@ object IngestQueries {
         datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
           .cast("bigint").as("day"),
         col("o_orderkey").as("orderkey"))
+        // one changelog scan for the range probe + three staged slices
+        .localCheckpoint()
       val (lo, hi) = {
         val r = e.agg(min("day"), max("day")).head()
         (r.getLong(0), r.getLong(1))
