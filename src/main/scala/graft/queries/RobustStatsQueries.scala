@@ -1032,8 +1032,72 @@ object RobustStatsQueries {
       .orderBy("ty", "lag")
   }
 
+  /** O65 — MANN-KENDALL monotone-trend test per event type: S = Σ of
+    * pairwise signs over the daily series (the same calendar-bounded
+    * O(n²) sign-pair aggregate o63's Pettitt uses — there the telescoped
+    * cumulative locates a CHANGEPOINT, here the plain sum tests a
+    * MONOTONE TREND, the two standard questions over one statistic
+    * family). Emitted with the EXACT integer variance numerator
+    * 18·Var(S) = n(n−1)(2n+5) − Σⱼ tⱼ(tⱼ−1)(2tⱼ+5) (tie-corrected; the
+    * ties are groups of equal daily totals) instead of the z-score — no
+    * sqrt, pure BIGINT end to end, overflow-free to n in the millions of
+    * days (n³ ≪ 2⁶³). Trend is the sign of S; significance is the
+    * caller's z = S∓1 / sqrt(var18/18) — driver-side arithmetic on a
+    * |event_type|-row frame. */
+  val o65MannKendall: Reg = Reg.sql(
+    "o65_mann_kendall",
+    """WITH daily AS (
+      |  SELECT event_type AS ty, CAST(ts AS DATE) AS d,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.ty,
+      |         CASE WHEN b.c > a.c THEN 1
+      |              WHEN b.c < a.c THEN -1 ELSE 0 END AS s
+      |  FROM daily a JOIN daily b ON a.ty = b.ty AND a.d < b.d),
+      |sagg AS (SELECT ty, CAST(SUM(s) AS BIGINT) AS s_stat
+      |         FROM pairs GROUP BY ty),
+      |nn AS (SELECT ty, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY ty),
+      |ties AS (
+      |  SELECT ty, CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+      |           AS tiecorr
+      |  FROM (SELECT ty, c, CAST(COUNT(*) AS BIGINT) AS t
+      |        FROM daily GROUP BY 1, 2)
+      |  GROUP BY ty)
+      |SELECT sagg.ty, nn.n AS n_days, sagg.s_stat,
+      |       CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tiecorr
+      |              AS BIGINT) AS var18,
+      |       CAST(CASE WHEN sagg.s_stat > 0 THEN 1
+      |                 WHEN sagg.s_stat < 0 THEN -1 ELSE 0 END AS BIGINT)
+      |         AS trend
+      |FROM sagg JOIN nn ON nn.ty = sagg.ty
+      |JOIN ties ON ties.ty = sagg.ty
+      |ORDER BY sagg.ty""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type").as("ty"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("bigint")).cast("bigint").as("c"))
+      .localCheckpoint() // pair join (both sides), n, and tie groups
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.ty") === col("b.ty") && col("a.d") < col("b.d"))
+      .select(col("a.ty").as("ty"),
+        when(col("b.c") > col("a.c"), 1L)
+          .when(col("b.c") < col("a.c"), -1L).otherwise(0L).as("s"))
+    val sagg = pairs.groupBy("ty").agg(sum("s").cast("bigint").as("s_stat"))
+    val nn = daily.groupBy("ty").agg(count(lit(1)).cast("bigint").as("n"))
+    val ties = daily.groupBy("ty", "c").agg(count(lit(1)).as("t"))
+      .groupBy("ty")
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .cast("bigint").as("tiecorr"))
+    sagg.join(nn, "ty").join(ties, "ty")
+      .select(col("ty"), col("n").as("n_days"), col("s_stat"),
+        expr("n * (n - 1) * (2 * n + 5) - tiecorr").cast("bigint").as("var18"),
+        signum(col("s_stat")).cast("bigint").as("trend"))
+      .orderBy("ty")
+  }
+
   val all: Seq[Reg] = Seq(o49KendallTau, o50SeasonalDecompose, o51BootstrapCi,
     o52WelchTtest, o53KmvSetOps, o54ResampleInterp, o55SeasonalAnomaly,
     o57Sprt, o58HodgesLehmann, o59EwmaHalflife, o60GramMatrix,
-    o61HoltLinear, o62Benford, o63Pettitt, o64RankAcf)
+    o61HoltLinear, o62Benford, o63Pettitt, o64RankAcf, o65MannKendall)
 }

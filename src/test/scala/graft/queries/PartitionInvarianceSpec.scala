@@ -45,7 +45,8 @@ class PartitionInvarianceSpec extends AnyFunSuite with Matchers with SparkSuite 
     MutationQueries.prunedCandidates,
     CorpusModelQueries.indexRetrain,
     LlmQueries.containmentDedup,
-    LlmQueries.suffixRepeats)
+    LlmQueries.suffixRepeats,
+    RobustStatsQueries.o65MannKendall)
 
   private def collectAt(r: Reg, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
