@@ -4421,15 +4421,29 @@ object LlmQueries {
     * characters ahead (missing = −1 sentinel), so the final rank groups
     * positions EXACTLY when their 32-char suffixes are equal — which is
     * what the oracle states directly as `substr(text, i, 32)` grouping.
-    * Each round is one distinct + one distributed sort + one equi-join
-    * ([[graft.operators.DistributedRank]]; never a single-partition
-    * window, never a driver collect): O(n log L) shuffle work, the
-    * textbook distributed suffix-array construction, which is the whole
-    * point — at 100 TB the direct substring groupBy would shuffle
-    * 32-byte keys for every position, while doubling shuffles 16-byte
-    * rank pairs and the rank domain SHRINKS as groups split. Output is
-    * the per-doc curation signal: how much of each document is covered
-    * by a cross-document 32-char repeat. */
+    * Each round is one distinct + one distributed rank + one equi-join
+    * (never a single-partition window, never a driver collect):
+    * O(n log L) shuffle work, the textbook distributed suffix-array
+    * construction, which is the whole point — at 100 TB the direct
+    * substring groupBy would shuffle 32-byte keys for every position,
+    * while doubling shuffles 16-byte rank pairs and the rank domain
+    * SHRINKS as groups split. The pair ranking is DOMAIN-GUARDED
+    * (round 17): the packed `rank * domain + rnext` composite is the
+    * fast path but silently wraps BIGINT once domain² ≥ 2⁶³ (domain
+    * ≳ 3.04e9 — the o63 overflow class, silent with ANSI off), so each
+    * round probes the domain and switches past the bound to
+    * [[graft.operators.PairRank]]'s two-pass split rank — overflow-free
+    * at ANY corpus size, measured ~1.6× the packed path in an
+    * interleaved sf1d A/B, which is why it is the fallback and not the
+    * default. Settled-rank early exit (freeze singleton groups off the
+    * frontier) was implemented and MEASURED OUT in round 17: on a
+    * strided lattice the k-gram space saturates for k ≤ 16 — singletons
+    * were 3 / 1.7k / 348k of 4.95M positions at the three settle points
+    * — so the ≤7% frontier shrink never repays the two corpus shuffles
+    * a settle pass costs, and a 100 TB corpus saturates those gram
+    * spaces harder still. Output is the per-doc curation signal: how
+    * much of each document is covered by a cross-document 32-char
+    * repeat. */
   val suffixRepeats: Reg = Reg.sql(
     "llm_suffix_repeats",
     """WITH d AS (SELECT doc_id, text FROM documents),
@@ -4442,7 +4456,7 @@ object LlmQueries {
       |              // COUNT(*) AS BIGINT) AS dup_ratio_micro
       |FROM pos JOIN g USING (sub)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    import graft.operators.DistributedRank
+    import graft.operators.{DistributedRank, PairRank}
     val blocks = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(expr("sequence(1, length(text), 4)")).as("i"),
@@ -4453,49 +4467,65 @@ object LlmQueries {
     // suffix-array round 0: the 4-char block alphabet ranks through the
     // sorted-distinct zipWithIndex device (strings have no integral
     // packing); every later round stays in pure codegen'd DataFrame
-    // land. EVERY round's position frame is checkpointed: each is
+    // land. EVERY round's frontier frame is checkpointed: each is
     // consumed twice (as the left side and as its own shifted lookup),
     // and without the cuts the decade cost blows up multiplicatively.
-    var p = blocks
+    var active = blocks
       .join(DistributedRank.ofDistinct(blocks, Seq("blk")), "blk")
       .select(col("doc_id"), col("i"), col("rank"))
       .localCheckpoint(false)
-    // dense ranks are < the distinct count of the PREVIOUS round, so the
-    // (rank, rnext) pair packs injectively into one long — ranking then
-    // needs no Row conversion: dense rank of a distinct integral key ==
-    // its exact CDF position, one two-level PrefixSum.globalCumsum
-    var rankDomain = p.agg(max("rank")).head().getLong(0) + 2L
-    // prefix doubling: 4 -> 8 -> 16 -> 32 characters
+    // prefix doubling: 4 -> 8 -> 16 -> 32 characters, DOMAIN-GUARDED
+    // pair ranking per round. Fast path: dense ranks are < the distinct
+    // count of the previous round, so (rank, rnext) packs injectively
+    // into one long and dense rank == exact CDF position — one two-level
+    // PrefixSum.globalCumsum, no Row conversion. The pack is SOUND only
+    // while rankDomain² < 2⁶³ (rankDomain ≤ 3,037,000,499); past that it
+    // wraps silently with ANSI off (the o63 overflow class), so the
+    // round probes the domain and switches to PairRank's two-pass split
+    // rank — overflow-free at any corpus size, measured ~1.6× the packed
+    // path in an interleaved sf1d A/B, hence fallback not default. The
+    // bound is a conf only so a spec can force the split path end-to-end.
+    val packBound = s.conf.getOption("spark.graft.suffix.packBound")
+      .map(_.toLong).getOrElse(3037000499L)
     Seq(4, 8, 16).foreach { k =>
-      val ahead = p.select(col("doc_id"), (col("i") - k).as("i"),
+      val maxRank = active.agg(max("rank")).head()
+      val rankDomain = // empty corpus ⇒ null max ⇒ empty rounds, no NPE
+        (if (maxRank.isNullAt(0)) 0L else maxRank.getLong(0)) + 2L
+      val ahead = active.select(col("doc_id"), (col("i") - k).as("i"),
         col("rank").as("rnext"))
-      val paired = p.join(ahead, Seq("doc_id", "i"), "left")
+      val paired = active.join(ahead, Seq("doc_id", "i"), "left")
         .na.fill(-1L, Seq("rnext")) // suffix ends inside the window
-        .withColumn("ck",
-          col("rank") * rankDomain + col("rnext") + lit(1L))
         .localCheckpoint(false) // rank seed + the join-back share it
-      // composite order == lexicographic (rank, rnext) order; the rank
-      // domain shrinks only as groups SPLIT, so ~64 old ranks per bucket
-      // keeps the offset frame ~domain/64-sized at every round
-      val ranked = graft.operators.PrefixSum.globalCumsum(
-        paired.select("ck").distinct().withColumn("one", lit(1L)),
-        "ck", "one", bucketWidth = rankDomain * 64L)
-        .select(col("ck"), col("cum_before").as("rank2"))
-      p = paired
-        .join(ranked, "ck")
-        .select(col("doc_id"), col("i"), col("rank2").as("rank"))
+      active = (if (rankDomain <= packBound && rankDomain <= 3037000499L) {
+        val packed = paired.withColumn("ck",
+          col("rank") * rankDomain + col("rnext") + lit(1L))
+        // composite order == lexicographic (rank, rnext) order; ~64 old
+        // ranks per bucket keeps the offset frame ~domain/64-sized
+        val ranked = graft.operators.PrefixSum.globalCumsum(
+          packed.select("ck").distinct().withColumn("one", lit(1L)),
+          "ck", "one", bucketWidth = rankDomain * 64L)
+          .select(col("ck"), col("cum_before").as("rank2"))
+        packed.join(ranked, "ck")
+      } else {
+        paired.join(PairRank.ofDistinct(paired, "rank", "rnext"),
+          Seq("rank", "rnext"))
+      }).select(col("doc_id"), col("i"), col("rank2").as("rank"))
         .localCheckpoint(false)
-      rankDomain = p.agg(max("rank")).head().getLong(0) + 2L
     }
-    val groups = p.groupBy("rank")
-      .agg(countDistinct("doc_id").as("nd"))
-    p.join(groups, "rank")
+    // duplicate test per final group: ≥2 distinct doc_ids ⇔ group
+    // min/max doc_id differ — a partial-combining aggregate + join back,
+    // NEVER a full-frame window on rank: common-gram ranks put millions
+    // of rows in one group, and a WindowExec partitioned on them buffers
+    // the whole group in single tasks (measured 112.6 s vs 55 s at the
+    // extent decade on the window form of this pass).
+    val groups = active.groupBy("rank")
+      .agg((min("doc_id") =!= max("doc_id")).as("dup"))
+    active.join(groups, "rank") // hint-free: domain-sized, AQE decides
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_pos"),
-        count(when(col("nd") >= 2, 1)).as("n_dup_pos"))
-      .select(col("doc_id"), col("n_pos").cast("bigint").as("n_pos"),
-        col("n_dup_pos").cast("bigint").as("n_dup_pos"),
-        expr("(n_dup_pos * 1000000) div n_pos").as("dup_ratio_micro"))
+      .agg(count(lit(1)).cast("bigint").as("n_pos"),
+        count(when(col("dup"), 1)).cast("bigint").as("n_dup_pos"))
+      .withColumn("dup_ratio_micro",
+        expr("(n_dup_pos * 1000000) div n_pos"))
       .orderBy("doc_id")
   }
 

@@ -791,6 +791,140 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     p should not include "CartesianProduct"
   }
 
+  test("storage wave (a56/a61/a62): version/tag/prune resolution is manifest-only — zero Spark jobs") {
+    // The inline `require`s in those queries prove FILES-TOUCHED counts;
+    // this gate pins the plan-shape claim the oracle can't see: resolving
+    // a timestamp to a version (a56), a tag to a snapshot (a61), and a
+    // stat interval to its surviving segments (a62) must read ONLY the
+    // _log manifests, driver-side — zero Spark jobs, hence zero data
+    // files opened, at ANY table size. Regression-checked by mutation:
+    // routing resolveSegments through a data-file read (a count() inside
+    // the try block) drives the fence count to 2 and fails the assert.
+    import graft.mutation.VersionedTable
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import spark.implicits._
+    val root = graft.Scratch.dir("graft_plan_resolve") + "/t"
+    val df = (0L until 600L).map(i => (i, i % 6)).toDF("id", "ym")
+    val (_, nSegs) = VersionedTable.createPartitioned(spark, root, df, "ym")
+    nSegs shouldBe 6
+    VersionedTable.tag(spark, root, "gold", 0L)
+    // every job started while the resolution group is set is recorded by
+    // GROUP — immune to straggler events from the setup writes above
+    // (the async bus can deliver those after the listener attaches)
+    val groups = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = {
+        groups.add(Option(s.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+          .getOrElse("")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup("graft_resolve_gate", "must be jobless")
+      val opened = VersionedTable.resolveSegments(
+        spark, root, "ym", 3.0, Double.MaxValue)
+      opened.length shouldBe 3 // months 3..5 — the stats really pruned
+      VersionedTable.versionAsOf(spark, root,
+        System.currentTimeMillis() + 3600000L) shouldBe 0L
+      VersionedTable.tags(spark, root) shouldBe Map("gold" -> 0L)
+      spark.sparkContext.setJobGroup("graft_resolve_fence", "bus fence")
+      // FIFO fence: the listener bus delivers in order, so once the
+      // fence job's event lands, every event the resolutions could have
+      // produced has landed too
+      spark.range(1).count()
+      val deadline = System.currentTimeMillis() + 30000L
+      while (!groups.contains("graft_resolve_fence") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      withClue("manifest resolution launched Spark jobs (data-file reads)")(
+        groups.contains("graft_resolve_gate") shouldBe false)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("s37: the occupancy-skew probe column-prunes to `cell` — codes/vectors never read") {
+    // The retrain trigger (CorpusModelQueries.indexRetrain's skewOf) is a
+    // |cells|-histogram off the INDEX table: its scan must read the cell
+    // column alone — pulling the PQ code arrays (or, worse, joining back
+    // to the embeddings) would make the maintenance probe corpus-sized.
+    // Regression-checked by mutation: aggregating max(codes[0]) alongside
+    // the count puts `codes` back in ReadSchema and fails both asserts.
+    import graft.mutation.VersionedTable
+    import spark.implicits._
+    val root = graft.Scratch.dir("graft_plan_s37probe") + "/idx"
+    val idx = (0L until 200L).map(i => (i, i % 7, Seq.fill(8)(i % 5)))
+      .toDF("vec_id", "cell", "codes")
+    VersionedTable.create(spark, root, idx)
+    val probe = VersionedTable.read(spark, root)
+      .groupBy("cell").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+    // string-audit the plan: AQE wraps the shuffling probe, so the scan
+    // node is not reachable by collect() on the un-executed plan tree
+    val p = probe.queryExecution.executedPlan.toString
+    withClue(p) {
+      p should include("ReadSchema: struct<cell:")
+      p should not include "codes"
+      p should not include "vec_id"
+    }
+  }
+
+  test("streaming wave (s31–s33): stateful shapes — symmetric join with both watermarks; watermarked agg") {
+    // s33's inline require gates this at Verify time; this is the
+    // build-time regression armor. A stream-stream interval join MUST
+    // plan as StreamingSymmetricHashJoin with an EventTimeWatermark on
+    // EACH side (one lost to a column rename ⇒ unbounded state that
+    // still passes a drained-stream oracle), and the s31/s32 family's
+    // windowed aggregate must carry stateful save + watermark.
+    // Regression-checked by mutation: dropping either withWatermark
+    // makes the join analysis fail / the watermark count fall to 1.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, expr, window}
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def explainOf(q: org.apache.spark.sql.streaming.StreamingQuery): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8"))(q.explain())
+      bos.toString("UTF-8")
+    }
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    // stream-stream interval join (the s33 shape)
+    val l = MemoryStream[(Long, java.sql.Timestamp)]
+    val r = MemoryStream[(Long, java.sql.Timestamp)]
+    l.addData((1L, ts(0)), (2L, ts(1)))
+    r.addData((1L, ts(1)), (2L, ts(5)))
+    val left = l.toDF.toDF("k", "lts").withWatermark("lts", "10 minutes")
+    val right = r.toDF.toDF("k2", "rts").withWatermark("rts", "10 minutes")
+    val joined = left.join(right,
+      expr("k = k2 AND rts >= lts AND rts <= lts + INTERVAL 2 MINUTES"))
+    val q = joined.writeStream.format("noop")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(120000L) shouldBe true
+      val p = q.recentProgress.lastOption
+      p should not be empty
+      val plan = explainOf(q)
+      plan should include("StreamingSymmetricHashJoin")
+      "EventTimeWatermark".r.findAllIn(plan).size should be >= 2
+    } finally q.stop()
+    // watermarked windowed aggregate (the s31/s32 shape)
+    val a = MemoryStream[(Long, java.sql.Timestamp)]
+    a.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(2)))
+    val agg = a.toDF.toDF("k", "ats").withWatermark("ats", "10 minutes")
+      .groupBy(window(col("ats"), "5 minutes"), col("k")).count()
+    val q2 = agg.writeStream.format("noop").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q2.awaitTermination(120000L) shouldBe true
+      val plan2 = explainOf(q2)
+      plan2 should include("StateStoreSave")
+      plan2 should include("EventTimeWatermark")
+    } finally q2.stop()
+  }
+
   test("no query plan contains a CartesianProduct or driver collect") {
     SparkEntryPlans.all.foreach { case (name, p) =>
       withClue(name)(p should not include "CartesianProduct")
