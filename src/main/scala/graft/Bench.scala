@@ -126,8 +126,15 @@ object Bench {
     val cq = canary.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val canaryTotal = canary.filter(_._4).map(_._2).sum
+    // HOST-NORMALIZED totals (round 17): divide out the measured host
+    // slowdown against the FROZEN round-16 anchor (BENCH_NORM.md) so a
+    // round's verdict reads one comparable number instead of re-deriving
+    // the canary ratio. The query sweep is N-way-parallel Spark work, so
+    // the N-way calibration is the scaler. -1 when calibration didn't run.
+    val calibNtRef = 0.85 // frozen anchor — see BENCH_NORM.md before touching
+    def norm(x: Double): Double = if (calibNt <= 0) -1.0 else x * calibNtRef / calibNt
     val line =
-      s"""{"cold_queries":$cold,"canary_queries":$cq,"queries":$qs,"errors":$errors,"sf":"$sfDir","unit":"sec","metric":"total_warm","total_cold":$totalCold,"calib_1t":${f"$calib1t%.2f"},"calib_${cpus}t":${f"$calibNt%.2f"},"canary_total":${f"$canaryTotal%.1f"},"value":$total}"""
+      s"""{"cold_queries":$cold,"canary_queries":$cq,"queries":$qs,"errors":$errors,"sf":"$sfDir","unit":"sec","metric":"total_warm","total_cold":$totalCold,"calib_1t":${f"$calib1t%.2f"},"calib_${cpus}t":${f"$calibNt%.2f"},"canary_total":${f"$canaryTotal%.1f"},"canary_norm":${f"${norm(canaryTotal)}%.1f"},"value_norm":${f"${norm(total)}%.1f"},"value":$total}"""
     println(line)
     // Full machine-readable artifact: stdout gets truncated to ~2KB by the
     // harness, losing most of the per-query map; write the whole JSON to a

@@ -581,10 +581,17 @@ object VersionedTable {
                     .asInstanceOf[org.apache.parquet.io.api.Binary])
                   val mx = utf8(st.genericGetMax
                     .asInstanceOf[org.apache.parquet.io.api.Binary])
+                  // merge per-file bounds in UNSIGNED UTF-8 BYTE order —
+                  // the order parquet-mr computed them in (and Spark's
+                  // UTF8String order). Java's UTF-16 compareTo disagrees
+                  // beyond ASCII (e.g. U+FF01 vs U+10000), and relying on
+                  // truncStrBounds' downstream ASCII guard to mask a
+                  // wrong-order merge here is the cross-function coupling
+                  // the round-16 ADVICE flagged.
                   strMn.updateWith(name)(o =>
-                    Some(o.fold(mn)(v => if (mn < v) mn else v)))
+                    Some(o.fold(mn)(v => if (utf8Lt(mn, v)) mn else v)))
                   strMx.updateWith(name)(o =>
-                    Some(o.fold(mx)(v => if (mx > v) mx else v)))
+                    Some(o.fold(mx)(v => if (utf8Lt(v, mx)) mx else v)))
                 } else {
                   val mn = st.genericGetMin.asInstanceOf[Number].doubleValue()
                   val mx = st.genericGetMax.asInstanceOf[Number].doubleValue()
@@ -607,8 +614,26 @@ object VersionedTable {
       Some((num, str))
     } catch {
       case Fallback => None
-      case _: java.io.IOException => None // unreadable footer → scan decides
+      // ANY unreadable/corrupt footer degrades to the scan path — a
+      // RuntimeException out of parquet-mr must never fail the commit
+      // (round-16 ADVICE: the old IOException-only catch did)
+      case scala.util.control.NonFatal(_) => None
     }
+  }
+
+  /** a < b in unsigned UTF-8 byte order — the ordering parquet footer
+    * statistics and Spark's UTF8String use; Java String compareTo
+    * (UTF-16 code units) disagrees with it beyond the BMP's ASCII range. */
+  private[mutation] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
   }
 
   /** The one-pass Spark scan behind [[statsOfPath]]'s fallback. */
@@ -721,7 +746,12 @@ object VersionedTable {
     * only — stays ≤ every value); upper = max truncated with the last
     * kept char incremented (stays ≥ every value). Both bounds must be
     * pure ASCII, where Java's UTF-16 ordering and Spark's UTF-8-byte
-    * ordering agree — anything else records no stat (conservative). */
+    * ordering agree — anything else records no stat (conservative).
+    * COUPLING NOTE: `Segment.mayIntersectStr` prunes with Java
+    * compareTo, which is only sound BECAUSE this guard keeps recorded
+    * bounds ASCII; widening this function past ASCII requires switching
+    * that comparison to [[utf8Lt]]'s byte order (footerStats' bound
+    * merge already uses it). */
   private[mutation] def truncStrBounds(
       mn: String, mx: String, width: Int = 16): Option[(String, String)] = {
     def ascii(s: String) = s.forall(_ < 128)

@@ -4603,10 +4603,17 @@ object LlmQueries {
           s"${a.getLong(3)} < level ${b.getLong(0)} risk ${b.getLong(3)}")
     case _ => ()
     }
-    val chosen = rows.filter(_.getLong(3) == 0L).map(_.getLong(0)).min
+    // a corpus with < 5 documents satisfies NO ladder level — the
+    // oracle's scalar subquery then yields NULL and `level = NULL` makes
+    // every `chosen` NULL; reduceOption mirrors that instead of throwing
+    // on the empty min (round-16 ADVICE)
+    val chosen = rows.filter(_.getLong(3) == 0L).map(_.getLong(0))
+      .reduceOption(_ min _)
+    val chosenCol = chosen.fold(lit(null).cast("bigint"))(c =>
+      (col("level") === c).cast("bigint"))
     stats.select(col("level").cast("bigint").as("level"), col("n_groups"),
       col("n_violating"), col("rows_at_risk"),
-      (col("level") === chosen).cast("bigint").as("chosen"))
+      chosenCol.as("chosen"))
       .orderBy("level")
   }
 

@@ -80,6 +80,34 @@ class FooterStatsSpec extends AnyFunSuite with Matchers with SparkSuite {
     VersionedTable.footerStats(spark, path, Seq("dec")) shouldBe None
   }
 
+  test("bound merge order is unsigned UTF-8 bytes, where Java compareTo disagrees") {
+    // U+FF01 encodes EF BC 81; U+10000 encodes F0 90 80 80 — UTF-8 byte
+    // order puts U+FF01 FIRST, while Java's UTF-16 code-unit compareTo
+    // (surrogate D800 < FF01) puts it LAST. The per-file bound merge must
+    // follow the bytes (parquet-mr's and UTF8String's order) so that a
+    // future non-ASCII widening of truncStrBounds cannot make manifest
+    // pruning unsound via a wrong-order merge.
+    val (bmp, astral) = ("！", "𐀀")
+    (bmp.compareTo(astral) > 0) shouldBe true // Java order: astral first
+    VersionedTable.utf8Lt(bmp, astral) shouldBe true // byte order: bmp first
+    VersionedTable.utf8Lt(astral, bmp) shouldBe false
+    VersionedTable.utf8Lt("a", "ab") shouldBe true // prefix is smaller
+    VersionedTable.utf8Lt("ab", "ab") shouldBe false
+  }
+
+  test("a corrupt footer degrades to the scan path instead of failing the commit") {
+    import spark.implicits._
+    val path = scratch("corrupt")
+    Seq(1L, 2L).toDF("l").write.parquet(path)
+    // plant a garbage file with a parquet name: ParquetFileReader throws
+    // on it (whatever exception class parquet-mr picks), and footerStats
+    // must answer None — the scan decides — never propagate
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "part-corrupt.parquet"),
+      "PAR1 this is not really a parquet file".getBytes("UTF-8"))
+    VersionedTable.footerStats(spark, path, Seq("l")) shouldBe None
+  }
+
   test("end to end: a statted create prunes identically to the scan era") {
     import spark.implicits._
     val root = graft.Scratch.dir("graft_fstats_e2e") + "/t"
