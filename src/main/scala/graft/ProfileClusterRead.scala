@@ -31,31 +31,49 @@ object ProfileClusterRead {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
 
+    // layout matrix (round 17): flat vs range-bucketed node store, probed
+    // with a KEY-LOCAL batch (fresh contiguous ids — the time-ordered
+    // ingest shape, where bucket pruning should skip ~the whole store)
+    // and a UNIFORM-RANDOM batch (endpoints scattered over the store's id
+    // range — the no-locality shape, where pruning can save nothing and
+    // the layout must not cost anything either).
     Seq(20000L, 200000L, 2000000L).foreach { storeNodes =>
-      val work = Scratch.dir(s"graft_pcr_$storeNodes")
-      val path = s"$work/labels"
-      try {
-        IncrementalClusters.init(spark, path)
-        // 6 history batches build the store; default maxDeltas keeps all
-        // segments live (no compaction mid-build), the worst case a probe
-        // batch can face between compactions
-        val per = storeNodes / 12 // nodes per batch = 2 * edges
-        (0 until 6).foreach { b =>
+      Seq(0L, storeNodes / 64).foreach { bucketWidth =>
+        val work = Scratch.dir(s"graft_pcr_${storeNodes}_$bucketWidth")
+        val path = s"$work/labels"
+        try {
+          IncrementalClusters.init(spark, path, bucketWidth)
+          // 6 history batches build the store; default maxDeltas keeps all
+          // segments live (no compaction mid-build), the worst case a probe
+          // batch can face between compactions
+          val per = storeNodes / 12 // nodes per batch = 2 * edges
+          (0 until 6).foreach { b =>
+            IncrementalClusters.applyBatch(spark, path,
+              edgesDf(b * storeNodes / 6, per))
+          }
+          val liveBytes = IncrementalClusters.bytesUnder(spark, path)
+          val (nSegs, rSegs) = IncrementalClusters.liveSegments(spark, path)
+          val before = liveBytes
+          val t0 = System.nanoTime()
           IncrementalClusters.applyBatch(spark, path,
-            edgesDf(b * storeNodes / 6, per))
-        }
-        val liveBytes = IncrementalClusters.bytesUnder(spark, path)
-        val (nSegs, rSegs) = IncrementalClusters.liveSegments(spark, path)
-        val before = liveBytes
-        val t0 = System.nanoTime()
-        IncrementalClusters.applyBatch(spark, path,
-          edgesDf(10 * storeNodes, 1000L))
-        val probeS = (System.nanoTime() - t0) / 1e9
-        val wrote = IncrementalClusters.bytesUnder(spark, path) - before
-        println(f"""{"store_nodes":$storeNodes,"probe_batch_s":$probeS%.2f,""" +
-          f""""live_bytes_read":$liveBytes,"live_segments":${nSegs + rSegs},""" +
-          f""""batch_bytes_written":$wrote}""")
-      } finally rm(new java.io.File(work))
+            edgesDf(10 * storeNodes, 1000L)) // key-local: fresh id range
+          val localS = (System.nanoTime() - t0) / 1e9
+          val wrote = IncrementalClusters.bytesUnder(spark, path) - before
+          // uniform-random probe: endpoints scattered across the whole
+          // stored id range (edges between existing nodes)
+          val rand = spark.range(1000L)
+            .select(pmod(xxhash64(col("id")), lit(storeNodes)).as("a"),
+              pmod(xxhash64(col("id") + 7777777L), lit(storeNodes)).as("b"))
+            .where(col("a") =!= col("b"))
+          val t1 = System.nanoTime()
+          IncrementalClusters.applyBatch(spark, path, rand)
+          val randomS = (System.nanoTime() - t1) / 1e9
+          println(f"""{"store_nodes":$storeNodes,"bucket_width":$bucketWidth,""" +
+            f""""probe_local_s":$localS%.2f,"probe_random_s":$randomS%.2f,""" +
+            f""""live_bytes_read":$liveBytes,"live_segments":${nSegs + rSegs},""" +
+            f""""batch_bytes_written":$wrote}""")
+        } finally rm(new java.io.File(work))
+      }
     }
     spark.stop()
   }

@@ -91,13 +91,18 @@ object IncrementalClusters {
     if (all.isEmpty) 0L else all.map(seqOf).max + 1L
   }
 
-  /** Stage-and-rename segment write: never exposes a partial directory. */
-  private def writeSegment(df: DataFrame, dir: String): Unit = {
+  /** Stage-and-rename segment write: never exposes a partial directory.
+    * `partCols` layouts the segment hive-style (the bucketed node store)
+    * so later reads prune at partition-discovery time. */
+  private def writeSegment(df: DataFrame, dir: String,
+      partCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val tmp = new Path(dir + ".tmp")
     val dst = new Path(dir)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    if (partCols.isEmpty) df.write.mode("overwrite").parquet(tmp.toString)
+    else df.write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(tmp.toString)
     if (f.exists(dst)) f.delete(dst, true)
     f.rename(tmp, dst)
     ()
@@ -110,11 +115,87 @@ object IncrementalClusters {
       StructType(Seq(StructField(c1, LongType), StructField(c2, LongType))))
   }
 
+  /** Node-store BUCKET WIDTH: 0 = flat (the default layout). When `init`
+    * set a width W > 0, every node segment is laid out hive-style by
+    * `bk = node DIV W` — the Iceberg truncate-transform for longs, chosen
+    * over hash bucketing deliberately: the read-side win exists only when
+    * a batch's endpoints are KEY-LOCAL (a contiguous id range, the
+    * time-ordered-ingest shape), and hashing destroys exactly that
+    * locality. Recorded once at init so every segment shares the layout
+    * (mixed layouts would break partition discovery). */
+  private def bucketWidthOf(spark: SparkSession, path: String): Long = {
+    val p = new Path(path, "_bucket_width")
+    val f = fs(spark, path)
+    if (!f.exists(p)) 0L
+    else {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(f.open(p), "UTF-8"))
+      try in.readLine().trim.toLong finally in.close()
+    }
+  }
+
+  /** The bucketed layout's leaf directories (`<segment>/bk=<k>`) across
+    * `dirs`, optionally restricted to the buckets in `want` — ONE
+    * listStatus per live segment (≤ maxDeltas + 1 driver-side listings),
+    * never a partition-discovery pass: sibling partitioned roots would
+    * conflict, and a union of per-segment relations measured ~1.5× the
+    * flat scan on bucket-spanning batches. The pruned set reads as one
+    * plain multi-path scan — the bk column (derivable from node) never
+    * materializes. */
+  private def nodeLeafDirs(spark: SparkSession, dirs: Seq[String],
+      want: Option[Set[Long]]): Seq[String] =
+    dirs.flatMap { d =>
+      fs(spark, d).listStatus(new Path(d)).filter(_.isDirectory)
+        .map(_.getPath)
+        .filter { p =>
+          p.getName.startsWith("bk=") &&
+            want.forall(_.contains(p.getName.stripPrefix("bk=").toLong))
+        }
+        .map(_.toString)
+    }
+
+  /** Raw multi-segment node read. Bucketed stores expand to their bk=…
+    * leaf dirs (see [[nodeLeafDirs]]); flat stores scan the segment dirs
+    * directly. Either way it is ONE multi-path parquet scan. */
+  private def readNodeDirs(
+      spark: SparkSession, path: String, dirs: Seq[String]): DataFrame =
+    if (bucketWidthOf(spark, path) <= 0L) spark.read.parquet(dirs: _*)
+    else {
+      val leaves = nodeLeafDirs(spark, dirs, None)
+      if (leaves.isEmpty) emptyLongPair(spark, "node", "label0")
+      else spark.read.parquet(leaves: _*)
+    }
+
   /** Union view of the append-only node store: (node, label0). */
   private def nodeStore(spark: SparkSession, path: String): DataFrame = {
     val dirs = liveDirs(spark, s"$path/nodes")
     if (dirs.isEmpty) emptyLongPair(spark, "node", "label0")
-    else spark.read.parquet(dirs: _*).toDF("node", "label0")
+    else readNodeDirs(spark, path, dirs).select(col("node"), col("label0"))
+  }
+
+  /** Node-store view pruned to the buckets `endpoints` (a `node` column,
+    * batch-sized) can possibly match — the applyBatch lookup path. On a
+    * bucketed store only the matching `bk=` leaf directories are handed
+    * to the scan, so other buckets are never listed past the segment
+    * level, let alone opened (gated in IncrementalClustersSpec via the
+    * scan's root paths); capped at 256 distinct buckets, beyond which
+    * pruning cannot save much — the lookup falls back to the full leaf
+    * set. Flat stores return the plain union. */
+  private[operators] def nodeStoreFor(
+      spark: SparkSession, path: String, endpoints: DataFrame): DataFrame = {
+    val w = bucketWidthOf(spark, path)
+    val dirs = liveDirs(spark, s"$path/nodes")
+    if (dirs.isEmpty) emptyLongPair(spark, "node", "label0")
+    else if (w <= 0L)
+      readNodeDirs(spark, path, dirs).select(col("node"), col("label0"))
+    else {
+      val bks = endpoints.select(expr(s"CAST(node AS BIGINT) div $w")
+        .as("bk")).distinct().limit(257).collect().map(_.getLong(0))
+      val leaves = nodeLeafDirs(spark, dirs,
+        if (bks.length > 256) None else Some(bks.toSet))
+      if (leaves.isEmpty) emptyLongPair(spark, "node", "label0")
+      else spark.read.parquet(leaves: _*).select(col("node"), col("label0"))
+    }
   }
 
   /** Collapsed depth-1 (label, root) view of the redirect delta log —
@@ -128,11 +209,18 @@ object IncrementalClusters {
       .select(col("label"), col("m.root").as("root"))
   }
 
-  /** Create an empty store at `path`. */
-  def init(spark: SparkSession, path: String): Unit = {
+  /** Create an empty store at `path`. `bucketWidth` > 0 lays every node
+    * segment out by `bk = node DIV bucketWidth` so key-local batches read
+    * only their own buckets (see [[nodeStoreFor]]); 0 keeps the flat
+    * layout. The choice is fixed for the store's lifetime. */
+  def init(spark: SparkSession, path: String, bucketWidth: Long = 0L): Unit = {
     val f = fs(spark, path)
     f.mkdirs(new Path(path, "nodes"))
     f.mkdirs(new Path(path, "redirect"))
+    if (bucketWidth > 0L) {
+      val out = f.create(new Path(path, "_bucket_width"), false)
+      try out.write(s"$bucketWidth\n".getBytes("UTF-8")) finally out.close()
+    }
     ()
   }
 
@@ -150,14 +238,16 @@ object IncrementalClusters {
     val pairs = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
       .localCheckpoint(false) // consumed by the lookup, CC, and insert path
-    val nodes = nodeStore(spark, path)
     val redirect = redirectMap(spark, path)
     // current labels of the batch endpoints: node store hop (default self)
     // then ONE redirect hop (the depth-1 invariant). Endpoints are
-    // batch-sized; the store-side joins prune via parquet stats + runtime
-    // filters rather than decoding history.
+    // batch-sized; on a bucketed store the lookup opens only the buckets
+    // the endpoints can live in (nodeStoreFor), on a flat store the
+    // store-side joins prune via parquet stats + runtime filters.
     val endpoints = pairs.select(col("a").as("node"))
       .unionByName(pairs.select(col("b").as("node"))).distinct()
+      .localCheckpoint(false) // bucket probe + the lookup join share it
+    val nodes = nodeStoreFor(spark, path, endpoints)
     val epCur = endpoints
       .join(nodes, Seq("node"), "left")
       .withColumn("l0", coalesce(col("label0"), col("node")))
@@ -208,9 +298,17 @@ object IncrementalClusters {
     val inserts = epCur.where(col("fresh"))
       .join(lmap.select(col("node").as("cur"), col("comp")), Seq("cur"))
       .select(col("node"), col("comp").as("label0"))
-    if (inserts.limit(1).count() > 0)
-      writeSegment(inserts.sortWithinPartitions("node"),
-        f"$path/nodes/b$seq%06d")
+    val w = bucketWidthOf(spark, path)
+    if (inserts.limit(1).count() > 0) {
+      if (w > 0L)
+        writeSegment(inserts
+          .withColumn("bk", expr(s"node div $w"))
+          .sortWithinPartitions("node"),
+          f"$path/nodes/b$seq%06d", partCols = Seq("bk"))
+      else
+        writeSegment(inserts.sortWithinPartitions("node"),
+          f"$path/nodes/b$seq%06d")
+    }
     // 2. ONE redirect delta: merged-away roots point at the new min, and
     //    every existing entry whose root merged away is repaired in the
     //    same segment — the depth-1 invariant. The two sets are disjoint
@@ -263,8 +361,16 @@ object IncrementalClusters {
     }
     val nDirs = liveDirs(spark, s"$path/nodes")
     if (nDirs.length > maxDeltas) {
-      writeSegment(spark.read.parquet(nDirs: _*).toDF("node", "label0")
-        .sortWithinPartitions("node"), f"$path/nodes/c${seq + 1}%06d")
+      val base = readNodeDirs(spark, path, nDirs)
+        .select(col("node"), col("label0"))
+      val w = bucketWidthOf(spark, path)
+      if (w > 0L)
+        writeSegment(base.withColumn("bk", expr(s"node div $w"))
+            .repartition(col("bk")).sortWithinPartitions("node"),
+          f"$path/nodes/c${seq + 1}%06d", partCols = Seq("bk"))
+      else
+        writeSegment(base.sortWithinPartitions("node"),
+          f"$path/nodes/c${seq + 1}%06d")
       nDirs.foreach(d => f.delete(new Path(d), true))
       ran = true
     }

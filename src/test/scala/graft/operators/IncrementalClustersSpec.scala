@@ -241,6 +241,55 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSuite 
     store(path).values.toSet shouldBe Set(0L)
   }
 
+  test("bucketed store labels identically to flat, through merges and compaction") {
+    // same batch sequence into a flat and a bucketWidth=8 store, with
+    // maxDeltas=2 so compaction (which must preserve the hive layout)
+    // fires several times; labels must be indistinguishable
+    val flat = scratch("bk_flat")
+    val bk = scratch("bk_hive")
+    IncrementalClusters.init(spark, flat)
+    IncrementalClusters.init(spark, bk, bucketWidth = 8L)
+    val batches = Seq(
+      Seq(1L -> 2L, 40L -> 41L), Seq(2L -> 3L, 100L -> 101L),
+      Seq(41L -> 100L), Seq(7L -> 8L), Seq(3L -> 40L), Seq(8L -> 9L))
+    batches.foreach { b =>
+      IncrementalClusters.applyBatch(spark, flat, edges(b: _*), maxDeltas = 2)
+      IncrementalClusters.applyBatch(spark, bk, edges(b: _*), maxDeltas = 2)
+    }
+    store(bk) shouldBe store(flat)
+    store(bk).keySet should have size 10
+  }
+
+  test("bucketed lookup opens only the endpoint buckets (partition-pruned scan)") {
+    // the a44-style files-read gate for the bucketed layout: a key-local
+    // probe's store lookup must carry a partition filter and touch ONLY
+    // the bucket directories its endpoints can live in — reading other
+    // buckets is exactly the O(store)-bytes residual this layout removes
+    import spark.implicits._
+    val path = scratch("bk_prune")
+    IncrementalClusters.init(spark, path, bucketWidth = 100L)
+    // 1000 nodes spanning buckets 0..9, written across two segments
+    IncrementalClusters.applyBatch(spark, path,
+      spark.range(250).select((col("id") * 2).as("a"), (col("id") * 2 + 1).as("b")))
+    IncrementalClusters.applyBatch(spark, path,
+      spark.range(250).select((col("id") * 2 + 500).as("a"),
+        (col("id") * 2 + 501).as("b")))
+    val endpoints = Seq(110L, 137L, 181L).toDF("node") // all in bucket 1
+    val view = IncrementalClusters.nodeStoreFor(spark, path, endpoints)
+    val scans = view.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    scans should have size 1 // one plain multi-path scan, no union
+    // bucket 1 lives only in the first segment → the scan's root set is
+    // exactly that one bk=1 directory; every other bucket is never even
+    // handed to the reader (the a44 files-opened discipline)
+    val roots = scans.head.relation.location.rootPaths.map(_.toString)
+    withClue(roots.mkString(","))(
+      roots.forall(_.endsWith("/bk=1")) shouldBe true)
+    roots should have size 1
+    view.count() shouldBe 100 // bucket 1's nodes, nothing else
+  }
+
   test("adversarial arrival order equals one-shot CC on the edge union") {
     // chain 1-2-3-4-5 delivered as (4,5), (1,2), (3,4), (2,3): the last
     // batch merges THREE existing clusters transitively
