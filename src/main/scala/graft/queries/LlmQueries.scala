@@ -4617,8 +4617,70 @@ object LlmQueries {
       .orderBy("level")
   }
 
+  /** L-DIVERSITY audit — k-anonymity's companion (Machanavajjhala et
+    * al.): a QI group can be k-large yet still leak if every member
+    * shares the SENSITIVE value, so each (lang, source) group reports
+    * the number of DISTINCT sensitive values (the length bucket
+    * `n_chars div 100` stands in for the sensitive attribute) and
+    * whether it clears l = 3. One hash aggregate over the corpus —
+    * count + count-distinct per group, fully map-side-combining; at
+    * 100 TB the output is |lang×source|-sized. Distinct-l (not entropy-
+    * l) keeps every emitted number an exact integer. */
+  val lDiversity: Reg = Reg.sql(
+    "llm_l_diversity",
+    """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS group_n,
+      |       CAST(COUNT(DISTINCT n_chars // 100) AS BIGINT) AS l_distinct,
+      |       CAST(COUNT(DISTINCT n_chars // 100) >= 3 AS BIGINT) AS diverse
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin) {
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).cast("bigint").as("group_n"),
+          countDistinct(expr("n_chars div 100")).cast("bigint").as("l_distinct"))
+        .select(col("lang"), col("source"), col("group_n"), col("l_distinct"),
+          (col("l_distinct") >= 3).cast("bigint").as("diverse"))
+        .orderBy("lang", "source")
+  }
+
+  /** SOURCE CONCENTRATION via the exact GINI coefficient over per-source
+    * character mass — the curation dashboard number behind "is one
+    * source dominating the mix" (llm_source_mix gives the shares; this
+    * is the scalar a threshold alarm wants). One corpus aggregate to the
+    * |sources|-row weight frame, then the closed form
+    * G = Σᵢ (2i − n − 1)·w₍ᵢ₎ / (n·Σw) on that tiny frame (the window
+    * is |sources|-sized — domain-bounded, the licensed case). All-
+    * integer arithmetic; gini_micro by floor division, exact in both
+    * engines. */
+  val sourceGini: Reg = Reg.sql(
+    "llm_source_gini",
+    """WITH w AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+      |           FROM documents GROUP BY source),
+      |r AS (SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY w, source) AS BIGINT)
+      |               AS i, CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |      FROM w)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_sources,
+      |       CAST(SUM(w) AS BIGINT) AS total_chars,
+      |       CAST((1000000 * SUM((2 * i - n - 1) * w))
+      |              // (MAX(n) * SUM(w)) AS BIGINT) AS gini_micro
+      |FROM r""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.documents(s, dir)
+      .groupBy("source").agg(sum("n_chars").cast("bigint").as("w"))
+    val win = Window.orderBy("w", "source") // |sources|-row frame
+    val r = w
+      .withColumn("i", row_number().over(win).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(lit(1))).cast("bigint"))
+    r.agg(max("n").cast("bigint").as("n_sources"),
+      sum("w").cast("bigint").as("total_chars"),
+      sum((lit(2L) * col("i") - col("n") - 1L) * col("w")).as("num"))
+      .select(col("n_sources"), col("total_chars"),
+        expr("(1000000 * num) div (n_sources * total_chars)")
+          .cast("bigint").as("gini_micro"))
+  }
+
   lazy val all: Seq[Reg] = Seq(
-    suffixRepeats, kAnonymity,
+    suffixRepeats, kAnonymity, lDiversity, sourceGini,
     rougeOverlap, mmrRerank, tfidfTerms, spanCorrupt, mixTemperature,
     cdcChunks, editDistanceDedup, jwLinkage, wordKlBySource,
     streamNearDup, incrementalClusters, datasetCard, shardAssign, dupSpanStrip,

@@ -1096,8 +1096,143 @@ object RobustStatsQueries {
       .orderBy("ty")
   }
 
+  /** O66 — GLOBAL SPEARMAN rank correlation (quantity vs price over the
+    * whole fact table), ranked WITHOUT a single-partition window: average
+    * ranks come from the o29 two-level prefix-sum device on each VALUE
+    * DOMAIN (distinct-value counts → running offsets; avg rank of value v
+    * in halves is the exact integer 2·cum_before(v) + cnt(v) + 1), joined
+    * back domain-sized. Both domains are FIXED by the schema (50
+    * quantities, a bounded cents range), so the rank frames stay small at
+    * any corpus size — the 100 TB shape o64's per-(ty,lag) windows don't
+    * need but a whole-fact rank does. Sufficient statistics Σuv, Σu², Σv²
+    * accumulate in DECIMAL(38,0) (exact, order-independent; BIGINT wraps
+    * past n ≈ 1.3e6 because u ≤ 2n — the o63 overflow discipline), then
+    * cast DOUBLE (same exact value both engines) and ρ_micro floors an
+    * IDENTICAL scalar expression. Σu = Σv = n(n+1) exactly, so only the
+    * squares and the cross term are emitted. */
+  val o66Spearman: Reg = Reg.sql(
+    "o66_spearman",
+    """WITH t AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+      |                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      |           FROM lineitem),
+      |rk AS (SELECT
+      |         2 * (RANK() OVER (ORDER BY x))
+      |           + COUNT(*) OVER (PARTITION BY x) - 1 AS u,
+      |         2 * (RANK() OVER (ORDER BY y))
+      |           + COUNT(*) OVER (PARTITION BY y) - 1 AS v
+      |       FROM t),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |               CAST(CAST(SUM(u * v) AS HUGEINT) AS DOUBLE) AS s_uv,
+      |               CAST(CAST(SUM(u * u) AS HUGEINT) AS DOUBLE) AS s_u2,
+      |               CAST(CAST(SUM(v * v) AS HUGEINT) AS DOUBLE) AS s_v2
+      |        FROM rk)
+      |SELECT n, s_uv, s_u2, s_v2,
+      |       CAST(FLOOR(1000000.0
+      |              * (CAST(n AS DOUBLE) * s_uv
+      |                 - (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+      |                   * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))
+      |              / SQRT((CAST(n AS DOUBLE) * s_u2
+      |                      - (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+      |                        * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))
+      |                     * (CAST(n AS DOUBLE) * s_v2
+      |                        - (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+      |                          * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))))
+      |         AS BIGINT) AS rho_micro
+      |FROM agg ORDER BY n""".stripMargin) { (s, dir) =>
+    import graft.operators.PrefixSum
+    val t = Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast("bigint").as("x"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("y"))
+      .localCheckpoint(false) // two domain counts + the final join share it
+    // avg rank in halves per DISTINCT value: 2·cum_before + cnt + 1
+    def halfRanks(c: String, width: Long): org.apache.spark.sql.DataFrame =
+      PrefixSum.globalCumsum(
+        t.groupBy(c).agg(count(lit(1)).as("cnt")), c, "cnt", width)
+        .select(col(c),
+          (lit(2L) * col("cum_before") + col("cnt") + 1L).as(s"r_$c"))
+    val ranked = t
+      .join(halfRanks("x", 64L), "x")   // 50-value domain
+      .join(halfRanks("y", 16384L), "y") // bounded cents domain
+      .select(col("r_x").as("u"), col("r_y").as("v"))
+    val agg = ranked.agg(
+      count(lit(1)).cast("bigint").as("n"),
+      sum(col("u").cast("decimal(18,0)") * col("v").cast("decimal(18,0)"))
+        .cast("double").as("s_uv"),
+      sum(col("u").cast("decimal(18,0)") * col("u").cast("decimal(18,0)"))
+        .cast("double").as("s_u2"),
+      sum(col("v").cast("decimal(18,0)") * col("v").cast("decimal(18,0)"))
+        .cast("double").as("s_v2"))
+    agg.select(col("n"), col("s_uv"), col("s_u2"), col("s_v2"),
+      expr("""CAST(FLOOR(1000000.0
+             * (CAST(n AS DOUBLE) * s_uv
+                - (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                  * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))
+             / SQRT((CAST(n AS DOUBLE) * s_u2
+                     - (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                       * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))
+                    * (CAST(n AS DOUBLE) * s_v2
+                       - (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                         * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))))
+        AS BIGINT)""").as("rho_micro"))
+      .orderBy("n")
+  }
+
+  /** O67 — WALD–WOLFOWITZ runs test per event type on the daily series,
+    * mean-based: a day is ABOVE when c·n > Σc and BELOW when c·n < Σc —
+    * pure BIGINT comparisons, so the threshold can never flip on a ulp
+    * the way a floating mean (or a cross-engine even-count median)
+    * would; exact ties drop, the classic treatment. Emits the exact
+    * integers (n_above, n_below, runs); significance is the caller's
+    * z = (runs − (1 + 2·n1·n2/(n1+n2))) / σ — driver-side arithmetic on
+    * a |event_type|-row frame (the o65 discipline). The run-boundary
+    * scan is one LAG over the calendar-bounded daily frame — the
+    * o63/o64/o65 family's licensed window. Overflow bound: c·n < 2⁶³
+    * holds to ~10¹⁴ cents/day over 10⁴ days. */
+  val o67RunsTest: Reg = Reg.sql(
+    "o67_runs_test",
+    """WITH daily AS (
+      |  SELECT event_type AS ty, CAST(ts AS DATE) AS d,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT ty, CAST(COUNT(*) AS BIGINT) AS n,
+      |               CAST(SUM(c) AS BIGINT) AS sc
+      |        FROM daily GROUP BY ty),
+      |sgn AS (SELECT daily.ty, d,
+      |               CASE WHEN c * n > sc THEN 1
+      |                    WHEN c * n < sc THEN -1 END AS s
+      |        FROM daily JOIN tot USING (ty)),
+      |seq AS (SELECT ty, s, LAG(s) OVER (PARTITION BY ty ORDER BY d) AS p
+      |        FROM sgn WHERE s IS NOT NULL)
+      |SELECT ty,
+      |       CAST(COUNT(*) FILTER (WHERE s = 1) AS BIGINT) AS n_above,
+      |       CAST(COUNT(*) FILTER (WHERE s = -1) AS BIGINT) AS n_below,
+      |       CAST(COUNT(*) FILTER (WHERE p IS NULL OR p <> s) AS BIGINT)
+      |         AS runs
+      |FROM seq GROUP BY ty ORDER BY ty""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type").as("ty"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("bigint")).cast("bigint").as("c"))
+      .localCheckpoint() // totals + the sign pass share it
+    val tot = daily.groupBy("ty")
+      .agg(count(lit(1)).cast("bigint").as("n"), sum("c").cast("bigint").as("sc"))
+    val sgn = daily.join(tot, "ty")
+      .select(col("ty"), col("d"),
+        when(col("c") * col("n") > col("sc"), 1)
+          .when(col("c") * col("n") < col("sc"), -1).as("s"))
+      .where(col("s").isNotNull)
+    val w = Window.partitionBy("ty").orderBy("d")
+    sgn.withColumn("p", lag("s", 1).over(w))
+      .groupBy("ty")
+      .agg(count(when(col("s") === 1, 1)).cast("bigint").as("n_above"),
+        count(when(col("s") === -1, 1)).cast("bigint").as("n_below"),
+        count(when(col("p").isNull || col("p") =!= col("s"), 1))
+          .cast("bigint").as("runs"))
+      .orderBy("ty")
+  }
+
   val all: Seq[Reg] = Seq(o49KendallTau, o50SeasonalDecompose, o51BootstrapCi,
     o52WelchTtest, o53KmvSetOps, o54ResampleInterp, o55SeasonalAnomaly,
     o57Sprt, o58HodgesLehmann, o59EwmaHalflife, o60GramMatrix,
-    o61HoltLinear, o62Benford, o63Pettitt, o64RankAcf, o65MannKendall)
+    o61HoltLinear, o62Benford, o63Pettitt, o64RankAcf, o65MannKendall,
+    o66Spearman, o67RunsTest)
 }

@@ -785,6 +785,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     p.toLowerCase should include("jaro_winkler")
   }
 
+  test("o66: global Spearman ranks via prefix sums — the fact frame never single-partitions") {
+    // average ranks come from the two-level prefix-sum device on each
+    // VALUE DOMAIN: the only SinglePartition exchanges allowed are the
+    // two domain-bounded offset windows and the final 1-row aggregate —
+    // a corpus-sized rank window here would be the 100× killer
+    val p = plan(RobustStatsQueries.o66Spearman)
+    p should not include "CartesianProduct"
+    p should not include "Generate"
+    "Exchange SinglePartition".r.findAllIn(p).size should be <= 3
+  }
+
   test("o63: Pettitt runs one pair equi-join — the O(n^3) split join never appears") {
     val p = plan(RobustStatsQueries.o63Pettitt)
     p should not include "BroadcastNestedLoopJoin"
