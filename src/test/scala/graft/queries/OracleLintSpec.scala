@@ -167,7 +167,8 @@ class OracleLintSpec extends AnyFunSuite with Matchers {
       "a49_partition_evolution", "s30_stream_schema_drift",
       "s34_stream_occ_maintenance", "a57_position_deletes",
       "a58_string_stats", "a59_import_files", "s35_stream_forget",
-      "a61_snapshot_tags", "s36_stream_import")
+      "a61_snapshot_tags", "s36_stream_import",
+      "llm_source_gini") // global aggregate — exactly 1 row
     val unordered = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
       case (name, sql)
           if !sql.toUpperCase.contains("ORDER BY") && !singleRow(name) =>

@@ -46,7 +46,13 @@ class PartitionInvarianceSpec extends AnyFunSuite with Matchers with SparkSuite 
     CorpusModelQueries.indexRetrain,
     LlmQueries.containmentDedup,
     LlmQueries.suffixRepeats,
-    RobustStatsQueries.o65MannKendall)
+    RobustStatsQueries.o65MannKendall,
+    // round-17 wave
+    LlmQueries.kAnonymity,
+    LlmQueries.lDiversity,
+    LlmQueries.sourceGini,
+    RobustStatsQueries.o66Spearman,
+    RobustStatsQueries.o67RunsTest)
 
   private def collectAt(r: Reg, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

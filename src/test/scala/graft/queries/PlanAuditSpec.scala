@@ -860,8 +860,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     // |cells|-histogram off the INDEX table: its scan must read the cell
     // column alone — pulling the PQ code arrays (or, worse, joining back
     // to the embeddings) would make the maintenance probe corpus-sized.
-    // Regression-checked by mutation: aggregating max(codes[0]) alongside
-    // the count puts `codes` back in ReadSchema and fails both asserts.
+    // Mutation-verified (round 17): aggregating max(codes[0]) instead of
+    // the count puts `codes` back in ReadSchema and fails the gate.
     import graft.mutation.VersionedTable
     import spark.implicits._
     val root = graft.Scratch.dir("graft_plan_s37probe") + "/idx"
@@ -888,8 +888,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuite {
     // EACH side (one lost to a column rename ⇒ unbounded state that
     // still passes a drained-stream oracle), and the s31/s32 family's
     // windowed aggregate must carry stateful save + watermark.
-    // Regression-checked by mutation: dropping either withWatermark
-    // makes the join analysis fail / the watermark count fall to 1.
+    // Mutation-verified (round 17): dropping the right-side withWatermark
+    // fails the gate (the interval join becomes unplannable as a
+    // watermarked stream-stream join).
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{col, expr, window}
     import org.apache.spark.sql.streaming.Trigger
