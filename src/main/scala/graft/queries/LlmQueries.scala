@@ -4415,12 +4415,16 @@ object LlmQueries {
     * Models Better") exact-substring pass, which catches verbatim
     * boilerplate/templates that gram-set dedup dilutes. Suffix positions
     * are sampled on a 4-char lattice (the published implementations
-    * stride too) and ranked by PREFIX DOUBLING on the 4-char block
-    * alphabet: rank₄ = dense rank of the exact 4-char block, then three
-    * doubling rounds pair each position's rank with the rank 4/8/16
+    * stride too) and ranked by PREFIX DOUBLING on the 8-char block
+    * alphabet: rank₈ = dense rank of the exact 8-char block, then two
+    * doubling rounds pair each position's rank with the rank 8/16
     * characters ahead (missing = −1 sentinel), so the final rank groups
     * positions EXACTLY when their 32-char suffixes are equal — which is
     * what the oracle states directly as `substr(text, i, 32)` grouping.
+    * (Round 17: the seed widened 4→8 chars, cutting a whole doubling
+    * round — one fewer corpus checkpoint + pair join + rank — for one
+    * extra seed byte per shuffled block; won 5/6 interleaved sf1d
+    * comparisons, normalized cold medians 26.5 s vs 30.5 s.)
     * Each round is one distinct + one distributed rank + one equi-join
     * (never a single-partition window, never a driver collect):
     * O(n log L) shuffle work, the textbook distributed suffix-array
@@ -4462,9 +4466,9 @@ object LlmQueries {
         explode(expr("sequence(1, length(text), 4)")).as("i"),
         col("text"))
       .select(col("doc_id"), col("i"),
-        expr("substring(text, i, 4)").as("blk"))
+        expr("substring(text, i, 8)").as("blk"))
       .localCheckpoint(false) // rank seed + the join-back share it
-    // suffix-array round 0: the 4-char block alphabet ranks through the
+    // suffix-array round 0: the 8-char block alphabet ranks through the
     // sorted-distinct zipWithIndex device (strings have no integral
     // packing); every later round stays in pure codegen'd DataFrame
     // land. EVERY round's frontier frame is checkpointed: each is
@@ -4474,7 +4478,7 @@ object LlmQueries {
       .join(DistributedRank.ofDistinct(blocks, Seq("blk")), "blk")
       .select(col("doc_id"), col("i"), col("rank"))
       .localCheckpoint(false)
-    // prefix doubling: 4 -> 8 -> 16 -> 32 characters, DOMAIN-GUARDED
+    // prefix doubling: 8 -> 16 -> 32 characters, DOMAIN-GUARDED
     // pair ranking per round. Fast path: dense ranks are < the distinct
     // count of the previous round, so (rank, rnext) packs injectively
     // into one long and dense rank == exact CDF position — one two-level
@@ -4487,7 +4491,7 @@ object LlmQueries {
     // bound is a conf only so a spec can force the split path end-to-end.
     val packBound = s.conf.getOption("spark.graft.suffix.packBound")
       .map(_.toLong).getOrElse(3037000499L)
-    Seq(4, 8, 16).foreach { k =>
+    Seq(8, 16).foreach { k =>
       val maxRank = active.agg(max("rank")).head()
       val rankDomain = // empty corpus ⇒ null max ⇒ empty rounds, no NPE
         (if (maxRank.isNullAt(0)) 0L else maxRank.getLong(0)) + 2L
