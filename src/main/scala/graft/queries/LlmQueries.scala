@@ -4683,8 +4683,75 @@ object LlmQueries {
           .cast("bigint").as("gini_micro"))
   }
 
+  /** HEAPS-LAW VOCABULARY GROWTH — distinct-word count as the corpus
+    * grows in doc_id order, at ten checkpoints: the curve whose slope
+    * (Heaps' β) says whether more data still buys vocabulary, the
+    * standard corpus-saturation diagnostic next to llm_ngram_novelty's
+    * per-doc view. Scale shape: docs rank WITHOUT a corpus window (the
+    * two-level prefix sum on the doc_id domain — one count per doc, so
+    * cum_before IS the 0-based rank); each word reduces to its FIRST
+    * decile (min over one map-side-combining aggregate after the single
+    * corpus explode); the curve is a 10-row rollup of the |vocab|-sized
+    * first-occurrence frame, cumulated over the 10-row frame itself.
+    * Every number is an exact integer. */
+  val vocabGrowth: Reg = Reg.sql(
+    "llm_vocab_growth",
+    """WITH d AS (SELECT doc_id, text,
+      |                  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1
+      |                    AS BIGINT) AS rk,
+      |                  CAST(COUNT(*) OVER () AS BIGINT) AS nd
+      |           FROM documents),
+      |w AS (SELECT rk * 10 // nd AS decile, UNNEST(string_split(text, ' '))
+      |               AS word
+      |      FROM d),
+      |first_dec AS (SELECT word, CAST(MIN(decile) AS BIGINT) AS fd
+      |              FROM w WHERE word <> '' GROUP BY word),
+      |per AS (SELECT fd AS decile, CAST(COUNT(*) AS BIGINT) AS new_words
+      |        FROM first_dec GROUP BY fd),
+      |lv AS (SELECT UNNEST(generate_series(0, 9)) AS decile)
+      |SELECT CAST(lv.decile AS BIGINT) AS decile,
+      |       CAST(COALESCE(per.new_words, 0) AS BIGINT) AS new_words,
+      |       CAST(SUM(COALESCE(per.new_words, 0)) OVER (ORDER BY lv.decile
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS cum_words
+      |FROM lv LEFT JOIN per ON per.decile = lv.decile
+      |ORDER BY decile""".stripMargin) { (s, dir) =>
+    import graft.operators.PrefixSum
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .withColumn("one", lit(1L))
+      .localCheckpoint(false) // id-domain probe + the cumsum share it
+    // doc rank without a global window: one row per doc_id, so the
+    // two-level cumsum's cum_before is exactly the 0-based rank; bucket
+    // width scaled so the offset frame stays ≤ ~2M rows at any id domain
+    val maxIdRow = docs.agg(max("doc_id")).head()
+    val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
+    val ranked = PrefixSum.globalCumsum(docs, "doc_id", "one",
+      math.max(4096L, maxId / 2000000L + 1L))
+      .localCheckpoint(false) // the count probe + the explode share it
+    val nd = math.max(1L, ranked.count())
+    val words = ranked
+      .select(expr(s"cum_before * 10 div $nd").cast("bigint").as("decile"),
+        explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+    val firstDec = words.groupBy("word").agg(min("decile").as("fd"))
+    val per = firstDec.groupBy("fd").agg(count(lit(1)).cast("bigint").as("new_words"))
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val spine = (0L to 9L).toDF("decile") // always the full 10-row curve
+    spine
+      .join(per.select(col("fd").as("decile"), col("new_words")),
+        Seq("decile"), "left")
+      .select(col("decile").cast("bigint").as("decile"),
+        coalesce(col("new_words"), lit(0L)).cast("bigint").as("new_words"))
+      .withColumn("cum_words",
+        sum("new_words").over(Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("bigint")) // 10-row frame
+      .orderBy("decile")
+  }
+
   lazy val all: Seq[Reg] = Seq(
-    suffixRepeats, kAnonymity, lDiversity, sourceGini,
+    suffixRepeats, kAnonymity, lDiversity, sourceGini, vocabGrowth,
     rougeOverlap, mmrRerank, tfidfTerms, spanCorrupt, mixTemperature,
     cdcChunks, editDistanceDedup, jwLinkage, wordKlBySource,
     streamNearDup, incrementalClusters, datasetCard, shardAssign, dupSpanStrip,

@@ -1230,9 +1230,74 @@ object RobustStatsQueries {
       .orderBy("ty")
   }
 
+  /** O68 — COX–STUART trend test per event type: pair day i with day
+    * i + h (h = ⌈n/2⌉; odd-length series drop the middle day, the
+    * classic treatment) and count strict sign pairs — a different power
+    * profile than o65's all-pairs Mann-Kendall (Cox–Stuart is the
+    * binomial sign test on the half-offset pairs, robust to
+    * seasonality at the half-period). Pure BIGINT end to end: pairing
+    * is one equi-join on (ty, idx + h) where idx comes from a
+    * calendar-bounded window (the o63/o64/o65 family's licensed
+    * frame); significance is the caller's binomial tail on
+    * (s_plus, s_minus). */
+  val o68CoxStuart: Reg = Reg.sql(
+    "o68_cox_stuart",
+    """WITH daily AS (
+      |  SELECT event_type AS ty, CAST(ts AS DATE) AS d,
+      |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (SELECT ty, c,
+      |               CAST(ROW_NUMBER() OVER (PARTITION BY ty ORDER BY d)
+      |                 AS BIGINT) AS i,
+      |               CAST(COUNT(*) OVER (PARTITION BY ty) AS BIGINT) AS n
+      |        FROM daily),
+      |pairs AS (SELECT a.ty, a.n,
+      |                 CASE WHEN b.c > a.c THEN 1
+      |                      WHEN b.c < a.c THEN -1 ELSE 0 END AS s
+      |          FROM idx a JOIN idx b
+      |            ON b.ty = a.ty AND b.i = a.i + (a.n + 1) // 2
+      |          WHERE a.i <= a.n // 2)
+      |SELECT ty, CAST(MAX(n) AS BIGINT) AS n_days,
+      |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |       CAST(COUNT(*) FILTER (WHERE s = 1) AS BIGINT) AS s_plus,
+      |       CAST(COUNT(*) FILTER (WHERE s = -1) AS BIGINT) AS s_minus,
+      |       CAST(CASE WHEN COUNT(*) FILTER (WHERE s = 1)
+      |                      > COUNT(*) FILTER (WHERE s = -1) THEN 1
+      |                 WHEN COUNT(*) FILTER (WHERE s = 1)
+      |                      < COUNT(*) FILTER (WHERE s = -1) THEN -1
+      |                 ELSE 0 END AS BIGINT) AS trend
+      |FROM pairs GROUP BY ty ORDER BY ty""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type").as("ty"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("bigint")).cast("bigint").as("c"))
+    val w = Window.partitionBy("ty").orderBy("d")
+    val idx = daily
+      .withColumn("i", row_number().over(w).cast("bigint"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("ty")).cast("bigint"))
+      .localCheckpoint() // both sides of the half-offset join
+    val pairs = idx.as("a")
+      .where(col("a.i") <= expr("a.n div 2"))
+      .join(idx.as("b"),
+        col("b.ty") === col("a.ty") &&
+          col("b.i") === col("a.i") + expr("(a.n + 1) div 2"))
+      .select(col("a.ty").as("ty"), col("a.n").as("n"),
+        when(col("b.c") > col("a.c"), 1L)
+          .when(col("b.c") < col("a.c"), -1L).otherwise(0L).as("s"))
+    pairs.groupBy("ty")
+      .agg(max("n").cast("bigint").as("n_days"),
+        count(lit(1)).cast("bigint").as("n_pairs"),
+        count(when(col("s") === 1L, 1)).cast("bigint").as("s_plus"),
+        count(when(col("s") === -1L, 1)).cast("bigint").as("s_minus"))
+      .select(col("ty"), col("n_days"), col("n_pairs"), col("s_plus"),
+        col("s_minus"),
+        signum(col("s_plus") - col("s_minus")).cast("bigint").as("trend"))
+      .orderBy("ty")
+  }
+
   val all: Seq[Reg] = Seq(o49KendallTau, o50SeasonalDecompose, o51BootstrapCi,
     o52WelchTtest, o53KmvSetOps, o54ResampleInterp, o55SeasonalAnomaly,
     o57Sprt, o58HodgesLehmann, o59EwmaHalflife, o60GramMatrix,
     o61HoltLinear, o62Benford, o63Pettitt, o64RankAcf, o65MannKendall,
-    o66Spearman, o67RunsTest)
+    o66Spearman, o67RunsTest, o68CoxStuart)
 }

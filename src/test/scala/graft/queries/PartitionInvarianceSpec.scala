@@ -52,7 +52,9 @@ class PartitionInvarianceSpec extends AnyFunSuite with Matchers with SparkSuite 
     LlmQueries.lDiversity,
     LlmQueries.sourceGini,
     RobustStatsQueries.o66Spearman,
-    RobustStatsQueries.o67RunsTest)
+    RobustStatsQueries.o67RunsTest,
+    RobustStatsQueries.o68CoxStuart,
+    LlmQueries.vocabGrowth)
 
   private def collectAt(r: Reg, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
