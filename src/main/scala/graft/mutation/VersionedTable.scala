@@ -217,6 +217,54 @@ object VersionedTable {
   def segmentsOf(spark: SparkSession, root: String, v: Long): Seq[Segment] =
     manifestLines(spark, root, v).filterNot(_.startsWith("#")).map(parseSegment)
 
+  /** One fully-parsed manifest: version + segments + fences + renames from
+    * a SINGLE manifest read. The metadata-round-trip unit every
+    * read-modify-write path resolves ONCE and threads through: a
+    * `currentFence` → `read` → `morUpsertFenced` chain used to re-list
+    * `_log` and re-read the same manifest five to eight times per
+    * micro-batch — irrelevant on a local fs, but each round-trip is
+    * 10–100 ms of real latency on an object store, and the trigger
+    * protocol pays it per commit. */
+  final case class Snapshot(
+      version: Long, segments: Seq[Segment],
+      fences: Map[String, Long], renames: Seq[(Long, String, String)])
+
+  private def parseFences(lines: Seq[String]): Map[String, Long] =
+    lines.filter(_.startsWith("#fence=")).map { line =>
+      val body = line.stripPrefix("#fence=")
+      val i = body.lastIndexOf(':')
+      if (i < 0) "" -> body.toLong
+      else body.substring(0, i) -> body.substring(i + 1).toLong
+    }.toMap
+
+  private def parseRenames(lines: Seq[String]): Seq[(Long, String, String)] =
+    lines.filter(_.startsWith("#rename=")).map { line =>
+      val Array(rv, from, to) = line.stripPrefix("#rename=").split(":", 3)
+      (rv.toLong, from, to)
+    }
+
+  /** Version `v` parsed whole — one manifest read. */
+  def snapshotAt(spark: SparkSession, root: String, v: Long): Snapshot = {
+    val lines = manifestLines(spark, root, v)
+    Snapshot(v, lines.filterNot(_.startsWith("#")).map(parseSegment),
+      parseFences(lines), parseRenames(lines))
+  }
+
+  /** The current version parsed whole — one `_log` listing plus one
+    * manifest read; None for an empty/nonexistent table. */
+  def snapshot(spark: SparkSession, root: String): Option[Snapshot] =
+    currentVersion(spark, root).map(snapshotAt(spark, root, _))
+
+  private def resolveSnap(
+      spark: SparkSession, root: String, version: Option[Long]): Snapshot =
+    version.map(snapshotAt(spark, root, _)).getOrElse(
+      snapshot(spark, root).getOrElse(
+        throw new IllegalStateException(s"$root has no versions")))
+
+  private def snapOrInit(spark: SparkSession, root: String): Snapshot =
+    snapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"$root has no version 0"))
+
   /** The streaming-sink idempotence fence of the CURRENT version for one
     * writer lineage (the `#fence=[appId:]<id>` manifest header — the
     * Delta-txn (appId, version) idiom, here riding the commit itself).
@@ -239,14 +287,7 @@ object VersionedTable {
     * parse as the empty appId; appIds themselves may not contain ':'. */
   private def fencesOf(
       spark: SparkSession, root: String, v: Long): Map[String, Long] =
-    manifestLines(spark, root, v)
-      .filter(_.startsWith("#fence="))
-      .map { line =>
-        val body = line.stripPrefix("#fence=")
-        val i = body.lastIndexOf(':')
-        if (i < 0) "" -> body.toLong
-        else body.substring(0, i) -> body.substring(i + 1).toLong
-      }.toMap
+    parseFences(manifestLines(spark, root, v))
 
   /** The column-RENAME chain recorded at version `v`, in commit order:
     * `(renameVersion, physicalFrom, currentTo)` triples from `#rename=`
@@ -258,12 +299,7 @@ object VersionedTable {
     * substance without parquet field-id plumbing). */
   def renamesOf(
       spark: SparkSession, root: String, v: Long): Seq[(Long, String, String)] =
-    manifestLines(spark, root, v)
-      .filter(_.startsWith("#rename="))
-      .map { line =>
-        val Array(rv, from, to) = line.stripPrefix("#rename=").split(":", 3)
-        (rv.toLong, from, to)
-      }
+    parseRenames(manifestLines(spark, root, v))
 
   /** The physical→current renames a segment written at `seq` needs. */
   private def renameFor(
@@ -326,17 +362,31 @@ object VersionedTable {
       spark: SparkSession, root: String, prev: Option[Long],
       segments: Seq[Segment],
       fence: Option[(String, Long)],
+      newRename: Option[(String, String)]): Long =
+    commitSnap(spark, root, prev.map(snapshotAt(spark, root, _)), segments,
+      fence, newRename)
+
+  /** [[commitFrom]] against an already-parsed predecessor — the single
+    * manifest read the caller's fence check / segment-list read did is
+    * reused instead of re-reading the same file for the carried fences
+    * and the rename chain. The OCC pin is unchanged: the commit targets
+    * `prev.version + 1` exactly as if the caller had passed the version
+    * number. */
+  private def commitSnap(
+      spark: SparkSession, root: String, prev: Option[Snapshot],
+      segments: Seq[Segment],
+      fence: Option[(String, Long)],
       newRename: Option[(String, String)]): Long = {
     val f = fs(spark, root)
     val dir = logDir(root)
     if (!f.exists(dir) && !f.mkdirs(dir))
       throw new java.io.IOException(s"cannot create $dir")
-    val carried = prev.map(fencesOf(spark, root, _)).getOrElse(Map.empty)
+    val carried = prev.map(_.fences).getOrElse(Map.empty)
     val eff = fence.fold(carried) { case (app, id) =>
       carried.updated(app, carried.get(app).fold(id)(_ max id))
     }
-    val v = prev.fold(0L)(_ + 1)
-    val prevRenames = prev.map(renamesOf(spark, root, _)).getOrElse(Nil)
+    val v = prev.fold(0L)(_.version + 1)
+    val prevRenames = prev.map(_.renames).getOrElse(Nil)
     val renames = prevRenames ++ newRename.map(r => (v, r._1, r._2))
     val header = eff.toSeq.sortBy(_._1).map {
       case ("", id)  => s"#fence=$id\n"
@@ -699,10 +749,9 @@ object VersionedTable {
   def importDir(
       spark: SparkSession, root: String, dir: String,
       statCols: Seq[String] = Nil): Long = {
-    val v = currentVersion(spark, root)
-      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
-    commitFrom(spark, root, Some(v),
-      segmentsOf(spark, root, v) :+ externalSegment(spark, dir, statCols),
+    val snap = snapOrInit(spark, root)
+    commitSnap(spark, root, Some(snap),
+      snap.segments :+ externalSegment(spark, dir, statCols),
       None, None)
   }
 
@@ -734,11 +783,11 @@ object VersionedTable {
     require(!appId.contains(':') && !appId.contains('\n'),
       s"appId may not contain ':' or newlines: $appId")
     if (dirs.isEmpty) return None
-    if (currentFence(spark, root, appId).exists(_ >= batchId)) return None
+    val snap = snapshot(spark, root)
+    if (snap.exists(_.fences.get(appId).exists(_ >= batchId))) return None
     val segs = dirs.map(externalSegment(spark, _, statCols))
-    val prevV = currentVersion(spark, root)
-    val prevSegs = prevV.map(segmentsOf(spark, root, _)).getOrElse(Seq.empty)
-    Some(commitFrom(spark, root, prevV, prevSegs ++ segs,
+    Some(commitSnap(spark, root, snap,
+      snap.map(_.segments).getOrElse(Seq.empty) ++ segs,
       Some(appId -> batchId), None))
   }
 
@@ -781,13 +830,14 @@ object VersionedTable {
     * data file, and the bad intermediate versions stay time-travel-
     * readable for audit until expired. */
   def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
-    val head = currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"$root has no version 0"))
+    val headSnap = snapOrInit(spark, root)
+    val head = headSnap.version
     require(toVersion <= head,
       s"cannot restore $root to unborn version $toVersion (head $head)")
-    val segs = segmentsOf(spark, root, toVersion) // throws if expired
-    val fences = fencesOf(spark, root, head)
-    val renames = renamesOf(spark, root, toVersion)
+    val target = snapshotAt(spark, root, toVersion) // throws if expired
+    val segs = target.segments
+    val fences = headSnap.fences
+    val renames = target.renames
     val v = head + 1
     val header = fences.toSeq.sortBy(_._1).map {
       case ("", id)  => s"#fence=$id\n"
@@ -1064,10 +1114,9 @@ object VersionedTable {
     * writes, O(1) metadata, exactly the log-structured insert path. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       statCols: Seq[String] = Nil): Long = {
-    val prev = currentVersion(spark, root)
-      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
-    commitFrom(spark, root, Some(prev),
-      segmentsOf(spark, root, prev) :+ writeSegment(spark, root, df, statCols),
+    val snap = snapOrInit(spark, root)
+    commitSnap(spark, root, Some(snap),
+      snap.segments :+ writeSegment(spark, root, df, statCols),
       None, None)
   }
 
@@ -1088,11 +1137,11 @@ object VersionedTable {
       appId: String = ""): Option[Long] = {
     require(!appId.contains(':') && !appId.contains('\n'),
       s"appId may not contain ':' or newlines: $appId")
-    if (currentFence(spark, root, appId).exists(_ >= batchId)) return None
-    val prevV = currentVersion(spark, root)
-    val prevSegs = prevV.map(segmentsOf(spark, root, _)).getOrElse(Seq.empty)
-    Some(commitFrom(spark, root, prevV,
-      prevSegs :+ writeSegment(spark, root, df, statCols),
+    val snap = snapshot(spark, root)
+    if (snap.exists(_.fences.get(appId).exists(_ >= batchId))) return None
+    Some(commitSnap(spark, root, snap,
+      snap.map(_.segments).getOrElse(Seq.empty) :+
+        writeSegment(spark, root, df, statCols),
       Some(appId -> batchId), None))
   }
 
@@ -1120,21 +1169,19 @@ object VersionedTable {
       victims: DataFrame => DataFrame,
       prune: Option[(String, Double, Double)] = None): (Long, Long) = {
     require(keyCols.nonEmpty, "morDelete needs at least one key column")
-    val v = currentVersion(spark, root)
-      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
-    val all = segmentsOf(spark, root, v)
-    requireKeyConsistency(all.filter(_.isDelete), keyCols)
+    val snap = snapOrInit(spark, root)
+    requireKeyConsistency(snap.segments.filter(_.isDelete), keyCols)
     val visible = prune match {
-      case Some((c, lo, hi)) => readPruned(spark, root, c, lo, hi, Some(v))
-      case None              => read(spark, root, Some(v))
+      case Some((c, lo, hi)) => readPrunedSnap(spark, root, snap, c, lo, hi)
+      case None              => readSnapshot(spark, root, snap)
     }
     val keysDf = victims(visible)
       .select(keyCols.map(col): _*).na.drop("any").distinct()
     val n = keysDf.count()
-    if (n == 0L) return (v, 0L)
+    if (n == 0L) return (snap.version, 0L)
     val del = writeSegment(spark, root, keysDf,
       statCols = keyCols, prefix = "del_", keys = keyCols)
-    (commitFrom(spark, root, Some(v), all :+ del, None, None), n)
+    (commitSnap(spark, root, Some(snap), snap.segments :+ del, None, None), n)
   }
 
   /** Merge-on-read UPSERT (MERGE WHEN MATCHED UPDATE / NOT MATCHED
@@ -1147,32 +1194,112 @@ object VersionedTable {
     * keeps a 100 TB dimension maintainable per micro-batch. */
   def morUpsert(
       spark: SparkSession, root: String, updates: DataFrame,
-      keyCols: Seq[String], statCols: Seq[String] = Nil): Long = {
+      keyCols: Seq[String], statCols: Seq[String] = Nil): Long =
+    morUpsertSnap(spark, root, snapOrInit(spark, root), updates, keyCols,
+      None, statCols)
+
+  /** [[morUpsert]] against an already-resolved [[Snapshot]], optionally
+    * fenced — the one-resolution trigger-protocol entry: a foreachBatch
+    * sink that fence-checked and read through the same snapshot commits
+    * here without re-listing `_log` or re-reading the manifest. The OCC
+    * pin is the snapshot's version, exactly as if the caller had gone
+    * through [[morUpsert]]/[[morUpsertFenced]] back-to-back. */
+  def morUpsertSnap(
+      spark: SparkSession, root: String, snap: Snapshot, updates: DataFrame,
+      keyCols: Seq[String], fence: Option[(String, Long)] = None,
+      statCols: Seq[String] = Nil): Long = {
     require(keyCols.nonEmpty, "morUpsert needs at least one key column")
-    val v = currentVersion(spark, root)
-      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
-    val all = segmentsOf(spark, root, v)
-    requireKeyConsistency(all.filter(_.isDelete), keyCols)
-    val del = writeDeleteSegment(spark, root, updates, keyCols)
-    val data = writeSegment(spark, root, updates, statCols)
-    commitFrom(spark, root, Some(v), all :+ del :+ data, None, None)
+    requireKeyConsistency(snap.segments.filter(_.isDelete), keyCols)
+    // the delete-keys and data segments are independent jobs over the
+    // same (caller-checkpointed) frame with distinct target dirs — run
+    // them CONCURRENTLY so the commit's wall clock is the larger write,
+    // not the sum (the overlap-independent-jobs discipline; a failed
+    // null-key check leaves at most one orphan segment, removeOrphans'
+    // normal debt)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (del, data) =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val delF = scala.concurrent.Future(
+          writeDeleteSegment(spark, root, updates, keyCols))
+        val dataF = scala.concurrent.Future(
+          writeSegment(spark, root, updates, statCols))
+        (scala.concurrent.Await.result(
+          delF, scala.concurrent.duration.Duration.Inf),
+          scala.concurrent.Await.result(
+            dataF, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
+    commitSnap(spark, root, Some(snap), snap.segments :+ del :+ data,
+      fence, None)
   }
 
-  /** The equality-delete segment of an upsert: the distinct key tuples,
-    * materialized ONCE (key-cardinality) so the null-key soundness check
-    * rides the same evaluation as the write instead of re-scanning
-    * `updates` — a null key can never equality-match, so letting one
-    * into a delete would silently leave the matched row alive. */
+  /** The equality-delete segment of an upsert: the distinct key tuples go
+    * straight to the segment write — ONE Spark job — and the null-key
+    * soundness check reads the WRITTEN files' footer null counts
+    * (driver-side metadata, zero jobs) instead of the old
+    * checkpoint-then-scan pre-check, which cost two extra jobs per MOR
+    * commit. A null key can never equality-match, so letting one into a
+    * delete would silently leave the matched row alive; on violation the
+    * staged segment is removed and the commit never happens. Footers
+    * without a trustworthy null count fall back to one scan of the
+    * (delta-sized) written segment. */
   private def writeDeleteSegment(
       spark: SparkSession, root: String, updates: DataFrame,
       keyCols: Seq[String]): Segment = {
     val keysDf = updates.select(keyCols.map(col): _*).distinct()
-      .localCheckpoint()
-    require(keysDf.where(
-      keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
-      "morUpsert: updates carry null keys")
-    writeSegment(spark, root, keysDf,
+    val seg = writeSegment(spark, root, keysDf,
       statCols = keyCols, prefix = "del_", keys = keyCols)
+    val segPath = new Path(root, seg.name).toString
+    val hasNull = footerNullCounts(spark, segPath, keyCols) match {
+      case Some(m) => keyCols.exists(c => m.getOrElse(c, 0L) > 0L)
+      case None => !spark.read.parquet(segPath)
+        .where(keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty
+    }
+    if (hasNull) {
+      fs(spark, root).delete(new Path(root, seg.name), true)
+      throw new IllegalArgumentException(
+        "requirement failed: morUpsert: updates carry null keys")
+    }
+    seg
+  }
+
+  /** Per-column null counts summed from the parquet footers under `path`,
+    * or None when any chunk lacks a trustworthy count (caller re-checks by
+    * scanning). Driver-side metadata only — zero Spark jobs. */
+  private def footerNullCounts(
+      spark: SparkSession, path: String,
+      cols: Seq[String]): Option[Map[String, Long]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    try {
+      val f = p.getFileSystem(conf)
+      val files = f.listStatus(p).map(_.getPath).filter { q =>
+        val n = q.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val wanted = cols.toSet
+      val acc = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      var ok = true
+      files.foreach { fp =>
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(fp, conf))
+        val footer = try rd.getFooter finally rd.close()
+        footer.getBlocks.forEach { blk =>
+          blk.getColumns.forEach { cc =>
+            val name = cc.getPath.toDotString
+            if (wanted(name)) {
+              val st = cc.getStatistics
+              if (st == null || !st.isNumNullsSet) ok = false
+              else acc(name) += st.getNumNulls
+            }
+          }
+        }
+      }
+      if (ok) Some(acc.toMap) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Replay-safe streaming MOR upsert: [[morUpsert]] fenced per writer
@@ -1184,18 +1311,14 @@ object VersionedTable {
       statCols: Seq[String] = Nil): Option[Long] = {
     require(!appId.contains(':') && !appId.contains('\n'),
       s"appId may not contain ':' or newlines: $appId")
-    if (currentFence(spark, root, appId).exists(_ >= batchId)) return None
-    val head = currentVersion(spark, root)
-    if (head.isEmpty)
-      return Some(commitFrom(spark, root, None,
+    val snap = snapshot(spark, root)
+    if (snap.exists(_.fences.get(appId).exists(_ >= batchId))) return None
+    if (snap.isEmpty)
+      return Some(commitSnap(spark, root, None,
         Seq(writeSegment(spark, root, updates, statCols)),
         Some(appId -> batchId), None))
-    val all = segmentsOf(spark, root, head.get)
-    requireKeyConsistency(all.filter(_.isDelete), keyCols)
-    val del = writeDeleteSegment(spark, root, updates, keyCols)
-    val data = writeSegment(spark, root, updates, statCols)
-    Some(commitFrom(spark, root, head, all :+ del :+ data,
-      Some(appId -> batchId), None))
+    Some(morUpsertSnap(spark, root, snap.get, updates, keyCols,
+      Some(appId -> batchId), statCols))
   }
 
   /** Snapshot read with file provenance: the current rows (all deletes
@@ -1204,10 +1327,14 @@ object VersionedTable {
     * [[posDelete]] and [[changelogRows]]' position-retraction
     * enrichment. */
   private def readWithPos(
-      spark: SparkSession, root: String, v: Long): DataFrame = {
-    val (datas, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
+      spark: SparkSession, root: String, v: Long): DataFrame =
+    readWithPosSnap(spark, root, snapshotAt(spark, root, v))
+
+  private def readWithPosSnap(
+      spark: SparkSession, root: String, snap: Snapshot): DataFrame = {
+    val (datas, dels, pdels) = splitSegments(snap.segments)
     applyDeletes(spark, root, datas, dels,
-      renames = renamesOf(spark, root, v), pdels = pdels, keepPos = true)
+      renames = snap.renames, pdels = pdels, keepPos = true)
   }
 
   /** POSITION DELETE (the Delta deletion-vector / Iceberg v2
@@ -1230,16 +1357,15 @@ object VersionedTable {
   def posDelete(
       spark: SparkSession, root: String,
       cond: org.apache.spark.sql.Column): (Long, Long) = {
-    val v = currentVersion(spark, root)
-      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
-    val victims = readWithPos(spark, root, v).where(cond)
+    val snap = snapOrInit(spark, root)
+    val victims = readWithPosSnap(spark, root, snap).where(cond)
       .select(col("__pd_file"), col("__pd_pos")).distinct()
       .localCheckpoint() // count + segment write share one evaluation
     val n = victims.count()
-    if (n == 0L) return (v, 0L)
+    if (n == 0L) return (snap.version, 0L)
     val pdel = writeSegment(spark, root, victims, Nil, prefix = "pdel_")
-    (commitFrom(spark, root, Some(v),
-      segmentsOf(spark, root, v) :+ pdel, None, None), n)
+    (commitSnap(spark, root, Some(snap),
+      snap.segments :+ pdel, None, None), n)
   }
 
   /** MATERIALIZE deletes (Iceberg's rewrite-with-deletes maintenance):
@@ -1254,11 +1380,11 @@ object VersionedTable {
   def morMaterialize(
       spark: SparkSession, root: String,
       statCols: Seq[String] = Nil): (Long, Int, Int) = {
-    val v = currentVersion(spark, root)
-      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
-    val (datas, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
+    val snap = snapOrInit(spark, root)
+    val v = snap.version
+    val (datas, dels, pdels) = splitSegments(snap.segments)
     if (dels.isEmpty && pdels.isEmpty) return (v, 0, 0)
-    val chain = renamesOf(spark, root, v)
+    val chain = snap.renames
     // a segment is affected by a position delete iff the delete names one
     // of its files — the pdel content is delta-sized, so resolving the
     // named segment set is one small scan, not a table read
@@ -1275,7 +1401,7 @@ object VersionedTable {
     // all remaining deletes dangling (reference no live segment): retire
     // them with a metadata-only commit, nothing to rewrite
     if (affected.isEmpty)
-      return (commitFrom(spark, root, Some(v), clean, None, None),
+      return (commitSnap(spark, root, Some(snap), clean, None, None),
         0, dels.length + pdels.length)
     // per-segment rewrites are independent (distinct target dirs) — submit
     // them as CONCURRENT Spark jobs so the wall clock is bounded by the
@@ -1298,7 +1424,7 @@ object VersionedTable {
       } finally pool.shutdown()
     // every pdel-named segment was rewritten above, so ALL position
     // deletes retire with the equality deletes
-    val nv = commitFrom(spark, root, Some(v), clean ++ rewritten, None, None)
+    val nv = commitSnap(spark, root, Some(snap), clean ++ rewritten, None, None)
     (nv, affected.length, dels.length + pdels.length)
   }
 
@@ -1329,21 +1455,19 @@ object VersionedTable {
     * still maps through it (the chain is a list, not a DAG). */
   def renameColumn(
       spark: SparkSession, root: String, from: String, to: String): Long = {
-    val v = currentVersion(spark, root)
-      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
+    val snap = snapOrInit(spark, root)
     require(from != to, "rename to the same name is a no-op")
     require(to.nonEmpty && !Seq('\t', '\n', ':', '=').exists(to.contains(_)) &&
       !Seq('\t', '\n', ':', '=').exists(from.contains(_)),
       s"column names in a rename may not contain tab/newline/':'/'=': " +
         s"'$from' -> '$to'")
-    val chain = renamesOf(spark, root, v)
-    require(!chain.exists(_._2 == to),
+    require(!snap.renames.exists(_._2 == to),
       s"'$to' is a retired physical name in this table's rename chain; " +
         "reusing it would make the physical->logical mapping ambiguous")
-    val cols = read(spark, root, Some(v)).columns
+    val cols = readSnapshot(spark, root, snap).columns
     require(cols.contains(from), s"$root has no column '$from'")
     require(!cols.contains(to), s"$root already has a column '$to'")
-    val remapped = segmentsOf(spark, root, v).map { s =>
+    val remapped = snap.segments.map { s =>
       s.copy(
         stats = s.stats.map { case (c, r) => (if (c == from) to else c) -> r },
         keys = s.keys.map(k => if (k == from) to else k),
@@ -1351,7 +1475,7 @@ object VersionedTable {
           (if (c == from) to else c) -> r
         })
     }
-    commitFrom(spark, root, Some(v), remapped, None, Some((from, to)))
+    commitSnap(spark, root, Some(snap), remapped, None, Some((from, to)))
   }
 
   /** The DATA segment paths a pruned read of `version` actually touches:
@@ -1433,15 +1557,31 @@ object VersionedTable {
       val keys = dels.head.keys
       require(keys.nonEmpty && dels.forall(_.keys == keys),
         s"$root: equality-delete segments disagree on key columns")
-      datas.groupBy(d => dels.filter(_.seq > d.seq))
-        .toSeq.sortBy(_._1.map(_.name).sorted.mkString(","))
-        .map { case (applicable, group) =>
-          val df = scan(group)
-          if (applicable.isEmpty) df
-          else df.join(
-            scan(applicable).select(keys.map(col): _*),
-            keys, "left_anti")
-        }.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+      // ONE seq-scoped anti-join instead of one anti-join per distinct
+      // applicable-delete SET: every data row carries its segment's commit
+      // seq as a per-(seq)-group literal (zero per-row derivation), the
+      // delete side carries its seq the same way, and the residual
+      // `del.seq > data.seq` on the key-equality match reproduces the
+      // strictly-older scoping exactly. The old grouped form built one
+      // broadcast hash relation PER GROUP — k broadcast-build jobs per
+      // read on a table with k MOR commits since materialization; this
+      // builds one (the union of all delete tuples, still delta-sized and
+      // broadcast), so read-side job count no longer grows with commit
+      // count. Rows with null keys survive either way (SQL equality).
+      val dataU = datas.groupBy(_.seq).toSeq.sortBy(_._1)
+        .map { case (sq, group) =>
+          scan(group).withColumn("__vt_seq", lit(sq))
+        }
+        .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+      val delU = dels.groupBy(_.seq).toSeq.sortBy(_._1)
+        .map { case (sq, group) =>
+          scan(group).select(keys.map(col): _*)
+            .withColumn("__vt_dseq", lit(sq))
+        }
+        .reduce(_.unionByName(_))
+      val cond = keys.map(k => dataU(k) === delU(k)).reduce(_ && _) &&
+        delU("__vt_dseq") > dataU("__vt_seq")
+      dataU.join(delU, cond, "left_anti").drop("__vt_seq")
     }
   }
 
@@ -1458,12 +1598,18 @@ object VersionedTable {
   def read(
       spark: SparkSession, root: String,
       version: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame =
+    readSnapshot(spark, root, resolveSnap(spark, root, version), mergeSchema)
+
+  /** [[read]] against an already-resolved [[Snapshot]] — callers that
+    * fence-check, read, and commit in one logical operation (the
+    * streaming trigger protocol) resolve the manifest once and thread it
+    * through instead of paying a listing + manifest read per step. */
+  def readSnapshot(
+      spark: SparkSession, root: String, snap: Snapshot,
       mergeSchema: Boolean = false): DataFrame = {
-    val v = version.orElse(currentVersion(spark, root))
-      .getOrElse(throw new IllegalStateException(s"$root has no versions"))
-    val (datas, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
-    applyDeletes(spark, root, datas, dels, mergeSchema,
-      renamesOf(spark, root, v), pdels)
+    val (datas, dels, pdels) = splitSegments(snap.segments)
+    applyDeletes(spark, root, datas, dels, mergeSchema, snap.renames, pdels)
   }
 
   /** Stats-pruned snapshot read of rows with `c` in [lo, hi]: whole
@@ -1475,17 +1621,20 @@ object VersionedTable {
     * output row; deletes without a stat on `c` are conservatively kept. */
   def readPruned(
       spark: SparkSession, root: String, c: String, lo: Double, hi: Double,
-      version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(currentVersion(spark, root))
-      .getOrElse(throw new IllegalStateException(s"$root has no versions"))
-    val (datas0, dels0, pdels) = splitSegments(segmentsOf(spark, root, v))
+      version: Option[Long] = None): DataFrame =
+    readPrunedSnap(spark, root, resolveSnap(spark, root, version), c, lo, hi)
+
+  private def readPrunedSnap(
+      spark: SparkSession, root: String, snap: Snapshot,
+      c: String, lo: Double, hi: Double): DataFrame = {
+    val (datas0, dels0, pdels) = splitSegments(snap.segments)
     val datas = datas0.filter(_.mayIntersect(c, lo, hi))
-    if (datas.isEmpty) read(spark, root, Some(v)).where(lit(false))
+    if (datas.isEmpty) readSnapshot(spark, root, snap).where(lit(false))
     // position deletes are NEVER pruned: they bind to files, not value
     // ranges, and dropping one would resurrect its deleted rows
     else applyDeletes(spark, root, datas,
       dels0.filter(_.mayIntersect(c, lo, hi)),
-      renames = renamesOf(spark, root, v), pdels = pdels)
+      renames = snap.renames, pdels = pdels)
       .where(col(c).cast("double") >= lo && col(c).cast("double") <= hi)
   }
 
@@ -1501,13 +1650,12 @@ object VersionedTable {
   def readPrunedStr(
       spark: SparkSession, root: String, c: String, lo: String, hi: String,
       version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(currentVersion(spark, root))
-      .getOrElse(throw new IllegalStateException(s"$root has no versions"))
-    val (datas0, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
+    val snap = resolveSnap(spark, root, version)
+    val (datas0, dels, pdels) = splitSegments(snap.segments)
     val datas = datas0.filter(_.mayIntersectStr(c, lo, hi))
-    if (datas.isEmpty) read(spark, root, Some(v)).where(lit(false))
+    if (datas.isEmpty) readSnapshot(spark, root, snap).where(lit(false))
     else applyDeletes(spark, root, datas, dels,
-      renames = renamesOf(spark, root, v), pdels = pdels)
+      renames = snap.renames, pdels = pdels)
       .where(col(c) >= lo && col(c) <= hi)
   }
 
@@ -1535,11 +1683,10 @@ object VersionedTable {
       spark: SparkSession, root: String, c: String, lo: Double, hi: Double,
       transform: DataFrame => DataFrame,
       statCols: Seq[String] = Nil): (Long, Int, Int) = {
-    val v = currentVersion(spark, root)
-      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
-    val (datas, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
+    val snap = snapOrInit(spark, root)
+    val (datas, dels, pdels) = splitSegments(snap.segments)
     val (touched, carried) = datas.partition(_.mayIntersect(c, lo, hi))
-    if (touched.isEmpty) return (v, 0, carried.length)
+    if (touched.isEmpty) return (snap.version, 0, carried.length)
     // pending deletes of BOTH kinds MUST be applied to the touched slice
     // before the rewrite: the rewritten segment gets a NEW seq (and new
     // file paths), so older deletes stop applying to it — materializing
@@ -1548,9 +1695,9 @@ object VersionedTable {
     // the carried segments' files; entries naming rewritten-away files
     // match nothing and retire at the next materialization.
     val touchedDf = applyDeletes(spark, root, touched, dels,
-      renames = renamesOf(spark, root, v), pdels = pdels)
+      renames = snap.renames, pdels = pdels)
     val rewritten = writeSegment(spark, root, transform(touchedDf), statCols)
-    val nv = commitFrom(spark, root, Some(v),
+    val nv = commitSnap(spark, root, Some(snap),
       (carried ++ dels ++ pdels) :+ rewritten, None, None)
     (nv, touched.length, carried.length)
   }
@@ -1574,14 +1721,15 @@ object VersionedTable {
     // changelog consumers read deletions via the manifest's delete
     // entries instead. Kind, not name prefix: an importDir entry's
     // basename is arbitrary but it IS new data.
-    val addedNames = addedSegments(spark, root, fromV, toV).toSet
-    val added = segmentsOf(spark, root, toV)
-      .filter(s => addedNames(s.name) && !s.isDelete && !s.isPosDelete)
+    val snap = snapshotAt(spark, root, toV)
+    val old = segmentsOf(spark, root, fromV).map(_.name).toSet
+    val added = snap.segments
+      .filter(s => !old(s.name) && !s.isDelete && !s.isPosDelete)
     if (added.isEmpty) None
     else {
       // rows surface under toV's CURRENT names: a segment added before a
       // later in-window rename still carries the old physical name
-      val chain = renamesOf(spark, root, toV)
+      val chain = snap.renames
       Some(added.groupBy(s => renameFor(chain, s.seq)).toSeq
         .sortBy(_._2.map(_.name).min)
         .map { case (rs, group) =>
@@ -1626,9 +1774,13 @@ object VersionedTable {
       spark: SparkSession, root: String, fromV: Long,
       toV: Long): Seq[ChangeSet] = {
     require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
+    // consecutive manifests share a version: carry each parse forward so
+    // the window costs toV-fromV+1 manifest reads, not twice that
+    var prev = segmentsOf(spark, root, fromV).map(_.name).toSet
     (fromV + 1 to toV).flatMap { v =>
-      val prev = segmentsOf(spark, root, v - 1).map(_.name).toSet
-      val added = segmentsOf(spark, root, v).filterNot(s => prev(s.name))
+      val cur = segmentsOf(spark, root, v)
+      val added = cur.filterNot(s => prev(s.name))
+      prev = cur.map(_.name).toSet
       val (datas, dels, pdels) = splitSegments(added)
       if (added.isEmpty) None
       else Some(ChangeSet(
@@ -1758,11 +1910,14 @@ object VersionedTable {
     * point lookups assert on. */
   def resolvePointLookup(
       spark: SparkSession, root: String, c: String, value: Long,
-      version: Option[Long] = None): Seq[String] = {
-    val v = version.orElse(currentVersion(spark, root))
-      .getOrElse(throw new IllegalStateException(s"$root has no versions"))
+      version: Option[Long] = None): Seq[String] =
+    pointLookupNames(spark, root, resolveSnap(spark, root, version), c, value)
+
+  private def pointLookupNames(
+      spark: SparkSession, root: String, snap: Snapshot, c: String,
+      value: Long): Seq[String] = {
     val f = fs(spark, root)
-    segmentsOf(spark, root, v)
+    snap.segments
       .filterNot(s => s.isDelete || s.isPosDelete)
       .filter(_.mayIntersect(c, value.toDouble, value.toDouble))
       .filter { s =>
@@ -1788,16 +1943,15 @@ object VersionedTable {
   def readPoint(
       spark: SparkSession, root: String, c: String, value: Long,
       version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(currentVersion(spark, root))
-      .getOrElse(throw new IllegalStateException(s"$root has no versions"))
-    val names = resolvePointLookup(spark, root, c, value, Some(v)).toSet
-    val (datas0, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
+    val snap = resolveSnap(spark, root, version)
+    val names = pointLookupNames(spark, root, snap, c, value).toSet
+    val (datas0, dels, pdels) = splitSegments(snap.segments)
     val datas = datas0.filter(s => names(s.name))
-    if (datas.isEmpty) read(spark, root, Some(v)).where(lit(false))
+    if (datas.isEmpty) readSnapshot(spark, root, snap).where(lit(false))
     else applyDeletes(spark, root, datas,
       dels.filter(_.mayIntersect(c, value.toDouble, value.toDouble)),
       pdels = pdels,
-      renames = renamesOf(spark, root, v))
+      renames = snap.renames)
       .where(col(c) === value)
   }
 
@@ -1827,20 +1981,19 @@ object VersionedTable {
   def compactSmall(
       spark: SparkSession, root: String,
       smallBytes: Long): (Long, Int, Int) = {
-    val v = currentVersion(spark, root)
-      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
+    val snap = snapOrInit(spark, root)
     val f = fs(spark, root)
-    val (datas, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
+    val (datas, dels, pdels) = splitSegments(snap.segments)
     val (small, big0) = datas.partition { s =>
       f.getContentSummary(new Path(root, s.name)).getLength <= smallBytes
     }
     val big = big0 ++ dels ++ pdels // delete segments never fold into data
-    if (small.length < 2) return (v, 0, datas.length)
+    if (small.length < 2) return (snap.version, 0, datas.length)
     // applicable deletes (both kinds) materialize into the merged segment
     // (its new seq and fresh files put it beyond their reach), exactly as
     // in mergeWhere
     val merged = applyDeletes(spark, root, small, dels,
-      renames = renamesOf(spark, root, v), pdels = pdels)
+      renames = snap.renames, pdels = pdels)
     val name = "seg_" + java.util.UUID.randomUUID().toString.replace("-", "")
     merged.coalesce(1).write.parquet(new Path(root, name).toString)
     // stats union straight from the manifest — the merged interval per
@@ -1858,7 +2011,7 @@ object VersionedTable {
       val (los, his) = small.map(_.sstats(c)).unzip
       c -> (los.min, his.max)
     }.toMap
-    val nv = commitFrom(spark, root, Some(v),
+    val nv = commitSnap(spark, root, Some(snap),
       big :+ Segment(name, stats, sstats = sstats), None, None)
     (nv, small.length, big.length)
   }
@@ -1877,11 +2030,11 @@ object VersionedTable {
   def compactBinpack(
       spark: SparkSession, root: String, smallBytes: Long,
       targetBytes: Long): (Long, Int, Int) = {
-    val v = currentVersion(spark, root)
-      .getOrElse(throw new IllegalStateException(s"$root has no version 0"))
+    val snap = snapOrInit(spark, root)
+    val v = snap.version
     val f = fs(spark, root)
-    val (datas, dels, pdels) = splitSegments(segmentsOf(spark, root, v))
-    val chain = renamesOf(spark, root, v)
+    val (datas, dels, pdels) = splitSegments(snap.segments)
+    val chain = snap.renames
     val sized = datas.map(s =>
       s -> f.getContentSummary(new Path(root, s.name)).getLength)
     val (small, big) = sized.partition(_._2 <= smallBytes)
@@ -1928,7 +2081,7 @@ object VersionedTable {
           }), scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
     val carried = big.map(_._1) ++ singles.flatten ++ dels ++ pdels
-    val nv = commitFrom(spark, root, Some(v), carried ++ written, None, None)
+    val nv = commitSnap(spark, root, Some(snap), carried ++ written, None, None)
     (nv, written.length, foldable.map(_.length).sum)
   }
 

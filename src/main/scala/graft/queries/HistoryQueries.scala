@@ -354,10 +354,18 @@ object HistoryQueries {
       s: SparkSession, path: String, batch: DataFrame,
       fenceId: Option[Long] = None): Unit = {
     import graft.mutation.VersionedTable
-    if (fenceId.exists(id =>
-        VersionedTable.currentFence(s, path, scd2App).exists(_ >= id)))
+    // ONE manifest resolution per trigger: the fence check, the dimension
+    // read, and the commit all ride the same parsed snapshot instead of
+    // each re-listing `_log` and re-reading the manifest (five round
+    // trips per micro-batch before; one after). Single-writer foreachBatch
+    // is the documented contract, so the head cannot move between the
+    // check and the commit — and if it somehow did, the commit's OCC pin
+    // to this snapshot's version fails loudly rather than lose an update.
+    val snap = VersionedTable.snapshot(s, path)
+      .getOrElse(throw new IllegalStateException(s"$path has no version 0"))
+    if (fenceId.exists(id => snap.fences.get(scd2App).exists(_ >= id)))
       return
-    val updates = scd2Fold(VersionedTable.read(s, path), batch)
+    val updates = scd2Fold(VersionedTable.readSnapshot(s, path, snap), batch)
       // one materialization: the upsert writes the delete segment and the
       // data segment from the same frame — don't re-run the fold per write
       .localCheckpoint()
@@ -365,13 +373,8 @@ object HistoryQueries {
     // replayed empty batch re-folds to another no-op, so the fence is
     // not needed for idempotence)
     if (updates.isEmpty) return
-    fenceId match {
-      case Some(id) =>
-        VersionedTable.morUpsertFenced(
-          s, path, updates, Seq("custkey"), id, scd2App)
-      case None =>
-        VersionedTable.morUpsert(s, path, updates, Seq("custkey"))
-    }
+    VersionedTable.morUpsertSnap(s, path, snap, updates, Seq("custkey"),
+      fenceId.map(scd2App -> _))
     ()
   }
 
