@@ -2680,22 +2680,58 @@ object AnalyticsQueries {
         .select(col("a.u").as("src"), col("b.u").as("dst")))
       .localCheckpoint()
     import s.implicits._
-    var visited = Seq((1L, 0L)).toDF("node", "level").localCheckpoint()
-    var frontier = visited
-    var lvl = 0L
-    while (frontier.limit(1).count() > 0 && lvl < 40) {
-      lvl += 1
-      val next = frontier.join(edges, frontier("node") === edges("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .withColumn("level", lit(lvl))
-        .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
-      frontier = next
+    // Size-probed DRIVER fast path (the IncrementalClusters bounded-
+    // collect discipline): a diameter-bounded frontier walk pays ~25
+    // rounds of fixed per-round job overhead for seconds of wall clock
+    // on a graph whose EDGE LIST fits in one bounded collect — in-memory
+    // BFS is microseconds and produces the identical level map. The
+    // probe is one incremental CollectLimit job; past the bound the
+    // distributed frontier loop below runs unchanged, so a 100 TB graph
+    // never lands on the driver.
+    val maxDriverEdges = 2000000
+    val probe = edges.limit(maxDriverEdges + 1).collect()
+    if (probe.length <= maxDriverEdges) {
+      val adj = probe.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val level = scala.collection.mutable.Map(1L -> 0L)
+      var frontier = Seq(1L)
+      var lvl = 0L
+      while (frontier.nonEmpty && lvl < 40) {
+        lvl += 1
+        frontier = frontier.flatMap(adj.getOrElse(_, Array.empty[Long]))
+          .distinct.filterNot(level.contains)
+        frontier.foreach(level(_) = lvl)
+      }
+      level.toSeq.toDF("node", "level")
+        .select(col("node").cast("bigint").as("node"),
+          col("level").cast("bigint").as("level"))
+        .orderBy("node")
+    } else {
+      // distributed frontier loop — one lazy-checkpoint-plus-count action
+      // per round; visited is the union of the per-level checkpoints (a
+      // node enters the tree once), never a recopied frame
+      val seed = Seq((1L, 0L)).toDF("node", "level").localCheckpoint()
+      var levels = Seq(seed)
+      var frontier = seed
+      var frontierN = 1L
+      var lvl = 0L
+      while (frontierN > 0 && lvl < 40) {
+        lvl += 1
+        val visited = levels.map(_.select("node")).reduce(_.unionByName(_))
+        val next = frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("level", lit(lvl))
+          .localCheckpoint(false)
+        frontierN = next.count() // materializes the lazy checkpoint
+        if (frontierN > 0) levels = levels :+ next
+        frontier = next
+      }
+      levels.reduce(_.unionByName(_))
+        .select(col("node").cast("bigint").as("node"),
+          col("level").cast("bigint").as("level"))
+        .orderBy("node")
     }
-    visited.select(col("node").cast("bigint").as("node"),
-      col("level").cast("bigint").as("level"))
-      .orderBy("node")
   }
 
   /** O42 — THEIL–SEN robust slope per key (the median-of-pairwise-slopes
