@@ -104,22 +104,40 @@ object ConnectedComponents {
     * stars rooted at each component's minimum — which IS the labeling.
     * Convergence is checked exactly (one-direction EXCEPT + count compare
     * per round), never by a hashed summary.
-    */
+    *
+    * SIZE-PROBED DRIVER FAST PATH (the IncrementalClusters / o41 / o46
+    * bounded-collect discipline): each distributed star round costs ~5
+    * shuffles plus a count action — pure per-round overhead when the
+    * canonical edge list fits in one bounded collect. The probe is an
+    * incremental CollectLimit over the already-checkpointed edge frame
+    * (stops scanning once the bound is passed, and the distributed loop
+    * reuses the checkpoint blocks it materialized); under
+    * `maxDriverEdges` a min-root union-find labels the connected nodes in
+    * memory — identical component minima, deterministic regardless of
+    * edge order — and isolated nodes keep labeling themselves through the
+    * same final left join the distributed path uses. Past the bound the
+    * star loop runs unchanged, so a 100 TB pair graph never lands on the
+    * driver. `maxDriverEdges = 0` disables the probe (the spec hook that
+    * keeps the O(log n) round-count gates honest, and the
+    * IncrementalClusters fallback which already proved the batch exceeds
+    * its own identical bound). */
   def runStar(
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 40): DataFrame =
-    runStarCounted(edges, aCol, bCol, maxRounds)._1
+      maxRounds: Int = 40,
+      maxDriverEdges: Int = 2000000): DataFrame =
+    runStarCounted(edges, aCol, bCol, maxRounds, maxDriverEdges)._1
 
   /** `runStar` plus the number of star rounds actually executed, so callers
     * and specs can assert the O(log n) convergence bound instead of taking
-    * it on faith. */
+    * it on faith (0 rounds ⇔ the driver fast path ran). */
   def runStarCounted(
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 40): (DataFrame, Int) = {
+      maxRounds: Int = 40,
+      maxDriverEdges: Int = 2000000): (DataFrame, Int) = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     // Lazy checkpoints throughout (see `run`): lineage truncation without a
@@ -131,6 +149,47 @@ object ConnectedComponents {
     var e = edges.select(least(a, b).as("u"), greatest(a, b).as("v"))
       .where(col("u") =!= col("v"))
       .distinct().localCheckpoint(false)
+
+    if (maxDriverEdges > 0) {
+      val probe = e.limit(maxDriverEdges + 1).collect()
+      if (probe.length <= maxDriverEdges) {
+        // min-root union-find: comp = component min, independent of edge
+        // order (roots only ever lower toward the component minimum)
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        probe.foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) {
+            val root = math.min(ra, rb)
+            parent(math.max(ra, rb)) = root
+            parent(root) = root
+          }
+        }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val rootMap = probe.iterator
+          .flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+          .toArray.distinct
+          .map(n => (n, find(n))).toSeq
+          .toDF("n", "root")
+        // same final shape as the star fixpoint: connected nodes take
+        // their component min, isolated (self-loop-only) nodes label
+        // themselves through the coalesce
+        val labels = nodes
+          .join(rootMap, Seq("n"), "left")
+          .select(col("n").as("node"),
+            coalesce(col("root"), col("n")).as("comp"))
+        return (labels, 0)
+      }
+    }
 
     def symmetric(df: DataFrame): DataFrame =
       df.select(col("u").as("x"), col("v").as("nbr"))

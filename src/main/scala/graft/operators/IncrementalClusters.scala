@@ -158,8 +158,10 @@ object IncrementalClusters {
     * leaf dirs (see [[nodeLeafDirs]]); flat stores scan the segment dirs
     * directly. Either way it is ONE multi-path parquet scan. */
   private def readNodeDirs(
-      spark: SparkSession, path: String, dirs: Seq[String]): DataFrame =
-    if (bucketWidthOf(spark, path) <= 0L) spark.read.parquet(dirs: _*)
+      spark: SparkSession, path: String, dirs: Seq[String],
+      width: Option[Long] = None): DataFrame =
+    if (width.getOrElse(bucketWidthOf(spark, path)) <= 0L)
+      spark.read.parquet(dirs: _*)
     else {
       val leaves = nodeLeafDirs(spark, dirs, None)
       if (leaves.isEmpty) emptyLongPair(spark, "node", "label0")
@@ -182,14 +184,19 @@ object IncrementalClusters {
     * pruning cannot save much — the lookup falls back to the full leaf
     * set. Flat stores return the plain union. */
   private[operators] def nodeStoreFor(
-      spark: SparkSession, path: String, endpoints: DataFrame): DataFrame = {
-    val w = bucketWidthOf(spark, path)
+      spark: SparkSession, path: String, endpoints: DataFrame,
+      width: Option[Long] = None): DataFrame = {
+    val w = width.getOrElse(bucketWidthOf(spark, path))
     val dirs = liveDirs(spark, s"$path/nodes")
     if (dirs.isEmpty) emptyLongPair(spark, "node", "label0")
     else if (w <= 0L)
-      readNodeDirs(spark, path, dirs).select(col("node"), col("label0"))
+      readNodeDirs(spark, path, dirs, Some(w))
+        .select(col("node"), col("label0"))
     else {
-      val bks = endpoints.select(expr(s"CAST(node AS BIGINT) div $w")
+      // null endpoints (edges whose a/b cast to null) can never match a
+      // stored node — drop them before the probe, or getLong(0) NPEs
+      val bks = endpoints.where(col("node").isNotNull)
+        .select(expr(s"CAST(node AS BIGINT) div $w")
         .as("bk")).distinct().limit(257).collect().map(_.getLong(0))
       val leaves = nodeLeafDirs(spark, dirs,
         if (bks.length > 256) None else Some(bks.toSet))
@@ -238,6 +245,10 @@ object IncrementalClusters {
     val pairs = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
       .localCheckpoint(false) // consumed by the lookup, CC, and insert path
+    // init-time-immutable: read the width ONCE per batch and thread it
+    // through (nodeStoreFor + the insert branch used to re-read the
+    // _bucket_width file 3-4 times per batch — driver FS round-trips)
+    val w = bucketWidthOf(spark, path)
     val redirect = redirectMap(spark, path)
     // current labels of the batch endpoints: node store hop (default self)
     // then ONE redirect hop (the depth-1 invariant). Endpoints are
@@ -247,7 +258,7 @@ object IncrementalClusters {
     val endpoints = pairs.select(col("a").as("node"))
       .unionByName(pairs.select(col("b").as("node"))).distinct()
       .localCheckpoint(false) // bucket probe + the lookup join share it
-    val nodes = nodeStoreFor(spark, path, endpoints)
+    val nodes = nodeStoreFor(spark, path, endpoints, Some(w))
     val epCur = endpoints
       .join(nodes, Seq("node"), "left")
       .withColumn("l0", coalesce(col("label0"), col("node")))
@@ -289,8 +300,11 @@ object IncrementalClusters {
         import spark.implicits._
         ns.map(n => (n, find(n))).toSeq.toDF("node", "comp")
       } else
-        // CC over LABELS only — O(batch) nodes regardless of cluster sizes
-        ConnectedComponents.runStar(labelEdges, "id_a", "id_b")
+        // CC over LABELS only — O(batch) nodes regardless of cluster sizes.
+        // maxDriverEdges = 0: this probe already proved the edge list
+        // exceeds the identical driver bound, so runStar must not re-probe
+        ConnectedComponents.runStar(labelEdges, "id_a", "id_b",
+          maxDriverEdges = 0)
           .localCheckpoint(false)
     val seq = nextSeq(spark, path)
     // 1. APPEND new nodes, written once with their post-batch component min
@@ -298,7 +312,6 @@ object IncrementalClusters {
     val inserts = epCur.where(col("fresh"))
       .join(lmap.select(col("node").as("cur"), col("comp")), Seq("cur"))
       .select(col("node"), col("comp").as("label0"))
-    val w = bucketWidthOf(spark, path)
     if (inserts.limit(1).count() > 0) {
       if (w > 0L)
         writeSegment(inserts
@@ -361,9 +374,10 @@ object IncrementalClusters {
     }
     val nDirs = liveDirs(spark, s"$path/nodes")
     if (nDirs.length > maxDeltas) {
-      val base = readNodeDirs(spark, path, nDirs)
-        .select(col("node"), col("label0"))
+      // one width read serves both the scan and the rewrite layout
       val w = bucketWidthOf(spark, path)
+      val base = readNodeDirs(spark, path, nDirs, Some(w))
+        .select(col("node"), col("label0"))
       if (w > 0L)
         writeSegment(base.withColumn("bk", expr(s"node div $w"))
             .repartition(col("bk")).sortWithinPartitions("node"),

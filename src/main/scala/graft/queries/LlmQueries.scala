@@ -4675,11 +4675,20 @@ object LlmQueries {
       .withColumn("i", row_number().over(win).cast("bigint"))
       .withColumn("n", count(lit(1)).over(
         Window.partitionBy(lit(1))).cast("bigint"))
+    // Numerator in DECIMAL(38,0) (the o63/o66 discipline): a BIGINT sum
+    // of (2i−n−1)·w wraps silently with ANSI off once n·Σchars passes
+    // ~9.2e18 (≈ a TB-scale corpus), while DuckDB promotes to HUGEINT
+    // and stays exact — the decimal path keeps both engines exact at any
+    // corpus size (bound: n ≤ 1e6 sources × Σw ≤ 9.2e18 chars ⇒ |num| <
+    // 1e25, ×1e6 < 1e31, well inside 38 digits).
     r.agg(max("n").cast("bigint").as("n_sources"),
       sum("w").cast("bigint").as("total_chars"),
-      sum((lit(2L) * col("i") - col("n") - 1L) * col("w")).as("num"))
+      sum((lit(2L) * col("i") - col("n") - 1L).cast("decimal(38,0)") *
+        col("w").cast("decimal(38,0)")).as("num"))
       .select(col("n_sources"), col("total_chars"),
-        expr("(1000000 * num) div (n_sources * total_chars)")
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) * num) div
+                (CAST(n_sources AS DECIMAL(38,0)) *
+                 CAST(total_chars AS DECIMAL(38,0)))""")
           .cast("bigint").as("gini_micro"))
   }
 

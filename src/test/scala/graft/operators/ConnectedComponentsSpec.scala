@@ -54,17 +54,42 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers with SparkSuite 
       val df = edges.toDF("a", "b").repartition(5)
       val viaLabels = ConnectedComponents.run(df, "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val viaStars = ConnectedComponents.runStar(df, "a", "b")
+      // default bound → the driver union-find fast path
+      val viaDriver = ConnectedComponents.runStar(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // maxDriverEdges = 0 → the distributed star loop
+      val viaStars = ConnectedComponents
+        .runStar(df, "a", "b", maxDriverEdges = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       withClue(s"seed $seed")(viaStars shouldBe viaLabels)
+      withClue(s"seed $seed driver path")(viaDriver shouldBe viaLabels)
     }
+  }
+
+  test("runStar driver fast path engages under the bound, not above it") {
+    import spark.implicits._
+    val chain = (1L until 32L).map(i => (i, i + 1)).toDF("a", "b")
+    // under the bound: 0 rounds — the union-find path labeled everything
+    val (viaDriver, r0) =
+      ConnectedComponents.runStarCounted(chain, "a", "b")
+    r0 shouldBe 0
+    // a bound smaller than the edge count: the star loop must run
+    val (viaStars, r1) = ConnectedComponents
+      .runStarCounted(chain, "a", "b", maxDriverEdges = 10)
+    r1 should be > 0
+    val d = viaDriver.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s = viaStars.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    d shouldBe s
+    d.values.toSet shouldBe Set(1L)
   }
 
   test("runStar collapses a long chain in far fewer than diameter rounds") {
     import spark.implicits._
     val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
     // maxRounds 12 << diameter 63: only the O(log n) algorithm fits
-    val got = ConnectedComponents.runStar(chain, "a", "b", maxRounds = 12)
+    // (maxDriverEdges 0 forces the distributed loop this gate exists for)
+    val got = ConnectedComponents
+      .runStar(chain, "a", "b", maxRounds = 12, maxDriverEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     got.values.toSet shouldBe Set(1L)
     got.keySet shouldBe (1L to 64L).toSet
@@ -75,10 +100,13 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers with SparkSuite 
     // the llm_dup_chain_clusters shape: drift chains whose diameter grows
     // with the corpus. The paper's bound is O(log n) alternating rounds;
     // assert ceil(log2(n)) + 3 so a regression to per-hop propagation
-    // (O(n) rounds) can never slip through.
+    // (O(n) rounds) can never slip through. maxDriverEdges 0 keeps the
+    // gate on the DISTRIBUTED loop (the default would probe these small
+    // chains onto the driver and report 0 rounds).
     for (n <- Seq(64L, 256L, 512L)) {
       val chain = (1L until n).map(i => (i, i + 1)).toDF("a", "b").repartition(5)
-      val (labels, rounds) = ConnectedComponents.runStarCounted(chain, "a", "b")
+      val (labels, rounds) = ConnectedComponents
+        .runStarCounted(chain, "a", "b", maxDriverEdges = 0)
       val bound = math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 3
       withClue(s"chain of $n: $rounds rounds vs bound $bound")(
         rounds should be <= bound)
@@ -93,7 +121,8 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers with SparkSuite 
     // = 14 plus slack for the alternation pattern.
     val n = 10000L
     val chain = (1L until n).map(i => (i, i + 1)).toDF("a", "b").repartition(8)
-    val (labels, rounds) = ConnectedComponents.runStarCounted(chain, "a", "b")
+    val (labels, rounds) = ConnectedComponents
+      .runStarCounted(chain, "a", "b", maxDriverEdges = 0)
     val bound = math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 3
     withClue(s"10k chain: $rounds rounds vs bound $bound")(
       rounds should be <= bound)

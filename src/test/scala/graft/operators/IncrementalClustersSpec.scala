@@ -118,6 +118,20 @@ class IncrementalClustersSpec extends AnyFunSuite with Matchers with SparkSuite 
     store(pFb).values.toSet shouldBe Set(1L)
   }
 
+  test("bucketed store survives null edge endpoints (probe skips them)") {
+    // edges whose a/b cast to null used to NPE the bucket probe's
+    // getLong(0); the flat path just dropped them through the joins —
+    // both layouts must agree
+    import spark.implicits._
+    val path = scratch("nullep")
+    IncrementalClusters.init(spark, path, bucketWidth = 16L)
+    IncrementalClusters.applyBatch(spark, path, edges(3L -> 4L))
+    val withNull = Seq((Some(3L), Some(5L)), (None, Some(9L)))
+      .toDF("a", "b")
+    IncrementalClusters.applyBatch(spark, path, withNull)
+    store(path) shouldBe Map(3L -> 3L, 4L -> 3L, 5L -> 3L)
+  }
+
   test("per-batch writes are O(batch): a tiny batch never rewrites the store") {
     // Build a store with ~600 nodes, then fold in one 2-edge batch of
     // fresh nodes: the bytes added must be a small fraction of the
