@@ -1868,6 +1868,30 @@ object VersionedTable {
     * degrades to reading the segment, a dead segment's bloom is vacuumed
     * with it. Builds run as concurrent Spark jobs. Returns sidecars
     * built. */
+  /** Total row count of a written parquet directory from its footers —
+    * driver-side metadata only, zero Spark jobs (the footerStats
+    * discipline). Returns -1 when any footer cannot be read; callers
+    * fall back to a counting scan. */
+  private def footerRowCount(spark: SparkSession, path: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    try {
+      val p = new Path(path)
+      val f = p.getFileSystem(conf)
+      var total = 0L
+      f.listStatus(p).map(_.getPath).filter { q =>
+        val n = q.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }.foreach { fp =>
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(fp, conf))
+        try rd.getFooter.getBlocks.forEach(b => total += b.getRowCount)
+        finally rd.close()
+      }
+      total
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+  }
+
   def buildBlooms(
       spark: SparkSession, root: String, c: String,
       fpp: Double = 0.01): Int = {
@@ -1890,8 +1914,19 @@ object VersionedTable {
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(missing.map { s =>
           scala.concurrent.Future {
-            val df = spark.read.parquet(new Path(root, s.name).toString)
-            val bf = df.stat.bloomFilter(c, math.max(df.count(), 1L), fpp)
+            val segPath = new Path(root, s.name).toString
+            val df = spark.read.parquet(segPath)
+            // expectedNumItems from the parquet FOOTERS (driver-side
+            // metadata, zero jobs) — the df.count() it replaces was a
+            // whole extra scan job per segment, doubling buildBlooms'
+            // job count. Row count (not NDV) is the same upper bound
+            // the count() path fed the sizing with; unreadable footers
+            // fall back to the counting scan.
+            val rows = footerRowCount(spark, segPath) match {
+              case -1L => df.count()
+              case n => n
+            }
+            val bf = df.stat.bloomFilter(c, math.max(rows, 1L), fpp)
             val tmp = new Path(root, s"_blooms/.${s.name}.$c.tmp")
             val out = f.create(tmp, true)
             try bf.writeTo(out) finally out.close()

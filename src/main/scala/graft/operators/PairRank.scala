@@ -47,11 +47,27 @@ object PairRank {
       .localCheckpoint(false) // consumed by the counts agg AND the window
     val counts = pairs.groupBy(keyA).agg(count(lit(1)).as("__n"))
       .localCheckpoint(false) // consumed by the max probe AND the cumsum
-    // domain probe: one job over the |keyA-domain|-sized counts frame
-    // (never the pairs), only to size the prefix-sum buckets
-    val maxARow = counts.agg(max(col(keyA))).head()
-    val maxA = if (maxARow.isNullAt(0)) 0L else maxARow.getLong(0)
+    // domain + SKEW probe in ONE job over the |keyA-domain|-sized counts
+    // frame (never the pairs): max(keyA) sizes the prefix-sum buckets;
+    // max(__n) guards the one skew point of this construction — a single
+    // keyA group's distinct-keyB set sorts inside one window partition
+    // (step 3), so a group holding ~O(corpus) distinct continuations
+    // would serialize one task. Natural text cannot produce it (groups
+    // split geometrically per doubling round); an adversarial corpus can,
+    // so the probe fails LOUDLY with the mitigation named instead of
+    // letting one straggler task eat the cluster.
+    val probeRow = counts.agg(max(col(keyA)), max(col("__n"))).head()
+    val maxA = if (probeRow.isNullAt(0)) 0L else probeRow.getLong(0)
+    val maxGroup = if (probeRow.isNullAt(1)) 0L else probeRow.getLong(1)
     require(maxA >= 0L, s"$keyA must be non-negative, saw max $maxA")
+    val maxGroupBound = df.sparkSession.conf
+      .get("spark.graft.pairrank.maxGroup", "100000000").toLong
+    require(maxGroup <= maxGroupBound,
+      s"PairRank: one $keyA group holds $maxGroup distinct $keyB values " +
+        s"(bound $maxGroupBound, spark.graft.pairrank.maxGroup) — its " +
+        "within-group window would serialize one task. Mitigation: salt " +
+        s"$keyA with a $keyB prefix (order-preserving, e.g. shiftright) " +
+        "and re-offset the per-salt ranks before retrying.")
     // offset frame ≈ domain/width rows: cap it at ~2M so its internal
     // ordering window stays trivial at any corpus scale
     val width = math.max(64L, maxA / 2000000L + 1L)

@@ -1193,9 +1193,15 @@ object IngestQueries {
       |GROUP BY t.batch, nb.nb ORDER BY batch_id""".stripMargin) { (s, dir) =>
     val work = graft.Scratch.dir("graft_stream_drift")
     try {
+      // one corpus scan serves the slice staging AND (via the checkpointed
+      // ref histogram) every micro-batch's PSI compare — ref used to be
+      // re-derived from the parquet scan once per trigger
       val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .localCheckpoint(false)
       val ref = docs.where(col("source") === "src0")
         .groupBy(expr("n_chars DIV 128").as("bin")).agg(count(lit(1)).as("ca"))
+        .localCheckpoint(false)
       val na = ref.agg(coalesce(sum("ca"), lit(0L)).as("na"))
 
       val src = new java.io.File(work, "in")
@@ -1394,6 +1400,9 @@ object IngestQueries {
     try {
       val e = Tables.events(s, dir).where(col("event_id") < 30000L)
         .select("event_id", "user_id")
+        // one events scan serves all three staged slices (and the
+        // post-stream replay probe) instead of one scan per slice
+        .localCheckpoint(false)
       val src = new java.io.File(work + "/in"); src.mkdirs()
       val t0 = System.currentTimeMillis()
       (0 until 3).foreach { i =>
@@ -1479,6 +1488,9 @@ object IngestQueries {
     try {
       val e = Tables.events(s, dir).where(col("event_id") < 30000L)
         .select("event_id", "user_id")
+        // one events scan serves all three staged slices (and the
+        // post-stream replay probe) instead of one scan per slice
+        .localCheckpoint(false)
       val src = new java.io.File(work + "/in"); src.mkdirs()
       val t0 = System.currentTimeMillis()
       (0 until 3).foreach { i =>
@@ -1577,6 +1589,9 @@ object IngestQueries {
     try {
       val e = Tables.events(s, dir).where(col("event_id") < 30000L)
         .select("event_id", "user_id")
+        // one events scan serves all three staged slices (and the
+        // post-stream replay probe) instead of one scan per slice
+        .localCheckpoint(false)
       val src = new java.io.File(work + "/in"); src.mkdirs()
       val t0 = System.currentTimeMillis()
       (0 until 3).foreach { i =>
@@ -1679,6 +1694,9 @@ object IngestQueries {
     try {
       val e = Tables.events(s, dir).where(col("event_id") < 30000L)
         .select("event_id", "user_id")
+        // one events scan serves all three staged slices (and the
+        // post-stream replay probe) instead of one scan per slice
+        .localCheckpoint(false)
       val src = new java.io.File(work + "/in"); src.mkdirs()
       val t0 = System.currentTimeMillis()
       (0 until 3).foreach { i =>
@@ -1877,6 +1895,8 @@ object IngestQueries {
         .select(col("event_id"), col("event_type"), col("ts"))
         .withColumn("day",
           datediff(col("ts").cast("date"), lit("1970-01-01")).cast("bigint"))
+        // one events scan serves all three staged slices
+        .localCheckpoint(false)
       val isL = col("event_id") % 3 === 0 && col("day") <= 19741L
       val slices = Seq(
         e.where(col("day") <= 19737L && !isL),
@@ -1973,8 +1993,11 @@ object IngestQueries {
     s.conf.set("spark.sql.shuffle.partitions", 8)
     try {
       val e = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("event_id"), col("ts"))
         .withColumn("day",
           datediff(col("ts").cast("date"), lit("1970-01-01")).cast("bigint"))
+        // one events scan serves all six staged slices (3 per side)
+        .localCheckpoint(false)
       val clicks = e.where(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("cts"), col("day"))
       val purch = e.where(col("event_type") === "purchase")
@@ -2093,6 +2116,8 @@ object IngestQueries {
     try {
       val e = Tables.events(s, dir).where(col("event_id") % 7 === 0)
         .select("event_id", "user_id")
+        // one events scan serves all three staged slices
+        .localCheckpoint(false)
       val src = new java.io.File(work + "/in"); src.mkdirs()
       val t0 = System.currentTimeMillis()
       (0 until 3).foreach { i =>

@@ -3685,8 +3685,10 @@ object LlmQueries {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", 8)
     try {
+      // one corpus scan serves all three per-batch frames
       val base = Tables.documents(s, dir)
         .select(col("doc_id"), plantedWords.as("text"))
+        .localCheckpoint(false)
       val near = base.where(col("doc_id") % 3 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(col("text"), format_string(" x%d", col("doc_id"))).as("text"))
@@ -3736,8 +3738,10 @@ object LlmQueries {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 8)
       try {
+        // one corpus scan serves all three staged batch files
         val base = Tables.documents(s, dir)
           .select(col("doc_id"), plantedWords.as("text"))
+          .localCheckpoint(false)
         val near = base.where(col("doc_id") % 3 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"),
             concat(col("text"), format_string(" x%d", col("doc_id"))).as("text"))

@@ -1270,6 +1270,8 @@ object MutationQueries {
     try {
       val e = Tables.events(s, dir).where(col("event_id") < 60000L)
         .select("event_id", "user_id")
+        // one events scan serves every staged segment / mutation slice
+        .localCheckpoint(false)
       VersionedTable.create(s, root, e.where(col("event_id") % 4 === 0))
       (1 to 3).foreach { i =>
         VersionedTable.append(s, root, e.where(col("event_id") % 4 === i))
@@ -1334,6 +1336,8 @@ object MutationQueries {
     try {
       val e = Tables.events(s, dir).where(col("event_id") < 60000L)
         .select("event_id", "user_id")
+        // one events scan serves every staged segment / mutation slice
+        .localCheckpoint(false)
       VersionedTable.create(s, root, e.where(col("event_id") % 3 === 0),
         statCols = Seq("event_id"))
       VersionedTable.append(s, root, e.where(col("event_id") % 3 === 1),
@@ -1514,6 +1518,8 @@ object MutationQueries {
     try {
       val e = Tables.events(s, dir).where(col("event_id") < 60000L)
         .select("event_id", "user_id")
+        // one events scan serves every staged segment / mutation slice
+        .localCheckpoint(false)
       VersionedTable.create(s, root, e.where(col("event_id") % 4 === 0))
       VersionedTable.append(s, root, e.where(col("event_id") % 4 === 1))
       // the replica checkpoints HERE (v1), then the table keeps moving:
@@ -1580,6 +1586,8 @@ object MutationQueries {
     try {
       val e = Tables.events(s, dir).where(col("event_id") < 60000L)
         .select("event_id", "user_id")
+        // one events scan serves every staged segment / mutation slice
+        .localCheckpoint(false)
       // round-robin layout: stats are useless for points, blooms are not
       VersionedTable.create(s, root, e.where(col("event_id") % 8 === 0),
         statCols = Seq("event_id"))
@@ -1649,6 +1657,8 @@ object MutationQueries {
     try {
       val e = Tables.events(s, dir).where(col("event_id") < 60000L)
         .select("event_id", "user_id")
+        // one events scan serves every staged segment / mutation slice
+        .localCheckpoint(false)
       VersionedTable.create(s, root, e.where(col("event_id") % 2 === 0))
       // the evolution: a new era of segments carries `score`
       VersionedTable.append(s, root,
@@ -1701,6 +1711,8 @@ object MutationQueries {
     try {
       val e = Tables.events(s, dir).where(col("event_id") < 60000L)
         .select("event_id", "user_id")
+        // one events scan serves every staged segment / mutation slice
+        .localCheckpoint(false)
       VersionedTable.create(s, root, e.where(col("event_id") % 6 === 0),
         statCols = Seq("event_id"))
       (1 to 5).foreach(i => VersionedTable.append(s, root,
@@ -1763,6 +1775,8 @@ object MutationQueries {
     try {
       val e = Tables.events(s, dir).where(col("event_id") < 60000L)
         .select("event_id", "user_id")
+        // one events scan serves every staged segment / mutation slice
+        .localCheckpoint(false)
       VersionedTable.create(s, root, e.where(col("event_id") % 4 === 0))
       VersionedTable.append(s, root, e.where(col("event_id") % 4 === 1))
       def aggOf(df: org.apache.spark.sql.DataFrame, sign: Int) =
@@ -2469,6 +2483,8 @@ object MutationQueries {
     try {
       val e = Tables.events(s, dir).where(col("event_id") < 60000L)
         .select("event_id", "user_id")
+        // one events scan serves every staged segment / mutation slice
+        .localCheckpoint(false)
       VersionedTable.create(s, root, e.where(col("event_id") % 3 === 0),
         statCols = Seq("event_id"))
       VersionedTable.append(s, root, e.where(col("event_id") % 3 === 1),
@@ -2606,6 +2622,8 @@ object MutationQueries {
     try {
       val e = Tables.events(s, dir).where(col("event_id") < 60000L)
         .select("event_id", "user_id")
+        // one events scan serves every staged segment / mutation slice
+        .localCheckpoint(false)
       // the "foreign warehouse": a directory nobody copied
       val ext = s"$work/warehouse_drop"
       e.where(col("event_id") % 3 === 2).write.parquet(ext)
@@ -2745,6 +2763,8 @@ object MutationQueries {
     try {
       val e = Tables.events(s, dir).where(col("event_id") < 60000L)
         .select("event_id", "user_id")
+        // one events scan serves every staged segment / mutation slice
+        .localCheckpoint(false)
       VersionedTable.create(s, root, e.where(col("event_id") % 3 === 0)) // v0
       VersionedTable.append(s, root, e.where(col("event_id") % 3 =!= 0)) // v1
       VersionedTable.tag(s, root, "gold", 1L)

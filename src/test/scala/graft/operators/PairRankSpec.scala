@@ -57,6 +57,27 @@ class PairRankSpec extends AnyFunSuite with Matchers with SparkSuite {
     rankOf(Seq.empty) shouldBe Map.empty
   }
 
+  test("skew probe: a group past the bound fails loudly, naming the salt") {
+    // the one skew point of the split construction: keyA group 7 keeps
+    // more distinct keyBs than the configured bound — the probe must
+    // refuse (one serialized window task at corpus scale) instead of
+    // silently straggling, and the message must name the mitigation
+    import spark.implicits._
+    val skewed = (0L until 64L).map(b => (7L, b)) :+ (1L, 5L)
+    spark.conf.set("spark.graft.pairrank.maxGroup", "16")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        PairRank.ofDistinct(skewed.toDF("a", "b"), "a", "b").collect()
+      }
+      ex.getMessage should include("salt")
+      ex.getMessage should include("spark.graft.pairrank.maxGroup")
+      // same frame under the default bound ranks fine
+      spark.conf.unset("spark.graft.pairrank.maxGroup")
+      rankOf(skewed) shouldBe skewed.sorted.zipWithIndex
+        .map { case (p, i) => p -> i.toLong }.toMap
+    } finally spark.conf.unset("spark.graft.pairrank.maxGroup")
+  }
+
   test("equivalence: split rank == the packed-cumsum fast path inside its domain bound") {
     // the suffix doubling round uses the packed composite while
     // rankDomain² < 2^63 and PairRank beyond — both are the dense 0-based
