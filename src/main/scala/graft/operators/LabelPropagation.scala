@@ -23,9 +23,57 @@ import org.apache.spark.sql.functions._
 object LabelPropagation {
 
   /** edges(u, v) must contain BOTH directions of every undirected edge and
-    * no self-loops; nodes(id) seeds the labels. Returns (v, label). */
-  def run(nodes: DataFrame, edges: DataFrame, iterations: Int): DataFrame = {
+    * no self-loops; nodes(id) seeds the labels. Returns (v, label).
+    *
+    * SIZE-PROBED DRIVER FAST PATH (the ConnectedComponents / LinkRank
+    * bounded-collect discipline): K fixed rounds × 2 shuffles is pure
+    * per-round overhead when the edge list fits in one bounded collect;
+    * the in-memory loop reproduces the synchronous update and the
+    * (cnt, −label) argmax exactly, so the hash gate is indifferent to
+    * the path. Past the bound the distributed loop runs unchanged;
+    * `maxDriverEdges = 0` disables the probe (spec hook). */
+  def run(nodes: DataFrame, edges: DataFrame, iterations: Int,
+      maxDriverEdges: Int = 2000000): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+
+    if (maxDriverEdges > 0) {
+      val eProbe = edges.select(col("u").cast("long"), col("v").cast("long"))
+        .limit(maxDriverEdges + 1).collect()
+      if (eProbe.length <= maxDriverEdges) {
+        val es = eProbe.map(r => (r.getLong(0), r.getLong(1)))
+        // node count is bounded by 2·|edges| for every row that can ever
+        // surface (isolated nodes drop after round 1 by contract), but the
+        // SEED must still come from `nodes` — collect it bounded too (a
+        // node frame larger than 2·maxDriverEdges+1 falls back)
+        val nProbe = nodes.select(col("id").cast("long"))
+          .limit(2 * maxDriverEdges + 1).collect()
+        if (nProbe.length <= 2 * maxDriverEdges) {
+          var labels: Map[Long, Long] =
+            nProbe.iterator.map(r => r.getLong(0)).map(n => n -> n).toMap
+          for (_ <- 1 to iterations) {
+            val cnt = scala.collection.mutable.Map.empty[(Long, Long), Long]
+            es.foreach { case (u, v) =>
+              labels.get(u).foreach { l =>
+                cnt((v, l)) = cnt.getOrElse((v, l), 0L) + 1L
+              }
+            }
+            // argmax(cnt) with min-label tie-break = max of (cnt, -label)
+            val best = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+            cnt.foreach { case ((v, l), c) =>
+              val cand = (c, -l)
+              if (best.get(v).forall(b =>
+                  cand._1 > b._1 || (cand._1 == b._1 && cand._2 > b._2)))
+                best(v) = cand
+            }
+            labels = best.iterator.map { case (v, (_, nl)) => v -> -nl }.toMap
+          }
+          val spark = nodes.sparkSession
+          import spark.implicits._
+          return labels.toSeq.toDF("v", "label")
+        }
+      }
+    }
+
     var labels = nodes.select(col("id").as("v"), col("id").as("label"))
     for (_ <- 1 to iterations) {
       labels = edges

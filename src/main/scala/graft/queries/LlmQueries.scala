@@ -2754,6 +2754,9 @@ object LlmQueries {
     val und = raw.where(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .distinct()
+      // consumed three times (degrees, the directed orientation, and the
+      // n_edges count): materialize the distinct once
+      .localCheckpoint(false)
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -2766,6 +2769,9 @@ object LlmQueries {
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
         when(aFirst, col("db.d")).otherwise(col("da.d")).as("ddst"))
+      // consumed three times (both wedge sides and the closing probe):
+      // without this the degree joins re-run per consumer
+      .localCheckpoint(false)
     val e1Lower = (col("e1.ddst") < col("e2.ddst")) ||
       (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
     val wedge = dirE.as("e1")

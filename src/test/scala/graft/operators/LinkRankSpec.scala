@@ -9,9 +9,11 @@ class LinkRankSpec extends AnyFunSuite with Matchers with SparkSuite {
 
   private def rank(
       edges: Seq[(Long, Long)],
-      iterations: Int = 5): Map[Long, Long] = {
+      iterations: Int = 5,
+      maxDriverEdges: Int = 2000000): Map[Long, Long] = {
     import spark.implicits._
-    LinkRank.run(edges.toDF("src", "dst").repartition(5), "src", "dst", iterations)
+    LinkRank.run(edges.toDF("src", "dst").repartition(5), "src", "dst",
+      iterations, maxDriverEdges = maxDriverEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -56,8 +58,20 @@ class LinkRankSpec extends AnyFunSuite with Matchers with SparkSuite {
       val rnd = new scala.util.Random(seed)
       val edges = (0 until 120).map(_ =>
         (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      // default bound → driver fast path; 0 → the distributed loop.
+      // Both must reproduce the integer recurrence bit-exactly.
       withClue(s"seed $seed")(rank(edges) shouldBe reference(edges, 5))
+      withClue(s"seed $seed distributed")(
+        rank(edges, maxDriverEdges = 0) shouldBe reference(edges, 5))
     }
+  }
+
+  test("driver fast path engages under the bound, distributed above it") {
+    val edges = (0L until 40L).map(i => (i, (i + 1) % 40L))
+    val viaDriver = rank(edges)
+    val viaDist = rank(edges, maxDriverEdges = 10) // bound < |E| → loop
+    viaDriver shouldBe viaDist
+    viaDriver shouldBe reference(edges, 5)
   }
 
   test("multi-edges count toward out-degree and contribution") {

@@ -76,6 +76,12 @@ class Round9RandomSpec extends AnyFunSuite with Matchers with SparkSuite {
         .run(nodes, scala.util.Random.shuffle(sym).toDF("u", "v").repartition(9), 3)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       run1 shouldBe run2
+      // the distributed loop (maxDriverEdges = 0) must agree with the
+      // driver fast path run1/run2 took under the default bound
+      val runDist = graft.operators.LabelPropagation
+        .run(nodes, sym.toDF("u", "v").repartition(3), 3, maxDriverEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      runDist shouldBe run1
     }
   }
 }
