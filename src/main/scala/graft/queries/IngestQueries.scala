@@ -2225,6 +2225,8 @@ object IngestQueries {
       val root = s"$work/t"
       val e = Tables.events(s, dir).where(col("event_id") < 60000L)
         .select("event_id", "user_id", "value")
+        // one events scan serves both staged segments and the request set
+        .localCheckpoint(false)
       VersionedTable.create(s, root, e.where(col("event_id") % 3 === 0),
         statCols = Seq("user_id"))
       VersionedTable.append(s, root, e.where(col("event_id") % 3 =!= 0),
@@ -2319,6 +2321,8 @@ object IngestQueries {
       val root = s"$work/t"
       val e = Tables.events(s, dir).where(col("event_id") < 60000L)
         .select("event_id", "user_id")
+        // one events scan serves all three landing-zone drops
+        .localCheckpoint(false)
       // the landing zone: three foreign directories, written by "someone
       // else" before the loader ever runs
       val zones = (0 to 2).map { i =>

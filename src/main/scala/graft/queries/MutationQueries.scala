@@ -176,6 +176,8 @@ object MutationQueries {
             col("l_partkey")).as("event_id"),
           (col("l_suppkey") % 8).as("day"),
           col("l_extendedprice").as("value"))
+        // one lineitem scan serves both era writes
+        .localCheckpoint(false)
       // healthy partitions: writer-aligned, 1 file each
       fact.where(col("day") =!= 3)
         .repartition(col("day")).write.partitionBy("day").parquet(work)
@@ -2823,6 +2825,9 @@ object MutationQueries {
         col("l_quantity"),
         (year(to_date(col("l_shipdate"))) * 12 +
           month(to_date(col("l_shipdate"))) - 1).as("ym"))
+        // one lineitem scan serves the layout write AND the expected-month
+        // gate count
+        .localCheckpoint(false)
       val (_, nSegs) = VersionedTable.createPartitioned(s, root, li, "ym")
       val cutoffYm = 1999 * 12 + 6 - 1 // the month containing 1999-06-01
       val expectMonths = li.where(col("ym") >= cutoffYm)
